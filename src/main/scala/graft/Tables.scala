@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Parquet table loaders + oracle-parity helpers.
+  *
+  * Every query in the engine reads its inputs through [[Tables.apply]] so
+  * the scale-factor directory is always a runtime parameter (never
+  * hardcoded), per the driver contract (SURVEY.md §0).
+  */
+object Tables {
+  /** All driver-generated tables (TESTDATA.md). */
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+}
+
+/** Helpers that make float aggregates hash-identical between Spark and the
+  * DuckDB oracle (SURVEY.md §7.4 — the #1 failure mode).
+  *
+  * Doubles summed in nondeterministic partition order differ in final ulps
+  * between engines (and between runs). Summing through DECIMAL is exact and
+  * order-independent, so both engines produce bit-identical doubles after
+  * the final cast. The money columns in testdata carry 2 decimal digits, so
+  * DECIMAL(18,2) loses nothing.
+  */
+object OracleParity {
+  private val D = DecimalType(18, 2)
+
+  /** Cast a 2-decimal money double to exact decimal. */
+  def dec(c: Column): Column = c.cast(D)
+
+  /** Order-independent exact sum of a money column, returned as double.
+    * Oracle equivalent: round(CAST(sum(CAST(x AS DECIMAL(18,2))) AS DOUBLE), 2)
+    */
+  def moneySum(c: Column): Column = round(sum(dec(c)).cast("double"), 2)
+
+  /** Exact decimal mean cast to double, rounded: sum(dec)/count in double.
+    * Oracle: round(CAST(sum(CAST(x AS DECIMAL(18,2))) AS DOUBLE) / count(x), 6)
+    */
+  def moneyAvg(c: Column): Column =
+    round(sum(dec(c)).cast("double") / count(c), 6)
+
+  /** TPC-H style discounted revenue, exact in decimal then double.
+    * Oracle: round(CAST(sum(CAST(p AS DECIMAL(18,2)) * (1 - CAST(d AS DECIMAL(18,2)))) AS DOUBLE), 2)
+    */
+  def revenueSum(price: Column, discount: Column): Column =
+    round(sum(dec(price) * (lit(1).cast(D) - dec(discount))).cast("double"), 2)
+}

@@ -1,5 +1,17 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import scala.collection.mutable.LinkedHashMap
+
+/** Benchmark entry: times every SparkEntry query at the sf dir given by
+  * SPARK_GRAFT_SF_DIR and prints ONE JSON line for the driver.
+  *
+  * Harness hygiene (VERDICT r1 "What's wrong" #2–3):
+  *  - queries run in stable insertion order (SparkEntry.queries is a ListMap);
+  *  - an untimed warmup pass absorbs JVM/codegen/parquet-footer startup so
+  *    no query's number is warmup-dominated;
+  *  - a query that throws records {"err": ...} and forces a nonzero exit
+  *    instead of masquerading as a fast run.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,18 +19,42 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    // Warmup: exercise the JVM, codegen, shuffle machinery, and the parquet
+    // footers of every table once, untimed.
+    spark.range(1000000L).selectExpr("sum(id)").collect()
+    Tables.names.foreach { t =>
+      try Tables(spark, sfDir, t).count() catch { case _: Throwable => () }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    val times = LinkedHashMap[String, Double]()
+    val errors = LinkedHashMap[String, String]()
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).count()
+        times(name) = (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          times(name) = (System.nanoTime() - t0) / 1e9
+          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+            .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200)
+      }
+    }
+    val qs = times.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errJson =
+      if (errors.isEmpty) ""
+      else errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+        .mkString(",\"errors\":{", ",", "}")
+    val total = times.values.sum
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson,"sf":"$sfDir"}""")
     spark.stop()
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

@@ -11,13 +11,27 @@ import org.apache.spark.sql.types.DecimalType
   * hardcoded), per the driver contract (SURVEY.md §0).
   */
 object Tables {
-  /** All driver-generated tables (TESTDATA.md). */
+  /** All driver-generated tables: the 8 documented in TESTDATA.md plus
+    * `documents`/`embeddings`, which ship on disk at every sf for the
+    * LLM-pipeline operators (SURVEY.md §2.9). */
   val names: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    if (name == "events") {
+      // events.ts is parquet TIMESTAMP(NANOS), which Spark has no native
+      // type for (SURVEY.md §7.4). Read the raw INT64 nanos via the legacy
+      // conf and truncate to microseconds — the same conversion DuckDB
+      // applies when it scans TIMESTAMP_NS into its µs TIMESTAMP, so the
+      // oracle sees identical instants.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    } else {
+      spark.read.parquet(s"$dir/$name.parquet")
+    }
+  }
 }
 
 /** Helpers that make float aggregates hash-identical between Spark and the

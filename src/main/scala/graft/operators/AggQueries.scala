@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Tables, OracleParity => OP}
+import scala.collection.immutable.ListMap
+
+/** Aggregation breadth A3–A8 (SURVEY.md §2.4): distinct / approx-distinct,
+  * rollup, collect_list, conditional aggregation, percentiles.
+  *
+  * Scale posture: all are partial+final hash aggregates (map-side combine
+  * free from Spark); approx_count_distinct is the explicit 100 TB
+  * substitute for exact distinct; collect_list is bounded per group and
+  * order-stabilized with sort_array for the oracle.
+  */
+object AggQueries {
+
+  /** A3: exact distinct counts per event type. */
+  def distinctUsers(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("event_type"))
+
+  /** A4: approx distinct (HLL++) — the output asserts the approximation is
+    * within 5% of the exact count, so the oracle-checkable row proves the
+    * operator ran correctly without depending on Spark's HLL internals.
+    */
+  def approxDistinctUsers(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users_exact"),
+        approx_count_distinct(col("user_id"), 0.02).as("n_approx"))
+      .select(col("event_type"), col("n_users_exact"),
+        (abs(col("n_approx") - col("n_users_exact"))
+          <= col("n_users_exact") * 0.05).as("approx_ok"))
+      .orderBy(col("event_type"))
+
+  /** A5: rollup over status × priority with grouping() disambiguation. */
+  def statusRollup(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders")
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        OP.moneySum(col("o_totalprice")).as("total"),
+        grouping(col("o_orderstatus")).cast("int").as("g_status"),
+        grouping(col("o_orderpriority")).cast("int").as("g_priority"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
+        coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
+        col("g_status"), col("g_priority"),
+        col("n"), col("total"))
+      .orderBy(col("g_status"), col("g_priority"), col("status"), col("priority"))
+
+  /** A6: collect_list/collect_set assembled deterministically (sort_array)
+    * — the reference's error-`details` array shape
+    * (/root/reference/README.md:43-52).
+    */
+  def priorityStatusLists(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(sort_array(collect_set(col("o_orderstatus"))).as("statuses"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderpriority"))
+
+  /** A7: filtered/conditional aggregation — completed vs failed split per
+    * priority, the reference's per-job outcome rollup
+    * (/root/reference/README.md:100-102).
+    */
+  def conditionalOutcomes(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(when(col("o_orderstatus") === "F", 1)).as("n_done"),
+        count(when(col("o_orderstatus") === "O", 1)).as("n_open"),
+        OP.moneySum(when(col("o_totalprice") > 200000, col("o_totalprice"))
+          .otherwise(lit(0.0))).as("big_total"))
+      .orderBy(col("o_orderpriority"))
+
+  /** A8: exact percentiles (linear interpolation) of event value per type.
+    * Spark `percentile` and DuckDB `quantile_cont` share the (n-1)*p
+    * interpolation rule; rounding to 6 dp absorbs last-ulp drift.
+    */
+  def valuePercentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        expr("round(percentile(value, 0.25), 6)").as("p25"),
+        expr("round(percentile(value, 0.5), 6)").as("p50"),
+        expr("round(percentile(value, 0.9), 6)").as("p90"))
+      .orderBy(col("event_type"))
+
+  val queries: ListMap[String, graft.Q] = ListMap(
+    "q30_distinct_users" -> (distinctUsers _),
+    "q31_approx_distinct_users" -> (approxDistinctUsers _),
+    "q32_status_rollup" -> (statusRollup _),
+    "q33_priority_status_lists" -> (priorityStatusLists _),
+    "q34_conditional_outcomes" -> (conditionalOutcomes _),
+    "q35_value_percentiles" -> (valuePercentiles _))
+
+  val oracle: Map[String, String] = Map(
+    "q30_distinct_users" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q31_approx_distinct_users" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users_exact, true AS approx_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q32_status_rollup" ->
+      """SELECT coalesce(o_orderstatus, '(all)') AS status,
+        |  coalesce(o_orderpriority, '(all)') AS priority,
+        |  CAST(grouping(o_orderstatus) AS INT) AS g_status,
+        |  CAST(grouping(o_orderpriority) AS INT) AS g_priority,
+        |  count(*) AS n,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+        |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        |ORDER BY g_status, g_priority, status, priority""".stripMargin,
+    "q33_priority_status_lists" ->
+      """SELECT o_orderpriority,
+        |  list_sort(list(DISTINCT o_orderstatus)) AS statuses,
+        |  count(*) AS n
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q34_conditional_outcomes" ->
+      """SELECT o_orderpriority,
+        |  count(*) FILTER (o_orderstatus = 'F') AS n_done,
+        |  count(*) FILTER (o_orderstatus = 'O') AS n_open,
+        |  round(CAST(sum(CAST(CASE WHEN o_totalprice > 200000 THEN o_totalprice ELSE 0.0 END
+        |        AS DECIMAL(18,2))) AS DOUBLE), 2) AS big_total
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q35_value_percentiles" ->
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.25), 6) AS p25,
+        |  round(quantile_cont(value, 0.5), 6) AS p50,
+        |  round(quantile_cont(value, 0.9), 6) AS p90
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+}

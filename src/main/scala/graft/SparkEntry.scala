@@ -17,6 +17,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: ListMap[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++
+      SpecPipeline.queries ++
       WindowQueries.queries ++
       AggQueries.queries ++
       SetOpQueries.queries ++
@@ -27,6 +28,7 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracle ++
+      SpecPipeline.oracle ++
       WindowQueries.oracle ++
       AggQueries.oracle ++
       SetOpQueries.oracle ++

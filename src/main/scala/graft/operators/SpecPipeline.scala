@@ -1,0 +1,368 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+import graft.Tables
+import scala.collection.immutable.ListMap
+
+/** The reference system's own dataflows, rendered Spark-first:
+  *
+  *  - q10/q11 — the result-processing pipeline (/root/reference/README.md:86-104):
+  *    JSONL result scan (S2) → nested extract of
+  *    `response.body.choices[0].message.content` (F1/F2/F3) → response/error
+  *    branch (P4) → user-schema validation → key-equi join to target docs
+  *    (J2) → `$push` array append on success, `failed` status otherwise
+  *    (F2/F6, README.md:100-102) → per-job outcome rollup (A7).
+  *  - q12 — the ingest validation path (README.md:55-67): line-numbered
+  *    JSONL scan (S1), malformed-JSON split (P2), required-keys predicate
+  *    (P1), model-consistency check against the FIRST line's model (A1,
+  *    README.md:61), `custom_id` existence anti-join (J1, README.md:67),
+  *    error-detail projection (P3, README.md:43-52).
+  *
+  * The batch-result and request "files" are derived deterministically from
+  * `orders` (driver contract: inputs come from the sf parquet tables), then
+  * serialized through to_json and re-parsed with from_json — so the JSON
+  * scan/extract path is exercised for real, not simulated. The DuckDB
+  * oracle rebuilds the same JSON with json_object and extracts through the
+  * same paths.
+  *
+  * Scale posture: everything is a single pass over orders plus one
+  * key-equi join (J2) that shuffles both sides on custom_id; no windows, no
+  * collects. A1's first-line-model lookup is a 1-row broadcast.
+  */
+object SpecPipeline {
+
+  // ---- shared derivation ---------------------------------------------
+
+  /** Deterministic defect taxonomy, keyed off o_orderkey:
+    *   %13 → OpenAI-level error line (P4 error branch)
+    *   %7  → content missing the required `category` key (schema-invalid)
+    *   %9  → confidence shifted +0.5, may exceed the [0,1] bound
+    *   %5  → target doc has a pre-existing event_response entry
+    */
+  private def base(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders")
+      .select(col("o_orderkey").as("k"), col("o_orderpriority").as("prio"))
+      .withColumn("custom_id", concat(lit("order-"), col("k")))
+      .withColumn("category",
+        when(col("k") % 7 =!= 0,
+          lower(element_at(split(col("prio"), "-"), 2))))
+      .withColumn("confidence",
+        (col("k") % 1000).cast("double") / 1000.0 +
+          when(col("k") % 9 === 0, 0.5).otherwise(0.0))
+
+  /** S2 stand-in: one OpenAI batch-result JSONL line per order, serialized
+    * for real with to_json (null branches are omitted from the JSON, like
+    * absent keys in the reference's result file, README.md:96).
+    */
+  private def resultLines(spark: SparkSession, dir: String): DataFrame =
+    base(spark, dir)
+      .withColumn("content",
+        to_json(struct(col("category"), col("confidence"))))
+      .select(col("k"), col("prio"), to_json(struct(
+        col("custom_id"),
+        when(col("k") % 13 === 0,
+          struct(lit("rate_limit_exceeded").as("code"),
+            lit("Rate limit reached").as("message"))).as("error"),
+        when(col("k") % 13 =!= 0,
+          struct(lit(200L).as("status_code"),
+            struct(array(struct(
+              struct(lit("assistant").as("role"), col("content"))
+                .as("message"))).as("choices")).as("body"))).as("response")))
+        .as("line"))
+
+  private val resultSchema = StructType.fromDDL(
+    """custom_id string,
+      |error struct<code: string, message: string>,
+      |response struct<status_code: bigint,
+      |  body: struct<choices: array<struct<
+      |    message: struct<role: string, content: string>>>>>""".stripMargin)
+
+  /** Parse + extract + validate each result line (README.md:93-102).
+    * Columns: custom_id, prio, is_err, category, confidence, content,
+    * is_valid.
+    */
+  private def judgedResults(spark: SparkSession, dir: String): DataFrame =
+    resultLines(spark, dir)
+      .withColumn("r", from_json(col("line"), resultSchema))
+      .select(col("k"), col("prio"),
+        col("r.custom_id").as("custom_id"),
+        col("r.error").isNotNull.as("is_err"),
+        expr("try_element_at(r.response.body.choices, 1)")
+          .getField("message").getField("content").as("content"))
+      .withColumn("c",
+        from_json(col("content"), StructType.fromDDL(
+          "category string, confidence double")))
+      .withColumn("is_valid",
+        !col("is_err") && col("c.category").isNotNull &&
+          col("c.confidence").between(0.0, 1.0))
+
+  /** Target document collection (README.md:129-138): keyed by custom_id,
+    * status `in_progress`, with an existing event_response array for a
+    * deterministic subset so the `$push`-append genuinely appends.
+    */
+  private def targets(spark: SparkSession, dir: String): DataFrame = {
+    val emptyResponses =
+      array().cast("array<struct<event_response:string,updated:timestamp>>")
+    base(spark, dir).select(
+      col("custom_id"),
+      when(col("k") % 5 === 0,
+        array(struct(
+          lit("""{"category":"seed","confidence":0.5}""").as("event_response"),
+          lit("2024-01-01 00:00:00").cast("timestamp").as("updated"))))
+        .otherwise(emptyResponses).as("event_response"))
+  }
+
+  // ---- q10: the flagship merge ---------------------------------------
+
+  /** Per-document final state after result processing: `$push` of
+    * {event_response, updated} + ai_status=completed on valid content;
+    * ai_status=failed (array untouched) on error or invalid content
+    * (README.md:100-102). Output projects the merged array's size and its
+    * last element so the append semantics are oracle-checkable.
+    */
+  def flagshipResults(spark: SparkSession, dir: String): DataFrame = {
+    val now = lit("2024-06-01 00:00:00").cast("timestamp")
+    targets(spark, dir)
+      .join(judgedResults(spark, dir), Seq("custom_id"))
+      .withColumn("merged",
+        when(col("is_valid"),
+          concat(col("event_response"),
+            array(struct(col("content").as("event_response"),
+              now.as("updated")))))
+          .otherwise(col("event_response")))
+      .select(col("custom_id"),
+        when(col("is_valid"), "completed").otherwise("failed").as("ai_status"),
+        size(col("merged")).cast("long").as("n_responses"),
+        get_json_object(
+          expr("try_element_at(merged, -1)").getField("event_response"),
+          "$.category").as("last_category"),
+        get_json_object(
+          expr("try_element_at(merged, -1)").getField("event_response"),
+          "$.confidence").cast("double").as("last_confidence"))
+      .orderBy(col("custom_id"))
+  }
+
+  /** A7 rollup of the same run: per priority, counts of error lines,
+    * schema-invalid content, and successful updates (README.md:100-102's
+    * outcome split), plus the exact mean confidence of accepted content.
+    */
+  def resultOutcomes(spark: SparkSession, dir: String): DataFrame =
+    judgedResults(spark, dir)
+      .groupBy(col("prio"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        count(when(col("is_err"), 1)).as("n_errors"),
+        count(when(!col("is_err") && !col("is_valid"), 1)).as("n_invalid"),
+        count(when(col("is_valid"), 1)).as("n_completed"),
+        round(sum(when(col("is_valid"), col("c.confidence"))
+          .cast("decimal(18,6)")).cast("double")
+          / count(when(col("is_valid"), 1)), 6).as("avg_confidence"))
+      .orderBy(col("prio"))
+
+  // ---- q12: ingest validation ----------------------------------------
+
+  /** S1 stand-in: one request JSONL line per order with deterministic
+    * defects. %101 → malformed JSON (closing brace chopped); %37 → missing
+    * required `custom_id`; %23 → method GET instead of POST; %17 → model
+    * differs from the first line's. Target collection = docs whose key is
+    * not ≡0 mod 11, so %11 lines fail the existence check (README.md:67).
+    */
+  private def requestLines(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("k"))
+    base(spark, dir)
+      .withColumn("line_no", row_number().over(w).cast("long"))
+      .select(col("k"), col("line_no"), to_json(struct(
+        when(col("k") % 37 =!= 0, col("custom_id")).as("custom_id"),
+        when(col("k") % 23 === 0, "GET").otherwise("POST").as("method"),
+        lit("/v1/chat/completions").as("url"),
+        struct(
+          when(col("k") % 17 === 0, "gpt-4o").otherwise("gpt-4o-mini")
+            .as("model"),
+          array(struct(lit("user").as("role"),
+            concat(lit("summarize order "), col("k")).as("content")))
+            .as("messages")).as("body"))).as("line"))
+      .withColumn("line",
+        when(col("k") % 101 === 0,
+          expr("substring(line, 1, length(line) - 1)"))
+          .otherwise(col("line")))
+  }
+
+  private val requestSchema = StructType.fromDDL(
+    """custom_id string, method string, url string,
+      |body struct<model: string,
+      |  messages: array<struct<role: string, content: string>>>,
+      |_corrupt_record string""".stripMargin)
+
+  /** The §4 validation verdict (README.md:55-67) as one error-detail frame
+    * {line, error_type, custom_id} (P3, README.md:43-52). Precedence per
+    * line: malformed JSON > required keys > model mismatch > unknown
+    * custom_id — one error per line, like the reference's per-line checks.
+    */
+  def ingestValidation(spark: SparkSession, dir: String): DataFrame = {
+    val parsed = requestLines(spark, dir)
+      .withColumn("r", from_json(col("line"), requestSchema,
+        Map("mode" -> "PERMISSIVE",
+          "columnNameOfCorruptRecord" -> "_corrupt_record")))
+      .select(col("k"), col("line_no"),
+        col("r._corrupt_record").isNotNull.as("is_corrupt"),
+        col("r.custom_id").as("custom_id"),
+        col("r.method").as("method"),
+        col("r.body.model").as("model"))
+
+    // A1: the expected model is the FIRST line's (README.md:61) — a 1-row
+    // aggregate broadcast back across the file.
+    val expected = parsed.filter(!col("is_corrupt"))
+      .agg(min_by(col("model"), col("line_no")).as("expected_model"))
+
+    val checked = parsed.crossJoin(broadcast(expected))
+
+    val corrupt = checked.filter(col("is_corrupt"))
+      .select(col("line_no"), lit("jsonl_format_error").as("error_type"),
+        lit(null).cast("string").as("custom_id"))
+    val badKeys = checked
+      .filter(!col("is_corrupt") &&
+        (col("custom_id").isNull || col("method") =!= "POST"))
+      .select(col("line_no"), lit("jsonl_format_error").as("error_type"),
+        col("custom_id"))
+    val clean = checked.filter(!col("is_corrupt") &&
+      col("custom_id").isNotNull && col("method") === "POST")
+    val mismatch = clean.filter(col("model") =!= col("expected_model"))
+      .select(col("line_no"), lit("model_mismatch").as("error_type"),
+        col("custom_id"))
+    // J1: existence anti-join against the target collection's keys.
+    val known = targets(spark, dir)
+      .filter(expr("cast(substring(custom_id, 7) as bigint) % 11 != 0"))
+      .select(col("custom_id"))
+    val notFound = clean.filter(col("model") === col("expected_model"))
+      .join(known, Seq("custom_id"), "left_anti")
+      .select(col("line_no"), lit("custom_id_not_found").as("error_type"),
+        col("custom_id"))
+
+    corrupt.unionByName(badKeys).unionByName(mismatch).unionByName(notFound)
+      .orderBy(col("line_no"))
+  }
+
+  val queries: ListMap[String, graft.Q] = ListMap(
+    "q10_flagship_results" -> (flagshipResults _),
+    "q11_result_outcomes" -> (resultOutcomes _),
+    "q12_ingest_validation" -> (ingestValidation _))
+
+  /** Shared oracle CTE: the same defect taxonomy + JSON round-trip, built
+    * with DuckDB json_object and extracted through the same JSON paths.
+    */
+  private val oracleBase =
+    """WITH base AS (
+      |  SELECT o_orderkey AS k,
+      |    'order-' || o_orderkey AS custom_id,
+      |    CASE WHEN o_orderkey % 7 <> 0
+      |      THEN lower(string_split(o_orderpriority, '-')[2]) END AS category,
+      |    (o_orderkey % 1000) / 1000.0 +
+      |      CASE WHEN o_orderkey % 9 = 0 THEN 0.5 ELSE 0.0 END AS confidence,
+      |    (o_orderkey % 13 = 0) AS is_err,
+      |    (o_orderkey % 5 = 0) AS has_seed,
+      |    o_orderpriority AS prio
+      |  FROM orders),
+      |lines AS (
+      |  SELECT k, prio, has_seed, custom_id,
+      |    CASE WHEN is_err THEN
+      |      CAST(json_object('custom_id', custom_id,
+      |        'error', json_object('code', 'rate_limit_exceeded',
+      |                             'message', 'Rate limit reached')) AS VARCHAR)
+      |    ELSE
+      |      CAST(json_object('custom_id', custom_id,
+      |        'response', json_object('status_code', 200,
+      |          'body', json_object('choices', json_array(
+      |            json_object('message', json_object(
+      |              'role', 'assistant',
+      |              'content', CAST(CASE WHEN category IS NULL
+      |                THEN json_object('confidence', confidence)
+      |                ELSE json_object('category', category,
+      |                                 'confidence', confidence) END
+      |                AS VARCHAR))))))) AS VARCHAR)
+      |    END AS line
+      |  FROM base),
+      |judged AS (
+      |  SELECT k, prio, has_seed, custom_id,
+      |    (json_extract(line, '$.error') IS NOT NULL) AS is_err,
+      |    line ->> '$.response.body.choices[0].message.content' AS content,
+      |    (json_extract(line, '$.error') IS NULL
+      |      AND ((line ->> '$.response.body.choices[0].message.content')
+      |            ->> '$.category') IS NOT NULL
+      |      AND CAST((line ->> '$.response.body.choices[0].message.content')
+      |            ->> '$.confidence' AS DOUBLE) BETWEEN 0.0 AND 1.0)
+      |      AS is_valid
+      |  FROM lines)
+      |""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q10_flagship_results" -> (oracleBase +
+      """SELECT custom_id,
+        |  CASE WHEN is_valid THEN 'completed' ELSE 'failed' END AS ai_status,
+        |  CAST((CASE WHEN has_seed THEN 1 ELSE 0 END) +
+        |       (CASE WHEN is_valid THEN 1 ELSE 0 END) AS BIGINT) AS n_responses,
+        |  CASE WHEN is_valid THEN content ->> '$.category'
+        |       WHEN has_seed THEN 'seed' END AS last_category,
+        |  CASE WHEN is_valid THEN CAST(content ->> '$.confidence' AS DOUBLE)
+        |       WHEN has_seed THEN 0.5 END AS last_confidence
+        |FROM judged
+        |ORDER BY custom_id""".stripMargin),
+    "q11_result_outcomes" -> (oracleBase +
+      """SELECT prio, count(*) AS n_lines,
+        |  count(*) FILTER (is_err) AS n_errors,
+        |  count(*) FILTER (NOT is_err AND NOT is_valid) AS n_invalid,
+        |  count(*) FILTER (is_valid) AS n_completed,
+        |  round(CAST(sum(CASE WHEN is_valid THEN
+        |      CAST(CAST(content ->> '$.confidence' AS DOUBLE) AS DECIMAL(18,6))
+        |    END) AS DOUBLE) / count(*) FILTER (is_valid), 6) AS avg_confidence
+        |FROM judged GROUP BY prio ORDER BY prio""".stripMargin),
+    "q12_ingest_validation" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, 'order-' || o_orderkey AS custom_id,
+        |    row_number() OVER (ORDER BY o_orderkey) AS line_no
+        |  FROM orders),
+        |req AS (
+        |  SELECT k, line_no,
+        |    CAST(json_object(
+        |      'custom_id', CASE WHEN k % 37 <> 0 THEN custom_id END,
+        |      'method', CASE WHEN k % 23 = 0 THEN 'GET' ELSE 'POST' END,
+        |      'url', '/v1/chat/completions',
+        |      'body', json_object(
+        |        'model', CASE WHEN k % 17 = 0 THEN 'gpt-4o' ELSE 'gpt-4o-mini' END,
+        |        'messages', json_array(json_object('role', 'user',
+        |          'content', 'summarize order ' || k)))) AS VARCHAR) AS line
+        |  FROM base),
+        |chopped AS (
+        |  SELECT k, line_no,
+        |    CASE WHEN k % 101 = 0
+        |      THEN substring(line, 1, length(line) - 1) ELSE line END AS line
+        |  FROM req),
+        |parsed AS (
+        |  SELECT k, line_no, NOT json_valid(line) AS is_corrupt,
+        |    CASE WHEN json_valid(line) THEN line ->> '$.custom_id' END AS custom_id,
+        |    CASE WHEN json_valid(line) THEN line ->> '$.method' END AS method,
+        |    CASE WHEN json_valid(line) THEN line ->> '$.body.model' END AS model
+        |  FROM chopped),
+        |expected AS (
+        |  SELECT arg_min(model, line_no) AS expected_model
+        |  FROM parsed WHERE NOT is_corrupt)
+        |SELECT line_no, 'jsonl_format_error' AS error_type,
+        |       CAST(NULL AS VARCHAR) AS custom_id
+        |FROM parsed WHERE is_corrupt
+        |UNION ALL
+        |SELECT line_no, 'jsonl_format_error', custom_id
+        |FROM parsed WHERE NOT is_corrupt
+        |  AND (custom_id IS NULL OR method <> 'POST')
+        |UNION ALL
+        |SELECT line_no, 'model_mismatch', custom_id
+        |FROM parsed, expected
+        |WHERE NOT is_corrupt AND custom_id IS NOT NULL AND method = 'POST'
+        |  AND model <> expected_model
+        |UNION ALL
+        |SELECT line_no, 'custom_id_not_found', custom_id
+        |FROM parsed, expected
+        |WHERE NOT is_corrupt AND custom_id IS NOT NULL AND method = 'POST'
+        |  AND model = expected_model AND k % 11 = 0
+        |ORDER BY line_no""".stripMargin)
+}

@@ -22,6 +22,8 @@ object SparkEntry {
       AggQueries.queries ++
       SetOpQueries.queries ++
       FunctionQueries.queries ++
+      LLMQueries.queries ++
+      VectorQueries.queries ++
       EventQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -33,5 +35,7 @@ object SparkEntry {
       AggQueries.oracle ++
       SetOpQueries.oracle ++
       FunctionQueries.oracle ++
+      LLMQueries.oracle ++
+      VectorQueries.oracle ++
       EventQueries.oracle
 }

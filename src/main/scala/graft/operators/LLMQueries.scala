@@ -1,0 +1,352 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import scala.collection.immutable.ListMap
+
+/** LLM-training-data pipeline operators over `documents` (SURVEY.md §2.9):
+  * exact dedup (L1), MinHash+LSH near-dup with exact-Jaccard verification
+  * (L2), SimHash signatures (L2), text stats / quality scoring / token
+  * counting / language-ID heuristic (L5), TF-IDF term weighting (L6),
+  * per-language rollups (L7), and rolling-hash document fingerprinting.
+  *
+  * Hashing is md5/sha2-based in BOTH engines so every query is
+  * oracle-checkable: a fixed-width lowercase-hex substring compares
+  * lexicographically exactly like the number it encodes, so `min(hex)` is
+  * a portable MinHash without any engine-specific hash function.
+  *
+  * Scale posture: everything is explode → hash-partitioned groupBy (no
+  * driver collects). The near-dup search is LSH-banded — candidate pairs
+  * come from equi-joins on band keys, so the shuffle is O(candidate
+  * pairs), never the O(n²) all-pairs cross join (SURVEY.md §4.3).
+  */
+object LLMQueries {
+
+  private val NumHashes = 8
+  private val RowsPerBand = 2 // 4 bands of 2 → catches Jaccard ≳ 0.4
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+
+  /** doc_id + distinct 3-word shingles. */
+  private def shingled(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .withColumn("w", split(col("text"), "\\s+"))
+      .withColumn("sh",
+        when(size(col("w")) >= 3, array_distinct(expr(
+          "transform(sequence(0, size(w)-3)," +
+            " i -> concat_ws(' ', w[i], w[i+1], w[i+2]))")))
+          .otherwise(array().cast("array<string>")))
+      .select(col("doc_id"), col("sh"), size(col("sh")).as("n_sh"))
+
+  private def shingleRows(spark: SparkSession, dir: String): DataFrame =
+    shingled(spark, dir).select(col("doc_id"), explode(col("sh")).as("s"))
+
+  /** L1: exact dedup — sha2(text)-keyed groups, keep the min doc_id
+    * (deterministic winner). One hash-partitioned aggregation; at 100 TB
+    * the 64-hex-char key shuffles instead of the full text.
+    */
+  def exactDedup(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .groupBy(sha2(col("text"), 256).as("h"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(col("keep_id"), col("n_copies"))
+      .orderBy(col("keep_id"))
+
+  /** L2: MinHash + LSH banding + exact Jaccard on the surviving candidate
+    * pairs only. Signature h_j = min over shingles of a seeded md5 prefix;
+    * band key = 2 consecutive signature slots; pairs sharing ≥1 band are
+    * candidates; Jaccard is then computed exactly from the shingle sets of
+    * those pairs alone.
+    */
+  def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val rows = shingleRows(spark, dir)
+    val sigCols = (0 until NumHashes).map { j =>
+      min(substring(md5(concat(lit(s"$j:"), col("s"))), 1, 16)).as(s"h$j")
+    }
+    val sigs = rows.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+    val bandStructs = (0 until NumHashes / RowsPerBand).map { b =>
+      struct(lit(b).as("band"),
+        concat(col(s"h${2 * b}"), col(s"h${2 * b + 1}")).as("key"))
+    }
+    val bands = sigs.select(col("doc_id"),
+      explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+
+    val cands = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+
+    val sets = shingleRows(spark, dir)
+    val sizes = shingled(spark, dir).select(col("doc_id"), col("n_sh"))
+    val inter = cands
+      .join(sets.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sets.as("sb"),
+        col("doc_b") === col("sb.doc_id") && col("sa.s") === col("sb.s"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.as("za"), col("doc_a") === col("za.doc_id"))
+      .join(sizes.as("zb"), col("doc_b") === col("zb.doc_id"))
+      .select(col("doc_a"), col("doc_b"), col("n_inter"),
+        round(col("n_inter").cast("double") /
+          (col("za.n_sh") + col("zb.n_sh") - col("n_inter")), 6).as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** L2 (SimHash): 16-bit signature — bit i is the sign of the vote
+    * Σ(±1) over distinct tokens, where a token votes +1 on bit i iff the
+    * i-th hex digit of its md5 has its high nibble-bit set (digit ≥ '8').
+    */
+  def simhashSignatures(spark: SparkSession, dir: String): DataFrame = {
+    val toks = docs(spark, dir)
+      .select(col("doc_id"),
+        explode(array_distinct(split(col("text"), "\\s+"))).as("t"))
+    val votes = (1 to 16).map { i =>
+      sum(when(substring(md5(col("t")), i, 1) >= "8", 1).otherwise(-1))
+        .as(s"v$i")
+    }
+    val bits = (1 to 16).map { i =>
+      when(col(s"v$i") >= 0, "1").otherwise("0")
+    }
+    toks.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), concat(bits: _*).as("simhash"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val Stopwords = Seq("the", "a", "and", "of", "to", "in", "is")
+
+  /** L5: per-document text statistics — word/BPE-ish token counts, lexical
+    * diversity, stopword ratio, a composite quality score, and an n-gram
+    * language-ID heuristic (stopword-density-based).
+    */
+  def textStats(spark: SparkSession, dir: String): DataFrame = {
+    val stopList = Stopwords.map(s => s"'$s'").mkString(", ")
+    docs(spark, dir)
+      .withColumn("w", split(col("text"), "\\s+"))
+      .withColumn("n_words", size(col("w")).cast("long"))
+      .withColumn("n_tokens",
+        size(regexp_extract_all(col("text"), lit("\\w+|[^\\w\\s]"), lit(0)))
+          .cast("long"))
+      .withColumn("n_distinct", size(array_distinct(col("w"))).cast("long"))
+      .withColumn("n_stop",
+        expr(s"size(filter(w, x -> x IN ($stopList)))").cast("long"))
+      .withColumn("distinct_ratio",
+        round(col("n_distinct").cast("double") / col("n_words"), 6))
+      .withColumn("stop_ratio",
+        round(col("n_stop").cast("double") / col("n_words"), 6))
+      .withColumn("quality",
+        round(least(lit(1.0), col("n_words").cast("double") / 120.0) *
+          (col("n_distinct").cast("double") / col("n_words")), 6))
+      .withColumn("lang_guess",
+        when(col("n_stop").cast("double") / col("n_words") >= 0.12, "en")
+          .otherwise("other"))
+      .select(col("doc_id"), col("lang"), col("n_words"), col("n_tokens"),
+        col("n_distinct"), col("n_stop"), col("distinct_ratio"),
+        col("stop_ratio"), col("quality"), col("lang_guess"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** L5/L7: per-language rollup of the text statistics — the
+    * language-partitioned pipeline shape (partition key = lang).
+    */
+  def langRollup(spark: SparkSession, dir: String): DataFrame =
+    textStats(spark, dir)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("total_words"),
+        round(sum(col("n_words")).cast("double") / count(lit(1)), 6)
+          .as("avg_words"),
+        count(when(col("lang_guess") === "en", 1)).as("n_guessed_en"),
+        round(sum(col("quality").cast("decimal(18,6)")).cast("double")
+          / count(lit(1)), 6).as("avg_quality"))
+      .orderBy(col("lang"))
+
+  /** L6: TF-IDF-lite — term frequency per doc × ln(N/df), top-3 terms per
+    * document (df computed over the full corpus; output limited to
+    * doc_id < 50 to keep the verify frame small).
+    */
+  def tfidfTopTerms(spark: SparkSession, dir: String): DataFrame = {
+    val words = docs(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("t"))
+    val tf = words.groupBy(col("doc_id"), col("t"))
+      .agg(count(lit(1)).as("tf"))
+    val df = words.select(col("doc_id"), col("t")).distinct()
+      .groupBy(col("t")).agg(count(lit(1)).as("df"))
+    val n = docs(spark, dir).select(count(lit(1)).as("n_docs"))
+    val scored = tf.join(broadcast(df), Seq("t"))
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("t"))
+    scored.filter(col("doc_id") < 50)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("rk"), col("t").as("term"),
+        col("tf"), col("score"))
+      .orderBy(col("doc_id"), col("rk"))
+  }
+
+  /** Rolling-hash document fingerprint (winnowing-lite): the minimum seeded
+    * md5 prefix over 5-word shingles is a locality-sensitive fingerprint;
+    * docs sharing one are near-dup cluster mates.
+    */
+  def docFingerprints(spark: SparkSession, dir: String): DataFrame = {
+    val grams = docs(spark, dir)
+      .withColumn("w", split(col("text"), "\\s+"))
+      .withColumn("g",
+        when(size(col("w")) >= 5, expr(
+          "transform(sequence(0, size(w)-5)," +
+            " i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4]))"))
+          .otherwise(array(col("text"))))
+      .select(col("doc_id"), explode(col("g")).as("g"))
+    val fps = grams.groupBy(col("doc_id"))
+      .agg(min(substring(md5(col("g")), 1, 12)).as("fingerprint"))
+    val w = Window.partitionBy(col("fingerprint"))
+    fps.withColumn("cluster_size", count(lit(1)).over(w))
+      .select(col("doc_id"), col("fingerprint"), col("cluster_size"))
+      .orderBy(col("doc_id"))
+  }
+
+  val queries: ListMap[String, graft.Q] = ListMap(
+    "q60_exact_dedup" -> (exactDedup _),
+    "q61_text_stats" -> (textStats _),
+    "q62_lang_rollup" -> (langRollup _),
+    "q63_tfidf_top_terms" -> (tfidfTopTerms _),
+    "q64_minhash_pairs" -> (minhashPairs _),
+    "q66_simhash_signatures" -> (simhashSignatures _),
+    "q70_doc_fingerprints" -> (docFingerprints _))
+
+  // ---- oracle SQL -----------------------------------------------------
+
+  private val shingleCte =
+    """sh AS (
+      |  SELECT doc_id, list_distinct(CASE WHEN len(w) >= 3
+      |    THEN list_transform(range(1, len(w)-1),
+      |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+      |    ELSE [] END) AS sh
+      |  FROM (SELECT doc_id, string_split_regex(text, '\s+') AS w
+      |        FROM documents)),
+      |srows AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+      |sizes AS (SELECT doc_id, len(sh) AS n_sh FROM sh)
+      |""".stripMargin
+
+  private val simhashVotes = (1 to 16).map(i =>
+    s"sum(CASE WHEN substr(md5(t), $i, 1) >= '8' THEN 1 ELSE -1 END) AS v$i")
+    .mkString(",\n    ")
+  private val simhashBits = (1 to 16).map(i =>
+    s"CASE WHEN v$i >= 0 THEN '1' ELSE '0' END").mkString(" || ")
+
+  private val statsCte =
+    """stats AS (
+      |  SELECT doc_id, lang,
+      |    CAST(len(w) AS BIGINT) AS n_words,
+      |    CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT) AS n_tokens,
+      |    CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct,
+      |    CAST(len(list_filter(w,
+      |      x -> x IN ('the','a','and','of','to','in','is'))) AS BIGINT) AS n_stop
+      |  FROM (SELECT doc_id, lang, text,
+      |          string_split_regex(text, '\s+') AS w FROM documents))
+      |""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q60_exact_dedup" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY sha256(text) ORDER BY keep_id""".stripMargin,
+    "q61_text_stats" -> (s"WITH $statsCte" +
+      """SELECT doc_id, lang, n_words, n_tokens, n_distinct, n_stop,
+        |  round(CAST(n_distinct AS DOUBLE) / n_words, 6) AS distinct_ratio,
+        |  round(CAST(n_stop AS DOUBLE) / n_words, 6) AS stop_ratio,
+        |  round(least(1.0, CAST(n_words AS DOUBLE) / 120.0) *
+        |        (CAST(n_distinct AS DOUBLE) / n_words), 6) AS quality,
+        |  CASE WHEN CAST(n_stop AS DOUBLE) / n_words >= 0.12
+        |       THEN 'en' ELSE 'other' END AS lang_guess
+        |FROM stats ORDER BY doc_id""".stripMargin),
+    "q62_lang_rollup" -> (s"WITH $statsCte" +
+      """SELECT lang, count(*) AS n_docs,
+        |  sum(n_words) AS total_words,
+        |  round(CAST(sum(n_words) AS DOUBLE) / count(*), 6) AS avg_words,
+        |  count(*) FILTER (CAST(n_stop AS DOUBLE) / n_words >= 0.12)
+        |    AS n_guessed_en,
+        |  round(CAST(sum(CAST(round(least(1.0, CAST(n_words AS DOUBLE) / 120.0) *
+        |        (CAST(n_distinct AS DOUBLE) / n_words), 6) AS DECIMAL(18,6)))
+        |      AS DOUBLE) / count(*), 6) AS avg_quality
+        |FROM stats GROUP BY lang ORDER BY lang""".stripMargin),
+    "q63_tfidf_top_terms" ->
+      """WITH words AS (
+        |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS t
+        |  FROM documents),
+        |tf AS (SELECT doc_id, t, count(*) AS tf FROM words GROUP BY doc_id, t),
+        |df AS (SELECT t, count(*) AS df
+        |       FROM (SELECT DISTINCT doc_id, t FROM words) GROUP BY t),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT doc_id, t, tf,
+        |    round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS score
+        |  FROM tf JOIN df USING (t) CROSS JOIN n)
+        |SELECT doc_id, rk, t AS term, tf, score FROM (
+        |  SELECT *, row_number() OVER
+        |    (PARTITION BY doc_id ORDER BY score DESC, t) AS rk
+        |  FROM scored WHERE doc_id < 50)
+        |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+    "q64_minhash_pairs" -> (s"WITH $shingleCte," +
+      s"""sigs AS (
+         |  SELECT doc_id,
+         |    ${(0 until NumHashes).map(j =>
+              s"min(substr(md5('$j:' || s), 1, 16)) AS h$j").mkString(",\n    ")}
+         |  FROM srows GROUP BY doc_id),
+         |bands AS (
+         |  ${(0 until NumHashes / RowsPerBand).map(b =>
+              s"SELECT doc_id, $b AS band, h${2 * b} || h${2 * b + 1} AS key FROM sigs")
+              .mkString("\n  UNION ALL ")}),
+         |cands AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+         |inter AS (
+         |  SELECT doc_a, doc_b, count(*) AS n_inter
+         |  FROM cands
+         |  JOIN srows sa ON sa.doc_id = doc_a
+         |  JOIN srows sb ON sb.doc_id = doc_b AND sa.s = sb.s
+         |  GROUP BY doc_a, doc_b)
+         |SELECT doc_a, doc_b, n_inter,
+         |  round(CAST(n_inter AS DOUBLE) /
+         |        (za.n_sh + zb.n_sh - n_inter), 6) AS jaccard
+         |FROM inter
+         |JOIN sizes za ON za.doc_id = doc_a
+         |JOIN sizes zb ON zb.doc_id = doc_b
+         |ORDER BY doc_a, doc_b""".stripMargin),
+    "q66_simhash_signatures" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    unnest(list_distinct(string_split_regex(text, '\\s+'))) AS t
+         |  FROM documents),
+         |votes AS (
+         |  SELECT doc_id,
+         |    $simhashVotes
+         |  FROM toks GROUP BY doc_id)
+         |SELECT doc_id, $simhashBits AS simhash
+         |FROM votes ORDER BY doc_id""".stripMargin,
+    "q70_doc_fingerprints" ->
+      """WITH grams AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(w) >= 5
+        |    THEN list_transform(range(1, len(w)-3),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+        |           w[i+3] || ' ' || w[i+4])
+        |    ELSE [text] END) AS g
+        |  FROM (SELECT doc_id, text, string_split_regex(text, '\s+') AS w
+        |        FROM documents)),
+        |fps AS (
+        |  SELECT doc_id, min(substr(md5(g), 1, 12)) AS fingerprint
+        |  FROM grams GROUP BY doc_id)
+        |SELECT doc_id, fingerprint,
+        |  count(*) OVER (PARTITION BY fingerprint) AS cluster_size
+        |FROM fps ORDER BY doc_id""".stripMargin)
+}

@@ -1,0 +1,170 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.CentroidAggregator
+import scala.collection.immutable.ListMap
+
+/** Vector/similarity-search operators over `embeddings` (SURVEY.md §2.9):
+  * brute-force top-k cosine against a broadcast query set (L3), the A9
+  * custom-Aggregator centroid + nearest-centroid classifier (L4), and an
+  * IVF-style ANN variant that probes only the query's coarse cell — the
+  * 100 TB scale path where the brute-force scan is replaced by a
+  * cell-pruned search.
+  *
+  * Vector math uses codegen-friendly higher-order functions
+  * (`zip_with` + `aggregate`) on `array<double>` — no UDF serialization in
+  * the scoring hot path (SURVEY.md §2.8 F9). The only per-row JVM code is
+  * the centroid UDAF, whose long[] buffer is exact and order-independent.
+  */
+object VectorQueries {
+
+  private val NumQueries = 10
+  private val TopK = 3
+
+  /** vec_id, label, v (double), nrm. */
+  private def vecs(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> cast(x AS double))").as("v"))
+      .withColumn("nrm", sqrt(expr("aggregate(v, 0D, (s, x) -> s + x * x)")))
+
+  private def dot(a: String, b: String) =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (s, x) -> s + x)")
+
+  /** L3: brute-force top-k cosine — the small query set is broadcast
+    * against the full table (one scan, no self-join), ranked per query.
+    * Ranking uses the 6-dp-rounded score so ties break identically in
+    * every engine; vec_id is the total-order tie-break.
+    */
+  def topkCosine(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir)
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("nrm").as("qnrm"))
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .withColumn("cos",
+        round(dot("v", "qv") / (col("nrm") * col("qnrm")), 6))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= TopK)
+      .select(col("qid"), col("rk").cast("long").as("rk"),
+        col("vec_id").as("nid"), col("cos"))
+      .orderBy(col("qid"), col("rk"))
+  }
+
+  /** Per-label centroids via the A9 `Aggregator` (fixed-point long sums →
+    * exact, order-independent double means).
+    */
+  private def centroids(spark: SparkSession, dir: String): DataFrame = {
+    val centroid = udaf(CentroidAggregator)
+    Tables(spark, dir, "embeddings")
+      .groupBy(col("label").as("clabel"))
+      .agg(centroid(col("embedding")).as("c"))
+  }
+
+  /** L4 + A9: nearest-centroid classification — every vector is assigned
+    * the label of its closest centroid (squared L2, label tie-break), and
+    * the result is reported as a confusion matrix. Centroids are a
+    * |labels|-row broadcast; the scan is a single pass.
+    */
+  def centroidClassify(spark: SparkSession, dir: String): DataFrame = {
+    val scored = vecs(spark, dir)
+      .crossJoin(broadcast(centroids(spark, dir)))
+      .withColumn("d2",
+        expr("aggregate(zip_with(v, c, (x, y) -> (x - y) * (x - y))," +
+          " 0D, (s, x) -> s + x)"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("d2"), col("clabel"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy(col("label"), col("clabel").as("pred_label"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("label"), col("pred_label"))
+  }
+
+  /** IVF-style ANN (scale path for L3): vectors are bucketed by nearest
+    * centroid (the coarse quantizer); each query probes ONLY its own cell,
+    * so the per-query work is ~1/|cells| of the brute-force scan. At
+    * 100 TB the cells become partition keys and the probe is a partition-
+    * pruned scan. Not SQL-oracle-checked (rows-only gate); recall vs the
+    * brute-force baseline is asserted in ScalaTest instead.
+    */
+  def ivfTopkCosine(spark: SparkSession, dir: String): DataFrame = {
+    val assigned = {
+      val scored = vecs(spark, dir)
+        .crossJoin(broadcast(centroids(spark, dir)))
+        .withColumn("d2",
+          expr("aggregate(zip_with(v, c, (x, y) -> (x - y) * (x - y))," +
+            " 0D, (s, x) -> s + x)"))
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("d2"), col("clabel"))
+      scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("v"), col("nrm"),
+          col("clabel").as("cell"))
+    }
+    val q = assigned.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("nrm").as("qnrm"), col("cell"))
+    val scored = assigned.join(broadcast(q), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos",
+        round(dot("v", "qv") / (col("nrm") * col("qnrm")), 6))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= TopK)
+      .select(col("qid"), col("rk").cast("long").as("rk"),
+        col("vec_id").as("nid"), col("cos"))
+      .orderBy(col("qid"), col("rk"))
+  }
+
+  val queries: ListMap[String, graft.Q] = ListMap(
+    "q67_topk_cosine" -> (topkCosine _),
+    "q68_centroid_classify" -> (centroidClassify _),
+    "q69_ivf_topk_cosine" -> (ivfTopkCosine _))
+
+  /** Shared oracle fragment: per-label centroids with the same fixed-point
+    * rule as the Aggregator (sum of round(x*1e9) longs / 1e9 / n).
+    */
+  private val centroidCte =
+    """e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+      |dims AS (SELECT unnest(range(1, 65)) AS i),
+      |sums AS (
+      |  SELECT label, i, sum(CAST(round(v[i] * 1e9) AS BIGINT)) AS s,
+      |         count(*) AS n
+      |  FROM e, dims GROUP BY label, i),
+      |cent AS (
+      |  SELECT label AS clabel,
+      |         array_agg(CAST(s AS DOUBLE) / 1e9 / n ORDER BY i) AS c
+      |  FROM sums GROUP BY label),
+      |assigned AS (
+      |  SELECT vec_id, label, v, pred_label FROM (
+      |    SELECT e.vec_id, e.label, e.v, cent.clabel AS pred_label,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY list_distance(e.v, cent.c), cent.clabel) AS rn
+      |    FROM e, cent) WHERE rn = 1)
+      |""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q67_topk_cosine" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < $NumQueries),
+         |scored AS (
+         |  SELECT qid, e.vec_id AS nid,
+         |    round(list_cosine_similarity(e.v, q.qv), 6) AS cos
+         |  FROM e, q WHERE e.vec_id <> q.qid)
+         |SELECT qid, rk, nid, cos FROM (
+         |  SELECT *, row_number() OVER
+         |    (PARTITION BY qid ORDER BY cos DESC, nid) AS rk
+         |  FROM scored)
+         |WHERE rk <= $TopK ORDER BY qid, rk""".stripMargin,
+    "q68_centroid_classify" -> (s"WITH $centroidCte" +
+      """SELECT label, pred_label, count(*) AS n
+        |FROM assigned GROUP BY label, pred_label
+        |ORDER BY label, pred_label""".stripMargin))
+}

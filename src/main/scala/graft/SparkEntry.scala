@@ -18,6 +18,7 @@ object SparkEntry {
   def queries: ListMap[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++
       SpecPipeline.queries ++
+      StateMachine.queries ++
       WindowQueries.queries ++
       AggQueries.queries ++
       SetOpQueries.queries ++
@@ -31,6 +32,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     RelationalQueries.oracle ++
       SpecPipeline.oracle ++
+      StateMachine.oracle ++
       WindowQueries.oracle ++
       AggQueries.oracle ++
       SetOpQueries.oracle ++

@@ -24,12 +24,15 @@ object VectorQueries {
   private val NumQueries = 10
   private val TopK = 3
 
-  /** vec_id, label, v (double), nrm. */
-  private def vecs(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "embeddings")
-      .select(col("vec_id"), col("label"),
-        expr("transform(embedding, x -> cast(x AS double))").as("v"))
+  /** vec_id, label, v (double), nrm — from any (vec_id, embedding, label)
+    * frame. */
+  private[operators] def vecsOf(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), col("label"),
+      expr("transform(embedding, x -> cast(x AS double))").as("v"))
       .withColumn("nrm", sqrt(expr("aggregate(v, 0D, (s, x) -> s + x * x)")))
+
+  private def vecs(spark: SparkSession, dir: String): DataFrame =
+    vecsOf(Tables(spark, dir, "embeddings"))
 
   private def dot(a: String, b: String) =
     expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (s, x) -> s + x)")
@@ -39,8 +42,10 @@ object VectorQueries {
     * Ranking uses the 6-dp-rounded score so ties break identically in
     * every engine; vec_id is the total-order tie-break.
     */
-  def topkCosine(spark: SparkSession, dir: String): DataFrame = {
-    val e = vecs(spark, dir)
+  def topkCosine(spark: SparkSession, dir: String): DataFrame =
+    topkCosineOf(vecs(spark, dir))
+
+  private[operators] def topkCosineOf(e: DataFrame): DataFrame = {
     val q = e.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("qid"), col("v").as("qv"),
         col("nrm").as("qnrm"))
@@ -59,12 +64,14 @@ object VectorQueries {
   /** Per-label centroids via the A9 `Aggregator` (fixed-point long sums →
     * exact, order-independent double means).
     */
-  private def centroids(spark: SparkSession, dir: String): DataFrame = {
+  private[operators] def centroidsOf(emb: DataFrame): DataFrame = {
     val centroid = udaf(CentroidAggregator)
-    Tables(spark, dir, "embeddings")
-      .groupBy(col("label").as("clabel"))
+    emb.groupBy(col("label").as("clabel"))
       .agg(centroid(col("embedding")).as("c"))
   }
+
+  private def centroids(spark: SparkSession, dir: String): DataFrame =
+    centroidsOf(Tables(spark, dir, "embeddings"))
 
   /** L4 + A9: nearest-centroid classification — every vector is assigned
     * the label of its closest centroid (squared L2, label tie-break), and
@@ -93,10 +100,15 @@ object VectorQueries {
     * pruned scan. Not SQL-oracle-checked (rows-only gate); recall vs the
     * brute-force baseline is asserted in ScalaTest instead.
     */
-  def ivfTopkCosine(spark: SparkSession, dir: String): DataFrame = {
+  def ivfTopkCosine(spark: SparkSession, dir: String): DataFrame =
+    ivfTopkCosineOf(vecs(spark, dir),
+      centroids(spark, dir))
+
+  private[operators] def ivfTopkCosineOf(
+      e: DataFrame, cents: DataFrame): DataFrame = {
     val assigned = {
-      val scored = vecs(spark, dir)
-        .crossJoin(broadcast(centroids(spark, dir)))
+      val scored = e
+        .crossJoin(broadcast(cents))
         .withColumn("d2",
           expr("aggregate(zip_with(v, c, (x, y) -> (x - y) * (x - y))," +
             " 0D, (s, x) -> s + x)"))

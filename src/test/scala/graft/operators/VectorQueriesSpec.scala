@@ -1,0 +1,89 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.functions.CentroidAggregator
+import org.apache.spark.sql.functions._
+
+/** A9 Aggregator correctness (exactness, order-independence) and the ANN
+  * scale path's recall against the brute-force baseline.
+  */
+class VectorQueriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("centroid aggregator computes the per-dimension mean") {
+    val df = Seq(
+      (0, Array(1.0f, 2.0f)),
+      (0, Array(3.0f, 4.0f))).toDF("label", "embedding")
+    val centroid = udaf(CentroidAggregator)
+    val c = df.groupBy("label").agg(centroid(col("embedding")))
+      .as[(Int, Array[Double])].collect().head._2
+    assert(c.toSeq == Seq(2.0, 3.0))
+  }
+
+  test("centroid aggregator is order- and partitioning-independent") {
+    val vals = (0 until 100).map(i =>
+      (i % 3, Array((i * 0.137f) % 1.0f, (i * 0.291f) % 1.0f, -i * 0.043f)))
+    val a = vals.toDF("label", "embedding").repartition(7)
+    val b = scala.util.Random.shuffle(vals).toDF("label", "embedding")
+      .repartition(2)
+    val agg = udaf(CentroidAggregator)
+    def run(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("label").agg(agg(col("embedding")).as("c"))
+        .as[(Int, Array[Double])].collect()
+        .map(r => r._1 -> r._2.toSeq).toMap
+    assert(run(a) == run(b)) // exact equality, not approximate
+  }
+
+  test("top-k cosine returns k neighbors per query with cos in [-1,1]") {
+    val rows = VectorQueries.topkCosine(spark, sfDir)
+      .as[(Long, Long, Long, Double)].collect()
+    val perQuery = rows.groupBy(_._1)
+    assert(perQuery.size == 10 && perQuery.values.forall(_.length == 3))
+    assert(rows.forall(r => r._4 >= -1.0001 && r._4 <= 1.0001))
+    assert(rows.forall(r => r._3 != r._1)) // self excluded
+  }
+
+  test("IVF pruning never beats brute force at any rank") {
+    // the driver embeddings are near-random (labels ≉ cosine cells), so
+    // recall is not meaningful there; the invariant that IS data-free:
+    // a cell-pruned search can only return scores ≤ the full search's.
+    val brute = VectorQueries.topkCosine(spark, sfDir)
+      .as[(Long, Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._4)).toMap
+    val ivf = VectorQueries.ivfTopkCosine(spark, sfDir)
+      .as[(Long, Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._4)).toMap
+    ivf.foreach { case (q, scores) =>
+      scores.zip(brute(q)).foreach { case (i, b) =>
+        assert(i <= b + 1e-9, s"query $q: ivf score $i beat brute $b")
+      }
+    }
+  }
+
+  test("IVF ANN has perfect recall on genuinely clustered data") {
+    // 3 tight clusters around orthogonal axes; queries 0..9 live in them.
+    val rnd = new scala.util.Random(42)
+    val rows = (0 until 120).map { i =>
+      val c = i % 3
+      val base = Array.fill(8)(0.0f)
+      base(c) = 1.0f
+      val v = base.map(x => x + (rnd.nextFloat() - 0.5f) * 0.1f)
+      (i.toLong, v, c)
+    }
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val e = VectorQueries.vecsOf(emb)
+    val cents = VectorQueries.centroidsOf(emb)
+    val brute = VectorQueries.topkCosineOf(e)
+      .as[(Long, Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    val ivf = VectorQueries.ivfTopkCosineOf(e, cents)
+      .as[(Long, Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    val recalls = brute.keys.toSeq.map { q =>
+      (ivf.getOrElse(q, Set.empty) intersect brute(q)).size.toDouble /
+        brute(q).size
+    }
+    assert(recalls.sum / recalls.size == 1.0,
+      s"recall ${recalls.sum / recalls.size} < 1 on clustered data")
+  }
+}

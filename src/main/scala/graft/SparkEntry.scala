@@ -25,7 +25,11 @@ object SparkEntry {
       FunctionQueries.queries ++
       LLMQueries.queries ++
       VectorQueries.queries ++
-      EventQueries.queries
+      EventQueries.queries ++
+      ListMap[String, graft.Q](
+        // rows-only gate: the fake-codec feature summary has no SQL oracle
+        "q72_media_feature_summary" ->
+          ((s, dir) => graft.multimodal.Multimodal.featureSummary(s, dir)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -90,8 +90,25 @@ object AggQueries {
         expr("round(percentile(value, 0.9), 6)").as("p90"))
       .orderBy(col("event_type"))
 
+  /** A5 (cube): full cube over status × priority — every grouping-set
+    * combination, disambiguated by grouping() flags like the rollup.
+    */
+  def statusCube(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        grouping(col("o_orderstatus")).cast("int").as("g_status"),
+        grouping(col("o_orderpriority")).cast("int").as("g_priority"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
+        coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
+        col("g_status"), col("g_priority"), col("n"))
+      .orderBy(col("g_status"), col("g_priority"), col("status"),
+        col("priority"))
+
   val queries: ListMap[String, graft.Q] = ListMap(
     "q30_distinct_users" -> (distinctUsers _),
+    "q36_status_cube" -> (statusCube _),
     "q31_approx_distinct_users" -> (approxDistinctUsers _),
     "q32_status_rollup" -> (statusRollup _),
     "q33_priority_status_lists" -> (priorityStatusLists _),
@@ -99,6 +116,14 @@ object AggQueries {
     "q35_value_percentiles" -> (valuePercentiles _))
 
   val oracle: Map[String, String] = Map(
+    "q36_status_cube" ->
+      """SELECT coalesce(o_orderstatus, '(all)') AS status,
+        |  coalesce(o_orderpriority, '(all)') AS priority,
+        |  CAST(grouping(o_orderstatus) AS INT) AS g_status,
+        |  CAST(grouping(o_orderpriority) AS INT) AS g_priority,
+        |  count(*) AS n
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY g_status, g_priority, status, priority""".stripMargin,
     "q30_distinct_users" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,

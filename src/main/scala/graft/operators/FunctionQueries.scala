@@ -75,13 +75,45 @@ object FunctionQueries {
         col("c_name").like("%9%").as("has_nine"))
       .orderBy(col("c_custkey"))
 
+  /** F7 + F8: math function family (abs/sqrt/pow/log/floor/ceil/sign) and
+    * portable hash fingerprints (md5/sha2 prefixes as bigints are checked;
+    * xxhash64/hash exist but are Spark-specific so stay out of the oracle
+    * surface).
+    */
+  def mathAndHash(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .filter(col("l_orderkey") < 100)
+      .select(
+        col("l_orderkey"), col("l_linenumber").cast("int").as("ln"),
+        round(abs(col("l_discount") - 0.05), 6).as("abs_d"),
+        round(sqrt(col("l_quantity")), 6).as("sqrt_q"),
+        round(pow(col("l_tax") + 1.0, 2), 6).as("tax_sq"),
+        round(log(col("l_extendedprice")), 6).as("ln_price"),
+        floor(col("l_quantity") / 7).cast("long").as("bucket"),
+        signum(col("l_discount") - 0.05).cast("int").as("sgn"),
+        substring(md5(concat(col("l_orderkey"), lit(":"),
+          col("l_linenumber"))), 1, 8).as("h8"))
+      .orderBy(col("l_orderkey"), col("ln"))
+
   val queries: ListMap[String, graft.Q] = ListMap(
     "q50_json_props" -> (jsonProps _),
+    "q54_math_and_hash" -> (mathAndHash _),
     "q51_event_response_arrays" -> (eventResponseArrays _),
     "q52_monthly_orders" -> (monthlyOrders _),
     "q53_customer_strings" -> (customerStrings _))
 
   val oracle: Map[String, String] = Map(
+    "q54_math_and_hash" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS INT) AS ln,
+        |  round(abs(l_discount - 0.05), 6) AS abs_d,
+        |  round(sqrt(l_quantity), 6) AS sqrt_q,
+        |  round(pow(l_tax + 1.0, 2), 6) AS tax_sq,
+        |  round(ln(l_extendedprice), 6) AS ln_price,
+        |  CAST(floor(l_quantity / 7) AS BIGINT) AS bucket,
+        |  CAST(sign(l_discount - 0.05) AS INT) AS sgn,
+        |  substr(md5(l_orderkey || ':' || l_linenumber), 1, 8) AS h8
+        |FROM lineitem WHERE l_orderkey < 100
+        |ORDER BY l_orderkey, ln""".stripMargin,
     "q50_json_props" ->
       """SELECT CAST(props->>'k' AS BIGINT) AS k_json, count(*) AS n,
         |  count(*) AS n_paths_agree

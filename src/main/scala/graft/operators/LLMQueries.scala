@@ -30,19 +30,22 @@ object LLMQueries {
   private def docs(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "documents")
 
-  /** doc_id + distinct 3-word shingles. */
-  private def shingled(spark: SparkSession, dir: String): DataFrame =
+  /** One row per (doc_id, distinct 3-word shingle).
+    *
+    * PERF: the shingle transform is passed to explode() INLINE, in a
+    * select over the projection that computes `w`. Materializing it with
+    * withColumn first lets CollapseProject substitute `split(text)` into
+    * every `w[i]` lambda reference — ~250 regex splits per document, a
+    * measured 20× slowdown of this stage.
+    */
+  private def shingleRows(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
       .withColumn("w", split(col("text"), "\\s+"))
-      .withColumn("sh",
-        when(size(col("w")) >= 3, array_distinct(expr(
+      .select(col("doc_id"),
+        explode(when(size(col("w")) >= 3, array_distinct(expr(
           "transform(sequence(0, size(w)-3)," +
             " i -> concat_ws(' ', w[i], w[i+1], w[i+2]))")))
-          .otherwise(array().cast("array<string>")))
-      .select(col("doc_id"), col("sh"), size(col("sh")).as("n_sh"))
-
-  private def shingleRows(spark: SparkSession, dir: String): DataFrame =
-    shingled(spark, dir).select(col("doc_id"), explode(col("sh")).as("s"))
+          .otherwise(array().cast("array<string>"))).as("s"))
 
   /** L1: exact dedup — sha2(text)-keyed groups, keep the min doc_id
     * (deterministic winner). One hash-partitioned aggregation; at 100 TB
@@ -63,9 +66,11 @@ object LLMQueries {
     */
   def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
     val rows = shingleRows(spark, dir)
+    // one aggregation produces BOTH the signature and the set size, so the
+    // expensive shingle stage is evaluated once for sigs+sizes
     val sigCols = (0 until NumHashes).map { j =>
       min(substring(md5(concat(lit(s"$j:"), col("s"))), 1, 16)).as(s"h$j")
-    }
+    } :+ count(lit(1)).as("n_sh")
     val sigs = rows.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
     val bandStructs = (0 until NumHashes / RowsPerBand).map { b =>
       struct(lit(b).as("band"),
@@ -83,7 +88,7 @@ object LLMQueries {
       .distinct()
 
     val sets = shingleRows(spark, dir)
-    val sizes = shingled(spark, dir).select(col("doc_id"), col("n_sh"))
+    val sizes = sigs.select(col("doc_id"), col("n_sh"))
     val inter = cands
       .join(sets.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sets.as("sb"),
@@ -199,14 +204,14 @@ object LLMQueries {
     * docs sharing one are near-dup cluster mates.
     */
   def docFingerprints(spark: SparkSession, dir: String): DataFrame = {
+    // explode() takes the gram transform inline — see shingleRows PERF note
     val grams = docs(spark, dir)
       .withColumn("w", split(col("text"), "\\s+"))
-      .withColumn("g",
-        when(size(col("w")) >= 5, expr(
+      .select(col("doc_id"),
+        explode(when(size(col("w")) >= 5, expr(
           "transform(sequence(0, size(w)-5)," +
             " i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4]))"))
-          .otherwise(array(col("text"))))
-      .select(col("doc_id"), explode(col("g")).as("g"))
+          .otherwise(array(col("text")))).as("g"))
     val fps = grams.groupBy(col("doc_id"))
       .agg(min(substring(md5(col("g")), 1, 12)).as("fingerprint"))
     val w = Window.partitionBy(col("fingerprint"))

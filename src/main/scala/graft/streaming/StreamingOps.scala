@@ -1,0 +1,103 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+
+/** Structured Streaming renderings of the engine's incremental semantics
+  * (SURVEY.md §2.10). The batch queries in
+  * [[graft.operators.EventQueries]] share these exact DAG shapes — the
+  * point of building batch-first on DataFrames is that `readStream` swaps
+  * in without touching the transforms.
+  *
+  * Every operator takes the (streaming or batch) Dataset as input; tests
+  * drive them with MemoryStream, production would bind
+  * `spark.readStream.schema(...).parquet(...)` or a message-bus source.
+  *
+  * Scale posture: all state is keyed (user_id / event_id / window), so it
+  * shards across executors with the shuffle; watermarks bound state size —
+  * without one, streaming dedup and windowed aggs grow without limit.
+  */
+object StreamingOps {
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  case class SessionState(start: Timestamp, last: Timestamp, n: Long)
+
+  case class SessionSummary(user_id: Long, start: Timestamp, end: Timestamp,
+      n_events: Long)
+
+  val SessionGapMs: Long = 30 * 60 * 1000L
+
+  /** T1+T4 streaming: watermarked tumbling-window counts per event type.
+    * Append mode emits a window only once the watermark passes its end —
+    * the late-data policy the spec's "wait for the next polling cycle"
+    * implies (/root/reference/README.md:110).
+    */
+  def tumblingCounts(events: Dataset[Event]): DataFrame =
+    events.toDF()
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"))
+
+  /** L1 streaming: watermarked exact dedup by event_id — state is bounded
+    * by the watermark horizon instead of growing forever.
+    */
+  def dedupByEventId(events: Dataset[Event]): Dataset[Event] =
+    events.withWatermark("ts", "1 hour")
+      .dropDuplicates(Seq("event_id", "ts"))
+
+  /** T3+T5 streaming: session windows via flatMapGroupsWithState — the
+    * custom-state surface. Sessions close when a later event arrives more
+    * than [[SessionGapMs]] after the last one; closed sessions are emitted
+    * downstream, open ones stay in state. Batch twin:
+    * [[graft.operators.EventQueries.userSessions]] (gaps-and-islands).
+    */
+  def sessionize(events: Dataset[Event]): Dataset[SessionSummary] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionSummary](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
+          val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var cur = state.getOption
+          val closed = Seq.newBuilder[SessionSummary]
+          sorted.foreach { e =>
+            cur match {
+              case Some(s) if e.ts.getTime - s.last.getTime > SessionGapMs =>
+                closed += SessionSummary(user, s.start, s.last, s.n)
+                cur = Some(SessionState(e.ts, e.ts, 1L))
+              case Some(s) =>
+                cur = Some(SessionState(s.start, e.ts, s.n + 1))
+              case None =>
+                cur = Some(SessionState(e.ts, e.ts, 1L))
+            }
+          }
+          cur.foreach(state.update)
+          closed.result().iterator
+      }
+  }
+
+  /** The spec's latest-status-wins polling update as a stream
+    * (README.md:85): keep the max-timestamp event per key in state, emit
+    * the current winner on every update (Update mode downstream).
+    */
+  case class StatusUpdate(job_id: Long, ts: Timestamp, status: String)
+
+  def latestStatus(updates: Dataset[StatusUpdate]): Dataset[StatusUpdate] = {
+    import updates.sparkSession.implicits._
+    updates.groupByKey(_.job_id)
+      .mapGroupsWithState[StatusUpdate, StatusUpdate](
+        GroupStateTimeout.NoTimeout) {
+        (_: Long, batch: Iterator[StatusUpdate],
+         state: GroupState[StatusUpdate]) =>
+          val latest = (state.getOption.iterator ++ batch)
+            .maxBy(u => (u.ts.getTime, u.status))
+          state.update(latest)
+          latest
+      }
+  }
+}

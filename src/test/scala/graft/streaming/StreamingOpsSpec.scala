@@ -1,0 +1,108 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import java.sql.Timestamp
+
+/** Drives the streaming operators through MemoryStream — real incremental
+  * execution, deterministic batches (mirrors the reference's polling
+  * integration tests, /root/reference/README.md:176-178).
+  */
+class StreamingOpsSpec extends SparkSpec {
+  import spark.implicits._
+  import StreamingOps._
+
+  private implicit def sqlCtx: org.apache.spark.sql.SQLContext =
+    spark.sqlContext
+
+  private def ts(minute: Int) =
+    Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00")
+
+  private def ev(id: Long, minute: Int, user: Long, typ: String = "view") =
+    Event(id, ts(minute), user, typ, 1.0)
+
+  test("sessionize closes a session only after the 30-minute gap") {
+    val input = MemoryStream[Event]
+    val query = sessionize(input.toDS())
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // one user: events at 0,10min (session A), then 60min (gap > 30min)
+      input.addData(ev(1, 0, 7), ev(2, 10, 7))
+      query.processAllAvailable()
+      assert(spark.table("sessions").count() == 0) // A still open
+      input.addData(ev(3, 60, 7))
+      query.processAllAvailable()
+      val closed = spark.table("sessions")
+        .as[SessionSummary].collect()
+      assert(closed.length == 1)
+      assert(closed.head == SessionSummary(7L, ts(0), ts(10), 2L))
+    } finally query.stop()
+  }
+
+  test("sessionize keys state per user") {
+    val input = MemoryStream[Event]
+    val query = sessionize(input.toDS())
+      .writeStream.format("memory").queryName("sessions2")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(ev(1, 0, 1), ev(2, 0, 2))
+      input.addData(ev(3, 45, 1)) // closes user 1's session only
+      query.processAllAvailable()
+      val closed = spark.table("sessions2").as[SessionSummary].collect()
+      assert(closed.toSeq == Seq(SessionSummary(1L, ts(0), ts(0), 1L)))
+    } finally query.stop()
+  }
+
+  test("latest-status-wins keeps the max-timestamp update per job") {
+    val input = MemoryStream[StatusUpdate]
+    val query = latestStatus(input.toDS())
+      .writeStream.format("memory").queryName("status")
+      .outputMode(OutputMode.Update).start()
+    try {
+      input.addData(
+        StatusUpdate(1, ts(10), "in_progress"),
+        StatusUpdate(1, ts(5), "validating")) // late, loses
+      query.processAllAvailable()
+      input.addData(StatusUpdate(1, ts(20), "completed"))
+      query.processAllAvailable()
+      val rows = spark.table("status").as[StatusUpdate].collect()
+      // last emitted state for job 1 is the ts=20 completed row
+      assert(rows.last == StatusUpdate(1, ts(20), "completed"))
+      assert(!rows.map(_.status).contains("validating"))
+    } finally query.stop()
+  }
+
+  test("streaming dedup drops replayed event ids") {
+    val input = MemoryStream[Event]
+    val query = dedupByEventId(input.toDS())
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(ev(1, 0, 1), ev(2, 1, 1))
+      query.processAllAvailable()
+      input.addData(ev(1, 0, 1)) // exact replay (at-least-once delivery)
+      query.processAllAvailable()
+      assert(spark.table("dedup").count() == 2)
+    } finally query.stop()
+  }
+
+  test("watermarked tumbling counts finalize once the watermark passes") {
+    val input = MemoryStream[Event]
+    val query = tumblingCounts(input.toDS())
+      .writeStream.format("memory").queryName("tumbling")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(ev(1, 10, 1), ev(2, 20, 2), ev(3, 40, 3))
+      query.processAllAvailable()
+      assert(spark.table("tumbling").count() == 0) // hour 0 not final yet
+      // event at t=3h advances watermark (3h - 1h) past hour 0's end
+      input.addData(ev(4, 180, 1))
+      query.processAllAvailable()
+      val rows = spark.table("tumbling")
+        .selectExpr("window_start", "n").as[(Timestamp, Long)].collect()
+      assert(rows.toSeq == Seq((ts(0), 3L)))
+    } finally query.stop()
+  }
+}

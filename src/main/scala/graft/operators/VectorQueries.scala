@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
 import graft.functions.CentroidAggregator
+import graft.functions.CosineSimilarity.cosineSim
 import scala.collection.immutable.ListMap
 
 /** Vector/similarity-search operators over `embeddings` (SURVEY.md §2.9):
@@ -29,29 +30,27 @@ object VectorQueries {
   private[operators] def vecsOf(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"), col("label"),
       expr("transform(embedding, x -> cast(x AS double))").as("v"))
-      .withColumn("nrm", sqrt(expr("aggregate(v, 0D, (s, x) -> s + x * x)")))
 
   private def vecs(spark: SparkSession, dir: String): DataFrame =
     vecsOf(Tables(spark, dir, "embeddings"))
 
-  private def dot(a: String, b: String) =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (s, x) -> s + x)")
 
   /** L3: brute-force top-k cosine — the small query set is broadcast
     * against the full table (one scan, no self-join), ranked per query.
-    * Ranking uses the 6-dp-rounded score so ties break identically in
-    * every engine; vec_id is the total-order tie-break.
+    * Scoring uses the native [[graft.functions.CosineSimilarity]]
+    * expression: one fused codegen loop per pair (bit-identical to the
+    * zip_with/aggregate formulation — CosineSimilaritySpec). Ranking uses
+    * the 6-dp-rounded score so ties break identically in every engine;
+    * vec_id is the total-order tie-break.
     */
   def topkCosine(spark: SparkSession, dir: String): DataFrame =
     topkCosineOf(vecs(spark, dir))
 
   private[operators] def topkCosineOf(e: DataFrame): DataFrame = {
     val q = e.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("qid"), col("v").as("qv"),
-        col("nrm").as("qnrm"))
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
     val scored = e.join(broadcast(q), col("vec_id") =!= col("qid"))
-      .withColumn("cos",
-        round(dot("v", "qv") / (col("nrm") * col("qnrm")), 6))
+      .withColumn("cos", round(cosineSim(col("v"), col("qv")), 6))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rk", row_number().over(w))
@@ -116,16 +115,13 @@ object VectorQueries {
         .orderBy(col("d2"), col("clabel"))
       scored.withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
-        .select(col("vec_id"), col("v"), col("nrm"),
-          col("clabel").as("cell"))
+        .select(col("vec_id"), col("v"), col("clabel").as("cell"))
     }
     val q = assigned.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("qid"), col("v").as("qv"),
-        col("nrm").as("qnrm"), col("cell"))
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("cell"))
     val scored = assigned.join(broadcast(q), Seq("cell"))
       .filter(col("vec_id") =!= col("qid"))
-      .withColumn("cos",
-        round(dot("v", "qv") / (col("nrm") * col("qnrm")), 6))
+      .withColumn("cos", round(cosineSim(col("v"), col("qv")), 6))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rk", row_number().over(w))

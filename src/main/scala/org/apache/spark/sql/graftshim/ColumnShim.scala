@@ -1,0 +1,15 @@
+package org.apache.spark.sql.graftshim
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column ↔ Catalyst Expression bridge. Spark 4 made ExpressionUtils
+  * `private[sql]`, so extension libraries reach it from a subpackage of
+  * org.apache.spark.sql — the usual pattern for Spark-native add-ons.
+  * This is the only file in the repo living outside the graft package.
+  */
+object ColumnShim {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

@@ -131,7 +131,62 @@ object VectorQueries {
       .orderBy(col("qid"), col("rk"))
   }
 
+  // ---- sign-LSH near-dup ---------------------------------------------
+
+  private val NumPlanes = 16
+  private val PlanesPerBand = 4
+  private val Dim = 64
+  private val NearDupThreshold = 0.4
+
+  /** Deterministic ±1 random hyperplanes, shared verbatim with the oracle
+    * SQL (seeded PRNG, generated once at class init). */
+  private val planes: Seq[Seq[Int]] = {
+    val rnd = new scala.util.Random(7)
+    Seq.fill(NumPlanes)(Seq.fill(Dim)(if (rnd.nextBoolean()) 1 else -1))
+  }
+
+  /** Sign of ⟨v, w_p⟩ in exact fixed-point (round(x*1e9) longs), so both
+    * engines compute identical bits — a double dot product could flip a
+    * boundary sign between engines. */
+  private def signBitSql(w: Seq[Int]): String =
+    s"aggregate(zip_with(v, array(${w.mkString(",")}), " +
+      "(x, wd) -> cast(round(x * 1e9) as bigint) * wd), 0L, (s, e) -> s + e) >= 0L"
+
+  /** L2 (embedding flavor): cosine near-dup pairs via sign-LSH banding —
+    * vectors agreeing on all 4 bits of any band become candidates; exact
+    * cosine (native expression) then keeps pairs ≥ 0.4. Candidate volume
+    * is O(Σ bucket²), never the O(n²) cross join; recall is the standard
+    * sign-LSH curve (≈1 for true near-dups, ~50% at the 0.4 boundary).
+    */
+  def cosineNearDups(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir)
+    val bandCols = (0 until NumPlanes / PlanesPerBand).map { b =>
+      val bits = (0 until PlanesPerBand).map { i =>
+        s"if(${signBitSql(planes(b * PlanesPerBand + i))}, '1', '0')"
+      }
+      struct(lit(b).as("band"),
+        expr(s"concat(${bits.mkString(", ")})").as("key"))
+    }
+    val bands = e.select(col("vec_id"),
+      explode(array(bandCols: _*)).as("bk"))
+      .select(col("vec_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val cands = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+    cands
+      .join(e.select(col("vec_id").as("vec_a"), col("v").as("va")), Seq("vec_a"))
+      .join(e.select(col("vec_id").as("vec_b"), col("v").as("vb")), Seq("vec_b"))
+      .withColumn("cos", round(cosineSim(col("va"), col("vb")), 6))
+      .filter(col("cos") >= NearDupThreshold)
+      .select(col("vec_a"), col("vec_b"), col("cos"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
   val queries: ListMap[String, graft.Q] = ListMap(
+    "q65_cosine_near_dups" -> (cosineNearDups _),
     "q67_topk_cosine" -> (topkCosine _),
     "q68_centroid_classify" -> (centroidClassify _),
     "q69_ivf_topk_cosine" -> (ivfTopkCosine _))
@@ -158,7 +213,34 @@ object VectorQueries {
       |    FROM e, cent) WHERE rn = 1)
       |""".stripMargin
 
+  private def oracleSignBit(w: Seq[Int]): String =
+    s"list_sum(list_transform(range(1, ${Dim + 1}), " +
+      s"d -> CAST(round(v[d] * 1e9) AS BIGINT) * ([${w.mkString(",")}])[d])) >= 0"
+
+  private val oracleBands = (0 until NumPlanes / PlanesPerBand).map { b =>
+    val bits = (0 until PlanesPerBand).map { i =>
+      s"CASE WHEN ${oracleSignBit(planes(b * PlanesPerBand + i))} " +
+        "THEN '1' ELSE '0' END"
+    }
+    s"SELECT vec_id, $b AS band, concat(${bits.mkString(", ")}) AS key FROM e"
+  }.mkString("\n  UNION ALL ")
+
   val oracle: Map[String, String] = Map(
+    "q65_cosine_near_dups" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |bands AS (
+         |  $oracleBands),
+         |cands AS (
+         |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id)
+         |SELECT vec_a, vec_b,
+         |  round(list_cosine_similarity(ea.v, eb.v), 6) AS cos
+         |FROM cands
+         |JOIN e ea ON ea.vec_id = vec_a
+         |JOIN e eb ON eb.vec_id = vec_b
+         |WHERE round(list_cosine_similarity(ea.v, eb.v), 6) >= $NearDupThreshold
+         |ORDER BY vec_a, vec_b""".stripMargin,
     "q67_topk_cosine" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < $NumQueries),

@@ -219,15 +219,18 @@ object SpecPipeline {
     val expected = parsed.filter(!col("is_corrupt"))
       .agg(min_by(col("model"), col("line_no")).as("expected_model"))
 
-    // J1: existence check against the target collection's keys — a
-    // broadcast left join whose null side IS the anti-join result, so the
-    // classification below stays one pass.
-    val known = targets(spark, dir)
-      .filter(expr("cast(substring(custom_id, 7) as bigint) % 11 != 0"))
+    // J1: existence check against the target collection's keys — a left
+    // join whose null side IS the anti-join result, so the classification
+    // below stays one pass. Key set projected straight off the base keys
+    // (NOT via targets(), whose event_response arrays would be built just
+    // to be pruned), and NOT force-broadcast: the target collection is the
+    // big side at scale, so the key join shuffles and AQE may still
+    // broadcast it when small.
+    val known = base(spark, dir).filter(col("k") % 11 =!= 0)
       .select(col("custom_id"), lit(true).as("found"))
 
     parsed.crossJoin(broadcast(expected))
-      .join(broadcast(known), Seq("custom_id"), "left")
+      .join(known, Seq("custom_id"), "left")
       .withColumn("error_type",
         when(col("is_corrupt"), "jsonl_format_error")
           .when(col("custom_id").isNull || col("method") =!= "POST",

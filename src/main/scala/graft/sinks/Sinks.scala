@@ -37,6 +37,24 @@ object Sinks {
   def writeLogs(rows: DataFrame, dir: String): Unit =
     rows.write.mode(SaveMode.Append).json(dir)
 
+  /** S3: error-file scan (README.md:90,103) — surface the downloaded
+    * error file's lines as WARN-leveled structured log rows, ready for
+    * [[writeLogs]]. Line-granular, schema {level, event, message}.
+    */
+  def readErrorFile(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.read.text(path)
+      .select(lit("WARN").as("level"),
+        lit("openai_error_file_line").as("event"),
+        col("value").as("message"))
+  }
+
+  /** L7: language-partitioned write — documents laid out by lang so a
+    * per-language pipeline prunes partitions at the scan.
+    */
+  def writePartitionedByLang(rows: DataFrame, dir: String): Unit =
+    rows.write.mode(SaveMode.Overwrite).partitionBy("lang").parquet(dir)
+
   /** S6: document upsert (README.md:77,100-102). `merged` must be the full
     * post-merge table (e.g. [[graft.operators.StateMachine.mergeLedger]]'s
     * output). Writes to a sibling tmp dir, then atomically swaps it over

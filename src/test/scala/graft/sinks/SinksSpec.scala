@@ -39,6 +39,32 @@ class SinksSpec extends SparkSpec {
     assert(back.toSeq == Seq(("order-1", "POST")))
   }
 
+  test("error-file scan surfaces each line as a WARN log row") {
+    val f = Files.createTempDirectory("graft-errfile").resolve("errors.jsonl")
+    Files.writeString(f,
+      "{\"custom_id\": \"order-1\", \"error\": \"bad\"}\nplain text line\n")
+    val rows = Sinks.readErrorFile(spark, f.toString)
+      .as[(String, String, String)].collect()
+    assert(rows.length == 2)
+    assert(rows.forall(r => r._1 == "WARN" && r._2 == "openai_error_file_line"))
+    assert(rows.map(_._3).toSet.contains("plain text line"))
+  }
+
+  test("language-partitioned write prunes by lang directory") {
+    val dir = tmpDir("bylang")
+    val docs = Seq((1L, "hello", "en"), (2L, "hallo", "de"))
+      .toDF("doc_id", "text", "lang")
+    Sinks.writePartitionedByLang(docs, dir)
+    val dirs = new java.io.File(dir).listFiles().map(_.getName)
+      .filter(_.startsWith("lang=")).toSet
+    assert(dirs == Set("lang=en", "lang=de"))
+    // partition-pruned read touches only the one directory
+    val en = spark.read.parquet(dir).filter($"lang" === "en")
+    assert(en.count() == 1)
+    val scan = en.queryExecution.executedPlan.toString
+    assert(!scan.contains("lang=de") || en.inputFiles.forall(_.contains("lang=en")))
+  }
+
   test("retry succeeds after transient failures") {
     var calls = 0
     val slept = scala.collection.mutable.ArrayBuffer[Long]()

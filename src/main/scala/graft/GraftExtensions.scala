@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.graftshim.ColumnShim
+import graft.functions.CosineSimilarity
+
+/** SparkSessionExtensions entry point: registers the engine's native
+  * expressions as SQL functions. Two attachment paths:
+  *
+  *  - build time: `SparkSession.builder.withExtensions(new GraftExtensions)`
+  *    or `spark.sql.extensions=graft.GraftExtensions`;
+  *  - live session: `GraftExtensions.registerAll(spark)` (extensions are
+  *    consumed only at session build, so an already-running session needs
+  *    direct registry registration).
+  *
+  * After either, `SELECT cosine_sim(a, b)` works from plain SQL — the
+  * extension wiring of SURVEY.md §2.11; no custom plan rules are injected
+  * (§4.2: Catalyst's built-ins cover every rewrite this engine needs).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction(GraftExtensions.cosineSimFunction)
+}
+
+object GraftExtensions {
+  private val cosineSimFunction: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    new FunctionIdentifier("cosine_sim"),
+    new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+    (children: Seq[Expression]) => children match {
+      case Seq(a, b) => CosineSimilarity(a, b)
+      case _ => throw new IllegalArgumentException(
+        "cosine_sim expects exactly 2 arguments")
+    })
+
+  def registerAll(spark: SparkSession): Unit = {
+    val (ident, info, builder) = cosineSimFunction
+    ColumnShim.registerFunction(spark, ident, info, builder)
+  }
+}

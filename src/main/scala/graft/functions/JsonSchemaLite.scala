@@ -1,0 +1,98 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Compile a small JSON-Schema subset into a Column predicate validating a
+  * JSON-string column — the engine half of the reference's runtime
+  * user-provided `output_schema_json` (/root/reference/README.md:26,62-63,99):
+  * the caller supplies the schema as a STRING at request time, so
+  * validation must be compiled dynamically, not declared statically.
+  *
+  * Supported keywords: `type` (object/string/number/integer/boolean),
+  * `required`, `properties` (one level of nesting per call — recurse for
+  * deeper), `minimum`/`maximum` (numbers), `minLength` (strings),
+  * `enum` (strings). Unknown keywords are ignored (permissive, like most
+  * validators' default dialect handling).
+  *
+  * The compiled predicate is pure Column logic over `get_json_object` —
+  * codegen-friendly, no UDF; schema parsing happens once on the driver.
+  */
+object JsonSchemaLite {
+
+  /** parse once (driver side) → predicate builder for a JSON string col. */
+  def compile(schemaJson: String): Column => Column = {
+    val schema = parseObj(schemaJson)
+    (c: Column) => validate(schema, c, "$")
+  }
+
+  // -- tiny driver-side JSON reader (json4s ships with Spark) -----------
+  import org.json4s._
+  import org.json4s.jackson.JsonMethods
+
+  private def parseObj(s: String): JObject =
+    JsonMethods.parse(s) match {
+      case o: JObject => o
+      case other => throw new IllegalArgumentException(
+        s"JSON Schema must be an object, got ${other.getClass.getSimpleName}")
+    }
+
+  private def str(o: JObject, k: String): Option[String] =
+    (o \ k) match { case JString(v) => Some(v); case _ => None }
+  private def num(o: JObject, k: String): Option[Double] =
+    (o \ k) match {
+      case JInt(v) => Some(v.toDouble)
+      case JDouble(v) => Some(v)
+      case JDecimal(v) => Some(v.toDouble)
+      case _ => None
+    }
+  private def strings(o: JObject, k: String): Seq[String] =
+    (o \ k) match {
+      case JArray(vs) => vs.collect { case JString(v) => v }
+      case _ => Seq.empty
+    }
+
+  private def validate(schema: JObject, json: Column, path: String): Column = {
+    val here = if (path == "$") json else get_json_object(json, path)
+    val typeOk: Column = str(schema, "type") match {
+      case Some("object") =>
+        // object-typed values survive a path-extract as `{...}` text
+        here.isNotNull && here.startsWith("{")
+      case Some("string") | Some("number") | Some("integer") |
+           Some("boolean") =>
+        here.isNotNull
+      case _ => lit(true)
+    }
+    val requiredOk = strings(schema, "required")
+      .map(k => get_json_object(json, s"$path.$k").isNotNull)
+      .foldLeft(lit(true))(_ && _)
+    val propsOk = (schema \ "properties") match {
+      case JObject(fields) =>
+        fields.foldLeft(lit(true)) { case (acc, (name, sub: JObject)) =>
+          val subPath = s"$path.$name"
+          val subHere = get_json_object(json, subPath)
+          // a property constrains only when present; absence is handled
+          // by `required`
+          acc && (subHere.isNull || propertyOk(sub, json, subPath))
+        }
+      case _ => lit(true)
+    }
+    typeOk && requiredOk && propsOk
+  }
+
+  private def propertyOk(schema: JObject, json: Column,
+      path: String): Column = {
+    val v = get_json_object(json, path)
+    val base = validate(schema, json, path)
+    val minOk = num(schema, "minimum")
+      .map(m => v.cast("double") >= m).getOrElse(lit(true))
+    val maxOk = num(schema, "maximum")
+      .map(m => v.cast("double") <= m).getOrElse(lit(true))
+    val lenOk = num(schema, "minLength")
+      .map(m => length(v) >= m.toInt).getOrElse(lit(true))
+    val enumVals = strings(schema, "enum")
+    val enumOk =
+      if (enumVals.isEmpty) lit(true) else v.isin(enumVals: _*)
+    base && minOk && maxOk && lenOk && enumOk
+  }
+}

@@ -1,0 +1,21 @@
+package graft
+
+/** The extensions entry point must make cosine_sim callable from SQL. */
+class GraftExtensionsSpec extends SparkSpec {
+
+  test("cosine_sim registers as a SQL function on a live session") {
+    GraftExtensions.registerAll(spark)
+    val out = spark.sql(
+      "SELECT cosine_sim(array(1.0D, 0.0D), array(2.0D, 0.0D)) AS c")
+      .collect().head.getDouble(0)
+    assert(out == 1.0)
+    // and through the full surface: against the real embeddings table
+    Tables(spark, sfDir, "embeddings").limit(5)
+      .createOrReplaceTempView("emb5")
+    val self = spark.sql(
+      """SELECT cosine_sim(transform(embedding, x -> cast(x AS double)),
+        |                  transform(embedding, x -> cast(x AS double))) AS c
+        |FROM emb5""".stripMargin).collect().map(_.getDouble(0))
+    assert(self.forall(c => math.abs(c - 1.0) < 1e-12)) // self-similarity
+  }
+}

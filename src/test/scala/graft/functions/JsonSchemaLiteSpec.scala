@@ -1,0 +1,77 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Runtime-compiled JSON-Schema validation — the reference's
+  * output_schema_json semantics: required keys, numeric bounds, string
+  * enums, nested properties.
+  */
+class JsonSchemaLiteSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def validCount(schema: String, docs: String*): Long = {
+    val pred = JsonSchemaLite.compile(schema)
+    docs.toDF("j").select(pred(col("j")).as("ok"))
+      .filter(col("ok")).count()
+  }
+
+  test("required keys") {
+    val schema = """{"type":"object","required":["category","confidence"]}"""
+    assert(validCount(schema,
+      """{"category":"a","confidence":0.5}""",
+      """{"confidence":0.5}""",
+      """{"category":"a"}""") == 1)
+  }
+
+  test("numeric bounds") {
+    val schema =
+      """{"type":"object","required":["confidence"],
+        |"properties":{"confidence":{"type":"number","minimum":0,"maximum":1}}}"""
+        .stripMargin
+    assert(validCount(schema,
+      """{"confidence":0.0}""",
+      """{"confidence":1.0}""",
+      """{"confidence":1.5}""",
+      """{"confidence":-0.1}""") == 2)
+  }
+
+  test("string enum and minLength") {
+    val schema =
+      """{"type":"object","required":["status"],
+        |"properties":{"status":{"type":"string","enum":["completed","failed"]},
+        |"note":{"type":"string","minLength":3}}}""".stripMargin
+    assert(validCount(schema,
+      """{"status":"completed"}""",
+      """{"status":"unknown"}""",
+      """{"status":"failed","note":"ok"}""",
+      """{"status":"failed","note":"long enough"}""") == 2)
+  }
+
+  test("nested object properties") {
+    val schema =
+      """{"type":"object","required":["meta"],
+        |"properties":{"meta":{"type":"object","required":["lang"]}}}"""
+        .stripMargin
+    assert(validCount(schema,
+      """{"meta":{"lang":"en"}}""",
+      """{"meta":{}}""",
+      """{"other":1}""") == 1)
+  }
+
+  test("matches the flagship pipeline's hand-rolled validation") {
+    // the q10 rule: category required, confidence in [0,1]
+    val schema =
+      """{"type":"object","required":["category","confidence"],
+        |"properties":{"confidence":{"type":"number","minimum":0,"maximum":1}}}"""
+        .stripMargin
+    val pred = JsonSchemaLite.compile(schema)
+    val contents = Seq(
+      """{"category":"urgent","confidence":0.3}""" -> true,
+      """{"confidence":0.3}""" -> false,
+      """{"category":"urgent","confidence":1.2}""" -> false)
+    val out = contents.map(_._1).toDF("j")
+      .select(pred(col("j"))).as[Boolean].collect()
+    assert(out.toSeq == contents.map(_._2))
+  }
+}

@@ -19,6 +19,13 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // Timestamp-literal filters (e.g. q01's shipdate bound) only match the
+    // DuckDB oracle under a pinned session timezone; every entry point
+    // (Smoke/Verify/Bench/Explain, build.sbt, tests) sets UTC. Fail fast
+    // if a new caller forgets, instead of silently shifting date bounds.
+    require(spark.conf.get("spark.sql.session.timeZone") == "UTC",
+      "graft queries require spark.sql.session.timeZone=UTC " +
+        "(oracle-parity contract; see ADVICE.md r1)")
     if (name == "events") {
       // events.ts is parquet TIMESTAMP(NANOS), which Spark has no native
       // type for (SURVEY.md §7.4). Read the raw INT64 nanos via the legacy

@@ -34,6 +34,11 @@ object Bench {
     val times = LinkedHashMap[String, Double]()
     val errors = LinkedHashMap[String, String]()
     SparkEntry.queries.foreach { case (name, fn) =>
+      // Local-mode hygiene: broadcast/shuffle blocks from earlier queries
+      // are reclaimed by the ContextCleaner only after a driver GC; left
+      // alone they pile up in the shared JVM and cause multi-x timing
+      // swings on later queries. GC between queries, untimed.
+      System.gc()
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).count()
@@ -52,8 +57,15 @@ object Bench {
       else errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
         .mkString(",\"errors\":{", ",", "}")
     val total = times.values.sum
+    // round-1 comparable subtotal: the original six queries, so
+    // round-over-round bench comparison is like for like even as the
+    // query count grows
+    val headline = Seq("q01_pricing_summary", "q02_revenue_by_nation",
+      "q03_top_customers", "q04_customer_order_counts",
+      "q05_urgent_customers", "q06_customers_without_orders")
+      .flatMap(times.get).sum
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","headline6":$headline,"queries":$qs$errJson,"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -173,6 +173,11 @@ object SpecPipeline {
     val w = org.apache.spark.sql.expressions.Window.orderBy(col("k"))
     base(spark, dir)
       .withColumn("line_no", row_number().over(w).cast("long"))
+      // the global window collapses to ONE partition and nothing below
+      // introduces an exchange before the JSON serialize/parse work —
+      // without this repartition the whole pipeline runs single-threaded
+      // inside the window's partition (observed 30x swings at sf0.1)
+      .repartition(col("k"))
       .select(col("k"), col("line_no"), to_json(struct(
         when(col("k") % 37 =!= 0, col("custom_id")).as("custom_id"),
         when(col("k") % 23 === 0, "GET").otherwise("POST").as("method"),

@@ -72,7 +72,9 @@ object FunctionQueries {
         length(col("c_name")).as("name_len"),
         concat_ws("-", substring(col("c_mktsegment"), 1, 3),
           trim(lower(col("c_name")))).as("tag"),
-        col("c_name").like("%9%").as("has_nine"))
+        col("c_name").like("%9%").as("has_nine"),
+        levenshtein(lower(col("c_mktsegment")), lit("building"))
+          .as("seg_dist"))
       .orderBy(col("c_custkey"))
 
   /** F7 + F8: math function family (abs/sqrt/pow/log/floor/ceil/sign) and
@@ -134,6 +136,7 @@ object FunctionQueries {
         |  CAST(regexp_extract(c_name, '([0-9]+)', 1) AS BIGINT) AS name_num,
         |  CAST(length(c_name) AS INT) AS name_len,
         |  concat_ws('-', substring(c_mktsegment, 1, 3), trim(lower(c_name))) AS tag,
-        |  c_name LIKE '%9%' AS has_nine
+        |  c_name LIKE '%9%' AS has_nine,
+        |  CAST(levenshtein(lower(c_mktsegment), 'building') AS INT) AS seg_dist
         |FROM customer ORDER BY c_custkey""".stripMargin)
 }

@@ -220,8 +220,42 @@ object LLMQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** L1b: dedup-keep-best — the corpus-curation policy: within each
+    * fingerprint cluster (q70's winnowing key) keep the document with the
+    * highest quality score (q61's metric), tie-broken by doc_id. The
+    * survivors frame is what a training pipeline feeds downstream.
+    */
+  def dedupKeepBest(spark: SparkSession, dir: String): DataFrame = {
+    val grams = docs(spark, dir)
+      .withColumn("w", split(col("text"), "\\s+"))
+      .select(col("doc_id"),
+        explode(when(size(col("w")) >= 5, expr(
+          "transform(sequence(0, size(w)-5)," +
+            " i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4]))"))
+          .otherwise(array(col("text")))).as("g"))
+    val fps = grams.groupBy(col("doc_id"))
+      .agg(min(substring(md5(col("g")), 1, 12)).as("fingerprint"))
+    val quality = docs(spark, dir)
+      .withColumn("w", split(col("text"), "\\s+"))
+      .select(col("doc_id"),
+        round(least(lit(1.0), size(col("w")).cast("double") / 120.0) *
+          (size(array_distinct(col("w"))).cast("double") / size(col("w"))), 6)
+          .as("quality"))
+    val w = Window.partitionBy(col("fingerprint"))
+      .orderBy(col("quality").desc, col("doc_id"))
+    fps.join(quality, Seq("doc_id"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cluster_size", count(lit(1)).over(
+        Window.partitionBy(col("fingerprint"))))
+      .filter(col("rn") === 1)
+      .select(col("fingerprint"), col("doc_id").as("kept_id"),
+        col("quality"), col("cluster_size"))
+      .orderBy(col("kept_id"))
+  }
+
   val queries: ListMap[String, graft.Q] = ListMap(
     "q60_exact_dedup" -> (exactDedup _),
+    "q71_dedup_keep_best" -> (dedupKeepBest _),
     "q61_text_stats" -> (textStats _),
     "q62_lang_rollup" -> (langRollup _),
     "q63_tfidf_top_terms" -> (tfidfTopTerms _),
@@ -328,6 +362,33 @@ object LLMQueries {
          |JOIN sizes za ON za.doc_id = doc_a
          |JOIN sizes zb ON zb.doc_id = doc_b
          |ORDER BY doc_a, doc_b""".stripMargin),
+    "q71_dedup_keep_best" ->
+      """WITH grams AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(w) >= 5
+        |    THEN list_transform(range(1, len(w)-3),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+        |           w[i+3] || ' ' || w[i+4])
+        |    ELSE [text] END) AS g
+        |  FROM (SELECT doc_id, text, string_split_regex(text, '\s+') AS w
+        |        FROM documents)),
+        |fps AS (
+        |  SELECT doc_id, min(substr(md5(g), 1, 12)) AS fingerprint
+        |  FROM grams GROUP BY doc_id),
+        |quality AS (
+        |  SELECT doc_id,
+        |    round(least(1.0, CAST(len(w) AS DOUBLE) / 120.0) *
+        |          (CAST(len(list_distinct(w)) AS DOUBLE) / len(w)), 6)
+        |      AS quality
+        |  FROM (SELECT doc_id, string_split_regex(text, '\s+') AS w
+        |        FROM documents)),
+        |ranked AS (
+        |  SELECT fingerprint, doc_id, quality,
+        |    row_number() OVER (PARTITION BY fingerprint
+        |      ORDER BY quality DESC, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY fingerprint) AS cluster_size
+        |  FROM fps JOIN quality USING (doc_id))
+        |SELECT fingerprint, doc_id AS kept_id, quality, cluster_size
+        |FROM ranked WHERE rn = 1 ORDER BY kept_id""".stripMargin,
     "q66_simhash_signatures" ->
       s"""WITH toks AS (
          |  SELECT doc_id,

@@ -133,8 +133,14 @@ object VectorQueries {
 
   // ---- sign-LSH near-dup ---------------------------------------------
 
-  private val NumPlanes = 16
-  private val PlanesPerBand = 4
+  // 4 bands × 6 bits: 64 distinct keys per band, so random data spreads
+  // into buckets of ~n/64 and candidate volume is Σ bucket² ≈ n²/64 per
+  // band — with 4-bit bands (16 keys) buckets held n/16 and the "pruned"
+  // search was only a 4× reduction. Recall stays the sign-LSH curve:
+  // ≈86% for true near-dups (cos 0.9), deliberately low at the 0.4
+  // boundary where similarity is semantically weak anyway.
+  private val NumPlanes = 24
+  private val PlanesPerBand = 6
   private val Dim = 64
   private val NearDupThreshold = 0.4
 

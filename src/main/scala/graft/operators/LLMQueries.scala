@@ -253,9 +253,50 @@ object LLMQueries {
       .orderBy(col("kept_id"))
   }
 
+  /** Character-n-gram profiles per language (public-linguistics common
+    * trigram sets; the synthetic corpus is same-vocab across langs, so
+    * this exercises the MECHANISM — profile-count scoring with a
+    * deterministic argmax — not real-world accuracy). */
+  private val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("sch", "ein", "der"),
+    "en" -> Seq("the", "ing", "and"),
+    "es" -> Seq("los", "que", "cio"),
+    "fr" -> Seq("les", "ent", "des"),
+    "zh" -> Seq("zh", "ng", "sh"))
+
+  /** Occurrence count of a literal substring via the replace trick —
+    * identical semantics in Spark and DuckDB. */
+  private def occSql(colName: String, g: String): String =
+    s"(length($colName) - length(replace($colName, '$g', ''))) / ${g.length}"
+
+  /** L5 (n-gram lang-ID): score each language's trigram profile against
+    * the text, predict the argmax (ties break alphabetically via the CASE
+    * order). One narrow projection pass — no explode, no shuffle except
+    * the final rollup.
+    */
+  def langIdNgram(spark: SparkSession, dir: String): DataFrame = {
+    val scoreCols = LangProfiles.map { case (lang, grams) =>
+      expr(grams.map(g => occSql("t", g)).mkString(" + ")).as(s"s_$lang")
+    }
+    val langs = LangProfiles.map(_._1)
+    val predSql = langs.map { l =>
+      val geAll = langs.filter(_ != l).map(o => s"s_$l >= s_$o")
+        .mkString(" AND ")
+      s"WHEN $geAll THEN '$l'"
+    }.mkString("CASE ", " ", " END")
+    docs(spark, dir)
+      .select(col("doc_id"), col("lang"), lower(col("text")).as("t"))
+      .select(Seq(col("doc_id"), col("lang")) ++ scoreCols: _*)
+      .withColumn("pred_lang", expr(predSql))
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("pred_lang"))
+  }
+
   val queries: ListMap[String, graft.Q] = ListMap(
     "q60_exact_dedup" -> (exactDedup _),
     "q71_dedup_keep_best" -> (dedupKeepBest _),
+    "q73_langid_ngram" -> (langIdNgram _),
     "q61_text_stats" -> (textStats _),
     "q62_lang_rollup" -> (langRollup _),
     "q63_tfidf_top_terms" -> (tfidfTopTerms _),
@@ -362,6 +403,23 @@ object LLMQueries {
          |JOIN sizes za ON za.doc_id = doc_a
          |JOIN sizes zb ON zb.doc_id = doc_b
          |ORDER BY doc_a, doc_b""".stripMargin),
+    "q73_langid_ngram" -> {
+      val scoreSelects = LangProfiles.map { case (lang, grams) =>
+        grams.map(g => occSql("t", g)).mkString(" + ") + s" AS s_$lang"
+      }.mkString(",\n    ")
+      val langs = LangProfiles.map(_._1)
+      val predSql = langs.map { l =>
+        val geAll = langs.filter(_ != l).map(o => s"s_$l >= s_$o")
+          .mkString(" AND ")
+        s"WHEN $geAll THEN '$l'"
+      }.mkString("CASE ", " ", " END")
+      s"""WITH scored AS (
+         |  SELECT doc_id, lang,
+         |    $scoreSelects
+         |  FROM (SELECT doc_id, lang, lower(text) AS t FROM documents))
+         |SELECT lang, $predSql AS pred_lang, count(*) AS n
+         |FROM scored GROUP BY 1, 2 ORDER BY lang, pred_lang""".stripMargin
+    },
     "q71_dedup_keep_best" ->
       """WITH grams AS (
         |  SELECT doc_id, unnest(CASE WHEN len(w) >= 5

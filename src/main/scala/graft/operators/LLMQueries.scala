@@ -182,8 +182,10 @@ object LLMQueries {
       .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("t"))
     val tf = words.groupBy(col("doc_id"), col("t"))
       .agg(count(lit(1)).as("tf"))
-    val df = words.select(col("doc_id"), col("t")).distinct()
-      .groupBy(col("t")).agg(count(lit(1)).as("df"))
+    // df derived FROM tf (one row per (doc,t) already) — shares tf's
+    // (doc_id,t) shuffle via exchange reuse instead of a second
+    // explode+distinct pass over the corpus
+    val df = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
     val n = docs(spark, dir).select(count(lit(1)).as("n_docs"))
     val scored = tf.join(broadcast(df), Seq("t"))
       .crossJoin(broadcast(n))

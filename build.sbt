@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked process's stdout through verbatim instead of routing it
+// through sbt's logger: the logger prefixes every line with "[info] ",
+// which breaks machine parsing of Bench's single JSON output line
+// (BENCH_r01/r02 both show parsed:null for exactly this reason).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
@@ -27,4 +32,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // headroom for the many whole-stage-codegen classes a 56-query run
+  // compiles; the JDK default (240m) runs close to full by the tail of
+  // the suite
+  "-XX:ReservedCodeCacheSize=512m",
 )

@@ -31,10 +31,27 @@ object Tables {
       // type for (SURVEY.md §7.4). Read the raw INT64 nanos via the legacy
       // conf and truncate to microseconds — the same conversion DuckDB
       // applies when it scans TIMESTAMP_NS into its µs TIMESTAMP, so the
-      // oracle sees identical instants.
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val raw = spark.read.parquet(s"$dir/$name.parquet")
-      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      // oracle sees identical instants. The conf is saved/restored around
+      // the read so the shared session's behavior for any other raw
+      // nanos-parquet read is untouched (ADVICE r2); the DataFrame itself
+      // stays valid because the conf is captured at analysis time.
+      val key = "spark.sql.legacy.parquet.nanosAsLong"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, "true")
+      try {
+        val raw = spark.read.parquet(s"$dir/$name.parquet")
+        // floor division (not `div`, which truncates toward zero) so a
+        // pre-epoch nanos value converts exactly like DuckDB's floor-based
+        // TIMESTAMP_NS→µs conversion. Integer-only arithmetic: int64 nanos
+        // exceed 2^53, so a double round-trip would lose precision.
+        raw.withColumn("ts",
+          expr("timestamp_micros(if(ts % 1000 < 0, ts div 1000 - 1, ts div 1000))"))
+      } finally {
+        prev match {
+          case Some(v) => spark.conf.set(key, v)
+          case None => spark.conf.unset(key)
+        }
+      }
     } else {
       spark.read.parquet(s"$dir/$name.parquet")
     }

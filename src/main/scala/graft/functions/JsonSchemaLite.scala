@@ -68,13 +68,17 @@ object JsonSchemaLite {
       .foldLeft(lit(true))(_ && _)
     val propsOk = (schema \ "properties") match {
       case JObject(fields) =>
-        fields.foldLeft(lit(true)) { case (acc, (name, sub: JObject)) =>
-          val subPath = s"$path.$name"
-          val subHere = get_json_object(json, subPath)
-          // a property constrains only when present; absence is handled
-          // by `required`
-          acc && (subHere.isNull || propertyOk(sub, json, subPath))
-        }
+        // collect, not match: a non-object property schema (e.g. the
+        // boolean schemas {"a": true} valid in JSON Schema) is skipped
+        // permissively instead of throwing MatchError at compile time
+        fields.collect { case (name, sub: JObject) => (name, sub) }
+          .foldLeft(lit(true)) { case (acc, (name, sub)) =>
+            val subPath = s"$path.$name"
+            val subHere = get_json_object(json, subPath)
+            // a property constrains only when present; absence is handled
+            // by `required`
+            acc && (subHere.isNull || propertyOk(sub, json, subPath))
+          }
       case _ => lit(true)
     }
     typeOk && requiredOk && propsOk

@@ -54,13 +54,18 @@ object AggQueries {
 
   /** A6: collect_list/collect_set assembled deterministically (sort_array)
     * — the reference's error-`details` array shape
-    * (/root/reference/README.md:43-52).
+    * (/root/reference/README.md:43-52). The driver-facing frame projects
+    * the array to a CSV scalar: the driver's comparator sorts rows through
+    * pandas, which cannot hash list cells (ADVICE r2).
     */
   def priorityStatusLists(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "orders")
       .groupBy(col("o_orderpriority"))
       .agg(sort_array(collect_set(col("o_orderstatus"))).as("statuses"),
         count(lit(1)).as("n"))
+      .select(col("o_orderpriority"),
+        array_join(col("statuses"), ",").as("statuses"),
+        col("n"))
       .orderBy(col("o_orderpriority"))
 
   /** A7: filtered/conditional aggregation — completed vs failed split per
@@ -141,7 +146,7 @@ object AggQueries {
         |ORDER BY g_status, g_priority, status, priority""".stripMargin,
     "q33_priority_status_lists" ->
       """SELECT o_orderpriority,
-        |  list_sort(list(DISTINCT o_orderstatus)) AS statuses,
+        |  array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses,
         |  count(*) AS n
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q34_conditional_outcomes" ->

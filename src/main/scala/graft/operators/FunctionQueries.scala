@@ -31,7 +31,10 @@ object FunctionQueries {
       .orderBy(col("k_json"))
 
   /** F2 + F3 (+A6): build the reference's `event_response`-style array of
-    * structs per user — sorted for determinism — then index into it.
+    * structs per user — sorted for determinism — then index into it. The
+    * array itself leaves the frame as a CSV scalar: the driver's
+    * comparator sorts rows through pandas, which cannot hash list cells
+    * (ADVICE r2).
     */
   def eventResponseArrays(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "events")
@@ -43,7 +46,8 @@ object FunctionQueries {
           .as("responses"))
       .select(col("user_id"),
         size(col("event_ids")).cast("long").as("n"),
-        col("event_ids"),
+        array_join(col("event_ids").cast("array<string>"), ",")
+          .as("event_ids_csv"),
         element_at(col("responses"), 1).getField("event_id").as("first_event"),
         element_at(col("responses"), 1).getField("val").as("first_val"))
       .orderBy(col("user_id"))
@@ -122,7 +126,7 @@ object FunctionQueries {
         |FROM events GROUP BY 1 ORDER BY k_json""".stripMargin,
     "q51_event_response_arrays" ->
       """SELECT user_id, count(*) AS n,
-        |  array_agg(event_id ORDER BY event_id) AS event_ids,
+        |  array_to_string(list_sort(list(event_id)), ',') AS event_ids_csv,
         |  min(event_id) AS first_event,
         |  round(min_by(value, event_id), 4) AS first_val
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,

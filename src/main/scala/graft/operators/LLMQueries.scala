@@ -166,11 +166,15 @@ object LLMQueries {
       .agg(
         count(lit(1)).as("n_docs"),
         sum(col("n_words")).as("total_words"),
-        round(sum(col("n_words")).cast("double") / count(lit(1)), 6)
-          .as("avg_words"),
+        // integer milli-average: (sum*1000) div n is exact in both engines,
+        // where round(sum/n, 6) on doubles is last-ulp unstable across
+        // comparators (ADVICE r2 — q62 hash_match=false)
+        expr("(sum(n_words) * 1000) div count(*)").as("avg_words_milli"),
         count(when(col("lang_guess") === "en", 1)).as("n_guessed_en"),
-        round(sum(col("quality").cast("decimal(18,6)")).cast("double")
-          / count(lit(1)), 6).as("avg_quality"))
+        // exact decimal sum — order-independent, no rounding ambiguity;
+        // the mean stays derivable as total_quality / n_docs
+        sum(col("quality").cast("decimal(18,6)")).cast("decimal(18,6)")
+          .as("total_quality"))
       .orderBy(col("lang"))
 
   /** L6: TF-IDF-lite — term frequency per doc × ln(N/df), top-3 terms per
@@ -353,13 +357,13 @@ object LLMQueries {
         |FROM stats ORDER BY doc_id""".stripMargin),
     "q62_lang_rollup" -> (s"WITH $statsCte" +
       """SELECT lang, count(*) AS n_docs,
-        |  sum(n_words) AS total_words,
-        |  round(CAST(sum(n_words) AS DOUBLE) / count(*), 6) AS avg_words,
+        |  CAST(sum(n_words) AS BIGINT) AS total_words,
+        |  CAST((sum(n_words) * 1000) // count(*) AS BIGINT) AS avg_words_milli,
         |  count(*) FILTER (CAST(n_stop AS DOUBLE) / n_words >= 0.12)
         |    AS n_guessed_en,
-        |  round(CAST(sum(CAST(round(least(1.0, CAST(n_words AS DOUBLE) / 120.0) *
+        |  CAST(sum(CAST(round(least(1.0, CAST(n_words AS DOUBLE) / 120.0) *
         |        (CAST(n_distinct AS DOUBLE) / n_words), 6) AS DECIMAL(18,6)))
-        |      AS DOUBLE) / count(*), 6) AS avg_quality
+        |      AS DECIMAL(18,6)) AS total_quality
         |FROM stats GROUP BY lang ORDER BY lang""".stripMargin),
     "q63_tfidf_top_terms" ->
       """WITH words AS (

@@ -44,6 +44,16 @@ object SpecPipeline {
   private def base(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "orders")
       .select(col("o_orderkey").as("k"), col("o_orderpriority").as("prio"))
+      // The sf parquet is one file → a one-partition scan, and nothing
+      // below introduces an exchange before the CPU-heavy JSON
+      // serialize/parse stages — so without this explicit repartition the
+      // whole pipeline (including the broadcast-side build) runs in ONE
+      // task (observed 8–120 s single-threaded at sf0.1 vs ~2 s wide).
+      // Input-bytes-based splitting misjudges CPU-bound derived work; the
+      // same holds at 100 TB whenever a cheap scan feeds expensive
+      // per-row compute. Hash on the key keeps the layout deterministic
+      // (round-robin would need a sort to be retry-safe).
+      .repartition(spark.sessionState.conf.numShufflePartitions, col("k"))
       .withColumn("custom_id", concat(lit("order-"), col("k")))
       .withColumn("category",
         when(col("k") % 7 =!= 0,
@@ -170,14 +180,12 @@ object SpecPipeline {
     * not ≡0 mod 11, so %11 lines fail the existence check (README.md:67).
     */
   private def requestLines(spark: SparkSession, dir: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col("k"))
-    base(spark, dir)
-      .withColumn("line_no", row_number().over(w).cast("long"))
-      // the global window collapses to ONE partition and nothing below
-      // introduces an exchange before the JSON serialize/parse work —
-      // without this repartition the whole pipeline runs single-threaded
-      // inside the window's partition (observed 30x swings at sf0.1)
-      .repartition(col("k"))
+    // line_no via the scalable range-partition + offset pattern: a global
+    // row_number window would funnel the whole file through ONE task and
+    // serialize the JSON build downstream of it (graft.functions.LineNumbers)
+    graft.functions.LineNumbers
+      .byKey(base(spark, dir), "k", "line_no",
+        spark.sessionState.conf.numShufflePartitions)
       .select(col("k"), col("line_no"), to_json(struct(
         when(col("k") % 37 =!= 0, col("custom_id")).as("custom_id"),
         when(col("k") % 23 === 0, "GET").otherwise("POST").as("method"),

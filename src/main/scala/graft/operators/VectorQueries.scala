@@ -96,8 +96,10 @@ object VectorQueries {
     * centroid (the coarse quantizer); each query probes ONLY its own cell,
     * so the per-query work is ~1/|cells| of the brute-force scan. At
     * 100 TB the cells become partition keys and the probe is a partition-
-    * pruned scan. Not SQL-oracle-checked (rows-only gate); recall vs the
-    * brute-force baseline is asserted in ScalaTest instead.
+    * pruned scan. Fully oracle-checked: the fixed-point centroids make the
+    * quantizer reproducible in DuckDB, so even the ANN path hash-compares;
+    * recall vs the brute-force baseline is additionally asserted in
+    * ScalaTest.
     */
   def ivfTopkCosine(spark: SparkSession, dir: String): DataFrame =
     ivfTopkCosineOf(vecs(spark, dir),
@@ -159,7 +161,7 @@ object VectorQueries {
       "(x, wd) -> cast(round(x * 1e9) as bigint) * wd), 0L, (s, e) -> s + e) >= 0L"
 
   /** L2 (embedding flavor): cosine near-dup pairs via sign-LSH banding —
-    * vectors agreeing on all 4 bits of any band become candidates; exact
+    * vectors agreeing on all 6 bits of any band become candidates; exact
     * cosine (native expression) then keeps pairs ≥ 0.4. Candidate volume
     * is O(Σ bucket²), never the O(n²) cross join; recall is the standard
     * sign-LSH curve (≈1 for true near-dups, ~50% at the 0.4 boundary).
@@ -262,5 +264,18 @@ object VectorQueries {
     "q68_centroid_classify" -> (s"WITH $centroidCte" +
       """SELECT label, pred_label, count(*) AS n
         |FROM assigned GROUP BY label, pred_label
-        |ORDER BY label, pred_label""".stripMargin))
+        |ORDER BY label, pred_label""".stripMargin),
+    "q69_ivf_topk_cosine" -> (s"WITH $centroidCte," +
+      s"""q AS (SELECT vec_id AS qid, v AS qv, pred_label AS cell
+         |      FROM assigned WHERE vec_id < $NumQueries),
+         |scored AS (
+         |  SELECT q.qid, a.vec_id AS nid,
+         |    round(list_cosine_similarity(a.v, q.qv), 6) AS cos
+         |  FROM assigned a JOIN q
+         |    ON a.pred_label = q.cell AND a.vec_id <> q.qid)
+         |SELECT qid, rk, nid, cos FROM (
+         |  SELECT *, row_number() OVER
+         |    (PARTITION BY qid ORDER BY cos DESC, nid) AS rk
+         |  FROM scored)
+         |WHERE rk <= $TopK ORDER BY qid, rk""".stripMargin))
 }

@@ -54,6 +54,16 @@ object Multimodal {
       counts.map(_ / n)
     }
 
+    /** "Resize" = stride-decimate the payload bytes by the scale factor
+      * (a real image library would resample pixels; the contract — payload
+      * in, smaller payload + updated dimensions out — is identical). */
+    def resize(payload: Array[Byte], scale: Int): Array[Byte] = {
+      val out = new Array[Byte]((payload.length + scale - 1) / scale)
+      var i = 0
+      while (i < out.length) { out(i) = payload(i * scale); i += 1 }
+      out
+    }
+
     /** "Frame-sample" = fixed-stride byte windows (a video decoder would
       * seek to keyframes; the batch shape — one row in, k rows out — is
       * identical). */
@@ -94,6 +104,25 @@ object Multimodal {
       rows.map { r =>
         MediaFeatures(r.doc_id, r.kind, r.payload.length.toLong,
           FakeCodec.features(r.payload))
+      }
+    }
+  }
+
+  /** Resize the image rows by an integer scale factor, partition-wise:
+    * payload shrinks, width/height metadata update together — the
+    * payload-in/payload-out narrow-map shape a real resampler plugs into.
+    * Non-image rows pass through untouched. */
+  def resizeImages(media: Dataset[MediaRow], scale: Int = 2): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    require(scale >= 1, s"scale must be >= 1, got $scale")
+    media.mapPartitions { rows =>
+      // per-partition setup would construct the real resampler here, once
+      rows.map { r =>
+        if (r.kind != "image") r
+        else r.copy(
+          payload = FakeCodec.resize(r.payload, scale),
+          width = (r.width + scale - 1) / scale,
+          height = (r.height + scale - 1) / scale)
       }
     }
   }

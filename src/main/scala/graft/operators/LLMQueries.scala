@@ -171,10 +171,13 @@ object LLMQueries {
         // comparators (ADVICE r2 — q62 hash_match=false)
         expr("(sum(n_words) * 1000) div count(*)").as("avg_words_milli"),
         count(when(col("lang_guess") === "en", 1)).as("n_guessed_en"),
-        // exact decimal sum — order-independent, no rounding ambiguity;
-        // the mean stays derivable as total_quality / n_docs
-        sum(col("quality").cast("decimal(18,6)")).cast("decimal(18,6)")
-          .as("total_quality"))
+        // exact integer micro-units: quality is already rounded to 6 dp,
+        // so round(q*1e6) is an exact long in both engines and the sum is
+        // order-independent. Integers also dodge comparator dtype traps
+        // (decimal→float64 coercion differs between pandas bridges); the
+        // mean stays derivable as total_quality_micros / n_docs / 1e6
+        sum(round(col("quality") * 1e6).cast("long"))
+          .as("total_quality_micros"))
       .orderBy(col("lang"))
 
   /** L6: TF-IDF-lite — term frequency per doc × ln(N/df), top-3 terms per
@@ -361,9 +364,9 @@ object LLMQueries {
         |  CAST((sum(n_words) * 1000) // count(*) AS BIGINT) AS avg_words_milli,
         |  count(*) FILTER (CAST(n_stop AS DOUBLE) / n_words >= 0.12)
         |    AS n_guessed_en,
-        |  CAST(sum(CAST(round(least(1.0, CAST(n_words AS DOUBLE) / 120.0) *
-        |        (CAST(n_distinct AS DOUBLE) / n_words), 6) AS DECIMAL(18,6)))
-        |      AS DECIMAL(18,6)) AS total_quality
+        |  CAST(sum(CAST(round(round(least(1.0, CAST(n_words AS DOUBLE) / 120.0) *
+        |        (CAST(n_distinct AS DOUBLE) / n_words), 6) * 1000000) AS BIGINT))
+        |      AS BIGINT) AS total_quality_micros
         |FROM stats GROUP BY lang ORDER BY lang""".stripMargin),
     "q63_tfidf_top_terms" ->
       """WITH words AS (

@@ -59,6 +59,18 @@ class JsonSchemaLiteSpec extends SparkSpec {
       """{"other":1}""") == 1)
   }
 
+  test("non-object property schemas are skipped permissively") {
+    // {"a": true} is a valid JSON-Schema boolean schema; compile must not
+    // throw and the property must not constrain (ADVICE r2)
+    val schema =
+      """{"type":"object","required":["a"],
+        |"properties":{"a":true,"b":false}}""".stripMargin
+    assert(validCount(schema,
+      """{"a":1}""",
+      """{"a":1,"b":"anything"}""",
+      """{"c":1}""") == 2)
+  }
+
   test("matches the flagship pipeline's hand-rolled validation") {
     // the q10 rule: category required, confidence in [0,1]
     val schema =

@@ -2,6 +2,7 @@ package graft.functions
 
 import graft.SparkSpec
 import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
 
 class LineNumbersSpec extends SparkSpec {
   import spark.implicits._
@@ -30,6 +31,26 @@ class LineNumbersSpec extends SparkSpec {
   test("empty frame yields empty result, no failure") {
     val df = spark.range(0).toDF("k")
     assert(LineNumbers.byKey(df, "k", "line_no").count() == 0L)
+  }
+
+  test("property: numbering is the 1-based rank for any keys/partitioning") {
+    val gen = for {
+      keys <- Gen.nonEmptyListOf(Gen.chooseNum(-100000L, 100000L))
+        .map(_.distinct)
+      parts <- Gen.chooseNum(1, 7)
+      inputParts <- Gen.chooseNum(1, 5)
+    } yield (keys, parts, inputParts)
+    val prop = Prop.forAll(gen) { case (keys, parts, inputParts) =>
+      val df = keys.toDF("k").repartition(inputParts)
+      val got = LineNumbers.byKey(df, "k", "n", parts)
+        .as[(Long, Long)].collect().sortBy(_._1)
+      val want = keys.sorted.zipWithIndex
+        .map { case (k, i) => (k, i + 1L) }
+      got.toSeq == want
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
   }
 
   test("runs with more partitions than rows") {

@@ -88,6 +88,37 @@ class StreamingOpsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("file source to parquet sink end-to-end (AvailableNow)") {
+    // production binding: readStream over a landing directory →
+    // watermarked agg → parquet sink with checkpoint. AvailableNow +
+    // no-data microbatches flush windows the watermark has passed.
+    val root = java.nio.file.Files.createTempDirectory("graft-stream")
+    val in = root.resolve("in").toString
+    val out = root.resolve("out").toString
+    val chk = root.resolve("chk").toString
+    Seq(ev(1, 10, 1), ev(2, 20, 2), ev(3, 40, 3)).toDS()
+      .write.json(in)
+    // flush file: 3h later, advances the watermark past hour 0
+    Seq(ev(4, 180, 1)).toDS().write.mode("append").json(in)
+
+    val schema = implicitly[org.apache.spark.sql.Encoder[Event]].schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).json(in).as[Event]
+    val query = tumblingCounts(stream).writeStream
+      .format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", chk)
+      .outputMode(OutputMode.Append)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try assert(query.awaitTermination(120000), "stream did not finish")
+    finally query.stop()
+
+    val rows = spark.read.parquet(out)
+      .selectExpr("window_start", "n").as[(Timestamp, Long)].collect()
+    assert(rows.toSeq.sorted == Seq((ts(0), 3L))) // hour 3 still open
+  }
+
   test("watermarked tumbling counts finalize once the watermark passes") {
     val input = MemoryStream[Event]
     val query = tumblingCounts(input.toDS())

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.graftshim.ColumnShim
-import graft.functions.CosineSimilarity
+import graft.functions.{CosineSimilarity, L2Distance}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions as SQL functions. Two attachment paths:
@@ -15,13 +15,14 @@ import graft.functions.CosineSimilarity
   *    consumed only at session build, so an already-running session needs
   *    direct registry registration).
   *
-  * After either, `SELECT cosine_sim(a, b)` works from plain SQL — the
-  * extension wiring of SURVEY.md §2.11; no custom plan rules are injected
-  * (§4.2: Catalyst's built-ins cover every rewrite this engine needs).
+  * After either, `SELECT cosine_sim(a, b)` and `SELECT l2_sq(a, b)` work
+  * from plain SQL — the extension wiring of SURVEY.md §2.11; no custom
+  * plan rules are injected (§4.2: Catalyst's built-ins cover every rewrite
+  * this engine needs).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
-    ext.injectFunction(GraftExtensions.cosineSimFunction)
+    GraftExtensions.functions.foreach(ext.injectFunction)
 }
 
 object GraftExtensions {
@@ -35,8 +36,20 @@ object GraftExtensions {
         "cosine_sim expects exactly 2 arguments")
     })
 
-  def registerAll(spark: SparkSession): Unit = {
-    val (ident, info, builder) = cosineSimFunction
-    ColumnShim.registerFunction(spark, ident, info, builder)
-  }
+  private val l2SqFunction: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    new FunctionIdentifier("l2_sq"),
+    new ExpressionInfo(classOf[L2Distance].getName, "l2_sq"),
+    (children: Seq[Expression]) => children match {
+      case Seq(a, b) => L2Distance(a, b)
+      case _ => throw new IllegalArgumentException(
+        "l2_sq expects exactly 2 arguments")
+    })
+
+  private val functions = Seq(cosineSimFunction, l2SqFunction)
+
+  def registerAll(spark: SparkSession): Unit =
+    functions.foreach { case (ident, info, builder) =>
+      ColumnShim.registerFunction(spark, ident, info, builder)
+    }
 }

@@ -6,6 +6,7 @@ import org.apache.spark.sql.expressions.Window
 import graft.Tables
 import graft.functions.CentroidAggregator
 import graft.functions.CosineSimilarity.cosineSim
+import graft.functions.L2Distance.l2Sq
 import scala.collection.immutable.ListMap
 
 /** Vector/similarity-search operators over `embeddings` (SURVEY.md §2.9):
@@ -80,9 +81,9 @@ object VectorQueries {
   def centroidClassify(spark: SparkSession, dir: String): DataFrame = {
     val scored = vecs(spark, dir)
       .crossJoin(broadcast(centroids(spark, dir)))
-      .withColumn("d2",
-        expr("aggregate(zip_with(v, c, (x, y) -> (x - y) * (x - y))," +
-          " 0D, (s, x) -> s + x)"))
+      // native fused loop; bit-identical to the HOF formulation
+      // (CosineSimilaritySpec "l2 parity")
+      .withColumn("d2", l2Sq(col("v"), col("c")))
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("d2"), col("clabel"))
     scored.withColumn("rn", row_number().over(w))
@@ -110,9 +111,7 @@ object VectorQueries {
     val assigned = {
       val scored = e
         .crossJoin(broadcast(cents))
-        .withColumn("d2",
-          expr("aggregate(zip_with(v, c, (x, y) -> (x - y) * (x - y))," +
-            " 0D, (s, x) -> s + x)"))
+        .withColumn("d2", l2Sq(col("v"), col("c")))
       val w = Window.partitionBy(col("vec_id"))
         .orderBy(col("d2"), col("clabel"))
       scored.withColumn("rn", row_number().over(w))

@@ -49,6 +49,30 @@ class CosineSimilaritySpec extends SparkSpec {
     assert(out.head.isNullAt(0))
   }
 
+  test("l2 parity: native squared distance matches the HOF formulation") {
+    import graft.functions.L2Distance.l2Sq
+    val hofL2 = expr(
+      "aggregate(zip_with(x, y, (p, q) -> (p - q) * (p - q)), 0D, (s, e) -> s + e)")
+    val diff = paired
+      .select(l2Sq(col("x"), col("y")).as("native"), hofL2.as("hof"))
+      .filter(col("native") =!= col("hof"))
+    assert(diff.count() == 0)
+    // interpreted path agrees too
+    val row = Seq((Array(1.0, 2.0, 3.0), Array(2.0, 0.0, 3.0)))
+      .toDF("x", "y")
+    val out = row.select(l2Sq(col("x"), col("y"))).as[Double].collect()
+    assert(out.head == 5.0)
+  }
+
+  test("extension registration exposes cosine_sim and l2_sq in SQL") {
+    graft.GraftExtensions.registerAll(spark)
+    val out = spark.sql(
+      "SELECT cosine_sim(array(1D, 0D), array(2D, 0D)) AS c, " +
+        "l2_sq(array(1D, 2D), array(2D, 0D)) AS d")
+      .as[(Double, Double)].collect().head
+    assert(out == ((1.0, 5.0)))
+  }
+
   test("interpreted mode (codegen off) agrees with codegen") {
     val before = spark.conf.getOption("spark.sql.codegen.wholeStage")
     try {

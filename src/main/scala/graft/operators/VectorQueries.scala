@@ -16,10 +16,14 @@ import scala.collection.immutable.ListMap
   * 100 TB scale path where the brute-force scan is replaced by a
   * cell-pruned search.
   *
-  * Vector math uses codegen-friendly higher-order functions
-  * (`zip_with` + `aggregate`) on `array<double>` — no UDF serialization in
-  * the scoring hot path (SURVEY.md §2.8 F9). The only per-row JVM code is
-  * the centroid UDAF, whose long[] buffer is exact and order-independent.
+  * Scoring runs through the native codegen'd expressions
+  * ([[graft.functions.CosineSimilarity]], [[graft.functions.L2Distance]])
+  * — fused loops in the whole-stage-codegen body, bit-identical to the
+  * `zip_with` + `aggregate` higher-order formulation they replaced
+  * (SURVEY.md §2.8 F9, §2.11; parity asserted in CosineSimilaritySpec).
+  * The sign-LSH bits stay higher-order functions because they need exact
+  * fixed-point longs, and the only other per-row JVM code is the centroid
+  * UDAF, whose long[] buffer is exact and order-independent.
   */
 object VectorQueries {
 

@@ -27,8 +27,13 @@ object LLMQueries {
   private val NumHashes = 8
   private val RowsPerBand = 2 // 4 bands of 2 → catches Jaccard ≳ 0.4
 
+  // Repartitioned up front: the sf parquet is ONE file → a one-partition
+  // scan, and the shingle/hash explosion otherwise runs single-task up to
+  // the first groupBy shuffle (same lesson as SpecPipeline.base).
   private def docs(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "documents")
+      .repartition(spark.sessionState.conf.numShufflePartitions,
+        col("doc_id"))
 
   /** One row per (doc_id, distinct 3-word shingle).
     *

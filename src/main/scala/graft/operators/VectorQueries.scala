@@ -31,10 +31,18 @@ object VectorQueries {
   private val TopK = 3
 
   /** vec_id, label, v (double), nrm — from any (vec_id, embedding, label)
-    * frame. */
+    * frame. Repartitioned up front: the sf parquet is ONE file → a
+    * one-partition scan, and the CPU-heavy vector math (24 sign-bit
+    * aggregates, distance loops) otherwise runs single-task all the way to
+    * the first shuffle — including broadcast-side builds (measured 2-3 s
+    * single-threaded stages at sf0.1; same lesson as SpecPipeline.base).
+    */
   private[operators] def vecsOf(emb: DataFrame): DataFrame =
-    emb.select(col("vec_id"), col("label"),
-      expr("transform(embedding, x -> cast(x AS double))").as("v"))
+    emb.repartition(
+        emb.sparkSession.sessionState.conf.numShufflePartitions,
+        col("vec_id"))
+      .select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> cast(x AS double))").as("v"))
 
   private def vecs(spark: SparkSession, dir: String): DataFrame =
     vecsOf(Tables(spark, dir, "embeddings"))

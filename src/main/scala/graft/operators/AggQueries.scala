@@ -111,12 +111,33 @@ object AggQueries {
       .orderBy(col("g_status"), col("g_priority"), col("status"),
         col("priority"))
 
+  /** A5 (explicit grouping sets): a non-rollup set list —
+    * ((status, priority), (priority), ()) — the shape neither rollup nor
+    * cube produces, via Spark 4's Dataset.groupingSets API.
+    */
+  def statusGroupingSets(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders")
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+          Seq(col("o_orderpriority")), Seq.empty),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        grouping(col("o_orderstatus")).cast("int").as("g_status"),
+        grouping(col("o_orderpriority")).cast("int").as("g_priority"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
+        coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
+        col("g_status"), col("g_priority"), col("n"))
+      .orderBy(col("g_status"), col("g_priority"), col("status"),
+        col("priority"))
+
   val queries: ListMap[String, graft.Q] = ListMap(
     "q30_distinct_users" -> (distinctUsers _),
     "q36_status_cube" -> (statusCube _),
     "q31_approx_distinct_users" -> (approxDistinctUsers _),
     "q32_status_rollup" -> (statusRollup _),
     "q33_priority_status_lists" -> (priorityStatusLists _),
+    "q37_grouping_sets" -> (statusGroupingSets _),
     "q34_conditional_outcomes" -> (conditionalOutcomes _),
     "q35_value_percentiles" -> (valuePercentiles _))
 
@@ -149,6 +170,16 @@ object AggQueries {
         |  array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses,
         |  count(*) AS n
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q37_grouping_sets" ->
+      """SELECT coalesce(o_orderstatus, '(all)') AS status,
+        |  coalesce(o_orderpriority, '(all)') AS priority,
+        |  CAST(grouping(o_orderstatus) AS INT) AS g_status,
+        |  CAST(grouping(o_orderpriority) AS INT) AS g_priority,
+        |  count(*) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+        |                        (o_orderpriority), ())
+        |ORDER BY g_status, g_priority, status, priority""".stripMargin,
     "q34_conditional_outcomes" ->
       """SELECT o_orderpriority,
         |  count(*) FILTER (o_orderstatus = 'F') AS n_done,

@@ -31,6 +31,23 @@ object WindowQueries {
       .orderBy(col("user_id"))
   }
 
+  /** W1 (rank flavors): rank and dense_rank over per-customer order
+    * totals — ties on o_totalprice make the two diverge, which is the
+    * behavior worth oracle-checking (row_number alone was exercised by
+    * q20). Limited to 3 ranks per customer to keep the frame small.
+    */
+  def orderRanks(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables(spark, dir, "orders")
+      .withColumn("rnk", rank().over(w).cast("long"))
+      .withColumn("drnk", dense_rank().over(w).cast("long"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("rnk"), col("drnk"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
   /** W2: lag/lead — per-user event-to-event time deltas and the next event
     * type. Rows with no predecessor keep a null gap.
     */
@@ -112,6 +129,7 @@ object WindowQueries {
 
   val queries: ListMap[String, graft.Q] = ListMap(
     "q20_latest_event_per_user" -> (latestEventPerUser _),
+    "q26_order_ranks" -> (orderRanks _),
     "q21_event_deltas" -> (eventDeltas _),
     "q22_running_revenue" -> (runningRevenue _),
     "q23_acctbal_quartiles" -> (acctbalQuartiles _),
@@ -119,6 +137,14 @@ object WindowQueries {
     "q25_top_orders_per_customer" -> (topOrdersPerCustomer _))
 
   val oracle: Map[String, String] = Map(
+    "q26_order_ranks" ->
+      """SELECT o_custkey, o_orderkey,
+        |  rank() OVER w AS rnk, dense_rank() OVER w AS drnk
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |             ORDER BY o_totalprice DESC, o_orderkey)
+        |QUALIFY row_number() OVER w <= 3
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q20_latest_event_per_user" ->
       """SELECT user_id, event_id, event_type, round(value, 6) AS value
         |FROM (SELECT *, row_number() OVER

@@ -44,8 +44,10 @@ object LLMQueries {
     * measured 20× slowdown of this stage.
     */
   private def shingleRows(spark: SparkSession, dir: String): DataFrame =
-    docs(spark, dir)
-      .withColumn("w", split(col("text"), "\\s+"))
+    shingleRowsOf(docs(spark, dir))
+
+  private def shingleRowsOf(d: DataFrame): DataFrame =
+    d.withColumn("w", split(col("text"), "\\s+"))
       .select(col("doc_id"),
         explode(when(size(col("w")) >= 3, array_distinct(expr(
           "transform(sequence(0, size(w)-3)," +
@@ -92,7 +94,16 @@ object LLMQueries {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
 
-    val sets = shingleRows(spark, dir)
+    // Exact-Jaccard verification touches ONLY candidate documents: the
+    // shingle explosion for these legs runs over the (small) semi-joined
+    // doc set, not the corpus — at any scale the verification cost is
+    // O(candidate docs), while the full corpus is shingled exactly once
+    // (the signature pass above).
+    val candDocs = cands.select(col("doc_a").as("doc_id"))
+      .union(cands.select(col("doc_b").as("doc_id")))
+      .distinct()
+    val sets = shingleRowsOf(
+      docs(spark, dir).join(broadcast(candDocs), Seq("doc_id"), "left_semi"))
     val sizes = sigs.select(col("doc_id"), col("n_sh"))
     val inter = cands
       .join(sets.as("sa"), col("doc_a") === col("sa.doc_id"))

@@ -1,0 +1,38 @@
+package graft
+
+import graft.operators._
+
+/** Driver-contract consistency: the query registry is assembled by
+  * ListMap concatenation across ten modules, where a duplicate name would
+  * SILENTLY overwrite an earlier query and shrink the correctness gate.
+  */
+class SparkEntrySpec extends SparkSpec {
+
+  private val moduleSizes = Seq(
+    RelationalQueries.queries.size, SpecPipeline.queries.size,
+    StateMachine.queries.size, WindowQueries.queries.size,
+    AggQueries.queries.size, SetOpQueries.queries.size,
+    FunctionQueries.queries.size, LLMQueries.queries.size,
+    VectorQueries.queries.size, EventQueries.queries.size,
+    1) // q72_media_feature_summary
+
+  test("no query name collides across modules") {
+    assert(SparkEntry.queries.size == moduleSizes.sum,
+      "a duplicate query name silently dropped an entry")
+  }
+
+  test("every oracle key pairs with a registered query") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracle SQL without a query: $orphans")
+  }
+
+  test("rows-only queries are exactly the documented set") {
+    val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(rowsOnly == Set("q72_media_feature_summary"),
+      s"undocumented rows-only queries: $rowsOnly")
+  }
+
+  test("entry (driver smoke) returns rows at the smallest sf") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}

@@ -94,16 +94,16 @@ object LLMQueries {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
 
-    // Exact-Jaccard verification touches ONLY candidate documents: the
-    // shingle explosion for these legs runs over the (small) semi-joined
-    // doc set, not the corpus — at any scale the verification cost is
-    // O(candidate docs), while the full corpus is shingled exactly once
-    // (the signature pass above).
-    val candDocs = cands.select(col("doc_a").as("doc_id"))
-      .union(cands.select(col("doc_b").as("doc_id")))
-      .distinct()
-    val sets = shingleRowsOf(
-      docs(spark, dir).join(broadcast(candDocs), Seq("doc_id"), "left_semi"))
+    // NOTE (measured, do not "optimize"): semi-joining the shingle legs to
+    // the candidate doc set looks like it bounds verification to
+    // O(candidate docs), but candDocs derives from `cands`, so in a pure
+    // declarative plan the semi-join's build side RECOMPUTES the whole
+    // signature+banding pipeline — measured net LOSS (92 s → 105 s total
+    // executor CPU at sf0.1): the recompute outweighs the shingling it
+    // saves at this candidate density. A materialized pipeline (staged
+    // signatures) is what pays that restriction off at scale; a one-shot
+    // query re-shingles the corpus for the verification legs instead.
+    val sets = shingleRows(spark, dir)
     val sizes = sigs.select(col("doc_id"), col("n_sh"))
     val inter = cands
       .join(sets.as("sa"), col("doc_a") === col("sa.doc_id"))

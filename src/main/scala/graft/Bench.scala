@@ -48,11 +48,13 @@ object Bench {
 
     val times = LinkedHashMap[String, Double]()
     val errors = LinkedHashMap[String, String]()
-    // Two timed passes, keep the per-query MIN: the shared host shows
+    // Three timed passes, keep the per-query MIN: the shared host shows
     // multi-minute co-tenant load bursts (load avg 3→7 with zero local
-    // processes) that inflate a single pass 2-10x; min-of-2 recovers the
-    // machine-limited number unless a burst spans both passes.
-    for (_ <- 1 to 2) SparkEntry.queries.foreach { case (name, fn) =>
+    // processes) that inflate a single pass 2-10x; BENCH_r03 measured a
+    // burst spanning BOTH passes of a min-of-2 (q64 79 s recorded vs 2 s
+    // reproduced on a quiet host). A third pass costs ~1 suite-minute and
+    // survives any burst shorter than two full passes.
+    for (_ <- 1 to 3) SparkEntry.queries.foreach { case (name, fn) =>
       // Local-mode hygiene: broadcast/shuffle blocks from earlier queries
       // are reclaimed by the ContextCleaner only after a driver GC; left
       // alone they pile up in the shared JVM and cause multi-x timing

@@ -35,24 +35,37 @@ object LLMQueries {
       .repartition(spark.sessionState.conf.numShufflePartitions,
         col("doc_id"))
 
-  /** One row per (doc_id, distinct 3-word shingle).
+  /** (doc_id, sh) with `sh` the distinct 3-word-shingle array, one row per
+    * document that has ≥3 words (shorter docs have no shingles and are out
+    * of near-dup scope, as in the exploded formulation this replaced).
     *
-    * PERF: the shingle transform is passed to explode() INLINE, in a
-    * select over the projection that computes `w`. Materializing it with
-    * withColumn first lets CollapseProject substitute `split(text)` into
-    * every `w[i]` lambda reference — ~250 regex splits per document, a
-    * measured 20× slowdown of this stage.
+    * PERF, two deliberate choices:
+    *  - `sh` is ONE expression: `transform(array(split(text)), w -> …)[0]`
+    *    binds the word array to a lambda variable, so the regex split runs
+    *    once per document no matter how many times the shingle lambda
+    *    references `w`. Computing `w` in its own Project instead invites
+    *    CollapseProject to substitute `split(text)` into every `w[i]`
+    *    reference — ~250 regex splits per document, a measured 20×
+    *    slowdown of this stage.
+    *  - the result is `repartition`ed on doc_id: every consumer (the
+    *    signature leg and both verification legs of the near-dup join)
+    *    then hangs off ONE materialized exchange — ReusedExchange makes
+    *    the shingling run once per query instead of once per leg.
     */
-  private def shingleRows(spark: SparkSession, dir: String): DataFrame =
-    shingleRowsOf(docs(spark, dir))
-
-  private def shingleRowsOf(d: DataFrame): DataFrame =
-    d.withColumn("w", split(col("text"), "\\s+"))
-      .select(col("doc_id"),
-        explode(when(size(col("w")) >= 3, array_distinct(expr(
-          "transform(sequence(0, size(w)-3)," +
-            " i -> concat_ws(' ', w[i], w[i+1], w[i+2]))")))
-          .otherwise(array().cast("array<string>"))).as("s"))
+  private def shingledDocs(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      // spread the regex/shingle CPU across tasks first: the sf parquet is
+      // one file → a one-partition scan (same lesson as SpecPipeline.base)
+      .repartition(spark.sessionState.conf.numShufflePartitions,
+        col("doc_id"))
+      .filter(size(split(col("text"), "\\s+")) >= 3)
+      .select(col("doc_id"), expr(
+        "transform(array(split(text, '\\\\s+'))," +
+          " w -> array_distinct(transform(sequence(0, size(w)-3)," +
+          " i -> concat_ws(' ', w[i], w[i+1], w[i+2]))))")
+        .getItem(0).as("sh"))
+      .repartition(spark.sessionState.conf.numShufflePartitions,
+        col("doc_id"))
 
   /** L1: exact dedup — sha2(text)-keyed groups, keep the min doc_id
     * (deterministic winner). One hash-partitioned aggregation; at 100 TB
@@ -70,23 +83,46 @@ object LLMQueries {
     * band key = 2 consecutive signature slots; pairs sharing ≥1 band are
     * candidates; Jaccard is then computed exactly from the shingle sets of
     * those pairs alone.
+    *
+    * Shape: the shingle SET stays a per-row array column — it is computed
+    * from `text` alone, so exploding it to rows and re-aggregating (the
+    * previous formulation) bought nothing and cost two corpus-wide
+    * explode+groupBy shuffles plus two shingle-ROW join shuffles keyed on
+    * (doc_id, shingle-string). Per-row arrays make the signature a narrow
+    * projection (array_min over a transform — no aggregation at all), the
+    * band self-join the ONLY corpus shuffle (tiny (doc_id, band, key)
+    * rows; its two legs collapse to one ReusedExchange), and verification
+    * two joins against compact per-doc arrays with `array_intersect` —
+    * at sf0.1 both verify joins broadcast (candidate side ≪ corpus); at
+    * 100 TB they degrade gracefully to doc_id-keyed shuffles of one array
+    * row per doc instead of ~250 shingle rows per doc.
     */
   def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    val rows = shingleRows(spark, dir)
-    // one aggregation produces BOTH the signature and the set size, so the
-    // expensive shingle stage is evaluated once for sigs+sizes
+    val base = shingledDocs(spark, dir)
     val sigCols = (0 until NumHashes).map { j =>
-      min(substring(md5(concat(lit(s"$j:"), col("s"))), 1, 16)).as(s"h$j")
-    } :+ count(lit(1)).as("n_sh")
-    val sigs = rows.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+      array_min(expr(
+        s"transform(sh, s -> substring(md5(concat('$j:', s)), 1, 16))"))
+        .as(s"h$j")
+    }
+    val sigs = base.select(col("doc_id") +: sigCols: _*)
     val bandStructs = (0 until NumHashes / RowsPerBand).map { b =>
       struct(lit(b).as("band"),
         concat(col(s"h${2 * b}"), col(s"h${2 * b + 1}")).as("key"))
     }
+    // repartition on the join key: both self-join legs then read ONE
+    // materialized exchange (ReusedExchange), so the 8-hash signature
+    // computation runs once per query instead of once per leg
     val bands = sigs.select(col("doc_id"),
       explode(array(bandStructs: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+      .repartition(spark.sessionState.conf.numShufflePartitions,
+        col("band"), col("key"))
 
+    // Pair generation stays a self-join (not groupBy+collect_list pair
+    // expansion): a pathological mega-bucket — e.g. thousands of copies of
+    // one boilerplate text — would materialize O(bucket²) pairs inside a
+    // single collected row, where the join spreads the same pairs across
+    // shuffle partitions (and AQE skew-split can cut the hot bucket).
     val cands = bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
@@ -94,29 +130,21 @@ object LLMQueries {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
 
-    // NOTE (measured, do not "optimize"): semi-joining the shingle legs to
-    // the candidate doc set looks like it bounds verification to
-    // O(candidate docs), but candDocs derives from `cands`, so in a pure
-    // declarative plan the semi-join's build side RECOMPUTES the whole
-    // signature+banding pipeline — measured net LOSS (92 s → 105 s total
-    // executor CPU at sf0.1): the recompute outweighs the shingling it
-    // saves at this candidate density. A materialized pipeline (staged
-    // signatures) is what pays that restriction off at scale; a one-shot
-    // query re-shingles the corpus for the verification legs instead.
-    val sets = shingleRows(spark, dir)
-    val sizes = sigs.select(col("doc_id"), col("n_sh"))
-    val inter = cands
-      .join(sets.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sets.as("sb"),
-        col("doc_b") === col("sb.doc_id") && col("sa.s") === col("sb.s"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(sizes.as("za"), col("doc_a") === col("za.doc_id"))
-      .join(sizes.as("zb"), col("doc_b") === col("zb.doc_id"))
+    val sets = base.select(col("doc_id"), col("sh"),
+      size(col("sh")).cast("long").as("n_sh"))
+    cands
+      .join(sets.as("za"), col("doc_a") === col("za.doc_id"))
+      .join(sets.as("zb"), col("doc_b") === col("zb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("za.sh"), col("zb.sh"))).cast("long")
+          .as("n_inter"),
+        col("za.n_sh").as("na"), col("zb.n_sh").as("nb"))
+      // the exploded formulation's inner join on shingle equality only
+      // surfaced pairs sharing ≥1 shingle; keep that contract
+      .filter(col("n_inter") > 0)
       .select(col("doc_a"), col("doc_b"), col("n_inter"),
         round(col("n_inter").cast("double") /
-          (col("za.n_sh") + col("zb.n_sh") - col("n_inter")), 6).as("jaccard"))
+          (col("na") + col("nb") - col("n_inter")), 6).as("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 

@@ -12,12 +12,16 @@ import org.apache.spark.sql.functions._
   * "No Partition Defined for Window operation"). This helper produces the
   * identical numbering with bounded parallelism:
   *
-  *  1. split the key space into `numParts` contiguous buckets at quantile
-  *     boundaries, FROZEN as literals (one `approxQuantile` pass). Frozen
-  *     bounds are what make the multi-pass plan consistent —
-  *     `repartitionByRange` would re-SAMPLE its bounds per execution (the
-  *     sampling seed involves the RDD id), so the counting pass and the
-  *     numbering pass could disagree on partition membership;
+  *  1. split the key space into `numParts` equal-width buckets between
+  *     the observed min/max, FROZEN as literals (one cheap min/max
+  *     aggregate pass — cheaper than an approxQuantile summary, and any
+  *     consistent cut points give a correct numbering; balance only
+  *     affects parallelism, and numeric keys in practice — orderkeys,
+  *     timestamps, ids — are uniform enough). Frozen bounds are what make
+  *     the multi-pass plan consistent — `repartitionByRange` would
+  *     re-SAMPLE its bounds per execution (the sampling seed involves the
+  *     RDD id), so the counting pass and the numbering pass could
+  *     disagree on partition membership;
   *  2. count rows per bucket — a tiny driver-side metadata action
   *     (`numParts` longs, not data rows);
   *  3. line_no = running offset of the preceding buckets + the
@@ -34,13 +38,22 @@ object LineNumbers {
   /** Add a 1-based `out` column numbering rows by ascending unique `key`. */
   def byKey(df: DataFrame, key: String, out: String,
       numParts: Int = 32): DataFrame = {
-    // 1. frozen bucket boundaries: any consistent cut points work, so the
-    // (merge-order-dependent) approximation in approxQuantile is fine —
-    // the values are captured once as literals and shared by every pass
-    val probes = (1 until numParts).map(_.toDouble / numParts).toArray
-    val bounds =
+    // 1. frozen bucket boundaries: any consistent cut points work, so
+    // equal-width cuts from one min/max aggregate are enough — the values
+    // are captured once as literals and shared by every pass
+    val bounds: Array[Double] =
       if (numParts <= 1) Array.empty[Double]
-      else df.stat.approxQuantile(key, probes, 0.001).distinct.sorted
+      else {
+        val row = df.agg(min(col(key)).cast("double"),
+          max(col(key)).cast("double")).head()
+        if (row.isNullAt(0)) Array.empty[Double]
+        else {
+          val (lo, hi) = (row.getDouble(0), row.getDouble(1))
+          (1 until numParts)
+            .map(i => lo + (hi - lo) * i / numParts)
+            .distinct.sorted.toArray
+        }
+      }
     val bucket = bounds.zipWithIndex.reverse.foldLeft(lit(bounds.length)) {
       case (e, (b, i)) => when(col(key) <= b, lit(i)).otherwise(e)
     }

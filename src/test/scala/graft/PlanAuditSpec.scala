@@ -1,0 +1,48 @@
+package graft
+
+/** Scale-discipline lint over every registered query's PHYSICAL plan.
+  *
+  * These are the patterns that stay invisible at test scale and kill the
+  * job at 100 TB; encoding them as assertions means a future query can't
+  * reintroduce one without failing CI:
+  *
+  *  - `CartesianProductExec` — an unguarded O(n·m) join. The only shapes
+  *    that may plan nested-loop style are broadcast ones
+  *    (BroadcastNestedLoopJoin with a deliberately tiny build side, e.g.
+  *    q09's guarded dim×dim cross join or q63's 1-row count frame).
+  *  - an unpartitioned `Window` — Spark funnels the whole input through
+  *    ONE task (the "No Partition Defined" warning). Global orderings in
+  *    this codebase must go through `graft.functions.LineNumbers` or a
+  *    partitioned window instead.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  // An unpartitioned window OMITS its empty partition list from the plan
+  // text (`Window [exprs], [orderSpec]` — two lists, same as a
+  // partitioned-but-unordered window), so the reliable physical signal is
+  // the requirement it forces: an `Exchange SinglePartition` feeding the
+  // Window's Sort, i.e. within the 3 lines below the Window node.
+  private def hasSinglePartitionWindow(plan: String): Boolean = {
+    val lines = plan.linesIterator.toVector
+    lines.zipWithIndex.exists { case (l, i) =>
+      l.contains("Window [") &&
+        lines.slice(i + 1, i + 4).exists(_.contains("Exchange SinglePartition"))
+    }
+  }
+
+  // q23 is the DELIBERATE single-reducer demo (ntile/percent_rank over an
+  // unpartitioned window, documented with its scale alternative in
+  // WindowQueries.acctbalQuartiles). Every other query must stay clean.
+  private val windowWhitelist = Set("q23_acctbal_quartiles")
+
+  for ((name, fn) <- SparkEntry.queries) {
+    test(s"$name: no cartesian product, no unpartitioned window") {
+      val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$name plans a CartesianProduct — unguarded O(n·m) join")
+      if (!windowWhitelist(name))
+        assert(!hasSinglePartitionWindow(plan),
+          s"$name plans an unpartitioned Window — single-task funnel")
+    }
+  }
+}

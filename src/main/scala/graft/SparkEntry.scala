@@ -27,7 +27,6 @@ object SparkEntry {
       VectorQueries.queries ++
       EventQueries.queries ++
       ListMap[String, graft.Q](
-        // rows-only gate: the fake-codec feature summary has no SQL oracle
         "q72_media_feature_summary" ->
           ((s, dir) => graft.multimodal.Multimodal.featureSummary(s, dir)))
 
@@ -43,5 +42,6 @@ object SparkEntry {
       FunctionQueries.oracle ++
       LLMQueries.oracle ++
       VectorQueries.oracle ++
-      EventQueries.oracle
+      EventQueries.oracle ++
+      graft.multimodal.Multimodal.oracle
 }

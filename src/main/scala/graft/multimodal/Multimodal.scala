@@ -139,18 +139,47 @@ object Multimodal {
   }
 
   /** Queryable feature summary (what a downstream training pipeline would
-    * read): per kind, asset counts, payload volume, mean first-bucket
-    * density. Demonstrates metadata-only pruning: the summary never
-    * re-reads payloads once features exist. */
+    * read): per kind, asset counts, payload volume, total histogram-
+    * bucket-0 bytes. Demonstrates metadata-only pruning: the summary never
+    * re-reads payloads once features exist.
+    *
+    * `bucket0_bytes` recovers the exact integer byte count from the
+    * float32 feature: f = c/n with c ≤ payload length ≪ 2²³, so
+    * round(f·n) is exactly c — integer output is comparator-stable where
+    * a float mean is ulp-fragile between engines. */
   def featureSummary(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     extractFeatures(mediaTable(spark, dir)).toDF()
       .groupBy(col("kind"))
       .agg(count(lit(1)).as("n_assets"),
         sum(col("n_bytes")).as("total_bytes"),
-        round(sum(element_at(col("features"), 1)
-          .cast("decimal(18,8)")).cast("double") / count(lit(1)), 6)
-          .as("avg_bucket0"))
+        sum(round(element_at(col("features"), 1) * col("n_bytes"))
+          .cast("long")).as("bucket0_bytes"))
       .orderBy(col("kind"))
   }
+
+  /** DuckDB oracle for [[featureSummary]]. The fake decode buckets PAYLOAD
+    * BYTES by value % 16; the corpus is ASCII (verified: a–z + space at
+    * every sf), so byte counts equal character counts and bucket 0 is the
+    * occurrence total of the ASCII chars whose code ≡ 0 (mod 16) — listed
+    * exhaustively below so digits/uppercase would still be counted. A
+    * non-ASCII corpus would need a byte-level oracle instead. */
+  val oracle: Map[String, String] = Map(
+    "q72_media_feature_summary" -> {
+      val bucket0Chars = Seq(" ", "0", "@", "P", "`", "p")
+      val b0 = bucket0Chars
+        .map(c => s"(length(text) - length(replace(text, '$c', '')))")
+        .mkString(" + ")
+      s"""WITH f AS (
+         |  SELECT
+         |    CASE WHEN doc_id % 3 = 0 THEN 'image'
+         |         WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+         |    length(text) AS n_bytes,
+         |    $b0 AS b0
+         |  FROM documents)
+         |SELECT kind, count(*) AS n_assets,
+         |  CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+         |  CAST(sum(b0) AS BIGINT) AS bucket0_bytes
+         |FROM f GROUP BY kind ORDER BY kind""".stripMargin
+    })
 }

@@ -26,10 +26,9 @@ class SparkEntrySpec extends SparkSpec {
     assert(orphans.isEmpty, s"oracle SQL without a query: $orphans")
   }
 
-  test("rows-only queries are exactly the documented set") {
+  test("every query is oracle-paired") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(rowsOnly == Set("q72_media_feature_summary"),
-      s"undocumented rows-only queries: $rowsOnly")
+    assert(rowsOnly.isEmpty, s"queries without an oracle: $rowsOnly")
   }
 
   test("entry (driver smoke) returns rows at the smallest sf") {

@@ -73,6 +73,63 @@ object Sinks {
     deleteRecursive(old)
   }
 
+  /** S6 at scale: lay the target out hash-bucketed by `key` (directory
+    * partition `bucket=NN`), so an upsert only rewrites the buckets its
+    * delta touches. [[bucketedUpsert]] below is the merge that exploits
+    * this layout.
+    */
+  def writeBucketed(rows: DataFrame, dir: String, key: String,
+      numBuckets: Int): Unit =
+    rows.withColumn("bucket", pmod(hash(col(key)), lit(numBuckets)))
+      .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(dir)
+
+  /** S6 at scale: bucket-pruned upsert (SURVEY.md §4.3 — "hash-bucket the
+    * target by key; merge only touched buckets"). Delta rows replace
+    * target rows with the same `key`; buckets the delta does not touch
+    * are never read OR rewritten — their files stay byte-identical on
+    * disk. At 100 TB with 10k buckets, a delta touching 1% of keys reads
+    * and writes ~1% of the table instead of all of it.
+    *
+    * Each touched `bucket=NN` directory is swapped atomically; there is
+    * no cross-bucket transaction (that is what a table format like
+    * Delta/Iceberg adds — unavailable offline, SURVEY.md §4.3), so a
+    * reader concurrent with the swap can see bucket versions from two
+    * generations. The replay test in SinksSpec shows the merge is
+    * idempotent, which is what makes that window recoverable.
+    */
+  def bucketedUpsert(spark: SparkSession, targetDir: String,
+      delta: DataFrame, key: String, numBuckets: Int): Unit = {
+    val withB = delta.withColumn("bucket",
+      pmod(hash(col(key)), lit(numBuckets)))
+    // metadata-scale collect: one bucket id per touched bucket, ≤ numBuckets
+    val touched = withB.select(col("bucket")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    if (touched.isEmpty) return
+    // partition pruning keeps the read to the touched directories
+    val target = spark.read.parquet(targetDir)
+      .filter(col("bucket").isin(touched.toSeq: _*))
+    val merged = target
+      .join(withB.select(col(key).as("__dk")), col(key) === col("__dk"),
+        "left_anti")                       // keep target rows the delta
+      .unionByName(withB)                  // doesn't replace; delta wins
+    val tmp = targetDir + ".tmp-upsert"
+    deleteRecursive(Paths.get(tmp))
+    merged.write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(tmp)
+    for (b <- touched) {
+      val src = Paths.get(tmp, s"bucket=$b")
+      val dst = Paths.get(targetDir, s"bucket=$b")
+      val old = Paths.get(targetDir, s"bucket=$b.tmp-old")
+      deleteRecursive(old)
+      if (Files.exists(dst)) Files.move(dst, old,
+        StandardCopyOption.ATOMIC_MOVE)
+      // a touched bucket can be delta-only (new keys): tmp always has the
+      // directory because every delta row lands in a touched bucket
+      Files.move(src, dst, StandardCopyOption.ATOMIC_MOVE)
+      deleteRecursive(old)
+    }
+    deleteRecursive(Paths.get(tmp))
+  }
+
   private def deleteRecursive(p: Path): Unit =
     if (Files.exists(p)) {
       Files.walk(p).sorted(Comparator.reverseOrder[Path]())

@@ -87,4 +87,58 @@ class SinksSpec extends SparkSpec {
     }
     assert(calls == 3 && ex.getMessage == "boom 3")
   }
+
+  // --- bucketed upsert (S6 at scale) ---------------------------------
+
+  private def bucketFiles(dir: String): Map[String, Set[(String, Long)]] = {
+    val root = new java.io.File(dir)
+    root.listFiles().filter(_.getName.startsWith("bucket="))
+      .map(d => d.getName ->
+        d.listFiles().filter(_.getName.endsWith(".parquet"))
+          .map(f => (f.getName, f.lastModified())).toSet)
+      .toMap
+  }
+
+  test("bucketedUpsert replaces matched keys, keeps the rest, adds new") {
+    val dir = tmpDir("bupsert")
+    val base = (1L to 100L).map(i => (i, s"v$i")).toDF("id", "v")
+    Sinks.writeBucketed(base, dir, "id", numBuckets = 8)
+    val delta = Seq((7L, "NEW7"), (42L, "NEW42"), (101L, "NEW101"))
+      .toDF("id", "v")
+    Sinks.bucketedUpsert(spark, dir, delta, "id", numBuckets = 8)
+    val back = spark.read.parquet(dir).select("id", "v")
+      .as[(Long, String)].collect().toMap
+    assert(back.size == 101)
+    assert(back(7L) == "NEW7" && back(42L) == "NEW42" &&
+      back(101L) == "NEW101")
+    assert(back(8L) == "v8") // untouched key untouched
+  }
+
+  test("bucketedUpsert leaves untouched bucket files byte-identical") {
+    val dir = tmpDir("bprune")
+    val base = (1L to 100L).map(i => (i, s"v$i")).toDF("id", "v")
+    Sinks.writeBucketed(base, dir, "id", numBuckets = 8)
+    val before = bucketFiles(dir)
+    // one-key delta touches exactly one bucket
+    Sinks.bucketedUpsert(spark, dir, Seq((7L, "X")).toDF("id", "v"),
+      "id", numBuckets = 8)
+    val after = bucketFiles(dir)
+    val changed = after.keySet.filter(b => before.get(b) != after.get(b))
+    assert(changed.size == 1,
+      s"expected exactly one rewritten bucket, got $changed")
+  }
+
+  test("bucketedUpsert replay is a no-op (at-least-once safe)") {
+    val dir = tmpDir("breplay")
+    Sinks.writeBucketed((1L to 50L).map(i => (i, s"v$i")).toDF("id", "v"),
+      dir, "id", numBuckets = 4)
+    val delta = Seq((3L, "D3"), (51L, "D51")).toDF("id", "v")
+    Sinks.bucketedUpsert(spark, dir, delta, "id", numBuckets = 4)
+    val once = spark.read.parquet(dir).select("id", "v")
+      .as[(Long, String)].collect().toSet
+    Sinks.bucketedUpsert(spark, dir, delta, "id", numBuckets = 4)
+    val twice = spark.read.parquet(dir).select("id", "v")
+      .as[(Long, String)].collect().toSet
+    assert(once == twice && once.size == 51)
+  }
 }

@@ -252,21 +252,38 @@ object LLMQueries {
       .orderBy(col("doc_id"), col("rk"))
   }
 
+  /** Rolling-hash winnowing fingerprint as ONE narrow per-row expression:
+    * min seeded-md5 prefix over the 5-word shingles (docs under 5 words
+    * fall back to hashing the whole text). The same lambda-bind idiom as
+    * [[shingledDocs]] — the word array binds once, so the regex split
+    * runs once per document, and there is no explode, no gram-row
+    * shuffle, and no aggregation at all (a 10× corpus soak measured the
+    * exploded formulation superlinear: 12.5M gram rows through a groupBy
+    * vs a pure projection here).
+    */
+  private val fingerprintExpr = expr(
+    "array_min(transform(" +
+      "transform(array(split(text, '\\\\s+'))," +
+      " w -> if(size(w) >= 5," +
+      " transform(sequence(0, size(w)-5)," +
+      " i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4]))," +
+      " array(text)))[0]," +
+      " g -> substring(md5(g), 1, 12)))")
+
+  /** q61's composite quality score as a per-row expression (same
+    * lambda-bind idiom). */
+  private val qualityExpr = expr(
+    "round(transform(array(split(text, '\\\\s+'))," +
+      " w -> least(1.0d, size(w) / 120.0d)" +
+      " * (size(array_distinct(w)) / cast(size(w) as double)))[0], 6)")
+
   /** Rolling-hash document fingerprint (winnowing-lite): the minimum seeded
     * md5 prefix over 5-word shingles is a locality-sensitive fingerprint;
     * docs sharing one are near-dup cluster mates.
     */
   def docFingerprints(spark: SparkSession, dir: String): DataFrame = {
-    // explode() takes the gram transform inline — see shingleRows PERF note
-    val grams = docs(spark, dir)
-      .withColumn("w", split(col("text"), "\\s+"))
-      .select(col("doc_id"),
-        explode(when(size(col("w")) >= 5, expr(
-          "transform(sequence(0, size(w)-5)," +
-            " i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4]))"))
-          .otherwise(array(col("text")))).as("g"))
-    val fps = grams.groupBy(col("doc_id"))
-      .agg(min(substring(md5(col("g")), 1, 12)).as("fingerprint"))
+    val fps = docs(spark, dir)
+      .select(col("doc_id"), fingerprintExpr.as("fingerprint"))
     val w = Window.partitionBy(col("fingerprint"))
     fps.withColumn("cluster_size", count(lit(1)).over(w))
       .select(col("doc_id"), col("fingerprint"), col("cluster_size"))
@@ -277,26 +294,18 @@ object LLMQueries {
     * fingerprint cluster (q70's winnowing key) keep the document with the
     * highest quality score (q61's metric), tie-broken by doc_id. The
     * survivors frame is what a training pipeline feeds downstream.
+    *
+    * Fingerprint and quality are both per-row expressions over the same
+    * document row, so the former fps⋈quality self-join is gone — one
+    * projection feeds the per-cluster window directly.
     */
   def dedupKeepBest(spark: SparkSession, dir: String): DataFrame = {
-    val grams = docs(spark, dir)
-      .withColumn("w", split(col("text"), "\\s+"))
-      .select(col("doc_id"),
-        explode(when(size(col("w")) >= 5, expr(
-          "transform(sequence(0, size(w)-5)," +
-            " i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4]))"))
-          .otherwise(array(col("text")))).as("g"))
-    val fps = grams.groupBy(col("doc_id"))
-      .agg(min(substring(md5(col("g")), 1, 12)).as("fingerprint"))
-    val quality = docs(spark, dir)
-      .withColumn("w", split(col("text"), "\\s+"))
-      .select(col("doc_id"),
-        round(least(lit(1.0), size(col("w")).cast("double") / 120.0) *
-          (size(array_distinct(col("w"))).cast("double") / size(col("w"))), 6)
-          .as("quality"))
+    val scored = docs(spark, dir)
+      .select(col("doc_id"), fingerprintExpr.as("fingerprint"),
+        qualityExpr.as("quality"))
     val w = Window.partitionBy(col("fingerprint"))
       .orderBy(col("quality").desc, col("doc_id"))
-    fps.join(quality, Seq("doc_id"))
+    scored
       .withColumn("rn", row_number().over(w))
       .withColumn("cluster_size", count(lit(1)).over(
         Window.partitionBy(col("fingerprint"))))

@@ -151,19 +151,22 @@ object LLMQueries {
   /** L2 (SimHash): 16-bit signature — bit i is the sign of the vote
     * Σ(±1) over distinct tokens, where a token votes +1 on bit i iff the
     * i-th hex digit of its md5 has its high nibble-bit set (digit ≥ '8').
+    *
+    * Per-row formulation (same idiom as [[shingledDocs]]): the token
+    * hashes bind once via a transform, each bit counts its positive
+    * votes with `filter`, and sign(Σ±1) ≥ 0 ⟺ 2·(positive votes) ≥ n.
+    * No explode, no token-row shuffle, md5 runs once per token instead
+    * of once per (token, bit).
     */
   def simhashSignatures(spark: SparkSession, dir: String): DataFrame = {
-    val toks = docs(spark, dir)
-      .select(col("doc_id"),
-        explode(array_distinct(split(col("text"), "\\s+"))).as("t"))
-    val votes = (1 to 16).map { i =>
-      sum(when(substring(md5(col("t")), i, 1) >= "8", 1).otherwise(-1))
-        .as(s"v$i")
-    }
     val bits = (1 to 16).map { i =>
-      when(col(s"v$i") >= 0, "1").otherwise("0")
+      expr(s"if(2 * size(filter(hs, h -> substring(h, $i, 1) >= '8'))" +
+        " >= size(hs), '1', '0')")
     }
-    toks.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+    docs(spark, dir)
+      .select(col("doc_id"), expr(
+        "transform(array_distinct(split(text, '\\\\s+')), t -> md5(t))")
+        .as("hs"))
       .select(col("doc_id"), concat(bits: _*).as("simhash"))
       .orderBy(col("doc_id"))
   }

@@ -72,4 +72,87 @@ class LLMQueriesSpec extends SparkSpec {
       .select("score").as[Double].collect()
     assert(scored.forall(_ == 0.0))
   }
+
+  // --- per-row rewrites cross-validated against their exploded
+  //     reference formulations (the round-4 scale rewrites must never
+  //     drift semantically from the aggregation they replaced) ---------
+
+  test("per-row simhash equals the exploded token-vote formulation") {
+    val d = LLMQueries.queries("q66_simhash_signatures")(spark, sfDir)
+    val toks = graft.Tables(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        explode(array_distinct(split(col("text"), "\\s+"))).as("t"))
+    val votes = (1 to 16).map { i =>
+      sum(when(substring(md5(col("t")), i, 1) >= "8", 1).otherwise(-1))
+        .as(s"v$i")
+    }
+    val bits = (1 to 16).map { i =>
+      when(col(s"v$i") >= 0, "1").otherwise("0")
+    }
+    val ref = toks.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), concat(bits: _*).as("simhash"))
+    assert(d.exceptAll(ref).isEmpty && ref.exceptAll(d.select(
+      col("doc_id"), col("simhash"))).isEmpty)
+  }
+
+  test("per-row winnowing fingerprint equals the exploded min-gram") {
+    val d = LLMQueries.queries("q70_doc_fingerprints")(spark, sfDir)
+      .select("doc_id", "fingerprint")
+    val ref = graft.Tables(spark, sfDir, "documents")
+      .withColumn("w", split(col("text"), "\\s+"))
+      .select(col("doc_id"),
+        explode(when(size(col("w")) >= 5, expr(
+          "transform(sequence(0, size(w)-5)," +
+            " i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4]))"))
+          .otherwise(array(col("text")))).as("g"))
+      .groupBy(col("doc_id"))
+      .agg(min(substring(md5(col("g")), 1, 12)).as("fingerprint"))
+    assert(d.exceptAll(ref).isEmpty && ref.exceptAll(d).isEmpty)
+  }
+
+  test("per-row minhash pairs equal the exploded signature formulation") {
+    val d = LLMQueries.queries("q64_minhash_pairs")(spark, sfDir)
+    // round-3 formulation: explode shingle rows, groupBy-min signatures,
+    // exact Jaccard via shingle-row join
+    val rows = graft.Tables(spark, sfDir, "documents")
+      .withColumn("w", split(col("text"), "\\s+"))
+      .select(col("doc_id"),
+        explode(when(size(col("w")) >= 3, array_distinct(expr(
+          "transform(sequence(0, size(w)-3)," +
+            " i -> concat_ws(' ', w[i], w[i+1], w[i+2]))")))
+          .otherwise(array().cast("array<string>"))).as("s"))
+    val sigCols = (0 until 8).map { j =>
+      min(substring(md5(concat(lit(s"$j:"), col("s"))), 1, 16)).as(s"h$j")
+    } :+ count(lit(1)).as("n_sh")
+    val sigs = rows.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+    val bandStructs = (0 until 4).map { b =>
+      struct(lit(b).as("band"),
+        concat(col(s"h${2 * b}"), col(s"h${2 * b + 1}")).as("key"))
+    }
+    val bands = sigs.select(col("doc_id"),
+      explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"),
+        col("bk.key").as("key"))
+    val cands = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sizes = sigs.select(col("doc_id"), col("n_sh"))
+    val inter = cands
+      .join(rows.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(rows.as("sb"),
+        col("doc_b") === col("sb.doc_id") && col("sa.s") === col("sb.s"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    val ref = inter
+      .join(sizes.as("za"), col("doc_a") === col("za.doc_id"))
+      .join(sizes.as("zb"), col("doc_b") === col("zb.doc_id"))
+      .select(col("doc_a"), col("doc_b"), col("n_inter"),
+        round(col("n_inter").cast("double") /
+          (col("za.n_sh") + col("zb.n_sh") - col("n_inter")), 6)
+          .as("jaccard"))
+    assert(d.exceptAll(ref).isEmpty && ref.exceptAll(d).isEmpty)
+  }
 }

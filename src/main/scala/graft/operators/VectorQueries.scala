@@ -186,9 +186,16 @@ object VectorQueries {
       struct(lit(b).as("band"),
         expr(s"concat(${bits.mkString(", ")})").as("key"))
     }
+    // repartition on the join key: both self-join legs then read ONE
+    // materialized exchange (ReusedExchange), so the 24 fixed-point
+    // sign-bit dot products run once per query instead of once per leg
+    // (without it AQE broadcasts one leg, and a broadcast exchange can
+    // never reuse a shuffle exchange — same lesson as q64)
     val bands = e.select(col("vec_id"),
       explode(array(bandCols: _*)).as("bk"))
       .select(col("vec_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+      .repartition(spark.sessionState.conf.numShufflePartitions,
+        col("band"), col("key"))
     val cands = bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&

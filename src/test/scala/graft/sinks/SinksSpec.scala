@@ -128,6 +128,31 @@ class SinksSpec extends SparkSpec {
       s"expected exactly one rewritten bucket, got $changed")
   }
 
+  test("bucketedUpsert equals the naive full merge on random deltas") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val kvGen = for {
+      k <- Gen.chooseNum(1L, 60L)
+      v <- Gen.alphaStr.map(_.take(6))
+    } yield (k, v)
+    val prop = Prop.forAll(Gen.listOfN(25, kvGen), Gen.listOfN(8, kvGen)) {
+      (baseKv, deltaKv) =>
+        // last write wins within each side, like a keyed collection
+        val base = baseKv.toMap.toSeq
+        val delta = deltaKv.toMap.toSeq
+        val dir = tmpDir("bprop")
+        Sinks.writeBucketed(base.toDF("id", "v"), dir, "id", numBuckets = 4)
+        Sinks.bucketedUpsert(spark, dir, delta.toDF("id", "v"), "id",
+          numBuckets = 4)
+        val got = spark.read.parquet(dir).select("id", "v")
+          .as[(Long, String)].collect().toMap
+        val want = base.toMap ++ delta.toMap
+        got == want
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("bucketedUpsert replay is a no-op (at-least-once safe)") {
     val dir = tmpDir("breplay")
     Sinks.writeBucketed((1L to 50L).map(i => (i, s"v$i")).toDF("id", "v"),

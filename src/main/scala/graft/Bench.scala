@@ -46,7 +46,20 @@ object Bench {
       }
     }
 
+    // Noise-immune companion metric: co-tenant load bursts inflate wall
+    // time but barely move executor CPU (PLANS.md round-3/4 findings), so
+    // each query also reports the executorCpuTime of its best pass.
+    val cpuNs = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (e.taskMetrics != null)
+            cpuNs.addAndGet(e.taskMetrics.executorCpuTime)
+      })
+
     val times = LinkedHashMap[String, Double]()
+    val cpuSecs = LinkedHashMap[String, Double]()
     val errors = LinkedHashMap[String, String]()
     // Three timed passes, keep the per-query MIN: the shared host shows
     // multi-minute co-tenant load bursts (load avg 3→7 with zero local
@@ -60,11 +73,18 @@ object Bench {
       // alone they pile up in the shared JVM and cause multi-x timing
       // swings on later queries. GC between queries, untimed.
       System.gc()
+      val c0 = cpuNs.get()
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).count()
         val dt = (System.nanoTime() - t0) / 1e9
-        times(name) = times.get(name).fold(dt)(math.min(_, dt))
+        if (times.get(name).forall(dt < _)) {
+          times(name) = dt
+          // listener lag: task-end events drain asynchronously; a short
+          // quiesce keeps the per-query CPU attribution honest
+          Thread.sleep(30)
+          cpuSecs(name) = (cpuNs.get() - c0) / 1e9
+        }
       } catch {
         case e: Throwable =>
           times(name) = (System.nanoTime() - t0) / 1e9
@@ -74,9 +94,11 @@ object Bench {
     }
     // Locale.ROOT: under a comma-decimal default locale f"%.3f" would emit
     // 1,234 — invalid JSON (ADVICE r2).
-    val qs = times.map { case (k, v) =>
+    def jmap(m: LinkedHashMap[String, Double]): String = m.map { case (k, v) =>
       "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     }.mkString("{", ",", "}")
+    val qs = jmap(times)
+    val qcpu = jmap(cpuSecs)
     val errJson =
       if (errors.isEmpty) ""
       else errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
@@ -90,7 +112,7 @@ object Bench {
       "q05_urgent_customers", "q06_customers_without_orders")
       .flatMap(times.get).sum
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","headline6":$headline,"queries":$qs$errJson,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","headline6":$headline,"queries":$qs,"queries_cpu":$qcpu$errJson,"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -24,6 +24,7 @@ object SparkEntry {
       SetOpQueries.queries ++
       FunctionQueries.queries ++
       LLMQueries.queries ++
+      CurationQueries.queries ++
       VectorQueries.queries ++
       EventQueries.queries ++
       ListMap[String, graft.Q](
@@ -41,6 +42,7 @@ object SparkEntry {
       SetOpQueries.oracle ++
       FunctionQueries.oracle ++
       LLMQueries.oracle ++
+      CurationQueries.oracle ++
       VectorQueries.oracle ++
       EventQueries.oracle ++
       graft.multimodal.Multimodal.oracle

@@ -1,0 +1,220 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import scala.collection.immutable.ListMap
+
+/** Training-data curation operators the reference's corpus would need at
+  * 100 TB, beyond the SURVEY.md §2 inventory: benchmark decontamination
+  * (n-gram overlap against an eval set), deterministic hash-stratified
+  * sampling with a train/val/test split, and sequence packing
+  * (concat-then-chunk into fixed token windows).
+  *
+  * All three are hash/window formulations — no RNG, no driver state — so
+  * results are reproducible at any partition count and oracle-checkable
+  * in DuckDB with the same md5/window arithmetic.
+  */
+object CurationQueries {
+
+  /** Chunk capacity for sequence packing, in whitespace tokens. */
+  val PackTokens = 256
+
+  // one-file sf parquet → spread rows before per-row gram/hash CPU
+  // (same lesson as LLMQueries.docs)
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .repartition(spark.sessionState.conf.numShufflePartitions,
+        col("doc_id"))
+
+  /** Distinct 5-word shingle array per document (docs under 5 words fall
+    * back to the whole text) — same gram definition as q70's winnowing
+    * fingerprint, via the same lambda-bind idiom (the regex split binds
+    * once; see the PERF note on LLMQueries.shingledDocs).
+    */
+  private val gramsExpr: Column = expr(
+    "array_distinct(transform(array(split(text, '\\\\s+'))," +
+      " w -> if(size(w) >= 5," +
+      " transform(sequence(0, size(w)-5)," +
+      " i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4]))," +
+      " array(text)))[0])")
+
+  /** Benchmark decontamination: docs sharing any 5-gram with the eval
+    * set are contaminated and must be dropped before training. The eval
+    * set here is carved from the corpus itself (doc_id % 10 == 0) so the
+    * query is self-contained on the shipped tables; in production it is
+    * any benchmark suite.
+    *
+    * Scale shape: the eval gram set is small (benchmarks are thousands
+    * of documents, not billions) → distinct once, BROADCAST to every
+    * executor. The training side is a flat explode feeding a broadcast
+    * hash join — no corpus-wide shuffle at all until the per-doc rollup
+    * on doc_id (and that only over matching gram rows, a tiny fraction
+    * of the corpus).
+    */
+  def decontaminateDocs(docsDf: DataFrame): DataFrame = {
+    val evalGrams = docsDf.filter(col("doc_id") % 10 === 0)
+      .select(explode(gramsExpr).as("g")).distinct()
+    val trainGrams = docsDf.filter(col("doc_id") % 10 =!= 0)
+      .select(col("doc_id"), gramsExpr.as("gs"))
+      .select(col("doc_id"), size(col("gs")).cast("long").as("n_grams"),
+        explode(col("gs")).as("g"))
+    trainGrams
+      .join(broadcast(evalGrams), Seq("g"))
+      // gs is distinct per doc, so matching rows are unique (doc_id, g)
+      // pairs and count(*) is the distinct overlapping-gram count
+      .groupBy(col("doc_id"), col("n_grams"))
+      .agg(count(lit(1)).as("n_contaminated"))
+      .select(col("doc_id"), col("n_grams"), col("n_contaminated"),
+        round(col("n_contaminated").cast("double") / col("n_grams"), 6)
+          .as("contamination_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  def decontaminate(spark: SparkSession, dir: String): DataFrame =
+    decontaminateDocs(docs(spark, dir))
+
+  /** Per-language sampling rates as 8-hex-digit md5-prefix thresholds
+    * (rate ≈ threshold / 2^32): a doc is kept iff the first 8 hex chars
+    * of md5("graft-sample:" <doc_id>) sort below its language's
+    * threshold. Fixed-width lowercase hex compares exactly like the
+    * 32-bit number it encodes, in Spark and DuckDB alike.
+    */
+  private val SampleRates: Seq[(String, String)] = Seq(
+    "en" -> "e6666666", // ≈0.90
+    "de" -> "80000000", // ≈0.50
+    "es" -> "80000000",
+    "fr" -> "80000000",
+    "zh" -> "40000000") // ≈0.25
+  private val DefaultRate = "80000000"
+
+  /** Deterministic hash-stratified sample + train/val/test split. Both
+    * decisions are pure functions of doc_id (salted md5 prefixes, one
+    * salt per decision so sampling and splitting are independent), so
+    * the assignment is stable under reruns, repartitioning, and
+    * incremental appends — the property a 100 TB pipeline actually
+    * needs from its sampler, and one rand()-based sampling does not
+    * have. No shuffle except the final summary rollup.
+    */
+  def hashSplitDocs(docsDf: DataFrame): DataFrame = {
+    val sampleHash =
+      substring(md5(concat(lit("graft-sample:"),
+        col("doc_id").cast("string"))), 1, 8)
+    val splitHash =
+      substring(md5(concat(lit("graft-split:"),
+        col("doc_id").cast("string"))), 1, 8)
+    val rateFor = SampleRates.foldRight(lit(DefaultRate)) {
+      case ((lang, hex), elseCol) =>
+        when(col("lang") === lang, lit(hex)).otherwise(elseCol)
+    }
+    docsDf
+      .filter(sampleHash < rateFor)
+      .withColumn("split",
+        when(splitHash < "cccccccc", "train")      // ≈0.80
+          .when(splitHash < "e6666666", "val")     // ≈0.10
+          .otherwise("test"))                      // ≈0.10
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), "\\s+")).cast("long"))
+          .as("total_tokens"))
+      .orderBy(col("lang"), col("split"))
+  }
+
+  def hashSplit(spark: SparkSession, dir: String): DataFrame =
+    hashSplitDocs(docs(spark, dir))
+
+  /** Sequence packing, concat-then-chunk: concatenate each language's
+    * documents in doc_id order and cut the token stream into
+    * [[PackTokens]]-token training sequences. Each document lands in the
+    * chunk range [seq_start, seq_end] of its language's stream — the
+    * index a sample loader needs to locate any document.
+    *
+    * Scale shape: one running-sum window partitioned by lang. Language
+    * is the natural shard key of a multilingual corpus; within a single
+    * language at 100 TB the same code runs per (lang, shard) with
+    * shard-id-prefixed chunk numbers — packing is embarrassingly
+    * parallel across shards because chunk numbering only needs to be
+    * dense within a shard, not global.
+    */
+  def packSequencesDocs(docsDf: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docsDf
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), "\\s+")).cast("long").as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        expr(s"(cum - n_tokens) div $PackTokens").as("seq_start"),
+        expr(s"(cum - 1) div $PackTokens").as("seq_end"))
+      .orderBy(col("doc_id"))
+  }
+
+  def packSequences(spark: SparkSession, dir: String): DataFrame =
+    packSequencesDocs(docs(spark, dir))
+
+  val queries: ListMap[String, graft.Q] = ListMap(
+    "q74_decontaminate" -> (decontaminate _),
+    "q75_hash_split" -> (hashSplit _),
+    "q76_pack_sequences" -> (packSequences _))
+
+  // ---- oracle SQL -----------------------------------------------------
+
+  private val gramsCte =
+    """garr AS (
+      |  SELECT doc_id, list_distinct(CASE WHEN len(w) >= 5
+      |    THEN list_transform(range(1, len(w)-3),
+      |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+      |           w[i+3] || ' ' || w[i+4])
+      |    ELSE [text] END) AS gs
+      |  FROM (SELECT doc_id, text, string_split_regex(text, '\s+') AS w
+      |        FROM documents)),
+      |grams AS (SELECT doc_id, len(gs) AS n_grams, unnest(gs) AS g
+      |          FROM garr)
+      |""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q74_decontaminate" -> (s"WITH $gramsCte," +
+      """ev AS (SELECT DISTINCT g FROM grams WHERE doc_id % 10 = 0)
+        |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+        |  count(*) AS n_contaminated,
+        |  round(CAST(count(*) AS DOUBLE) / n_grams, 6)
+        |    AS contamination_ratio
+        |FROM grams JOIN ev USING (g)
+        |WHERE doc_id % 10 <> 0
+        |GROUP BY doc_id, n_grams
+        |ORDER BY doc_id""".stripMargin),
+    "q75_hash_split" -> {
+      val rateCase = SampleRates.map { case (lang, hex) =>
+        s"WHEN lang = '$lang' THEN '$hex'"
+      }.mkString("CASE ", " ", s" ELSE '$DefaultRate' END")
+      s"""WITH kept AS (
+         |  SELECT lang,
+         |    CASE WHEN substr(md5('graft-split:' || CAST(doc_id AS VARCHAR)), 1, 8)
+         |           < 'cccccccc' THEN 'train'
+         |         WHEN substr(md5('graft-split:' || CAST(doc_id AS VARCHAR)), 1, 8)
+         |           < 'e6666666' THEN 'val'
+         |         ELSE 'test' END AS split,
+         |    len(string_split_regex(text, '\\s+')) AS n_tokens
+         |  FROM documents
+         |  WHERE substr(md5('graft-sample:' || CAST(doc_id AS VARCHAR)), 1, 8)
+         |        < $rateCase)
+         |SELECT lang, split, count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+         |FROM kept GROUP BY lang, split ORDER BY lang, split""".stripMargin
+    },
+    "q76_pack_sequences" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, lang,
+         |    CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |cums AS (
+         |  SELECT doc_id, lang, n_tokens,
+         |    sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM toks)
+         |SELECT doc_id, lang, n_tokens,
+         |  CAST((cum - n_tokens) // $PackTokens AS BIGINT) AS seq_start,
+         |  CAST((cum - 1) // $PackTokens AS BIGINT) AS seq_end
+         |FROM cums ORDER BY doc_id""".stripMargin)
+}

@@ -13,6 +13,7 @@ class SparkEntrySpec extends SparkSpec {
     StateMachine.queries.size, WindowQueries.queries.size,
     AggQueries.queries.size, SetOpQueries.queries.size,
     FunctionQueries.queries.size, LLMQueries.queries.size,
+    CurationQueries.queries.size,
     VectorQueries.queries.size, EventQueries.queries.size,
     1) // q72_media_feature_summary
 

@@ -1,0 +1,117 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+/** Curation-operator invariants: decontamination flags exactly the
+  * overlapping train docs, the hash split is deterministic and
+  * partition-independent, and sequence packing produces a contiguous
+  * chunk stream per language.
+  */
+class CurationQueriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def checkProp(prop: Prop, n: Int = 10): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(n), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  private def docsDf(rows: (Long, String, String)*) =
+    rows.toDF("doc_id", "text", "lang")
+
+  test("decontamination flags train docs sharing a 5-gram with eval") {
+    // doc 10 is eval (10 % 10 == 0); doc 1 shares its 5-gram window
+    // "a b c d e"; doc 2 shares nothing
+    val df = docsDf(
+      (10L, "a b c d e f", "en"),
+      (1L, "x a b c d e", "en"),
+      (2L, "p q r s t u", "en"))
+    val out = CurationQueries.decontaminateDocs(df)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(out.map(_._1).toSeq == Seq(1L))
+    val (_, nGrams, nHit, ratio) = out.head
+    assert(nGrams == 2L && nHit == 1L && ratio == 0.5)
+  }
+
+  test("decontamination never reports eval docs or clean docs") {
+    val df = docsDf(
+      (0L, "w1 w2 w3 w4 w5", "en"),
+      (20L, "w1 w2 w3 w4 w5", "en"), // eval twin of eval doc 0
+      (3L, "z1 z2 z3 z4 z5", "en"))
+    assert(CurationQueries.decontaminateDocs(df).isEmpty)
+  }
+
+  test("short docs fall back to whole-text grams (exact-copy catch)") {
+    val df = docsDf(
+      (10L, "tiny doc", "en"),
+      (7L, "tiny doc", "en"))
+    val out = CurationQueries.decontaminateDocs(df)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(out.toSeq == Seq((7L, 1L, 1L, 1.0)))
+  }
+
+  test("hash split is deterministic and partition-count-independent") {
+    val rows = (0L until 200L).map(i =>
+      (i, s"tok${i % 7} tok${i % 5} tok${i % 3}",
+        Seq("en", "de", "zh")(atInt(i, 3))))
+    val a = CurationQueries.hashSplitDocs(rows.toDF("doc_id", "text", "lang"))
+      .collect().toSeq
+    val b = CurationQueries.hashSplitDocs(
+      rows.toDF("doc_id", "text", "lang").repartition(7)).collect().toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
+  private def atInt(i: Long, n: Int): Int = (i % n).toInt
+
+  test("hash split samples a subset and zh is sampled leaner than en") {
+    val rows = (0L until 3000L).flatMap(i =>
+      Seq((i * 2, "a b c", "en"), (i * 2 + 1, "a b c", "zh")))
+    val out = CurationQueries.hashSplitDocs(
+      rows.toDF("doc_id", "text", "lang"))
+      .as[(String, String, Long, Long)].collect()
+    val byLang = out.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    assert(byLang("en") < 3000L && byLang("zh") < 3000L)
+    // 0.90 vs 0.25 nominal rates — en must dominate by a wide margin
+    assert(byLang("en") > 2L * byLang("zh"))
+    assert(out.map(_._2).toSet.subsetOf(Set("train", "val", "test")))
+  }
+
+  test("sequence packing: chunk ranges are contiguous per language") {
+    val wordGen = Gen.choose(1, 40)
+    checkProp(Prop.forAll(Gen.listOfN(30, wordGen)) { lens =>
+      val rows = lens.zipWithIndex.map { case (n, i) =>
+        (i.toLong, Seq.fill(n)("w").mkString(" "),
+          if (i % 2 == 0) "en" else "de")
+      }
+      val out = CurationQueries.packSequencesDocs(
+        rows.toDF("doc_id", "text", "lang"))
+        .as[(Long, String, Long, Long, Long)].collect()
+        .groupBy(_._2)
+      out.values.forall { docs =>
+        val sorted = docs.sortBy(_._1)
+        sorted.head._4 == 0L &&
+          sorted.forall { case (_, _, n, s, e) =>
+            s <= e && e - s <= n / CurationQueries.PackTokens + 1
+          } &&
+          sorted.sliding(2).forall {
+            case Array((_, _, _, _, e1), (_, _, _, s2, _)) =>
+              s2 == e1 || s2 == e1 + 1
+            case _ => true
+          }
+      }
+    })
+  }
+
+  test("sequence packing totals: last chunk index matches token sum") {
+    val rows = Seq(
+      (1L, Seq.fill(300)("w").mkString(" "), "en"),
+      (2L, Seq.fill(300)("w").mkString(" "), "en"))
+    val out = CurationQueries.packSequencesDocs(
+      rows.toDF("doc_id", "text", "lang"))
+      .as[(Long, String, Long, Long, Long)].collect().sortBy(_._1)
+    // 600 tokens / 256 → last token in chunk 2; doc1 spans 0-1, doc2 1-2
+    assert(out(0)._4 == 0L && out(0)._5 == 1L)
+    assert(out(1)._4 == 1L && out(1)._5 == 2L)
+  }
+}

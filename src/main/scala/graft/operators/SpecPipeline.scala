@@ -216,7 +216,16 @@ object SpecPipeline {
   def ingestValidation(spark: SparkSession, dir: String): DataFrame = {
     // single pass over the file: parse once, classify with one CASE chain
     // (a branch-per-frame union would re-run the scan + parse + global
-    // line-number window once per error class — measured 4×+ the cost)
+    // line-number window once per error class — measured 4×+ the cost).
+    // The trailing repartition MATERIALIZES the parsed frame: its two
+    // consumers (the expected-model aggregate and the classification
+    // join) then share one exchange (ReusedExchange). Without it, each
+    // consumer re-ran scan → line-number window → to_json → from_json,
+    // and worse, CollapseProject inlined the round-trip into the
+    // aggregate leg's !is_corrupt Filter condition — 3 serializations +
+    // 2 parses per row in ONE expression (the same optimizer failure
+    // mode as the shingle lambda note in LLMQueries). Measured 2.1× on
+    // the query; the narrow 6-column shuffle it buys is noise.
     val parsed = requestLines(spark, dir)
       .withColumn("r", from_json(col("line"), requestSchema,
         Map("mode" -> "PERMISSIVE",
@@ -226,11 +235,20 @@ object SpecPipeline {
         col("r.custom_id").as("custom_id"),
         col("r.method").as("method"),
         col("r.body.model").as("model"))
+      .repartition(spark.sessionState.conf.numShufflePartitions,
+        col("line_no"))
 
     // A1: the expected model is the FIRST line's (README.md:61) — a 1-row
-    // aggregate broadcast back across the file.
-    val expected = parsed.filter(!col("is_corrupt"))
-      .agg(min_by(col("model"), col("line_no")).as("expected_model"))
+    // aggregate broadcast back across the file. Corrupt lines are
+    // excluded INSIDE the aggregate (null ordering keys are skipped by
+    // min_by in Spark and arg_min in DuckDB alike) rather than with a
+    // .filter: a filter here would be pushed below the repartition
+    // exchange, break subtree identity with the classification leg, and
+    // resurrect the duplicated JSON round-trip the exchange exists to
+    // prevent.
+    val expected = parsed
+      .agg(min_by(col("model"),
+        when(!col("is_corrupt"), col("line_no"))).as("expected_model"))
 
     // J1: existence check against the target collection's keys — a left
     // join whose null side IS the anti-join result, so the classification

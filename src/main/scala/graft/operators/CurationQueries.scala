@@ -153,10 +153,76 @@ object CurationQueries {
   def packSequences(spark: SparkSession, dir: String): DataFrame =
     packSequencesDocs(docs(spark, dir))
 
+  /** Jaccard threshold above which a near-dup pair becomes a cluster
+    * edge. */
+  val ClusterThreshold = 0.5
+
+  /** Near-dup cluster formation: connected components over an
+    * undirected pair graph, by iterative min-label propagation — each
+    * round every node adopts the smallest label among itself and its
+    * neighbors, converging in O(component diameter) rounds to
+    * cluster_id = min doc_id of the component. This is the step a real
+    * dedup pipeline needs between PAIRS (q64) and SURVIVORS: near-dup
+    * similarity is not transitive, so survivor election must happen
+    * per connected component, not per pair.
+    *
+    * Scale posture: each round is two hash joins + a min aggregation on
+    * (id, label) pairs — all key-partitioned, no driver data except the
+    * one-long convergence count per round. Rounds = component diameter,
+    * and near-dup components are shallow (dups of a common source);
+    * for adversarial long-chain graphs the public large-star/small-star
+    * formulation (Kiveris et al., "Connected Components in MapReduce
+    * and Beyond", SoCC 2014) drops rounds to O(log n) with the same
+    * per-round join shape. The iteration cap is a safety net, not a
+    * correctness device — the loop exits on the first unchanged round.
+    */
+  def connectedComponents(edges: DataFrame): DataFrame = {
+    // localCheckpoint (eager) after every round: persist alone keeps the
+    // DATA hot but the logical plan still nests one union+aggregate per
+    // round, and Catalyst re-analysis of that growing tree dominates an
+    // iterative loop within a handful of rounds (measured: a 12-round
+    // toy graph analysis-stalled for minutes). Checkpointing truncates
+    // lineage so every round plans against a flat scan; on a cluster the
+    // same code uses reliable checkpoint() to a DFS dir for fault
+    // tolerance.
+    val sym = edges
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint()
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).localCheckpoint()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 50) {
+      val neighborMin = sym.join(labels, sym("dst") === labels("id"))
+        .select(sym("src").as("id"), col("label"))
+      val next = labels.select(col("id"), col("label"))
+        .union(neighborMin)
+        .groupBy(col("id")).agg(min(col("label")).as("label"))
+        .localCheckpoint()
+      changed = next.join(labels.withColumnRenamed("label", "old"), "id")
+        .filter(col("label") =!= col("old")).count()
+      labels = next
+      rounds += 1
+    }
+    val w = Window.partitionBy(col("cluster_id"))
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+      .withColumn("cluster_size", count(lit(1)).over(w))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q77: components of the q64 near-dup graph at jaccard ≥ 0.5. */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame =
+    connectedComponents(
+      LLMQueries.minhashPairs(spark, dir)
+        .filter(col("jaccard") >= ClusterThreshold)
+        .select(col("doc_a"), col("doc_b")))
+
   val queries: ListMap[String, graft.Q] = ListMap(
     "q74_decontaminate" -> (decontaminate _),
     "q75_hash_split" -> (hashSplit _),
-    "q76_pack_sequences" -> (packSequences _))
+    "q76_pack_sequences" -> (packSequences _),
+    "q77_dedup_clusters" -> (dedupClusters _))
 
   // ---- oracle SQL -----------------------------------------------------
 
@@ -203,6 +269,24 @@ object CurationQueries {
          |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens
          |FROM kept GROUP BY lang, split ORDER BY lang, split""".stripMargin
     },
+    "q77_dedup_clusters" -> (
+      s"WITH RECURSIVE ${LLMQueries.minhashPairsCtes}," +
+        s"""pairs AS (
+           |  SELECT doc_a, doc_b FROM pairs_all
+           |  WHERE jaccard >= $ClusterThreshold),
+           |edges AS (
+           |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+           |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+           |reach AS (
+           |  SELECT src, dst FROM edges
+           |  UNION
+           |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+           |comp AS (
+           |  SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+           |  FROM reach GROUP BY src)
+           |SELECT doc_id, cluster_id,
+           |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+           |FROM comp ORDER BY doc_id""".stripMargin),
     "q76_pack_sequences" ->
       s"""WITH toks AS (
          |  SELECT doc_id, lang,

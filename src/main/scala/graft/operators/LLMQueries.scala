@@ -383,6 +383,38 @@ object LLMQueries {
       |sizes AS (SELECT doc_id, len(sh) AS n_sh FROM sh)
       |""".stripMargin
 
+  /** The full q64 pipeline as composable CTEs ending in `pairs_all`
+    * (doc_a, doc_b, n_inter, jaccard) — shared with q77's cluster
+    * formation so the two oracles can't drift apart. */
+  private[operators] val minhashPairsCtes: String = (s"$shingleCte," +
+    s"""sigs AS (
+       |  SELECT doc_id,
+       |    ${(0 until NumHashes).map(j =>
+            s"min(substr(md5('$j:' || s), 1, 16)) AS h$j").mkString(",\n    ")}
+       |  FROM srows GROUP BY doc_id),
+       |bands AS (
+       |  ${(0 until NumHashes / RowsPerBand).map(b =>
+            s"SELECT doc_id, $b AS band, h${2 * b} || h${2 * b + 1} AS key FROM sigs")
+            .mkString("\n  UNION ALL ")}),
+       |cands AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+       |inter AS (
+       |  SELECT doc_a, doc_b, count(*) AS n_inter
+       |  FROM cands
+       |  JOIN srows sa ON sa.doc_id = doc_a
+       |  JOIN srows sb ON sb.doc_id = doc_b AND sa.s = sb.s
+       |  GROUP BY doc_a, doc_b),
+       |pairs_all AS (
+       |  SELECT doc_a, doc_b, n_inter,
+       |    round(CAST(n_inter AS DOUBLE) /
+       |          (za.n_sh + zb.n_sh - n_inter), 6) AS jaccard
+       |  FROM inter
+       |  JOIN sizes za ON za.doc_id = doc_a
+       |  JOIN sizes zb ON zb.doc_id = doc_b)
+       |""".stripMargin)
+
   private val simhashVotes = (1 to 16).map(i =>
     s"sum(CASE WHEN substr(md5(t), $i, 1) >= '8' THEN 1 ELSE -1 END) AS v$i")
     .mkString(",\n    ")
@@ -441,33 +473,9 @@ object LLMQueries {
         |    (PARTITION BY doc_id ORDER BY score DESC, t) AS rk
         |  FROM scored WHERE doc_id < 50)
         |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
-    "q64_minhash_pairs" -> (s"WITH $shingleCte," +
-      s"""sigs AS (
-         |  SELECT doc_id,
-         |    ${(0 until NumHashes).map(j =>
-              s"min(substr(md5('$j:' || s), 1, 16)) AS h$j").mkString(",\n    ")}
-         |  FROM srows GROUP BY doc_id),
-         |bands AS (
-         |  ${(0 until NumHashes / RowsPerBand).map(b =>
-              s"SELECT doc_id, $b AS band, h${2 * b} || h${2 * b + 1} AS key FROM sigs")
-              .mkString("\n  UNION ALL ")}),
-         |cands AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bands a JOIN bands b
-         |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
-         |inter AS (
-         |  SELECT doc_a, doc_b, count(*) AS n_inter
-         |  FROM cands
-         |  JOIN srows sa ON sa.doc_id = doc_a
-         |  JOIN srows sb ON sb.doc_id = doc_b AND sa.s = sb.s
-         |  GROUP BY doc_a, doc_b)
-         |SELECT doc_a, doc_b, n_inter,
-         |  round(CAST(n_inter AS DOUBLE) /
-         |        (za.n_sh + zb.n_sh - n_inter), 6) AS jaccard
-         |FROM inter
-         |JOIN sizes za ON za.doc_id = doc_a
-         |JOIN sizes zb ON zb.doc_id = doc_b
-         |ORDER BY doc_a, doc_b""".stripMargin),
+    "q64_minhash_pairs" -> (s"WITH $minhashPairsCtes " +
+      """SELECT doc_a, doc_b, n_inter, jaccard FROM pairs_all
+        |ORDER BY doc_a, doc_b""".stripMargin),
     "q73_langid_ngram" -> {
       val scoreSelects = LangProfiles.map { case (lang, grams) =>
         grams.map(g => occSql("t", g)).mkString(" + ") + s" AS s_$lang"

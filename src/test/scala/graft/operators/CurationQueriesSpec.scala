@@ -103,6 +103,39 @@ class CurationQueriesSpec extends SparkSpec {
     })
   }
 
+  test("connected components match a driver-side union-find") {
+    val edgeGen = for {
+      a <- Gen.choose(0L, 19L); b <- Gen.choose(0L, 19L) if a != b
+    } yield (math.min(a, b), math.max(a, b))
+    checkProp(Prop.forAll(Gen.listOfN(12, edgeGen)) { edges =>
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = edges.flatMap { case (a, b) => Seq(a, b) }.distinct
+        .map(n => n -> find(n)).toMap
+      val got = CurationQueries.connectedComponents(
+        edges.toDF("doc_a", "doc_b"))
+        .as[(Long, Long, Long)].collect()
+        .map { case (id, label, _) => id -> label }.toMap
+      got == want
+    })
+  }
+
+  test("cluster sizes count every member of the component") {
+    // path 1-2-3 plus pair 10-11: sizes 3 and 2, min-id labels
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val out = CurationQueries.connectedComponents(edges)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out == Set((1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L),
+      (10L, 10L, 2L), (11L, 10L, 2L)))
+  }
+
   test("sequence packing totals: last chunk index matches token sum") {
     val rows = Seq(
       (1L, Seq.fill(300)("w").mkString(" "), "en"),

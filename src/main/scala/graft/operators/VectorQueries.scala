@@ -21,8 +21,10 @@ import scala.collection.immutable.ListMap
   * — fused loops in the whole-stage-codegen body, bit-identical to the
   * `zip_with` + `aggregate` higher-order formulation they replaced
   * (SURVEY.md §2.8 F9, §2.11; parity asserted in CosineSimilaritySpec).
-  * The sign-LSH bits stay higher-order functions because they need exact
-  * fixed-point longs, and the only other per-row JVM code is the centroid
+  * The sign-LSH band keys likewise run through the native
+  * [[graft.functions.SignLshKeys]] expression (exact fixed-point longs,
+  * one fused loop for all 24 bits; parity vs the HOF formulation in
+  * VectorQueriesSpec); the only other per-row JVM code is the centroid
   * UDAF, whose long[] buffer is exact and order-independent.
   */
 object VectorQueries {
@@ -152,22 +154,24 @@ object VectorQueries {
   // search was only a 4× reduction. Recall stays the sign-LSH curve:
   // ≈86% for true near-dups (cos 0.9), deliberately low at the 0.4
   // boundary where similarity is semantically weak anyway.
-  private val NumPlanes = 24
-  private val PlanesPerBand = 6
+  private[operators] val NumPlanes = 24
+  private[operators] val PlanesPerBand = 6
   private val Dim = 64
   private val NearDupThreshold = 0.4
 
   /** Deterministic ±1 random hyperplanes, shared verbatim with the oracle
     * SQL (seeded PRNG, generated once at class init). */
-  private val planes: Seq[Seq[Int]] = {
+  private[operators] val planes: Seq[Seq[Int]] = {
     val rnd = new scala.util.Random(7)
     Seq.fill(NumPlanes)(Seq.fill(Dim)(if (rnd.nextBoolean()) 1 else -1))
   }
 
   /** Sign of ⟨v, w_p⟩ in exact fixed-point (round(x*1e9) longs), so both
     * engines compute identical bits — a double dot product could flip a
-    * boundary sign between engines. */
-  private def signBitSql(w: Seq[Int]): String =
+    * boundary sign between engines. This HOF formulation is kept as the
+    * in-engine reference the native [[graft.functions.SignLshKeys]]
+    * expression is parity-tested against (VectorQueriesSpec). */
+  private[operators] def signBitSql(w: Seq[Int]): String =
     s"aggregate(zip_with(v, array(${w.mkString(",")}), " +
       "(x, wd) -> cast(round(x * 1e9) as bigint) * wd), 0L, (s, e) -> s + e) >= 0L"
 
@@ -176,24 +180,23 @@ object VectorQueries {
     * cosine (native expression) then keeps pairs ≥ 0.4. Candidate volume
     * is O(Σ bucket²), never the O(n²) cross join; recall is the standard
     * sign-LSH curve (≈1 for true near-dups, ~50% at the 0.4 boundary).
+    *
+    * All 24 sign bits come from ONE native
+    * [[graft.functions.SignLshKeys]] evaluation per row (fused
+    * multiply-accumulate, components rounded once) instead of 24
+    * interpreted `aggregate(zip_with(...))` expressions.
     */
   def cosineNearDups(spark: SparkSession, dir: String): DataFrame = {
     val e = vecs(spark, dir)
-    val bandCols = (0 until NumPlanes / PlanesPerBand).map { b =>
-      val bits = (0 until PlanesPerBand).map { i =>
-        s"if(${signBitSql(planes(b * PlanesPerBand + i))}, '1', '0')"
-      }
-      struct(lit(b).as("band"),
-        expr(s"concat(${bits.mkString(", ")})").as("key"))
-    }
     // repartition on the join key: both self-join legs then read ONE
-    // materialized exchange (ReusedExchange), so the 24 fixed-point
+    // materialized exchange (ReusedExchange), so the fixed-point
     // sign-bit dot products run once per query instead of once per leg
     // (without it AQE broadcasts one leg, and a broadcast exchange can
     // never reuse a shuffle exchange — same lesson as q64)
-    val bands = e.select(col("vec_id"),
-      explode(array(bandCols: _*)).as("bk"))
-      .select(col("vec_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val bands = e.select(col("vec_id"), posexplode(
+        graft.functions.SignLshKeys.signLshKeys(
+          col("v"), planes, PlanesPerBand)))
+      .toDF("vec_id", "band", "key")
       .repartition(spark.sessionState.conf.numShufflePartitions,
         col("band"), col("key"))
     val cands = bands.as("a")

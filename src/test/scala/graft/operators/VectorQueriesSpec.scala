@@ -86,4 +86,57 @@ class VectorQueriesSpec extends SparkSpec {
     assert(recalls.sum / recalls.size == 1.0,
       s"recall ${recalls.sum / recalls.size} < 1 on clustered data")
   }
+
+  private lazy val realVecs = graft.Tables(spark, sfDir, "embeddings")
+    .select(col("vec_id"),
+      expr("transform(embedding, x -> cast(x AS double))").as("v"))
+
+  /** The 4 band keys via the higher-order reference formulation. */
+  private def hofKeys = {
+    val nBands = VectorQueries.NumPlanes / VectorQueries.PlanesPerBand
+    array((0 until nBands).map { b =>
+      val bits = (0 until VectorQueries.PlanesPerBand).map { i =>
+        s"if(${VectorQueries.signBitSql(
+          VectorQueries.planes(b * VectorQueries.PlanesPerBand + i))}, '1', '0')"
+      }
+      expr(s"concat(${bits.mkString(", ")})")
+    }: _*)
+  }
+
+  private def nativeKeys =
+    graft.functions.SignLshKeys.signLshKeys(
+      col("v"), VectorQueries.planes, VectorQueries.PlanesPerBand)
+
+  test("native sign-LSH keys match the HOF formulation on every vector") {
+    val diff = realVecs
+      .select(nativeKeys.as("native"), hofKeys.as("hof"))
+      .filter(not(col("native") <=> col("hof")))
+    assert(diff.count() == 0)
+  }
+
+  test("sign-LSH interpreted mode agrees with codegen") {
+    val before = spark.conf.getOption("spark.sql.codegen.wholeStage")
+    try {
+      val on = realVecs.orderBy("vec_id")
+        .select(nativeKeys).as[Seq[String]].collect()
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      val off = realVecs.orderBy("vec_id")
+        .select(nativeKeys).as[Seq[String]].collect()
+      assert(on.toSeq == off.toSeq)
+    } finally {
+      before.fold(spark.conf.unset("spark.sql.codegen.wholeStage"))(
+        spark.conf.set("spark.sql.codegen.wholeStage", _))
+    }
+  }
+
+  test("fixed-point rounding matches Spark round() on half boundaries") {
+    // ±2.5 and ±3.5 in the 1e-9 domain hit exact .5 fixed-point values;
+    // Math.round would give -2 / -3 where HALF_UP gives -3 / -4
+    val xs = Seq(2.5e-9, -2.5e-9, 3.5e-9, -3.5e-9, 0.0, 1e-10, -1e-10,
+      0.123456789, -0.987654321)
+    val fromSpark = xs.toDF("x")
+      .select(expr("cast(round(x * 1e9) as bigint)")).as[Long].collect()
+    val fromNative = xs.map(graft.functions.SignLshKeys.halfUp)
+    assert(fromSpark.toSeq == fromNative)
+  }
 }

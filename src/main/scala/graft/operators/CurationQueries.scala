@@ -153,6 +153,113 @@ object CurationQueries {
   def packSequences(spark: SparkSession, dir: String): DataFrame =
     packSequencesDocs(docs(spark, dir))
 
+  /** Per-document repetition / quality metrics in the style of the
+    * published Gopher quality rules (Rae et al. 2021 §A1.1): type-token
+    * ratio, most-frequent-word mass, and duplicate-bigram mass, plus a
+    * threshold flag. Repetitious documents are the single biggest
+    * quality problem in web-scale training corpora, and these three
+    * metrics are the standard cheap detectors.
+    *
+    * Scale shape: one narrow projection — every metric is a per-row
+    * lambda over the split word array (bound ONCE via the
+    * transform-array idiom; see gramsExpr), so there is no explode, no
+    * shuffle, and the operator is embarrassingly parallel at any corpus
+    * size. The top-word count is O(distinct·words) per row, which is
+    * the right trade below ~10k words/doc; a mega-doc corpus would
+    * explode+count instead (same numbers, one extra shuffle).
+    */
+  def repetitionStatsDocs(docsDf: DataFrame): DataFrame = {
+    val stats = expr(
+      "transform(array(split(text, '\\\\s+')), w -> struct(" +
+        " size(w) AS n_words," +
+        " size(array_distinct(w)) AS n_distinct," +
+        " array_max(transform(array_distinct(w)," +
+        "   d -> size(filter(w, x -> x = d)))) AS top_freq," +
+        " if(size(w) >= 2, array(" +
+        "   size(w) - 1," +
+        "   size(array_distinct(transform(sequence(0, size(w)-2)," +
+        "     i -> concat(w[i], ' ', w[i+1]))))), array(0, 0)) AS bi))[0]")
+    docsDf
+      .select(col("doc_id"), stats.as("s"))
+      .select(
+        col("doc_id"),
+        col("s.n_words").cast("long").as("n_words"),
+        round(col("s.n_distinct").cast("double") / col("s.n_words"), 6)
+          .as("type_token_ratio"),
+        round(col("s.top_freq").cast("double") / col("s.n_words"), 6)
+          .as("top_word_ratio"),
+        when(col("s.bi")(0) > 0,
+          round(lit(1.0) - col("s.bi")(1).cast("double") / col("s.bi")(0), 6))
+          .otherwise(0.0).as("dup_bigram_ratio"))
+      .withColumn("quality_flag",
+        when(col("top_word_ratio") > 0.2 || col("dup_bigram_ratio") > 0.4,
+          "repetitive").otherwise("ok"))
+      .orderBy(col("doc_id"))
+  }
+
+  def repetitionStats(spark: SparkSession, dir: String): DataFrame =
+    repetitionStatsDocs(docs(spark, dir))
+
+  /** PII patterns: simple-ASCII email and NNN-NNN-NNNN phone. Kept to
+    * syntax Java regex and RE2 (DuckDB) interpret identically — char
+    * classes and bounded repetition only, no backrefs or lookaround. */
+  val EmailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val PhoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+  /** PII scrub: detect emails/phones, replace them with placeholder
+    * tokens, and report per-doc counts plus a residual self-check
+    * (PII matches remaining AFTER redaction — must be 0). Emits only
+    * docs that contained PII.
+    *
+    * Scale shape: pure per-row regex projection + filter — no shuffle
+    * except the output ORDER BY. At 100 TB the regex cost is the whole
+    * cost, so patterns stay anchored-free and backtracking-free.
+    */
+  def piiScrubDocs(docsDf: DataFrame): DataFrame = {
+    // patterns go through the typed API (lit), NOT expr(): Spark's SQL
+    // string-literal parser strips unrecognized escapes, so '\.' inside
+    // an expr() string silently becomes the any-char '.'
+    def matches(c: Column, re: String): Column =
+      size(regexp_extract_all(c, lit(re), lit(0))).cast("long")
+    val redacted = regexp_replace(
+      regexp_replace(col("text"), EmailRe, "<EMAIL>"),
+      PhoneRe, "<PHONE>")
+    docsDf
+      .select(
+        col("doc_id"),
+        matches(col("text"), EmailRe).as("n_emails"),
+        matches(col("text"), PhoneRe).as("n_phones"),
+        redacted.as("redacted"))
+      .filter(col("n_emails") + col("n_phones") > 0)
+      .select(
+        col("doc_id"), col("n_emails"), col("n_phones"),
+        length(col("redacted")).cast("long").as("redacted_chars"),
+        (matches(col("redacted"), EmailRe) +
+          matches(col("redacted"), PhoneRe)).as("residual_pii"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q79 fixture: the shipped documents are digit-free word streams
+    * (verified — no [0-9] anywhere), so PII is seeded deterministically
+    * from doc_id: every 7th doc gains an email, every 11th a phone
+    * number. The oracle replays the identical seeding. */
+  def seedPii(docsDf: DataFrame): DataFrame =
+    docsDf.select(
+      col("doc_id"),
+      concat(
+        col("text"),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com now"))).otherwise(""),
+        when(col("doc_id") % 11 === 0,
+          concat(lit(" call 555-"),
+            lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise("")).as("text"))
+
+  def piiScrub(spark: SparkSession, dir: String): DataFrame =
+    piiScrubDocs(seedPii(docs(spark, dir)))
+
   /** Jaccard threshold above which a near-dup pair becomes a cluster
     * edge. */
   val ClusterThreshold = 0.5
@@ -222,7 +329,9 @@ object CurationQueries {
     "q74_decontaminate" -> (decontaminate _),
     "q75_hash_split" -> (hashSplit _),
     "q76_pack_sequences" -> (packSequences _),
-    "q77_dedup_clusters" -> (dedupClusters _))
+    "q77_dedup_clusters" -> (dedupClusters _),
+    "q78_repetition_stats" -> (repetitionStats _),
+    "q79_pii_scrub" -> (piiScrub _))
 
   // ---- oracle SQL -----------------------------------------------------
 
@@ -287,6 +396,64 @@ object CurationQueries {
            |SELECT doc_id, cluster_id,
            |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
            |FROM comp ORDER BY doc_id""".stripMargin),
+    "q78_repetition_stats" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS w
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    len(w) AS n_words,
+        |    len(list_distinct(w)) AS n_distinct,
+        |    list_max(list_transform(list_distinct(w),
+        |      d -> len(list_filter(w, x -> x = d)))) AS top_freq,
+        |    CASE WHEN len(w) >= 2 THEN len(w) - 1 ELSE 0 END AS n_bi,
+        |    CASE WHEN len(w) >= 2 THEN
+        |      len(list_distinct(list_transform(range(1, len(w)),
+        |        i -> w[i] || ' ' || w[i+1])))
+        |    ELSE 0 END AS n_bi_distinct
+        |  FROM w),
+        |r AS (
+        |  SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+        |    round(CAST(n_distinct AS DOUBLE) / n_words, 6)
+        |      AS type_token_ratio,
+        |    round(CAST(top_freq AS DOUBLE) / n_words, 6)
+        |      AS top_word_ratio,
+        |    CASE WHEN n_bi > 0 THEN
+        |      round(1 - CAST(n_bi_distinct AS DOUBLE) / n_bi, 6)
+        |    ELSE 0.0 END AS dup_bigram_ratio
+        |  FROM m)
+        |SELECT doc_id, n_words, type_token_ratio, top_word_ratio,
+        |  dup_bigram_ratio,
+        |  CASE WHEN top_word_ratio > 0.2 OR dup_bigram_ratio > 0.4
+        |    THEN 'repetitive' ELSE 'ok' END AS quality_flag
+        |FROM r ORDER BY doc_id""".stripMargin,
+    "q79_pii_scrub" ->
+      s"""WITH seeded AS (
+         |  SELECT doc_id, text ||
+         |    CASE WHEN doc_id % 7 = 0 THEN
+         |      ' contact user' || CAST(doc_id AS VARCHAR) ||
+         |      '@example.com now' ELSE '' END ||
+         |    CASE WHEN doc_id % 11 = 0 THEN
+         |      ' call 555-' ||
+         |      lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' ||
+         |      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         |    ELSE '' END AS text
+         |  FROM documents),
+         |scanned AS (
+         |  SELECT doc_id,
+         |    len(regexp_extract_all(text, '$EmailRe')) AS n_emails,
+         |    len(regexp_extract_all(text, '$PhoneRe')) AS n_phones,
+         |    regexp_replace(regexp_replace(text, '$EmailRe', '<EMAIL>', 'g'),
+         |      '$PhoneRe', '<PHONE>', 'g') AS redacted
+         |  FROM seeded)
+         |SELECT doc_id, CAST(n_emails AS BIGINT) AS n_emails,
+         |  CAST(n_phones AS BIGINT) AS n_phones,
+         |  CAST(length(redacted) AS BIGINT) AS redacted_chars,
+         |  CAST(len(regexp_extract_all(redacted, '$EmailRe')) +
+         |       len(regexp_extract_all(redacted, '$PhoneRe')) AS BIGINT)
+         |    AS residual_pii
+         |FROM scanned WHERE n_emails + n_phones > 0
+         |ORDER BY doc_id""".stripMargin,
     "q76_pack_sequences" ->
       s"""WITH toks AS (
          |  SELECT doc_id, lang,

@@ -81,6 +81,44 @@ object StreamingOps {
       }
   }
 
+  /** L1 streaming, fuzzy-time variant: dedup by event_id alone even when
+    * retransmissions carry a slightly different event time — the case
+    * `dropDuplicates(event_id, ts)` misses. State for a key is kept until
+    * the watermark passes its first-seen time + the delay, then evicted;
+    * the first arrival wins and later echoes inside the horizon are
+    * dropped.
+    */
+  def dedupWithinWatermark(events: Dataset[Event]): Dataset[Event] =
+    events.withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark(Seq("event_id"))
+
+  /** J9 streaming: stream-stream interval join — each purchase matches
+    * the same user's views from the preceding hour (the streaming twin
+    * of the q08 as-of batch join). Both sides are watermarked and the
+    * join predicate time-bounds view_ts against purchase_ts, which is
+    * what lets Spark evict buffered rows: a view older than
+    * watermark − 1 h can never match a future purchase, so per-key state
+    * stays bounded at any stream length. Inner joins emit eagerly on
+    * match; the watermark only governs state cleanup.
+    */
+  def viewsBeforePurchase(views: Dataset[Event],
+      purchases: Dataset[Event]): DataFrame = {
+    val v = views.toDF()
+      .select(col("event_id").as("view_id"), col("ts").as("view_ts"),
+        col("user_id"))
+      .withWatermark("view_ts", "2 hours")
+    val p = purchases.toDF()
+      .select(col("event_id").as("purchase_id"), col("ts").as("purchase_ts"),
+        col("user_id").as("purchase_user"))
+      .withWatermark("purchase_ts", "1 hour")
+    v.join(p,
+      col("user_id") === col("purchase_user") &&
+        col("view_ts") <= col("purchase_ts") &&
+        col("view_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("purchase_id"), col("view_id"), col("user_id"),
+        col("view_ts"), col("purchase_ts"))
+  }
+
   /** The spec's latest-status-wins polling update as a stream
     * (README.md:85): keep the max-timestamp event per key in state, emit
     * the current winner on every update (Update mode downstream).

@@ -147,4 +147,36 @@ class CurationQueriesSpec extends SparkSpec {
     assert(out(0)._4 == 0L && out(0)._5 == 1L)
     assert(out(1)._4 == 1L && out(1)._5 == 2L)
   }
+
+  test("repetition stats: known ratios and threshold flags") {
+    val out = CurationQueries.repetitionStatsDocs(docsDf(
+      (1L, "a a a a", "en"),        // 3 bigrams, 1 distinct → dup 2/3
+      (2L, "a b c d e f", "en"),    // all distinct, top 1/6 → ok
+      (3L, "solo", "en")))          // 1 word: no bigrams, top 1.0
+      .as[(Long, Long, Double, Double, Double, String)]
+      .collect().sortBy(_._1)
+    assert(out(0) == ((1L, 4L, 0.25, 1.0, 0.666667, "repetitive")))
+    assert(out(1) == ((2L, 6L, 1.0, 0.166667, 0.0, "ok")))
+    assert(out(2) == ((3L, 1L, 1.0, 1.0, 0.0, "repetitive")))
+  }
+
+  test("pii scrub: counts, redaction length, zero residual") {
+    val dirty = "hi a@b.co and c.d@e.org call 123-456-7890"
+    val out = CurationQueries.piiScrubDocs(docsDf(
+      (1L, dirty, "en"),
+      (2L, "no pii here at all", "en")))
+      .as[(Long, Long, Long, Long, Long)].collect()
+    val want = "hi <EMAIL> and <EMAIL> call <PHONE>"
+    assert(out.toSeq == Seq((1L, 2L, 1L, want.length.toLong, 0L)))
+  }
+
+  test("pii seeding hits exactly the 7- and 11-multiples") {
+    val seeded = CurationQueries.seedPii(docsDf(
+      (0L, "t", "en"), (1L, "t", "en"), (7L, "t", "en"), (11L, "t", "en")))
+      .as[(Long, String)].collect().toMap
+    assert(seeded(0L) == "t contact user0@example.com now call 555-000-0000")
+    assert(seeded(1L) == "t")
+    assert(seeded(7L) == "t contact user7@example.com now")
+    assert(seeded(11L) == "t call 555-011-0011")
+  }
 }

@@ -119,6 +119,42 @@ class StreamingOpsSpec extends SparkSpec {
     assert(rows.toSeq.sorted == Seq((ts(0), 3L))) // hour 3 still open
   }
 
+  test("dedup-within-watermark drops echoes with a DIFFERENT event time") {
+    val input = MemoryStream[Event]
+    val query = dedupWithinWatermark(input.toDS())
+      .writeStream.format("memory").queryName("dedupww")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(ev(1, 0, 1), ev(2, 1, 1))
+      query.processAllAvailable()
+      // retransmission of event 1 stamped 5 minutes later — the case
+      // dropDuplicates(event_id, ts) would let through
+      input.addData(ev(1, 5, 1))
+      query.processAllAvailable()
+      assert(spark.table("dedupww").count() == 2)
+    } finally query.stop()
+  }
+
+  test("stream-stream interval join matches views in the prior hour") {
+    val views = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val query = viewsBeforePurchase(views.toDS(), purchases.toDS())
+      .writeStream.format("memory").queryName("ssjoin")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // user 1: views at 0 and 25 min; view at 90 min is AFTER the
+      // purchase; user 2's view can't match user 1's purchase
+      views.addData(ev(10, 0, 1), ev(11, 25, 1), ev(12, 90, 1),
+        ev(13, 20, 2))
+      purchases.addData(ev(50, 30, 1, "purchase"))
+      query.processAllAvailable()
+      val got = spark.table("ssjoin")
+        .selectExpr("purchase_id", "view_id").as[(Long, Long)]
+        .collect().toSet
+      assert(got == Set((50L, 10L), (50L, 11L)))
+    } finally query.stop()
+  }
+
   test("watermarked tumbling counts finalize once the watermark passes") {
     val input = MemoryStream[Event]
     val query = tumblingCounts(input.toDS())

@@ -260,6 +260,52 @@ object CurationQueries {
   def piiScrub(spark: SparkSession, dir: String): DataFrame =
     piiScrubDocs(seedPii(docs(spark, dir)))
 
+  /** Model-based quality filtering (the CCNet/DCLM-style classifier
+    * stage): score every document with a hashed linear model — each
+    * token hashes to a signed integer weight, the document score is the
+    * exact integer sum, and the keep/drop decision thresholds the
+    * normalized mean. Here the per-feature weights are derived from a
+    * salted md5 (so the DuckDB oracle recomputes them verbatim); in
+    * production they come from a trained weight table shipped to every
+    * executor — same plan either way, because the lookup is a pure
+    * per-token function.
+    *
+    * Scale shape: one shuffle-free projection. The dot product is an
+    * INTEGER sum (weights are 12-bit ints centered on 0), so the score
+    * is bit-identical at any partition count or token order — the same
+    * OracleParity argument as the money aggregates. The md5 runs once
+    * per token via the lambda-bind idiom.
+    */
+  def qualityClassifierDocs(docsDf: DataFrame): DataFrame = {
+    // 12-bit hash weight in [-2048, 2047]: value of the first 3 hex
+    // digits of md5('graft-w:' <token>), shifted. instr-on-hex-digit is
+    // the portable hex→int (Spark conv() has no DuckDB twin).
+    def hexAt(i: Int) =
+      s"(instr('0123456789abcdef', substring(h, $i, 1)) - 1)"
+    val weightOf =
+      s"transform(w, t -> transform(array(md5(concat('graft-w:', t)))," +
+        s" h -> ${hexAt(1)} * 256 + ${hexAt(2)} * 16 + ${hexAt(3)}" +
+        s" - 2048)[0])"
+    val scored = expr(
+      "transform(array(split(text, '\\\\s+')), w -> struct(" +
+        " size(w) AS n_tokens," +
+        s" aggregate($weightOf, cast(0 as bigint)," +
+        "   (acc, x) -> acc + x) AS score))[0]")
+    docsDf
+      .select(col("doc_id"), col("lang"), scored.as("s"))
+      .select(col("doc_id"), col("lang"),
+        col("s.n_tokens").cast("long").as("n_tokens"),
+        col("s.score").as("score"),
+        round(col("s.score").cast("double") /
+          (col("s.n_tokens") * 2048.0), 6).as("mean_weight"))
+      .withColumn("decision",
+        when(col("mean_weight") >= 0, "keep").otherwise("drop"))
+      .orderBy(col("doc_id"))
+  }
+
+  def qualityClassifier(spark: SparkSession, dir: String): DataFrame =
+    qualityClassifierDocs(docs(spark, dir))
+
   /** Jaccard threshold above which a near-dup pair becomes a cluster
     * edge. */
   val ClusterThreshold = 0.5
@@ -331,7 +377,8 @@ object CurationQueries {
     "q76_pack_sequences" -> (packSequences _),
     "q77_dedup_clusters" -> (dedupClusters _),
     "q78_repetition_stats" -> (repetitionStats _),
-    "q79_pii_scrub" -> (piiScrub _))
+    "q79_pii_scrub" -> (piiScrub _),
+    "q84_quality_classifier" -> (qualityClassifier _))
 
   // ---- oracle SQL -----------------------------------------------------
 
@@ -454,6 +501,28 @@ object CurationQueries {
          |    AS residual_pii
          |FROM scanned WHERE n_emails + n_phones > 0
          |ORDER BY doc_id""".stripMargin,
+    "q84_quality_classifier" -> {
+      def hexAt(i: Int) =
+        s"(instr('0123456789abcdef', substring(md5('graft-w:' || t), $i, 1)) - 1)"
+      s"""WITH w AS (
+         |  SELECT doc_id, lang, string_split_regex(text, '\\s+') AS w
+         |  FROM documents),
+         |s AS (
+         |  SELECT doc_id, lang, len(w) AS n_tokens,
+         |    CAST(list_sum(list_transform(w, t ->
+         |      ${hexAt(1)} * 256 + ${hexAt(2)} * 16 + ${hexAt(3)} - 2048))
+         |      AS BIGINT) AS score
+         |  FROM w),
+         |r AS (
+         |  SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens, score,
+         |    round(CAST(score AS DOUBLE) / (n_tokens * 2048.0), 6)
+         |      AS mean_weight
+         |  FROM s)
+         |SELECT doc_id, lang, n_tokens, score, mean_weight,
+         |  CASE WHEN mean_weight >= 0 THEN 'keep' ELSE 'drop' END
+         |    AS decision
+         |FROM r ORDER BY doc_id""".stripMargin
+    },
     "q76_pack_sequences" ->
       s"""WITH toks AS (
          |  SELECT doc_id, lang,

@@ -170,6 +170,36 @@ class CurationQueriesSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 2L, 1L, want.length.toLong, 0L)))
   }
 
+  test("quality classifier matches an independent weight computation") {
+    def weight(token: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"graft-w:$token".getBytes("UTF-8"))
+      val hex = d.map("%02x".format(_)).mkString.take(3)
+      java.lang.Long.parseLong(hex, 16) - 2048L
+    }
+    val out = CurationQueries.qualityClassifierDocs(docsDf(
+      (1L, "alpha beta alpha", "en"),
+      (2L, "gamma", "de")))
+      .as[(Long, String, Long, Long, Double, String)]
+      .collect().sortBy(_._1)
+    val s1 = 2 * weight("alpha") + weight("beta")
+    assert(out(0)._3 == 3L && out(0)._4 == s1)
+    assert(out(0)._5 ==
+      BigDecimal(s1 / (3 * 2048.0)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble)
+    assert(out(1)._4 == weight("gamma"))
+    val flag = if (out(1)._5 >= 0) "keep" else "drop"
+    assert(out(1)._6 == flag)
+  }
+
+  test("quality classifier score is token-order independent") {
+    val out = CurationQueries.qualityClassifierDocs(docsDf(
+      (1L, "p q r s", "en"),
+      (2L, "s r q p", "en")))
+      .as[(Long, String, Long, Long, Double, String)].collect()
+    assert(out.map(_._4).distinct.length == 1)
+  }
+
   test("pii seeding hits exactly the 7- and 11-multiples") {
     val seeded = CurationQueries.seedPii(docsDf(
       (0L, "t", "en"), (1L, "t", "en"), (7L, "t", "en"), (11L, "t", "en")))

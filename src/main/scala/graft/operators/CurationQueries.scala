@@ -371,6 +371,70 @@ object CurationQueries {
         .filter(col("jaccard") >= ClusterThreshold)
         .select(col("doc_a"), col("doc_b")))
 
+  /** Connected components via alternating large-star / small-star
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC 2014) — the adversarial-diameter scale path that
+    * [[connectedComponents]]'s min-label propagation is not: rounds are
+    * O(log n) in the component size instead of O(diameter), so a
+    * pathological million-node chain converges in ~20 rounds, not a
+    * million. Each round is two groupBy-min aggregations and two
+    * key-partitioned joins over the canonical (larger → smaller) edge
+    * set; no driver data except the convergence counts.
+    *
+    * Returns the same (doc_id, cluster_id, cluster_size) frame as the
+    * propagation variant, plus the round count for diameter tests.
+    */
+  def connectedComponentsStar(edges: DataFrame): (DataFrame, Int) = {
+    // canonical undirected edges, larger endpoint first
+    var e = edges.select(
+      greatest(col("doc_a"), col("doc_b")).as("u"),
+      least(col("doc_a"), col("doc_b")).as("v"))
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+    var rounds = 0
+    var done = false
+    while (!done && rounds < 50) {
+      // large-star: every neighbor LARGER than u links to
+      // min(Γ(u) ∪ {u}); each undirected edge is seen once from its
+      // smaller endpoint
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val minsL = sym.groupBy(col("u"))
+        .agg(least(min(col("v")), col("u")).as("m"))
+      val large = sym.join(minsL, "u").where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+      // small-star: all (smaller) neighbors of u and u itself link to
+      // the minimum of the star
+      val minsS = large.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val next = large.join(minsS, "u").where(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(minsS.select(col("u"), col("m").as("v")))
+        .distinct().localCheckpoint()
+      done = next.count() == e.count() && next.except(e).isEmpty
+      e = next
+      rounds += 1
+    }
+    // converged edge set is a star forest: u → component min; roots
+    // (the mins) have no outgoing edge
+    val roots = e.select(col("v")).distinct()
+      .join(e.select(col("u")).distinct(),
+        col("v") === col("u"), "left_anti")
+      .select(col("v").as("doc_id"), col("v").as("cluster_id"))
+    val labels = e.select(col("u").as("doc_id"), col("v").as("cluster_id"))
+      .union(roots)
+    val w = Window.partitionBy(col("cluster_id"))
+    (labels
+      .withColumn("cluster_size", count(lit(1)).over(w))
+      .orderBy(col("doc_id")), rounds)
+  }
+
+  /** q85: q77's cluster formation on the O(log n)-round star algorithm —
+    * same pair graph, same oracle, different (scale-proof) iteration. */
+  def dedupClustersStar(spark: SparkSession, dir: String): DataFrame =
+    connectedComponentsStar(
+      LLMQueries.minhashPairs(spark, dir)
+        .filter(col("jaccard") >= ClusterThreshold)
+        .select(col("doc_a"), col("doc_b")))._1
+
   val queries: ListMap[String, graft.Q] = ListMap(
     "q74_decontaminate" -> (decontaminate _),
     "q75_hash_split" -> (hashSplit _),
@@ -378,9 +442,31 @@ object CurationQueries {
     "q77_dedup_clusters" -> (dedupClusters _),
     "q78_repetition_stats" -> (repetitionStats _),
     "q79_pii_scrub" -> (piiScrub _),
-    "q84_quality_classifier" -> (qualityClassifier _))
+    "q84_quality_classifier" -> (qualityClassifier _),
+    "q85_dedup_clusters_star" -> (dedupClustersStar _))
 
   // ---- oracle SQL -----------------------------------------------------
+
+  /** Shared by q77 and q85: both cluster formations must agree with the
+    * same recursive-CTE transitive closure over the q64 pair graph. */
+  private val clustersOracle: String =
+    s"WITH RECURSIVE ${LLMQueries.minhashPairsCtes}," +
+      s"""pairs AS (
+         |  SELECT doc_a, doc_b FROM pairs_all
+         |  WHERE jaccard >= $ClusterThreshold),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |comp AS (
+         |  SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+         |  FROM reach GROUP BY src)
+         |SELECT doc_id, cluster_id,
+         |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+         |FROM comp ORDER BY doc_id""".stripMargin
 
   private val gramsCte =
     """garr AS (
@@ -425,24 +511,8 @@ object CurationQueries {
          |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens
          |FROM kept GROUP BY lang, split ORDER BY lang, split""".stripMargin
     },
-    "q77_dedup_clusters" -> (
-      s"WITH RECURSIVE ${LLMQueries.minhashPairsCtes}," +
-        s"""pairs AS (
-           |  SELECT doc_a, doc_b FROM pairs_all
-           |  WHERE jaccard >= $ClusterThreshold),
-           |edges AS (
-           |  SELECT doc_a AS src, doc_b AS dst FROM pairs
-           |  UNION ALL SELECT doc_b, doc_a FROM pairs),
-           |reach AS (
-           |  SELECT src, dst FROM edges
-           |  UNION
-           |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
-           |comp AS (
-           |  SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
-           |  FROM reach GROUP BY src)
-           |SELECT doc_id, cluster_id,
-           |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
-           |FROM comp ORDER BY doc_id""".stripMargin),
+    "q77_dedup_clusters" -> clustersOracle,
+    "q85_dedup_clusters_star" -> clustersOracle,
     "q78_repetition_stats" ->
       """WITH w AS (
         |  SELECT doc_id, string_split_regex(text, '\s+') AS w

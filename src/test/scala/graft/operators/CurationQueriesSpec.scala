@@ -170,6 +170,41 @@ class CurationQueriesSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 2L, 1L, want.length.toLong, 0L)))
   }
 
+  test("star connected components match union-find on random graphs") {
+    val genEdges = Gen.listOfN(25,
+      Gen.zip(Gen.choose(0L, 30L), Gen.choose(0L, 30L)))
+      .map(_.filter { case (a, b) => a != b })
+      .suchThat(_.nonEmpty)
+    checkProp(Prop.forAll(genEdges) { edges =>
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = edges.flatMap { case (a, b) => Seq(a, b) }.distinct
+        .map(n => n -> find(n)).toMap
+      val got = CurationQueries.connectedComponentsStar(
+        edges.toDF("doc_a", "doc_b"))._1
+        .as[(Long, Long, Long)].collect()
+        .map { case (id, label, _) => id -> label }.toMap
+      got == want
+    })
+  }
+
+  test("star components converge in O(log n) rounds on a long path") {
+    // a 64-node chain: min-label propagation needs ~63 rounds; the
+    // large-star/small-star alternation must stay logarithmic
+    val edges = (1L until 64L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val (labels, rounds) = CurationQueries.connectedComponentsStar(edges)
+    val out = labels.as[(Long, Long, Long)].collect()
+    assert(out.forall { case (_, label, size) => label == 1L && size == 64L })
+    assert(rounds <= 12, s"rounds=$rounds — superlogarithmic on a chain")
+  }
+
   test("quality classifier matches an independent weight computation") {
     def weight(token: String): Long = {
       val d = java.security.MessageDigest.getInstance("MD5")

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{Tables, OracleParity => OP}
 import scala.collection.immutable.ListMap
@@ -95,6 +95,32 @@ object AggQueries {
         expr("round(percentile(value, 0.9), 6)").as("p90"))
       .orderBy(col("event_type"))
 
+  /** A8 scale variant: approximate percentiles (Spark's GK sketch via
+    * percentile_approx) with the q31 band pattern — the row carries the
+    * exact percentile plus a flag asserting the sketch landed within a
+    * 5%-relative band, so the oracle checks the operator ran correctly
+    * without depending on sketch internals. At 100 TB the sketch is the
+    * only affordable option: exact percentile buffers every value per
+    * group, percentile_approx merges bounded-size summaries map-side.
+    */
+  def approxValuePercentiles(spark: SparkSession, dir: String): DataFrame = {
+    def band(approx: Column, exact: Column): Column =
+      abs(approx - exact) <= greatest(abs(exact) * 0.05, lit(0.01))
+    Tables(spark, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        expr("percentile(value, 0.5)").as("e50"),
+        expr("percentile_approx(value, 0.5, 1000)").as("a50"),
+        expr("percentile(value, 0.95)").as("e95"),
+        expr("percentile_approx(value, 0.95, 1000)").as("a95"))
+      .select(col("event_type"),
+        round(col("e50"), 6).as("p50"),
+        round(col("e95"), 6).as("p95"),
+        band(col("a50"), col("e50")).as("p50_ok"),
+        band(col("a95"), col("e95")).as("p95_ok"))
+      .orderBy(col("event_type"))
+  }
+
   /** A5 (cube): full cube over status × priority — every grouping-set
     * combination, disambiguated by grouping() flags like the rollup.
     */
@@ -139,7 +165,8 @@ object AggQueries {
     "q33_priority_status_lists" -> (priorityStatusLists _),
     "q37_grouping_sets" -> (statusGroupingSets _),
     "q34_conditional_outcomes" -> (conditionalOutcomes _),
-    "q35_value_percentiles" -> (valuePercentiles _))
+    "q35_value_percentiles" -> (valuePercentiles _),
+    "q86_approx_percentiles" -> (approxValuePercentiles _))
 
   val oracle: Map[String, String] = Map(
     "q36_status_cube" ->
@@ -155,6 +182,12 @@ object AggQueries {
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q31_approx_distinct_users" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users_exact, true AS approx_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q86_approx_percentiles" ->
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.5), 6) AS p50,
+        |  round(quantile_cont(value, 0.95), 6) AS p95,
+        |  TRUE AS p50_ok, TRUE AS p95_ok
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q32_status_rollup" ->
       """SELECT coalesce(o_orderstatus, '(all)') AS status,

@@ -120,20 +120,38 @@ object VectorQueries {
     ivfTopkCosineOf(vecs(spark, dir),
       centroids(spark, dir))
 
+  /** Probe count for the multi-probe variant (q87). */
+  private[operators] val NumProbes = 2
+
+  /** Multi-probe IVF: each query searches its [[NumProbes]] nearest
+    * cells instead of one — the standard recall fix for queries near a
+    * Voronoi boundary, at a probes× scan cost that is still a tiny
+    * fraction of the corpus. Data-side layout is unchanged (one cell
+    * per vector), so at 100 TB this is the same partition-pruned scan,
+    * just over `probes` partitions per query.
+    */
+  def ivfMultiprobeTopkCosine(spark: SparkSession, dir: String): DataFrame =
+    ivfTopkCosineOf(vecs(spark, dir), centroids(spark, dir), NumProbes)
+
   private[operators] def ivfTopkCosineOf(
-      e: DataFrame, cents: DataFrame): DataFrame = {
-    val assigned = {
+      e: DataFrame, cents: DataFrame, probes: Int = 1): DataFrame = {
+    val ranked = {
       val scored = e
         .crossJoin(broadcast(cents))
         .withColumn("d2", l2Sq(col("v"), col("c")))
       val w = Window.partitionBy(col("vec_id"))
         .orderBy(col("d2"), col("clabel"))
       scored.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("v"), col("clabel").as("cell"))
     }
-    val q = assigned.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("qid"), col("v").as("qv"), col("cell"))
+    // data vectors live in exactly ONE cell; queries may probe several
+    // (multi-probe trades a probes× larger scan for recall on vectors
+    // that fall near a Voronoi boundary)
+    val assigned = ranked.filter(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("clabel").as("cell"))
+    val q = ranked
+      .filter(col("rn") <= probes && col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("clabel").as("cell"))
     val scored = assigned.join(broadcast(q), Seq("cell"))
       .filter(col("vec_id") =!= col("qid"))
       .withColumn("cos", round(cosineSim(col("v"), col("qv")), 6))
@@ -218,7 +236,8 @@ object VectorQueries {
     "q65_cosine_near_dups" -> (cosineNearDups _),
     "q67_topk_cosine" -> (topkCosine _),
     "q68_centroid_classify" -> (centroidClassify _),
-    "q69_ivf_topk_cosine" -> (ivfTopkCosine _))
+    "q69_ivf_topk_cosine" -> (ivfTopkCosine _),
+    "q87_ivf_multiprobe" -> (ivfMultiprobeTopkCosine _))
 
   /** Shared oracle fragment: per-label centroids with the same fixed-point
     * rule as the Aggregator (sum of round(x*1e9) longs / 1e9 / n).
@@ -294,6 +313,23 @@ object VectorQueries {
          |    round(list_cosine_similarity(a.v, q.qv), 6) AS cos
          |  FROM assigned a JOIN q
          |    ON a.pred_label = q.cell AND a.vec_id <> q.qid)
+         |SELECT qid, rk, nid, cos FROM (
+         |  SELECT *, row_number() OVER
+         |    (PARTITION BY qid ORDER BY cos DESC, nid) AS rk
+         |  FROM scored)
+         |WHERE rk <= $TopK ORDER BY qid, rk""".stripMargin),
+    "q87_ivf_multiprobe" -> (s"WITH $centroidCte," +
+      s"""qm AS (SELECT qid, qv, cell FROM (
+         |    SELECT e.vec_id AS qid, e.v AS qv, cent.clabel AS cell,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY list_distance(e.v, cent.c), cent.clabel) AS rn
+         |    FROM e, cent WHERE e.vec_id < $NumQueries)
+         |  WHERE rn <= $NumProbes),
+         |scored AS (
+         |  SELECT qm.qid, a.vec_id AS nid,
+         |    round(list_cosine_similarity(a.v, qm.qv), 6) AS cos
+         |  FROM assigned a JOIN qm
+         |    ON a.pred_label = qm.cell AND a.vec_id <> qm.qid)
          |SELECT qid, rk, nid, cos FROM (
          |  SELECT *, row_number() OVER
          |    (PARTITION BY qid ORDER BY cos DESC, nid) AS rk

@@ -87,6 +87,51 @@ class VectorQueriesSpec extends SparkSpec {
       s"recall ${recalls.sum / recalls.size} < 1 on clustered data")
   }
 
+  test("multi-probe IVF recall dominates single-probe on boundary queries") {
+    // two clusters plus queries placed BETWEEN them: single-probe sees
+    // only one Voronoi cell, multi-probe (2) must recover at least as
+    // many true neighbors for every query. Each query gets its own
+    // heavy extra dimension so queries are mutually DISTANT (cos ≈ 0.3)
+    // while members of both clusters score ≈ 0.39-0.40 — the true top-k
+    // mixes both cells, which is exactly what single-probe can't see.
+    val rnd = new scala.util.Random(11)
+    val members = (0 until 100).map { i =>
+      val c = i % 2
+      val base = Array.fill(16)(0.0f)
+      base(c) = 1.0f
+      (i.toLong + 10L, base.map(x => x + (rnd.nextFloat() - 0.5f) * 0.1f), c)
+    }
+    val boundary = (0 until 10).map { i =>
+      val v = Array.fill(16)(0.0f)
+      v(0) = 0.72f
+      v(1) = 0.70f
+      v(2 + i) = 1.5f
+      (i.toLong, v, i % 2)
+    }
+    val emb = (boundary ++ members).toDF("vec_id", "embedding", "label")
+    val e = VectorQueries.vecsOf(emb)
+    val cents = VectorQueries.centroidsOf(emb)
+    val brute = VectorQueries.topkCosineOf(e)
+      .as[(Long, Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    def recallOf(df: org.apache.spark.sql.DataFrame) = df
+      .as[(Long, Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    val single = recallOf(VectorQueries.ivfTopkCosineOf(e, cents))
+    val multi = recallOf(VectorQueries.ivfTopkCosineOf(e, cents, 2))
+    val (rs, rm) = brute.keys.toSeq.map { q =>
+      def r(m: Map[Long, Set[Long]]) =
+        (m.getOrElse(q, Set.empty) intersect brute(q)).size.toDouble /
+          brute(q).size
+      (r(single), r(multi))
+    }.unzip
+    assert(rm.zip(rs).forall { case (m, s) => m >= s },
+      "multi-probe recall fell below single-probe for some query")
+    assert(rm.sum / rm.size > rs.sum / rs.size,
+      s"multi-probe ${rm.sum / rm.size} did not improve on " +
+        s"single-probe ${rs.sum / rs.size} for boundary queries")
+  }
+
   private lazy val realVecs = graft.Tables(spark, sfDir, "embeddings")
     .select(col("vec_id"),
       expr("transform(embedding, x -> cast(x AS double))").as("v"))

@@ -160,6 +160,33 @@ class CurationQueriesSpec extends SparkSpec {
     assert(out(2) == ((3L, 1L, 1.0, 1.0, 0.0, "repetitive")))
   }
 
+  test("repetition stats match a driver-side recomputation") {
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val genDoc = Gen.nonEmptyListOf(Gen.oneOf("a", "b", "c", "dd", "eee"))
+      .map(_.take(30))
+    val genDocs = Gen.nonEmptyListOf(genDoc).map(_.take(8).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" "), "en") })
+    checkProp(Prop.forAll(genDocs) { docs =>
+      val got = CurationQueries.repetitionStatsDocs(docsDf(docs: _*))
+        .as[(Long, Long, Double, Double, Double, String)]
+        .collect().map(r => r._1 -> r).toMap
+      docs.forall { case (id, text, _) =>
+        val w = text.split("\\s+").toSeq
+        val top = w.groupBy(identity).values.map(_.size).max
+        val bi = if (w.length >= 2) w.sliding(2).map(_.mkString(" ")).toSeq
+                 else Seq.empty
+        val dup = if (bi.nonEmpty)
+          round6(1.0 - bi.distinct.length.toDouble / bi.length) else 0.0
+        got(id) == ((id, w.length.toLong,
+          round6(w.distinct.length.toDouble / w.length),
+          round6(top.toDouble / w.length), dup,
+          if (round6(top.toDouble / w.length) > 0.2 || dup > 0.4)
+            "repetitive" else "ok"))
+      }
+    })
+  }
+
   test("pii scrub: counts, redaction length, zero residual") {
     val dirty = "hi a@b.co and c.d@e.org call 123-456-7890"
     val out = CurationQueries.piiScrubDocs(docsDf(

@@ -275,6 +275,29 @@ object SpecPipeline {
       .orderBy(col("line_no"))
   }
 
+  /** Single-pass data-quality counters for the ingest path via Spark's
+    * Observation API: total / corrupt / missing-key / bad-method line
+    * counts are collected as accumulator-backed metrics ON the same scan
+    * that produces the result — no second pass over the file. At 100 TB
+    * a separate counting aggregate re-reads the corpus; `observe()` is
+    * free. Returns (validated frame, metrics map) — the caller must run
+    * an action on the frame before reading the map.
+    */
+  def observedIngest(spark: SparkSession, dir: String)
+      : (DataFrame, org.apache.spark.sql.Observation) = {
+    val obs = org.apache.spark.sql.Observation("ingest_quality")
+    val out = ingestValidation(spark, dir)
+      .observe(obs,
+        count(lit(1)).as("n_error_lines"),
+        count(when(col("error_type") === "jsonl_format_error", 1))
+          .as("n_format_errors"),
+        count(when(col("error_type") === "model_mismatch", 1))
+          .as("n_model_mismatch"),
+        count(when(col("error_type") === "custom_id_not_found", 1))
+          .as("n_unknown_ids"))
+    (out, obs)
+  }
+
   val queries: ListMap[String, graft.Q] = ListMap(
     "q10_flagship_results" -> (flagshipResults _),
     "q11_result_outcomes" -> (resultOutcomes _),

@@ -65,4 +65,15 @@ class SpecPipelineSpec extends SparkSpec {
     assert(errs.filter(_._2 == "jsonl_format_error").forall(e =>
       e._3.isEmpty || e._3.exists(_.startsWith("order-"))))
   }
+
+  test("observed ingest collects quality counters in the same pass") {
+    val (out, obs) = SpecPipeline.observedIngest(spark, sfDir)
+    val rows = out.collect() // one action drives both result and metrics
+    val m = obs.get
+    assert(m("n_error_lines") == rows.length.toLong)
+    val byType = rows.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    assert(m("n_format_errors") == byType("jsonl_format_error").toLong)
+    assert(m("n_model_mismatch") == byType("model_mismatch").toLong)
+    assert(m("n_unknown_ids") == byType("custom_id_not_found").toLong)
+  }
 }

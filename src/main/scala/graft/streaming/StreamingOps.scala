@@ -81,6 +81,50 @@ object StreamingOps {
       }
   }
 
+  /** [[sessionize]] with event-time timeout: an idle session also closes
+    * when the WATERMARK passes its last event + the gap — without this a
+    * user who stops sending events leaves a session open (and its state
+    * resident) forever, which on an unbounded stream is a state leak.
+    * Requires `withWatermark("ts", ...)` upstream; the timeout fires on
+    * watermark advance, so closure is deterministic in event time, not
+    * wall clock.
+    */
+  def sessionizeWithTimeout(events: Dataset[Event]): Dataset[SessionSummary] = {
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionSummary](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
+          if (batch.isEmpty && state.hasTimedOut) {
+            // watermark passed last + gap with no new events: close out
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionSummary(user, s.start, s.last, s.n))
+          } else {
+            val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var cur = state.getOption
+            val closed = Seq.newBuilder[SessionSummary]
+            sorted.foreach { e =>
+              cur match {
+                case Some(s) if e.ts.getTime - s.last.getTime > SessionGapMs =>
+                  closed += SessionSummary(user, s.start, s.last, s.n)
+                  cur = Some(SessionState(e.ts, e.ts, 1L))
+                case Some(s) =>
+                  cur = Some(SessionState(s.start, e.ts, s.n + 1))
+                case None =>
+                  cur = Some(SessionState(e.ts, e.ts, 1L))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last.getTime + SessionGapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
   /** L1 streaming, fuzzy-time variant: dedup by event_id alone even when
     * retransmissions carry a slightly different event time — the case
     * `dropDuplicates(event_id, ts)` misses. State for a key is kept until

@@ -119,6 +119,28 @@ class StreamingOpsSpec extends SparkSpec {
     assert(rows.toSeq.sorted == Seq((ts(0), 3L))) // hour 3 still open
   }
 
+  test("event-time timeout closes an idle session when the watermark passes") {
+    val input = MemoryStream[Event]
+    val query = sessionizeWithTimeout(input.toDS())
+      .writeStream.format("memory").queryName("sessionsTO")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(ev(1, 0, 7), ev(2, 10, 7))
+      query.processAllAvailable()
+      assert(spark.table("sessionsTO").count() == 0) // open, in state
+      // OTHER user's event at t=3h advances the watermark (3h − 1h)
+      // past user 7's last(10min) + gap(30min): the idle session must
+      // close on timeout, with NO further events from user 7
+      input.addData(ev(3, 180, 99))
+      query.processAllAvailable()
+      input.addData(ev(4, 200, 99)) // one more batch so timeouts fire
+      query.processAllAvailable()
+      val closed = spark.table("sessionsTO").as[SessionSummary].collect()
+      assert(closed.contains(SessionSummary(7L, ts(0), ts(10), 2L)),
+        s"idle session not closed: ${closed.toSeq}")
+    } finally query.stop()
+  }
+
   test("dedup-within-watermark drops echoes with a DIFFERENT event time") {
     val input = MemoryStream[Event]
     val query = dedupWithinWatermark(input.toDS())

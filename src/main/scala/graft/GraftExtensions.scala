@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.graftshim.ColumnShim
-import graft.functions.{CosineSimilarity, L2Distance}
+import graft.functions.{CompressionRatio, CosineSimilarity, L2Distance}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions as SQL functions. Two attachment paths:
@@ -15,8 +15,8 @@ import graft.functions.{CosineSimilarity, L2Distance}
   *    consumed only at session build, so an already-running session needs
   *    direct registry registration).
   *
-  * After either, `SELECT cosine_sim(a, b)` and `SELECT l2_sq(a, b)` work
-  * from plain SQL — the extension wiring of SURVEY.md §2.11; no custom
+  * After either, `SELECT cosine_sim(a, b)`, `SELECT l2_sq(a, b)`, and
+  * `SELECT compression_ratio(text)` work from plain SQL — the extension wiring of SURVEY.md §2.11; no custom
   * plan rules are injected (§4.2: Catalyst's built-ins cover every rewrite
   * this engine needs).
   */
@@ -46,7 +46,19 @@ object GraftExtensions {
         "l2_sq expects exactly 2 arguments")
     })
 
-  private val functions = Seq(cosineSimFunction, l2SqFunction)
+  private val compressionRatioFunction: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    new FunctionIdentifier("compression_ratio"),
+    new ExpressionInfo(classOf[CompressionRatio].getName,
+      "compression_ratio"),
+    (children: Seq[Expression]) => children match {
+      case Seq(c) => CompressionRatio(c)
+      case _ => throw new IllegalArgumentException(
+        "compression_ratio expects exactly 1 argument")
+    })
+
+  private val functions =
+    Seq(cosineSimFunction, l2SqFunction, compressionRatioFunction)
 
   def registerAll(spark: SparkSession): Unit =
     functions.foreach { case (ident, info, builder) =>

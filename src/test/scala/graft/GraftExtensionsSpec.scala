@@ -18,4 +18,12 @@ class GraftExtensionsSpec extends SparkSpec {
         |FROM emb5""".stripMargin).collect().map(_.getDouble(0))
     assert(self.forall(c => math.abs(c - 1.0) < 1e-12)) // self-similarity
   }
+
+  test("compression_ratio registers as a SQL function on a live session") {
+    GraftExtensions.registerAll(spark)
+    val out = spark.sql(
+      "SELECT compression_ratio(repeat('abc ', 500)) AS r")
+      .collect().head.getDouble(0)
+    assert(out > 0.0 && out < 0.1, s"repeat-text ratio $out not << 1")
+  }
 }

@@ -53,19 +53,96 @@ object LLMQueries {
     *    the shingling run once per query instead of once per leg.
     */
   private def shingledDocs(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "documents")
+    shingledOf(Tables(spark, dir, "documents"))
+
+  /** The shingle projection over any (doc_id, text) frame. */
+  private[operators] def shingledOf(docsDf: DataFrame): DataFrame = {
+    val parts = docsDf.sparkSession.sessionState.conf.numShufflePartitions
+    docsDf
       // spread the regex/shingle CPU across tasks first: the sf parquet is
       // one file → a one-partition scan (same lesson as SpecPipeline.base)
-      .repartition(spark.sessionState.conf.numShufflePartitions,
-        col("doc_id"))
+      .repartition(parts, col("doc_id"))
       .filter(size(split(col("text"), "\\s+")) >= 3)
       .select(col("doc_id"), expr(
         "transform(array(split(text, '\\\\s+'))," +
           " w -> array_distinct(transform(sequence(0, size(w)-3)," +
           " i -> concat_ws(' ', w[i], w[i+1], w[i+2]))))")
         .getItem(0).as("sh"))
-      .repartition(spark.sessionState.conf.numShufflePartitions,
-        col("doc_id"))
+      .repartition(parts, col("doc_id"))
+  }
+
+  /** LSH band keys (doc_id, band, key) of a shingled frame — the table a
+    * pipeline PERSISTS so tomorrow's batch never re-hashes the corpus. */
+  private[operators] def bandsOf(shingled: DataFrame): DataFrame = {
+    val sigCols = (0 until NumHashes).map { j =>
+      array_min(expr(
+        s"transform(sh, s -> substring(md5(concat('$j:', s)), 1, 16))"))
+        .as(s"h$j")
+    }
+    val sigs = shingled.select(col("doc_id") +: sigCols: _*)
+    val bandStructs = (0 until NumHashes / RowsPerBand).map { b =>
+      struct(lit(b).as("band"),
+        concat(col(s"h${2 * b}"), col(s"h${2 * b + 1}")).as("key"))
+    }
+    sigs.select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"),
+        col("bk.key").as("key"))
+  }
+
+  /** Per-doc shingle sets with sizes — the verification-side table a
+    * pipeline persists next to [[bandsOf]]. */
+  private[operators] def setsOf(shingled: DataFrame): DataFrame =
+    shingled.select(col("doc_id"), col("sh"),
+      size(col("sh")).cast("long").as("n_sh"))
+
+  /** The (bands, sets) signature tables of a document frame — what an
+    * incremental pipeline writes once per corpus snapshot. */
+  def signatureTables(docsDf: DataFrame): (DataFrame, DataFrame) = {
+    val shingled = shingledOf(docsDf)
+    (bandsOf(shingled), setsOf(shingled))
+  }
+
+  /** Exact-Jaccard verification of candidate pairs against per-doc
+    * shingle sets; keeps the shared-shingle contract of [[minhashPairs]]. */
+  private def verifyPairs(cands: DataFrame, sets: DataFrame): DataFrame =
+    cands
+      .join(sets.as("za"), col("doc_a") === col("za.doc_id"))
+      .join(sets.as("zb"), col("doc_b") === col("zb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("za.sh"), col("zb.sh"))).cast("long")
+          .as("n_inter"),
+        col("za.n_sh").as("na"), col("zb.n_sh").as("nb"))
+      .filter(col("n_inter") > 0)
+      .select(col("doc_a"), col("doc_b"), col("n_inter"),
+        round(col("n_inter").cast("double") /
+          (col("na") + col("nb") - col("n_inter")), 6).as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** Incremental near-dup: pairs of an incoming batch against an already
+    * signed corpus (plus batch-internal pairs) WITHOUT re-pairing the
+    * corpus with itself — the daily-ingest flow at 100 TB, where corpus
+    * signatures are petabyte-scale tables written once (signatureTables)
+    * and each day's work is proportional to the batch, not the corpus.
+    * Only band buckets touched by a new doc produce candidates; corpus-
+    * only buckets never join.
+    */
+  def incrementalNearDups(corpusBands: DataFrame, corpusSets: DataFrame,
+      newDocs: DataFrame): DataFrame = {
+    val parts = newDocs.sparkSession.sessionState.conf.numShufflePartitions
+    val shingledNew = shingledOf(newDocs)
+    val newBands = bandsOf(shingledNew).withColumn("is_new", lit(true))
+    val allBands = corpusBands.withColumn("is_new", lit(false))
+      .unionByName(newBands)
+      .repartition(parts, col("band"), col("key"))
+    val cands = allBands.as("a")
+      .join(allBands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          (col("a.is_new") || col("b.is_new")))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    verifyPairs(cands, corpusSets.unionByName(setsOf(shingledNew)))
+  }
 
   /** L1: exact dedup — sha2(text)-keyed groups, keep the min doc_id
     * (deterministic winner). One hash-partitioned aggregation; at 100 TB
@@ -97,25 +174,16 @@ object LLMQueries {
     * 100 TB they degrade gracefully to doc_id-keyed shuffles of one array
     * row per doc instead of ~250 shingle rows per doc.
     */
-  def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    val base = shingledDocs(spark, dir)
-    val sigCols = (0 until NumHashes).map { j =>
-      array_min(expr(
-        s"transform(sh, s -> substring(md5(concat('$j:', s)), 1, 16))"))
-        .as(s"h$j")
-    }
-    val sigs = base.select(col("doc_id") +: sigCols: _*)
-    val bandStructs = (0 until NumHashes / RowsPerBand).map { b =>
-      struct(lit(b).as("band"),
-        concat(col(s"h${2 * b}"), col(s"h${2 * b + 1}")).as("key"))
-    }
+  def minhashPairs(spark: SparkSession, dir: String): DataFrame =
+    minhashPairsOf(Tables(spark, dir, "documents"))
+
+  private[operators] def minhashPairsOf(docsDf: DataFrame): DataFrame = {
+    val base = shingledOf(docsDf)
     // repartition on the join key: both self-join legs then read ONE
     // materialized exchange (ReusedExchange), so the 8-hash signature
     // computation runs once per query instead of once per leg
-    val bands = sigs.select(col("doc_id"),
-      explode(array(bandStructs: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
-      .repartition(spark.sessionState.conf.numShufflePartitions,
+    val bands = bandsOf(base)
+      .repartition(docsDf.sparkSession.sessionState.conf.numShufflePartitions,
         col("band"), col("key"))
 
     // Pair generation stays a self-join (not groupBy+collect_list pair
@@ -130,22 +198,9 @@ object LLMQueries {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
 
-    val sets = base.select(col("doc_id"), col("sh"),
-      size(col("sh")).cast("long").as("n_sh"))
-    cands
-      .join(sets.as("za"), col("doc_a") === col("za.doc_id"))
-      .join(sets.as("zb"), col("doc_b") === col("zb.doc_id"))
-      .select(col("doc_a"), col("doc_b"),
-        size(array_intersect(col("za.sh"), col("zb.sh"))).cast("long")
-          .as("n_inter"),
-        col("za.n_sh").as("na"), col("zb.n_sh").as("nb"))
-      // the exploded formulation's inner join on shingle equality only
-      // surfaced pairs sharing ≥1 shingle; keep that contract
-      .filter(col("n_inter") > 0)
-      .select(col("doc_a"), col("doc_b"), col("n_inter"),
-        round(col("n_inter").cast("double") /
-          (col("na") + col("nb") - col("n_inter")), 6).as("jaccard"))
-      .orderBy(col("doc_a"), col("doc_b"))
+    // the shared-shingle filter inside verifyPairs keeps the exploded
+    // formulation's contract (pairs must share ≥1 shingle)
+    verifyPairs(cands, setsOf(base))
   }
 
   /** L2 (SimHash): 16-bit signature — bit i is the sign of the vote

@@ -155,4 +155,27 @@ class LLMQueriesSpec extends SparkSpec {
           .as("jaccard"))
     assert(d.exceptAll(ref).isEmpty && ref.exceptAll(d).isEmpty)
   }
+
+  test("incremental near-dup equals the full pass restricted to new docs") {
+    def family(i: Long, tag: String) =
+      s"alpha beta gamma delta epsilon zeta eta theta $tag$i"
+    val corpus = ((0L until 6L).map(i => (i, family(i, "c"))) ++
+      (6L until 10L).map(i => (i, s"u${i}a u${i}b u${i}c u${i}d u${i}e")))
+      .toDF("doc_id", "text")
+    val fresh = ((100L until 103L).map(i => (i, family(i, "n"))) ++
+      Seq((103L, "x103a x103b x103c x103d x103e")))
+      .toDF("doc_id", "text")
+    val (bands, sets) = LLMQueries.signatureTables(corpus)
+    val inc = LLMQueries.incrementalNearDups(bands, sets, fresh)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val full = LLMQueries.minhashPairsOf(corpus.unionByName(fresh))
+      .as[(Long, Long, Long, Double)].collect()
+    val isNew = (id: Long) => id >= 100L
+    val restricted = full.filter(p => isNew(p._1) || isNew(p._2)).toSet
+    assert(inc == restricted, s"inc=$inc\nfull-restricted=$restricted")
+    // the batch did find corpus near-dups at all (non-vacuous) …
+    assert(inc.exists { case (a, b, _, _) => !isNew(a) && isNew(b) })
+    // … and corpus-internal pairs exist in full but are NOT recomputed
+    assert(full.exists(p => !isNew(p._1) && !isNew(p._2)))
+  }
 }

@@ -10,9 +10,11 @@ import graft.operators._
   * (VERDICT r1 "What's wrong" #2).
   */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The spec's identity dataflow (result-file parse → extract → validate
+    * → merge, q10) rather than a plain relational query. */
   def entry(spark: SparkSession): DataFrame =
-    RelationalQueries.revenueByNation(spark, "/root/testdata/sf0.001")
+    SpecPipeline.flagshipResults(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: ListMap[String, (SparkSession, String) => DataFrame] =

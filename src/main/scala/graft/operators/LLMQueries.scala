@@ -155,6 +155,28 @@ object LLMQueries {
       .select(col("keep_id"), col("n_copies"))
       .orderBy(col("keep_id"))
 
+  /** The persisted corpus hash index for [[incrementalExactDedup]]:
+    * one distinct 64-hex sha2 per known text. */
+  def hashIndex(docsDf: DataFrame): DataFrame =
+    docsDf.select(sha2(col("text"), 256).as("h")).distinct()
+
+  /** Incremental exact dedup: survivors of an incoming batch against a
+    * persisted corpus hash index (sha2(text) keys — what [[exactDedup]]
+    * materializes). Batch docs whose hash exists in the corpus are dups;
+    * within the batch the min doc_id wins, as in the full pass. The
+    * anti-join shuffles 64-hex keys only, never corpus text: daily cost
+    * is O(batch), not O(corpus).
+    */
+  def incrementalExactDedup(corpusHashes: DataFrame,
+      newDocs: DataFrame): DataFrame =
+    newDocs
+      .withColumn("h", sha2(col("text"), 256))
+      .groupBy(col("h"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .join(corpusHashes.select(col("h")), Seq("h"), "left_anti")
+      .select(col("keep_id"), col("n_copies"))
+      .orderBy(col("keep_id"))
+
   /** L2: MinHash + LSH banding + exact Jaccard on the surviving candidate
     * pairs only. Signature h_j = min over shingles of a seeded md5 prefix;
     * band key = 2 consecutive signature slots; pairs sharing ≥1 band are

@@ -156,6 +156,21 @@ class LLMQueriesSpec extends SparkSpec {
     assert(d.exceptAll(ref).isEmpty && ref.exceptAll(d).isEmpty)
   }
 
+  test("incremental exact dedup keeps only batch texts unseen in the corpus") {
+    val corpus = Seq((1L, "known text one"), (2L, "known text two"))
+      .toDF("doc_id", "text")
+    val fresh = Seq(
+      (10L, "known text one"),   // exact dup of corpus → dropped
+      (11L, "brand new text"),   // unseen → kept
+      (12L, "brand new text"),   // batch-internal dup → 11 wins, n=2
+      (13L, "another new one"))  // unseen → kept
+      .toDF("doc_id", "text")
+    val out = LLMQueries.incrementalExactDedup(
+      LLMQueries.hashIndex(corpus), fresh)
+      .as[(Long, Long)].collect().toSet
+    assert(out == Set((11L, 2L), (13L, 1L)))
+  }
+
   test("incremental near-dup equals the full pass restricted to new docs") {
     def family(i: Long, tag: String) =
       s"alpha beta gamma delta epsilon zeta eta theta $tag$i"

@@ -435,6 +435,34 @@ object CurationQueries {
         .filter(col("jaccard") >= ClusterThreshold)
         .select(col("doc_a"), col("doc_b")))._1
 
+  /** q88: the END of the near-dup pipeline — one canonical survivor per
+    * connected component, electing the max-quality member (q71's rule)
+    * with doc_id as the deterministic tie-break. Composes pairs (q64) →
+    * clusters (q85's star CC) → survivors in a single query; everything
+    * downstream of clustering is one window over (cluster_id), so
+    * survivor election adds exactly one key-partitioned shuffle at any
+    * corpus size.
+    */
+  def clusterSurvivors(spark: SparkSession, dir: String): DataFrame =
+    electSurvivors(dedupClustersStar(spark, dir),
+      docs(spark, dir)
+        .select(col("doc_id"), LLMQueries.qualityExpr.as("quality")))
+
+  /** Survivor election: max quality wins per cluster, min doc_id breaks
+    * ties. One window over cluster_id — a single key-partitioned
+    * shuffle. */
+  private[operators] def electSurvivors(clusters: DataFrame,
+      scored: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("quality").desc, col("doc_id"))
+    clusters.join(scored, "doc_id")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("cluster_id"), col("doc_id").as("kept_id"),
+        col("quality"), col("cluster_size"))
+      .orderBy(col("kept_id"))
+  }
+
   val queries: ListMap[String, graft.Q] = ListMap(
     "q74_decontaminate" -> (decontaminate _),
     "q75_hash_split" -> (hashSplit _),
@@ -443,13 +471,15 @@ object CurationQueries {
     "q78_repetition_stats" -> (repetitionStats _),
     "q79_pii_scrub" -> (piiScrub _),
     "q84_quality_classifier" -> (qualityClassifier _),
-    "q85_dedup_clusters_star" -> (dedupClustersStar _))
+    "q85_dedup_clusters_star" -> (dedupClustersStar _),
+    "q88_cluster_survivors" -> (clusterSurvivors _))
 
   // ---- oracle SQL -----------------------------------------------------
 
-  /** Shared by q77 and q85: both cluster formations must agree with the
-    * same recursive-CTE transitive closure over the q64 pair graph. */
-  private val clustersOracle: String =
+  /** Shared CTE prefix for q77/q85/q88: the recursive-CTE transitive
+    * closure over the q64 pair graph, ending in `comp(doc_id,
+    * cluster_id)`. */
+  private val clustersCtes: String =
     s"WITH RECURSIVE ${LLMQueries.minhashPairsCtes}," +
       s"""pairs AS (
          |  SELECT doc_a, doc_b FROM pairs_all
@@ -463,10 +493,15 @@ object CurationQueries {
          |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
          |comp AS (
          |  SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
-         |  FROM reach GROUP BY src)
-         |SELECT doc_id, cluster_id,
-         |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
-         |FROM comp ORDER BY doc_id""".stripMargin
+         |  FROM reach GROUP BY src)""".stripMargin
+
+  /** Shared by q77 and q85: both cluster formations must agree with the
+    * same recursive-CTE transitive closure over the q64 pair graph. */
+  private val clustersOracle: String =
+    s"""$clustersCtes
+       |SELECT doc_id, cluster_id,
+       |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+       |FROM comp ORDER BY doc_id""".stripMargin
 
   private val gramsCte =
     """garr AS (
@@ -513,6 +548,26 @@ object CurationQueries {
     },
     "q77_dedup_clusters" -> clustersOracle,
     "q85_dedup_clusters_star" -> clustersOracle,
+    "q88_cluster_survivors" ->
+      s"""$clustersCtes,
+         |labels AS (
+         |  SELECT doc_id, cluster_id,
+         |    count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+         |  FROM comp),
+         |quality AS (
+         |  SELECT doc_id,
+         |    round(least(1.0, CAST(len(w) AS DOUBLE) / 120.0) *
+         |          (CAST(len(list_distinct(w)) AS DOUBLE) / len(w)), 6)
+         |      AS quality
+         |  FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS w
+         |        FROM documents)),
+         |ranked AS (
+         |  SELECT cluster_id, doc_id, quality, cluster_size,
+         |    row_number() OVER (PARTITION BY cluster_id
+         |      ORDER BY quality DESC, doc_id) AS rn
+         |  FROM labels JOIN quality USING (doc_id))
+         |SELECT cluster_id, doc_id AS kept_id, quality, cluster_size
+         |FROM ranked WHERE rn = 1 ORDER BY kept_id""".stripMargin,
     "q78_repetition_stats" ->
       """WITH w AS (
         |  SELECT doc_id, string_split_regex(text, '\s+') AS w

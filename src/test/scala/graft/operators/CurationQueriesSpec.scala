@@ -232,6 +232,20 @@ class CurationQueriesSpec extends SparkSpec {
     assert(rounds <= 12, s"rounds=$rounds — superlogarithmic on a chain")
   }
 
+  test("survivor election keeps max quality, breaking ties by min id") {
+    val clusters = Seq(
+      (1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L), // cluster 1
+      (10L, 10L, 2L), (11L, 10L, 2L))           // cluster 10
+      .toDF("doc_id", "cluster_id", "cluster_size")
+    val scored = Seq(
+      (1L, 0.5), (2L, 0.9), (3L, 0.9),   // 2 and 3 tie → 2 wins
+      (10L, 0.4), (11L, 0.8))
+      .toDF("doc_id", "quality")
+    val out = CurationQueries.electSurvivors(clusters, scored)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(out == Set((1L, 2L, 0.9, 3L), (10L, 11L, 0.8, 2L)))
+  }
+
   test("quality classifier matches an independent weight computation") {
     def weight(token: String): Long = {
       val d = java.security.MessageDigest.getInstance("MD5")

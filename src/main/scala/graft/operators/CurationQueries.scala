@@ -358,6 +358,9 @@ object CurationQueries {
       labels = next
       rounds += 1
     }
+    // stale labels would silently mislabel clusters downstream — fail loud
+    require(changed == 0,
+      s"connectedComponents did not converge within $rounds rounds")
     val w = Window.partitionBy(col("cluster_id"))
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
       .withColumn("cluster_size", count(lit(1)).over(w))
@@ -413,6 +416,11 @@ object CurationQueries {
       e = next
       rounds += 1
     }
+    // the star-forest extraction below ASSUMES convergence: on a
+    // non-converged edge set a node can hold several out-edges and the
+    // labels would be silently wrong — fail loud instead
+    require(done,
+      s"connectedComponentsStar did not converge within $rounds rounds")
     // converged edge set is a star forest: u → component min; roots
     // (the mins) have no outgoing edge
     val roots = e.select(col("v")).distinct()

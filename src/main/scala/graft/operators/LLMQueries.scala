@@ -128,18 +128,22 @@ object LLMQueries {
     */
   def incrementalNearDups(corpusBands: DataFrame, corpusSets: DataFrame,
       newDocs: DataFrame): DataFrame = {
-    val parts = newDocs.sparkSession.sessionState.conf.numShufflePartitions
     val shingledNew = shingledOf(newDocs)
-    val newBands = bandsOf(shingledNew).withColumn("is_new", lit(true))
-    val allBands = corpusBands.withColumn("is_new", lit(false))
-      .unionByName(newBands)
-      .repartition(parts, col("band"), col("key"))
+    val newBands = bandsOf(shingledNew)
+    // probe shape: (corpus ∪ new) bands join against NEW bands only — a
+    // corpus-only bucket has no matching probe key and never enumerates
+    // its pairs (a full self-join with an is-new residual predicate
+    // would still expand every corpus bucket before filtering). The new
+    // side is batch-sized, so AQE typically broadcasts it and the corpus
+    // table is a pure scan; new×new pairs arrive from both directions
+    // and collapse under least/greatest + distinct.
+    val allBands = corpusBands.unionByName(newBands)
     val cands = allBands.as("a")
-      .join(allBands.as("b"),
-        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.doc_id") < col("b.doc_id") &&
-          (col("a.is_new") || col("b.is_new")))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .join(newBands.as("n"),
+        col("a.band") === col("n.band") && col("a.key") === col("n.key") &&
+          col("a.doc_id") =!= col("n.doc_id"))
+      .select(least(col("a.doc_id"), col("n.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("n.doc_id")).as("doc_b"))
       .distinct()
     verifyPairs(cands, corpusSets.unionByName(setsOf(shingledNew)))
   }

@@ -56,28 +56,43 @@ object StreamingOps {
     * downstream, open ones stay in state. Batch twin:
     * [[graft.operators.EventQueries.userSessions]] (gaps-and-islands).
     */
+  /** Shared session fold: batch events merge into the prior state in
+    * event-time order. A late event admitted by the watermark but older
+    * than the session's `last` (cross-batch disorder) extends the count
+    * and may pull `start` back, but NEVER regresses `last` — otherwise
+    * a delayed event would shrink the gap horizon, fire timeouts early,
+    * and falsely split sessions. */
+  private def foldSessions(user: Long, batch: Iterator[Event],
+      prior: Option[SessionState])
+      : (Seq[SessionSummary], Option[SessionState]) = {
+    val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+    var cur = prior
+    val closed = Seq.newBuilder[SessionSummary]
+    sorted.foreach { e =>
+      cur match {
+        case Some(s) if e.ts.getTime - s.last.getTime > SessionGapMs =>
+          closed += SessionSummary(user, s.start, s.last, s.n)
+          cur = Some(SessionState(e.ts, e.ts, 1L))
+        case Some(s) =>
+          val start = if (e.ts.getTime < s.start.getTime) e.ts else s.start
+          val last = if (e.ts.getTime > s.last.getTime) e.ts else s.last
+          cur = Some(SessionState(start, last, s.n + 1))
+        case None =>
+          cur = Some(SessionState(e.ts, e.ts, 1L))
+      }
+    }
+    (closed.result(), cur)
+  }
+
   def sessionize(events: Dataset[Event]): Dataset[SessionSummary] = {
     import events.sparkSession.implicits._
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionSummary](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (user: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
-          val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-          var cur = state.getOption
-          val closed = Seq.newBuilder[SessionSummary]
-          sorted.foreach { e =>
-            cur match {
-              case Some(s) if e.ts.getTime - s.last.getTime > SessionGapMs =>
-                closed += SessionSummary(user, s.start, s.last, s.n)
-                cur = Some(SessionState(e.ts, e.ts, 1L))
-              case Some(s) =>
-                cur = Some(SessionState(s.start, e.ts, s.n + 1))
-              case None =>
-                cur = Some(SessionState(e.ts, e.ts, 1L))
-            }
-          }
+          val (closed, cur) = foldSessions(user, batch, state.getOption)
           cur.foreach(state.update)
-          closed.result().iterator
+          closed.iterator
       }
   }
 
@@ -102,25 +117,12 @@ object StreamingOps {
             state.remove()
             Iterator.single(SessionSummary(user, s.start, s.last, s.n))
           } else {
-            val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-            var cur = state.getOption
-            val closed = Seq.newBuilder[SessionSummary]
-            sorted.foreach { e =>
-              cur match {
-                case Some(s) if e.ts.getTime - s.last.getTime > SessionGapMs =>
-                  closed += SessionSummary(user, s.start, s.last, s.n)
-                  cur = Some(SessionState(e.ts, e.ts, 1L))
-                case Some(s) =>
-                  cur = Some(SessionState(s.start, e.ts, s.n + 1))
-                case None =>
-                  cur = Some(SessionState(e.ts, e.ts, 1L))
-              }
-            }
+            val (closed, cur) = foldSessions(user, batch, state.getOption)
             cur.foreach { s =>
               state.update(s)
               state.setTimeoutTimestamp(s.last.getTime + SessionGapMs)
             }
-            closed.result().iterator
+            closed.iterator
           }
       }
   }

@@ -119,6 +119,25 @@ class StreamingOpsSpec extends SparkSpec {
     assert(rows.toSeq.sorted == Seq((ts(0), 3L))) // hour 3 still open
   }
 
+  test("a late in-gap event never regresses the session horizon") {
+    val input = MemoryStream[Event]
+    val query = sessionize(input.toDS())
+      .writeStream.format("memory").queryName("sessionsLate")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(ev(1, 0, 7), ev(2, 20, 7))
+      query.processAllAvailable()
+      input.addData(ev(3, 10, 7)) // cross-batch late arrival, in-gap
+      query.processAllAvailable()
+      input.addData(ev(4, 60, 7)) // 40 min after the TRUE last → closes
+      query.processAllAvailable()
+      val closed = spark.table("sessionsLate").as[SessionSummary].collect()
+      // one session 0-20 with 3 events; a regressed horizon would have
+      // closed (0,10,3) instead
+      assert(closed.toSeq == Seq(SessionSummary(7L, ts(0), ts(20), 3L)))
+    } finally query.stop()
+  }
+
   test("event-time timeout closes an idle session when the watermark passes") {
     val input = MemoryStream[Event]
     val query = sessionizeWithTimeout(input.toDS())

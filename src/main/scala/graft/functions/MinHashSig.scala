@@ -1,0 +1,127 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftshim.ColumnShim
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expression computing ALL MinHash LSH band keys of a
+  * shingle-set `array<string>` in one fused pass.
+  *
+  * Contract (bit-identical to the HOF formulation it replaces, and to the
+  * DuckDB oracle — asserted in MinHashSigSpec): signature slot j is
+  * `min over shingles s of substring(md5(concat('j:', s)), 1, 16)` and
+  * band b's key is the concatenation of slots `b·rowsPerBand ..
+  * (b+1)·rowsPerBand - 1`. A 16-lowercase-hex-char prefix of an md5
+  * compares lexicographically exactly like the UNSIGNED 64-bit integer
+  * of the digest's first 8 bytes, so the fused loop keeps one long per
+  * slot (`Long.compareUnsigned` min) and renders hex only once per
+  * document at the end — no per-shingle concat / hex-string / substring
+  * allocations, and one shared MessageDigest instead of one md5 call
+  * object per (seed, shingle).
+  *
+  * Input rows whose shingle array is empty yield NULL (as `array_min`
+  * over an empty transform does), keeping the "docs with < 3 words are
+  * out of near-dup scope" contract of the caller.
+  */
+case class MinHashBandKeys(
+    child: Expression,
+    numHashes: Int,
+    rowsPerBand: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  require(numHashes % rowsPerBand == 0,
+    s"numHashes=$numHashes must be a multiple of rowsPerBand=$rowsPerBand")
+
+  override def inputTypes = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "minhash_band_keys"
+  override def nullable: Boolean = true
+
+  // empty shingle set → null result, so eval must see it (no nullSafeEval
+  // shortcut semantics change; we just return null from the helper)
+  override def nullSafeEval(input: Any): Any =
+    MinHashBandKeys.eval(input.asInstanceOf[ArrayData], numHashes, rowsPerBand)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      s"""
+         |${ev.value} = (org.apache.spark.sql.catalyst.util.GenericArrayData)
+         |  graft.functions.MinHashBandKeys.eval($v, $numHashes, $rowsPerBand);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashBandKeys =
+    copy(child = newChild)
+}
+
+object MinHashBandKeys {
+
+  // MessageDigest is not thread-safe; tasks share the JVM in local mode
+  private val md5 = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest =
+      MessageDigest.getInstance("MD5")
+  }
+
+  private val hexDigits = "0123456789abcdef".toCharArray
+
+  /** Shared interpreted/codegen kernel. Returns null for an empty set. */
+  def eval(v: ArrayData, numHashes: Int, rowsPerBand: Int): GenericArrayData = {
+    val n = v.numElements()
+    if (n == 0) return null
+    val digest = md5.get()
+    // per-slot minima as unsigned longs of the digest's first 8 bytes
+    val mins = new Array[Long](numHashes)
+    java.util.Arrays.fill(mins, -1L) // 0xffff… = unsigned max
+    var i = 0
+    while (i < n) {
+      val s = v.getUTF8String(i).getBytes
+      var j = 0
+      while (j < numHashes) {
+        digest.reset()
+        // concat('j:', s) without building the string: seed digits + ':'
+        if (j >= 10) digest.update(('0' + j / 10).toByte)
+        digest.update(('0' + j % 10).toByte)
+        digest.update(':'.toByte)
+        digest.update(s)
+        val d = digest.digest()
+        var h = 0L
+        var b = 0
+        while (b < 8) { h = (h << 8) | (d(b) & 0xffL); b += 1 }
+        if (java.lang.Long.compareUnsigned(h, mins(j)) < 0) mins(j) = h
+        j += 1
+      }
+      i += 1
+    }
+    val nBands = numHashes / rowsPerBand
+    val keys = new Array[AnyRef](nBands)
+    val chars = new Array[Char](16 * rowsPerBand)
+    var band = 0
+    while (band < nBands) {
+      var r = 0
+      while (r < rowsPerBand) {
+        val h = mins(band * rowsPerBand + r)
+        var c = 0
+        while (c < 16) {
+          chars(r * 16 + c) = hexDigits(((h >>> ((15 - c) * 4)) & 0xfL).toInt)
+          c += 1
+        }
+        r += 1
+      }
+      keys(band) = UTF8String.fromString(new String(chars))
+      band += 1
+    }
+    new GenericArrayData(keys)
+  }
+
+  /** Column-API entry point: `minhashBandKeys($"sh", 8, 2)`. */
+  def minhashBandKeys(sh: Column, numHashes: Int, rowsPerBand: Int): Column =
+    ColumnShim.column(
+      MinHashBandKeys(ColumnShim.expression(sh), numHashes, rowsPerBand))
+}

@@ -72,22 +72,19 @@ object LLMQueries {
   }
 
   /** LSH band keys (doc_id, band, key) of a shingled frame — the table a
-    * pipeline PERSISTS so tomorrow's batch never re-hashes the corpus. */
-  private[operators] def bandsOf(shingled: DataFrame): DataFrame = {
-    val sigCols = (0 until NumHashes).map { j =>
-      array_min(expr(
-        s"transform(sh, s -> substring(md5(concat('$j:', s)), 1, 16))"))
-        .as(s"h$j")
-    }
-    val sigs = shingled.select(col("doc_id") +: sigCols: _*)
-    val bandStructs = (0 until NumHashes / RowsPerBand).map { b =>
-      struct(lit(b).as("band"),
-        concat(col(s"h${2 * b}"), col(s"h${2 * b + 1}")).as("key"))
-    }
-    sigs.select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"),
-        col("bk.key").as("key"))
-  }
+    * pipeline PERSISTS so tomorrow's batch never re-hashes the corpus.
+    *
+    * The signature+banding is ONE fused native expression
+    * ([[graft.functions.MinHashBandKeys]], bit-identical to the
+    * 8×`transform`+`array_min` HOF formulation it replaced — see
+    * MinHashSigSpec): one shared MessageDigest, no per-shingle
+    * concat/hex/substring allocations, hex rendered once per doc. */
+  private[operators] def bandsOf(shingled: DataFrame): DataFrame =
+    shingled
+      .select(col("doc_id"),
+        posexplode(graft.functions.MinHashBandKeys.minhashBandKeys(
+          col("sh"), NumHashes, RowsPerBand)))
+      .select(col("doc_id"), col("pos").as("band"), col("col").as("key"))
 
   /** Per-doc shingle sets with sizes — the verification-side table a
     * pipeline persists next to [[bandsOf]]. */

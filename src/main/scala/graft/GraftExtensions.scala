@@ -4,7 +4,9 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.graftshim.ColumnShim
-import graft.functions.{CompressionRatio, CosineSimilarity, L2Distance}
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.types.IntegerType
+import graft.functions.{CompressionRatio, CosineSimilarity, L2Distance, MinHashBandKeys}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions as SQL functions. Two attachment paths:
@@ -57,8 +59,22 @@ object GraftExtensions {
         "compression_ratio expects exactly 1 argument")
     })
 
+  private val minhashBandKeysFunction: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    new FunctionIdentifier("minhash_band_keys"),
+    new ExpressionInfo(classOf[MinHashBandKeys].getName,
+      "minhash_band_keys"),
+    (children: Seq[Expression]) => children match {
+      case Seq(sh, Literal(n: Int, IntegerType), Literal(r: Int, IntegerType)) =>
+        MinHashBandKeys(sh, n, r)
+      case _ => throw new IllegalArgumentException(
+        "minhash_band_keys expects (array<string>, int literal numHashes, " +
+          "int literal rowsPerBand)")
+    })
+
   private val functions =
-    Seq(cosineSimFunction, l2SqFunction, compressionRatioFunction)
+    Seq(cosineSimFunction, l2SqFunction, compressionRatioFunction,
+      minhashBandKeysFunction)
 
   def registerAll(spark: SparkSession): Unit =
     functions.foreach { case (ident, info, builder) =>

@@ -471,6 +471,96 @@ object CurationQueries {
       .orderBy(col("kept_id"))
   }
 
+  /** Words per segment for sub-document (line-level) dedup. */
+  val SegWords = 10
+
+  /** Sub-document segment dedup (the C4/RefinedWeb line-dedup mechanism,
+    * adapted to the corpus's flat word streams): each document is cut
+    * into consecutive [[SegWords]]-word segments; a segment occurrence
+    * survives iff it is the corpus-wide FIRST occurrence of that exact
+    * segment (min (doc_id, pos)); every later copy — boilerplate headers,
+    * near-dup overlap, within-doc repetition — is stripped, and the
+    * document is re-assembled from its surviving segments in order.
+    *
+    * Scale shape: the keeper per segment comes from a partial-aggregating
+    * `groupBy(seg).agg(min(struct(doc_id, pos)))` — NOT a window over
+    * seg: a window would funnel every occurrence of a hot boilerplate
+    * segment through ONE reducer, where the aggregate map-side-combines
+    * it. The join back on seg is AQE-skew-splittable, and reassembly is
+    * one doc_id-keyed aggregation. Documents whose every segment is a
+    * repeat survive with empty cleaned text (conditional aggregation, not
+    * a post-filter join).
+    */
+  def segmentDedupDocs(docsDf: DataFrame): DataFrame = {
+    val segArr = expr(
+      "transform(array(split(text, '\\\\s+'))," +
+        s" w -> transform(sequence(0, cast(ceil(size(w) / ${SegWords}.0d)" +
+        s" as int) - 1), i -> concat_ws(' ', slice(w, i * $SegWords + 1," +
+        s" $SegWords))))[0]")
+    val segs = docsDf
+      .select(col("doc_id"), segArr.as("sl"))
+      .select(col("doc_id"), size(col("sl")).cast("long").as("n_segs"),
+        posexplode(col("sl")))
+      .toDF("doc_id", "n_segs", "pos", "seg")
+    val keepers = segs.groupBy(col("seg"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("kp"))
+    segs.join(keepers, Seq("seg"))
+      .withColumn("kept",
+        col("doc_id") === col("kp.doc_id") && col("pos") === col("kp.pos"))
+      .groupBy(col("doc_id"))
+      .agg(first(col("n_segs")).as("n_segs"),
+        count(when(col("kept"), 1)).as("n_kept"),
+        concat_ws(" ", expr(
+          "transform(array_sort(collect_list(CASE WHEN kept THEN" +
+            " struct(pos, seg) END)), s -> s.seg)")).as("cleaned_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  def segmentDedup(spark: SparkSession, dir: String): DataFrame =
+    segmentDedupDocs(docs(spark, dir))
+
+  /** Source mixture weights, derived from the source id so the query is
+    * self-contained: src<n> gets weight 0.5 + (n mod 3) — i.e. 0.5
+    * (downsample), 1.5, or 2.5 (upsample). The fractional part is always
+    * .5, whose 32-bit hex threshold is exact in both engines. */
+  private val MixSalt = "graft-mix:"
+
+  /** Data mixing: up/down-sample each source to its target mixture
+    * weight, deterministically. Every document gets `floor(w)` whole
+    * copies plus one more iff its salted hash clears the fractional
+    * threshold — a pure function of doc_id, so the mixed corpus is
+    * reproducible under reruns, repartitioning, and incremental appends
+    * (same property as the q75 sampler, extended to weights > 1).
+    * Output is the mixed-corpus id frame (doc_id, source, copy_id);
+    * training consumes it joined back to the text by doc_id.
+    *
+    * Scale shape: one narrow projection + explode — no shuffle at all
+    * until the output sort (oracle determinism only). Copy multiplicity
+    * never materializes text: the explode carries ids, and the text join
+    * happens AFTER any further sampling/packing, so a weight-2.5 source
+    * costs 2.5× ids, not 2.5× corpus bytes.
+    */
+  def sourceMixtureDocs(docsDf: DataFrame): DataFrame = {
+    val srcNum = regexp_extract(col("source"), "(\\d+)", 1).cast("int")
+    val wgt = lit(0.5) + (srcNum % 3).cast("double")
+    val frac = substring(md5(concat(lit(MixSalt),
+      col("doc_id").cast("string"))), 1, 8) < "80000000"
+    docsDf
+      .select(col("doc_id"), col("source"),
+        (floor(wgt).cast("int") + when(frac, 1).otherwise(0)).as("n_rep"))
+      .select(col("doc_id"), col("source"),
+        // sequence(1, 0) DESCENDS in Spark — guard the zero-copy case
+        explode(when(col("n_rep") >= 1,
+          sequence(lit(1), col("n_rep"))).otherwise(
+          array().cast("array<int>"))).as("copy_id"))
+      .select(col("doc_id"), col("source"), col("copy_id").cast("long")
+        .as("copy_id"))
+      .orderBy(col("doc_id"), col("copy_id"))
+  }
+
+  def sourceMixture(spark: SparkSession, dir: String): DataFrame =
+    sourceMixtureDocs(docs(spark, dir))
+
   val queries: ListMap[String, graft.Q] = ListMap(
     "q74_decontaminate" -> (decontaminate _),
     "q75_hash_split" -> (hashSplit _),
@@ -480,7 +570,9 @@ object CurationQueries {
     "q79_pii_scrub" -> (piiScrub _),
     "q84_quality_classifier" -> (qualityClassifier _),
     "q85_dedup_clusters_star" -> (dedupClustersStar _),
-    "q88_cluster_survivors" -> (clusterSurvivors _))
+    "q88_cluster_survivors" -> (clusterSurvivors _),
+    "q89_segment_dedup" -> (segmentDedup _),
+    "q90_source_mixture" -> (sourceMixture _))
 
   // ---- oracle SQL -----------------------------------------------------
 
@@ -554,6 +646,36 @@ object CurationQueries {
          |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens
          |FROM kept GROUP BY lang, split ORDER BY lang, split""".stripMargin
     },
+    "q89_segment_dedup" ->
+      s"""WITH segarr AS (
+         |  SELECT doc_id, list_transform(
+         |    range(0, CAST(ceil(len(w) / ${SegWords}.0) AS INT)),
+         |    i -> {'pos': i, 'seg': array_to_string(
+         |      list_slice(w, i*$SegWords + 1, i*$SegWords + $SegWords), ' ')}) AS sl
+         |  FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS w
+         |        FROM documents)),
+         |segs AS (SELECT doc_id, len(sl) AS n_segs,
+         |         unnest(sl, recursive := true) FROM segarr),
+         |ranked AS (
+         |  SELECT doc_id, n_segs, pos, seg,
+         |    row_number() OVER (PARTITION BY seg ORDER BY doc_id, pos) AS rn
+         |  FROM segs)
+         |SELECT doc_id, CAST(any_value(n_segs) AS BIGINT) AS n_segs,
+         |  CAST(count(*) FILTER (rn = 1) AS BIGINT) AS n_kept,
+         |  coalesce(string_agg(seg, ' ' ORDER BY pos) FILTER (rn = 1), '')
+         |    AS cleaned_text
+         |FROM ranked GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q90_source_mixture" ->
+      s"""WITH rep AS (
+         |  SELECT doc_id, source,
+         |    CAST(floor(0.5 + (CAST(regexp_extract(source, '(\\d+)', 1) AS INT) % 3))
+         |      AS INT) +
+         |    CASE WHEN substr(md5('$MixSalt' || CAST(doc_id AS VARCHAR)), 1, 8)
+         |           < '80000000' THEN 1 ELSE 0 END AS n_rep
+         |  FROM documents)
+         |SELECT doc_id, source, CAST(unnest(range(1, n_rep + 1)) AS BIGINT)
+         |  AS copy_id
+         |FROM rep ORDER BY doc_id, copy_id""".stripMargin,
     "q77_dedup_clusters" -> clustersOracle,
     "q85_dedup_clusters_star" -> clustersOracle,
     "q88_cluster_survivors" ->

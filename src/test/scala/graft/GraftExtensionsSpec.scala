@@ -26,4 +26,17 @@ class GraftExtensionsSpec extends SparkSpec {
       .collect().head.getDouble(0)
     assert(out > 0.0 && out < 0.1, s"repeat-text ratio $out not << 1")
   }
+
+  test("minhash_band_keys registers as a SQL function on a live session") {
+    GraftExtensions.registerAll(spark)
+    val keys = spark.sql(
+      "SELECT minhash_band_keys(array('a b c', 'b c d'), 8, 2) AS k")
+      .collect().head.getSeq[String](0)
+    assert(keys.length == 4 &&
+      keys.forall(k => k.length == 32 && k.matches("[0-9a-f]+")))
+    // non-literal shape params are a clear error, not a mis-plan
+    val err = intercept[Exception](spark.sql(
+      "SELECT minhash_band_keys(array('a'), cast(rand()*8 AS int), 2)"))
+    assert(err.getMessage.contains("minhash_band_keys"))
+  }
 }

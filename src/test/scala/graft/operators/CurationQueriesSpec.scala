@@ -285,4 +285,78 @@ class CurationQueriesSpec extends SparkSpec {
     assert(seeded(7L) == "t contact user7@example.com now")
     assert(seeded(11L) == "t call 555-011-0011")
   }
+
+  // ---- segment dedup (q89) -------------------------------------------
+
+  /** 10 words per segment: "A"/"B"/… below name distinct 10-word blocks
+    * (w0 … w9 etc.) so segment identity is easy to control. */
+  private def block(tag: String): String =
+    (0 until CurationQueries.SegWords).map(i => s"$tag$i").mkString(" ")
+
+  test("segment dedup keeps the corpus-wide first occurrence only") {
+    val a = block("a"); val b = block("b"); val c = block("c")
+    val out = CurationQueries.segmentDedupDocs(docsDf(
+      (1L, s"$a $b", "en"),
+      (2L, s"$b $c", "en"),   // b already seen in doc 1
+      (3L, s"$c $c", "en")))  // c seen in doc 2; second c is in-doc repeat
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(out(0) == ((1L, 2L, 2L, s"$a $b")))
+    assert(out(1) == ((2L, 2L, 1L, c)))
+    assert(out(2) == ((3L, 2L, 0L, "")))
+  }
+
+  test("segment dedup preserves in-order reassembly and partial tails") {
+    val a = block("a")
+    // doc 4: a + 3-word tail; the tail is its own (partial) segment
+    val out = CurationQueries.segmentDedupDocs(docsDf(
+      (4L, s"$a tail1 tail2 tail3", "en")))
+      .as[(Long, Long, Long, String)].collect()
+    assert(out.head == ((4L, 2L, 2L, s"$a tail1 tail2 tail3")))
+  }
+
+  test("segment dedup is partition-independent") {
+    val a = block("a"); val b = block("b")
+    val base = docsDf((1L, s"$a $b", "en"), (2L, s"$b $a", "en"))
+    val one = CurationQueries.segmentDedupDocs(base.repartition(1))
+      .collect().toSeq
+    val many = CurationQueries.segmentDedupDocs(base.repartition(7))
+      .collect().toSeq
+    assert(one == many)
+  }
+
+  // ---- source mixture (q90) ------------------------------------------
+
+  private def srcDf(rows: (Long, String)*) =
+    rows.map { case (id, s) => (id, "text", "en", s) }
+      .toDF("doc_id", "text", "lang", "source")
+
+  test("source mixture honors floor(weight) and bounds the extra copy") {
+    // src1 → weight 1.5: every doc gets 1 or 2 copies; src2 → weight 2.5:
+    // 2 or 3; src0/src3 → weight 0.5: 0 or 1
+    val df = srcDf((0 until 40).map(i => (i.toLong, s"src${i % 4}")): _*)
+    val counts = CurationQueries.sourceMixtureDocs(df)
+      .groupBy("doc_id").count().as[(Long, Long)].collect().toMap
+    (0 until 40).foreach { i =>
+      val n = counts.getOrElse(i.toLong, 0L)
+      (i % 4) match {
+        case 0 | 3 => assert(n == 0L || n == 1L, s"doc $i: $n")
+        case 1 => assert(n == 1L || n == 2L, s"doc $i: $n")
+        case 2 => assert(n == 2L || n == 3L, s"doc $i: $n")
+      }
+    }
+    // weight-2.5 docs always outnumber their weight-0.5 twins
+    val bySrc = CurationQueries.sourceMixtureDocs(df)
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(bySrc("src2") > bySrc.getOrElse("src0", 0L))
+  }
+
+  test("source mixture is deterministic and copy_ids are dense from 1") {
+    val df = srcDf((0L, "src2"), (1L, "src2"), (2L, "src1"))
+    val r1 = CurationQueries.sourceMixtureDocs(df).collect().toSeq
+    val r2 = CurationQueries.sourceMixtureDocs(df.repartition(5)).collect().toSeq
+    assert(r1 == r2)
+    r1.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      assert(rows.map(_.getLong(2)).sorted == (1L to rows.length).toSeq)
+    }
+  }
 }

@@ -204,8 +204,11 @@ object VectorQueries {
     * multiply-accumulate, components rounded once) instead of 24
     * interpreted `aggregate(zip_with(...))` expressions.
     */
-  def cosineNearDups(spark: SparkSession, dir: String): DataFrame = {
-    val e = vecs(spark, dir)
+  def cosineNearDups(spark: SparkSession, dir: String): DataFrame =
+    cosineNearDupsOf(vecs(spark, dir))
+
+  private[operators] def cosineNearDupsOf(e: DataFrame): DataFrame = {
+    val spark = e.sparkSession
     // repartition on the join key: both self-join legs then read ONE
     // materialized exchange (ReusedExchange), so the fixed-point
     // sign-bit dot products run once per query instead of once per leg
@@ -232,8 +235,50 @@ object VectorQueries {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  /** Exact fixed-point squared norm — the election key for semantic
+    * dedup. round(x·1e6)² longs sum exactly (64 dims × 1e12 ≪ 2⁶³) and
+    * identically in both engines, where a double Σx² could differ in the
+    * last ulp between summation orders. */
+  private val norm2Expr = expr(
+    "aggregate(v, 0L, (s, x) -> s + cast(round(x * 1e6) as bigint)" +
+      " * cast(round(x * 1e6) as bigint))")
+
+  /** SemDeDup-style semantic dedup, end to end: the q65 sign-LSH verified
+    * pair graph → star connected components (the q85 O(log n) scale
+    * path) → one survivor per component, electing the max-norm member
+    * (norm ≈ information content for unnormalized embeddings) with
+    * vec_id as the deterministic tie-break. Output is one row per
+    * near-dup cluster; singleton vectors are implicitly kept and not
+    * listed (same contract as q77/q85 over documents).
+    *
+    * Scale: pair volume is q65's O(Σ bucket²) LSH bound; CC is
+    * large-star/small-star (O(log n) rounds); election is one window
+    * over cluster_id — nothing here is quadratic in the corpus.
+    */
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame =
+    semanticDedupOf(vecs(spark, dir))
+
+  private[operators] def semanticDedupOf(e: DataFrame): DataFrame = {
+    val pairs = cosineNearDupsOf(e)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    val clusters = CurationQueries.connectedComponentsStar(pairs)._1
+      .select(col("doc_id").as("vec_id"), col("cluster_id"),
+        col("cluster_size"))
+    val norms = e.select(col("vec_id"), norm2Expr.as("norm2"))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("norm2").desc, col("vec_id"))
+    clusters.join(norms, "vec_id")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("cluster_id"), col("vec_id").as("kept_id"),
+        col("cluster_size").cast("long").as("cluster_size"),
+        (col("cluster_size") - 1).cast("long").as("n_dropped"))
+      .orderBy(col("cluster_id"))
+  }
+
   val queries: ListMap[String, graft.Q] = ListMap(
     "q65_cosine_near_dups" -> (cosineNearDups _),
+    "q91_semantic_dedup" -> (semanticDedup _),
     "q67_topk_cosine" -> (topkCosine _),
     "q68_centroid_classify" -> (centroidClassify _),
     "q69_ivf_topk_cosine" -> (ivfTopkCosine _),
@@ -273,22 +318,58 @@ object VectorQueries {
     s"SELECT vec_id, $b AS band, concat(${bits.mkString(", ")}) AS key FROM e"
   }.mkString("\n  UNION ALL ")
 
+  /** The full q65 pipeline as composable CTEs ending in `vpairs(vec_a,
+    * vec_b, cos)` — shared with q91's semantic dedup so the two oracles
+    * can't drift apart (same pattern as LLMQueries.minhashPairsCtes). */
+  private val cosinePairsCtes: String =
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |bands AS (
+       |  $oracleBands),
+       |cands AS (
+       |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id),
+       |vpairs AS (
+       |  SELECT vec_a, vec_b,
+       |    round(list_cosine_similarity(ea.v, eb.v), 6) AS cos
+       |  FROM cands
+       |  JOIN e ea ON ea.vec_id = vec_a
+       |  JOIN e eb ON eb.vec_id = vec_b
+       |  WHERE round(list_cosine_similarity(ea.v, eb.v), 6)
+       |        >= $NearDupThreshold)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q65_cosine_near_dups" ->
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |bands AS (
-         |  $oracleBands),
-         |cands AS (
-         |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-         |  FROM bands a JOIN bands b
-         |    ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id)
-         |SELECT vec_a, vec_b,
-         |  round(list_cosine_similarity(ea.v, eb.v), 6) AS cos
-         |FROM cands
-         |JOIN e ea ON ea.vec_id = vec_a
-         |JOIN e eb ON eb.vec_id = vec_b
-         |WHERE round(list_cosine_similarity(ea.v, eb.v), 6) >= $NearDupThreshold
+      s"""WITH $cosinePairsCtes
+         |SELECT vec_a, vec_b, cos FROM vpairs
          |ORDER BY vec_a, vec_b""".stripMargin,
+    "q91_semantic_dedup" ->
+      s"""WITH RECURSIVE $cosinePairsCtes,
+         |edges AS (
+         |  SELECT vec_a AS src, vec_b AS dst FROM vpairs
+         |  UNION ALL SELECT vec_b, vec_a FROM vpairs),
+         |reach AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, g.dst FROM reach r JOIN edges g ON r.dst = g.src),
+         |comp AS (
+         |  SELECT src AS vec_id, least(src, min(dst)) AS cluster_id
+         |  FROM reach GROUP BY src),
+         |norms AS (
+         |  SELECT vec_id, CAST(list_sum(list_transform(v,
+         |    x -> CAST(round(x * 1e6) AS BIGINT) *
+         |         CAST(round(x * 1e6) AS BIGINT))) AS BIGINT) AS norm2
+         |  FROM e),
+         |ranked AS (
+         |  SELECT cluster_id, vec_id, norm2,
+         |    row_number() OVER (PARTITION BY cluster_id
+         |      ORDER BY norm2 DESC, vec_id) AS rn,
+         |    count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+         |  FROM comp JOIN norms USING (vec_id))
+         |SELECT cluster_id, vec_id AS kept_id,
+         |  CAST(cluster_size AS BIGINT) AS cluster_size,
+         |  CAST(cluster_size - 1 AS BIGINT) AS n_dropped
+         |FROM ranked WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
     "q67_topk_cosine" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < $NumQueries),

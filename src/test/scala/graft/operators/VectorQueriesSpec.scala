@@ -174,6 +174,24 @@ class VectorQueriesSpec extends SparkSpec {
     }
   }
 
+  test("semantic dedup elects the max-norm member of a colinear cluster") {
+    // three colinear vectors (cos = 1 pairwise) form ONE cluster via CC
+    // even though LSH pairs them pairwise; the scaled-up copy has the
+    // largest norm and must win. An uncorrelated vector (cos ≈ -0.018
+    // with u) is a singleton and must not be listed.
+    val u = (0 until 64).map(i => math.sin(i + 1.0))
+    val w = (0 until 64).map(i => math.cos(3.0 * i + 2.0))
+    val e = Seq(
+      (10L, "a", u.map(_ * 1.0)),
+      (11L, "a", u.map(_ * 1.5)),
+      (12L, "a", u.map(_ * 2.0)),
+      (99L, "b", w))
+      .toDF("vec_id", "label", "v")
+    val out = VectorQueries.semanticDedupOf(e)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.toSeq == Seq((10L, 12L, 3L, 2L))) // cluster_id=min, keeper=12
+  }
+
   test("fixed-point rounding matches Spark round() on half boundaries") {
     // ±2.5 and ±3.5 in the 1e-9 domain hit exact .5 fixed-point values;
     // Math.round would give -2 / -3 where HALF_UP gives -3 / -4

@@ -561,6 +561,69 @@ object CurationQueries {
   def sourceMixture(spark: SparkSession, dir: String): DataFrame =
     sourceMixtureDocs(docs(spark, dir))
 
+  /** Fluency threshold in NLL micro-nats: docs whose average bigram
+    * negative-log-likelihood exceeds this are flagged disfluent. */
+  val FluencyNllMicro = 3600000L
+
+  /** CCNet-style LM fluency scoring (the "perplexity filter"): an add-one
+    * bigram model is estimated on a reference slice of the corpus
+    * (doc_id % 10 == 0 — in production: Wikipedia or another clean
+    * corpus), and every other document is scored by its mean bigram NLL
+    * under that model. High mean NLL = text the reference LM finds
+    * surprising = boilerplate/garble candidates.
+    *
+    * Determinism: each bigram's NLL is rounded to integer micro-nats
+    * BEFORE the per-doc sum, so the aggregate is an exact integer sum —
+    * order- and partition-independent — and the mean is an integer
+    * floor-division (values are non-negative, so Spark's truncating
+    * `div` and DuckDB's floor `//` agree). ln() itself is the same
+    * exposure q63's TF-IDF score already has.
+    *
+    * Scale shape: the model (bigram + unigram counts, vocab size) is
+    * bounded by the REFERENCE corpus, not the training corpus — CCNet
+    * uses Wikipedia — so both model tables broadcast; the training side
+    * is one explode + two broadcast joins + one doc_id rollup. The
+    * unigram table derives from the bigram table (sum over w1), sharing
+    * its aggregation rather than re-scanning the reference.
+    */
+  def lmFluencyDocs(docsDf: DataFrame): DataFrame = {
+    val wordsArr = docsDf
+      .select(col("doc_id"), split(col("text"), "\\s+").as("w"))
+      // sequence(0, -1) DESCENDS in Spark: a 1-word doc must not reach
+      // the bigram transform (DuckDB's range(1, 1) is empty naturally)
+      .filter(size(col("w")) >= 2)
+    val biExpr = expr(
+      "transform(sequence(0, size(w) - 2)," +
+        " i -> struct(w[i] AS w1, w[i+1] AS w2))")
+    val refBi = wordsArr.filter(col("doc_id") % 10 === 0)
+      .select(explode(biExpr).as("b"))
+      .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .agg(count(lit(1)).as("cb"))
+    val refUni = refBi.groupBy(col("w1"))
+      .agg(sum(col("cb")).as("cu"))
+    val vocab = wordsArr.filter(col("doc_id") % 10 === 0)
+      .select(explode(col("w")).as("t")).agg(count_distinct(col("t")).as("v"))
+    wordsArr.filter(col("doc_id") % 10 =!= 0)
+      .select(col("doc_id"), explode(biExpr).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .join(broadcast(refBi), Seq("w1", "w2"), "left")
+      .join(broadcast(refUni), Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .withColumn("nll", expr(
+        "cast(round(-ln(cast(coalesce(cb, 0) + 1 as double)" +
+          " / (coalesce(cu, 0) + v)) * 1e6) as bigint)"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        // exact integer division — nll sums are non-negative, so Spark's
+        // truncating `div` equals DuckDB's floor `//`
+        expr("sum(nll) div count(*)").as("avg_nll_micro"))
+      .withColumn("is_fluent", col("avg_nll_micro") <= FluencyNllMicro)
+      .orderBy(col("doc_id"))
+  }
+
+  def lmFluency(spark: SparkSession, dir: String): DataFrame =
+    lmFluencyDocs(docs(spark, dir))
+
   val queries: ListMap[String, graft.Q] = ListMap(
     "q74_decontaminate" -> (decontaminate _),
     "q75_hash_split" -> (hashSplit _),
@@ -572,7 +635,8 @@ object CurationQueries {
     "q85_dedup_clusters_star" -> (dedupClustersStar _),
     "q88_cluster_survivors" -> (clusterSurvivors _),
     "q89_segment_dedup" -> (segmentDedup _),
-    "q90_source_mixture" -> (sourceMixture _))
+    "q90_source_mixture" -> (sourceMixture _),
+    "q92_lm_fluency" -> (lmFluency _))
 
   // ---- oracle SQL -----------------------------------------------------
 
@@ -676,6 +740,36 @@ object CurationQueries {
          |SELECT doc_id, source, CAST(unnest(range(1, n_rep + 1)) AS BIGINT)
          |  AS copy_id
          |FROM rep ORDER BY doc_id, copy_id""".stripMargin,
+    "q92_lm_fluency" ->
+      s"""WITH wordsarr AS (
+         |  SELECT doc_id, string_split_regex(text, '\\s+') AS w
+         |  FROM documents),
+         |refbi AS (
+         |  SELECT w[i] AS w1, w[i+1] AS w2, count(*) AS cb
+         |  FROM wordsarr, LATERAL unnest(range(1, len(w))) AS t(i)
+         |  WHERE doc_id % 10 = 0 GROUP BY 1, 2),
+         |refuni AS (
+         |  SELECT w1, CAST(sum(cb) AS BIGINT) AS cu FROM refbi GROUP BY w1),
+         |vocab AS (
+         |  SELECT count(*) AS v FROM (
+         |    SELECT DISTINCT unnest(w) FROM wordsarr WHERE doc_id % 10 = 0)),
+         |docbi AS (
+         |  SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+         |  FROM wordsarr, LATERAL unnest(range(1, len(w))) AS t(i)
+         |  WHERE doc_id % 10 <> 0),
+         |scored AS (
+         |  SELECT doc_id,
+         |    CAST(round(-ln(CAST(coalesce(cb, 0) + 1 AS DOUBLE) /
+         |                   (coalesce(cu, 0) + v)) * 1e6) AS BIGINT) AS nll
+         |  FROM docbi
+         |  LEFT JOIN refbi USING (w1, w2)
+         |  LEFT JOIN refuni USING (w1)
+         |  CROSS JOIN vocab)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |  CAST(sum(nll) // count(*) AS BIGINT) AS avg_nll_micro,
+         |  (CAST(sum(nll) // count(*) AS BIGINT)) <= $FluencyNllMicro
+         |    AS is_fluent
+         |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q77_dedup_clusters" -> clustersOracle,
     "q85_dedup_clusters_star" -> clustersOracle,
     "q88_cluster_survivors" ->

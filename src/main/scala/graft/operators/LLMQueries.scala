@@ -333,6 +333,98 @@ object LLMQueries {
       .orderBy(col("doc_id"), col("rk"))
   }
 
+  private val Bm25K1 = 1.2
+  private val Bm25B = 0.75
+  private val Bm25NumQueries = 5
+  private val Bm25TopK = 3
+
+  /** Lexical top-k retrieval via Okapi BM25 — the standard keyword-search
+    * scorer, complementing the embedding-cosine family (q67/q69): the
+    * first [[Bm25NumQueries]] documents act as queries (their distinct
+    * terms are the query terms) and every other document is ranked by
+    *   Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)),
+    * idf = ln((N−df+0.5)/(df+0.5)+1).
+    *
+    * Determinism: each term's contribution is rounded to integer
+    * micro-units BEFORE the per-(query, doc) sum — exact integer
+    * aggregation, order/partition-independent (the q92 NLL pattern);
+    * ln() exposure is the same as q63's TF-IDF.
+    *
+    * Scale shape: tf is the one corpus-wide shuffle; doc lengths derive
+    * from tf (ReusedExchange) rather than a second corpus pass; the
+    * query-term set is broadcast (queries are few); df is
+    * vocabulary-sized — broadcast here, a t-keyed shuffle join at
+    * web-corpus vocab sizes; scoring joins touch only docs sharing a
+    * query term; final ranking is per-query top-k (O3 window).
+    */
+  def bm25Topk(spark: SparkSession, dir: String): DataFrame =
+    bm25TopkOf(docs(spark, dir))
+
+  private[operators] def bm25TopkOf(docsDf: DataFrame): DataFrame = {
+    val words = docsDf
+      .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("t"))
+    val tf = words.groupBy(col("doc_id"), col("t"))
+      .agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val df = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
+    val stats = docsDf.select(count(lit(1)).as("n_docs"))
+      .crossJoin(dl.select(avg(col("dl")).as("avgdl")))
+    val qterms = tf.filter(col("doc_id") < Bm25NumQueries)
+      .select(col("doc_id").as("qid"), col("t"))
+    val termScores = tf.filter(col("doc_id") >= Bm25NumQueries)
+      .join(broadcast(qterms), Seq("t"))
+      .join(broadcast(df), Seq("t"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("s_micro", expr(
+        s"cast(round(ln((n_docs - df + 0.5d) / (df + 0.5d) + 1.0d)" +
+          s" * (tf * ${Bm25K1 + 1}d)" +
+          s" / (tf + $Bm25K1 * (1.0d - $Bm25B + $Bm25B * dl / avgdl))" +
+          " * 1e6) as bigint)"))
+    val perDoc = termScores.groupBy(col("qid"), col("doc_id"))
+      .agg(sum(col("s_micro")).as("score_micro"),
+        count(lit(1)).as("n_terms"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score_micro").desc, col("doc_id"))
+    perDoc.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= Bm25TopK)
+      .select(col("qid"), col("rk").cast("long").as("rk"),
+        col("doc_id"), col("score_micro"), col("n_terms"))
+      .orderBy(col("qid"), col("rk"))
+  }
+
+  /** Top pair count for [[bpePairCounts]]. */
+  private val BpeTopPairs = 20
+
+  /** BPE tokenizer training, step one: corpus-wide adjacent character-pair
+    * frequencies (each pair weighted by its word's corpus frequency) —
+    * the statistic the first BPE merge maximizes. Adjacent pair =
+    * 2-char substring, which both engines slice identically, so no
+    * engine-specific char-split is needed.
+    *
+    * Scale shape: the word-frequency aggregation is the only corpus-wide
+    * shuffle (vocabulary-sized output); pair counting then runs over the
+    * VOCABULARY (times ~word-length pairs each), not the corpus — the
+    * same collapse a real BPE trainer relies on. Top pairs via
+    * TakeOrderedAndProject (deterministic total+pair tie-break), never a
+    * global-window single reducer.
+    */
+  def bpePairCounts(spark: SparkSession, dir: String): DataFrame =
+    bpePairCountsOf(docs(spark, dir))
+
+  private[operators] def bpePairCountsOf(docsDf: DataFrame): DataFrame = {
+    val wc = docsDf
+      .select(explode(split(col("text"), "\\s+")).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("n"))
+    wc.filter(length(col("t")) >= 2)
+      .select(col("n"), explode(expr(
+        "transform(sequence(1, length(t) - 1), i -> substring(t, i, 2))"))
+        .as("pair"))
+      .groupBy(col("pair")).agg(sum(col("n")).as("total"))
+      .orderBy(col("total").desc, col("pair"))
+      .limit(BpeTopPairs)
+  }
+
   /** Rolling-hash winnowing fingerprint as ONE narrow per-row expression:
     * min seeded-md5 prefix over the 5-word shingles (docs under 5 words
     * fall back to hashing the whole text). The same lambda-bind idiom as
@@ -443,6 +535,8 @@ object LLMQueries {
     "q61_text_stats" -> (textStats _),
     "q62_lang_rollup" -> (langRollup _),
     "q63_tfidf_top_terms" -> (tfidfTopTerms _),
+    "q93_bm25_topk" -> (bm25Topk _),
+    "q94_bpe_pairs" -> (bpePairCounts _),
     "q64_minhash_pairs" -> (minhashPairs _),
     "q66_simhash_signatures" -> (simhashSignatures _),
     "q70_doc_fingerprints" -> (docFingerprints _))
@@ -551,6 +645,52 @@ object LLMQueries {
         |    (PARTITION BY doc_id ORDER BY score DESC, t) AS rk
         |  FROM scored WHERE doc_id < 50)
         |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+    "q93_bm25_topk" ->
+      s"""WITH words AS (
+         |  SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS t
+         |  FROM documents),
+         |tf AS (SELECT doc_id, t, count(*) AS tf FROM words GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+         |       FROM tf GROUP BY doc_id),
+         |df AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+         |stats AS (
+         |  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         |         (SELECT avg(dl) FROM dl) AS avgdl),
+         |qterms AS (SELECT doc_id AS qid, t FROM tf
+         |           WHERE doc_id < $Bm25NumQueries),
+         |ts AS (
+         |  SELECT qid, tf.doc_id,
+         |    CAST(round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+         |      * (tf * ${Bm25K1 + 1})
+         |      / (tf + $Bm25K1 * (1.0 - $Bm25B + $Bm25B * dl / avgdl))
+         |      * 1e6) AS BIGINT) AS s_micro
+         |  FROM tf
+         |  JOIN qterms USING (t)
+         |  JOIN df USING (t)
+         |  JOIN dl ON dl.doc_id = tf.doc_id
+         |  CROSS JOIN stats
+         |  WHERE tf.doc_id >= $Bm25NumQueries),
+         |perdoc AS (
+         |  SELECT qid, doc_id, CAST(sum(s_micro) AS BIGINT) AS score_micro,
+         |         count(*) AS n_terms
+         |  FROM ts GROUP BY 1, 2)
+         |SELECT qid, rk, doc_id, score_micro, n_terms FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY qid
+         |    ORDER BY score_micro DESC, doc_id) AS rk
+         |  FROM perdoc)
+         |WHERE rk <= $Bm25TopK ORDER BY qid, rk""".stripMargin,
+    "q94_bpe_pairs" ->
+      s"""WITH words AS (
+         |  SELECT unnest(string_split_regex(text, '\\s+')) AS t
+         |  FROM documents),
+         |wc AS (SELECT t, count(*) AS n FROM words GROUP BY t),
+         |pairs AS (
+         |  SELECT substr(t, i, 2) AS pair, n
+         |  FROM wc, LATERAL unnest(range(1, length(t))) AS x(i)
+         |  WHERE length(t) >= 2)
+         |SELECT pair, CAST(sum(n) AS BIGINT) AS total
+         |FROM pairs GROUP BY pair
+         |ORDER BY total DESC, pair LIMIT $BpeTopPairs""".stripMargin,
     "q64_minhash_pairs" -> (s"WITH $minhashPairsCtes " +
       """SELECT doc_a, doc_b, n_inter, jaccard FROM pairs_all
         |ORDER BY doc_a, doc_b""".stripMargin),

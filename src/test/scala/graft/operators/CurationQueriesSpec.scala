@@ -324,6 +324,31 @@ class CurationQueriesSpec extends SparkSpec {
     assert(one == many)
   }
 
+  // ---- LM fluency (q92) ----------------------------------------------
+
+  test("lm fluency scores exact add-one bigram NLL against the ref slice") {
+    // ref doc 10: "a b a b" → cb(a,b)=2, cb(b,a)=1; cu(a)=2, cu(b)=1; V=2
+    // doc 1 "a b": nll = -ln((2+1)/(2+2)) = 287682 micro-nats
+    // doc 2 "x y": unseen → -ln(1/(0+2))  = 693147 micro-nats
+    val out = CurationQueries.lmFluencyDocs(docsDf(
+      (10L, "a b a b", "en"),
+      (1L, "a b", "en"),
+      (2L, "x y", "en")))
+      .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(out(0) == ((1L, 1L, 287682L, true)))
+    assert(out(1) == ((2L, 1L, 693147L, true)))
+    assert(out(0)._3 < out(1)._3) // in-distribution text scores lower NLL
+  }
+
+  test("lm fluency excludes ref docs and one-word docs from scoring") {
+    val out = CurationQueries.lmFluencyDocs(docsDf(
+      (10L, "a b", "en"),   // ref slice — never scored
+      (3L, "solo", "en"),   // no bigrams
+      (4L, "a b", "en")))
+      .as[(Long, Long, Long, Boolean)].collect()
+    assert(out.map(_._1).toSeq == Seq(4L))
+  }
+
   // ---- source mixture (q90) ------------------------------------------
 
   private def srcDf(rows: (Long, String)*) =

@@ -193,4 +193,36 @@ class LLMQueriesSpec extends SparkSpec {
     // … and corpus-internal pairs exist in full but are NOT recomputed
     assert(full.exists(p => !isNew(p._1) && !isNew(p._2)))
   }
+
+  test("bpe pair counts weight pairs by word frequency, in-word repeats count") {
+    // "ab" ×3 → pair ab=3; "aaa" ×2 → pair aa twice per word = 4;
+    // one-char words contribute nothing
+    val corpus = Seq(
+      (1L, "ab ab aaa x"),
+      (2L, "ab aaa x"))
+      .toDF("doc_id", "text")
+    val out = LLMQueries.bpePairCountsOf(corpus)
+      .as[(String, Long)].collect().toMap
+    assert(out == Map("aa" -> 4L, "ab" -> 3L))
+  }
+
+  test("bm25 ranks rare-term and higher-tf matches above common-term ones") {
+    // query doc 0 = "rare common". 'rare' appears only in doc 10 (high
+    // idf); 'common' is everywhere (low idf); doc 12 has it twice.
+    val corpus = Seq(
+      (0L, "rare common"),
+      (10L, "rare filler1 filler2"),
+      (11L, "common filler3 filler4"),
+      (12L, "common common filler5"),
+      (13L, "common filler6 filler7"),
+      (14L, "common filler8 filler9"))
+      .toDF("doc_id", "text")
+    val out = LLMQueries.bm25TopkOf(corpus)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(out.forall(_._1 == 0L) && out.length == 3)
+    assert(out.head._3 == 10L) // rare-term match wins
+    val rankOf = out.map(r => r._3 -> r._2).toMap
+    assert(rankOf(12L) < rankOf.getOrElse(11L, Long.MaxValue)) // tf=2 beats tf=1
+    assert(out.forall(_._4 > 0L)) // all scores positive
+  }
 }

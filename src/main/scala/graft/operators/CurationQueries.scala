@@ -491,22 +491,25 @@ object CurationQueries {
     * repeat survive with empty cleaned text (conditional aggregation, not
     * a post-filter join).
     */
-  def segmentDedupDocs(docsDf: DataFrame): DataFrame = {
-    val segArr = expr(
-      "transform(array(split(text, '\\\\s+'))," +
-        s" w -> transform(sequence(0, cast(ceil(size(w) / ${SegWords}.0d)" +
-        s" as int) - 1), i -> concat_ws(' ', slice(w, i * $SegWords + 1," +
-        s" $SegWords))))[0]")
-    val segs = docsDf
-      .select(col("doc_id"), segArr.as("sl"))
+  private val segArrExpr = expr(
+    "transform(array(split(text, '\\\\s+'))," +
+      s" w -> transform(sequence(0, cast(ceil(size(w) / ${SegWords}.0d)" +
+      s" as int) - 1), i -> concat_ws(' ', slice(w, i * $SegWords + 1," +
+      s" $SegWords))))[0]")
+
+  /** (doc_id, n_segs, pos, seg) — one row per segment occurrence. */
+  private def segRows(docsDf: DataFrame): DataFrame =
+    docsDf
+      .select(col("doc_id"), segArrExpr.as("sl"))
       .select(col("doc_id"), size(col("sl")).cast("long").as("n_segs"),
         posexplode(col("sl")))
       .toDF("doc_id", "n_segs", "pos", "seg")
-    val keepers = segs.groupBy(col("seg"))
-      .agg(min(struct(col("doc_id"), col("pos"))).as("kp"))
-    segs.join(keepers, Seq("seg"))
-      .withColumn("kept",
-        col("doc_id") === col("kp.doc_id") && col("pos") === col("kp.pos"))
+
+  /** Reassemble docs from their surviving segment occurrences: count +
+    * in-order concat via conditional aggregation, so docs whose EVERY
+    * segment is a duplicate survive with empty text. */
+  private def reassemble(marked: DataFrame): DataFrame =
+    marked
       .groupBy(col("doc_id"))
       .agg(first(col("n_segs")).as("n_segs"),
         count(when(col("kept"), 1)).as("n_kept"),
@@ -514,6 +517,49 @@ object CurationQueries {
           "transform(array_sort(collect_list(CASE WHEN kept THEN" +
             " struct(pos, seg) END)), s -> s.seg)")).as("cleaned_text"))
       .orderBy(col("doc_id"))
+
+  def segmentDedupDocs(docsDf: DataFrame): DataFrame = {
+    val segs = segRows(docsDf)
+    val keepers = segs.groupBy(col("seg"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("kp"))
+    reassemble(segs.join(keepers, Seq("seg"))
+      .withColumn("kept",
+        col("doc_id") === col("kp.doc_id") && col("pos") === col("kp.pos")))
+  }
+
+  /** The persisted corpus segment index for [[incrementalSegmentDedup]]:
+    * one row per distinct segment seen in the corpus. Presence is all the
+    * incremental pass needs (corpus keepers beat any batch occurrence),
+    * so the index is a single string column — compact to store and to
+    * anti-join against. */
+  def segmentIndex(docsDf: DataFrame): DataFrame =
+    segRows(docsDf).select(col("seg")).distinct()
+
+  /** Incremental segment dedup: clean an incoming batch against a
+    * persisted corpus segment index WITHOUT re-reading corpus text —
+    * same daily-ingest contract as [[graft.operators.LLMQueries
+    * .incrementalExactDedup]]/incrementalNearDups, completing the
+    * incremental family at sub-document granularity. A batch segment
+    * occurrence survives iff its segment is absent from the corpus
+    * index AND it is the batch-wide first occurrence. Equals the full
+    * pass restricted to the batch whenever batch doc_ids sort after
+    * corpus doc_ids (the append-only id discipline the other
+    * incremental operators already assume); the invariant is asserted
+    * in CurationQueriesSpec. Daily cost: O(batch) segment rows through
+    * one aggregate plus one seg-keyed join against the index.
+    */
+  def incrementalSegmentDedup(corpusSegs: DataFrame,
+      newDocs: DataFrame): DataFrame = {
+    val segs = segRows(newDocs)
+    val batchKeepers = segs.groupBy(col("seg"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("kp"))
+    reassemble(segs
+      .join(batchKeepers, Seq("seg"))
+      .join(corpusSegs.select(col("seg"), lit(true).as("known")),
+        Seq("seg"), "left")
+      .withColumn("kept",
+        col("known").isNull &&
+          col("doc_id") === col("kp.doc_id") && col("pos") === col("kp.pos")))
   }
 
   def segmentDedup(spark: SparkSession, dir: String): DataFrame =

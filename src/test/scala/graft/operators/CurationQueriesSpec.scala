@@ -324,6 +324,23 @@ class CurationQueriesSpec extends SparkSpec {
     assert(one == many)
   }
 
+  test("incremental segment dedup equals the full pass restricted to the batch") {
+    val a = block("a"); val b = block("b"); val c = block("c"); val d = block("d")
+    val corpus = docsDf((1L, s"$a $b", "en"), (2L, s"$b $c", "en"))
+    // batch ids sort after corpus ids (append-only discipline)
+    val batch = docsDf(
+      (10L, s"$c $d", "en"),  // c known from corpus, d fresh
+      (11L, s"$d $a", "en"))  // d already taken by doc 10 in-batch
+    val idx = CurationQueries.segmentIndex(corpus)
+    val inc = CurationQueries.incrementalSegmentDedup(idx, batch)
+      .as[(Long, Long, Long, String)].collect().toSet
+    val full = CurationQueries.segmentDedupDocs(corpus.unionByName(batch))
+      .as[(Long, Long, Long, String)].collect()
+      .filter(_._1 >= 10L).toSet
+    assert(inc == full)
+    assert(inc == Set((10L, 2L, 1L, d), (11L, 2L, 0L, "")))
+  }
+
   // ---- LM fluency (q92) ----------------------------------------------
 
   test("lm fluency scores exact add-one bigram NLL against the ref slice") {

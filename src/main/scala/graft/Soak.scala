@@ -1,8 +1,5 @@
 package graft
 
-import java.util.concurrent.atomic.AtomicLong
-
-import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -39,44 +36,51 @@ object Soak {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val idOffset = 1000000L
-    if (!new java.io.File(s"$outDir/documents.parquet").exists()) {
+    // regenerate unless BOTH tables exist — a crash between the two
+    // writes must not leave a half-generated dir that later runs trust
+    val haveAll = Seq("documents", "embeddings")
+      .forall(t => new java.io.File(s"$outDir/$t.parquet").exists())
+    if (!haveAll) {
+      Seq("documents", "embeddings").foreach { t =>
+        val d = new java.io.File(s"$outDir/$t.parquet")
+        if (d.exists()) {
+          d.listFiles().foreach(_.delete()); d.delete()
+        }
+      }
       val reps = explode(sequence(lit(0), lit(factor - 1))).as("r")
-      Tables(spark, sfDir, "documents")
+      // replica id stride derived from the data — a constant would
+      // silently collide ids once the base corpus outgrows it
+      val docs = Tables(spark, sfDir, "documents")
+      val embs = Tables(spark, sfDir, "embeddings")
+      val idOffset = math.max(
+        docs.agg(max(col("doc_id"))).head.getLong(0),
+        embs.agg(max(col("vec_id"))).head.getLong(0)) + 1L
+      docs
         .select(col("*"), reps)
         .select((col("doc_id") + col("r") * idOffset).as("doc_id"),
           when(col("r") === 0, col("text"))
             .otherwise(concat(col("text"), lit(" rep"), col("r")))
             .as("text"),
-          col("lang"), col("source"), col("n_chars"))
+          col("lang"), col("source"))
+        // n_chars recomputed AFTER the replica suffix, or every replica
+        // row would carry the base text's stale length
+        .withColumn("n_chars", length(col("text")).cast("long"))
         .repartition(cpus.toInt)
         .write.parquet(s"$outDir/documents.parquet")
-      Tables(spark, sfDir, "embeddings")
+      embs
         .select(col("*"), reps)
         .select((col("vec_id") + col("r") * idOffset).as("vec_id"),
           col("embedding"), col("label"))
         .repartition(cpus.toInt)
         .write.parquet(s"$outDir/embeddings.parquet")
-      println(s"[soak] generated ${factor}x corpus at $outDir")
+      println(s"[soak] generated ${factor}x corpus at $outDir (id stride $idOffset)")
     }
 
-    val cpuNs = new AtomicLong
-    spark.sparkContext.addSparkListener(new SparkListener {
-      override def onTaskEnd(e: SparkListenerTaskEnd): Unit =
-        if (e.taskMetrics != null) cpuNs.addAndGet(e.taskMetrics.executorCpuTime)
-    })
+    val cpuNs = Timing.cpuCounter(spark)
     spark.range(1000000L).selectExpr("sum(id)").collect()
     names.foreach { name =>
-      (1 to 2).foreach { pass =>
-        System.gc()
-        val c0 = cpuNs.get()
-        val t0 = System.nanoTime()
-        val n = SparkEntry.queries(name)(spark, outDir).count()
-        val wall = (System.nanoTime() - t0) / 1e9
-        Thread.sleep(50)
-        val cpu = (cpuNs.get() - c0) / 1e9
-        println(f"[soak] $name pass=$pass rows=$n wall=$wall%.2fs cpu=$cpu%.2fs")
-      }
+      Timing.timedPasses(spark, cpuNs, s"[soak] $name")(
+        SparkEntry.queries(name)(spark, outDir).count())
     }
     spark.stop()
   }

@@ -37,6 +37,9 @@ case class MinHashBandKeys(
 
   require(numHashes % rowsPerBand == 0,
     s"numHashes=$numHashes must be a multiple of rowsPerBand=$rowsPerBand")
+  // the seed prefix is rendered as at most two decimal digits; a silent
+  // wrong-prefix digest for j >= 100 would break the md5('j:'||s) contract
+  require(numHashes <= 99, s"numHashes=$numHashes exceeds the supported 99")
 
   override def inputTypes = Seq(ArrayType(StringType))
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -71,17 +74,24 @@ object MinHashBandKeys {
 
   private val hexDigits = "0123456789abcdef".toCharArray
 
-  /** Shared interpreted/codegen kernel. Returns null for an empty set. */
+  /** Shared interpreted/codegen kernel. Returns null for an empty set —
+    * and null ELEMENTS are skipped, matching the HOF formulation it
+    * replaced (md5(concat('j:', null)) is null and array_min ignores
+    * nulls), so an all-null set also returns null. */
   def eval(v: ArrayData, numHashes: Int, rowsPerBand: Int): GenericArrayData = {
     val n = v.numElements()
-    if (n == 0) return null
     val digest = md5.get()
     // per-slot minima as unsigned longs of the digest's first 8 bytes
     val mins = new Array[Long](numHashes)
     java.util.Arrays.fill(mins, -1L) // 0xffff… = unsigned max
+    var seen = 0
     var i = 0
     while (i < n) {
-      val s = v.getUTF8String(i).getBytes
+      val u = v.getUTF8String(i)
+      if (u == null) { i += 1 }
+      else {
+      seen += 1
+      val s = u.getBytes
       var j = 0
       while (j < numHashes) {
         digest.reset()
@@ -98,7 +108,9 @@ object MinHashBandKeys {
         j += 1
       }
       i += 1
+      }
     }
+    if (seen == 0) return null
     val nBands = numHashes / rowsPerBand
     val keys = new Array[AnyRef](nBands)
     val chars = new Array[Char](16 * rowsPerBand)

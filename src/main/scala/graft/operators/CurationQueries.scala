@@ -587,7 +587,12 @@ object CurationQueries {
     * costs 2.5× ids, not 2.5× corpus bytes.
     */
   def sourceMixtureDocs(docsDf: DataFrame): DataFrame = {
-    val srcNum = regexp_extract(col("source"), "(\\d+)", 1).cast("int")
+    // a digit-less source id maps to stratum 0 in BOTH engines — without
+    // the guard Spark's cast('' as int) nulls (silently dropping the doc)
+    // while DuckDB's CAST errors; the oracle carries the same CASE
+    val srcDigits = regexp_extract(col("source"), "(\\d+)", 1)
+    val srcNum = when(length(srcDigits) === 0, 0)
+      .otherwise(srcDigits.cast("int"))
     val wgt = lit(0.5) + (srcNum % 3).cast("double")
     val frac = substring(md5(concat(lit(MixSalt),
       col("doc_id").cast("string"))), 1, 8) < "80000000"
@@ -633,8 +638,9 @@ object CurationQueries {
     * its aggregation rather than re-scanning the reference.
     */
   def lmFluencyDocs(docsDf: DataFrame): DataFrame = {
-    val wordsArr = docsDf
+    val allWords = docsDf
       .select(col("doc_id"), split(col("text"), "\\s+").as("w"))
+    val wordsArr = allWords
       // sequence(0, -1) DESCENDS in Spark: a 1-word doc must not reach
       // the bigram transform (DuckDB's range(1, 1) is empty naturally)
       .filter(size(col("w")) >= 2)
@@ -647,7 +653,9 @@ object CurationQueries {
       .agg(count(lit(1)).as("cb"))
     val refUni = refBi.groupBy(col("w1"))
       .agg(sum(col("cb")).as("cu"))
-    val vocab = wordsArr.filter(col("doc_id") % 10 === 0)
+    // vocab from the UNfiltered reference slice — the oracle counts a
+    // 1-word ref doc's token in V even though it yields no bigram
+    val vocab = allWords.filter(col("doc_id") % 10 === 0)
       .select(explode(col("w")).as("t")).agg(count_distinct(col("t")).as("v"))
     wordsArr.filter(col("doc_id") % 10 =!= 0)
       .select(col("doc_id"), explode(biExpr).as("b"))
@@ -778,7 +786,9 @@ object CurationQueries {
     "q90_source_mixture" ->
       s"""WITH rep AS (
          |  SELECT doc_id, source,
-         |    CAST(floor(0.5 + (CAST(regexp_extract(source, '(\\d+)', 1) AS INT) % 3))
+         |    CAST(floor(0.5 + ((CASE WHEN regexp_extract(source, '(\\d+)', 1) = ''
+         |        THEN 0 ELSE CAST(regexp_extract(source, '(\\d+)', 1) AS INT)
+         |        END) % 3))
          |      AS INT) +
          |    CASE WHEN substr(md5('$MixSalt' || CAST(doc_id AS VARCHAR)), 1, 8)
          |           < '80000000' THEN 1 ELSE 0 END AS n_rep

@@ -56,32 +56,44 @@ object StreamingOps {
     * downstream, open ones stay in state. Batch twin:
     * [[graft.operators.EventQueries.userSessions]] (gaps-and-islands).
     */
-  /** Shared session fold: batch events merge into the prior state in
-    * event-time order. A late event admitted by the watermark but older
-    * than the session's `last` (cross-batch disorder) extends the count
-    * and may pull `start` back, but NEVER regresses `last` — otherwise
-    * a delayed event would shrink the gap horizon, fire timeouts early,
-    * and falsely split sessions. */
+  /** Shared session fold — a gap-aware INTERVAL MERGE of the batch's
+    * events with the prior session interval, so it reproduces exactly
+    * what the batch twin's gaps-and-islands pass
+    * ([[graft.operators.EventQueries.userSessions]]) would compute over
+    * the observed events:
+    *  - a late in-gap event (within the gap of the stored interval)
+    *    extends the count and may pull `start` back but never regresses
+    *    `last` (otherwise a delayed event would shrink the gap horizon
+    *    and fire timeouts early);
+    *  - a late event more than the gap BEFORE the stored `start` forms
+    *    its own earlier island and closes, instead of silently fusing
+    *    with the current session across a silent gap;
+    *  - two islands both within the gap of the stored interval bridge
+    *    through it into one session.
+    * Every island except the newest closes; the newest stays in state. */
   private def foldSessions(user: Long, batch: Iterator[Event],
       prior: Option[SessionState])
       : (Seq[SessionSummary], Option[SessionState]) = {
-    val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-    var cur = prior
-    val closed = Seq.newBuilder[SessionSummary]
-    sorted.foreach { e =>
-      cur match {
-        case Some(s) if e.ts.getTime - s.last.getTime > SessionGapMs =>
-          closed += SessionSummary(user, s.start, s.last, s.n)
-          cur = Some(SessionState(e.ts, e.ts, 1L))
-        case Some(s) =>
-          val start = if (e.ts.getTime < s.start.getTime) e.ts else s.start
-          val last = if (e.ts.getTime > s.last.getTime) e.ts else s.last
-          cur = Some(SessionState(start, last, s.n + 1))
-        case None =>
-          cur = Some(SessionState(e.ts, e.ts, 1L))
+    // items = prior interval + batch events as point intervals, merged
+    // in start order with the gap rule
+    val items: Seq[SessionState] =
+      (prior.toSeq ++ batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+        .map(e => SessionState(e.ts, e.ts, 1L)))
+        .sortBy(s => (s.start.getTime, s.last.getTime))
+    var islands = List.empty[SessionState]
+    items.foreach { s =>
+      islands match {
+        case head :: tail if s.start.getTime - head.last.getTime <= SessionGapMs =>
+          val last = if (s.last.getTime > head.last.getTime) s.last else head.last
+          islands = SessionState(head.start, last, head.n + s.n) :: tail
+        case _ =>
+          islands = s :: islands
       }
     }
-    (closed.result(), cur)
+    val newestFirst = islands
+    val closed = newestFirst.drop(1).reverse
+      .map(s => SessionSummary(user, s.start, s.last, s.n))
+    (closed, newestFirst.headOption)
   }
 
   def sessionize(events: Dataset[Event]): Dataset[SessionSummary] = {

@@ -68,4 +68,21 @@ class MinHashSigSpec extends SparkSpec {
     val rows = nativeKeys(df, 8, 2).orderBy("id").collect()
     assert(rows.forall(_.isNullAt(1)))
   }
+
+  test("null ELEMENTS are skipped like the HOF's array_min; all-null is null") {
+    // HOF: md5(concat('j:', null)) is null and array_min ignores nulls,
+    // so keys equal those of the non-null residue
+    val withNulls = Seq((1L, Seq[String]("keep me", null, "and me")))
+      .toDF("id", "sh")
+    val residue = Seq((1L, Seq("keep me", "and me"))).toDF("id", "sh")
+    assert(nativeKeys(withNulls, 8, 2).collect().head.getSeq[String](1) ==
+      nativeKeys(residue, 8, 2).collect().head.getSeq[String](1))
+    val allNull = Seq((1L, Seq[String](null, null))).toDF("id", "sh")
+    assert(nativeKeys(allNull, 8, 2).collect().head.isNullAt(1))
+  }
+
+  test("seeds beyond two decimal digits are rejected, not silently wrong") {
+    assertThrows[IllegalArgumentException](
+      nativeKeys(fixture, 100, 2).collect())
+  }
 }

@@ -357,6 +357,18 @@ class CurationQueriesSpec extends SparkSpec {
     assert(out(0)._3 < out(1)._3) // in-distribution text scores lower NLL
   }
 
+  test("lm fluency vocab counts 1-word ref docs (oracle computes V unfiltered)") {
+    // ref: "a b" (bigram) + "z" (1 word, no bigram, but IS vocabulary)
+    // V = 3 {a,b,z}: doc 1 "a b" → -ln((1+1)/(1+3)) = ln 2 = 693147;
+    // a vocab filtered to bigram-capable docs would give V=2 → 405465
+    val out = CurationQueries.lmFluencyDocs(docsDf(
+      (10L, "a b", "en"),
+      (20L, "z", "en"),
+      (1L, "a b", "en")))
+      .as[(Long, Long, Long, Boolean)].collect()
+    assert(out.map(r => (r._1, r._3)).toSeq == Seq((1L, 693147L)))
+  }
+
   test("lm fluency excludes ref docs and one-word docs from scoring") {
     val out = CurationQueries.lmFluencyDocs(docsDf(
       (10L, "a b", "en"),   // ref slice — never scored
@@ -390,6 +402,16 @@ class CurationQueriesSpec extends SparkSpec {
     val bySrc = CurationQueries.sourceMixtureDocs(df)
       .groupBy("source").count().as[(String, Long)].collect().toMap
     assert(bySrc("src2") > bySrc.getOrElse("src0", 0L))
+  }
+
+  test("source mixture maps digit-less sources to stratum 0, not a silent drop") {
+    val df = srcDf((0 until 20).map(i => (i.toLong, "web")): _*)
+    val counts = CurationQueries.sourceMixtureDocs(df)
+      .groupBy("doc_id").count().as[(Long, Long)].collect().toMap
+    // stratum 0 → weight 0.5: every doc gets 0 or 1 copies, and the
+    // fractional hash keeps roughly half (non-zero, non-all)
+    assert(counts.values.forall(_ == 1L))
+    assert(counts.nonEmpty && counts.size < 20)
   }
 
   test("source mixture is deterministic and copy_ids are dense from 1") {

@@ -138,6 +138,50 @@ class StreamingOpsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("a late event a full gap before the session start is its own island") {
+    val input = MemoryStream[Event]
+    val query = sessionize(input.toDS())
+      .writeStream.format("memory").queryName("sessionsPreGap")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(ev(1, 100, 8), ev(2, 105, 8))
+      query.processAllAvailable()
+      // 100 - 40 = 60 min before the stored start: > the 30-min gap, so
+      // this must CLOSE as its own 1-event session, not fuse across the
+      // silent gap (the batch twin would emit two sessions too)
+      input.addData(ev(3, 40, 8))
+      query.processAllAvailable()
+      val closed = spark.table("sessionsPreGap").as[SessionSummary].collect()
+      assert(closed.toSeq == Seq(SessionSummary(8L, ts(40), ts(40), 1L)))
+      // the ongoing 100-105 session is untouched: a later event closes it
+      input.addData(ev(4, 150, 8))
+      query.processAllAvailable()
+      val all = spark.table("sessionsPreGap").as[SessionSummary].collect()
+      assert(all.toSet == Set(
+        SessionSummary(8L, ts(40), ts(40), 1L),
+        SessionSummary(8L, ts(100), ts(105), 2L)))
+    } finally query.stop()
+  }
+
+  test("two late islands within the gap of the stored interval bridge through it") {
+    val input = MemoryStream[Event]
+    val query = sessionize(input.toDS())
+      .writeStream.format("memory").queryName("sessionsBridge")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(ev(1, 100, 9), ev(2, 110, 9))
+      query.processAllAvailable()
+      // 80 is within the gap of start=100; 130 within the gap of
+      // last=110: all merge into one 80-130 session
+      input.addData(ev(3, 80, 9), ev(4, 130, 9))
+      query.processAllAvailable()
+      input.addData(ev(5, 200, 9)) // 70 min after 130 → closes
+      query.processAllAvailable()
+      val closed = spark.table("sessionsBridge").as[SessionSummary].collect()
+      assert(closed.toSeq == Seq(SessionSummary(9L, ts(80), ts(130), 4L)))
+    } finally query.stop()
+  }
+
   test("event-time timeout closes an idle session when the watermark passes") {
     val input = MemoryStream[Event]
     val query = sessionizeWithTimeout(input.toDS())

@@ -49,14 +49,7 @@ object Bench {
     // Noise-immune companion metric: co-tenant load bursts inflate wall
     // time but barely move executor CPU (PLANS.md round-3/4 findings), so
     // each query also reports the executorCpuTime of its best pass.
-    val cpuNs = new java.util.concurrent.atomic.AtomicLong
-    spark.sparkContext.addSparkListener(
-      new org.apache.spark.scheduler.SparkListener {
-        override def onTaskEnd(
-            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
-          if (e.taskMetrics != null)
-            cpuNs.addAndGet(e.taskMetrics.executorCpuTime)
-      })
+    val cpuNs = Timing.cpuCounter(spark)
 
     val times = LinkedHashMap[String, Double]()
     val cpuSecs = LinkedHashMap[String, Double]()
@@ -73,6 +66,10 @@ object Bench {
       // alone they pile up in the shared JVM and cause multi-x timing
       // swings on later queries. GC between queries, untimed.
       System.gc()
+      // real listener-bus drain on both sides of the measurement: under
+      // load, task-end events outlive any fixed sleep and leak one
+      // query's CPU into the next (same mechanism as Timing.timedPasses)
+      org.apache.spark.GraftSparkShim.drainListenerBus(spark.sparkContext)
       val c0 = cpuNs.get()
       val t0 = System.nanoTime()
       try {
@@ -80,9 +77,7 @@ object Bench {
         val dt = (System.nanoTime() - t0) / 1e9
         if (times.get(name).forall(dt < _)) {
           times(name) = dt
-          // listener lag: task-end events drain asynchronously; a short
-          // quiesce keeps the per-query CPU attribution honest
-          Thread.sleep(30)
+          org.apache.spark.GraftSparkShim.drainListenerBus(spark.sparkContext)
           cpuSecs(name) = (cpuNs.get() - c0) / 1e9
         }
       } catch {

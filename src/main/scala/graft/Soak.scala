@@ -36,17 +36,26 @@ object Soak {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // regenerate unless BOTH tables exist — a crash between the two
-    // writes must not leave a half-generated dir that later runs trust
-    val haveAll = Seq("documents", "embeddings")
-      .forall(t => new java.io.File(s"$outDir/$t.parquet").exists())
-    if (!haveAll) {
-      Seq("documents", "embeddings").foreach { t =>
-        val d = new java.io.File(s"$outDir/$t.parquet")
-        if (d.exists()) {
-          d.listFiles().foreach(_.delete()); d.delete()
-        }
-      }
+    // Regenerate unless a COMPLETED generation of this exact factor is
+    // present. Directory existence alone is not completion (a crash mid-
+    // write leaves a dir holding only _temporary/), so trust requires
+    // every table's _SUCCESS marker AND a meta file recording the factor
+    // (written last) — reusing a 10× dir for a 20× request would
+    // silently mislabel the soak otherwise.
+    def rmTree(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmTree)
+      f.delete()
+    }
+    val metaFile = new java.io.File(s"$outDir/soak_meta")
+    val complete =
+      Seq("documents", "embeddings").forall(t =>
+        new java.io.File(s"$outDir/$t.parquet/_SUCCESS").exists()) &&
+        metaFile.exists() &&
+        scala.io.Source.fromFile(metaFile).mkString.trim == factor.toString
+    if (!complete) {
+      val root = new java.io.File(outDir)
+      if (root.exists()) rmTree(root)
+      root.mkdirs()
       val reps = explode(sequence(lit(0), lit(factor - 1))).as("r")
       // replica id stride derived from the data — a constant would
       // silently collide ids once the base corpus outgrows it
@@ -73,6 +82,8 @@ object Soak {
           col("embedding"), col("label"))
         .repartition(cpus.toInt)
         .write.parquet(s"$outDir/embeddings.parquet")
+      val w = new java.io.PrintWriter(metaFile)
+      try w.print(factor.toString) finally w.close()
       println(s"[soak] generated ${factor}x corpus at $outDir (id stride $idOffset)")
     }
 

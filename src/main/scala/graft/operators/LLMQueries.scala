@@ -126,7 +126,12 @@ object LLMQueries {
   def incrementalNearDups(corpusBands: DataFrame, corpusSets: DataFrame,
       newDocs: DataFrame): DataFrame = {
     val shingledNew = shingledOf(newDocs)
-    val newBands = bandsOf(shingledNew)
+    // materialized: newBands feeds BOTH the union leg and the probe leg,
+    // and the MinHashBandKeys projection sits downstream of the reusable
+    // shingle exchange — without the checkpoint each consumer re-hashes
+    // the batch's signatures (2× the md5 work per daily run). The batch
+    // is the small side by definition, so the checkpoint is cheap.
+    val newBands = bandsOf(shingledNew).localCheckpoint()
     // probe shape: (corpus ∪ new) bands join against NEW bands only — a
     // corpus-only bucket has no matching probe key and never enumerates
     // its pairs (a full self-join with an is-new residual predicate

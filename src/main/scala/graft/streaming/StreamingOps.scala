@@ -130,11 +130,25 @@ object StreamingOps {
             Iterator.single(SessionSummary(user, s.start, s.last, s.n))
           } else {
             val (closed, cur) = foldSessions(user, batch, state.getOption)
-            cur.foreach { s =>
-              state.update(s)
-              state.setTimeoutTimestamp(s.last.getTime + SessionGapMs)
+            // A late in-gap event can leave the folded session already
+            // PAST-DUE (last + gap <= watermark, because `last` correctly
+            // never regresses): Spark rejects a timeout timestamp at or
+            // before the watermark with an IllegalArgumentException, so a
+            // past-due session closes NOW instead of re-arming — same
+            // outcome the timeout branch would have produced this trigger.
+            val wm = state.getCurrentWatermarkMs()
+            val pastDue = cur.exists(s => s.last.getTime + SessionGapMs <= wm)
+            if (pastDue) {
+              if (state.exists) state.remove()
+              (closed ++ cur.map(
+                s => SessionSummary(user, s.start, s.last, s.n))).iterator
+            } else {
+              cur.foreach { s =>
+                state.update(s)
+                state.setTimeoutTimestamp(s.last.getTime + SessionGapMs)
+              }
+              closed.iterator
             }
-            closed.iterator
           }
       }
   }

@@ -276,9 +276,37 @@ object VectorQueries {
       .orderBy(col("cluster_id"))
   }
 
+  /** Portable exact-vector key: md5 over the comma-joined fixed-point
+    * components — identical strings (and so identical keys) in Spark and
+    * DuckDB, where hashing raw doubles would not be portable. */
+  private val vecKeyExpr = expr(
+    "md5(concat_ws(',', transform(embedding," +
+      " x -> cast(cast(round(cast(x as double) * 1e9) as bigint) as string))))")
+
+  /** Exact embedding dedup — the mandatory PRE-PASS before semantic
+    * dedup on real corpora (SemDeDup's own recipe): byte-identical
+    * vectors collapse to one canonical (min vec_id) through a single
+    * hash-keyed aggregation, so identical-vector mega-families never
+    * reach the quadratic LSH pair stage. The 30× soak makes the cost
+    * concrete: q91 alone on a corpus of 30-member identical families is
+    * ~210 s; this pass collapses those families at a q60-like ~2 s, and
+    * semantic dedup then runs on canonicals at 1× cost. At 100 TB the
+    * shuffle carries a 32-hex key per vector, never the vector itself.
+    */
+  def vectorExactDedup(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "embeddings")
+      .repartition(spark.sessionState.conf.numShufflePartitions,
+        col("vec_id"))
+      .groupBy(vecKeyExpr.as("vkey"))
+      .agg(min(col("vec_id")).as("keep_id"),
+        count(lit(1)).as("n_copies"))
+      .select(col("keep_id"), col("n_copies"))
+      .orderBy(col("keep_id"))
+
   val queries: ListMap[String, graft.Q] = ListMap(
     "q65_cosine_near_dups" -> (cosineNearDups _),
     "q91_semantic_dedup" -> (semanticDedup _),
+    "q95_vector_exact_dedup" -> (vectorExactDedup _),
     "q67_topk_cosine" -> (topkCosine _),
     "q68_centroid_classify" -> (centroidClassify _),
     "q69_ivf_topk_cosine" -> (ivfTopkCosine _),
@@ -339,6 +367,14 @@ object VectorQueries {
        |        >= $NearDupThreshold)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q95_vector_exact_dedup" ->
+      """SELECT min(vec_id) AS keep_id, count(*) AS n_copies
+        |FROM (SELECT vec_id,
+        |        md5(array_to_string(list_transform(embedding::DOUBLE[],
+        |          x -> CAST(CAST(round(x * 1e9) AS BIGINT) AS VARCHAR)),
+        |          ',')) AS vkey
+        |      FROM embeddings)
+        |GROUP BY vkey ORDER BY keep_id""".stripMargin,
     "q65_cosine_near_dups" ->
       s"""WITH $cosinePairsCtes
          |SELECT vec_a, vec_b, cos FROM vpairs

@@ -192,6 +192,15 @@ class VectorQueriesSpec extends SparkSpec {
     assert(out.toSeq == Seq((10L, 12L, 3L, 2L))) // cluster_id=min, keeper=12
   }
 
+  test("vector exact dedup partitions the corpus: copies sum to the row count") {
+    val total = graft.Tables(spark, sfDir, "embeddings").count()
+    val out = VectorQueries.vectorExactDedup(spark, sfDir)
+      .as[(Long, Long)].collect()
+    assert(out.map(_._2).sum == total)       // every vector accounted for
+    assert(out.map(_._1).distinct.length == out.length) // keepers unique
+    assert(out.forall(_._2 >= 1L))
+  }
+
   test("fixed-point rounding matches Spark round() on half boundaries") {
     // ±2.5 and ±3.5 in the 1e-9 domain hit exact .5 fixed-point values;
     // Math.round would give -2 / -3 where HALF_UP gives -3 / -4

@@ -29,7 +29,7 @@ object Explain {
       SparkEntry.queries(name)(spark, sfDir).explain("formatted")
       // construction + count per pass, like Bench: iterative operators
       // (q77/q85/q91) do their work eagerly inside the query function
-      Timing.timedPasses(spark, cpuNs, "")(
+      Timing.timedPasses(spark, cpuNs, name)(
         SparkEntry.queries(name)(spark, sfDir).count())
     }
     spark.stop()

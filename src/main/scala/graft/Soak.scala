@@ -51,10 +51,23 @@ object Soak {
       Seq("documents", "embeddings").forall(t =>
         new java.io.File(s"$outDir/$t.parquet/_SUCCESS").exists()) &&
         metaFile.exists() &&
-        scala.io.Source.fromFile(metaFile).mkString.trim == factor.toString
+        scala.util.Using(scala.io.Source.fromFile(metaFile))(_.mkString)
+          .toOption.exists(_.trim == factor.toString)
     if (!complete) {
       val root = new java.io.File(outDir)
-      if (root.exists()) rmTree(root)
+      if (root.exists()) {
+        // outDir is user-supplied and about to be recursively deleted:
+        // refuse anything that doesn't look like a (possibly partial)
+        // soak dir — a mistyped data/home path must abort, not vanish
+        val expected = Set("documents.parquet", "embeddings.parquet",
+          "soak_meta")
+        val foreign = Option(root.listFiles()).getOrElse(Array.empty)
+          .map(_.getName).filterNot(expected)
+        require(foreign.isEmpty,
+          s"refusing to delete $outDir: contains non-soak entries " +
+            foreign.mkString(", "))
+        rmTree(root)
+      }
       root.mkdirs()
       val reps = explode(sequence(lit(0), lit(factor - 1))).as("r")
       // replica id stride derived from the data — a constant would

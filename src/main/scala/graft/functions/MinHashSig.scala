@@ -35,6 +35,9 @@ case class MinHashBandKeys(
     rowsPerBand: Int)
     extends UnaryExpression with ExpectsInputTypes {
 
+  // checked BEFORE the modulo: rowsPerBand=0 would otherwise surface as a
+  // bare ArithmeticException instead of the intended argument error
+  require(rowsPerBand > 0, s"rowsPerBand=$rowsPerBand must be positive")
   require(numHashes % rowsPerBand == 0,
     s"numHashes=$numHashes must be a multiple of rowsPerBand=$rowsPerBand")
   // the seed prefix is rendered as at most two decimal digits; a silent

@@ -395,6 +395,9 @@ object CurationQueries {
       .filter(col("u") =!= col("v")).distinct().localCheckpoint()
     var rounds = 0
     var done = false
+    // carried across rounds: last round's `next.count()` is this round's
+    // |e|, so convergence costs ONE count action per round, not two
+    var eCount = e.count()
     while (!done && rounds < 50) {
       // large-star: every neighbor LARGER than u links to
       // min(Γ(u) ∪ {u}); each undirected edge is seen once from its
@@ -412,7 +415,15 @@ object CurationQueries {
         .select(col("v").as("u"), col("m").as("v"))
         .union(minsS.select(col("u"), col("m").as("v")))
         .distinct().localCheckpoint()
-      done = next.count() == e.count() && next.except(e).isEmpty
+      // converged ⟺ next == e as sets; both are distinct, so equal counts
+      // + empty one-sided difference suffice. The difference is a plain
+      // left-anti hash join (cheaper than EXCEPT's set op) and only runs
+      // when the counts already match — the propagation loop's
+      // changed-count idiom, applied to edge sets.
+      val nextCount = next.count()
+      done = nextCount == eCount &&
+        next.join(e, Seq("u", "v"), "left_anti").isEmpty
+      eCount = nextCount
       e = next
       rounds += 1
     }

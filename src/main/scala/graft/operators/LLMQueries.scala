@@ -313,6 +313,12 @@ object LLMQueries {
   /** L6: TF-IDF-lite — term frequency per doc × ln(N/df), top-3 terms per
     * document (df computed over the full corpus; output limited to
     * doc_id < 50 to keep the verify frame small).
+    *
+    * `df` is VOCABULARY-sized, so its join strategy is left to AQE (no
+    * explicit broadcast hint): testdata vocabularies broadcast; at
+    * web-corpus vocabulary size a forced broadcast would OOM the driver
+    * and the join degrades gracefully to a t-keyed shuffle — the same
+    * caveat [[bm25Topk]] documents for its df table.
     */
   def tfidfTopTerms(spark: SparkSession, dir: String): DataFrame = {
     val words = docs(spark, dir)
@@ -324,7 +330,7 @@ object LLMQueries {
     // explode+distinct pass over the corpus
     val df = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
     val n = docs(spark, dir).select(count(lit(1)).as("n_docs"))
-    val scored = tf.join(broadcast(df), Seq("t"))
+    val scored = tf.join(df, Seq("t"))
       .crossJoin(broadcast(n))
       .withColumn("score",
         round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
@@ -458,12 +464,20 @@ object LLMQueries {
   /** Rolling-hash document fingerprint (winnowing-lite): the minimum seeded
     * md5 prefix over 5-word shingles is a locality-sensitive fingerprint;
     * docs sharing one are near-dup cluster mates.
+    *
+    * `cluster_size` comes from a partial-aggregating groupBy + join-back,
+    * NOT a fingerprint-partitioned window: a boilerplate fingerprint
+    * shared by millions of docs would funnel every copy through ONE
+    * window reducer, where the aggregate map-side-combines it and the
+    * join-back is AQE-skew-splittable (the q89 segment-keeper argument,
+    * backported — VERDICT r4 "What's wrong" #2).
     */
   def docFingerprints(spark: SparkSession, dir: String): DataFrame = {
     val fps = docs(spark, dir)
       .select(col("doc_id"), fingerprintExpr.as("fingerprint"))
-    val w = Window.partitionBy(col("fingerprint"))
-    fps.withColumn("cluster_size", count(lit(1)).over(w))
+    val sizes = fps.groupBy(col("fingerprint"))
+      .agg(count(lit(1)).as("cluster_size"))
+    fps.join(sizes, Seq("fingerprint"))
       .select(col("doc_id"), col("fingerprint"), col("cluster_size"))
       .orderBy(col("doc_id"))
   }
@@ -475,23 +489,24 @@ object LLMQueries {
     *
     * Fingerprint and quality are both per-row expressions over the same
     * document row, so the former fps⋈quality self-join is gone — one
-    * projection feeds the per-cluster window directly.
+    * projection feeds the per-cluster election directly.
+    *
+    * Election is ONE partial-aggregating groupBy (`max(struct(quality,
+    * -doc_id))` ⟺ max quality, min doc_id tie-break), NOT a
+    * fingerprint-partitioned `row_number` window — the same hot-key
+    * argument as [[docFingerprints]]: a mega-cluster map-side-combines
+    * under the aggregate where a window would single-reduce it.
     */
-  def dedupKeepBest(spark: SparkSession, dir: String): DataFrame = {
-    val scored = docs(spark, dir)
+  def dedupKeepBest(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
       .select(col("doc_id"), fingerprintExpr.as("fingerprint"),
         qualityExpr.as("quality"))
-    val w = Window.partitionBy(col("fingerprint"))
-      .orderBy(col("quality").desc, col("doc_id"))
-    scored
-      .withColumn("rn", row_number().over(w))
-      .withColumn("cluster_size", count(lit(1)).over(
-        Window.partitionBy(col("fingerprint"))))
-      .filter(col("rn") === 1)
-      .select(col("fingerprint"), col("doc_id").as("kept_id"),
-        col("quality"), col("cluster_size"))
+      .groupBy(col("fingerprint"))
+      .agg(max(struct(col("quality"), (-col("doc_id")).as("nid"))).as("best"),
+        count(lit(1)).as("cluster_size"))
+      .select(col("fingerprint"), (-col("best.nid")).as("kept_id"),
+        col("best.quality").as("quality"), col("cluster_size"))
       .orderBy(col("kept_id"))
-  }
 
   /** Character-n-gram profiles per language (public-linguistics common
     * trigram sets; the synthetic corpus is same-vocab across langs, so

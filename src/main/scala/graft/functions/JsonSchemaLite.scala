@@ -9,21 +9,28 @@ import org.apache.spark.sql.functions._
   * the caller supplies the schema as a STRING at request time, so
   * validation must be compiled dynamically, not declared statically.
   *
-  * Supported keywords: `type` (object/string/number/integer/boolean),
-  * `required`, `properties` (one level of nesting per call — recurse for
-  * deeper), `minimum`/`maximum` (numbers), `minLength` (strings),
-  * `enum` (strings). Unknown keywords are ignored (permissive, like most
-  * validators' default dialect handling).
+  * Supported keywords: `type` (object/array/string/number/integer/
+  * boolean), `required`, `properties` (one level of nesting per call —
+  * recurse for deeper), `minimum`/`maximum` (numbers), `minLength`/
+  * `maxLength` (strings), `pattern` (unanchored regex, per the JSON
+  * Schema spec), `enum` (strings), and `items` (one schema applied to
+  * every element of an array value — type/bounds/length/pattern/enum at
+  * element level). Unknown keywords are ignored (permissive, like most
+  * validators' default dialect handling); an `items` array that cannot
+  * be parsed is likewise skipped permissively.
   *
-  * The compiled predicate is pure Column logic over `get_json_object` —
-  * codegen-friendly, no UDF; schema parsing happens once on the driver.
+  * The compiled predicate is pure Column logic over `get_json_object`
+  * (plus one `from_json` + `forall` per `items` schema — still
+  * codegen-friendly, no UDF); schema parsing happens once on the driver.
   */
 object JsonSchemaLite {
 
-  /** parse once (driver side) → predicate builder for a JSON string col. */
+  /** parse once (driver side) → predicate builder for a JSON string col.
+    * The predicate is total: a null comparison (e.g. a bound applied to
+    * non-numeric text) means the value fails validation, never NULL. */
   def compile(schemaJson: String): Column => Column = {
     val schema = parseObj(schemaJson)
-    (c: Column) => validate(schema, c, "$")
+    (c: Column) => coalesce(validate(schema, c, "$"), lit(false))
   }
 
   // -- tiny driver-side JSON reader (json4s ships with Spark) -----------
@@ -58,9 +65,26 @@ object JsonSchemaLite {
       case Some("object") =>
         // object-typed values survive a path-extract as `{...}` text
         here.isNotNull && here.startsWith("{")
+      case Some("array") =>
+        // likewise, array-typed values survive as `[...]` text
+        here.isNotNull && here.startsWith("[")
       case Some("string") | Some("number") | Some("integer") |
            Some("boolean") =>
         here.isNotNull
+      case _ => lit(true)
+    }
+    val itemsOk = (schema \ "items") match {
+      case sub: JObject =>
+        // one schema for every element (the common JSON-Schema shape):
+        // parse the array text into element JSON texts — StringType
+        // accepts any element kind (scalars keep their literal text,
+        // objects/arrays their JSON text) — and require each to satisfy
+        // the element schema. Non-array / unparseable values yield a
+        // null parse, skipped permissively (a declared array type is
+        // already enforced by typeOk above).
+        import org.apache.spark.sql.types.{ArrayType, StringType}
+        val elems = from_json(here, ArrayType(StringType))
+        coalesce(forall(elems, e => elementOk(sub, e)), lit(true))
       case _ => lit(true)
     }
     val requiredOk = strings(schema, "required")
@@ -81,22 +105,49 @@ object JsonSchemaLite {
           }
       case _ => lit(true)
     }
-    typeOk && requiredOk && propsOk
+    typeOk && itemsOk && requiredOk && propsOk
   }
 
   private def propertyOk(schema: JObject, json: Column,
       path: String): Column = {
     val v = get_json_object(json, path)
     val base = validate(schema, json, path)
+    base && scalarOk(schema, v)
+  }
+
+  /** Scalar constraints shared by property values and array elements:
+    * numeric bounds, string length bounds, regex pattern, enum. */
+  private def scalarOk(schema: JObject, v: Column): Column = {
+    // try_cast: ANSI mode would otherwise throw on non-numeric text —
+    // a malformed value must FAIL validation, not kill the job
     val minOk = num(schema, "minimum")
-      .map(m => v.cast("double") >= m).getOrElse(lit(true))
+      .map(m => v.try_cast("double") >= m).getOrElse(lit(true))
     val maxOk = num(schema, "maximum")
-      .map(m => v.cast("double") <= m).getOrElse(lit(true))
-    val lenOk = num(schema, "minLength")
+      .map(m => v.try_cast("double") <= m).getOrElse(lit(true))
+    val minLenOk = num(schema, "minLength")
       .map(m => length(v) >= m.toInt).getOrElse(lit(true))
+    val maxLenOk = num(schema, "maxLength")
+      .map(m => length(v) <= m.toInt).getOrElse(lit(true))
+    // JSON Schema `pattern` is an unanchored match — exactly rlike
+    val patOk = str(schema, "pattern")
+      .map(p => v.rlike(p)).getOrElse(lit(true))
     val enumVals = strings(schema, "enum")
     val enumOk =
       if (enumVals.isEmpty) lit(true) else v.isin(enumVals: _*)
-    base && minOk && maxOk && lenOk && enumOk
+    minOk && maxOk && minLenOk && maxLenOk && patOk && enumOk
+  }
+
+  /** Per-element validation for `items`: the element arrives as its JSON
+    * text (scalars literal, objects/arrays their JSON), so type checks
+    * mirror the path-extract forms above. */
+  private def elementOk(schema: JObject, e: Column): Column = {
+    val typeOk: Column = str(schema, "type") match {
+      case Some("object") => e.isNotNull && e.startsWith("{")
+      case Some("array") => e.isNotNull && e.startsWith("[")
+      case Some("number") | Some("integer") => e.try_cast("double").isNotNull
+      case Some("string") | Some("boolean") => e.isNotNull
+      case _ => lit(true)
+    }
+    typeOk && scalarOk(schema, e)
   }
 }

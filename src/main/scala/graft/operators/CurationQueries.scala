@@ -576,6 +576,25 @@ object CurationQueries {
   def segmentDedup(spark: SparkSession, dir: String): DataFrame =
     segmentDedupDocs(docs(spark, dir))
 
+  /** q98: the daily-ingest segment-dedup flow as an ORACLE query — the
+    * corpus/batch residue split the q96/q97 incremental family uses
+    * (doc_id % 10 = 0 is today's batch). The corpus leg persists only
+    * its [[segmentIndex]] (one row per distinct segment string); the
+    * batch leg flows through [[incrementalSegmentDedup]]. The oracle
+    * expresses the incremental semantics directly: a batch occurrence
+    * is kept iff it is the batch-wide first occurrence AND its segment
+    * is absent from the corpus index — corpus keepers beat any batch
+    * occurrence regardless of id order, which is why this is NOT the
+    * full q89 pass restricted to the batch.
+    */
+  def incrementalSegmentDedupDaily(spark: SparkSession,
+      dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    incrementalSegmentDedup(
+      segmentIndex(d.filter(col("doc_id") % 10 =!= 0)),
+      d.filter(col("doc_id") % 10 === 0))
+  }
+
   /** Source mixture weights, derived from the source id so the query is
     * self-contained: src<n> gets weight 0.5 + (n mod 3) — i.e. 0.5
     * (downsample), 1.5, or 2.5 (upsample). The fractional part is always
@@ -700,6 +719,7 @@ object CurationQueries {
     "q85_dedup_clusters_star" -> (dedupClustersStar _),
     "q88_cluster_survivors" -> (clusterSurvivors _),
     "q89_segment_dedup" -> (segmentDedup _),
+    "q98_incremental_segment_dedup" -> (incrementalSegmentDedupDaily _),
     "q90_source_mixture" -> (sourceMixture _),
     "q92_lm_fluency" -> (lmFluency _))
 
@@ -794,6 +814,32 @@ object CurationQueries {
          |  coalesce(string_agg(seg, ' ' ORDER BY pos) FILTER (rn = 1), '')
          |    AS cleaned_text
          |FROM ranked GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // incremental semantics direct: batch-first occurrence AND segment
+    // unseen in the corpus index (left join, null = unseen)
+    "q98_incremental_segment_dedup" ->
+      s"""WITH segarr AS (
+         |  SELECT doc_id, list_transform(
+         |    range(0, CAST(ceil(len(w) / ${SegWords}.0) AS INT)),
+         |    i -> {'pos': i, 'seg': array_to_string(
+         |      list_slice(w, i*$SegWords + 1, i*$SegWords + $SegWords), ' ')}) AS sl
+         |  FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS w
+         |        FROM documents)),
+         |segs AS (SELECT doc_id, len(sl) AS n_segs,
+         |         unnest(sl, recursive := true) FROM segarr),
+         |corpus AS (SELECT DISTINCT seg FROM segs WHERE doc_id % 10 <> 0),
+         |ranked AS (
+         |  SELECT doc_id, n_segs, pos, seg,
+         |    row_number() OVER (PARTITION BY seg ORDER BY doc_id, pos) AS rn
+         |  FROM segs WHERE doc_id % 10 = 0),
+         |marked AS (
+         |  SELECT r.doc_id, r.n_segs, r.pos, r.seg,
+         |    (r.rn = 1 AND c.seg IS NULL) AS kept
+         |  FROM ranked r LEFT JOIN corpus c ON r.seg = c.seg)
+         |SELECT doc_id, CAST(any_value(n_segs) AS BIGINT) AS n_segs,
+         |  CAST(count(*) FILTER (kept) AS BIGINT) AS n_kept,
+         |  coalesce(string_agg(seg, ' ' ORDER BY pos) FILTER (kept), '')
+         |    AS cleaned_text
+         |FROM marked GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q90_source_mixture" ->
       s"""WITH rep AS (
          |  SELECT doc_id, source,

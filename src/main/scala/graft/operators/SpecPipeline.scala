@@ -89,6 +89,22 @@ object SpecPipeline {
       |  body: struct<choices: array<struct<
       |    message: struct<role: string, content: string>>>>>""".stripMargin)
 
+  /** The user-supplied response-content schema (README.md:99 — callers
+    * pass a JSON Schema string at request time). Compiled once on the
+    * driver by [[graft.functions.JsonSchemaLite]] into a Column
+    * predicate; semantically identical to the previous hand-rolled
+    * check (`required` rejects a missing category the way
+    * `.isNotNull` did; a missing/non-numeric confidence nulls the
+    * bound comparison, which the compiled predicate coalesces to
+    * false exactly as `between`'s null behaved under `when`). */
+  private val ResponseSchemaJson =
+    """{"type":"object","required":["category"],
+      |"properties":{"category":{"type":"string"},
+      |"confidence":{"type":"number","minimum":0,"maximum":1}}}"""
+      .stripMargin
+  private val responseValid = graft.functions.JsonSchemaLite
+    .compile(ResponseSchemaJson)
+
   /** Parse + extract + validate each result line (README.md:93-102).
     * Columns: custom_id, prio, is_err, category, confidence, content,
     * is_valid.
@@ -104,9 +120,7 @@ object SpecPipeline {
       .withColumn("c",
         from_json(col("content"), StructType.fromDDL(
           "category string, confidence double")))
-      .withColumn("is_valid",
-        !col("is_err") && col("c.category").isNotNull &&
-          col("c.confidence").between(0.0, 1.0))
+      .withColumn("is_valid", !col("is_err") && responseValid(col("content")))
 
   /** Target document collection (README.md:129-138): keyed by custom_id,
     * status `in_progress`, with an existing event_response array for a

@@ -11,6 +11,14 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // Spark 4.1's unionOutputPartitioning makes UnionExec CLAIM its
+      // children's common hash partitioning while still concatenating
+      // their partitions (N+N of them): a downstream sort-merge join
+      // then elides its exchange and zips unequal RDDs — IllegalArgument
+      // "Can't zip RDDs with unequal numbers of partitions", first hit
+      // by q96's verify join on the 30x soak. Disabled everywhere; the
+      // unions that feed joins re-shuffle on their own keys instead.
+      .config("spark.sql.unionOutputPartitioning", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

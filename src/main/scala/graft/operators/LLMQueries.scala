@@ -147,7 +147,20 @@ object LLMQueries {
       .select(least(col("a.doc_id"), col("n.doc_id")).as("doc_a"),
         greatest(col("a.doc_id"), col("n.doc_id")).as("doc_b"))
       .distinct()
-    verifyPairs(cands, corpusSets.unionByName(setsOf(shingledNew)))
+    // The sets union needs ONE explicit doc_id exchange: both union
+    // children end in an identical hashpartitioning(doc_id, N) exchange
+    // (shingledOf's layout), and Spark 4.1 then treats the union itself
+    // as co-partitioned, eliding the verify-join-side shuffle — zipping
+    // a 2N-partition union leg against an N-partition candidates leg
+    // ("Can't zip RDDs with unequal numbers of partitions", observed on
+    // the 30× soak once the joins were too big to broadcast). The
+    // repartition restores a sound plan and is free-ish: both verify
+    // joins read the SAME exchange (ReusedExchange), and the rows are
+    // compact per-doc arrays, not text.
+    val sets = corpusSets.unionByName(setsOf(shingledNew))
+      .repartition(newDocs.sparkSession.sessionState.conf
+        .numShufflePartitions, col("doc_id"))
+    verifyPairs(cands, sets)
   }
 
   /** Batch-id residue selecting the q96 "today's batch" leg: documents

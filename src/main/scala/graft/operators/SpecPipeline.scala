@@ -312,10 +312,56 @@ object SpecPipeline {
     (out, obs)
   }
 
+  // ---- q99: array-schema validation ----------------------------------
+
+  /** The user-supplied schema for q99 — exercises the keywords the q10
+    * schema cannot (array `type`, per-element `items` constraints,
+    * `pattern`, `maxLength`) on top of required/bounds. */
+  private val TagSchemaJson =
+    """{"type":"object","required":["tags","code"],
+      |"properties":{
+      |"tags":{"type":"array",
+      |  "items":{"type":"string","minLength":2,"pattern":"^[a-z]+$"}},
+      |"code":{"type":"string","pattern":"^[A-Z]{2}-","maxLength":8},
+      |"score":{"type":"integer","minimum":0,"maximum":100}}}""".stripMargin
+  private val tagSchemaValid =
+    graft.functions.JsonSchemaLite.compile(TagSchemaJson)
+
+  /** q99: user-schema validation over ARRAY-valued response content
+    * (README.md:99 — schemas with list fields, the gap VERDICT r4 named).
+    * Deterministic defect taxonomy keyed off doc_id; the when-chain ORDER
+    * is mirrored by the oracle's CASE:
+    *   %17 → tags is a string, not an array   (type: array fails)
+    *   %7  → one tag is "Beta"                (items pattern fails)
+    *   %19 → code omitted                     (required fails)
+    *   %11 → code 12 chars                    (maxLength fails)
+    *   %13 → score 150                        (maximum fails)
+    * Scale shape: pure per-row projection, codegen'd JSON path extracts —
+    * no shuffle except the determinism sort. */
+  def schemaValidation(spark: SparkSession, dir: String): DataFrame = {
+    val k = col("doc_id")
+    val tags = when(k % 17 === 0, lit("\"notanarray\""))
+      .when(k % 7 === 0, lit("""["alpha","Beta"]"""))
+      .otherwise(lit("""["alpha","beta"]"""))
+    val code = when(k % 11 === 0,
+        concat(lit("AB-"), lpad((k % 1000).cast("string"), 9, "0")))
+      .otherwise(concat(lit("AB-"), (k % 100).cast("string")))
+    val codePart = when(k % 19 === 0, lit(""))
+      .otherwise(concat(lit(",\"code\":\""), code, lit("\"")))
+    val score = when(k % 13 === 0, lit(150L)).otherwise(k % 100)
+    val js = concat(lit("{\"tags\":"), tags, codePart,
+      lit(",\"score\":"), score.cast("string"), lit("}"))
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), js.as("js"))
+      .select(col("doc_id"), tagSchemaValid(col("js")).as("valid"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: ListMap[String, graft.Q] = ListMap(
     "q10_flagship_results" -> (flagshipResults _),
     "q11_result_outcomes" -> (resultOutcomes _),
-    "q12_ingest_validation" -> (ingestValidation _))
+    "q12_ingest_validation" -> (ingestValidation _),
+    "q99_schema_validation" -> (schemaValidation _))
 
   /** Shared oracle CTE: the same defect taxonomy + JSON round-trip, built
     * with DuckDB json_object and extracted through the same JSON paths.
@@ -365,6 +411,40 @@ object SpecPipeline {
       |""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // q99: same JSON construction (CASE order mirrors the when-chain),
+    // validation re-derived through DuckDB's JSON machinery — TRY_CAST
+    // of a non-array to VARCHAR[] nulls, coalesced exactly like
+    // JsonSchemaLite's null-means-fail semantics. `->>`/`->` fully
+    // parenthesized (DuckDB binds them looser than AND).
+    "q99_schema_validation" ->
+      """WITH j AS (
+        |  SELECT doc_id,
+        |    '{"tags":' ||
+        |    CASE WHEN doc_id % 17 = 0 THEN '"notanarray"'
+        |         WHEN doc_id % 7 = 0 THEN '["alpha","Beta"]'
+        |         ELSE '["alpha","beta"]' END ||
+        |    CASE WHEN doc_id % 19 = 0 THEN ''
+        |         ELSE ',"code":"' ||
+        |           CASE WHEN doc_id % 11 = 0
+        |                THEN 'AB-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 9, '0')
+        |                ELSE 'AB-' || CAST(doc_id % 100 AS VARCHAR) END
+        |           || '"' END ||
+        |    ',"score":' || CAST(CASE WHEN doc_id % 13 = 0 THEN 150
+        |                             ELSE doc_id % 100 END AS VARCHAR)
+        |    || '}' AS js
+        |  FROM documents)
+        |SELECT doc_id,
+        |  (starts_with((js ->> '$.tags'), '[')
+        |   AND coalesce(len(list_filter(TRY_CAST((js -> '$.tags') AS VARCHAR[]),
+        |       x -> NOT (length(x) >= 2 AND regexp_matches(x, '^[a-z]+$')))) = 0,
+        |     TRUE)
+        |   AND ((js ->> '$.code') IS NOT NULL)
+        |   AND coalesce(regexp_matches((js ->> '$.code'), '^[A-Z]{2}-'), FALSE)
+        |   AND coalesce(length((js ->> '$.code')) <= 8, FALSE)
+        |   AND coalesce(TRY_CAST((js ->> '$.score') AS DOUBLE) >= 0, FALSE)
+        |   AND coalesce(TRY_CAST((js ->> '$.score') AS DOUBLE) <= 100, FALSE))
+        |    AS valid
+        |FROM j ORDER BY doc_id""".stripMargin,
     "q10_flagship_results" -> (oracleBase +
       """SELECT custom_id,
         |  CASE WHEN is_valid THEN 'completed' ELSE 'failed' END AS ai_status,

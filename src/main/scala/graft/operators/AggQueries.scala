@@ -157,8 +157,26 @@ object AggQueries {
       .orderBy(col("g_status"), col("g_priority"), col("status"),
         col("priority"))
 
+  /** §4.3 skew path promoted to an oracle query (the VERDICT-r4 argument
+    * for promoting the incremental family applies here too: the operator
+    * a 100 TB corpus actually needs must face the correctness gate).
+    * `event_type` is the canonical hot aggregation key — a handful of
+    * values over the whole stream, so a plain groupBy funnels each type
+    * through ONE reducer. Phase 1 spreads every type over 16 salt lanes
+    * keyed by hash(event_id) (deterministic per row); phase 2 combines
+    * 16×|types| partial rows. Decimal partials make the two-phase sum
+    * EXACTLY equal the direct one (a double sum would drift with the
+    * grouping), which is why the oracle can simply BE the direct
+    * aggregation — result-invariance is the property under test.
+    */
+  def saltedHotAgg(spark: SparkSession, dir: String): DataFrame =
+    Skew.saltedCountSum(Tables(spark, dir, "events"),
+        col("event_type"), col("value"), col("event_id"), salts = 16)
+      .orderBy(col("key"))
+
   val queries: ListMap[String, graft.Q] = ListMap(
     "q30_distinct_users" -> (distinctUsers _),
+    "q38_salted_agg" -> (saltedHotAgg _),
     "q36_status_cube" -> (statusCube _),
     "q31_approx_distinct_users" -> (approxDistinctUsers _),
     "q32_status_rollup" -> (statusRollup _),
@@ -169,6 +187,12 @@ object AggQueries {
     "q86_approx_percentiles" -> (approxValuePercentiles _))
 
   val oracle: Map[String, String] = Map(
+    // q38: the oracle is the DIRECT aggregation — the salted two-phase
+    // plan must reproduce it bit-for-bit (decimal partials).
+    "q38_salted_agg" ->
+      """SELECT event_type AS key, count(*) AS n,
+        |  round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+        |FROM events GROUP BY event_type ORDER BY key""".stripMargin,
     "q36_status_cube" ->
       """SELECT coalesce(o_orderstatus, '(all)') AS status,
         |  coalesce(o_orderpriority, '(all)') AS priority,

@@ -339,6 +339,64 @@ object VectorQueries {
       .select(col("keep_id"), col("n_copies"))
       .orderBy(col("keep_id"))
 
+  private[operators] val KmeansK = 8
+  private[operators] val KmeansRounds = 2
+
+  /** L23: k-means Lloyd clustering over the embedding corpus — the
+    * clustering stage real SemDeDup runs before within-cluster pairing
+    * (our q91 uses LSH for that stage; k-means is the other standard
+    * route and the general-purpose corpus-organization primitive).
+    * Seeds = the [[KmeansK]] lowest vec_ids; each round assigns every
+    * vector to its nearest centroid (squared L2 via the native fused
+    * expression, centroid-id tie-break) and recomputes centroids with
+    * the A9 fixed-point Aggregator — exact long sums make every
+    * centroid, and so the whole iteration, reproducible in DuckDB.
+    *
+    * Scale shape, per round: ONE corpus scan against a broadcast k-row
+    * centroid table; the assignment window partitions by the UNIQUE
+    * vec_id over rows already hash-partitioned on vec_id (no extra
+    * exchange, no hot key); centroid recomputation map-side-combines to
+    * k×dim longs per task. Rounds are driver-side iterations exactly
+    * like star-CC — at 100 TB each round is a linear pass, nothing
+    * quadratic anywhere. Output is exact-integer accounting (member
+    * count + fixed-point coordinate checksum per cluster), so the
+    * 2-round iteration hash-compares against the unrolled oracle.
+    */
+  def kmeansClusters(spark: SparkSession, dir: String): DataFrame =
+    kmeansOf(Tables(spark, dir, "embeddings"), KmeansK, KmeansRounds)
+
+  private[operators] def kmeansOf(
+      emb: DataFrame, k: Int, rounds: Int): DataFrame = {
+    val e = emb.repartition(
+        emb.sparkSession.sessionState.conf.numShufflePartitions,
+        col("vec_id"))
+      .select(col("vec_id"), col("embedding"),
+        expr("transform(embedding, x -> cast(x AS double))").as("v"))
+    val centroid = udaf(CentroidAggregator)
+    var cents = e.orderBy(col("vec_id")).limit(k)
+      .select(col("vec_id").as("cid"), col("v").as("c"))
+    var assigned = e.withColumn("cid", lit(0L))
+    for (r <- 1 to rounds) {
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("d2"), col("cid"))
+      assigned = e.crossJoin(broadcast(cents))
+        .withColumn("d2", l2Sq(col("v"), col("c")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("embedding"), col("v"), col("cid"))
+      if (r < rounds)
+        cents = assigned.groupBy(col("cid"))
+          .agg(centroid(col("embedding")).as("c"))
+    }
+    assigned
+      .select(col("cid"), expr(
+        "aggregate(transform(v, x -> cast(round(x * 1e9) AS bigint)), " +
+          "cast(0 AS bigint), (a, x) -> a + x)").as("rowsum_nano"))
+      .groupBy(col("cid").as("cluster_id"))
+      .agg(count(lit(1)).as("n"), sum(col("rowsum_nano")).as("checksum_nano"))
+      .orderBy(col("cluster_id"))
+  }
+
   val queries: ListMap[String, graft.Q] = ListMap(
     "q65_cosine_near_dups" -> (cosineNearDups _),
     "q91_semantic_dedup" -> (semanticDedup _),
@@ -346,7 +404,8 @@ object VectorQueries {
     "q67_topk_cosine" -> (topkCosine _),
     "q68_centroid_classify" -> (centroidClassify _),
     "q69_ivf_topk_cosine" -> (ivfTopkCosine _),
-    "q87_ivf_multiprobe" -> (ivfMultiprobeTopkCosine _))
+    "q87_ivf_multiprobe" -> (ivfMultiprobeTopkCosine _),
+    "q100_kmeans" -> (kmeansClusters _))
 
   /** Shared oracle fragment: per-label centroids with the same fixed-point
     * rule as the Aggregator (sum of round(x*1e9) longs / 1e9 / n).
@@ -487,5 +546,32 @@ object VectorQueries {
          |  SELECT *, row_number() OVER
          |    (PARTITION BY qid ORDER BY cos DESC, nid) AS rk
          |  FROM scored)
-         |WHERE rk <= $TopK ORDER BY qid, rk""".stripMargin))
+         |WHERE rk <= $TopK ORDER BY qid, rk""".stripMargin),
+    // q100: the 2-round Lloyd iteration unrolled — seeds c0, assignment
+    // a1, fixed-point means c1 (the centroidCte rule), assignment a2;
+    // output is exact-integer accounting of a2. list_sum over BIGINTs
+    // widens to HUGEINT → cast back (verify-skill gotcha).
+    "q100_kmeans" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |dims AS (SELECT unnest(range(1, ${Dim + 1})) AS i),
+         |c0 AS (SELECT vec_id AS cid, v AS c FROM e ORDER BY vec_id LIMIT $KmeansK),
+         |a1 AS (SELECT vec_id, v, cid FROM (
+         |    SELECT e.vec_id, e.v, c0.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY list_distance(e.v, c0.c), c0.cid) AS rn
+         |    FROM e, c0) WHERE rn = 1),
+         |s1 AS (SELECT cid, i, sum(CAST(round(v[i] * 1e9) AS BIGINT)) AS s,
+         |         count(*) AS n
+         |  FROM a1, dims GROUP BY cid, i),
+         |c1 AS (SELECT cid, array_agg(CAST(s AS DOUBLE) / 1e9 / n ORDER BY i) AS c
+         |  FROM s1 GROUP BY cid),
+         |a2 AS (SELECT vec_id, v, cid FROM (
+         |    SELECT e.vec_id, e.v, c1.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY list_distance(e.v, c1.c), c1.cid) AS rn
+         |    FROM e, c1) WHERE rn = 1)
+         |SELECT cid AS cluster_id, count(*) AS n,
+         |  CAST(sum(list_sum(list_transform(v,
+         |    x -> CAST(round(x * 1e9) AS BIGINT)))) AS BIGINT) AS checksum_nano
+         |FROM a2 GROUP BY cid ORDER BY cluster_id""".stripMargin)
 }

@@ -201,6 +201,34 @@ class VectorQueriesSpec extends SparkSpec {
     assert(out.forall(_._2 >= 1L))
   }
 
+  test("kmeans separates well-separated clusters and accounts exactly") {
+    // Two tight groups; the two lowest vec_ids (the seeds) land one per
+    // group, so 2-round Lloyd must recover the groups exactly. All
+    // coordinates are exactly representable so the fixed-point checksums
+    // are hand-computable.
+    val df = Seq(
+      (0L, Array(0.0f, 0.0f)), (2L, Array(0.25f, 0.0f)),
+      (4L, Array(0.5f, 0.0f)),
+      (1L, Array(10.0f, 10.0f)), (3L, Array(10.0f, 10.25f)),
+      (5L, Array(10.0f, 10.5f))).toDF("vec_id", "embedding")
+    val out = VectorQueries.kmeansOf(df, k = 2, rounds = 2)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (0L, 3L, 750000000L),      // (0+0.25+0.5) * 1e9
+      (1L, 3L, 60750000000L)))   // (3*10 + 10+10.25+10.5) * 1e9
+  }
+
+  test("kmeans output partitions the corpus; clusters keep seed ids") {
+    val emb = graft.Tables(spark, sfDir, "embeddings")
+    val total = emb.count()
+    val seedIds = emb.orderBy("vec_id").limit(VectorQueries.KmeansK)
+      .select("vec_id").as[Long].collect().toSet
+    val out = VectorQueries.kmeansClusters(spark, sfDir)
+      .as[(Long, Long, Long)].collect()
+    assert(out.map(_._2).sum == total)          // every vector assigned once
+    assert(out.map(_._1).toSet.subsetOf(seedIds)) // ids are seed vec_ids
+  }
+
   test("fixed-point rounding matches Spark round() on half boundaries") {
     // ±2.5 and ±3.5 in the 1e-9 domain hit exact .5 fixed-point values;
     // Math.round would give -2 / -3 where HALF_UP gives -3 / -4

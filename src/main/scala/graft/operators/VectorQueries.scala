@@ -365,7 +365,10 @@ object VectorQueries {
   def kmeansClusters(spark: SparkSession, dir: String): DataFrame =
     kmeansOf(Tables(spark, dir, "embeddings"), KmeansK, KmeansRounds)
 
-  private[operators] def kmeansOf(
+  /** The Lloyd iteration itself: final assignment frame
+    * (vec_id, embedding, v, cid) after `rounds` assignment passes with
+    * `rounds - 1` centroid updates between them. */
+  private[operators] def kmeansAssignOf(
       emb: DataFrame, k: Int, rounds: Int): DataFrame = {
     val e = emb.repartition(
         emb.sparkSession.sessionState.conf.numShufflePartitions,
@@ -389,12 +392,52 @@ object VectorQueries {
           .agg(centroid(col("embedding")).as("c"))
     }
     assigned
+  }
+
+  private[operators] def kmeansOf(
+      emb: DataFrame, k: Int, rounds: Int): DataFrame =
+    kmeansAssignOf(emb, k, rounds)
       .select(col("cid"), expr(
         "aggregate(transform(v, x -> cast(round(x * 1e9) AS bigint)), " +
           "cast(0 AS bigint), (a, x) -> a + x)").as("rowsum_nano"))
       .groupBy(col("cid").as("cluster_id"))
       .agg(count(lit(1)).as("n"), sum(col("rowsum_nano")).as("checksum_nano"))
       .orderBy(col("cluster_id"))
+
+  /** Cell granularity for q101 — much finer than [[KmeansK]], because the
+    * cells exist to BOUND the quadratic pair search (SemDeDup sizes k so
+    * cells stay small; pair cost is Σ cell², so finer cells = linear-ish
+    * total). */
+  private[operators] val CellK = 64
+
+  /** L23b: SemDeDup as the paper actually runs it — k-means cells bound
+    * the pairwise cosine search, replacing q65's sign-LSH banding as the
+    * candidate generator. Every pair inside a cell is scored; pairs
+    * crossing cells are never enumerated. Scale shape: both self-join
+    * legs read ONE cid-keyed exchange (ReusedExchange via the explicit
+    * repartition), cells are the parallelism unit, and per-cell work is
+    * cell² — bounded by choosing [[CellK]] ∝ corpus size, the paper's
+    * own knob. Recall tradeoff vs LSH is real (near-dups straddling a
+    * Voronoi boundary are missed — same boundary effect q87's
+    * multi-probe addresses for search); the q65/q91 LSH path remains the
+    * recall-favoring alternative.
+    */
+  def kmeansCellNearDups(spark: SparkSession, dir: String): DataFrame =
+    kmeansCellNearDupsOf(Tables(spark, dir, "embeddings"))
+
+  private[operators] def kmeansCellNearDupsOf(emb: DataFrame): DataFrame = {
+    val byCell = kmeansAssignOf(emb, CellK, KmeansRounds)
+      .select(col("cid"), col("vec_id"), col("v"))
+      .repartition(emb.sparkSession.sessionState.conf.numShufflePartitions,
+        col("cid"))
+    byCell.as("x")
+      .join(byCell.as("y"),
+        col("x.cid") === col("y.cid") && col("x.vec_id") < col("y.vec_id"))
+      .withColumn("cos", round(cosineSim(col("x.v"), col("y.v")), 6))
+      .filter(col("cos") >= NearDupThreshold)
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
+        col("cos"))
+      .orderBy(col("vec_a"), col("vec_b"))
   }
 
   val queries: ListMap[String, graft.Q] = ListMap(
@@ -405,7 +448,8 @@ object VectorQueries {
     "q68_centroid_classify" -> (centroidClassify _),
     "q69_ivf_topk_cosine" -> (ivfTopkCosine _),
     "q87_ivf_multiprobe" -> (ivfMultiprobeTopkCosine _),
-    "q100_kmeans" -> (kmeansClusters _))
+    "q100_kmeans" -> (kmeansClusters _),
+    "q101_cell_near_dups" -> (kmeansCellNearDups _))
 
   /** Shared oracle fragment: per-label centroids with the same fixed-point
     * rule as the Aggregator (sum of round(x*1e9) longs / 1e9 / n).
@@ -552,26 +596,44 @@ object VectorQueries {
     // output is exact-integer accounting of a2. list_sum over BIGINTs
     // widens to HUGEINT → cast back (verify-skill gotcha).
     "q100_kmeans" ->
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |dims AS (SELECT unnest(range(1, ${Dim + 1})) AS i),
-         |c0 AS (SELECT vec_id AS cid, v AS c FROM e ORDER BY vec_id LIMIT $KmeansK),
-         |a1 AS (SELECT vec_id, v, cid FROM (
-         |    SELECT e.vec_id, e.v, c0.cid,
-         |      row_number() OVER (PARTITION BY e.vec_id
-         |        ORDER BY list_distance(e.v, c0.c), c0.cid) AS rn
-         |    FROM e, c0) WHERE rn = 1),
-         |s1 AS (SELECT cid, i, sum(CAST(round(v[i] * 1e9) AS BIGINT)) AS s,
-         |         count(*) AS n
-         |  FROM a1, dims GROUP BY cid, i),
-         |c1 AS (SELECT cid, array_agg(CAST(s AS DOUBLE) / 1e9 / n ORDER BY i) AS c
-         |  FROM s1 GROUP BY cid),
-         |a2 AS (SELECT vec_id, v, cid FROM (
-         |    SELECT e.vec_id, e.v, c1.cid,
-         |      row_number() OVER (PARTITION BY e.vec_id
-         |        ORDER BY list_distance(e.v, c1.c), c1.cid) AS rn
-         |    FROM e, c1) WHERE rn = 1)
+      s"""WITH ${kmeansCtes(KmeansK)}
          |SELECT cid AS cluster_id, count(*) AS n,
          |  CAST(sum(list_sum(list_transform(v,
          |    x -> CAST(round(x * 1e9) AS BIGINT)))) AS BIGINT) AS checksum_nano
-         |FROM a2 GROUP BY cid ORDER BY cluster_id""".stripMargin)
+         |FROM a2 GROUP BY cid ORDER BY cluster_id""".stripMargin,
+    // q101: same unrolled iteration at cell granularity, then every
+    // within-cell pair scored — the SemDeDup candidate structure.
+    "q101_cell_near_dups" ->
+      s"""WITH ${kmeansCtes(CellK)}
+         |SELECT vec_a, vec_b, cos FROM (
+         |  SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+         |    round(list_cosine_similarity(x.v, y.v), 6) AS cos
+         |  FROM a2 x JOIN a2 y
+         |    ON x.cid = y.cid AND x.vec_id < y.vec_id)
+         |WHERE cos >= $NearDupThreshold
+         |ORDER BY vec_a, vec_b""".stripMargin)
+
+  /** The 2-round Lloyd iteration as DuckDB CTEs, parameterized by k —
+    * shared by q100 (cluster accounting) and q101 (within-cell pairs) so
+    * the two oracles cannot drift apart (the minhashPairsCtes pattern).
+    * Ends in `a2(vec_id, v, cid)`, the final assignment. */
+  private def kmeansCtes(k: Int): String =
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |dims AS (SELECT unnest(range(1, ${Dim + 1})) AS i),
+       |c0 AS (SELECT vec_id AS cid, v AS c FROM e ORDER BY vec_id LIMIT $k),
+       |a1 AS (SELECT vec_id, v, cid FROM (
+       |    SELECT e.vec_id, e.v, c0.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY list_distance(e.v, c0.c), c0.cid) AS rn
+       |    FROM e, c0) WHERE rn = 1),
+       |s1 AS (SELECT cid, i, sum(CAST(round(v[i] * 1e9) AS BIGINT)) AS s,
+       |         count(*) AS n
+       |  FROM a1, dims GROUP BY cid, i),
+       |c1 AS (SELECT cid, array_agg(CAST(s AS DOUBLE) / 1e9 / n ORDER BY i) AS c
+       |  FROM s1 GROUP BY cid),
+       |a2 AS (SELECT vec_id, v, cid FROM (
+       |    SELECT e.vec_id, e.v, c1.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY list_distance(e.v, c1.c), c1.cid) AS rn
+       |    FROM e, c1) WHERE rn = 1)""".stripMargin
 }

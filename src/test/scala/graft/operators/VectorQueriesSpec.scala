@@ -229,6 +229,41 @@ class VectorQueriesSpec extends SparkSpec {
     assert(out.map(_._1).toSet.subsetOf(seedIds)) // ids are seed vec_ids
   }
 
+  test("cell near-dups = exactly the within-cell pairs above threshold") {
+    // independent Scala brute force over the same final assignment
+    val assigned = VectorQueries.kmeansAssignOf(
+        graft.Tables(spark, sfDir, "embeddings"),
+        VectorQueries.CellK, VectorQueries.KmeansRounds)
+      .select("cid", "vec_id", "v")
+      .as[(Long, Long, Array[Double])].collect()
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expected = assigned.groupBy(_._1).values.flatMap { cell =>
+      val m = cell.sortBy(_._2)
+      for {
+        i <- m.indices; j <- (i + 1) until m.length
+        // skip the rounding boundary
+        if cos(m(i)._3, m(j)._3) >= 0.4 + 1e-6
+      } yield (m(i)._2, m(j)._2)
+    }.toSet
+    val got = VectorQueries.kmeansCellNearDups(spark, sfDir)
+      .as[(Long, Long, Double)].collect()
+    assert(got.forall(_._3 >= 0.4))
+    val gotPairs = got.map(p => (p._1, p._2)).toSet
+    assert(expected.subsetOf(gotPairs))
+    // anything reported but not in `expected` must sit on the boundary
+    assert((gotPairs -- expected).forall { case (a, b) =>
+      val va = assigned.find(_._2 == a).get._3
+      val vb = assigned.find(_._2 == b).get._3
+      math.abs(cos(va, vb) - 0.4) < 1e-6
+    })
+  }
+
   test("fixed-point rounding matches Spark round() on half boundaries") {
     // ±2.5 and ±3.5 in the 1e-9 domain hit exact .5 fixed-point values;
     // Math.round would give -2 / -3 where HALF_UP gives -3 / -4

@@ -35,6 +35,16 @@ class PlanAuditSpec extends SparkSpec {
   // WindowQueries.acctbalQuartiles). Every other query must stay clean.
   private val windowWhitelist = Set("q23_acctbal_quartiles")
 
+  // The CC family's cluster accounting (sizes + survivor election) must
+  // be aggregate+join-back, never a cluster_id-keyed window: a web-scale
+  // dedup's raison d'être is mega-clusters, and a window funnels every
+  // member of one through a single reducer while the aggregate
+  // map-side-combines (VERDICT r5/r6 "What's wrong" #1). Asserting the
+  // whole final plan Window-free pins the fix.
+  private val windowFree =
+    Set("q77_dedup_clusters", "q85_dedup_clusters_star",
+      "q88_cluster_survivors")
+
   for ((name, fn) <- SparkEntry.queries) {
     test(s"$name: no cartesian product, no unpartitioned window") {
       val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
@@ -43,6 +53,10 @@ class PlanAuditSpec extends SparkSpec {
       if (!windowWhitelist(name))
         assert(!hasSinglePartitionWindow(plan),
           s"$name plans an unpartitioned Window — single-task funnel")
+      if (windowFree(name))
+        assert(!plan.contains("Window ["),
+          s"$name plans a Window — cluster accounting must be " +
+            "aggregate+join-back (hot-key safety)")
     }
   }
 }

@@ -118,8 +118,10 @@ object Bench {
     // do not.
     def f3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    // distinct metric name so a consumer keying on "total" never
+    // double-counts or picks this truncation-guard line (VERDICT r7 #4)
     println(
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","cpu_total":${f3(cpuSecs.values.sum)},"headline6":${f3(headline)},"n_queries":${times.size},"n_errors":${errors.size},"sf":"$sfDir"}""")
+      s"""{"metric":"total_summary","value":${f3(total)},"unit":"sec","cpu_total":${f3(cpuSecs.values.sum)},"headline6":${f3(headline)},"n_queries":${times.size},"n_errors":${errors.size},"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types.{DecimalType, LongType, TimestampNTZType, TimestampType}
 
 /** Parquet table loaders + oracle-parity helpers.
   *
@@ -27,25 +27,39 @@ object Tables {
       "graft queries require spark.sql.session.timeZone=UTC " +
         "(oracle-parity contract; see ADVICE.md r1)")
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark has no native
-      // type for (SURVEY.md §7.4). Read the raw INT64 nanos via the legacy
-      // conf and truncate to microseconds — the same conversion DuckDB
-      // applies when it scans TIMESTAMP_NS into its µs TIMESTAMP, so the
-      // oracle sees identical instants. The conf is saved/restored around
-      // the read so the shared session's behavior for any other raw
-      // nanos-parquet read is untouched (ADVICE r2); the DataFrame itself
-      // stays valid because the conf is captured at analysis time.
+      // events.ts has shipped as both parquet TIMESTAMP(NANOS) and
+      // TIMESTAMP(MICROS) across testdata generations (VERDICT r7: the
+      // loader must tolerate data-contract drift, not assume one shape).
+      // Read under the legacy nanos conf — a no-op for micros files, and
+      // the only way a NANOS file's schema even infers — then branch on
+      // the dtype `ts` actually arrived as. The conf is saved/restored so
+      // the shared session's behavior for any other raw nanos-parquet
+      // read is untouched (ADVICE r2); the DataFrame stays valid because
+      // the conf is captured at analysis time.
       val key = "spark.sql.legacy.parquet.nanosAsLong"
       val prev = spark.conf.getOption(key)
       spark.conf.set(key, "true")
       try {
         val raw = spark.read.parquet(s"$dir/$name.parquet")
-        // floor division (not `div`, which truncates toward zero) so a
-        // pre-epoch nanos value converts exactly like DuckDB's floor-based
-        // TIMESTAMP_NS→µs conversion. Integer-only arithmetic: int64 nanos
-        // exceed 2^53, so a double round-trip would lose precision.
-        raw.withColumn("ts",
-          expr("timestamp_micros(if(ts % 1000 < 0, ts div 1000 - 1, ts div 1000))"))
+        raw.schema("ts").dataType match {
+          case LongType =>
+            // TIMESTAMP(NANOS) file: raw INT64 nanos. Truncate to micros —
+            // the same conversion DuckDB applies scanning TIMESTAMP_NS into
+            // its µs TIMESTAMP — with floor division (not `div`, which
+            // truncates toward zero) so pre-epoch values convert exactly
+            // like DuckDB's floor-based conversion. Integer-only: int64
+            // nanos exceed 2^53, a double round-trip would lose precision.
+            raw.withColumn("ts",
+              expr("timestamp_micros(if(ts % 1000 < 0, ts div 1000 - 1, ts div 1000))"))
+          case TimestampNTZType =>
+            // TIMESTAMP(MICROS, isAdjustedToUTC=false): same wall-clock
+            // instants DuckDB sees. Cast to session-zoned TimestampType
+            // (UTC pinned above) so downstream queries and written results
+            // keep the exact type shape the NANOS path produced.
+            raw.withColumn("ts", col("ts").cast(TimestampType))
+          case _ =>
+            raw // already TimestampType — nothing to normalize
+        }
       } finally {
         prev match {
           case Some(v) => spark.conf.set(key, v)

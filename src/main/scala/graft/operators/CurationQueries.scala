@@ -21,6 +21,12 @@ object CurationQueries {
   /** Chunk capacity for sequence packing, in whitespace tokens. */
   val PackTokens = 256
 
+  /** Width of a packing shard in doc_id space (L10). The window key is
+    * (lang, shard) so its cardinality scales with the corpus; small here
+    * so sf0.001 already crosses shard boundaries — production would size
+    * a shard to one writer task's output. */
+  val PackShardDocs = 128L
+
   // one-file sf parquet → spread rows before per-row gram/hash CPU
   // (same lesson as LLMQueries.docs)
   private def docs(spark: SparkSession, dir: String): DataFrame =
@@ -124,29 +130,38 @@ object CurationQueries {
   def hashSplit(spark: SparkSession, dir: String): DataFrame =
     hashSplitDocs(docs(spark, dir))
 
-  /** Sequence packing, concat-then-chunk: concatenate each language's
-    * documents in doc_id order and cut the token stream into
+  /** Sequence packing, concat-then-chunk: concatenate each (language,
+    * shard)'s documents in doc_id order and cut the token stream into
     * [[PackTokens]]-token training sequences. Each document lands in the
-    * chunk range [seq_start, seq_end] of its language's stream — the
-    * index a sample loader needs to locate any document.
+    * chunk range [seq_start, seq_end] of its shard's stream — the index
+    * a sample loader needs to locate any document.
     *
-    * Scale shape: one running-sum window partitioned by lang. Language
-    * is the natural shard key of a multilingual corpus; within a single
-    * language at 100 TB the same code runs per (lang, shard) with
-    * shard-id-prefixed chunk numbers — packing is embarrassingly
-    * parallel across shards because chunk numbering only needs to be
-    * dense within a shard, not global.
+    * Scale shape: the running-sum window is keyed by (lang, shard) where
+    * shard = doc_id div [[PackShardDocs]] — NOT by lang alone, which at
+    * any corpus size funnels a 5-language corpus through 5 reducers
+    * (VERDICT r5-r7 "weak spot" L10). Chunk numbering only needs to be
+    * dense within a shard, never global, so packing is embarrassingly
+    * parallel across shards: chunk ids are shard-prefixed
+    * (`shard << 32 | local`), trading global density for a window whose
+    * key cardinality GROWS with the corpus. A production corpus would
+    * raise [[PackShardDocs]] so a shard ≈ one writer task's output (the
+    * knob is one val); 128 keeps several shards live even at sf0.001 so
+    * the cross-shard boundary semantics stay oracle-tested.
     */
   def packSequencesDocs(docsDf: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+    val w = Window.partitionBy(col("lang"), col("shard"))
+      .orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docsDf
       .select(col("doc_id"), col("lang"),
         size(split(col("text"), "\\s+")).cast("long").as("n_tokens"))
+      .withColumn("shard", expr(s"doc_id div $PackShardDocs"))
       .withColumn("cum", sum(col("n_tokens")).over(w))
-      .select(col("doc_id"), col("lang"), col("n_tokens"),
-        expr(s"(cum - n_tokens) div $PackTokens").as("seq_start"),
-        expr(s"(cum - 1) div $PackTokens").as("seq_end"))
+      .select(col("doc_id"), col("lang"), col("shard"), col("n_tokens"),
+        expr(s"shiftleft(shard, 32) + (cum - n_tokens) div $PackTokens")
+          .as("seq_start"),
+        expr(s"shiftleft(shard, 32) + (cum - 1) div $PackTokens")
+          .as("seq_end"))
       .orderBy(col("doc_id"))
   }
 
@@ -1003,16 +1018,18 @@ object CurationQueries {
     },
     "q76_pack_sequences" ->
       s"""WITH toks AS (
-         |  SELECT doc_id, lang,
+         |  SELECT doc_id, lang, doc_id // $PackShardDocs AS shard,
          |    CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tokens
          |  FROM documents),
          |cums AS (
-         |  SELECT doc_id, lang, n_tokens,
-         |    sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         |  SELECT doc_id, lang, shard, n_tokens,
+         |    sum(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
          |  FROM toks)
-         |SELECT doc_id, lang, n_tokens,
-         |  CAST((cum - n_tokens) // $PackTokens AS BIGINT) AS seq_start,
-         |  CAST((cum - 1) // $PackTokens AS BIGINT) AS seq_end
+         |SELECT doc_id, lang, CAST(shard AS BIGINT) AS shard, n_tokens,
+         |  CAST(shard * 4294967296 + (cum - n_tokens) // $PackTokens AS BIGINT)
+         |    AS seq_start,
+         |  CAST(shard * 4294967296 + (cum - 1) // $PackTokens AS BIGINT)
+         |    AS seq_end
          |FROM cums ORDER BY doc_id""".stripMargin)
 }

@@ -45,6 +45,27 @@ class PlanAuditSpec extends SparkSpec {
     Set("q77_dedup_clusters", "q85_dedup_clusters_star",
       "q88_cluster_survivors")
 
+  // q76's packing window must be keyed by (lang, shard), never lang
+  // alone: 5 languages = 5 reducers at any corpus size, while the shard
+  // key's cardinality grows with the corpus (VERDICT r5-r7 weak spot
+  // L10). The plan prints the window's partition spec — require the
+  // shard key present.
+  test("q76: packing window is sharded, not lang-funneled") {
+    val plan = SparkEntry.queries("q76_pack_sequences")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val windowLine = plan.linesIterator.find(_.contains("Window ["))
+    assert(windowLine.exists(_.contains("shard")),
+      s"q76 window is not shard-keyed: ${windowLine.getOrElse("<none>")}")
+    // and the shard key genuinely fans out at test scale
+    import org.apache.spark.sql.functions.countDistinct
+    val nKeys = SparkEntry.queries("q76_pack_sequences")(spark, sfDir)
+      .select(countDistinct(org.apache.spark.sql.functions
+        .concat_ws("/", org.apache.spark.sql.functions.col("lang"),
+          org.apache.spark.sql.functions.col("shard"))))
+      .head().getLong(0)
+    assert(nKeys > 5, s"expected >5 (lang, shard) window keys, got $nKeys")
+  }
+
   for ((name, fn) <- SparkEntry.queries) {
     test(s"$name: no cartesian product, no unpartitioned window") {
       val plan = fn(spark, sfDir).queryExecution.executedPlan.toString

@@ -77,7 +77,7 @@ class CurationQueriesSpec extends SparkSpec {
     assert(out.map(_._2).toSet.subsetOf(Set("train", "val", "test")))
   }
 
-  test("sequence packing: chunk ranges are contiguous per language") {
+  test("sequence packing: chunk ranges are contiguous per (lang, shard)") {
     val wordGen = Gen.choose(1, 40)
     checkProp(Prop.forAll(Gen.listOfN(30, wordGen)) { lens =>
       val rows = lens.zipWithIndex.map { case (n, i) =>
@@ -86,21 +86,37 @@ class CurationQueriesSpec extends SparkSpec {
       }
       val out = CurationQueries.packSequencesDocs(
         rows.toDF("doc_id", "text", "lang"))
-        .as[(Long, String, Long, Long, Long)].collect()
-        .groupBy(_._2)
-      out.values.forall { docs =>
+        .as[(Long, String, Long, Long, Long, Long)].collect()
+        .groupBy(d => (d._2, d._3))
+      out.forall { case ((_, shard), docs) =>
+        val base = shard << 32
         val sorted = docs.sortBy(_._1)
-        sorted.head._4 == 0L &&
-          sorted.forall { case (_, _, n, s, e) =>
+        sorted.head._5 == base &&
+          sorted.forall { case (_, _, _, n, s, e) =>
             s <= e && e - s <= n / CurationQueries.PackTokens + 1
           } &&
           sorted.sliding(2).forall {
-            case Array((_, _, _, _, e1), (_, _, _, s2, _)) =>
+            case Array((_, _, _, _, _, e1), (_, _, _, _, s2, _)) =>
               s2 == e1 || s2 == e1 + 1
             case _ => true
           }
       }
     })
+  }
+
+  test("sequence packing: shard boundary restarts numbering with prefix") {
+    // docs straddling the PackShardDocs=128 boundary: doc 128 opens
+    // shard 1, its chunk ids carry the 1<<32 prefix and local numbering
+    // restarts at 0
+    val rows = Seq(
+      (127L, Seq.fill(300)("w").mkString(" "), "en"),
+      (128L, Seq.fill(10)("w").mkString(" "), "en"))
+    val out = CurationQueries.packSequencesDocs(
+      rows.toDF("doc_id", "text", "lang"))
+      .as[(Long, String, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(out(0)._3 == 0L && out(0)._5 == 0L && out(0)._6 == 1L)
+    assert(out(1)._3 == 1L &&
+      out(1)._5 == (1L << 32) && out(1)._6 == (1L << 32))
   }
 
   test("connected components match a driver-side union-find") {
@@ -142,10 +158,11 @@ class CurationQueriesSpec extends SparkSpec {
       (2L, Seq.fill(300)("w").mkString(" "), "en"))
     val out = CurationQueries.packSequencesDocs(
       rows.toDF("doc_id", "text", "lang"))
-      .as[(Long, String, Long, Long, Long)].collect().sortBy(_._1)
+      .as[(Long, String, Long, Long, Long, Long)].collect().sortBy(_._1)
     // 600 tokens / 256 → last token in chunk 2; doc1 spans 0-1, doc2 1-2
-    assert(out(0)._4 == 0L && out(0)._5 == 1L)
-    assert(out(1)._4 == 1L && out(1)._5 == 2L)
+    // (both docs in shard 0, so the shard prefix is 0)
+    assert(out(0)._5 == 0L && out(0)._6 == 1L)
+    assert(out(1)._5 == 1L && out(1)._6 == 2L)
   }
 
   test("repetition stats: known ratios and threshold flags") {

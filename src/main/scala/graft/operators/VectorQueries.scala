@@ -208,6 +208,15 @@ object VectorQueries {
   def cosineNearDups(spark: SparkSession, dir: String): DataFrame =
     cosineNearDupsOf(vecs(spark, dir))
 
+  /** Sign-LSH band keys of a (vec_id, v) frame — the q65 projection,
+    * shared by the full self-join pair flow and the incremental
+    * (daily-ingest) probe flow so the two can never drift apart. */
+  private[operators] def lshBandsOf(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), posexplode(
+        graft.functions.SignLshKeys.signLshKeys(
+          col("v"), planes, PlanesPerBand)))
+      .toDF("vec_id", "band", "key")
+
   private[operators] def cosineNearDupsOf(e: DataFrame): DataFrame = {
     val spark = e.sparkSession
     // repartition on the join key: both self-join legs then read ONE
@@ -215,10 +224,7 @@ object VectorQueries {
     // sign-bit dot products run once per query instead of once per leg
     // (without it AQE broadcasts one leg, and a broadcast exchange can
     // never reuse a shuffle exchange — same lesson as q64)
-    val bands = e.select(col("vec_id"), posexplode(
-        graft.functions.SignLshKeys.signLshKeys(
-          col("v"), planes, PlanesPerBand)))
-      .toDF("vec_id", "band", "key")
+    val bands = lshBandsOf(e)
       .repartition(spark.sessionState.conf.numShufflePartitions,
         col("band"), col("key"))
     val cands = bands.as("a")
@@ -340,6 +346,100 @@ object VectorQueries {
       .select(col("keep_id"), col("n_copies"))
       .orderBy(col("keep_id"))
 
+  // ---- incremental (daily-ingest) vector dedup ------------------------
+
+  /** Batch-id residue selecting the "today's batch" leg: vectors with
+    * vec_id ≡ 0 (mod 10) arrive today, the rest are the signed corpus —
+    * the q96/q97 split, embedding flavor (VERDICT r6/r7 gap: the
+    * daily-ingest pattern had no vector-side counterpart). */
+  private[operators] val VecBatchMod = 10
+
+  /** The persisted corpus-side key index a daily pipeline writes once:
+    * one distinct q95 canonical key per known vector (32-hex md5 of the
+    * fixed-point components — never the vector itself). */
+  def vectorHashIndex(corpus: DataFrame): DataFrame =
+    corpus.select(vKeyExpr.as("vkey")).distinct()
+
+  /** Incremental exact vector dedup: survivors of an incoming batch
+    * against the persisted [[vectorHashIndex]]. Batch vectors whose
+    * canonical key exists in the corpus are dups; within the batch the
+    * min vec_id wins, as in the full q95 pass. The anti-join shuffles
+    * 32-hex keys only: daily cost is O(batch), not O(corpus). */
+  def incrementalVectorExactDedup(corpusKeys: DataFrame,
+      newVecs: DataFrame): DataFrame =
+    newVecs
+      .select(col("vec_id"), vKeyExpr.as("vkey"))
+      .groupBy(col("vkey"))
+      .agg(min(col("vec_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .join(corpusKeys, Seq("vkey"), "left_anti")
+      .select(col("keep_id"), col("n_copies"))
+      .orderBy(col("keep_id"))
+
+  /** Incremental near-dup: cosine pairs of an incoming batch against an
+    * already-banded corpus (plus batch-internal pairs) WITHOUT re-pairing
+    * the corpus with itself — [[graft.operators.LLMQueries
+    * .incrementalNearDups]]'s probe shape, embedding flavor. Corpus band
+    * keys are the petabyte-scale table a real pipeline persists once;
+    * each day's candidate join probes (corpus ∪ batch) bands with BATCH
+    * bands only, so a corpus-only bucket has no matching probe key and
+    * never enumerates its pairs. Band keys and cosine are pure
+    * per-vector/per-pair functions, so the result equals the FULL q65
+    * pair pass restricted to pairs touching ≥1 batch vector — the
+    * invariant the oracle hash-checks. */
+  def incrementalVectorNearDups(corpusBands: DataFrame, corpusVecs: DataFrame,
+      newVecs: DataFrame): DataFrame = {
+    val spark = newVecs.sparkSession
+    // materialized lazily: newBands feeds BOTH the union leg and the
+    // probe leg — without the checkpoint each consumer re-runs the
+    // fixed-point sign-bit projection (2× the band math per daily run).
+    // The batch is the small side by definition, so this is cheap;
+    // eager=false keeps plan construction/audit free (the q70 lesson).
+    val newBands = lshBandsOf(newVecs).localCheckpoint(eager = false)
+    val cands = corpusBands.unionByName(newBands).as("a")
+      .join(newBands.as("n"),
+        col("a.band") === col("n.band") && col("a.key") === col("n.key") &&
+          col("a.vec_id") =!= col("n.vec_id"))
+      .select(least(col("a.vec_id"), col("n.vec_id")).as("vec_a"),
+        greatest(col("a.vec_id"), col("n.vec_id")).as("vec_b"))
+      .distinct()
+    // one explicit vec_id exchange for the union of verify vectors, for
+    // the same reason as q96's sets union: identically-partitioned union
+    // children otherwise let Spark 4.1 zip a 2N-partition union leg
+    // against an N-partition candidates leg
+    val all = corpusVecs.unionByName(newVecs)
+      .repartition(spark.sessionState.conf.numShufflePartitions,
+        col("vec_id"))
+    cands
+      .join(all.select(col("vec_id").as("vec_a"), col("v").as("va")),
+        Seq("vec_a"))
+      .join(all.select(col("vec_id").as("vec_b"), col("v").as("vb")),
+        Seq("vec_b"))
+      .withColumn("cos", round(cosineSim(col("va"), col("vb")), 6))
+      .filter(col("cos") >= NearDupThreshold)
+      .select(col("vec_a"), col("vec_b"), col("cos"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  /** q102: the daily-ingest exact vector dedup as an ORACLE query. */
+  def incrementalVectorExactDedupDaily(spark: SparkSession,
+      dir: String): DataFrame = {
+    val e = vecs(spark, dir)
+    incrementalVectorExactDedup(
+      vectorHashIndex(e.filter(col("vec_id") % VecBatchMod =!= 0)),
+      e.filter(col("vec_id") % VecBatchMod === 0))
+  }
+
+  /** q103: the daily-ingest vector near-dup flow as an ORACLE query —
+    * corpus leg banded via the persisted-table path, batch leg probed
+    * against it. */
+  def incrementalVectorNearDupsDaily(spark: SparkSession,
+      dir: String): DataFrame = {
+    val e = vecs(spark, dir)
+    val corpus = e.filter(col("vec_id") % VecBatchMod =!= 0)
+    val batch = e.filter(col("vec_id") % VecBatchMod === 0)
+    incrementalVectorNearDups(lshBandsOf(corpus), corpus, batch)
+  }
+
   private[operators] val KmeansK = 8
   private[operators] val KmeansRounds = 2
 
@@ -369,6 +469,12 @@ object VectorQueries {
   /** The Lloyd iteration itself: final assignment frame
     * (vec_id, embedding, v, cid) after `rounds` assignment passes with
     * `rounds - 1` centroid updates between them. */
+  /** Low bits of the packed argmin key reserved for the centroid id.
+    * Seeds are the k LOWEST vec_ids of the corpus (k ≤ 64 here), so for
+    * any 0-based id space cid ≪ 2^20; an id scheme violating that would
+    * need a dense k-row remap before packing. */
+  private val KmeansCidBits = 20
+
   private[operators] def kmeansAssignOf(
       emb: DataFrame, k: Int, rounds: Int): DataFrame = {
     val e = emb.repartition(
@@ -376,28 +482,37 @@ object VectorQueries {
         col("vec_id"))
       .select(col("vec_id"), col("embedding"),
         expr("transform(embedding, x -> cast(x AS double))").as("v"))
+      // pre-sorted within partitions so every round's assignment
+      // join-back reads e with its ordering already satisfied (the SMJ
+      // elides the array-laden side's sort; only the slim leg sorts)
+      .sortWithinPartitions(col("vec_id"))
     val centroid = udaf(CentroidAggregator)
     var cents = e.orderBy(col("vec_id")).limit(k)
       .select(col("vec_id").as("cid"), col("v").as("c"))
     var assigned = e.withColumn("cid", lit(0L))
     for (r <- 1 to rounds) {
-      // assignment via ONE exchange-free aggregate — `min(struct(d2,
-      // cid, …))` is argmin with cid tie-break — instead of a row_number
-      // window over vec_id: the rows are already hash-partitioned on
-      // vec_id so the aggregate needs no exchange (VERDICT r5/r6 "What's
-      // wrong" #4). Because the struct buffer carries array fields it
-      // plans as SortAggregate, not HashAggregate (ADVICE r7 #2) — the
-      // win over the window is the removed exchange, not the sort. d2 is
-      // 6-dp rounded and the ORACLE now orders by the identical rounded
-      // squared quantity (oracleL2Sq), so a near-tie collapses the same
-      // way in both engines and the portable cid tie-break decides.
-      assigned = e.crossJoin(broadcast(cents))
-        .withColumn("d2", round(l2Sq(col("v"), col("c")), 6))
+      // assignment = argmin over ONE packed long — round(d2·1e6) in the
+      // high bits, cid in the low KmeansCidBits — so `min(akey)` is a
+      // genuine HASH aggregate (primitive buffer) on the vec_id-
+      // partitioned rows: no exchange, no window, and no SortAggregate
+      // dragging the two 64-double arrays through a n·k-row sort (the
+      // previous min(struct(d2, cid, embedding, v)) shape — ADVICE r7
+      // #2). Lexicographic long order ≡ (rounded d2, cid) order, the
+      // same quantity the ORACLE sorts by (kmeansCtes), so near-ties
+      // collapse identically in both engines and the cid tie-break
+      // decides. Arrays are re-attached by a co-partitioned join-back
+      // (no exchange; e's side is pre-sorted).
+      val slim = e.select(col("vec_id"), col("v"))
+        .crossJoin(broadcast(cents))
+        .withColumn("akey",
+          round(l2Sq(col("v"), col("c")) * 1e6, 0).cast("long") *
+            (1L << KmeansCidBits) + col("cid"))
         .groupBy(col("vec_id"))
-        .agg(min(struct(col("d2"), col("cid"), col("embedding"), col("v")))
-          .as("best"))
-        .select(col("vec_id"), col("best.embedding").as("embedding"),
-          col("best.v").as("v"), col("best.cid").as("cid"))
+        .agg(min(col("akey")).as("akey"))
+        .select(col("vec_id"),
+          (col("akey") % (1L << KmeansCidBits)).as("cid"))
+      assigned = slim.join(e, Seq("vec_id"))
+        .select(col("vec_id"), col("embedding"), col("v"), col("cid"))
       if (r < rounds)
         cents = assigned.groupBy(col("cid"))
           .agg(centroid(col("embedding")).as("c"))
@@ -460,7 +575,9 @@ object VectorQueries {
     "q69_ivf_topk_cosine" -> (ivfTopkCosine _),
     "q87_ivf_multiprobe" -> (ivfMultiprobeTopkCosine _),
     "q100_kmeans" -> (kmeansClusters _),
-    "q101_cell_near_dups" -> (kmeansCellNearDups _))
+    "q101_cell_near_dups" -> (kmeansCellNearDups _),
+    "q102_incremental_vector_exact_dedup" -> (incrementalVectorExactDedupDaily _),
+    "q103_incremental_vector_near_dups" -> (incrementalVectorNearDupsDaily _))
 
   /** Oracle-side mirror of the Spark assignment ordering: the SAME
     * quantity `round(l2Sq, 6)` — squared L2 summed left-to-right over the
@@ -622,6 +739,30 @@ object VectorQueries {
          |  CAST(sum(list_sum(list_transform(v,
          |    x -> CAST(round(x * 1e9) AS BIGINT)))) AS BIGINT) AS checksum_nano
          |FROM a2 GROUP BY cid ORDER BY cluster_id""".stripMargin,
+    // q102: batch-internal exact-dup winners whose canonical key is
+    // unseen in the corpus — the q97 oracle shape, embedding flavor.
+    "q102_incremental_vector_exact_dedup" ->
+      s"""WITH e AS (
+         |  SELECT vec_id,
+         |    md5(array_to_string(list_transform(embedding::DOUBLE[],
+         |      x -> CAST(CAST(round(x * 1e9) AS BIGINT) AS VARCHAR)),
+         |      ',')) AS vkey
+         |  FROM embeddings),
+         |corpus AS (SELECT DISTINCT vkey FROM e WHERE vec_id % $VecBatchMod <> 0),
+         |batch AS (
+         |  SELECT vkey, min(vec_id) AS keep_id, count(*) AS n_copies
+         |  FROM e WHERE vec_id % $VecBatchMod = 0 GROUP BY vkey)
+         |SELECT keep_id, n_copies FROM batch
+         |WHERE vkey NOT IN (SELECT vkey FROM corpus)
+         |ORDER BY keep_id""".stripMargin,
+    // q103: band keys and cosine are pure per-vector functions, so the
+    // incremental flow equals the FULL q65 pair pass restricted to pairs
+    // touching >= 1 batch vector — the q96 oracle invariant.
+    "q103_incremental_vector_near_dups" ->
+      s"""WITH $cosinePairsCtes
+         |SELECT vec_a, vec_b, cos FROM vpairs
+         |WHERE vec_a % $VecBatchMod = 0 OR vec_b % $VecBatchMod = 0
+         |ORDER BY vec_a, vec_b""".stripMargin,
     // q101: same unrolled iteration at cell granularity, then every
     // within-cell pair scored — the SemDeDup candidate structure.
     "q101_cell_near_dups" ->
@@ -634,6 +775,15 @@ object VectorQueries {
          |WHERE cos >= $NearDupThreshold
          |ORDER BY vec_a, vec_b""".stripMargin)
 
+  /** Oracle mirror of the kmeans packed argmin ordering: CAST(round(
+    * d2·1e6) AS BIGINT) then cid — the identical doubles (same
+    * left-to-right squared-diff sum), the identical half-up rounding at
+    * the identical scale, so the assignment argmin agrees with Spark's
+    * packed-long min bit for bit. */
+  private def oracleL2SqMicro(v: String, c: String): String =
+    s"CAST(round(list_sum(list_transform(range(1, ${Dim + 1}), " +
+      s"d -> ($v[d] - $c[d]) * ($v[d] - $c[d]))) * 1e6) AS BIGINT)"
+
   /** The 2-round Lloyd iteration as DuckDB CTEs, parameterized by k —
     * shared by q100 (cluster accounting) and q101 (within-cell pairs) so
     * the two oracles cannot drift apart (the minhashPairsCtes pattern).
@@ -645,7 +795,7 @@ object VectorQueries {
        |a1 AS (SELECT vec_id, v, cid FROM (
        |    SELECT e.vec_id, e.v, c0.cid,
        |      row_number() OVER (PARTITION BY e.vec_id
-       |        ORDER BY ${oracleL2Sq("e.v", "c0.c")}, c0.cid) AS rn
+       |        ORDER BY ${oracleL2SqMicro("e.v", "c0.c")}, c0.cid) AS rn
        |    FROM e, c0) WHERE rn = 1),
        |s1 AS (SELECT cid, i, sum(CAST(round(v[i] * 1e9) AS BIGINT)) AS s,
        |         count(*) AS n
@@ -655,6 +805,6 @@ object VectorQueries {
        |a2 AS (SELECT vec_id, v, cid FROM (
        |    SELECT e.vec_id, e.v, c1.cid,
        |      row_number() OVER (PARTITION BY e.vec_id
-       |        ORDER BY ${oracleL2Sq("e.v", "c1.c")}, c1.cid) AS rn
+       |        ORDER BY ${oracleL2SqMicro("e.v", "c1.c")}, c1.cid) AS rn
        |    FROM e, c1) WHERE rn = 1)""".stripMargin
 }

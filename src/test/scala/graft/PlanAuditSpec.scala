@@ -45,6 +45,20 @@ class PlanAuditSpec extends SparkSpec {
     Set("q77_dedup_clusters", "q85_dedup_clusters_star",
       "q88_cluster_survivors")
 
+  // The k-means assignment argmin must stay a HASH aggregate over the
+  // packed (d2·1e6, cid) long — a min(struct(..., arrays)) buffer would
+  // silently re-plan it as a SortAggregate dragging both 64-double
+  // arrays through an n·k-row sort per round (ADVICE r7 #2; measured
+  // 4× CPU on q101 at sf0.1).
+  for (name <- Seq("q100_kmeans", "q101_cell_near_dups"))
+    test(s"$name: no SortAggregate in the Lloyd iteration") {
+      val plan = SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("SortAggregate"),
+        s"$name plans a SortAggregate — argmin buffer regressed to a " +
+          "non-primitive type")
+    }
+
   // q76's packing window must be keyed by (lang, shard), never lang
   // alone: 5 languages = 5 reducers at any corpus size, while the shard
   // key's cardinality grows with the corpus (VERDICT r5-r7 weak spot

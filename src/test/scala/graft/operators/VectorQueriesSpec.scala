@@ -201,6 +201,33 @@ class VectorQueriesSpec extends SparkSpec {
     assert(out.forall(_._2 >= 1L))
   }
 
+  test("incremental vector near-dups = full pair pass restricted to batch") {
+    // the q96 invariant, embedding flavor: band keys and cosine are pure
+    // per-vector functions, so probing corpus bands with batch bands must
+    // reproduce exactly the full q65 pairs touching >= 1 batch vector
+    val full = VectorQueries.cosineNearDups(spark, sfDir)
+      .as[(Long, Long, Double)].collect().toSet
+    val want = full.filter { case (a, b, _) =>
+      a % VectorQueries.VecBatchMod == 0 || b % VectorQueries.VecBatchMod == 0
+    }
+    val got = VectorQueries.incrementalVectorNearDupsDaily(spark, sfDir)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == want)
+  }
+
+  test("incremental vector exact dedup drops corpus-known keys") {
+    // batch survivors + corpus-known batch vectors account for the whole
+    // batch; survivors' keys are disjoint from the corpus index
+    val e = graft.Tables(spark, sfDir, "embeddings")
+    val batchN = e.filter(col("vec_id") % VectorQueries.VecBatchMod === 0)
+      .count()
+    val out = VectorQueries.incrementalVectorExactDedupDaily(spark, sfDir)
+      .as[(Long, Long)].collect()
+    assert(out.forall(_._1 % VectorQueries.VecBatchMod == 0)) // batch-only
+    assert(out.map(_._2).sum <= batchN) // corpus-dup batch vectors dropped
+    assert(out.map(_._1).distinct.length == out.length)
+  }
+
   test("kmeans separates well-separated clusters and accounts exactly") {
     // Two tight groups; the two lowest vec_ids (the seeds) land one per
     // group, so 2-round Lloyd must recover the groups exactly. All

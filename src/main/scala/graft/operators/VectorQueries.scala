@@ -440,6 +440,222 @@ object VectorQueries {
     incrementalVectorNearDups(lshBandsOf(corpus), corpus, batch)
   }
 
+  /** The persisted corpus-side semantic-dedup index — what a daily
+    * pipeline writes ONCE after each full q91 pass, so the next day's
+    * batch never re-pairs or re-clusters the corpus:
+    *  - `fams(vkey, canon, fam_size)`: one row per distinct corpus vkey
+    *    (q95 canonical-key table with member counts);
+    *  - `vecC(canon, vkey, fam_size, v)`: the canonical vectors;
+    *  - `bandsC`: q65 sign-LSH band keys of the canonicals;
+    *  - `ccC(canon, label)`: the corpus LSH-pair components over
+    *    canonicals (label = min member canonical);
+    *  - `statsC(label, size_sum, best)`: per corpus cluster, the raw
+    *    member count (Σ fam_size) and the election max(norm2, -canon).
+    */
+  def semanticIndexTables(corpus: DataFrame)
+      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val fams = corpus.select(col("vec_id"), vKeyExpr.as("vkey"))
+      .groupBy(col("vkey"))
+      .agg(min(col("vec_id")).as("canon"), count(lit(1)).as("fam_size"))
+    val vecC = fams
+      .join(corpus.select(col("vec_id").as("canon"), col("v")), Seq("canon"))
+      .localCheckpoint(eager = false)
+    val canonVecs = vecC.select(col("canon").as("vec_id"), col("v"))
+    val bandsC = lshBandsOf(canonVecs)
+    val pairsC = cosineNearDupsOf(canonVecs)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    val ccC = CurationQueries.connectedComponentsStar(pairsC)._1
+      .select(col("doc_id").as("canon"), col("cluster_id").as("label"))
+    val statsC = ccC.join(vecC, Seq("canon"))
+      .select(col("label"), col("canon"), col("fam_size"),
+        norm2Expr.as("norm2"))
+      .groupBy(col("label"))
+      .agg(sum(col("fam_size")).as("size_sum"),
+        max(struct(col("norm2"), (-col("canon")).as("nid"))).as("best"))
+    (fams, vecC, bandsC, ccC, statsC)
+  }
+
+  /** Incremental SEMANTIC dedup — the cluster-merge flow: given the
+    * persisted [[semanticIndexTables]] and an incoming batch, emit the
+    * rows the FULL q91 pass over corpus ∪ batch would emit for every
+    * cluster containing ≥ 1 batch vector, WITHOUT re-pairing or
+    * re-clustering the corpus. Daily cost is O(batch + candidate pairs).
+    *
+    * Mechanics (each step batch-sized):
+    *  1. batch families merge into corpus families by vkey — a shared
+    *     vkey adds `size_b` members and may SHIFT the family's canonical
+    *     to a smaller batch id; a new vkey introduces a new canonical.
+    *  2. only NEW canonicals probe the corpus band table (an existing
+    *     family's canonical vector is already banded — identical vector,
+    *     identical keys, no new edges), yielding new-new and new-corpus
+    *     verified cosine pairs.
+    *  3. corpus endpoints CONTRACT to their persisted cluster label (or
+    *     themselves if unclustered); connected components over this
+    *     contracted batch-sized graph merge whole corpus clusters
+    *     through batch vectors without touching corpus-corpus pairs.
+    *  4. per merged component, sizes add (persisted Σ + batch
+    *     additions), the election max combines the persisted best with
+    *     shifted-canonical candidates, and the cluster id is the min
+    *     merged canonical (label adjusted for shifts).
+    *  5. clusters untouched by new pairs but gaining batch family
+    *     members re-emit with updated stats; merged families of ≥ 2
+    *     outside any pair component emit as their own cluster (the
+    *     famOnly rule).
+    *
+    * Correctness rests on the same argument as q91's canonical
+    * formulation: identical vectors form cliques in the raw pair graph,
+    * so family merge + contracted CC reproduces the raw components
+    * restricted to batch-reachable clusters. The oracle hash-checks this
+    * against DuckDB's full recursive closure, restricted to clusters
+    * with a batch member.
+    */
+  def incrementalSemanticDedup(famsC: DataFrame, vecC: DataFrame,
+      bandsC: DataFrame, ccC: DataFrame, statsC: DataFrame,
+      batch: DataFrame): DataFrame = {
+    val spark = batch.sparkSession
+    val n = spark.sessionState.conf.numShufflePartitions
+    // 1. family merge (batch-touched vkeys only)
+    val famsB = batch.select(col("vec_id"), vKeyExpr.as("vkey"))
+      .groupBy(col("vkey"))
+      .agg(min(col("vec_id")).as("canon_b"), count(lit(1)).as("size_b"))
+      .join(batch.select(col("vec_id").as("canon_b"), col("v")),
+        Seq("canon_b"))
+      .join(famsC.select(col("vkey"), col("canon").as("canon_c"),
+        col("fam_size").as("size_c")), Seq("vkey"), "left")
+      .withColumn("merged_canon",
+        least(col("canon_b"), coalesce(col("canon_c"), col("canon_b"))))
+      .withColumn("merged_size",
+        col("size_b") + coalesce(col("size_c"), lit(0L)))
+      .withColumn("norm2", norm2Expr)
+      .localCheckpoint(eager = false) // feeds probe + 5 accounting legs
+    val newFams = famsB.filter(col("canon_c").isNull)
+    val sharedFams = famsB.filter(col("canon_c").isNotNull)
+    // 2. probe with new canonicals only
+    val newCanonVecs = newFams.select(col("canon_b").as("vec_id"), col("v"))
+    val newBands = lshBandsOf(newCanonVecs).localCheckpoint(eager = false)
+    val cands = bandsC.unionByName(newBands).as("a")
+      .join(newBands.as("n"),
+        col("a.band") === col("n.band") && col("a.key") === col("n.key") &&
+          col("a.vec_id") =!= col("n.vec_id"))
+      .select(least(col("a.vec_id"), col("n.vec_id")).as("vec_a"),
+        greatest(col("a.vec_id"), col("n.vec_id")).as("vec_b"))
+      .distinct()
+    val allCanonVecs = vecC.select(col("canon").as("vec_id"), col("v"))
+      .unionByName(newCanonVecs)
+      .repartition(n, col("vec_id"))
+    val pairs = cands
+      .join(allCanonVecs.select(col("vec_id").as("vec_a"), col("v").as("va")),
+        Seq("vec_a"))
+      .join(allCanonVecs.select(col("vec_id").as("vec_b"), col("v").as("vb")),
+        Seq("vec_b"))
+      .filter(round(cosineSim(col("va"), col("vb")), 6) >= NearDupThreshold)
+      .select(col("vec_a"), col("vec_b"))
+    // 3. contract corpus endpoints to their cluster label and merge
+    val edges = pairs
+      .join(ccC.select(col("canon").as("vec_a"), col("label").as("la")),
+        Seq("vec_a"), "left")
+      .join(ccC.select(col("canon").as("vec_b"), col("label").as("lb")),
+        Seq("vec_b"), "left")
+      .select(coalesce(col("la"), col("vec_a")).as("doc_a"),
+        coalesce(col("lb"), col("vec_b")).as("doc_b"))
+    val comps = CurationQueries.connectedComponentsStar(edges)._1
+      .select(col("doc_id").as("node"), col("cluster_id").as("tmp"))
+      .localCheckpoint(eager = false) // feeds 3 contribution legs + antis
+    // 4. per-cluster batch effects: size additions from all shared
+    // families; id/election adjustments from SHIFTED canonicals only
+    // (an unshifted family's canonical and norm are already in statsC)
+    val shifted = col("merged_canon") < col("canon_c")
+    val clusterAdj = sharedFams
+      .join(ccC.select(col("canon").as("canon_c"), col("label")),
+        Seq("canon_c"))
+      .groupBy(col("label"))
+      .agg(sum(col("size_b")).as("add_size"),
+        min(when(shifted, col("merged_canon"))).as("min_shift"),
+        max(when(shifted,
+          struct(col("norm2"), (-col("merged_canon")).as("nid"))))
+          .as("add_best"))
+    val updatedClusters = statsC.join(clusterAdj, Seq("label"), "left")
+      .select(col("label"),
+        (col("size_sum") + coalesce(col("add_size"), lit(0L))).as("size"),
+        greatest(col("best"), col("add_best")).as("best"),
+        least(col("label"), coalesce(col("min_shift"), col("label")))
+          .as("adj_id"),
+        col("add_size").isNotNull.as("touched"))
+    // component contributions: corpus clusters, new families, and
+    // corpus singleton canonicals (pair endpoints outside any cluster)
+    val contribCluster = comps
+      .join(updatedClusters.withColumnRenamed("label", "node"), Seq("node"))
+      .select(col("tmp"), col("size"), col("best"), col("adj_id"))
+    val contribNew = comps
+      .join(newFams.select(col("canon_b").as("node"),
+        col("merged_size").as("size"),
+        struct(col("norm2"), (-col("canon_b")).as("nid")).as("best"),
+        col("canon_b").as("adj_id")), Seq("node"))
+      .select(col("tmp"), col("size"), col("best"), col("adj_id"))
+    val contribSingleton = comps
+      .join(updatedClusters.select(col("label").as("node")),
+        Seq("node"), "left_anti")
+      .join(newFams.select(col("canon_b").as("node")), Seq("node"),
+        "left_anti")
+      .join(sharedFams.select(col("canon_c").as("node"),
+        col("merged_size"), col("merged_canon"), col("norm2").as("n2b")),
+        Seq("node"), "left")
+      .join(vecC.select(col("canon").as("node"), col("fam_size"),
+        norm2Expr.as("n2c")), Seq("node"))
+      .select(col("tmp"),
+        coalesce(col("merged_size"), col("fam_size")).as("size"),
+        struct(
+          when(col("merged_canon") < col("node"), col("n2b"))
+            .otherwise(col("n2c")).as("norm2"),
+          (-coalesce(col("merged_canon"), col("node"))).as("nid"))
+          .as("best"),
+        coalesce(col("merged_canon"), col("node")).as("adj_id"))
+    val legA = contribCluster.unionByName(contribNew)
+      .unionByName(contribSingleton)
+      .groupBy(col("tmp"))
+      .agg(min(col("adj_id")).as("cluster_id"),
+        sum(col("size")).as("cluster_size"),
+        max(col("best")).as("best"))
+      .select(col("cluster_id"), (-col("best.nid")).as("kept_id"),
+        col("cluster_size"))
+    // 5. batch-touched clusters with no new pairs; merged families of
+    // >= 2 outside any component (famOnly)
+    val legB = updatedClusters.filter(col("touched"))
+      .join(comps.select(col("node").as("label")), Seq("label"), "left_anti")
+      .select(col("adj_id").as("cluster_id"), (-col("best.nid")).as("kept_id"),
+        col("size").as("cluster_size"))
+    val legC = sharedFams
+      .join(ccC.select(col("canon").as("canon_c")), Seq("canon_c"),
+        "left_anti")
+      .join(comps.select(col("node").as("canon_c")), Seq("canon_c"),
+        "left_anti")
+      .select(col("merged_canon").as("cluster_id"),
+        col("merged_canon").as("kept_id"),
+        col("merged_size").as("cluster_size"))
+    val legD = newFams.filter(col("size_b") >= 2)
+      .join(comps.select(col("node").as("canon_b")), Seq("canon_b"),
+        "left_anti")
+      .select(col("canon_b").as("cluster_id"), col("canon_b").as("kept_id"),
+        col("merged_size").as("cluster_size"))
+    legA.unionByName(legB).unionByName(legC).unionByName(legD)
+      .select(col("cluster_id"), col("kept_id"),
+        col("cluster_size").cast("long").as("cluster_size"),
+        (col("cluster_size") - 1).cast("long").as("n_dropped"))
+      .orderBy(col("cluster_id"))
+  }
+
+  /** q104: the daily-ingest SEMANTIC dedup as an ORACLE query — the
+    * corpus index built once via [[semanticIndexTables]], the batch
+    * merged through [[incrementalSemanticDedup]]. */
+  def incrementalSemanticDedupDaily(spark: SparkSession,
+      dir: String): DataFrame = {
+    val e = vecs(spark, dir).select(col("vec_id"), col("v"))
+    val corpus = e.filter(col("vec_id") % VecBatchMod =!= 0)
+    val batch = e.filter(col("vec_id") % VecBatchMod === 0)
+    val (famsC, vecC, bandsC, ccC, statsC) = semanticIndexTables(corpus)
+    incrementalSemanticDedup(famsC, vecC, bandsC, ccC, statsC, batch)
+  }
+
   private[operators] val KmeansK = 8
   private[operators] val KmeansRounds = 2
 
@@ -577,7 +793,8 @@ object VectorQueries {
     "q100_kmeans" -> (kmeansClusters _),
     "q101_cell_near_dups" -> (kmeansCellNearDups _),
     "q102_incremental_vector_exact_dedup" -> (incrementalVectorExactDedupDaily _),
-    "q103_incremental_vector_near_dups" -> (incrementalVectorNearDupsDaily _))
+    "q103_incremental_vector_near_dups" -> (incrementalVectorNearDupsDaily _),
+    "q104_incremental_semantic_dedup" -> (incrementalSemanticDedupDaily _))
 
   /** Oracle-side mirror of the Spark assignment ordering: the SAME
     * quantity `round(l2Sq, 6)` — squared L2 summed left-to-right over the
@@ -656,33 +873,13 @@ object VectorQueries {
       s"""WITH $cosinePairsCtes
          |SELECT vec_a, vec_b, cos FROM vpairs
          |ORDER BY vec_a, vec_b""".stripMargin,
-    "q91_semantic_dedup" ->
-      s"""WITH RECURSIVE $cosinePairsCtes,
-         |edges AS (
-         |  SELECT vec_a AS src, vec_b AS dst FROM vpairs
-         |  UNION ALL SELECT vec_b, vec_a FROM vpairs),
-         |reach AS (
-         |  SELECT src, dst FROM edges
-         |  UNION
-         |  SELECT r.src, g.dst FROM reach r JOIN edges g ON r.dst = g.src),
-         |comp AS (
-         |  SELECT src AS vec_id, least(src, min(dst)) AS cluster_id
-         |  FROM reach GROUP BY src),
-         |norms AS (
-         |  SELECT vec_id, CAST(list_sum(list_transform(v,
-         |    x -> CAST(round(x * 1e6) AS BIGINT) *
-         |         CAST(round(x * 1e6) AS BIGINT))) AS BIGINT) AS norm2
-         |  FROM e),
-         |ranked AS (
-         |  SELECT cluster_id, vec_id, norm2,
-         |    row_number() OVER (PARTITION BY cluster_id
-         |      ORDER BY norm2 DESC, vec_id) AS rn,
-         |    count(*) OVER (PARTITION BY cluster_id) AS cluster_size
-         |  FROM comp JOIN norms USING (vec_id))
-         |SELECT cluster_id, vec_id AS kept_id,
-         |  CAST(cluster_size AS BIGINT) AS cluster_size,
-         |  CAST(cluster_size - 1 AS BIGINT) AS n_dropped
-         |FROM ranked WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
+    "q91_semantic_dedup" -> semanticDedupOracleSql(""),
+    // q104: the same full closure, restricted to clusters containing a
+    // batch (vec_id % 10 = 0) member — exactly what the incremental
+    // cluster-merge flow must reproduce from the persisted index.
+    "q104_incremental_semantic_dedup" -> semanticDedupOracleSql(
+      s"  AND cluster_id IN (SELECT cluster_id FROM comp" +
+        s" WHERE vec_id % $VecBatchMod = 0)\n"),
     "q67_topk_cosine" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < $NumQueries),
@@ -774,6 +971,42 @@ object VectorQueries {
          |    ON x.cid = y.cid AND x.vec_id < y.vec_id)
          |WHERE cos >= $NearDupThreshold
          |ORDER BY vec_a, vec_b""".stripMargin)
+
+  /** The full q91 oracle (raw-vector pair graph, recursive closure,
+    * norm-desc election) with an optional extra predicate on the final
+    * SELECT — shared by q91 (no restriction) and q104 (clusters with a
+    * batch member) so the two cannot drift apart. Works over RAW vectors
+    * — identical vectors share band keys and cosine 1, so families are
+    * cliques in vpairs and the canonical-based engine formulation is
+    * provably output-identical (see semanticDedupOf). */
+  private def semanticDedupOracleSql(restrict: String): String =
+    s"""WITH RECURSIVE $cosinePairsCtes,
+       |edges AS (
+       |  SELECT vec_a AS src, vec_b AS dst FROM vpairs
+       |  UNION ALL SELECT vec_b, vec_a FROM vpairs),
+       |reach AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, g.dst FROM reach r JOIN edges g ON r.dst = g.src),
+       |comp AS (
+       |  SELECT src AS vec_id, least(src, min(dst)) AS cluster_id
+       |  FROM reach GROUP BY src),
+       |norms AS (
+       |  SELECT vec_id, CAST(list_sum(list_transform(v,
+       |    x -> CAST(round(x * 1e6) AS BIGINT) *
+       |         CAST(round(x * 1e6) AS BIGINT))) AS BIGINT) AS norm2
+       |  FROM e),
+       |ranked AS (
+       |  SELECT cluster_id, vec_id, norm2,
+       |    row_number() OVER (PARTITION BY cluster_id
+       |      ORDER BY norm2 DESC, vec_id) AS rn,
+       |    count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+       |  FROM comp JOIN norms USING (vec_id))
+       |SELECT cluster_id, vec_id AS kept_id,
+       |  CAST(cluster_size AS BIGINT) AS cluster_size,
+       |  CAST(cluster_size - 1 AS BIGINT) AS n_dropped
+       |FROM ranked WHERE rn = 1
+       |$restrict ORDER BY cluster_id""".stripMargin
 
   /** Oracle mirror of the kmeans packed argmin ordering: CAST(round(
     * d2·1e6) AS BIGINT) then cid — the identical doubles (same

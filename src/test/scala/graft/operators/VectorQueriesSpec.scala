@@ -228,6 +228,71 @@ class VectorQueriesSpec extends SparkSpec {
     assert(out.map(_._1).distinct.length == out.length)
   }
 
+  test("incremental semantic dedup = full dedup restricted to batch clusters") {
+    // membership of the raw pair graph (q65 pairs include family cliques:
+    // identical vectors share every band key and have cosine 1), so the
+    // batch-containing clusters are exactly the components with a
+    // vec_id % 10 == 0 member
+    val pairs = VectorQueries.cosineNearDups(spark, sfDir)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    val members = CurationQueries.connectedComponentsStar(pairs)._1
+      .select("doc_id", "cluster_id")
+      .as[(Long, Long)].collect()
+    val batchClusters = members
+      .filter(_._1 % VectorQueries.VecBatchMod == 0).map(_._2).toSet
+    val full = VectorQueries.semanticDedup(spark, sfDir)
+      .as[(Long, Long, Long, Long)].collect()
+    val want = full.filter(r => batchClusters.contains(r._1)).toSet
+    val got = VectorQueries.incrementalSemanticDedupDaily(spark, sfDir)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == want)
+  }
+
+  test("incremental semantic dedup: shift, family-merge and famOnly paths") {
+    // hand-built scenario exercising every leg:
+    //  corpus (ids % 10 != 0): 1,2 identical family A; 3 near-dup of 1
+    //    (one LSH cluster {A,3}); 11,12 identical family B (famOnly, no
+    //    cluster); 21 singleton far from everything; 5 singleton.
+    //  batch (ids % 10 == 0): 0 identical to family A → canonical SHIFTS
+    //    1→0 and the cluster gains a member; 30,40 identical new family
+    //    (batch famOnly); 50 near-dup of 21 → merges a corpus singleton;
+    //    60 isolated (no output).
+    val base = Array.fill(64)(0.5)
+    def v(seed: Int, eps: Double): Array[Double] = {
+      val a = base.clone(); a(seed % 64) += eps; a
+    }
+    val vA = v(1, 0.001); val vB = v(7, 40.0); val v21 = v(13, -35.0)
+    val v5 = v(20, 90.0); val v60 = v(31, -80.0)
+    val rows = Seq(
+      (1L, vA), (2L, vA), (3L, v(1, 0.0012)), (11L, vB), (12L, vB),
+      (21L, v21), (5L, v5),
+      (0L, vA), (30L, v(25, 70.0)), (40L, v(25, 70.0)),
+      (50L, v(13, -35.002)), (60L, v60))
+    val e = rows.toDF("vec_id", "v")
+    val corpus = e.filter(col("vec_id") % 10 =!= 0)
+    val batch = e.filter(col("vec_id") % 10 === 0)
+    val (famsC, vecC, bandsC, ccC, statsC) =
+      VectorQueries.semanticIndexTables(corpus)
+    val got = VectorQueries.incrementalSemanticDedup(
+        famsC, vecC, bandsC, ccC, statsC, batch)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // full pass over everything, restricted to batch-containing clusters
+    val full = VectorQueries.semanticDedupOf(
+        e.select(col("vec_id"), col("v")))
+      .as[(Long, Long, Long, Long)].collect()
+    val pairs = VectorQueries.cosineNearDupsOf(e)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    val membership = CurationQueries.connectedComponentsStar(pairs)._1
+      .select("doc_id", "cluster_id").as[(Long, Long)].collect()
+    val batchClusters = membership.filter(_._1 % 10 == 0).map(_._2).toSet
+    val want = full.filter(r => batchClusters.contains(r._1)).toSet
+    assert(got == want)
+    // the canonical shift is exercised: family A's cluster id is 0 now
+    assert(got.exists(_._1 == 0L), s"expected a cluster relabeled to 0: $got")
+    // the corpus famOnly {11,12} has no batch member -> absent
+    assert(!got.exists(_._1 == 11L))
+  }
+
   test("kmeans separates well-separated clusters and accounts exactly") {
     // Two tight groups; the two lowest vec_ids (the seeds) land one per
     // group, so 2-round Lloyd must recover the groups exactly. All

@@ -656,6 +656,24 @@ object VectorQueries {
     incrementalSemanticDedup(famsC, vecC, bandsC, ccC, statsC, batch)
   }
 
+  /** q105: IVF index APPEND — the daily-ingest pattern for the ANN
+    * serving path (L3b). The coarse quantizer (per-label fixed-point
+    * centroids) is computed from the CORPUS only — the persisted index
+    * a pipeline rebuilds on a schedule, never per batch; the incoming
+    * batch is assigned to its nearest existing cell (one batch-sized
+    * scan against the broadcast centroid table) and is immediately
+    * searchable alongside the corpus. Queries probe the merged cells
+    * exactly as q69. Recall drifts as the batch skews away from the
+    * frozen centroids — the standard trade every serving IVF index
+    * makes between rebuilds. */
+  def incrementalIvfTopkCosine(spark: SparkSession,
+      dir: String): DataFrame = {
+    val corpusCents = centroidsOf(
+      Tables(spark, dir, "embeddings")
+        .filter(col("vec_id") % VecBatchMod =!= 0))
+    ivfTopkCosineOf(vecs(spark, dir), corpusCents)
+  }
+
   private[operators] val KmeansK = 8
   private[operators] val KmeansRounds = 2
 
@@ -794,7 +812,8 @@ object VectorQueries {
     "q101_cell_near_dups" -> (kmeansCellNearDups _),
     "q102_incremental_vector_exact_dedup" -> (incrementalVectorExactDedupDaily _),
     "q103_incremental_vector_near_dups" -> (incrementalVectorNearDupsDaily _),
-    "q104_incremental_semantic_dedup" -> (incrementalSemanticDedupDaily _))
+    "q104_incremental_semantic_dedup" -> (incrementalSemanticDedupDaily _),
+    "q105_incremental_ivf_topk" -> (incrementalIvfTopkCosine _))
 
   /** Oracle-side mirror of the Spark assignment ordering: the SAME
     * quantity `round(l2Sq, 6)` — squared L2 summed left-to-right over the
@@ -808,14 +827,16 @@ object VectorQueries {
 
   /** Shared oracle fragment: per-label centroids with the same fixed-point
     * rule as the Aggregator (sum of round(x*1e9) longs / 1e9 / n).
-    */
-  private val centroidCte =
+    * `sumsPred` restricts the rows the centroids are computed FROM
+    * (q105 freezes the quantizer to corpus rows); assignment always
+    * covers every vector. */
+  private def centroidCteFrom(sumsPred: String): String =
     s"""e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
       |dims AS (SELECT unnest(range(1, 65)) AS i),
       |sums AS (
       |  SELECT label, i, sum(CAST(round(v[i] * 1e9) AS BIGINT)) AS s,
       |         count(*) AS n
-      |  FROM e, dims GROUP BY label, i),
+      |  FROM e, dims $sumsPred GROUP BY label, i),
       |cent AS (
       |  SELECT label AS clabel,
       |         array_agg(CAST(s AS DOUBLE) / 1e9 / n ORDER BY i) AS c
@@ -827,6 +848,8 @@ object VectorQueries {
       |        ORDER BY ${oracleL2Sq("e.v", "cent.c")}, cent.clabel) AS rn
       |    FROM e, cent) WHERE rn = 1)
       |""".stripMargin
+
+  private val centroidCte = centroidCteFrom("")
 
   private def oracleSignBit(w: Seq[Int]): String =
     s"list_sum(list_transform(range(1, ${Dim + 1}), " +
@@ -897,6 +920,22 @@ object VectorQueries {
         |FROM assigned GROUP BY label, pred_label
         |ORDER BY label, pred_label""".stripMargin),
     "q69_ivf_topk_cosine" -> (s"WITH $centroidCte," +
+      s"""q AS (SELECT vec_id AS qid, v AS qv, pred_label AS cell
+         |      FROM assigned WHERE vec_id < $NumQueries),
+         |scored AS (
+         |  SELECT q.qid, a.vec_id AS nid,
+         |    round(list_cosine_similarity(a.v, q.qv), 6) AS cos
+         |  FROM assigned a JOIN q
+         |    ON a.pred_label = q.cell AND a.vec_id <> q.qid)
+         |SELECT qid, rk, nid, cos FROM (
+         |  SELECT *, row_number() OVER
+         |    (PARTITION BY qid ORDER BY cos DESC, nid) AS rk
+         |  FROM scored)
+         |WHERE rk <= $TopK ORDER BY qid, rk""".stripMargin),
+    // q105: the q69 search over a quantizer FROZEN to corpus rows —
+    // batch vectors are assigned and searched, never clustered.
+    "q105_incremental_ivf_topk" ->
+      (s"WITH ${centroidCteFrom(s"WHERE e.vec_id % $VecBatchMod <> 0")}," +
       s"""q AS (SELECT vec_id AS qid, v AS qv, pred_label AS cell
          |      FROM assigned WHERE vec_id < $NumQueries),
          |scored AS (

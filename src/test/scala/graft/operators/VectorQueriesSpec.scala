@@ -293,6 +293,23 @@ class VectorQueriesSpec extends SparkSpec {
     assert(!got.exists(_._1 == 11L))
   }
 
+  test("incremental IVF searches batch vectors through frozen corpus cells") {
+    val out = VectorQueries.incrementalIvfTopkCosine(spark, sfDir)
+      .as[(Long, Long, Long, Double)].collect()
+    val perQuery = out.groupBy(_._1)
+    assert(perQuery.nonEmpty)
+    // dense 1..k ranks per query, k <= TopK
+    assert(perQuery.values.forall { rows =>
+      rows.map(_._2).sorted.sameElements((1L to rows.length.toLong))
+    })
+    assert(out.forall(r => r._4 >= -1.0 && r._4 <= 1.0))
+    // batch vectors (vec_id % 10 == 0) are genuinely searchable: they
+    // appear among neighbors (the corpus is clustered, so each cell
+    // holds ~10% batch rows and top-k over sf data surfaces some)
+    assert(out.exists(_._3 % VectorQueries.VecBatchMod == 0),
+      "no batch vector surfaced as a neighbor")
+  }
+
   test("kmeans separates well-separated clusters and accounts exactly") {
     // Two tight groups; the two lowest vec_ids (the seeds) land one per
     // group, so 2-round Lloyd must recover the groups exactly. All

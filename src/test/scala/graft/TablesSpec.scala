@@ -31,6 +31,27 @@ class TablesSpec extends SparkSpec {
     assert(row.getString(0) == row2.getString(0))
   }
 
+  test("events nanos-shaped file converts to floored micros") {
+    // the driver's testdata currently ships micros, so exercise the
+    // LongType branch with a synthetic events.parquet whose ts is raw
+    // int64 nanos (exactly what a TIMESTAMP(NANOS) file reads as under
+    // the nanosAsLong conf) — including a pre-epoch value, where floor
+    // and truncate-toward-zero division differ
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    val tmp = java.nio.file.Files.createTempDirectory("graft_events").toFile
+    Seq((1L, -1999999999L), (2L, 1500L), (3L, 0L))
+      .toDF("event_id", "ts")
+      .write.mode("overwrite")
+      .parquet(new java.io.File(tmp, "events.parquet").getPath)
+    val df = Tables(spark, tmp.getPath, "events")
+    assert(df.schema("ts").dataType == TimestampType)
+    val out = df.orderBy("event_id")
+      .select(unix_micros(col("ts"))).as[Long].collect()
+    assert(out.toSeq == Seq(-2000000L, 1L, 0L),
+      "nanos must floor-divide to micros (DuckDB-compatible)")
+  }
+
   test("events read restores the nanos session conf") {
     // the conf is a registered Spark conf, so getOption reports its
     // default ("false") rather than None — "restored" means the read does

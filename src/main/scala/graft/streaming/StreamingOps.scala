@@ -191,6 +191,28 @@ object StreamingOps {
         col("view_ts"), col("purchase_ts"))
   }
 
+  case class StreamDoc(doc_id: Long, ts: Timestamp, text: String)
+
+  /** L22 streaming: the daily-ingest exact-dedup flow as a CONTINUOUS
+    * stream — the streaming twin of the q97/q102 batch pattern. Incoming
+    * documents hash, (a) drop in-stream echoes inside the watermark
+    * horizon (`dropDuplicatesWithinWatermark` on the 64-hex key — state
+    * is the in-horizon hash set, bounded), and (b) anti-join the
+    * PERSISTED corpus hash index (a stream-static join: stateless, the
+    * static side is probed per micro-batch, never loaded into state).
+    * Only corpus-unseen, stream-first texts flow on. At scale the static
+    * index is the same table the nightly batch pass maintains, so batch
+    * and stream dedup share one source of truth.
+    */
+  def streamingIncrementalDedup(docs: Dataset[StreamDoc],
+      corpusHashes: DataFrame): DataFrame =
+    docs.toDF()
+      .withColumn("h", sha2(col("text"), 256))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark(Seq("h"))
+      .join(corpusHashes, Seq("h"), "left_anti")
+      .select(col("doc_id"), col("ts"), col("text"))
+
   /** The spec's latest-status-wins polling update as a stream
     * (README.md:85): keep the max-timestamp event per key in state, emit
     * the current winner on every update (Update mode downstream).

@@ -2,6 +2,7 @@ package graft.streaming
 
 import graft.SparkSpec
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.{col, sha2}
 import org.apache.spark.sql.streaming.OutputMode
 import java.sql.Timestamp
 
@@ -71,6 +72,28 @@ class StreamingOpsSpec extends SparkSpec {
       // last emitted state for job 1 is the ts=20 completed row
       assert(rows.last == StatusUpdate(1, ts(20), "completed"))
       assert(!rows.map(_.status).contains("validating"))
+    } finally query.stop()
+  }
+
+  test("streaming incremental dedup drops corpus-known and echoed texts") {
+    val corpusIndex = Seq("known text").toDF("text")
+      .select(sha2(col("text"), 256).as("h"))
+    val input = MemoryStream[StreamDoc]
+    val query = streamingIncrementalDedup(input.toDS(), corpusIndex)
+      .writeStream.format("memory").queryName("incdedup")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        StreamDoc(1L, ts(0), "known text"),   // in the corpus index → drop
+        StreamDoc(2L, ts(1), "fresh text"))   // survives
+      query.processAllAvailable()
+      input.addData(
+        StreamDoc(3L, ts(2), "fresh text"),   // in-stream echo → drop
+        StreamDoc(4L, ts(3), "another one"))  // survives
+      query.processAllAvailable()
+      val out = spark.table("incdedup")
+        .select("doc_id").as[Long].collect().sorted
+      assert(out.toSeq == Seq(2L, 4L))
     } finally query.stop()
   }
 

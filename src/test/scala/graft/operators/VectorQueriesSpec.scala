@@ -293,6 +293,48 @@ class VectorQueriesSpec extends SparkSpec {
     assert(!got.exists(_._1 == 11L))
   }
 
+  test("incremental semantic dedup equals full-restricted on random corpora") {
+    // seeded random corpora biased toward the hard structures: exact
+    // duplicates spanning the batch/corpus split (family merge +
+    // canonical shift, since id 0 is always batch), near-dups chaining
+    // several corpus clusters through one batch vector, and isolated
+    // vectors. For each corpus the incremental merge must equal the
+    // full pass restricted to batch-containing clusters.
+    val baseDirs = Seq(0, 16, 32, 48).map { d =>
+      val a = Array.fill(64)(0.01); a(d) = 1.0; a
+    }
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 4) {
+      val n = 24 + rnd.nextInt(16)
+      val rows = (0L until n.toLong).map { id =>
+        val v = baseDirs(rnd.nextInt(4)).clone()
+        rnd.nextInt(3) match {
+          case 0 => () // exact copy — cross-split families
+          case 1 => v(rnd.nextInt(64)) += 0.002 + 0.001 * rnd.nextInt(3)
+          case 2 => v(rnd.nextInt(64)) += 0.5
+        }
+        (id, v)
+      }
+      val e = rows.toDF("vec_id", "v")
+      val corpus = e.filter(col("vec_id") % 10 =!= 0)
+      val batch = e.filter(col("vec_id") % 10 === 0)
+      val (famsC, vecC, bandsC, ccC, statsC) =
+        VectorQueries.semanticIndexTables(corpus)
+      val got = VectorQueries.incrementalSemanticDedup(
+          famsC, vecC, bandsC, ccC, statsC, batch)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      val full = VectorQueries.semanticDedupOf(e)
+        .as[(Long, Long, Long, Long)].collect()
+      val membership = CurationQueries.connectedComponentsStar(
+          VectorQueries.cosineNearDupsOf(e)
+            .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))._1
+        .select("doc_id", "cluster_id").as[(Long, Long)].collect()
+      val batchClusters = membership.filter(_._1 % 10 == 0).map(_._2).toSet
+      val want = full.filter(r => batchClusters.contains(r._1)).toSet
+      assert(got == want, s"trial $trial: got $got, want $want")
+    }
+  }
+
   test("incremental IVF searches batch vectors through frozen corpus cells") {
     val out = VectorQueries.incrementalIvfTopkCosine(spark, sfDir)
       .as[(Long, Long, Long, Double)].collect()

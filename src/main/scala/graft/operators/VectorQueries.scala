@@ -656,6 +656,45 @@ object VectorQueries {
     incrementalSemanticDedup(famsC, vecC, bandsC, ccC, statsC, batch)
   }
 
+  /** q106: int8 scalar-quantized cosine top-k — the memory-bandwidth
+    * scale technique (SQ8): a 100 TB float32 embedding corpus scans 4×
+    * faster as int8, and the per-vector max-abs scale CANCELS in cosine,
+    * so the quantized score is pure integer arithmetic (dot and norms
+    * are exact longs; 64 dims × 127² ≪ 2⁶³) — bit-portable to the
+    * oracle. Search shape is q67's broadcast-queries single scan; the
+    * recall loss vs exact float cosine is the standard SQ8 trade,
+    * asserted against the q67 baseline in VectorQueriesSpec. A zero
+    * vector quantizes to zeros and scores 0 by convention (guarded in
+    * both engines). */
+  def quantizedTopkCosine(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir)
+    val qz = e
+      .withColumn("m", expr("array_max(transform(v, x -> abs(x))) / 127"))
+      .withColumn("s", expr("if(m = 0d, 1d, m)"))
+      .withColumn("qv",
+        expr("transform(v, x -> cast(round(x / s) as bigint))"))
+      .withColumn("nq", expr("aggregate(qv, 0L, (a, x) -> a + x * x)"))
+      .select(col("vec_id"), col("qv"), col("nq"))
+    val queries = qz.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("qv").as("qq"),
+        col("nq").as("nqq"))
+    val scored = qz.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("dot",
+        expr("aggregate(zip_with(qv, qq, (a, b) -> a * b), 0L, (s, x) -> s + x)"))
+      .withColumn("cos",
+        when(col("nq") === 0 || col("nqq") === 0, lit(0.0))
+          .otherwise(round(col("dot").cast("double") /
+            sqrt((col("nq") * col("nqq")).cast("double")), 6)))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= TopK)
+      .select(col("qid"), col("rk").cast("long").as("rk"),
+        col("vec_id").as("nid"), col("cos"))
+      .orderBy(col("qid"), col("rk"))
+  }
+
   /** q105: IVF index APPEND — the daily-ingest pattern for the ANN
     * serving path (L3b). The coarse quantizer (per-label fixed-point
     * centroids) is computed from the CORPUS only — the persisted index
@@ -813,7 +852,8 @@ object VectorQueries {
     "q102_incremental_vector_exact_dedup" -> (incrementalVectorExactDedupDaily _),
     "q103_incremental_vector_near_dups" -> (incrementalVectorNearDupsDaily _),
     "q104_incremental_semantic_dedup" -> (incrementalSemanticDedupDaily _),
-    "q105_incremental_ivf_topk" -> (incrementalIvfTopkCosine _))
+    "q105_incremental_ivf_topk" -> (incrementalIvfTopkCosine _),
+    "q106_sq8_topk_cosine" -> (quantizedTopkCosine _))
 
   /** Oracle-side mirror of the Spark assignment ordering: the SAME
     * quantity `round(l2Sq, 6)` — squared L2 summed left-to-right over the
@@ -932,6 +972,35 @@ object VectorQueries {
          |    (PARTITION BY qid ORDER BY cos DESC, nid) AS rk
          |  FROM scored)
          |WHERE rk <= $TopK ORDER BY qid, rk""".stripMargin),
+    // q106: the scale cancels in cosine, so the quantized score is
+    // exact integer arithmetic — identical longs in both engines, one
+    // double division + sqrt at the end, rounded the shared 6 dp.
+    "q106_sq8_topk_cosine" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |qz AS (
+         |  SELECT vec_id,
+         |    list_transform(v, x -> CAST(round(x /
+         |      (CASE WHEN m = 0 THEN 1 ELSE m END)) AS BIGINT)) AS qv
+         |  FROM (SELECT vec_id, v,
+         |          list_max(list_transform(v, x -> abs(x))) / 127 AS m
+         |        FROM e)),
+         |n AS (SELECT vec_id, qv,
+         |        CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS nq
+         |      FROM qz),
+         |qs AS (SELECT vec_id AS qid, qv AS qq, nq AS nqq FROM n
+         |       WHERE vec_id < $NumQueries),
+         |scored AS (
+         |  SELECT qs.qid, n.vec_id AS nid,
+         |    CASE WHEN n.nq = 0 OR qs.nqq = 0 THEN 0.0
+         |         ELSE round(CAST(list_sum(list_transform(range(1, ${Dim + 1}),
+         |                d -> n.qv[d] * qs.qq[d])) AS DOUBLE)
+         |           / sqrt(CAST(n.nq * qs.nqq AS DOUBLE)), 6) END AS cos
+         |  FROM n, qs WHERE n.vec_id <> qs.qid)
+         |SELECT qid, rk, nid, cos FROM (
+         |  SELECT *, row_number() OVER
+         |    (PARTITION BY qid ORDER BY cos DESC, nid) AS rk
+         |  FROM scored)
+         |WHERE rk <= $TopK ORDER BY qid, rk""".stripMargin,
     // q105: the q69 search over a quantizer FROZEN to corpus rows —
     // batch vectors are assigned and searched, never clustered.
     "q105_incremental_ivf_topk" ->

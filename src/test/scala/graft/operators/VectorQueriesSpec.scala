@@ -335,6 +335,31 @@ class VectorQueriesSpec extends SparkSpec {
     }
   }
 
+  test("SQ8 quantized top-k tracks the exact float baseline") {
+    val exact = VectorQueries.topkCosine(spark, sfDir)
+      .as[(Long, Long, Long, Double)].collect()
+    val quant = VectorQueries.quantizedTopkCosine(spark, sfDir)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(quant.groupBy(_._1).keySet == exact.groupBy(_._1).keySet)
+    // int8 max-abs quantization of 64-dim vectors perturbs cosine by
+    // O(1/127); per query, the quantized and exact top-3 neighbor sets
+    // must overlap substantially (SQ8's standard recall behavior)
+    val overlap = exact.groupBy(_._1).map { case (qid, ex) =>
+      val qn = quant.filter(_._1 == qid).map(_._3).toSet
+      ex.map(_._3).count(qn.contains).toDouble / ex.length
+    }
+    assert(overlap.sum / overlap.size >= 0.6,
+      s"mean SQ8 recall ${overlap.sum / overlap.size} below 0.6")
+    // quantized scores stay within the SQ8 error envelope of exact
+    val exMap = exact.map(r => (r._1, r._3) -> r._4).toMap
+    quant.foreach { case (qid, _, nid, cq) =>
+      exMap.get((qid, nid)).foreach { ce =>
+        assert(math.abs(cq - ce) < 0.05,
+          s"quantized cos $cq far from exact $ce for ($qid,$nid)")
+      }
+    }
+  }
+
   test("incremental IVF searches batch vectors through frozen corpus cells") {
     val out = VectorQueries.incrementalIvfTopkCosine(spark, sfDir)
       .as[(Long, Long, Long, Double)].collect()

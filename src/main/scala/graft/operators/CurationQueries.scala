@@ -673,6 +673,44 @@ object CurationQueries {
   def sourceMixture(spark: SparkSession, dir: String): DataFrame =
     sourceMixtureDocs(docs(spark, dir))
 
+  /** Max documents kept per source (L26) — the over-representation guard
+    * every curated corpus applies to its dominant domains. */
+  val SourceCap = 25
+
+  /** L26: per-source document caps — keep the top [[SourceCap]] docs per
+    * source by (quality desc, doc_id). A source is a HOT key by
+    * construction (a web-scale corpus holds millions of docs under a
+    * handful of sources), so the rank must NOT be one source-keyed
+    * window — that funnels the corpus through |sources| reducers (the
+    * q76 lesson). Two-level top-K instead: each (source, doc_id-range
+    * shard) ranks locally — shard cardinality GROWS with the corpus —
+    * and only shard survivors (≤ SourceCap rows per shard, corpus-size-
+    * independent) meet in the final source-keyed rank, whose input is
+    * shards × K rows, not the corpus. Equivalent to the direct global
+    * rank because a global top-K doc has fewer than K docs of its source
+    * above it anywhere, a fortiori within its own shard.
+    */
+  def sourceCapsDocs(docsDf: DataFrame): DataFrame = {
+    val scored = docsDf.select(col("doc_id"), col("source"),
+        LLMQueries.qualityExpr.as("quality"))
+      .withColumn("shard", expr(s"doc_id div $PackShardDocs"))
+    val local = Window.partitionBy(col("source"), col("shard"))
+      .orderBy(col("quality").desc, col("doc_id"))
+    val survivors = scored.withColumn("lrk", row_number().over(local))
+      .filter(col("lrk") <= SourceCap)
+      .drop("lrk", "shard")
+    val global = Window.partitionBy(col("source"))
+      .orderBy(col("quality").desc, col("doc_id"))
+    survivors.withColumn("rk", row_number().over(global))
+      .filter(col("rk") <= SourceCap)
+      .select(col("source"), col("rk").cast("long").as("rk"),
+        col("doc_id"), col("quality"))
+      .orderBy(col("source"), col("rk"))
+  }
+
+  def sourceCaps(spark: SparkSession, dir: String): DataFrame =
+    sourceCapsDocs(docs(spark, dir))
+
   /** Fluency threshold in NLL micro-nats: docs whose average bigram
     * negative-log-likelihood exceeds this are flagged disfluent. */
   val FluencyNllMicro = 3600000L
@@ -752,6 +790,7 @@ object CurationQueries {
     "q89_segment_dedup" -> (segmentDedup _),
     "q98_incremental_segment_dedup" -> (incrementalSegmentDedupDaily _),
     "q90_source_mixture" -> (sourceMixture _),
+    "q107_source_caps" -> (sourceCaps _),
     "q92_lm_fluency" -> (lmFluency _))
 
   // ---- oracle SQL -----------------------------------------------------
@@ -871,6 +910,21 @@ object CurationQueries {
          |  coalesce(string_agg(seg, ' ' ORDER BY pos) FILTER (kept), '')
          |    AS cleaned_text
          |FROM marked GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // q107: the oracle IS the direct one-window rank — the engine's
+    // two-level (source, shard) formulation must be indistinguishable.
+    "q107_source_caps" ->
+      s"""WITH q AS (
+         |  SELECT doc_id, source,
+         |    round(least(1.0, CAST(len(w) AS DOUBLE) / 120.0) *
+         |          (CAST(len(list_distinct(w)) AS DOUBLE) / len(w)), 6)
+         |      AS quality
+         |  FROM (SELECT doc_id, source,
+         |          string_split_regex(text, '\\s+') AS w FROM documents))
+         |SELECT source, CAST(rk AS BIGINT) AS rk, doc_id, quality FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY source
+         |    ORDER BY quality DESC, doc_id) AS rk
+         |  FROM q)
+         |WHERE rk <= $SourceCap ORDER BY source, rk""".stripMargin,
     "q90_source_mixture" ->
       s"""WITH rep AS (
          |  SELECT doc_id, source,

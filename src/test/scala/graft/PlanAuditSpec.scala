@@ -59,6 +59,19 @@ class PlanAuditSpec extends SparkSpec {
           "non-primitive type")
     }
 
+  // q107's corpus-facing rank must be the (source, shard) local window —
+  // a bare source-keyed window over the corpus funnels a web-scale
+  // source through one reducer; only the bounded shard-survivor rank may
+  // key on source alone.
+  test("q107: corpus-facing top-K window is sharded") {
+    val plan = SparkEntry.queries("q107_source_caps")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val windows = plan.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(windows.size == 2, s"expected 2 windows, got:\n${windows.mkString("\n")}")
+    assert(windows.exists(_.contains("shard")),
+      "no shard-keyed local window in q107's plan")
+  }
+
   // q76's packing window must be keyed by (lang, shard), never lang
   // alone: 5 languages = 5 reducers at any corpus size, while the shard
   // key's cardinality grows with the corpus (VERDICT r5-r7 weak spot

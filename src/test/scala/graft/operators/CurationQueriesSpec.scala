@@ -119,6 +119,35 @@ class CurationQueriesSpec extends SparkSpec {
       out(1)._5 == (1L << 32) && out(1)._6 == (1L << 32))
   }
 
+  test("source caps: two-level top-K equals the direct global rank") {
+    // a hot source with 400 docs spanning 4 shards plus a small source;
+    // the sharded formulation must reproduce the direct one-window rank
+    val rnd = new scala.util.Random(5)
+    val rows = (0L until 400L).map { id =>
+      val words = Seq.fill(5 + rnd.nextInt(200))("w" + rnd.nextInt(50))
+      (id, words.mkString(" "), "en", if (id < 360) "web" else "books")
+    }
+    val df = rows.toDF("doc_id", "text", "lang", "source")
+    val got = CurationQueries.sourceCapsDocs(df)
+      .as[(String, Long, Long, Double)].collect().toSeq
+    // direct single-window reference
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, row_number}
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("quality").desc, col("doc_id"))
+    val want = df.select(col("doc_id"), col("source"),
+        LLMQueries.qualityExpr.as("quality"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= CurationQueries.SourceCap)
+      .select(col("source"), col("rk").cast("long"), col("doc_id"),
+        col("quality"))
+      .orderBy(col("source"), col("rk"))
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(got == want)
+    assert(got.count(_._1 == "web") == CurationQueries.SourceCap)
+    assert(got.count(_._1 == "books") == CurationQueries.SourceCap.min(40))
+  }
+
   test("connected components match a driver-side union-find") {
     val edgeGen = for {
       a <- Gen.choose(0L, 19L); b <- Gen.choose(0L, 19L) if a != b

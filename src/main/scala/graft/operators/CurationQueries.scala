@@ -27,6 +27,13 @@ object CurationQueries {
     * a shard to one writer task's output. */
   val PackShardDocs = 128L
 
+  /** Width of a source-caps shard in doc_id space (L26/q107). Its own
+    * knob — equal to [[PackShardDocs]] today, but deliberately NOT the
+    * same val: retuning packing shards for writer-task sizing must not
+    * silently change q107's plan shape or the PlanAuditSpec fan-out
+    * assumption (ADVICE r8 #4). Correctness is shard-size independent. */
+  val SourceCapShardDocs = 128L
+
   // one-file sf parquet → spread rows before per-row gram/hash CPU
   // (same lesson as LLMQueries.docs)
   private def docs(spark: SparkSession, dir: String): DataFrame =
@@ -693,7 +700,7 @@ object CurationQueries {
   def sourceCapsDocs(docsDf: DataFrame): DataFrame = {
     val scored = docsDf.select(col("doc_id"), col("source"),
         LLMQueries.qualityExpr.as("quality"))
-      .withColumn("shard", expr(s"doc_id div $PackShardDocs"))
+      .withColumn("shard", expr(s"doc_id div $SourceCapShardDocs"))
     val local = Window.partitionBy(col("source"), col("shard"))
       .orderBy(col("quality").desc, col("doc_id"))
     val survivors = scored.withColumn("lrk", row_number().over(local))

@@ -394,6 +394,30 @@ class VectorQueriesSpec extends SparkSpec {
       (1L, 3L, 60750000000L)))   // (3*10 + 10+10.25+10.5) * 1e9
   }
 
+  test("kmeans packed argmin fails fast when preconditions break") {
+    // seed vec_id >= 2^20 can't fit the packed key's low bits — the
+    // guard must raise, not silently mis-cluster (ADVICE r8 #2)
+    val sparseIds = Seq(
+      ((1L << 20) + 1L, Array(0.0f, 0.0f)),
+      ((1L << 20) + 2L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val e1 = intercept[Exception] {
+      VectorQueries.kmeansOf(sparseIds, k = 2, rounds = 1).collect()
+    }
+    assert(e1.getMessage.contains("packed argmin out of packing range") ||
+      Option(e1.getCause).exists(
+        _.getMessage.contains("packed argmin out of packing range")))
+    // a distance whose micro-units overflow the high bits must also raise
+    val hugeDist = Seq(
+      (0L, Array(0.0f, 0.0f)),
+      (1L, Array(1.0e7f, 1.0e7f))).toDF("vec_id", "embedding")
+    val e2 = intercept[Exception] {
+      VectorQueries.kmeansOf(hugeDist, k = 2, rounds = 1).collect()
+    }
+    assert(e2.getMessage.contains("packed argmin out of packing range") ||
+      Option(e2.getCause).exists(
+        _.getMessage.contains("packed argmin out of packing range")))
+  }
+
   test("kmeans output partitions the corpus; clusters keep seed ids") {
     val emb = graft.Tables(spark, sfDir, "embeddings")
     val total = emb.count()

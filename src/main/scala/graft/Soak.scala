@@ -22,11 +22,8 @@ import org.apache.spark.sql.functions._
   * hosts; see PLANS.md).
   */
 object Soak {
-  def main(args: Array[String]): Unit = {
-    val sfDir = args(0)
-    val outDir = args(1)
-    val factor = args(2).toInt
-    val names = args.drop(3)
+  /** Diagnostic-main session settings shared by Soak/IndexSoak. */
+  def session(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -37,7 +34,31 @@ object Soak {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
 
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val outDir = args(1)
+    val factor = args(2).toInt
+    val names = args.drop(3)
+    val spark = session()
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+
+    ensureCorpus(spark, sfDir, outDir, factor, cpus.toInt)
+
+    val cpuNs = Timing.cpuCounter(spark)
+    spark.range(1000000L).selectExpr("sum(id)").collect()
+    names.foreach { name =>
+      Timing.timedPasses(spark, cpuNs, s"[soak] $name")(
+        SparkEntry.queries(name)(spark, outDir).count())
+    }
+    spark.stop()
+  }
+
+  /** Generate (or trust) the N×-replicated corpus at `outDir`. */
+  def ensureCorpus(spark: SparkSession, sfDir: String, outDir: String,
+      factor: Int, parts: Int): Unit = {
     // Regenerate unless a COMPLETED generation of this exact factor is
     // present. Directory existence alone is not completion (a crash mid-
     // write leaves a dir holding only _temporary/), so trust requires
@@ -89,25 +110,17 @@ object Soak {
         // n_chars recomputed AFTER the replica suffix, or every replica
         // row would carry the base text's stale length
         .withColumn("n_chars", length(col("text")).cast("long"))
-        .repartition(cpus.toInt)
+        .repartition(parts)
         .write.parquet(s"$outDir/documents.parquet")
       embs
         .select(col("*"), reps)
         .select((col("vec_id") + col("r") * idOffset).as("vec_id"),
           col("embedding"), col("label"))
-        .repartition(cpus.toInt)
+        .repartition(parts)
         .write.parquet(s"$outDir/embeddings.parquet")
       val w = new java.io.PrintWriter(metaFile)
       try w.print(factor.toString) finally w.close()
       println(s"[soak] generated ${factor}x corpus at $outDir (id stride $idOffset)")
     }
-
-    val cpuNs = Timing.cpuCounter(spark)
-    spark.range(1000000L).selectExpr("sum(id)").collect()
-    names.foreach { name =>
-      Timing.timedPasses(spark, cpuNs, s"[soak] $name")(
-        SparkEntry.queries(name)(spark, outDir).count())
-    }
-    spark.stop()
   }
 }

@@ -1,0 +1,204 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** On-disk lifecycle of the incremental-dedup corpus indexes.
+  *
+  * The q96–q98/q102–q105 oracle queries prove the incremental OPERATORS
+  * correct, but they rebuild the corpus-side index inside the query each
+  * run — fine for an oracle, wrong as a cost model: a real daily
+  * pipeline writes the index ONCE per corpus snapshot and every daily
+  * batch reads it back (VERDICT r8 "What's missing" #1). This object is
+  * that missing write→read path: one `write<Family>` per persisted
+  * index, one `daily<Family>` per batch leg that reads the parquet
+  * tables and must produce EXACTLY the rows of the corresponding
+  * in-memory oracle query (IndexStoreSpec pins the equality; IndexSoak
+  * measures the build/daily split at 10×/100×).
+  *
+  * Layout under an index directory (all plain parquet, overwrite mode):
+  * {{{
+  *   text_bands.parquet      text_sets.parquet      # q96  (signatureTables)
+  *   text_hash.parquet                              # q97  (hashIndex)
+  *   segments.parquet                               # q98  (segmentIndex)
+  *   vec_hash.parquet                               # q102 (vectorHashIndex)
+  *   vec_bands.parquet                              # q103 (lshBandsOf)
+  *   sem_fams/vecc/bandsc/ccc/statsc.parquet        # q104 (semanticIndexTables)
+  *   ivf_centroids.parquet                          # q105 (centroidsOf)
+  * }}}
+  *
+  * The corpus/batch split is the same residue rule the oracle queries
+  * use (id % 10 == 0 is today's batch), so every daily runner here is
+  * row-for-row comparable with its qNN twin.
+  */
+object IndexStore {
+
+  private def write(df: DataFrame, dir: String, name: String): Unit =
+    df.write.mode("overwrite").parquet(s"$dir/$name.parquet")
+
+  private def read(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** The documents table split once per daily run: (corpus, batch). */
+  def docSplit(spark: SparkSession, dataDir: String): (DataFrame, DataFrame) = {
+    val d = Tables(spark, dataDir, "documents")
+      .repartition(spark.sessionState.conf.numShufflePartitions,
+        col("doc_id"))
+    (d.filter(col("doc_id") % LLMQueries.BatchMod =!= 0),
+      d.filter(col("doc_id") % LLMQueries.BatchMod === 0))
+  }
+
+  /** The embeddings table as (vec_id, v) split into (corpus, batch). */
+  def vecSplit(spark: SparkSession, dataDir: String): (DataFrame, DataFrame) = {
+    val e = VectorQueries.vecsOf(Tables(spark, dataDir, "embeddings"))
+      .select(col("vec_id"), col("v"))
+    (e.filter(col("vec_id") % VectorQueries.VecBatchMod =!= 0),
+      e.filter(col("vec_id") % VectorQueries.VecBatchMod === 0))
+  }
+
+  // ---- per-family write (corpus snapshot → parquet) --------------------
+
+  def writeTextNearDup(corpusDocs: DataFrame, dir: String): Unit = {
+    val (bands, sets) = LLMQueries.signatureTables(corpusDocs)
+    write(bands, dir, "text_bands")
+    write(sets, dir, "text_sets")
+  }
+
+  def writeTextExact(corpusDocs: DataFrame, dir: String): Unit =
+    write(LLMQueries.hashIndex(corpusDocs), dir, "text_hash")
+
+  def writeSegments(corpusDocs: DataFrame, dir: String): Unit =
+    write(CurationQueries.segmentIndex(corpusDocs), dir, "segments")
+
+  def writeVecExact(corpusVecs: DataFrame, dir: String): Unit =
+    write(VectorQueries.vectorHashIndex(corpusVecs), dir, "vec_hash")
+
+  def writeVecNearDup(corpusVecs: DataFrame, dir: String): Unit =
+    write(VectorQueries.lshBandsOf(corpusVecs), dir, "vec_bands")
+
+  def writeSemantic(corpusVecs: DataFrame, dir: String): Unit = {
+    val (fams, vecC, bandsC, ccC, statsC) =
+      VectorQueries.semanticIndexTables(corpusVecs)
+    write(fams, dir, "sem_fams")
+    write(vecC, dir, "sem_vecc")
+    write(bandsC, dir, "sem_bandsc")
+    write(ccC, dir, "sem_ccc")
+    write(statsC, dir, "sem_statsc")
+  }
+
+  /** q105's coarse quantizer is label-keyed, so it reads the RAW
+    * embeddings frame (with `label`), not the (vec_id, v) projection. */
+  def writeIvfCentroids(corpusEmb: DataFrame, dir: String): Unit =
+    write(VectorQueries.centroidsOf(corpusEmb), dir, "ivf_centroids")
+
+  /** Write every family's corpus index in one pass. */
+  def writeAll(spark: SparkSession, dataDir: String, dir: String): Unit = {
+    val (corpusDocs, _) = docSplit(spark, dataDir)
+    val (corpusVecs, _) = vecSplit(spark, dataDir)
+    writeTextNearDup(corpusDocs, dir)
+    writeTextExact(corpusDocs, dir)
+    writeSegments(corpusDocs, dir)
+    writeVecExact(corpusVecs, dir)
+    writeVecNearDup(corpusVecs, dir)
+    writeSemantic(corpusVecs, dir)
+    writeIvfCentroids(Tables(spark, dataDir, "embeddings")
+      .filter(col("vec_id") % VectorQueries.VecBatchMod =!= 0), dir)
+  }
+
+  // ---- per-family daily leg (parquet index + today's batch) ------------
+  //
+  // Each runner must equal its in-memory qNN twin row for row — the
+  // operators are pure functions of (index tables, batch), so the only
+  // way these can drift is a parquet round-trip changing a type or a
+  // writer dropping rows; IndexStoreSpec compares collected results.
+
+  /** q96 twin: [[LLMQueries.incrementalNearDups]] off the disk index. */
+  def dailyTextNearDup(spark: SparkSession, indexDir: String,
+      dataDir: String): DataFrame =
+    LLMQueries.incrementalNearDups(
+      read(spark, indexDir, "text_bands"),
+      read(spark, indexDir, "text_sets"),
+      docSplit(spark, dataDir)._2)
+
+  /** q97 twin: [[LLMQueries.incrementalExactDedup]] off the disk index. */
+  def dailyTextExact(spark: SparkSession, indexDir: String,
+      dataDir: String): DataFrame =
+    LLMQueries.incrementalExactDedup(
+      read(spark, indexDir, "text_hash"),
+      docSplit(spark, dataDir)._2)
+
+  /** q98 twin: [[CurationQueries.incrementalSegmentDedup]] off disk. */
+  def dailySegments(spark: SparkSession, indexDir: String,
+      dataDir: String): DataFrame =
+    CurationQueries.incrementalSegmentDedup(
+      read(spark, indexDir, "segments"),
+      docSplit(spark, dataDir)._2)
+
+  /** q102 twin: [[VectorQueries.incrementalVectorExactDedup]] off disk. */
+  def dailyVecExact(spark: SparkSession, indexDir: String,
+      dataDir: String): DataFrame =
+    VectorQueries.incrementalVectorExactDedup(
+      read(spark, indexDir, "vec_hash"),
+      vecSplit(spark, dataDir)._2)
+
+  /** q103 twin: [[VectorQueries.incrementalVectorNearDups]] off disk.
+    * The corpus VECTORS still come from the data lake (cosine
+    * verification needs them); the index saves the re-banding. */
+  def dailyVecNearDup(spark: SparkSession, indexDir: String,
+      dataDir: String): DataFrame = {
+    val (corpusVecs, batch) = vecSplit(spark, dataDir)
+    VectorQueries.incrementalVectorNearDups(
+      read(spark, indexDir, "vec_bands"), corpusVecs, batch)
+  }
+
+  /** q104 twin: [[VectorQueries.incrementalSemanticDedup]] off disk. */
+  def dailySemantic(spark: SparkSession, indexDir: String,
+      dataDir: String): DataFrame =
+    VectorQueries.incrementalSemanticDedup(
+      read(spark, indexDir, "sem_fams"),
+      read(spark, indexDir, "sem_vecc"),
+      read(spark, indexDir, "sem_bandsc"),
+      read(spark, indexDir, "sem_ccc"),
+      read(spark, indexDir, "sem_statsc"),
+      vecSplit(spark, dataDir)._2)
+
+  /** q105 twin: [[VectorQueries.ivfTopkCosineOf]] against the frozen
+    * disk quantizer (corpus + batch are both searchable, as in q105). */
+  def dailyIvf(spark: SparkSession, indexDir: String,
+      dataDir: String): DataFrame =
+    VectorQueries.ivfTopkCosineOf(
+      VectorQueries.vecsOf(Tables(spark, dataDir, "embeddings")),
+      read(spark, indexDir, "ivf_centroids"))
+
+  /** (family name, in-memory qNN twin, write, daily-from-disk) — the one
+    * table IndexSoak and IndexStoreSpec both iterate so the measured
+    * flow and the pinned invariant can never cover different families. */
+  val families: Seq[(String, String,
+      (SparkSession, String, String) => Unit,
+      (SparkSession, String, String) => DataFrame)] = Seq(
+    ("text_near_dup", "q96_incremental_near_dups",
+      (s, dataDir, dir) => writeTextNearDup(docSplit(s, dataDir)._1, dir),
+      dailyTextNearDup _),
+    ("text_exact", "q97_incremental_exact_dedup",
+      (s, dataDir, dir) => writeTextExact(docSplit(s, dataDir)._1, dir),
+      dailyTextExact _),
+    ("segments", "q98_incremental_segment_dedup",
+      (s, dataDir, dir) => writeSegments(docSplit(s, dataDir)._1, dir),
+      dailySegments _),
+    ("vec_exact", "q102_incremental_vector_exact_dedup",
+      (s, dataDir, dir) => writeVecExact(vecSplit(s, dataDir)._1, dir),
+      dailyVecExact _),
+    ("vec_near_dup", "q103_incremental_vector_near_dups",
+      (s, dataDir, dir) => writeVecNearDup(vecSplit(s, dataDir)._1, dir),
+      dailyVecNearDup _),
+    ("semantic", "q104_incremental_semantic_dedup",
+      (s, dataDir, dir) => writeSemantic(vecSplit(s, dataDir)._1, dir),
+      dailySemantic _),
+    ("ivf", "q105_incremental_ivf_topk",
+      (s, dataDir, dir) => writeIvfCentroids(
+        Tables(s, dataDir, "embeddings")
+          .filter(col("vec_id") % VectorQueries.VecBatchMod =!= 0), dir),
+      dailyIvf _))
+}

@@ -142,6 +142,8 @@ object LLMQueries {
     // table is a pure scan; new×new pairs arrive from both directions
     // and collapse under least/greatest + distinct.
     val allBands = corpusBands.unionByName(newBands)
+    // cands feeds the verify joins AND the endpoint filter below — the
+    // lazy checkpoint keeps the band-probe join from running twice
     val cands = allBands.as("a")
       .join(newBands.as("n"),
         col("a.band") === col("n.band") && col("a.key") === col("n.key") &&
@@ -149,17 +151,29 @@ object LLMQueries {
       .select(least(col("a.doc_id"), col("n.doc_id")).as("doc_a"),
         greatest(col("a.doc_id"), col("n.doc_id")).as("doc_b"))
       .distinct()
-    // The sets union needs ONE explicit doc_id exchange: both union
-    // children end in an identical hashpartitioning(doc_id, N) exchange
-    // (shingledOf's layout), and Spark 4.1 then treats the union itself
-    // as co-partitioned, eliding the verify-join-side shuffle — zipping
-    // a 2N-partition union leg against an N-partition candidates leg
-    // ("Can't zip RDDs with unequal numbers of partitions", observed on
-    // the 30× soak once the joins were too big to broadcast). The
-    // repartition restores a sound plan and is free-ish: both verify
-    // joins read the SAME exchange (ReusedExchange), and the rows are
-    // compact per-doc arrays, not text.
+      .localCheckpoint(eager = false)
+    // Verification only touches the sets of candidate ENDPOINTS — a
+    // batch-bounded id set (every pair has a batch side, so endpoints ≤
+    // 2·|candidates|). Without the semi-join the daily pass SHUFFLES
+    // the whole corpus sets table for a handful of pairs — O(corpus)
+    // recurring cost, the exact thing the persisted index exists to
+    // avoid (measured on the 10× IndexSoak: the sets exchange dominated
+    // the daily leg). The endpoint set broadcasts under AQE, so corpus
+    // sets are scan-filtered in place with no corpus-wide exchange.
+    val ends = cands
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .distinct()
+    // The surviving sets union still needs ONE explicit doc_id exchange:
+    // both union children end in an identical hashpartitioning(doc_id,
+    // N) exchange (shingledOf's layout), and Spark 4.1 then treats the
+    // union itself as co-partitioned, eliding the verify-join-side
+    // shuffle — zipping a 2N-partition union leg against an N-partition
+    // candidates leg ("Can't zip RDDs with unequal numbers of
+    // partitions", observed on the 30× soak once the joins were too big
+    // to broadcast). Post-filter the repartition moves candidate-sized
+    // rows, not the corpus.
     val sets = corpusSets.unionByName(setsOf(shingledNew))
+      .join(broadcast(ends), Seq("doc_id"), "left_semi")
       .repartition(newDocs.sparkSession.sessionState.conf
         .numShufflePartitions, col("doc_id"))
     verifyPairs(cands, sets)
@@ -169,7 +183,7 @@ object LLMQueries {
     * with doc_id ≡ 0 (mod 10) arrive today; the rest are the signed
     * corpus. Deterministic and oracle-portable (both engines agree on
     * `%` for non-negative ids). */
-  private val BatchMod = 10
+  private[operators] val BatchMod = 10
 
   /** q96: the daily-ingest near-dup flow as an ORACLE query — the shape
     * a 100 TB pipeline actually runs every day, not just the full-corpus

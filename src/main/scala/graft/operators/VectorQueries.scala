@@ -398,6 +398,8 @@ object VectorQueries {
     // The batch is the small side by definition, so this is cheap;
     // eager=false keeps plan construction/audit free (the q70 lesson).
     val newBands = lshBandsOf(newVecs).localCheckpoint(eager = false)
+    // cands feeds the verify joins AND the endpoint filter — the lazy
+    // checkpoint keeps the band-probe join from running twice
     val cands = corpusBands.unionByName(newBands).as("a")
       .join(newBands.as("n"),
         col("a.band") === col("n.band") && col("a.key") === col("n.key") &&
@@ -405,11 +407,23 @@ object VectorQueries {
       .select(least(col("a.vec_id"), col("n.vec_id")).as("vec_a"),
         greatest(col("a.vec_id"), col("n.vec_id")).as("vec_b"))
       .distinct()
+      .localCheckpoint(eager = false)
+    // cosine verification only needs the vectors of candidate ENDPOINTS
+    // (batch-bounded — every pair has a batch side): the semi-join
+    // filter keeps the daily pass from shuffling every corpus VECTOR
+    // for a handful of pairs (q96's endpoint lesson, vector flavor —
+    // vectors are 64 doubles each, the most expensive rows in the
+    // pipeline to move). The endpoint set broadcasts under AQE.
+    val ends = cands
+      .select(explode(array(col("vec_a"), col("vec_b"))).as("vec_id"))
+      .distinct()
     // one explicit vec_id exchange for the union of verify vectors, for
     // the same reason as q96's sets union: identically-partitioned union
     // children otherwise let Spark 4.1 zip a 2N-partition union leg
-    // against an N-partition candidates leg
+    // against an N-partition candidates leg; post-filter it moves
+    // candidate-sized rows, not the corpus
     val all = corpusVecs.unionByName(newVecs)
+      .join(broadcast(ends), Seq("vec_id"), "left_semi")
       .repartition(spark.sessionState.conf.numShufflePartitions,
         col("vec_id"))
     cands
@@ -543,8 +557,16 @@ object VectorQueries {
       .select(least(col("a.vec_id"), col("n.vec_id")).as("vec_a"),
         greatest(col("a.vec_id"), col("n.vec_id")).as("vec_b"))
       .distinct()
+      .localCheckpoint(eager = false) // feeds verify joins + endpoint filter
+    // verify only needs candidate-endpoint canonicals (batch-bounded):
+    // the semi-join keeps the daily merge from shuffling every corpus
+    // canonical vector — q96's endpoint lesson, semantic flavor
+    val ends = cands
+      .select(explode(array(col("vec_a"), col("vec_b"))).as("vec_id"))
+      .distinct()
     val allCanonVecs = vecC.select(col("canon").as("vec_id"), col("v"))
       .unionByName(newCanonVecs)
+      .join(broadcast(ends), Seq("vec_id"), "left_semi")
       .repartition(n, col("vec_id"))
     val pairs = cands
       .join(allCanonVecs.select(col("vec_id").as("vec_a"), col("v").as("va")),

@@ -510,6 +510,98 @@ object LLMQueries {
       .limit(BpeTopPairs)
   }
 
+  /** Merge rounds for the BPE training loop (q108). */
+  private[operators] val BpeMergeRounds = 4
+
+  /** L20b: the BPE tokenizer-training LOOP — q94 stops at the statistic
+    * the first merge maximizes; this runs the actual training iteration
+    * (pick best pair → apply the merge to every vocabulary word →
+    * recount → repeat) for [[BpeMergeRounds]] rounds and emits the merge
+    * table, the artifact a tokenizer trainer persists (VERDICT r8 "Next
+    * round" #2).
+    *
+    * Greedy left-to-right merge without a sequential fold: a position i
+    * is marked iff (s[i], s[i+1]) is the best pair; marked positions are
+    * only ever ADJACENT when pa = pb (runs of a repeated symbol), and
+    * greedy scanning keeps exactly the even-offset marks of each maximal
+    * marked run. That turns the merge into three pure array lambdas
+    * (marks → kept → rebuild), identical in Spark and DuckDB — no UDF,
+    * no explode, no per-word recursion. The kept lambda's run-start
+    * search is O(word²) worst case, on vocabulary words (≤ ~20 chars),
+    * not corpus text.
+    *
+    * Scale shape, per round: pair recount = one vocabulary-sized groupBy
+    * (map-side combined); best pair = TakeOrderedAndProject(1); merge =
+    * a broadcast single-row cross join + narrow projection. Rounds are
+    * driver-side plan iterations with lineage truncated per round (the
+    * star-CC pattern); at a real tokenizer's 50k merges the same loop
+    * runs with the vocabulary cached — nothing here is corpus-sized
+    * after the initial word count.
+    */
+  def bpeMergeLoop(spark: SparkSession, dir: String): DataFrame =
+    bpeMergeLoopOf(docs(spark, dir), BpeMergeRounds)
+
+  private[operators] def bpeMergeLoopOf(
+      docsDf: DataFrame, rounds: Int): DataFrame = {
+    // initial vocabulary: word → corpus frequency, word as char symbols.
+    // Single-char words can never merge nor contribute pairs — dropped,
+    // matching q94's pair universe (length >= 2).
+    var vocab = docsDf
+      .select(explode(split(col("text"), "\\s+")).as("t"))
+      .filter(length(col("t")) >= 2)
+      .groupBy(col("t")).agg(count(lit(1)).as("n"))
+      .select(expr(
+        "transform(sequence(1, length(t)), i -> substring(t, i, 1))")
+        .as("s"), col("n"))
+      .localCheckpoint(eager = false)
+    var out: Option[DataFrame] = None
+    for (r <- 1 to rounds) {
+      // recount adjacent pairs over the CURRENT vocabulary (weighted by
+      // word frequency), then take the single best (total desc, then
+      // lexicographic pair — the portable tie-break)
+      val best = vocab
+        .filter(size(col("s")) >= 2)
+        .select(col("n"), explode(expr(
+          "transform(sequence(1, size(s) - 1)," +
+            " i -> struct(element_at(s, i) AS pa," +
+            " element_at(s, i + 1) AS pb))")).as("p"))
+        .groupBy(col("p.pa").as("pa"), col("p.pb").as("pb"))
+        .agg(sum(col("n")).as("total"))
+        .orderBy(col("total").desc, col("pa"), col("pb"))
+        .limit(1)
+        .localCheckpoint(eager = false) // feeds output row + merge join
+      val row = best.select(lit(r).cast("long").as("round"),
+        col("pa"), col("pb"), col("total"))
+      out = Some(out.map(_.unionByName(row)).getOrElse(row))
+      vocab = vocab.crossJoin(broadcast(best.select(col("pa"), col("pb"))))
+        // marks[i] ⟺ (s[i], s[i+1]) is the best pair (1-based, empty
+        // for 1-symbol words — sequence(1, 0) DESCENDS in Spark, guard)
+        .withColumn("marks", expr(
+          "if(size(s) >= 2, transform(sequence(1, size(s) - 1)," +
+            " i -> element_at(s, i) = pa AND element_at(s, i + 1) = pb)," +
+            " cast(array() as array<boolean>))"))
+        // greedy keep: within each maximal run of marks keep even
+        // offsets from the run start (runs only exist when pa = pb)
+        .withColumn("kept", expr(
+          "if(size(marks) = 0, cast(array() as array<boolean>)," +
+            " transform(sequence(1, size(marks))," +
+            " i -> element_at(marks, i) AND (i - 1 -" +
+            " coalesce(array_max(filter(sequence(1, size(marks))," +
+            " j -> j < i AND NOT element_at(marks, j))), 0)) % 2 = 0))"))
+        // rebuild: kept position emits the merged symbol, the position
+        // after a kept one is consumed, everything else passes through
+        .select(expr(
+          "if(size(kept) = 0, s, flatten(transform(sequence(1, size(s))," +
+            " i -> CASE WHEN i < size(s) AND element_at(kept, i)" +
+            " THEN array(concat(element_at(s, i), element_at(s, i + 1)))" +
+            " WHEN i > 1 AND element_at(kept, i - 1)" +
+            " THEN cast(array() as array<string>)" +
+            " ELSE array(element_at(s, i)) END)))").as("s"), col("n"))
+        .localCheckpoint(eager = false) // truncate per-round lineage
+    }
+    out.get.orderBy(col("round"))
+  }
+
   /** Rolling-hash winnowing fingerprint as ONE narrow per-row expression:
     * min seeded-md5 prefix over the 5-word shingles (docs under 5 words
     * fall back to hashing the whole text). The same lambda-bind idiom as
@@ -641,6 +733,7 @@ object LLMQueries {
     "q63_tfidf_top_terms" -> (tfidfTopTerms _),
     "q93_bm25_topk" -> (bm25Topk _),
     "q94_bpe_pairs" -> (bpePairCounts _),
+    "q108_bpe_merge_loop" -> (bpeMergeLoop _),
     "q64_minhash_pairs" -> (minhashPairs _),
     "q96_incremental_near_dups" -> (incrementalNearDupsDaily _),
     "q97_incremental_exact_dedup" -> (incrementalExactDedupDaily _),
@@ -793,6 +886,52 @@ object LLMQueries {
          |    ORDER BY score_micro DESC, doc_id) AS rk
          |  FROM perdoc)
          |WHERE rk <= $Bm25TopK ORDER BY qid, rk""".stripMargin,
+    "q108_bpe_merge_loop" -> {
+      // the q100 kmeans unrolled-oracle pattern: one (best pair →
+      // merged vocab) CTE pair per round, with the SAME positional
+      // greedy-merge lambdas as the engine (micro-tested equivalent)
+      def bestCte(r: Int) =
+        s"""b$r AS (
+           |  SELECT pa, pb, CAST(sum(n) AS BIGINT) AS total
+           |  FROM (SELECT s[i] AS pa, s[i + 1] AS pb, n
+           |        FROM v${r - 1}, LATERAL unnest(range(1, len(s))) AS x(i))
+           |  GROUP BY pa, pb ORDER BY total DESC, pa, pb LIMIT 1)""".stripMargin
+      def mergeCte(r: Int) =
+        s"""v$r AS (
+           |  SELECT CASE WHEN len(kept) = 0 THEN s
+           |    ELSE flatten(list_transform(range(1, len(s) + 1),
+           |      i -> CASE WHEN i < len(s) AND kept[i] THEN [s[i] || s[i + 1]]
+           |                WHEN i > 1 AND kept[i - 1] THEN []::VARCHAR[]
+           |                ELSE [s[i]] END)) END AS s, n
+           |  FROM (
+           |    SELECT s, n, CASE WHEN len(marks) = 0 THEN []::BOOLEAN[]
+           |      ELSE list_transform(range(1, len(marks) + 1),
+           |        i -> marks[i] AND (i - 1 - coalesce(list_max(list_filter(
+           |          range(1, len(marks) + 1), j -> j < i AND NOT marks[j])),
+           |          0)) % 2 = 0) END AS kept
+           |    FROM (
+           |      SELECT s, n, CASE WHEN len(s) >= 2
+           |        THEN list_transform(range(1, len(s)),
+           |               i -> s[i] = b.pa AND s[i + 1] = b.pb)
+           |        ELSE []::BOOLEAN[] END AS marks
+           |      FROM v${r - 1}, b$r AS b)))""".stripMargin
+      val roundCtes = (1 to BpeMergeRounds).map(r =>
+        if (r < BpeMergeRounds) s"${bestCte(r)},\n${mergeCte(r)}"
+        else bestCte(r)).mkString(",\n")
+      val unioned = (1 to BpeMergeRounds).map(r =>
+        s"SELECT CAST($r AS BIGINT) AS round, pa, pb, total FROM b$r")
+        .mkString("\n  UNION ALL ")
+      s"""WITH v0 AS (
+         |  SELECT list_transform(range(1, length(t) + 1),
+         |           i -> substr(t, i, 1)) AS s, n
+         |  FROM (SELECT t, count(*) AS n
+         |        FROM (SELECT unnest(string_split_regex(text, '\\s+')) AS t
+         |              FROM documents)
+         |        WHERE length(t) >= 2 GROUP BY t)),
+         |$roundCtes
+         |SELECT round, pa, pb, total FROM (
+         |  $unioned) ORDER BY round""".stripMargin
+    },
     "q94_bpe_pairs" ->
       s"""WITH words AS (
          |  SELECT unnest(string_split_regex(text, '\\s+')) AS t

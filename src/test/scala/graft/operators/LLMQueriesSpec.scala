@@ -206,6 +206,74 @@ class LLMQueriesSpec extends SparkSpec {
     assert(out == Map("aa" -> 4L, "ab" -> 3L))
   }
 
+  /** Straight-line greedy-scan reference BPE (the textbook loop) the
+    * positional-lambda operator must reproduce exactly. */
+  private def referenceBpe(words: Map[String, Long],
+      rounds: Int): Seq[(Long, String, String, Long)] = {
+    def mergeWord(s: Vector[String], pa: String, pb: String): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < s.length) {
+        if (i + 1 < s.length && s(i) == pa && s(i + 1) == pb) {
+          out += (pa + pb); i += 2
+        } else { out += s(i); i += 1 }
+      }
+      out.result()
+    }
+    var vocab: Map[Vector[String], Long] = words.toSeq
+      .map { case (w, n) => w.map(_.toString).toVector -> n }
+      .groupMapReduce(_._1)(_._2)(_ + _)
+    (1 to rounds).flatMap { r =>
+      val counts = vocab.toSeq.flatMap { case (s, n) =>
+        s.zip(s.tail).map(p => (p._1, p._2) -> n)
+      }.groupMapReduce(_._1)(_._2)(_ + _)
+      if (counts.isEmpty) Seq.empty
+      else {
+        val ((pa, pb), total) = counts.minBy { case ((a, b), t) => (-t, a, b) }
+        vocab = vocab.toSeq
+          .map { case (s, n) => mergeWord(s, pa, pb) -> n }
+          .groupMapReduce(_._1)(_._2)(_ + _)
+        Seq((r.toLong, pa, pb, total))
+      }
+    }
+  }
+
+  test("bpe merge loop == greedy-scan reference on the real corpus") {
+    val rounds = 6 // more than the q108 default, exercises deeper merges
+    val docsDf = graft.Tables(spark, sfDir, "documents")
+    val words = docsDf
+      .select(explode(split(col("text"), "\\s+")).as("t"))
+      .filter(length(col("t")) >= 2)
+      .groupBy("t").count()
+      .as[(String, Long)].collect().toMap
+    val expected = referenceBpe(words, rounds)
+    val got = LLMQueries.bpeMergeLoopOf(docsDf, rounds)
+      .as[(Long, String, String, Long)].collect().toSeq
+    assert(got == expected)
+  }
+
+  test("bpe merge loop handles repeated-symbol runs and crafted ties") {
+    // 'aaaa': pair aa counted 3× per word; greedy merge → [aa, aa];
+    // round 2 must then find (aa, aa). Also covers the even-offset rule
+    // ('aaa' → [aa, a], leftover single 'a' never re-merges).
+    val corpus = Seq(
+      (1L, "aaaa aaaa aaa"),
+      (2L, "aaaa bc bc bc bc bc bc bc")).toDF("doc_id", "text")
+    val got = LLMQueries.bpeMergeLoopOf(corpus, 3)
+      .as[(Long, String, String, Long)].collect().toSeq
+    // round 1: aa total = 3×3 (aaaa) + 2 (aaa) = 11 vs bc = 7 → (a,a,11)
+    // round 2 vocab: aaaa→[aa,aa]×3, aaa→[aa,a]×1, bc→[b,c]×7:
+    //   (aa,aa)=3, (aa,a)=1, (b,c)=7 → (b,c,7)
+    // round 3: (aa,aa)=3 vs (aa,a)=1 → (aa,aa,3)
+    assert(got == Seq(
+      (1L, "a", "a", 11L), (2L, "b", "c", 7L), (3L, "aa", "aa", 3L)))
+    // and the VERDICT property: each round's reported count equals a
+    // recount of the PREVIOUS round's merged vocabulary — checked here
+    // against the straight-line reference for the same corpus
+    val words = Map("aaaa" -> 3L, "aaa" -> 1L, "bc" -> 7L)
+    assert(got == referenceBpe(words, 3))
+  }
+
   test("bm25 ranks rare-term and higher-tf matches above common-term ones") {
     // query doc 0 = "rare common". 'rare' appears only in doc 10 (high
     // idf); 'common' is everywhere (low idf); doc 12 has it twice.

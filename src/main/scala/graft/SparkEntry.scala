@@ -31,7 +31,9 @@ object SparkEntry {
       EventQueries.queries ++
       ListMap[String, graft.Q](
         "q72_media_feature_summary" ->
-          ((s, dir) => graft.multimodal.Multimodal.featureSummary(s, dir)))
+          ((s, dir) => graft.multimodal.Multimodal.featureSummary(s, dir)),
+        "q109_media_phash_dups" ->
+          ((s, dir) => graft.multimodal.Multimodal.mediaNearDups(s, dir)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -64,6 +64,40 @@ object Multimodal {
       out
     }
 
+    /** Perceptual hash, dHash-style (public: difference hash over a
+      * resampled grayscale grid): the REAL pipeline decodes the payload
+      * and compares adjacent cells of an 8×8 luminance grid; the fake
+      * "decode" is 64 equal byte windows of the payload, bit i set iff
+      * window i's mean byte value exceeds window i+1's. Comparisons are
+      * cross-multiplied (sum_i·cnt_j > sum_j·cnt_i) so the hash is pure
+      * integer arithmetic — bit-identical in the DuckDB oracle, which
+      * recomputes it from the ASCII text the payload encodes. 63 bits
+      * (64 windows → 63 adjacent comparisons) keep the hash positive in
+      * a signed BIGINT in both engines. Empty windows (payload shorter
+      * than 64 bytes) sum to 0 and compare false, deterministically. */
+    def dHash(payload: Array[Byte]): Long = {
+      val L = payload.length
+      val sums = new Array[Long](64)
+      val cnts = new Array[Long](64)
+      var k = 0
+      while (k < 64) {
+        val start = k.toLong * L / 64
+        val end = (k + 1).toLong * L / 64
+        var i = start
+        while (i < end) { sums(k) += payload(i.toInt) & 0xff; i += 1 }
+        cnts(k) = end - start
+        k += 1
+      }
+      var hash = 0L
+      var b = 0
+      while (b < 63) {
+        if (sums(b) * cnts(b + 1) > sums(b + 1) * cnts(b))
+          hash |= 1L << b
+        b += 1
+      }
+      hash
+    }
+
     /** "Frame-sample" = fixed-stride byte windows (a video decoder would
       * seek to keyframes; the batch shape — one row in, k rows out — is
       * identical). */
@@ -79,9 +113,13 @@ object Multimodal {
   /** Derive a deterministic media table from `documents`: the UTF-8 text
     * bytes stand in for an encoded payload; kind/format/dimensions are
     * metadata derived from doc attributes. */
-  def mediaTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+  def mediaTable(spark: SparkSession, dir: String): Dataset[MediaRow] =
+    mediaTableOf(spark, Tables(spark, dir, "documents"))
+
+  private def mediaTableOf(spark: SparkSession,
+      docs: DataFrame): Dataset[MediaRow] = {
     import spark.implicits._
-    Tables(spark, dir, "documents")
+    docs
       .select(col("doc_id"),
         when(col("doc_id") % 3 === 0, "image")
           .when(col("doc_id") % 3 === 1, "audio")
@@ -138,6 +176,88 @@ object Multimodal {
     }
   }
 
+  case class MediaHash(doc_id: Long, kind: String, phash: Long)
+
+  /** Asset-id offset for the deterministic re-encode variants below. */
+  private[multimodal] val VariantIdOffset = 1000000000L
+
+  /** The q109 asset universe: every document's asset PLUS, for doc_id %
+    * 5 = 0, a "re-encoded variant" whose payload differs in exactly its
+    * first byte (+1) — the controlled stand-in for the crop/re-encode/
+    * resize copies perceptual dedup exists to catch (the raw corpus has
+    * no byte-identical assets at test SFs, so without variants the pair
+    * query would be vacuous). A first-byte bump only perturbs window 0's
+    * sum, so the variant's dHash differs in AT MOST bit 0 — every
+    * variant is a guaranteed Hamming ≤ 1 near-dup of its original,
+    * which the spec asserts. Text length is unchanged, so all metadata
+    * carries over. */
+  private[multimodal] def assetTable(spark: SparkSession,
+      dir: String): Dataset[MediaRow] = {
+    val d = Tables(spark, dir, "documents")
+    val variants = d.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + VariantIdOffset).as("doc_id"),
+        concat(expr("char(ascii(substring(text, 1, 1)) + 1)"),
+          expr("substring(text, 2)")).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    mediaTableOf(spark, d.select(variants.columns.map(col): _*)
+      .unionByName(variants))
+  }
+
+  /** Per-asset perceptual hashes, partition-wise (the decode step —
+    * narrow map, payload dropped immediately after hashing). */
+  def perceptualHashes(media: Dataset[MediaRow]): Dataset[MediaHash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // per-partition setup would construct the real decoder here, once
+      rows.map(r => MediaHash(r.doc_id, r.kind, FakeCodec.dHash(r.payload)))
+    }
+  }
+
+  /** Bits per LSH band over the 63-bit hash: 7 bands × 9 bits. With
+    * [[MediaHammingMax]] = 6 < 7 bands, the pigeonhole principle makes
+    * banding EXACT — any pair within the Hamming threshold agrees on at
+    * least one full band — so the banded search equals the quadratic
+    * scan it replaces, and the oracle can verify via the latter. */
+  private val BandBits = 9
+  private val NumBands = 7
+
+  /** Max Hamming distance for a perceptual near-dup pair. */
+  val MediaHammingMax = 6
+
+  /** Image/media near-dup pairs via perceptual-hash banding — the q64
+    * MinHash shape over media bytes (VERDICT r8 "Next round" #4: image
+    * dedup as first-class as text/vector dedup). Scale shape: hashes are
+    * 8 bytes per asset (the payload never leaves the decode stage); the
+    * band self-join is the only shuffle, O(Σ bucket²) candidates, and
+    * both legs read ONE (band, key) exchange (ReusedExchange). Each band
+    * row carries the 8-byte hash, so verification is an inline
+    * bit_count(xor) — no join-back. At 100 TB the standard exact-dedup
+    * pre-pass (q60/q95 shape, here trivially phash-equality) bounds
+    * identical-asset families before the quadratic stage. */
+  def mediaNearDups(spark: SparkSession, dir: String): DataFrame = {
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val h = perceptualHashes(
+      assetTable(spark, dir).repartition(parts, col("doc_id"))).toDF()
+    val bands = h.select(col("doc_id"), col("phash"),
+        posexplode(expr(
+          s"transform(sequence(0, ${NumBands - 1})," +
+            s" b -> (phash div shiftleft(1L, b * $BandBits))" +
+            s" % shiftleft(1L, $BandBits))")))
+      .select(col("doc_id"), col("phash"), col("pos").as("band"),
+        col("col").as("key"))
+      .repartition(parts, col("band"), col("key"))
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.phash").bitwiseXOR(col("b.phash")))
+          .cast("long").as("hamming"))
+      .filter(col("hamming") <= MediaHammingMax)
+      .distinct()
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** Queryable feature summary (what a downstream training pipeline would
     * read): per kind, asset counts, payload volume, total histogram-
     * bucket-0 bytes. Demonstrates metadata-only pruning: the summary never
@@ -165,6 +285,42 @@ object Multimodal {
     * exhaustively below so digits/uppercase would still be counted. A
     * non-ASCII corpus would need a byte-level oracle instead. */
   val oracle: Map[String, String] = Map(
+    // q109: the oracle recomputes the byte-window dHash from the ASCII
+    // text (byte k = char k+1 — same ASCII argument as q72) and verifies
+    // via the full quadratic Hamming scan; banding is pigeonhole-exact
+    // at MediaHammingMax < NumBands, so engine == scan provably.
+    "q109_media_phash_dups" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + $VariantIdOffset,
+         |    chr(ascii(substr(text, 1, 1)) + 1) || substr(text, 2)
+         |  FROM documents WHERE doc_id % 5 = 0),
+         |codes AS (
+         |  SELECT doc_id, length(text) AS L,
+         |    list_transform(range(1, length(text) + 1),
+         |      i -> ascii(substr(text, i, 1))) AS cs
+         |  FROM t),
+         |w AS (
+         |  SELECT doc_id,
+         |    list_transform(range(0, 64), k ->
+         |      coalesce(list_sum(cs[(k * L // 64 + 1):(((k + 1) * L) // 64)]),
+         |        0)) AS ws,
+         |    list_transform(range(0, 64),
+         |      k -> ((k + 1) * L) // 64 - (k * L) // 64) AS wc
+         |  FROM codes),
+         |h AS (
+         |  SELECT doc_id, CAST(coalesce(list_sum(list_transform(range(0, 63),
+         |    b -> CASE WHEN ws[b + 1] * wc[b + 2] > ws[b + 2] * wc[b + 1]
+         |              THEN (CAST(1 AS BIGINT) << b)
+         |              ELSE CAST(0 AS BIGINT) END)), 0) AS BIGINT) AS phash
+         |  FROM w)
+         |SELECT doc_a, doc_b, hamming FROM (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+         |  FROM h a, h b WHERE a.doc_id < b.doc_id)
+         |WHERE hamming <= $MediaHammingMax
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "q72_media_feature_summary" -> {
       val bucket0Chars = Seq(" ", "0", "@", "P", "`", "p")
       val b0 = bucket0Chars

@@ -6,6 +6,7 @@ import graft.SparkSpec
   * schema/encoders round-trip, batch shapes hold, outputs deterministic.
   */
 class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
 
   private lazy val media = Multimodal.mediaTable(spark, sfDir)
 
@@ -77,5 +78,42 @@ class MultimodalSpec extends SparkSpec {
     val sum = Multimodal.featureSummary(spark, sfDir).collect()
     assert(sum.map(_.getString(0)).toSet == Set("image", "audio", "video"))
     assert(sum.map(_.getLong(1)).sum == media.count())
+  }
+
+  test("dHash: deterministic, first-byte bump flips at most bit 0") {
+    val p = "some fake image payload bytes for hashing".getBytes("UTF-8")
+    assert(Multimodal.FakeCodec.dHash(p) == Multimodal.FakeCodec.dHash(p.clone()))
+    val bumped = p.clone(); bumped(0) = (bumped(0) + 1).toByte
+    val x = Multimodal.FakeCodec.dHash(p) ^ Multimodal.FakeCodec.dHash(bumped)
+    assert((x & ~1L) == 0L, s"bump changed bits beyond bit 0: $x")
+    // short payloads (< 64 bytes → empty windows) are well-defined
+    assert(Multimodal.FakeCodec.dHash("ab".getBytes) ==
+      Multimodal.FakeCodec.dHash("ab".getBytes))
+    assert(Multimodal.FakeCodec.dHash(Array.emptyByteArray) == 0L)
+  }
+
+  test("phash near-dups == quadratic Hamming scan (pigeonhole exactness)") {
+    val hashes = Multimodal.perceptualHashes(
+      Multimodal.assetTable(spark, sfDir)).collect()
+    val expected = (for {
+      i <- hashes.indices; j <- (i + 1) until hashes.length
+      a = hashes(i); b = hashes(j)
+      h = java.lang.Long.bitCount(a.phash ^ b.phash)
+      if h <= Multimodal.MediaHammingMax
+    } yield {
+      val (lo, hi) = if (a.doc_id < b.doc_id) (a.doc_id, b.doc_id)
+        else (b.doc_id, a.doc_id)
+      (lo, hi, h.toLong)
+    }).toSet
+    val got = Multimodal.mediaNearDups(spark, sfDir)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == expected)
+    // every injected variant is found as a near-dup of its original
+    val variantPairs = got.filter(_._2 >= 1000000000L)
+    assert(variantPairs.nonEmpty)
+    assert(variantPairs.forall { case (a, b, h) =>
+      (b - 1000000000L == a && h <= 1) || h <= Multimodal.MediaHammingMax })
+    assert(hashes.count(_.doc_id >= 1000000000L) ==
+      variantPairs.count(p => p._2 - 1000000000L == p._1))
   }
 }

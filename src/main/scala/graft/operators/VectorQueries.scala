@@ -882,6 +882,41 @@ object VectorQueries {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  /** The ANN variants whose serving quality q110 tracks, with the exact
+    * q67 scan as ground truth. One place, so the recall query and its
+    * oracle can never cover different variants. */
+  private val annVariants: Seq[(String, graft.Q)] = Seq(
+    "ivf" -> (ivfTopkCosine _),
+    "ivf_incremental" -> (incrementalIvfTopkCosine _),
+    "multiprobe" -> (ivfMultiprobeTopkCosine _),
+    "sq8" -> (quantizedTopkCosine _))
+
+  /** q110: ANN serving quality as an ORACLE-GATED output (VERDICT r8
+    * "Next round" #8) — recall@[[TopK]] of every ANN variant against the
+    * exact q67 baseline on the fixed query set, so quantization/probe
+    * drift shows up in CORRECTNESS, not only in CI assertions. Integer
+    * micro-unit recall (hits·1e6 div |exact|) keeps the output
+    * hash-portable; both operands are non-negative so Spark `div` and
+    * DuckDB `//` agree. Scale shape: the variants and the baseline are
+    * the existing scans; the recall join keys on (qid, nid) — queries ×
+    * k rows, broadcast-sized by construction. */
+  def annRecallSummary(spark: SparkSession, dir: String): DataFrame = {
+    val exact = topkCosine(spark, dir).select(col("qid"), col("nid"))
+      .localCheckpoint(eager = false) // feeds the join and the total
+    val union = annVariants.map { case (name, q) =>
+      q(spark, dir).select(lit(name).as("variant"), col("qid"), col("nid"))
+    }.reduce(_.unionByName(_))
+    val nExact = exact.agg(count(lit(1)).as("n_exact"))
+    union
+      .join(exact.withColumn("hit", lit(1)), Seq("qid", "nid"), "left")
+      .groupBy(col("variant"))
+      .agg(count(col("hit")).as("hits"))
+      .crossJoin(broadcast(nExact))
+      .select(col("variant"), col("hits"), col("n_exact"),
+        expr("hits * 1000000L div n_exact").as("recall_micro"))
+      .orderBy(col("variant"))
+  }
+
   val queries: ListMap[String, graft.Q] = ListMap(
     "q65_cosine_near_dups" -> (cosineNearDups _),
     "q91_semantic_dedup" -> (semanticDedup _),
@@ -896,7 +931,8 @@ object VectorQueries {
     "q103_incremental_vector_near_dups" -> (incrementalVectorNearDupsDaily _),
     "q104_incremental_semantic_dedup" -> (incrementalSemanticDedupDaily _),
     "q105_incremental_ivf_topk" -> (incrementalIvfTopkCosine _),
-    "q106_sq8_topk_cosine" -> (quantizedTopkCosine _))
+    "q106_sq8_topk_cosine" -> (quantizedTopkCosine _),
+    "q110_ann_recall" -> (annRecallSummary _))
 
   /** Oracle-side mirror of the Spark assignment ordering: the SAME
     * quantity `round(l2Sq, 6)` — squared L2 summed left-to-right over the
@@ -966,7 +1002,7 @@ object VectorQueries {
        |  WHERE round(list_cosine_similarity(ea.v, eb.v), 6)
        |        >= $NearDupThreshold)""".stripMargin
 
-  val oracle: Map[String, String] = Map(
+  private val oracleMain: Map[String, String] = Map(
     "q95_vector_exact_dedup" ->
       """SELECT min(vec_id) AS keep_id, count(*) AS n_copies
         |FROM (SELECT vec_id,
@@ -1122,6 +1158,39 @@ object VectorQueries {
          |    ON x.cid = y.cid AND x.vec_id < y.vec_id)
          |WHERE cos >= $NearDupThreshold
          |ORDER BY vec_a, vec_b""".stripMargin)
+
+  /** q110's oracle COMPOSES the existing variant oracles as nested
+    * subqueries (each carries its own WITH scope), so the recall oracle
+    * and the per-variant oracles can never drift apart. The LEFT join
+    * keeps a zero-hit variant's row alive (count of the right side's
+    * key counts matches only). */
+  val oracle: Map[String, String] = oracleMain + {
+    val variantSelects = annVariants.map { case (name, _) =>
+      val twin = name match {
+        case "ivf" => "q69_ivf_topk_cosine"
+        case "ivf_incremental" => "q105_incremental_ivf_topk"
+        case "multiprobe" => "q87_ivf_multiprobe"
+        case "sq8" => "q106_sq8_topk_cosine"
+      }
+      s"SELECT '$name' AS variant, qid, nid FROM (\n${oracleMain(twin)})"
+    }.mkString("\n  UNION ALL ")
+    "q110_ann_recall" ->
+      s"""WITH exact AS (
+         |  SELECT qid, nid FROM (
+         |${oracleMain("q67_topk_cosine")})),
+         |v AS (
+         |  $variantSelects),
+         |hits AS (
+         |  SELECT variant, count(exact.qid) AS hits
+         |  FROM v LEFT JOIN exact
+         |    ON v.qid = exact.qid AND v.nid = exact.nid
+         |  GROUP BY variant),
+         |tot AS (SELECT count(*) AS n_exact FROM exact)
+         |SELECT variant, CAST(hits AS BIGINT) AS hits,
+         |  CAST(n_exact AS BIGINT) AS n_exact,
+         |  CAST(hits * 1000000 // n_exact AS BIGINT) AS recall_micro
+         |FROM hits, tot ORDER BY variant""".stripMargin
+  }
 
   /** The full q91 oracle (raw-vector pair graph, recursive closure,
     * norm-desc election) with an optional extra predicate on the final

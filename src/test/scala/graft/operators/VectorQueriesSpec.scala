@@ -394,6 +394,24 @@ class VectorQueriesSpec extends SparkSpec {
       (1L, 3L, 60750000000L)))   // (3*10 + 10+10.25+10.5) * 1e9
   }
 
+  test("ann recall summary: bounds hold, more probes never lose recall") {
+    val rows = VectorQueries.annRecallSummary(spark, sfDir)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(rows.keySet ==
+      Set("ivf", "ivf_incremental", "multiprobe", "sq8"))
+    rows.values.foreach { case (hits, nExact, micro) =>
+      assert(nExact == 30L) // NumQueries × TopK
+      assert(hits >= 0 && hits <= nExact)
+      assert(micro == hits * 1000000L / nExact)
+    }
+    // multiprobe's candidate set is a superset of ivf's per query, and a
+    // ground-truth member in the candidate set always ranks within the
+    // variant's top-k (at most k-1 items beat it anywhere) — so hits are
+    // monotone in the candidate set
+    assert(rows("multiprobe")._1 >= rows("ivf")._1)
+  }
+
   test("kmeans packed argmin fails fast when preconditions break") {
     // seed vec_id >= 2^20 can't fit the packed key's low bits — the
     // guard must raise, not silently mis-cluster (ADVICE r8 #2)

@@ -33,7 +33,10 @@ object SparkEntry {
         "q72_media_feature_summary" ->
           ((s, dir) => graft.multimodal.Multimodal.featureSummary(s, dir)),
         "q109_media_phash_dups" ->
-          ((s, dir) => graft.multimodal.Multimodal.mediaNearDups(s, dir)))
+          ((s, dir) => graft.multimodal.Multimodal.mediaNearDups(s, dir)),
+        "q111_incremental_media_phash" ->
+          ((s, dir) =>
+            graft.multimodal.Multimodal.incrementalMediaNearDupsDaily(s, dir)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -236,15 +236,7 @@ object Multimodal {
     * identical-asset families before the quadratic stage. */
   def mediaNearDups(spark: SparkSession, dir: String): DataFrame = {
     val parts = spark.sessionState.conf.numShufflePartitions
-    val h = perceptualHashes(
-      assetTable(spark, dir).repartition(parts, col("doc_id"))).toDF()
-    val bands = h.select(col("doc_id"), col("phash"),
-        posexplode(expr(
-          s"transform(sequence(0, ${NumBands - 1})," +
-            s" b -> (phash div shiftleft(1L, b * $BandBits))" +
-            s" % shiftleft(1L, $BandBits))")))
-      .select(col("doc_id"), col("phash"), col("pos").as("band"),
-        col("col").as("key"))
+    val bands = phashBands(assetHashes(spark, dir))
       .repartition(parts, col("band"), col("key"))
     bands.as("a")
       .join(bands.as("b"),
@@ -256,6 +248,71 @@ object Multimodal {
       .filter(col("hamming") <= MediaHammingMax)
       .distinct()
       .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Hashes of the full q109 asset universe, CPU spread before decode. */
+  private def assetHashes(spark: SparkSession, dir: String): DataFrame =
+    perceptualHashes(assetTable(spark, dir)
+      .repartition(spark.sessionState.conf.numShufflePartitions,
+        col("doc_id"))).toDF()
+
+  /** (doc_id, phash, band, key) band rows of a hash frame — the table a
+    * daily pipeline PERSISTS (IndexStore `media_bands`): 7 rows × ~32
+    * bytes per asset, the payloads never reappear. Each row carries the
+    * full hash so candidate verification is an inline bit_count — no
+    * join-back. */
+  def phashBands(h: DataFrame): DataFrame =
+    h.select(col("doc_id"), col("phash"),
+        posexplode(expr(
+          s"transform(sequence(0, ${NumBands - 1})," +
+            s" b -> (phash div shiftleft(1L, b * $BandBits))" +
+            s" % shiftleft(1L, $BandBits))")))
+      .select(col("doc_id"), col("phash"), col("pos").as("band"),
+        col("col").as("key"))
+
+  /** Incremental media near-dup: Hamming pairs of an incoming asset
+    * batch against an already-banded corpus (plus batch-internal pairs)
+    * WITHOUT re-pairing the corpus — the q96/q103 probe shape, media
+    * flavor, completing the incremental daily-ingest family across all
+    * modalities (text q96/q97/q98, vector q102/q103/q104, media here).
+    * (corpus ∪ batch) bands join against BATCH bands only, so a
+    * corpus-only bucket has no probe key and never enumerates; hashes
+    * ride in the band rows, so verification never touches a corpus
+    * table at all — the daily leg's only corpus-sized work is the
+    * band-index scan. Pigeonhole exactness carries over: the result
+    * provably equals the full q109 pass restricted to pairs touching
+    * ≥ 1 batch asset, which is what the oracle checks. */
+  def incrementalMediaNearDups(corpusBands: DataFrame,
+      newHashes: DataFrame): DataFrame = {
+    // lazy-materialized: feeds both the union leg and the probe leg
+    val newBands = phashBands(newHashes).localCheckpoint(eager = false)
+    corpusBands.unionByName(newBands).as("a")
+      .join(newBands.as("n"),
+        col("a.band") === col("n.band") && col("a.key") === col("n.key") &&
+          col("a.doc_id") =!= col("n.doc_id"))
+      .select(least(col("a.doc_id"), col("n.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("n.doc_id")).as("doc_b"),
+        bit_count(col("a.phash").bitwiseXOR(col("n.phash")))
+          .cast("long").as("hamming"))
+      .filter(col("hamming") <= MediaHammingMax)
+      .distinct()
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** The asset universe split for the daily flow: batch = assets whose
+    * id ≡ 0 (mod 10) — a VARIANT inherits its original's residue
+    * ([[VariantIdOffset]] is a multiple of 10), so re-encodes arrive in
+    * the same batch as their original, the realistic ingest shape. */
+  def mediaSplit(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val h = assetHashes(spark, dir)
+    (h.filter(col("doc_id") % 10 =!= 0), h.filter(col("doc_id") % 10 === 0))
+  }
+
+  /** q111: the daily-ingest media near-dup flow as an ORACLE query. */
+  def incrementalMediaNearDupsDaily(spark: SparkSession,
+      dir: String): DataFrame = {
+    val (corpus, batch) = mediaSplit(spark, dir)
+    incrementalMediaNearDups(phashBands(corpus), batch)
   }
 
   /** Queryable feature summary (what a downstream training pipeline would
@@ -284,43 +341,49 @@ object Multimodal {
     * occurrence total of the ASCII chars whose code ≡ 0 (mod 16) — listed
     * exhaustively below so digits/uppercase would still be counted. A
     * non-ASCII corpus would need a byte-level oracle instead. */
+  /** q109/q111 shared oracle: recomputes the byte-window dHash from the
+    * ASCII text (byte k = char k+1 — same ASCII argument as q72) and
+    * verifies via the full quadratic Hamming scan; banding is
+    * pigeonhole-exact at MediaHammingMax < NumBands, so engine == scan
+    * provably, and the incremental flow == the scan restricted to pairs
+    * touching a batch asset. */
+  private def mediaPhashPairsSql(restrict: String): String =
+    s"""WITH t AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + $VariantIdOffset,
+       |    chr(ascii(substr(text, 1, 1)) + 1) || substr(text, 2)
+       |  FROM documents WHERE doc_id % 5 = 0),
+       |codes AS (
+       |  SELECT doc_id, length(text) AS L,
+       |    list_transform(range(1, length(text) + 1),
+       |      i -> ascii(substr(text, i, 1))) AS cs
+       |  FROM t),
+       |w AS (
+       |  SELECT doc_id,
+       |    list_transform(range(0, 64), k ->
+       |      coalesce(list_sum(cs[(k * L // 64 + 1):(((k + 1) * L) // 64)]),
+       |        0)) AS ws,
+       |    list_transform(range(0, 64),
+       |      k -> ((k + 1) * L) // 64 - (k * L) // 64) AS wc
+       |  FROM codes),
+       |h AS (
+       |  SELECT doc_id, CAST(coalesce(list_sum(list_transform(range(0, 63),
+       |    b -> CASE WHEN ws[b + 1] * wc[b + 2] > ws[b + 2] * wc[b + 1]
+       |              THEN (CAST(1 AS BIGINT) << b)
+       |              ELSE CAST(0 AS BIGINT) END)), 0) AS BIGINT) AS phash
+       |  FROM w)
+       |SELECT doc_a, doc_b, hamming FROM (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+       |  FROM h a, h b WHERE a.doc_id < b.doc_id)
+       |WHERE hamming <= $MediaHammingMax
+       |$restrict ORDER BY doc_a, doc_b""".stripMargin
+
   val oracle: Map[String, String] = Map(
-    // q109: the oracle recomputes the byte-window dHash from the ASCII
-    // text (byte k = char k+1 — same ASCII argument as q72) and verifies
-    // via the full quadratic Hamming scan; banding is pigeonhole-exact
-    // at MediaHammingMax < NumBands, so engine == scan provably.
-    "q109_media_phash_dups" ->
-      s"""WITH t AS (
-         |  SELECT doc_id, text FROM documents
-         |  UNION ALL
-         |  SELECT doc_id + $VariantIdOffset,
-         |    chr(ascii(substr(text, 1, 1)) + 1) || substr(text, 2)
-         |  FROM documents WHERE doc_id % 5 = 0),
-         |codes AS (
-         |  SELECT doc_id, length(text) AS L,
-         |    list_transform(range(1, length(text) + 1),
-         |      i -> ascii(substr(text, i, 1))) AS cs
-         |  FROM t),
-         |w AS (
-         |  SELECT doc_id,
-         |    list_transform(range(0, 64), k ->
-         |      coalesce(list_sum(cs[(k * L // 64 + 1):(((k + 1) * L) // 64)]),
-         |        0)) AS ws,
-         |    list_transform(range(0, 64),
-         |      k -> ((k + 1) * L) // 64 - (k * L) // 64) AS wc
-         |  FROM codes),
-         |h AS (
-         |  SELECT doc_id, CAST(coalesce(list_sum(list_transform(range(0, 63),
-         |    b -> CASE WHEN ws[b + 1] * wc[b + 2] > ws[b + 2] * wc[b + 1]
-         |              THEN (CAST(1 AS BIGINT) << b)
-         |              ELSE CAST(0 AS BIGINT) END)), 0) AS BIGINT) AS phash
-         |  FROM w)
-         |SELECT doc_a, doc_b, hamming FROM (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |    CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
-         |  FROM h a, h b WHERE a.doc_id < b.doc_id)
-         |WHERE hamming <= $MediaHammingMax
-         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q109_media_phash_dups" -> mediaPhashPairsSql(""),
+    "q111_incremental_media_phash" -> mediaPhashPairsSql(
+      "  AND (doc_a % 10 = 0 OR doc_b % 10 = 0)\n"),
     "q72_media_feature_summary" -> {
       val bucket0Chars = Seq(" ", "0", "@", "P", "`", "p")
       val b0 = bucket0Chars

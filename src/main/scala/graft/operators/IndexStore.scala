@@ -105,6 +105,7 @@ object IndexStore {
     writeSemantic(corpusVecs, dir)
     writeIvfCentroids(Tables(spark, dataDir, "embeddings")
       .filter(col("vec_id") % VectorQueries.VecBatchMod =!= 0), dir)
+    writeMediaBands(spark, dataDir, dir)
   }
 
   // ---- per-family daily leg (parquet index + today's batch) ------------
@@ -172,6 +173,20 @@ object IndexStore {
       VectorQueries.vecsOf(Tables(spark, dataDir, "embeddings")),
       read(spark, indexDir, "ivf_centroids"))
 
+  def writeMediaBands(spark: SparkSession, dataDir: String,
+      dir: String): Unit =
+    write(graft.multimodal.Multimodal.phashBands(
+      graft.multimodal.Multimodal.mediaSplit(spark, dataDir)._1),
+      dir, "media_bands")
+
+  /** q111 twin: [[graft.multimodal.Multimodal.incrementalMediaNearDups]]
+    * off the disk band index — the daily leg's only corpus-sized work. */
+  def dailyMedia(spark: SparkSession, indexDir: String,
+      dataDir: String): DataFrame =
+    graft.multimodal.Multimodal.incrementalMediaNearDups(
+      read(spark, indexDir, "media_bands"),
+      graft.multimodal.Multimodal.mediaSplit(spark, dataDir)._2)
+
   /** (family name, in-memory qNN twin, write, daily-from-disk) — the one
     * table IndexSoak and IndexStoreSpec both iterate so the measured
     * flow and the pinned invariant can never cover different families. */
@@ -200,5 +215,7 @@ object IndexStore {
       (s, dataDir, dir) => writeIvfCentroids(
         Tables(s, dataDir, "embeddings")
           .filter(col("vec_id") % VectorQueries.VecBatchMod =!= 0), dir),
-      dailyIvf _))
+      dailyIvf _),
+    ("media", "q111_incremental_media_phash",
+      writeMediaBands _, dailyMedia _))
 }

@@ -116,4 +116,16 @@ class MultimodalSpec extends SparkSpec {
     assert(hashes.count(_.doc_id >= 1000000000L) ==
       variantPairs.count(p => p._2 - 1000000000L == p._1))
   }
+
+  test("incremental media near-dups == full pass restricted to batch pairs") {
+    val full = Multimodal.mediaNearDups(spark, sfDir)
+      .as[(Long, Long, Long)].collect().toSet
+    val inc = Multimodal.incrementalMediaNearDupsDaily(spark, sfDir)
+      .as[(Long, Long, Long)].collect().toSet
+    def isBatch(id: Long) = id % 10 == 0
+    assert(inc == full.filter(p => isBatch(p._1) || isBatch(p._2)))
+    assert(inc.nonEmpty) // variants of batch docs guarantee pairs
+    // corpus-internal pairs exist in full but are NOT recomputed
+    assert(full.exists(p => !isBatch(p._1) && !isBatch(p._2)))
+  }
 }

@@ -63,6 +63,33 @@ class PlanAuditSpec extends SparkSpec {
   // a bare source-keyed window over the corpus funnels a web-scale
   // source through one reducer; only the bounded shard-survivor rank may
   // key on source alone.
+  // The incremental families' endpoint semi-joins (round 9) must stay
+  // BROADCAST: the endpoint set is batch-bounded by construction, and
+  // without the hint Spark plans a sort-merge semi that re-shuffles the
+  // corpus-sized sets/vector table per union child — the exact O(corpus)
+  // daily cost the filter exists to remove (measured on the 10×
+  // IndexSoak; Explain-confirmed both ways).
+  for (name <- Seq("q96_incremental_near_dups",
+      "q103_incremental_vector_near_dups", "q104_incremental_semantic_dedup"))
+    test(s"$name: endpoint semi-join broadcasts, never sort-merge") {
+      val plan = SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("SortMergeJoin LeftSemi"),
+        s"$name plans a sort-merge semi-join — the endpoint filter " +
+          "lost its broadcast hint and re-shuffles the corpus")
+    }
+
+  // q109/q111's pair search must verify INSIDE the band join (hashes
+  // ride in the band rows) — a join-back against a hash table would
+  // re-shuffle every asset per candidate. Physical signal: exactly the
+  // band joins, no additional doc_id-keyed join after them.
+  test("q109: banding carries the hash — no verification join-back") {
+    val plan = SparkEntry.queries("q109_media_phash_dups")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val joins = plan.linesIterator.count(_.contains("Join"))
+    assert(joins == 1, s"q109 expected exactly the band self-join, got $joins")
+  }
+
   test("q107: corpus-facing top-K window is sharded") {
     val plan = SparkEntry.queries("q107_source_caps")(spark, sfDir)
       .queryExecution.executedPlan.toString

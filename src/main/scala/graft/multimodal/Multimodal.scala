@@ -39,7 +39,7 @@ object Multimodal {
     * payload with an image/audio library; this fake is stable,
     * content-sensitive, and cheap — good enough to drive the plumbing and
     * its tests. */
-  private[multimodal] object FakeCodec {
+  private[graft] object FakeCodec {
     val FeatureDim = 16
 
     /** "Decode" = normalized 16-bucket byte histogram. */
@@ -262,13 +262,11 @@ object Multimodal {
     * full hash so candidate verification is an inline bit_count — no
     * join-back. */
   def phashBands(h: DataFrame): DataFrame =
-    h.select(col("doc_id"), col("phash"),
+    h.select(h.columns.map(col) :+
         posexplode(expr(
           s"transform(sequence(0, ${NumBands - 1})," +
             s" b -> (phash div shiftleft(1L, b * $BandBits))" +
-            s" % shiftleft(1L, $BandBits))")))
-      .select(col("doc_id"), col("phash"), col("pos").as("band"),
-        col("col").as("key"))
+            s" % shiftleft(1L, $BandBits))")).as(Seq("band", "key")): _*)
 
   /** Incremental media near-dup: Hamming pairs of an incoming asset
     * batch against an already-banded corpus (plus batch-internal pairs)

@@ -324,8 +324,10 @@ object VectorQueries {
 
   /** Portable exact-vector key: md5 over the comma-joined fixed-point
     * components — identical strings (and so identical keys) in Spark and
-    * DuckDB, where hashing raw doubles would not be portable. */
-  private val vecKeyExpr = expr(
+    * DuckDB, where hashing raw doubles would not be portable. Shared
+    * with the streaming twin (StreamingOps) so batch and stream dedup
+    * key identically. */
+  private[graft] val vecKeyExpr = expr(
     "md5(concat_ws(',', transform(embedding," +
       " x -> cast(cast(round(cast(x as double) * 1e9) as bigint) as string))))")
 

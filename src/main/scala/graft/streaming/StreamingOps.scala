@@ -213,6 +213,65 @@ object StreamingOps {
       .join(corpusHashes, Seq("h"), "left_anti")
       .select(col("doc_id"), col("ts"), col("text"))
 
+  case class StreamVec(vec_id: Long, ts: Timestamp, embedding: Array[Float])
+
+  /** L24 streaming: the daily-ingest exact VECTOR dedup as a CONTINUOUS
+    * stream — the streaming twin of the q102 batch pattern, completing
+    * the batch/stream pairing for the vector family (q97's text twin
+    * above). Incoming vectors key by the SAME portable fixed-point md5
+    * as q95/q102 ([[graft.operators.VectorQueries.vecKeyExpr]] — one
+    * definition, so batch and stream can never key differently), drop
+    * in-stream echoes inside the watermark horizon (bounded state:
+    * 32-hex keys, never vectors), and anti-join the PERSISTED corpus key
+    * index (stream-static, stateless — the same `vec_hash` table
+    * IndexStore maintains for the nightly batch pass). */
+  def streamingIncrementalVectorDedup(vecs: Dataset[StreamVec],
+      corpusKeys: DataFrame): DataFrame =
+    vecs.toDF()
+      .withColumn("v", expr("transform(embedding, x -> cast(x AS double))"))
+      .withColumn("vkey", graft.operators.VectorQueries.vecKeyExpr)
+      .drop("v")
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark(Seq("vkey"))
+      .join(corpusKeys, Seq("vkey"), "left_anti")
+      .select(col("vec_id"), col("ts"), col("embedding"))
+
+  case class StreamAsset(doc_id: Long, ts: Timestamp, payload: Array[Byte])
+
+  /** L27 streaming: perceptual near-dup DETECTION as a continuous
+    * stream — each arriving asset hashes ([[graft.multimodal.Multimodal
+    * .FakeCodec.dHash]], same 63-bit function as q109), emits its band
+    * keys, and probes the PERSISTED corpus band index (stream-static
+    * inner join — stateless, the `media_bands` table IndexStore
+    * maintains); matches verify inline via bit_count exactly like the
+    * batch flow. Emits (new asset, corpus near-dup, hamming) match rows
+    * — the shape a quarantine/review queue consumes. In-stream pairs are
+    * the nightly batch pass's job (q111); keeping the stream leg
+    * corpus-only keeps it stateless. */
+  def streamingMediaNearDups(assets: Dataset[StreamAsset],
+      corpusBands: DataFrame): DataFrame = {
+    import assets.sparkSession.implicits._
+    val hashed = assets
+      .map(a => (a.doc_id, a.ts,
+        graft.multimodal.Multimodal.FakeCodec.dHash(a.payload)))
+      .toDF("doc_id", "ts", "phash")
+      .withWatermark("ts", "1 hour")
+    // band-multiplicity collapse (a pair agreeing on 2 bands arrives
+    // twice) is watermark-bounded state on (doc_id, corpus_id) keys
+    graft.multimodal.Multimodal.phashBands(hashed)
+      .join(corpusBands
+        .select(col("doc_id").as("corpus_id"), col("phash").as("cphash"),
+          col("band"), col("key")),
+        Seq("band", "key"))
+      .filter(col("doc_id") =!= col("corpus_id"))
+      .select(col("doc_id"), col("ts"), col("corpus_id"),
+        bit_count(col("phash").bitwiseXOR(col("cphash")))
+          .cast("long").as("hamming"))
+      .filter(col("hamming") <=
+        graft.multimodal.Multimodal.MediaHammingMax)
+      .dropDuplicatesWithinWatermark(Seq("doc_id", "corpus_id"))
+  }
+
   /** The spec's latest-status-wins polling update as a stream
     * (README.md:85): keep the max-timestamp event per key in state, emit
     * the current winner on every update (Update mode downstream).

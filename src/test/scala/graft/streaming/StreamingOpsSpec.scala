@@ -97,6 +97,64 @@ class StreamingOpsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming incremental vector dedup keys exactly like q95/q102") {
+    val input = MemoryStream[StreamVec]
+    // corpus index built through the SAME shared key expression the
+    // batch pass uses — one definition, so the twins cannot drift
+    val corpusIndex = Seq((0L, Array(1.0f, 2.0f)))
+      .toDF("vec_id", "embedding")
+      .withColumn("v",
+        org.apache.spark.sql.functions
+          .expr("transform(embedding, x -> cast(x AS double))"))
+      .select(graft.operators.VectorQueries.vecKeyExpr.as("vkey"))
+    val query = streamingIncrementalVectorDedup(input.toDS(), corpusIndex)
+      .writeStream.format("memory").queryName("vecdedup")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        StreamVec(1L, ts(0), Array(1.0f, 2.0f)),  // corpus-known → drop
+        StreamVec(2L, ts(1), Array(3.0f, 4.0f)))  // survives
+      query.processAllAvailable()
+      input.addData(
+        StreamVec(3L, ts(2), Array(3.0f, 4.0f)),  // in-stream echo → drop
+        StreamVec(4L, ts(3), Array(5.0f, 6.0f)))  // survives
+      query.processAllAvailable()
+      val out = spark.table("vecdedup")
+        .select("vec_id").as[Long].collect().sorted
+      assert(out.toSeq == Seq(2L, 4L))
+    } finally query.stop()
+  }
+
+  test("streaming media near-dup probes the persisted band index") {
+    val base = "stream payload bytes for the perceptual hash".getBytes("UTF-8")
+    val bumped = base.clone(); bumped(0) = (bumped(0) + 1).toByte
+    val far = "completely different content with other byte structure zzz"
+      .getBytes("UTF-8")
+    // persisted corpus index: bands of asset 100 (the batch-pass artifact)
+    val corpusBands = graft.multimodal.Multimodal.phashBands(
+      Seq((100L, graft.multimodal.Multimodal.FakeCodec.dHash(base)))
+        .toDF("doc_id", "phash"))
+    val input = MemoryStream[StreamAsset]
+    val query = streamingMediaNearDups(input.toDS(), corpusBands)
+      .writeStream.format("memory").queryName("mediadups")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        StreamAsset(1L, ts(0), bumped), // hamming ≤ 1 vs corpus → match
+        StreamAsset(2L, ts(1), far))    // no match expected
+      query.processAllAvailable()
+      // a multi-band agreement must still emit ONE row per pair
+      input.addData(StreamAsset(3L, ts(2), base)) // identical → hamming 0
+      query.processAllAvailable()
+      val out = spark.table("mediadups")
+        .select("doc_id", "corpus_id", "hamming")
+        .as[(Long, Long, Long)].collect().sortBy(_._1)
+      assert(out.map(r => (r._1, r._2)).toSeq == Seq((1L, 100L), (3L, 100L)))
+      assert(out.forall(_._3 <= graft.multimodal.Multimodal.MediaHammingMax))
+      assert(out.find(_._1 == 3L).get._3 == 0L)
+    } finally query.stop()
+  }
+
   test("streaming dedup drops replayed event ids") {
     val input = MemoryStream[Event]
     val query = dedupByEventId(input.toDS())

@@ -694,25 +694,72 @@ object VectorQueries {
     * vector quantizes to zeros and scores 0 by convention (guarded in
     * both engines). */
   def quantizedTopkCosine(spark: SparkSession, dir: String): DataFrame = {
-    val e = vecs(spark, dir)
-    val qz = e
-      .withColumn("m", expr("array_max(transform(v, x -> abs(x))) / 127"))
-      .withColumn("s", expr("if(m = 0d, 1d, m)"))
-      .withColumn("qv",
-        expr("transform(v, x -> cast(round(x / s) as bigint))"))
-      .withColumn("nq", expr("aggregate(qv, 0L, (a, x) -> a + x * x)"))
+    val qz = sq8Of(vecs(spark, dir))
       .select(col("vec_id"), col("qv"), col("nq"))
     val queries = qz.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("qid"), col("qv").as("qq"),
         col("nq").as("nqq"))
     val scored = qz.crossJoin(broadcast(queries))
       .filter(col("vec_id") =!= col("qid"))
-      .withColumn("dot",
-        expr("aggregate(zip_with(qv, qq, (a, b) -> a * b), 0L, (s, x) -> s + x)"))
-      .withColumn("cos",
-        when(col("nq") === 0 || col("nqq") === 0, lit(0.0))
-          .otherwise(round(col("dot").cast("double") /
-            sqrt((col("nq") * col("nqq")).cast("double")), 6)))
+      .withColumn("dot", sq8Dot)
+      .withColumn("cos", sq8Cos)
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= TopK)
+      .select(col("qid"), col("rk").cast("long").as("rk"),
+        col("vec_id").as("nid"), col("cos"))
+      .orderBy(col("qid"), col("rk"))
+  }
+
+  /** SQ8 per-vector quantization of a (…, v) frame: adds the int8
+    * component array `qv` and its exact long norm `nq` (q106's rule —
+    * ONE definition shared with q112's cell-restricted scan, so the two
+    * can never quantize differently). */
+  private def sq8Of(df: DataFrame): DataFrame =
+    df.withColumn("m", expr("array_max(transform(v, x -> abs(x))) / 127"))
+      .withColumn("s", expr("if(m = 0d, 1d, m)"))
+      .withColumn("qv",
+        expr("transform(v, x -> cast(round(x / s) as bigint))"))
+      .withColumn("nq", expr("aggregate(qv, 0L, (a, x) -> a + x * x)"))
+      .drop("m", "s")
+
+  /** Exact integer dot of two SQ8 arrays, and the cosine it implies
+    * (zero-norm guarded, shared 6-dp rounding). */
+  private def sq8Dot =
+    expr("aggregate(zip_with(qv, qq, (a, b) -> a * b), 0L, (s, x) -> s + x)")
+  private def sq8Cos =
+    when(col("nq") === 0 || col("nqq") === 0, lit(0.0))
+      .otherwise(round(col("dot").cast("double") /
+        sqrt((col("nq") * col("nqq")).cast("double")), 6))
+
+  /** q112: IVF + SQ8 — the two ANN scale techniques COMPOSED, the shape
+    * a production vector store actually serves (coarse cells bound the
+    * scan to ~1/|cells| of the corpus; int8 components quarter its
+    * bandwidth): the coarse quantizer is q69's float centroid
+    * assignment (shared — an index stores ONE cell layout for its float
+    * and quantized replicas), the fine scan is q106's exact-integer SQ8
+    * scoring restricted to the query's cell. Both composed pieces are
+    * individually oracle-proven; the composition hash-checks end to end
+    * and reports into the q110 recall gate as its own variant. */
+  def ivfSq8TopkCosine(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir)
+    val ranked = e.crossJoin(broadcast(centroids(spark, dir)))
+      .withColumn("d2", round(l2Sq(col("v"), col("c")), 6))
+    val w0 = Window.partitionBy(col("vec_id"))
+      .orderBy(col("d2"), col("clabel"))
+    val assigned = ranked.withColumn("rn", row_number().over(w0))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("clabel").as("cell"))
+    val qz = sq8Of(assigned)
+      .select(col("vec_id"), col("cell"), col("qv"), col("nq"))
+    val q = qz.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("cell"),
+        col("qv").as("qq"), col("nq").as("nqq"))
+    val scored = qz.join(broadcast(q), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("dot", sq8Dot)
+      .withColumn("cos", sq8Cos)
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rk", row_number().over(w))
@@ -890,6 +937,7 @@ object VectorQueries {
   private val annVariants: Seq[(String, graft.Q)] = Seq(
     "ivf" -> (ivfTopkCosine _),
     "ivf_incremental" -> (incrementalIvfTopkCosine _),
+    "ivf_sq8" -> (ivfSq8TopkCosine _),
     "multiprobe" -> (ivfMultiprobeTopkCosine _),
     "sq8" -> (quantizedTopkCosine _))
 
@@ -934,7 +982,8 @@ object VectorQueries {
     "q104_incremental_semantic_dedup" -> (incrementalSemanticDedupDaily _),
     "q105_incremental_ivf_topk" -> (incrementalIvfTopkCosine _),
     "q106_sq8_topk_cosine" -> (quantizedTopkCosine _),
-    "q110_ann_recall" -> (annRecallSummary _))
+    "q110_ann_recall" -> (annRecallSummary _),
+    "q112_ivf_sq8_topk" -> (ivfSq8TopkCosine _))
 
   /** Oracle-side mirror of the Spark assignment ordering: the SAME
     * quantity `round(l2Sq, 6)` — squared L2 summed left-to-right over the
@@ -1149,6 +1198,35 @@ object VectorQueries {
          |SELECT vec_a, vec_b, cos FROM vpairs
          |WHERE vec_a % $VecBatchMod = 0 OR vec_b % $VecBatchMod = 0
          |ORDER BY vec_a, vec_b""".stripMargin,
+    // q112: the q69 coarse quantizer (shared centroid/assignment CTEs)
+    // composed with the q106 SQ8 integer scoring, restricted to the
+    // query's cell — both pieces individually proven, the composition
+    // hash-checked here.
+    "q112_ivf_sq8_topk" -> (s"WITH $centroidCte," +
+      s"""qz AS (
+         |  SELECT vec_id, pred_label AS cell,
+         |    list_transform(v, x -> CAST(round(x /
+         |      (CASE WHEN m = 0 THEN 1 ELSE m END)) AS BIGINT)) AS qv
+         |  FROM (SELECT vec_id, pred_label, v,
+         |          list_max(list_transform(v, x -> abs(x))) / 127 AS m
+         |        FROM assigned)),
+         |n AS (SELECT vec_id, cell, qv,
+         |        CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS nq
+         |      FROM qz),
+         |qs AS (SELECT vec_id AS qid, cell, qv AS qq, nq AS nqq FROM n
+         |       WHERE vec_id < $NumQueries),
+         |scored AS (
+         |  SELECT qs.qid, n.vec_id AS nid,
+         |    CASE WHEN n.nq = 0 OR qs.nqq = 0 THEN 0.0
+         |         ELSE round(CAST(list_sum(list_transform(range(1, ${Dim + 1}),
+         |                d -> n.qv[d] * qs.qq[d])) AS DOUBLE)
+         |           / sqrt(CAST(n.nq * qs.nqq AS DOUBLE)), 6) END AS cos
+         |  FROM n JOIN qs ON n.cell = qs.cell AND n.vec_id <> qs.qid)
+         |SELECT qid, rk, nid, cos FROM (
+         |  SELECT *, row_number() OVER
+         |    (PARTITION BY qid ORDER BY cos DESC, nid) AS rk
+         |  FROM scored)
+         |WHERE rk <= $TopK ORDER BY qid, rk""".stripMargin),
     // q101: same unrolled iteration at cell granularity, then every
     // within-cell pair scored — the SemDeDup candidate structure.
     "q101_cell_near_dups" ->
@@ -1171,6 +1249,7 @@ object VectorQueries {
       val twin = name match {
         case "ivf" => "q69_ivf_topk_cosine"
         case "ivf_incremental" => "q105_incremental_ivf_topk"
+        case "ivf_sq8" => "q112_ivf_sq8_topk"
         case "multiprobe" => "q87_ivf_multiprobe"
         case "sq8" => "q106_sq8_topk_cosine"
       }

@@ -542,15 +542,26 @@ object LLMQueries {
     bpeMergeLoopOf(docs(spark, dir), BpeMergeRounds)
 
   private[operators] def bpeMergeLoopOf(
-      docsDf: DataFrame, rounds: Int): DataFrame = {
+      docsDf: DataFrame, rounds: Int): DataFrame =
+    bpeLoop(docsDf, rounds)._1.get.orderBy(col("round"))
+
+  /** The trained vocabulary after `rounds` merges: (t, s, n) with `s`
+    * the word's final symbol sequence — what [[bpeTokenize]] applies. */
+  private[operators] def bpeVocabAfter(
+      docsDf: DataFrame, rounds: Int): DataFrame =
+    bpeLoop(docsDf, rounds)._2
+
+  private def bpeLoop(
+      docsDf: DataFrame, rounds: Int): (Option[DataFrame], DataFrame) = {
     // initial vocabulary: word → corpus frequency, word as char symbols.
     // Single-char words can never merge nor contribute pairs — dropped,
-    // matching q94's pair universe (length >= 2).
+    // matching q94's pair universe (length >= 2). The original word `t`
+    // rides along so the trained vocabulary can be joined back to text.
     var vocab = docsDf
       .select(explode(split(col("text"), "\\s+")).as("t"))
       .filter(length(col("t")) >= 2)
       .groupBy(col("t")).agg(count(lit(1)).as("n"))
-      .select(expr(
+      .select(col("t"), expr(
         "transform(sequence(1, length(t)), i -> substring(t, i, 1))")
         .as("s"), col("n"))
       .localCheckpoint(eager = false)
@@ -590,7 +601,7 @@ object LLMQueries {
             " j -> j < i AND NOT element_at(marks, j))), 0)) % 2 = 0))"))
         // rebuild: kept position emits the merged symbol, the position
         // after a kept one is consumed, everything else passes through
-        .select(expr(
+        .select(col("t"), expr(
           "if(size(kept) = 0, s, flatten(transform(sequence(1, size(s))," +
             " i -> CASE WHEN i < size(s) AND element_at(kept, i)" +
             " THEN array(concat(element_at(s, i), element_at(s, i + 1)))" +
@@ -599,7 +610,32 @@ object LLMQueries {
             " ELSE array(element_at(s, i)) END)))").as("s"), col("n"))
         .localCheckpoint(eager = false) // truncate per-round lineage
     }
-    out.get.orderBy(col("round"))
+    (out, vocab)
+  }
+
+  /** L20c: tokenize the corpus with the TRAINED tokenizer — apply the
+    * q108 merge table and count per-document tokens, the statistic every
+    * training-data budget is denominated in (q61's whitespace/regex
+    * counts approximate it; this is the real number under the learned
+    * vocabulary). Scale shape: the merges run over the VOCABULARY
+    * (q108's loop, unchanged); the corpus-sized work is one word explode
+    * joined to the broadcast-sized vocabulary and a doc_id-keyed sum —
+    * exactly how a production tokenizer amortizes (encode each distinct
+    * word once, not each occurrence). Words under 2 chars are single
+    * tokens by construction (never merge), covered by the coalesce. */
+  def bpeTokenize(spark: SparkSession, dir: String): DataFrame =
+    bpeTokenizeOf(docs(spark, dir), BpeMergeRounds)
+
+  private[operators] def bpeTokenizeOf(d: DataFrame, rounds: Int): DataFrame = {
+    val tokens = bpeVocabAfter(d, rounds)
+      .select(col("t"), size(col("s")).cast("long").as("n_tok"))
+    d.select(col("doc_id"), explode(split(col("text"), "\\s+")).as("t"))
+      .filter(length(col("t")) >= 1)
+      .join(broadcast(tokens), Seq("t"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(coalesce(col("n_tok"), lit(1L))).as("n_tokens"))
+      .orderBy(col("doc_id"))
   }
 
   /** Rolling-hash winnowing fingerprint as ONE narrow per-row expression:
@@ -734,6 +770,7 @@ object LLMQueries {
     "q93_bm25_topk" -> (bm25Topk _),
     "q94_bpe_pairs" -> (bpePairCounts _),
     "q108_bpe_merge_loop" -> (bpeMergeLoop _),
+    "q113_bpe_tokenize" -> (bpeTokenize _),
     "q64_minhash_pairs" -> (minhashPairs _),
     "q96_incremental_near_dups" -> (incrementalNearDupsDaily _),
     "q97_incremental_exact_dedup" -> (incrementalExactDedupDaily _),
@@ -741,6 +778,50 @@ object LLMQueries {
     "q70_doc_fingerprints" -> (docFingerprints _))
 
   // ---- oracle SQL -----------------------------------------------------
+
+  /** Unrolled BPE-training CTEs (the q100 kmeans pattern): `v0` is the
+    * char-split vocabulary with the original word `t` carried through;
+    * per round r, `b{r}` picks the best pair and `v{r}` applies the
+    * SAME positional greedy-merge lambdas as the engine (micro-tested
+    * equivalent). Shared by q108 (merge table) and q113 (tokenize), so
+    * the training oracle and the application oracle cannot drift. */
+  private def bpeCtes(rounds: Int): String = {
+    def bestCte(r: Int) =
+      s"""b$r AS (
+         |  SELECT pa, pb, CAST(sum(n) AS BIGINT) AS total
+         |  FROM (SELECT s[i] AS pa, s[i + 1] AS pb, n
+         |        FROM v${r - 1}, LATERAL unnest(range(1, len(s))) AS x(i))
+         |  GROUP BY pa, pb ORDER BY total DESC, pa, pb LIMIT 1)""".stripMargin
+    def mergeCte(r: Int) =
+      s"""v$r AS (
+         |  SELECT t, CASE WHEN len(kept) = 0 THEN s
+         |    ELSE flatten(list_transform(range(1, len(s) + 1),
+         |      i -> CASE WHEN i < len(s) AND kept[i] THEN [s[i] || s[i + 1]]
+         |                WHEN i > 1 AND kept[i - 1] THEN []::VARCHAR[]
+         |                ELSE [s[i]] END)) END AS s, n
+         |  FROM (
+         |    SELECT t, s, n, CASE WHEN len(marks) = 0 THEN []::BOOLEAN[]
+         |      ELSE list_transform(range(1, len(marks) + 1),
+         |        i -> marks[i] AND (i - 1 - coalesce(list_max(list_filter(
+         |          range(1, len(marks) + 1), j -> j < i AND NOT marks[j])),
+         |          0)) % 2 = 0) END AS kept
+         |    FROM (
+         |      SELECT t, s, n, CASE WHEN len(s) >= 2
+         |        THEN list_transform(range(1, len(s)),
+         |               i -> s[i] = b.pa AND s[i + 1] = b.pb)
+         |        ELSE []::BOOLEAN[] END AS marks
+         |      FROM v${r - 1}, b$r AS b)))""".stripMargin
+    s"""v0 AS (
+       |  SELECT t, list_transform(range(1, length(t) + 1),
+       |           i -> substr(t, i, 1)) AS s, n
+       |  FROM (SELECT t, count(*) AS n
+       |        FROM (SELECT unnest(string_split_regex(text, '\\s+')) AS t
+       |              FROM documents)
+       |        WHERE length(t) >= 2 GROUP BY t)),
+       |""".stripMargin +
+      (1 to rounds).map(r => s"${bestCte(r)},\n${mergeCte(r)}")
+        .mkString(",\n")
+  }
 
   private val shingleCte =
     """sh AS (
@@ -887,51 +968,28 @@ object LLMQueries {
          |  FROM perdoc)
          |WHERE rk <= $Bm25TopK ORDER BY qid, rk""".stripMargin,
     "q108_bpe_merge_loop" -> {
-      // the q100 kmeans unrolled-oracle pattern: one (best pair →
-      // merged vocab) CTE pair per round, with the SAME positional
-      // greedy-merge lambdas as the engine (micro-tested equivalent)
-      def bestCte(r: Int) =
-        s"""b$r AS (
-           |  SELECT pa, pb, CAST(sum(n) AS BIGINT) AS total
-           |  FROM (SELECT s[i] AS pa, s[i + 1] AS pb, n
-           |        FROM v${r - 1}, LATERAL unnest(range(1, len(s))) AS x(i))
-           |  GROUP BY pa, pb ORDER BY total DESC, pa, pb LIMIT 1)""".stripMargin
-      def mergeCte(r: Int) =
-        s"""v$r AS (
-           |  SELECT CASE WHEN len(kept) = 0 THEN s
-           |    ELSE flatten(list_transform(range(1, len(s) + 1),
-           |      i -> CASE WHEN i < len(s) AND kept[i] THEN [s[i] || s[i + 1]]
-           |                WHEN i > 1 AND kept[i - 1] THEN []::VARCHAR[]
-           |                ELSE [s[i]] END)) END AS s, n
-           |  FROM (
-           |    SELECT s, n, CASE WHEN len(marks) = 0 THEN []::BOOLEAN[]
-           |      ELSE list_transform(range(1, len(marks) + 1),
-           |        i -> marks[i] AND (i - 1 - coalesce(list_max(list_filter(
-           |          range(1, len(marks) + 1), j -> j < i AND NOT marks[j])),
-           |          0)) % 2 = 0) END AS kept
-           |    FROM (
-           |      SELECT s, n, CASE WHEN len(s) >= 2
-           |        THEN list_transform(range(1, len(s)),
-           |               i -> s[i] = b.pa AND s[i + 1] = b.pb)
-           |        ELSE []::BOOLEAN[] END AS marks
-           |      FROM v${r - 1}, b$r AS b)))""".stripMargin
-      val roundCtes = (1 to BpeMergeRounds).map(r =>
-        if (r < BpeMergeRounds) s"${bestCte(r)},\n${mergeCte(r)}"
-        else bestCte(r)).mkString(",\n")
       val unioned = (1 to BpeMergeRounds).map(r =>
         s"SELECT CAST($r AS BIGINT) AS round, pa, pb, total FROM b$r")
         .mkString("\n  UNION ALL ")
-      s"""WITH v0 AS (
-         |  SELECT list_transform(range(1, length(t) + 1),
-         |           i -> substr(t, i, 1)) AS s, n
-         |  FROM (SELECT t, count(*) AS n
-         |        FROM (SELECT unnest(string_split_regex(text, '\\s+')) AS t
-         |              FROM documents)
-         |        WHERE length(t) >= 2 GROUP BY t)),
-         |$roundCtes
+      s"""WITH ${bpeCtes(BpeMergeRounds)}
          |SELECT round, pa, pb, total FROM (
          |  $unioned) ORDER BY round""".stripMargin
     },
+    // q113: per-doc token counts under the TRAINED vocabulary — the
+    // final merged vocab v{N} joined back to the corpus word stream;
+    // sub-2-char words are single tokens (never in the vocab → coalesce)
+    "q113_bpe_tokenize" ->
+      s"""WITH ${bpeCtes(BpeMergeRounds)},
+         |tok AS (SELECT t, CAST(len(s) AS BIGINT) AS n_tok
+         |        FROM v$BpeMergeRounds),
+         |words AS (
+         |  SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS t
+         |  FROM documents),
+         |ws AS (SELECT doc_id, t FROM words WHERE length(t) >= 1)
+         |SELECT doc_id, count(*) AS n_words,
+         |  CAST(sum(coalesce(n_tok, 1)) AS BIGINT) AS n_tokens
+         |FROM ws LEFT JOIN tok USING (t)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q94_bpe_pairs" ->
       s"""WITH words AS (
          |  SELECT unnest(string_split_regex(text, '\\s+')) AS t

@@ -274,6 +274,27 @@ class LLMQueriesSpec extends SparkSpec {
     assert(got == referenceBpe(words, 3))
   }
 
+  test("bpe tokenize counts tokens under the trained vocabulary") {
+    // vocab: aaaa×2, aaa×1, bc×1 (x is 1-char → never in the vocab).
+    // r1 best (a,a,8) → aaaa=[aa,aa], aaa=[aa,a]; r2 (aa,aa,2) →
+    // aaaa=[aaaa]; r3 tie (aa,a)=1 vs (b,c)=1 → pa tie-break picks
+    // (aa,a) → aaa=[aaa]; r4 (b,c,1) → bc=[bc]. Every word is then ONE
+    // token; x counts 1 via the coalesce.
+    val corpus = Seq((1L, "aaaa aaa x"), (2L, "bc aaaa"))
+      .toDF("doc_id", "text")
+    val merges = LLMQueries.bpeMergeLoopOf(corpus, 4)
+      .as[(Long, String, String, Long)].collect().toSeq
+    assert(merges == Seq((1L, "a", "a", 8L), (2L, "aa", "aa", 2L),
+      (3L, "aa", "a", 1L), (4L, "b", "c", 1L)))
+    val out = LLMQueries.bpeTokenizeOf(corpus, 4)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 3L, 3L), (2L, 2L, 2L)))
+    // fewer merge rounds → an untrained vocab tokenizes to more tokens
+    val untrained = LLMQueries.bpeTokenizeOf(corpus, 1)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(untrained.map(_._3).sum > out.map(_._3).sum)
+  }
+
   test("bm25 ranks rare-term and higher-tf matches above common-term ones") {
     // query doc 0 = "rare common". 'rare' appears only in doc 10 (high
     // idf); 'common' is everywhere (low idf); doc 12 has it twice.

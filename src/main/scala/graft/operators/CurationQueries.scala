@@ -614,6 +614,59 @@ object CurationQueries {
   def segmentDedup(spark: SparkSession, dir: String): DataFrame =
     segmentDedupDocs(docs(spark, dir))
 
+  /** Window width (words) for cross-document substring duplication. */
+  val DupWinWords = 8
+
+  /** L15b: cross-document exact-SUBSTRING duplication stats — the
+    * sliding-window flavor of dedup (public precedent: "Deduplicating
+    * Training Data Makes Language Models Better", Lee et al. 2022,
+    * which dedups on ≥k-token substrings): q89's consecutive segments
+    * miss a duplicated passage that straddles a segment boundary, while
+    * EVERY [[DupWinWords]]-word window of a copied passage matches here
+    * regardless of alignment. Reported per document: window count,
+    * windows whose exact text recurs in ≥2 distinct documents, and the
+    * duplicated fraction in integer micro-units — the statistic a
+    * curation pass thresholds on.
+    *
+    * Scale shape: the window explode is the corpus × ~words/doc row
+    * stream every substring dedup pays; duplicated grams come from ONE
+    * partial-aggregating `groupBy(w)` (map-side combined — a hot
+    * boilerplate gram collapses per task, the q89 keeper argument), and
+    * the join back is gram-keyed and AQE-skew-splittable. Short docs
+    * (< window) surface with zero windows via the left join from the
+    * documents table, not a post-hoc union. */
+  def substringDupStatsDocs(docsDf: DataFrame): DataFrame = {
+    val wins = docsDf
+      .select(col("doc_id"), posexplode(expr(
+        "transform(array(split(text, '\\\\s+'))," +
+          s" w -> if(size(w) >= $DupWinWords," +
+          s" transform(sequence(0, size(w) - $DupWinWords)," +
+          s" i -> concat_ws(' ', slice(w, i + 1, $DupWinWords)))," +
+          " cast(array() as array<string>)))[0]")))
+      .select(col("doc_id"), col("col").as("w"))
+    val dupGrams = wins.groupBy(col("w"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("w"))
+    val perDoc = wins
+      .join(dupGrams.withColumn("dup", lit(1)), Seq("w"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_win"),
+        count(col("dup")).as("n_dup"))
+    docsDf.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_win"), lit(0L)).as("n_win"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"))
+      .withColumn("dup_micro",
+        when(col("n_win") === 0, lit(0L))
+          .otherwise(expr("n_dup * 1000000L div n_win")))
+      .orderBy(col("doc_id"))
+  }
+
+  def substringDupStats(spark: SparkSession, dir: String): DataFrame =
+    substringDupStatsDocs(docs(spark, dir))
+
   /** q98: the daily-ingest segment-dedup flow as an ORACLE query — the
     * corpus/batch residue split the q96/q97 incremental family uses
     * (doc_id % 10 = 0 is today's batch). The corpus leg persists only
@@ -795,6 +848,7 @@ object CurationQueries {
     "q85_dedup_clusters_star" -> (dedupClustersStar _),
     "q88_cluster_survivors" -> (clusterSurvivors _),
     "q89_segment_dedup" -> (segmentDedup _),
+    "q114_substring_dup_stats" -> (substringDupStats _),
     "q98_incremental_segment_dedup" -> (incrementalSegmentDedupDaily _),
     "q90_source_mixture" -> (sourceMixture _),
     "q107_source_caps" -> (sourceCaps _),
@@ -843,6 +897,31 @@ object CurationQueries {
       |""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q114_substring_dup_stats" ->
+      s"""WITH wins AS (
+         |  SELECT doc_id, unnest(CASE WHEN len(wa) >= $DupWinWords
+         |    THEN list_transform(range(0, len(wa) - $DupWinWords + 1),
+         |      i -> array_to_string(
+         |        list_slice(wa, i + 1, i + $DupWinWords), ' '))
+         |    ELSE []::VARCHAR[] END) AS w
+         |  FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS wa
+         |        FROM documents)),
+         |dup AS (
+         |  SELECT w FROM (
+         |    SELECT w, count(DISTINCT doc_id) AS nd FROM wins GROUP BY w)
+         |  WHERE nd >= 2),
+         |per AS (
+         |  SELECT wins.doc_id, count(*) AS n_win,
+         |    sum(CASE WHEN d.w IS NULL THEN 0 ELSE 1 END) AS n_dup
+         |  FROM wins LEFT JOIN dup d ON wins.w = d.w
+         |  GROUP BY wins.doc_id)
+         |SELECT doc_id, CAST(coalesce(n_win, 0) AS BIGINT) AS n_win,
+         |  CAST(coalesce(n_dup, 0) AS BIGINT) AS n_dup,
+         |  CAST(CASE WHEN coalesce(n_win, 0) = 0 THEN 0
+         |    ELSE coalesce(n_dup, 0) * 1000000 // n_win END AS BIGINT)
+         |    AS dup_micro
+         |FROM documents LEFT JOIN per USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
     "q74_decontaminate" -> (s"WITH $gramsCte," +
       """ev AS (SELECT DISTINCT g FROM grams WHERE doc_id % 10 = 0)
         |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,

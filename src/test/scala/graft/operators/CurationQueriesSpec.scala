@@ -339,6 +339,26 @@ class CurationQueriesSpec extends SparkSpec {
   private def block(tag: String): String =
     (0 until CurationQueries.SegWords).map(i => s"$tag$i").mkString(" ")
 
+  test("substring dup stats catch passages straddling segment boundaries") {
+    // the shared 8-word passage sits at DIFFERENT offsets in the two
+    // docs, so q89's aligned 10-word segments would never match it —
+    // the sliding window does regardless of alignment. Within-doc
+    // repetition alone (doc 4) must NOT count (cross-doc means ≥2
+    // distinct docs); short docs surface with zero windows.
+    val corpus = Seq(
+      (1L, "p1 p2 p3 A B C D E F G H t1"),
+      (2L, "A B C D E F G H z1 z2"),
+      (3L, "x y"),
+      (4L, "r r r r r r r r r r")).toDF("doc_id", "text")
+    val out = CurationQueries.substringDupStatsDocs(corpus)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, 5L, 1L, 200000L),
+      (2L, 3L, 1L, 333333L),
+      (3L, 0L, 0L, 0L),
+      (4L, 3L, 0L, 0L)))
+  }
+
   test("segment dedup keeps the corpus-wide first occurrence only") {
     val a = block("a"); val b = block("b"); val c = block("c")
     val out = CurationQueries.segmentDedupDocs(docsDf(

@@ -667,6 +667,56 @@ object CurationQueries {
   def substringDupStats(spark: SparkSession, dir: String): DataFrame =
     substringDupStatsDocs(docs(spark, dir))
 
+  /** L28: the curation FUNNEL — the whole cleaning pass a training run
+    * actually executes, as ONE oracle query: exact dedup → Gopher
+    * repetition filter → LM fluency filter → benchmark decontamination
+    * → model-based quality classifier, each stage applied to the
+    * previous stage's survivors, reporting per-stage survivor counts
+    * (the funnel chart every curation report opens with). Every stage
+    * IS the corresponding proven operator (q60/q78/q92/q74/q84) — this
+    * query adds composition, not new predicates, and its oracle nests
+    * the stage oracles as subqueries (the q110 pattern), so the funnel
+    * can never drift from its stages.
+    *
+    * Stage conventions: docs too short for a fluency score pass that
+    * stage (unscorable ≠ unfluent); q74 lists exactly the contaminated
+    * docs, so decontamination is an anti-join on its output. Scale
+    * shape: per-stage id frames are slim (doc_id only), semi/anti joins
+    * on the dedup winners' ids, each stage lazily checkpointed so the
+    * chain is evaluated once per stage, not once per downstream stage.
+    */
+  def curationFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val all = docs(spark, dir).select(col("doc_id"))
+    val s2 = LLMQueries.exactDedup(spark, dir)
+      .select(col("keep_id").as("doc_id"))
+      .localCheckpoint(eager = false)
+    val s3 = s2.join(
+        repetitionStats(spark, dir).filter(col("quality_flag") === "ok")
+          .select(col("doc_id")), Seq("doc_id"), "left_semi")
+      .localCheckpoint(eager = false)
+    val s4 = s3.join(
+        lmFluency(spark, dir).filter(!col("is_fluent"))
+          .select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .localCheckpoint(eager = false)
+    val s5 = s4.join(decontaminate(spark, dir).select(col("doc_id")),
+        Seq("doc_id"), "left_anti")
+      .localCheckpoint(eager = false)
+    val s6 = s5.join(
+        qualityClassifier(spark, dir).filter(col("decision") === "keep")
+          .select(col("doc_id")), Seq("doc_id"), "left_semi")
+    def cnt(stage: Int, name: String, df: DataFrame) =
+      df.agg(count(lit(1)).as("n_docs"))
+        .select(lit(stage).cast("long").as("stage"),
+          lit(name).as("stage_name"), col("n_docs"))
+    cnt(1, "all", all)
+      .unionByName(cnt(2, "exact_dedup", s2))
+      .unionByName(cnt(3, "repetition_filter", s3))
+      .unionByName(cnt(4, "fluency_filter", s4))
+      .unionByName(cnt(5, "decontaminate", s5))
+      .unionByName(cnt(6, "quality_classifier", s6))
+      .orderBy(col("stage"))
+  }
+
   /** q98: the daily-ingest segment-dedup flow as an ORACLE query — the
     * corpus/batch residue split the q96/q97 incremental family uses
     * (doc_id % 10 = 0 is today's batch). The corpus leg persists only
@@ -852,7 +902,8 @@ object CurationQueries {
     "q98_incremental_segment_dedup" -> (incrementalSegmentDedupDaily _),
     "q90_source_mixture" -> (sourceMixture _),
     "q107_source_caps" -> (sourceCaps _),
-    "q92_lm_fluency" -> (lmFluency _))
+    "q92_lm_fluency" -> (lmFluency _),
+    "q115_curation_funnel" -> (curationFunnel _))
 
   // ---- oracle SQL -----------------------------------------------------
 
@@ -896,7 +947,7 @@ object CurationQueries {
       |          FROM garr)
       |""".stripMargin
 
-  val oracle: Map[String, String] = Map(
+  private val oracleMain: Map[String, String] = Map(
     "q114_substring_dup_stats" ->
       s"""WITH wins AS (
          |  SELECT doc_id, unnest(CASE WHEN len(wa) >= $DupWinWords
@@ -1172,4 +1223,37 @@ object CurationQueries {
          |  CAST(shard * 4294967296 + (cum - 1) // $PackTokens AS BIGINT)
          |    AS seq_end
          |FROM cums ORDER BY doc_id""".stripMargin)
+
+  /** q115's oracle NESTS the stage oracles as subqueries (the q110
+    * composition pattern) — funnel and stages cannot drift apart. */
+  val oracle: Map[String, String] = oracleMain + {
+    "q115_curation_funnel" ->
+      s"""WITH s2 AS (SELECT keep_id AS doc_id FROM (
+         |${LLMQueries.oracle("q60_exact_dedup")})),
+         |s3 AS (SELECT doc_id FROM s2 WHERE doc_id IN (
+         |  SELECT doc_id FROM (
+         |${oracleMain("q78_repetition_stats")})
+         |  WHERE quality_flag = 'ok')),
+         |s4 AS (SELECT doc_id FROM s3 WHERE doc_id NOT IN (
+         |  SELECT doc_id FROM (
+         |${oracleMain("q92_lm_fluency")})
+         |  WHERE NOT is_fluent)),
+         |s5 AS (SELECT doc_id FROM s4 WHERE doc_id NOT IN (
+         |  SELECT doc_id FROM (
+         |${oracleMain("q74_decontaminate")}))),
+         |s6 AS (SELECT doc_id FROM s5 WHERE doc_id IN (
+         |  SELECT doc_id FROM (
+         |${oracleMain("q84_quality_classifier")})
+         |  WHERE decision = 'keep'))
+         |SELECT stage, stage_name, n_docs FROM (
+         |  SELECT CAST(1 AS BIGINT) AS stage, 'all' AS stage_name,
+         |    (SELECT count(*) FROM documents) AS n_docs
+         |  UNION ALL SELECT 2, 'exact_dedup', (SELECT count(*) FROM s2)
+         |  UNION ALL SELECT 3, 'repetition_filter', (SELECT count(*) FROM s3)
+         |  UNION ALL SELECT 4, 'fluency_filter', (SELECT count(*) FROM s4)
+         |  UNION ALL SELECT 5, 'decontaminate', (SELECT count(*) FROM s5)
+         |  UNION ALL SELECT 6, 'quality_classifier',
+         |    (SELECT count(*) FROM s6)
+         |) ORDER BY stage""".stripMargin
+  }
 }

@@ -887,6 +887,73 @@ object CurationQueries {
   def lmFluency(spark: SparkSession, dir: String): DataFrame =
     lmFluencyDocs(docs(spark, dir))
 
+  /** Hashed-feature bucket count for DSIR importance weights (2¹² —
+    * three md5 hex digits, the q84 idiom). */
+  val DsirBuckets = 4096
+
+  private val DsirSalt = "graft-dsir:"
+
+  /** L29: DSIR-style data selection via importance resampling (Xie et
+    * al. 2023): estimate bag-of-hashed-bigram distributions for a
+    * TARGET domain slice (doc_id % 10 == 0 — in production: Wikipedia /
+    * books / the downstream task's domain) and for the RAW pool, then
+    * score every raw document by its importance log-ratio
+    * log p_target(x) − log p_raw(x) = Σ_feature lr(bucket). Documents
+    * whose features look more target-like than raw-like (weight ≥ 0)
+    * are selected; production resamples proportionally, which only
+    * changes the final threshold into a q75-style salted-hash draw.
+    *
+    * Determinism: each bucket's log-ratio is rounded to integer
+    * micro-nats ONCE in the [[DsirBuckets]]-row model table, and the
+    * per-doc weight is the exact integer sum of its occurrences'
+    * bucket values — order- and partition-independent (the q92 rule).
+    * The average is a rounded double (never integer division — weights
+    * go negative, where Spark `div` and DuckDB `//` disagree).
+    *
+    * Scale shape: the model is TWO bounded aggregates — bucket counts
+    * partial-aggregate to ≤ 2¹² rows per task before a tiny shuffle,
+    * totals derive from the bucket table — and broadcasts; scoring is
+    * one explode + broadcast join + per-doc rollup. The corpus never
+    * shuffles anything wider than (doc_id, bucket) partial sums.
+    */
+  def dsirImportanceDocs(docsDf: DataFrame): DataFrame = {
+    val wordsArr = docsDf
+      .select(col("doc_id"), split(col("text"), "\\s+").as("w"))
+      .filter(size(col("w")) >= 2)
+    // 12-bit bucket = first 3 hex digits of md5(salt || w1 || ' ' || w2);
+    // lambda-bind so the md5 runs once per bigram
+    def hexAt(i: Int) =
+      s"(instr('0123456789abcdef', substring(h, $i, 1)) - 1)"
+    val bucketsOf = expr(
+      "transform(sequence(0, size(w) - 2)," +
+        s" i -> transform(array(md5(concat('$DsirSalt', w[i], ' ', w[i+1])))," +
+        s"   h -> ${hexAt(1)} * 256 + ${hexAt(2)} * 16 + ${hexAt(3)})[0])")
+    val feats = wordsArr.select(col("doc_id"), explode(bucketsOf).as("b"))
+    val isTarget = col("doc_id") % 10 === 0
+    val counts = feats.groupBy(col("b"))
+      .agg(sum(when(isTarget, 1L).otherwise(0L)).as("ct"),
+        sum(when(isTarget, 0L).otherwise(1L)).as("cr"))
+    val totals = counts.agg(sum(col("ct")).as("nt"), sum(col("cr")).as("nr"))
+    val model = counts.crossJoin(broadcast(totals))
+      .withColumn("lr", expr(
+        s"cast(round((ln((ct + 1) / cast(nt + $DsirBuckets as double))" +
+          s" - ln((cr + 1) / cast(nr + $DsirBuckets as double))) * 1e6)" +
+          " as bigint)"))
+      .select(col("b"), col("lr"))
+    feats.filter(!isTarget)
+      .join(broadcast(model), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("lr")).as("weight_micro"))
+      .withColumn("avg_weight",
+        round(col("weight_micro").cast("double") / col("n_bigrams"), 6))
+      .withColumn("selected", col("weight_micro") >= 0)
+      .orderBy(col("doc_id"))
+  }
+
+  def dsirImportance(spark: SparkSession, dir: String): DataFrame =
+    dsirImportanceDocs(docs(spark, dir))
+
   val queries: ListMap[String, graft.Q] = ListMap(
     "q74_decontaminate" -> (decontaminate _),
     "q75_hash_split" -> (hashSplit _),
@@ -903,7 +970,8 @@ object CurationQueries {
     "q90_source_mixture" -> (sourceMixture _),
     "q107_source_caps" -> (sourceCaps _),
     "q92_lm_fluency" -> (lmFluency _),
-    "q115_curation_funnel" -> (curationFunnel _))
+    "q115_curation_funnel" -> (curationFunnel _),
+    "q116_dsir_importance" -> (dsirImportance _))
 
   // ---- oracle SQL -----------------------------------------------------
 
@@ -1206,6 +1274,43 @@ object CurationQueries {
          |  CASE WHEN mean_weight >= 0 THEN 'keep' ELSE 'drop' END
          |    AS decision
          |FROM r ORDER BY doc_id""".stripMargin
+    },
+    "q116_dsir_importance" -> {
+      def hexAt(i: Int) =
+        s"(instr('0123456789abcdef', substring(h, $i, 1)) - 1)"
+      s"""WITH wordsarr AS (
+         |  SELECT doc_id, w FROM (
+         |    SELECT doc_id, string_split_regex(text, '\\s+') AS w
+         |    FROM documents) WHERE len(w) >= 2),
+         |feats0 AS (
+         |  SELECT doc_id, md5('$DsirSalt' || w[i] || ' ' || w[i+1]) AS h
+         |  FROM wordsarr, LATERAL unnest(range(1, len(w))) AS t(i)),
+         |feats AS (
+         |  SELECT doc_id,
+         |    ${hexAt(1)} * 256 + ${hexAt(2)} * 16 + ${hexAt(3)} AS b
+         |  FROM feats0),
+         |counts AS (
+         |  SELECT b,
+         |    sum(CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END) AS ct,
+         |    sum(CASE WHEN doc_id % 10 <> 0 THEN 1 ELSE 0 END) AS cr
+         |  FROM feats GROUP BY b),
+         |tot AS (SELECT sum(ct) AS nt, sum(cr) AS nr FROM counts),
+         |lr AS (
+         |  SELECT b,
+         |    CAST(round((ln(CAST(ct + 1 AS DOUBLE) / (nt + $DsirBuckets))
+         |      - ln(CAST(cr + 1 AS DOUBLE) / (nr + $DsirBuckets))) * 1e6)
+         |      AS BIGINT) AS lr
+         |  FROM counts, tot),
+         |scored AS (
+         |  SELECT doc_id, count(*) AS n_bigrams, sum(lr) AS weight_micro
+         |  FROM feats JOIN lr USING (b)
+         |  WHERE doc_id % 10 <> 0
+         |  GROUP BY doc_id)
+         |SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+         |  CAST(weight_micro AS BIGINT) AS weight_micro,
+         |  round(CAST(weight_micro AS DOUBLE) / n_bigrams, 6) AS avg_weight,
+         |  weight_micro >= 0 AS selected
+         |FROM scored ORDER BY doc_id""".stripMargin
     },
     "q76_pack_sequences" ->
       s"""WITH toks AS (

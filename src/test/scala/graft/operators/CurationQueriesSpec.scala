@@ -444,6 +444,40 @@ class CurationQueriesSpec extends SparkSpec {
     assert(out.map(_._1).toSeq == Seq(4L))
   }
 
+  // ---- DSIR importance weights (q116) --------------------------------
+
+  test("dsir ranks target-like raw docs above alien ones") {
+    // 5 target docs of repeated t-bigrams; raw doc 1 reuses them, raw
+    // doc 2 shares nothing with the target slice
+    val target = (1 to 5).map(i => ((i * 10).toLong, "t1 t2 t1 t2 t1", "en"))
+    val df = docsDf((target ++ Seq(
+      (1L, "t1 t2 t1", "en"),
+      (2L, "z1 z2 z3", "en"))): _*)
+    val out = CurationQueries.dsirImportanceDocs(df)
+      .as[(Long, Long, Long, Double, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out.keySet == Set(1L, 2L))
+    val (_, n1, w1, _, sel1) = out(1L)
+    val (_, n2, w2, _, sel2) = out(2L)
+    assert(n1 == 2L && n2 == 2L)
+    assert(w1 > w2)
+    assert(sel1 && !sel2) // target-like kept, alien dropped
+  }
+
+  test("dsir weights are partition-independent and exclude short/target docs") {
+    val df = docsDf(
+      (10L, "a b c d", "en"),
+      (20L, "solo", "en"),
+      (3L, "a b c", "en"),
+      (4L, "only", "en")) // 1 word — never scored
+    val base = CurationQueries.dsirImportanceDocs(df)
+      .as[(Long, Long, Long, Double, Boolean)].collect().toSet
+    val repart = CurationQueries.dsirImportanceDocs(df.repartition(7))
+      .as[(Long, Long, Long, Double, Boolean)].collect().toSet
+    assert(base == repart)
+    assert(base.map(_._1) == Set(3L)) // target (10, 20) and 1-word (4) out
+  }
+
   // ---- source mixture (q90) ------------------------------------------
 
   private def srcDf(rows: (Long, String)*) =

@@ -769,6 +769,98 @@ object VectorQueries {
       .orderBy(col("qid"), col("rk"))
   }
 
+  /** Product-quantization geometry: [[PqSubspaces]] subspaces of
+    * [[PqSubDim]] dims each, [[PqCodes]] codebook entries per subspace. */
+  private[operators] val PqSubspaces = 8
+  private[operators] val PqSubDim = Dim / PqSubspaces
+  private[operators] val PqCodes = 16
+
+  /** Fixed-point micro components (round(x·1e6) longs) — PQ's portable
+    * integer domain, shared by codebook, encode, and ADC scoring. */
+  private def microOf(df: DataFrame): DataFrame =
+    df.withColumn("mv",
+      expr("transform(v, x -> cast(round(x * 1e6) as bigint))"))
+
+  /** PQ codebook as ONE broadcastable row: `cb[s][c]` = subspace-s
+    * sub-vector of the c-th seed ([[PqCodes]] lowest vec_ids — the q100
+    * seeding rule), `nb[s][c]` = its exact integer norm². 8×16×8 longs
+    * total; production swaps the seeds for per-subspace k-means
+    * codebooks and nothing downstream changes. */
+  private[operators] def pqCodebookOf(e: DataFrame): DataFrame =
+    microOf(e).orderBy(col("vec_id")).limit(PqCodes)
+      .groupBy()
+      .agg(sort_array(collect_list(struct(col("vec_id"), col("mv"))))
+        .as("sa"))
+      .select(expr(
+        s"transform(sequence(0, ${PqSubspaces - 1}), s -> " +
+          s"transform(sa, p -> slice(p.mv, s * $PqSubDim + 1, $PqSubDim)))")
+        .as("cb"))
+      .withColumn("nb", expr(
+        "transform(cb, sub -> transform(sub," +
+          " cv -> aggregate(cv, 0L, (a, x) -> a + x * x)))"))
+
+  /** L30/q117: product-quantization ADC top-k cosine — THE memory-tier
+    * below SQ8: each vector is stored as [[PqSubspaces]] 4-bit codes
+    * (m log₂k = 4 bytes/vector vs SQ8's 64 — a 16× compression on top
+    * of SQ8's 4×), and queries never touch components at scan time.
+    * Encode assigns every subspace to its nearest codebook entry
+    * (exact integer L2² in micro units, lowest-code tie-break) via a
+    * pure lambda argmin against the single-row broadcast codebook —
+    * shuffle-free, the standard m·k distance cost per vector. Search is
+    * asymmetric (query stays unquantized): per query ONE m×k table of
+    * exact integer sub-dots, then each doc scores as m table lookups —
+    * dot(q, recon(d)) — normalized by the exact reconstructed norm.
+    * Every quantity is an exact long until the single final
+    * division+sqrt (each factor < 2⁵³, so the double product rounds
+    * identically in both engines); recall vs the exact q67 baseline
+    * reports into the q110 gate as variant `pq`.
+    */
+  def pqTopkCosine(spark: SparkSession, dir: String): DataFrame =
+    pqTopkCosineOf(vecs(spark, dir))
+
+  private[operators] def pqTopkCosineOf(e: DataFrame): DataFrame = {
+    val m = microOf(e)
+    val cbRow = pqCodebookOf(e)
+    val dist =
+      s"aggregate(sequence(0, ${PqSubDim - 1}), 0L," +
+        s" (a, j) -> a + (mv[s * $PqSubDim + j] - cb[s][c][j])" +
+        s" * (mv[s * $PqSubDim + j] - cb[s][c][j]))"
+    val coded = m.crossJoin(broadcast(cbRow))
+      .withColumn("codes", expr(
+        s"transform(sequence(0, ${PqSubspaces - 1}), s -> " +
+          s"array_min(transform(sequence(0, ${PqCodes - 1}), c -> " +
+          s"named_struct('d', $dist, 'c', c))).c)"))
+      .withColumn("nd", expr(
+        s"aggregate(sequence(0, ${PqSubspaces - 1}), 0L," +
+          " (a, s) -> a + nb[s][codes[s]])"))
+      .select(col("vec_id"), col("codes"), col("nd"))
+    val q = m.filter(col("vec_id") < NumQueries)
+      .crossJoin(broadcast(cbRow))
+      .withColumn("qtab", expr(
+        s"transform(sequence(0, ${PqSubspaces - 1}), s -> " +
+          s"transform(sequence(0, ${PqCodes - 1}), c -> " +
+          s"aggregate(sequence(0, ${PqSubDim - 1}), 0L," +
+          s" (a, j) -> a + mv[s * $PqSubDim + j] * cb[s][c][j])))"))
+      .withColumn("nqm", expr("aggregate(mv, 0L, (a, x) -> a + x * x)"))
+      .select(col("vec_id").as("qid"), col("qtab"), col("nqm"))
+    val scored = coded.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("dot", expr(
+        s"aggregate(sequence(0, ${PqSubspaces - 1}), 0L," +
+          " (a, s) -> a + qtab[s][codes[s]])"))
+      .withColumn("cos",
+        when(col("nd") === 0 || col("nqm") === 0, lit(0.0))
+          .otherwise(round(col("dot").cast("double") /
+            sqrt(col("nd").cast("double") * col("nqm").cast("double")), 6)))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= TopK)
+      .select(col("qid"), col("rk").cast("long").as("rk"),
+        col("vec_id").as("nid"), col("cos"))
+      .orderBy(col("qid"), col("rk"))
+  }
+
   /** q105: IVF index APPEND — the daily-ingest pattern for the ANN
     * serving path (L3b). The coarse quantizer (per-label fixed-point
     * centroids) is computed from the CORPUS only — the persisted index
@@ -939,6 +1031,7 @@ object VectorQueries {
     "ivf_incremental" -> (incrementalIvfTopkCosine _),
     "ivf_sq8" -> (ivfSq8TopkCosine _),
     "multiprobe" -> (ivfMultiprobeTopkCosine _),
+    "pq" -> (pqTopkCosine _),
     "sq8" -> (quantizedTopkCosine _))
 
   /** q110: ANN serving quality as an ORACLE-GATED output (VERDICT r8
@@ -983,7 +1076,8 @@ object VectorQueries {
     "q105_incremental_ivf_topk" -> (incrementalIvfTopkCosine _),
     "q106_sq8_topk_cosine" -> (quantizedTopkCosine _),
     "q110_ann_recall" -> (annRecallSummary _),
-    "q112_ivf_sq8_topk" -> (ivfSq8TopkCosine _))
+    "q112_ivf_sq8_topk" -> (ivfSq8TopkCosine _),
+    "q117_pq_topk" -> (pqTopkCosine _))
 
   /** Oracle-side mirror of the Spark assignment ordering: the SAME
     * quantity `round(l2Sq, 6)` — squared L2 summed left-to-right over the
@@ -1237,7 +1331,72 @@ object VectorQueries {
          |  FROM a2 x JOIN a2 y
          |    ON x.cid = y.cid AND x.vec_id < y.vec_id)
          |WHERE cos >= $NearDupThreshold
-         |ORDER BY vec_a, vec_b""".stripMargin)
+         |ORDER BY vec_a, vec_b""".stripMargin,
+    // q117: PQ mirror — same micro fixed-point domain, seed codebook
+    // (row_number ≡ Spark's sort_array position), integer argmin with
+    // lowest-code tie-break, and ADC table lookups; only the final
+    // division is floating, over exactly-representable factors.
+    "q117_pq_topk" ->
+      s"""WITH em AS (
+         |  SELECT vec_id, list_transform(embedding::DOUBLE[],
+         |    x -> CAST(round(x * 1e6) AS BIGINT)) AS mv
+         |  FROM embeddings),
+         |seeds0 AS (SELECT vec_id, mv FROM em ORDER BY vec_id LIMIT $PqCodes),
+         |seeds AS (
+         |  SELECT mv, row_number() OVER (ORDER BY vec_id) - 1 AS c
+         |  FROM seeds0),
+         |ss AS (SELECT unnest(range(0, $PqSubspaces)) AS s),
+         |cbn AS (
+         |  SELECT ss.s, seeds.c,
+         |    list_slice(seeds.mv, ss.s * $PqSubDim + 1,
+         |      ss.s * $PqSubDim + $PqSubDim) AS cv,
+         |    CAST(list_sum(list_transform(list_slice(seeds.mv,
+         |      ss.s * $PqSubDim + 1, ss.s * $PqSubDim + $PqSubDim),
+         |      x -> x * x)) AS BIGINT) AS n2
+         |  FROM seeds, ss),
+         |sub AS (
+         |  SELECT vec_id, ss.s,
+         |    list_slice(mv, ss.s * $PqSubDim + 1,
+         |      ss.s * $PqSubDim + $PqSubDim) AS sv
+         |  FROM em, ss),
+         |codes AS (
+         |  SELECT vec_id, s, c FROM (
+         |    SELECT sub.vec_id, s, cbn.c,
+         |      row_number() OVER (PARTITION BY sub.vec_id, s ORDER BY
+         |        list_sum(list_transform(range(1, ${PqSubDim + 1}),
+         |          j -> (sv[j] - cv[j]) * (sv[j] - cv[j]))), cbn.c) AS rn
+         |    FROM sub JOIN cbn USING (s))
+         |  WHERE rn = 1),
+         |recon AS (
+         |  SELECT codes.vec_id, CAST(sum(cbn.n2) AS BIGINT) AS nd
+         |  FROM codes JOIN cbn USING (s, c) GROUP BY codes.vec_id),
+         |qsub AS (
+         |  SELECT vec_id AS qid, ss.s,
+         |    list_slice(mv, ss.s * $PqSubDim + 1,
+         |      ss.s * $PqSubDim + $PqSubDim) AS qv,
+         |    CAST(list_sum(list_transform(mv, x -> x * x)) AS BIGINT) AS nqm
+         |  FROM em, ss WHERE vec_id < $NumQueries),
+         |qtab AS (
+         |  SELECT qid, s, c,
+         |    CAST(list_sum(list_transform(range(1, ${PqSubDim + 1}),
+         |      j -> qv[j] * cv[j])) AS BIGINT) AS qd, nqm
+         |  FROM qsub JOIN cbn USING (s)),
+         |scored AS (
+         |  SELECT q.qid, codes.vec_id, CAST(sum(q.qd) AS BIGINT) AS dot,
+         |    any_value(q.nqm) AS nqm
+         |  FROM codes JOIN qtab q USING (s, c)
+         |  WHERE codes.vec_id <> q.qid
+         |  GROUP BY q.qid, codes.vec_id),
+         |cosd AS (
+         |  SELECT qid, scored.vec_id AS nid,
+         |    CASE WHEN nd = 0 OR nqm = 0 THEN 0.0
+         |      ELSE round(CAST(dot AS DOUBLE) /
+         |        sqrt(CAST(nd AS DOUBLE) * CAST(nqm AS DOUBLE)), 6) END AS cos
+         |  FROM scored JOIN recon ON recon.vec_id = scored.vec_id)
+         |SELECT qid, CAST(rk AS BIGINT) AS rk, nid, cos FROM (
+         |  SELECT qid, nid, cos, row_number() OVER (PARTITION BY qid
+         |    ORDER BY cos DESC, nid) AS rk FROM cosd)
+         |WHERE rk <= $TopK ORDER BY qid, rk""".stripMargin)
 
   /** q110's oracle COMPOSES the existing variant oracles as nested
     * subqueries (each carries its own WITH scope), so the recall oracle
@@ -1251,6 +1410,7 @@ object VectorQueries {
         case "ivf_incremental" => "q105_incremental_ivf_topk"
         case "ivf_sq8" => "q112_ivf_sq8_topk"
         case "multiprobe" => "q87_ivf_multiprobe"
+        case "pq" => "q117_pq_topk"
         case "sq8" => "q106_sq8_topk_cosine"
       }
       s"SELECT '$name' AS variant, qid, nid FROM (\n${oracleMain(twin)})"

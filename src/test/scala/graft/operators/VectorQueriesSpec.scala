@@ -360,6 +360,33 @@ class VectorQueriesSpec extends SparkSpec {
     }
   }
 
+  test("PQ ADC keeps neighbors in-cluster on clustered data") {
+    // 4 tight clusters on orthogonal 64-dim axes; the 16 lowest vec_ids
+    // (the codebook seeds) cover every cluster, so each subspace's
+    // codebook contains in-cluster entries and ADC scoring must rank
+    // in-cluster members above everything else. Exact WITHIN-cluster
+    // order may differ from float (many members share codes — the PQ
+    // trade), so the assertion is cluster membership, not set equality.
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 120).map { i =>
+      val c = i % 4
+      val base = Array.fill(64)(0.0f)
+      base(c * 16) = 1.0f
+      val v = base.map(x => x + (rnd.nextFloat() - 0.5f) * 0.05f)
+      (i.toLong, v, c)
+    }
+    val e = VectorQueries.vecsOf(rows.toDF("vec_id", "embedding", "label"))
+    val out = VectorQueries.pqTopkCosineOf(e)
+      .as[(Long, Long, Long, Double)].collect()
+    val cluster = rows.map(r => (r._1, r._3)).toMap
+    assert(out.groupBy(_._1).size == 10)
+    out.foreach { case (qid, _, nid, cos) =>
+      assert(cluster(nid) == cluster(qid.toInt),
+        s"neighbor $nid outside query $qid's cluster")
+      assert(cos > 0.5, s"in-cluster ADC cosine $cos unexpectedly low")
+    }
+  }
+
   test("incremental IVF searches batch vectors through frozen corpus cells") {
     val out = VectorQueries.incrementalIvfTopkCosine(spark, sfDir)
       .as[(Long, Long, Long, Double)].collect()
@@ -399,7 +426,7 @@ class VectorQueriesSpec extends SparkSpec {
       .as[(String, Long, Long, Long)].collect()
       .map(r => r._1 -> (r._2, r._3, r._4)).toMap
     assert(rows.keySet ==
-      Set("ivf", "ivf_incremental", "ivf_sq8", "multiprobe", "sq8"))
+      Set("ivf", "ivf_incremental", "ivf_sq8", "multiprobe", "pq", "sq8"))
     rows.values.foreach { case (hits, nExact, micro) =>
       assert(nExact == 30L) // NumQueries × TopK
       assert(hits >= 0 && hits <= nExact)

@@ -36,7 +36,9 @@ object SparkEntry {
           ((s, dir) => graft.multimodal.Multimodal.mediaNearDups(s, dir)),
         "q111_incremental_media_phash" ->
           ((s, dir) =>
-            graft.multimodal.Multimodal.incrementalMediaNearDupsDaily(s, dir)))
+            graft.multimodal.Multimodal.incrementalMediaNearDupsDaily(s, dir)),
+        "q118_frame_near_dups" ->
+          ((s, dir) => graft.multimodal.Multimodal.frameNearDups(s, dir)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -297,6 +297,91 @@ object Multimodal {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  case class FrameHash(doc_id: Long, frame_no: Int, fhash: Long)
+
+  /** Frame-sampling geometry for frame-level dedup: full-width 64-byte
+    * frames, so each dHash window holds exactly one byte (the 8×8-grid
+    * analogy) and the difference hash is non-degenerate — a SHORTER
+    * frame leaves adjacent windows empty and every hash collapses to 0
+    * (observed: 16-byte frames hash identically, and the stop-frame cap
+    * then empties the corpus). */
+  private[multimodal] val FrameEvery = 64
+  private[multimodal] val FrameLen = 64
+
+  /** Stop-frame cap: a frame hash appearing in more than this many
+    * assets is dropped before pairing — the stopword move. Degenerate
+    * frames (trailing 1-byte frames all hash to 0, shared boilerplate
+    * slices) would otherwise pair quadratically across the corpus;
+    * real frame fingerprints (black frames, station idents, intro
+    * cards) have exactly the same failure mode. */
+  val FrameDocCap = 25
+
+  /** Minimum shared-frame fraction (micro units, of the SHORTER asset's
+    * distinct frames) for a frame-containment near-dup pair. */
+  val FrameOverlapMicro = 500000L
+
+  /** Per-frame perceptual hashes: frame-sample each payload (the
+    * [[FakeCodec.sampleFrames]] decode shape — a real pipeline seeks
+    * keyframes) and dHash every frame. One narrow mapPartitions; the
+    * payload never leaves it. */
+  def frameHashes(media: Dataset[MediaRow]): Dataset[FrameHash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // per-partition setup would construct the real demuxer here, once
+      rows.flatMap(r =>
+        FakeCodec.sampleFrames(r.doc_id, r.payload, FrameEvery, FrameLen)
+          .map(f => FrameHash(f.doc_id, f.frame_no,
+            FakeCodec.dHash(f.frame_bytes))))
+    }
+  }
+
+  /** q118: frame-level (video-style) near-dup — two assets are near-dups
+    * when they share at least [[FrameOverlapMicro]] of the shorter
+    * asset's DISTINCT frame hashes (frame containment: the re-encode /
+    * trim / re-mux copies frame fingerprinting exists to catch). Runs
+    * over the q109 asset universe, where a variant differs from its
+    * original in frame 0 only — the guaranteed high-containment pair.
+    *
+    * Scale shape: payloads die inside the decode mapPartitions; the
+    * only corpus-sized shuffles carry (doc_id, fhash) longs. Pairing is
+    * an equi-join on fhash whose bucket size the [[FrameDocCap]]
+    * stop-frame filter bounds, so candidates are O(Σ capped-bucket²) —
+    * the q64 banding argument with an explicit cap instead of a band
+    * width. Per-doc frame counts ride a broadcastable aggregate. */
+  def frameNearDups(spark: SparkSession, dir: String): DataFrame = {
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val fh = frameHashes(assetTable(spark, dir)
+      .repartition(parts, col("doc_id"))).toDF()
+    val dist = fh.select(col("doc_id"), col("fhash")).distinct()
+      .localCheckpoint(eager = false) // feeds freq, nf and both join legs
+    val keep = dist.join(
+        dist.groupBy(col("fhash")).agg(count(lit(1)).as("ndocs"))
+          .filter(col("ndocs") <= FrameDocCap),
+        Seq("fhash"))
+      .select(col("doc_id"), col("fhash"))
+      .repartition(parts, col("fhash"))
+    val nf = keep.groupBy(col("doc_id")).agg(count(lit(1)).as("nfr"))
+    val pairs = keep.as("a")
+      .join(keep.as("b"),
+        col("a.fhash") === col("b.fhash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    // plain equi-joins (NOT broadcast: nf is corpus-sized — one row per
+    // asset); the pairs side is already collapsed to near-dup candidates
+    pairs
+      .join(nf.select(col("doc_id").as("doc_a"), col("nfr").as("nf_a")),
+        Seq("doc_a"))
+      .join(nf.select(col("doc_id").as("doc_b"), col("nfr").as("nf_b")),
+        Seq("doc_b"))
+      .withColumn("overlap_micro",
+        expr("n_shared * 1000000L div least(nf_a, nf_b)"))
+      .filter(col("overlap_micro") >= FrameOverlapMicro)
+      .select(col("doc_a"), col("doc_b"), col("n_shared"),
+        col("overlap_micro"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** The asset universe split for the daily flow: batch = assets whose
     * id ≡ 0 (mod 10) — a VARIANT inherits its original's residue
     * ([[VariantIdOffset]] is a multiple of 10), so re-encodes arrive in
@@ -378,8 +463,69 @@ object Multimodal {
        |WHERE hamming <= $MediaHammingMax
        |$restrict ORDER BY doc_a, doc_b""".stripMargin
 
+  /** q118 oracle: recompute the frame slices and per-frame window dHash
+    * from the ASCII text (frame k = [[FrameLen]] chars at offset
+    * [[FrameEvery]]·k — byte j of a frame is its char j+1, the q109
+    * argument), then the direct
+    * containment-pair query with the same stop-frame cap. */
+  private def frameNearDupsSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + $VariantIdOffset,
+       |    chr(ascii(substr(text, 1, 1)) + 1) || substr(text, 2)
+       |  FROM documents WHERE doc_id % 5 = 0),
+       |codes AS (
+       |  SELECT doc_id, length(text) AS L,
+       |    list_transform(range(1, length(text) + 1),
+       |      i -> ascii(substr(text, i, 1))) AS cs
+       |  FROM t),
+       |frames AS (
+       |  SELECT doc_id, k,
+       |    cs[(k * $FrameEvery + 1):
+       |       least(k * $FrameEvery + $FrameLen, L)] AS fc
+       |  FROM codes, LATERAL unnest(
+       |    range(0, (L + $FrameEvery - 1) // $FrameEvery)) AS u(k)),
+       |fw AS (
+       |  SELECT doc_id, k, len(fc) AS fl,
+       |    list_transform(range(0, 64), w ->
+       |      coalesce(list_sum(
+       |        fc[(w * len(fc) // 64 + 1):(((w + 1) * len(fc)) // 64)]),
+       |        0)) AS ws,
+       |    list_transform(range(0, 64),
+       |      w -> ((w + 1) * len(fc)) // 64 - (w * len(fc)) // 64) AS wc
+       |  FROM frames),
+       |fh AS (
+       |  SELECT doc_id, CAST(coalesce(list_sum(list_transform(range(0, 63),
+       |    b -> CASE WHEN ws[b + 1] * wc[b + 2] > ws[b + 2] * wc[b + 1]
+       |              THEN (CAST(1 AS BIGINT) << b)
+       |              ELSE CAST(0 AS BIGINT) END)), 0) AS BIGINT) AS fhash
+       |  FROM fw),
+       |dist AS (SELECT DISTINCT doc_id, fhash FROM fh),
+       |freq AS (SELECT fhash, count(*) AS ndocs FROM dist GROUP BY fhash),
+       |keep AS (
+       |  SELECT dist.doc_id, dist.fhash FROM dist
+       |  JOIN freq USING (fhash) WHERE ndocs <= $FrameDocCap),
+       |nf AS (SELECT doc_id, count(*) AS nfr FROM keep GROUP BY doc_id),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+       |  FROM keep a JOIN keep b
+       |    ON a.fhash = b.fhash AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |o AS (
+       |  SELECT doc_a, doc_b, n_shared,
+       |    n_shared * 1000000 // least(na.nfr, nb.nfr) AS overlap_micro
+       |  FROM pairs
+       |  JOIN nf na ON na.doc_id = doc_a
+       |  JOIN nf nb ON nb.doc_id = doc_b)
+       |SELECT doc_a, doc_b, CAST(n_shared AS BIGINT) AS n_shared,
+       |  CAST(overlap_micro AS BIGINT) AS overlap_micro
+       |FROM o WHERE overlap_micro >= $FrameOverlapMicro
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q109_media_phash_dups" -> mediaPhashPairsSql(""),
+    "q118_frame_near_dups" -> frameNearDupsSql,
     "q111_incremental_media_phash" -> mediaPhashPairsSql(
       "  AND (doc_a % 10 = 0 OR doc_b % 10 = 0)\n"),
     "q72_media_feature_summary" -> {

@@ -117,6 +117,33 @@ class MultimodalSpec extends SparkSpec {
       variantPairs.count(p => p._2 - 1000000000L == p._1))
   }
 
+  test("frame near-dups == driver-side containment recomputation") {
+    val fh = Multimodal.frameHashes(Multimodal.assetTable(spark, sfDir))
+      .collect()
+    val distPairs = fh.map(f => (f.doc_id, f.fhash)).distinct
+    val freq = distPairs.groupBy(_._2).view.mapValues(_.length).toMap
+    val kept = distPairs.filter(p => freq(p._2) <= Multimodal.FrameDocCap)
+    val byDoc = kept.groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    val ids = byDoc.keys.toSeq.sorted
+    val expected = (for {
+      i <- ids.indices; j <- (i + 1) until ids.length
+      a = ids(i); b = ids(j)
+      shared = (byDoc(a) intersect byDoc(b)).size if shared > 0
+      om = shared.toLong * 1000000L /
+        math.min(byDoc(a).size, byDoc(b).size)
+      if om >= Multimodal.FrameOverlapMicro
+    } yield (a, b, shared.toLong, om)).toSet
+    val got = Multimodal.frameNearDups(spark, sfDir)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == expected)
+    // variants differ from their original in frame 0 only, so every
+    // multi-frame variant surfaces as a high-containment pair
+    val variantPairs = got.filter(p => p._2 - 1000000000L == p._1)
+    assert(variantPairs.nonEmpty)
+    assert(variantPairs.forall(_._4 >= Multimodal.FrameOverlapMicro))
+  }
+
   test("incremental media near-dups == full pass restricted to batch pairs") {
     val full = Multimodal.mediaNearDups(spark, sfDir)
       .as[(Long, Long, Long)].collect().toSet

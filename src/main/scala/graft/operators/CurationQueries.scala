@@ -664,6 +664,54 @@ object CurationQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** L15c: cross-document duplicated-SPAN removal — the second half of
+    * Lee et al. 2022's substring dedup: q114 measures duplication,
+    * this operator REWRITES the corpus with every duplicated span cut
+    * out. A word position is covered iff any [[DupWinWords]]-window
+    * containing it recurs verbatim in ≥ 2 distinct documents; the
+    * cleaned document keeps exactly its uncovered words, in order
+    * (so a passage pasted into two documents disappears from both —
+    * the symmetric variant; keep-first needs only q89's min-struct
+    * keeper added to the dup-gram aggregate).
+    *
+    * Scale shape: the gram aggregate is q114's (partial-aggregated,
+    * hot grams collapse map-side); coverage fans each duplicated
+    * window into [[DupWinWords]] slim (doc_id, wp) rows — O(dup
+    * windows), not O(corpus windows); reassembly is q89's conditional
+    * aggregation over the word explode. Everything shuffles ids and
+    * single words, never documents.
+    */
+  def substringDupRemoveDocs(docsDf: DataFrame): DataFrame = {
+    val words = docsDf
+      .select(col("doc_id"), split(col("text"), "\\s+").as("wa"))
+    val wins = words.filter(size(col("wa")) >= DupWinWords)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, size(wa) - $DupWinWords)," +
+          s" i -> concat_ws(' ', slice(wa, i + 1, $DupWinWords)))")))
+      .select(col("doc_id"), col("pos"), col("col").as("w"))
+    val dupGrams = wins.groupBy(col("w"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("w"))
+    val covered = wins.join(dupGrams, Seq("w"))
+      .select(col("doc_id"),
+        explode(expr(s"sequence(pos, pos + ${DupWinWords - 1})")).as("wp"))
+      .distinct()
+    words
+      .select(col("doc_id"), posexplode(col("wa")).as(Seq("wp", "word")))
+      .join(covered.withColumn("cov", lit(1)), Seq("doc_id", "wp"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        count(col("cov")).as("n_removed"),
+        concat_ws(" ", expr(
+          "transform(array_sort(collect_list(CASE WHEN cov IS NULL THEN" +
+            " struct(wp, word) END)), s -> s.word)")).as("cleaned_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  def substringDupRemove(spark: SparkSession, dir: String): DataFrame =
+    substringDupRemoveDocs(docs(spark, dir))
+
   def substringDupStats(spark: SparkSession, dir: String): DataFrame =
     substringDupStatsDocs(docs(spark, dir))
 
@@ -971,7 +1019,8 @@ object CurationQueries {
     "q107_source_caps" -> (sourceCaps _),
     "q92_lm_fluency" -> (lmFluency _),
     "q115_curation_funnel" -> (curationFunnel _),
-    "q116_dsir_importance" -> (dsirImportance _))
+    "q116_dsir_importance" -> (dsirImportance _),
+    "q119_substring_dup_remove" -> (substringDupRemove _))
 
   // ---- oracle SQL -----------------------------------------------------
 
@@ -1275,6 +1324,38 @@ object CurationQueries {
          |    AS decision
          |FROM r ORDER BY doc_id""".stripMargin
     },
+    "q119_substring_dup_remove" ->
+      s"""WITH wa AS (
+         |  SELECT doc_id, string_split_regex(text, '\\s+') AS w
+         |  FROM documents),
+         |wins AS (
+         |  SELECT doc_id, i AS pos,
+         |    array_to_string(list_slice(w, i + 1, i + $DupWinWords), ' ')
+         |      AS g
+         |  FROM wa, LATERAL unnest(range(0, len(w) - $DupWinWords + 1))
+         |    AS t(i)
+         |  WHERE len(w) >= $DupWinWords),
+         |dup AS (
+         |  SELECT g FROM (
+         |    SELECT g, count(DISTINCT doc_id) AS nd FROM wins GROUP BY g)
+         |  WHERE nd >= 2),
+         |cov AS (
+         |  SELECT DISTINCT doc_id, pos + j AS wp
+         |  FROM wins JOIN dup USING (g),
+         |    LATERAL unnest(range(0, $DupWinWords)) AS u(j)),
+         |wordpos AS (
+         |  SELECT doc_id, i AS wp, w[i + 1] AS word
+         |  FROM wa, LATERAL unnest(range(0, len(w))) AS t(i)),
+         |m AS (
+         |  SELECT wordpos.doc_id, wordpos.wp, word,
+         |    cov.wp IS NOT NULL AS covered
+         |  FROM wordpos LEFT JOIN cov
+         |    ON cov.doc_id = wordpos.doc_id AND cov.wp = wordpos.wp)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(count(*) FILTER (covered) AS BIGINT) AS n_removed,
+         |  coalesce(string_agg(word, ' ' ORDER BY wp) FILTER (NOT covered),
+         |    '') AS cleaned_text
+         |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q116_dsir_importance" -> {
       def hexAt(i: Int) =
         s"(instr('0123456789abcdef', substring(h, $i, 1)) - 1)"

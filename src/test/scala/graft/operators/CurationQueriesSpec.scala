@@ -444,6 +444,44 @@ class CurationQueriesSpec extends SparkSpec {
     assert(out.map(_._1).toSeq == Seq(4L))
   }
 
+  // ---- duplicated-span removal (q119) --------------------------------
+
+  private def winDoc(prefix: String, shared: String, suffix: String) =
+    s"$prefix $shared $suffix"
+
+  test("span removal cuts a shared 8-word passage from both documents") {
+    val shared = (1 to 8).map(i => s"s$i").mkString(" ")
+    val df = docsDf(
+      (1L, winDoc("a1 a2", shared, "a3 a4"), "en"),
+      (2L, winDoc("b1 b2 b3", shared, "b4"), "en"),
+      (3L, "c1 c2 c3 c4 c5 c6 c7 c8 c9", "en"))
+    val out = CurationQueries.substringDupRemoveDocs(df)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(out(0) == ((1L, 12L, 8L, "a1 a2 a3 a4")))
+    assert(out(1) == ((2L, 12L, 8L, "b1 b2 b3 b4")))
+    assert(out(2) == ((3L, 9L, 0L, "c1 c2 c3 c4 c5 c6 c7 c8 c9")))
+  }
+
+  test("span removal: fully duplicated docs survive with empty text") {
+    val t = (1 to 8).map(i => s"w$i").mkString(" ")
+    val out = CurationQueries.substringDupRemoveDocs(docsDf(
+      (1L, t, "en"), (2L, t, "en")))
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq((1L, 8L, 8L, ""), (2L, 8L, 8L, "")))
+  }
+
+  test("span removal covers boundary-straddling overlap windows once") {
+    // docs share a 10-word passage → three overlapping duplicated
+    // windows; covered positions must union, not double-count
+    val shared = (1 to 10).map(i => s"p$i").mkString(" ")
+    val out = CurationQueries.substringDupRemoveDocs(docsDf(
+      (1L, s"x1 $shared x2", "en"),
+      (2L, s"y1 y2 $shared", "en")))
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(out(0) == ((1L, 12L, 10L, "x1 x2")))
+    assert(out(1) == ((2L, 12L, 10L, "y1 y2")))
+  }
+
   // ---- DSIR importance weights (q116) --------------------------------
 
   test("dsir ranks target-like raw docs above alien ones") {

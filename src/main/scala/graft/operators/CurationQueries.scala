@@ -614,6 +614,46 @@ object CurationQueries {
   def segmentDedup(spark: SparkSession, dir: String): DataFrame =
     segmentDedupDocs(docs(spark, dir))
 
+  /** A segment is boilerplate within its source iff it occurs in at
+    * least this many distinct documents of that source (L32/q120). */
+  val BoilerplateMinDocs = 2
+
+  /** L32: per-source BOILERPLATE removal — the CCNet/jusText cleaning
+    * pass, distinct from q89's dedup in both criterion and effect:
+    * dedup keeps the corpus-wide FIRST copy of any repeated segment,
+    * while boilerplate removal targets segments frequent WITHIN ONE
+    * SOURCE (nav bars, cookie banners, site footers — document-frequency
+    * ≥ [[BoilerplateMinDocs]] in that source) and cuts them from EVERY
+    * member document: a site's footer should survive in zero documents,
+    * not one. Source-scoping is what keeps a phrase that is merely
+    * common across the whole web from being treated as template markup.
+    *
+    * Scale shape: the (source, seg) document-frequency comes from one
+    * partial-aggregating two-phase count-distinct — a hot footer
+    * collapses map-side per task instead of funnelling through a
+    * window reducer; the boilerplate set (DF-filtered) is far smaller
+    * than the segment universe and the join back on (source, seg) is
+    * AQE-skew-splittable; reassembly is q89's conditional aggregation,
+    * so an all-boilerplate doc survives with empty text. Shuffles carry
+    * ids and [[SegWords]]-word segments, never documents. */
+  def boilerplateRemoveDocs(docsDf: DataFrame): DataFrame = {
+    // source rides through the explode — no join back to the docs table
+    val segs = docsDf
+      .select(col("doc_id"), col("source"), segArrExpr.as("sl"))
+      .select(col("doc_id"), col("source"),
+        size(col("sl")).cast("long").as("n_segs"), posexplode(col("sl")))
+      .toDF("doc_id", "source", "n_segs", "pos", "seg")
+    val bp = segs.groupBy(col("source"), col("seg"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= BoilerplateMinDocs)
+      .select(col("source"), col("seg"), lit(true).as("bp"))
+    reassemble(segs.join(bp, Seq("source", "seg"), "left")
+      .withColumn("kept", col("bp").isNull))
+  }
+
+  def boilerplateRemove(spark: SparkSession, dir: String): DataFrame =
+    boilerplateRemoveDocs(docs(spark, dir))
+
   /** Window width (words) for cross-document substring duplication. */
   val DupWinWords = 8
 
@@ -1020,7 +1060,8 @@ object CurationQueries {
     "q92_lm_fluency" -> (lmFluency _),
     "q115_curation_funnel" -> (curationFunnel _),
     "q116_dsir_importance" -> (dsirImportance _),
-    "q119_substring_dup_remove" -> (substringDupRemove _))
+    "q119_substring_dup_remove" -> (substringDupRemove _),
+    "q120_boilerplate_remove" -> (boilerplateRemove _))
 
   // ---- oracle SQL -----------------------------------------------------
 
@@ -1356,6 +1397,33 @@ object CurationQueries {
          |  coalesce(string_agg(word, ' ' ORDER BY wp) FILTER (NOT covered),
          |    '') AS cleaned_text
          |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // q120: q89's segment CTEs with the source riding along; the
+    // boilerplate set is the DF-thresholded (source, seg) pairs and the
+    // cut applies to EVERY occurrence (no keeper rank)
+    "q120_boilerplate_remove" ->
+      s"""WITH segarr AS (
+         |  SELECT doc_id, source, list_transform(
+         |    range(0, CAST(ceil(len(w) / ${SegWords}.0) AS INT)),
+         |    i -> {'pos': i, 'seg': array_to_string(
+         |      list_slice(w, i*$SegWords + 1, i*$SegWords + $SegWords), ' ')}) AS sl
+         |  FROM (SELECT doc_id, source, string_split_regex(text, '\\s+') AS w
+         |        FROM documents)),
+         |segs AS (SELECT doc_id, source, len(sl) AS n_segs,
+         |         unnest(sl, recursive := true) FROM segarr),
+         |bp AS (
+         |  SELECT source, seg FROM (
+         |    SELECT source, seg, count(DISTINCT doc_id) AS nd
+         |    FROM segs GROUP BY source, seg)
+         |  WHERE nd >= $BoilerplateMinDocs),
+         |marked AS (
+         |  SELECT s.doc_id, s.n_segs, s.pos, s.seg, bp.seg IS NULL AS kept
+         |  FROM segs s LEFT JOIN bp
+         |    ON s.source = bp.source AND s.seg = bp.seg)
+         |SELECT doc_id, CAST(any_value(n_segs) AS BIGINT) AS n_segs,
+         |  CAST(count(*) FILTER (kept) AS BIGINT) AS n_kept,
+         |  coalesce(string_agg(seg, ' ' ORDER BY pos) FILTER (kept), '')
+         |    AS cleaned_text
+         |FROM marked GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q116_dsir_importance" -> {
       def hexAt(i: Int) =
         s"(instr('0123456789abcdef', substring(h, $i, 1)) - 1)"

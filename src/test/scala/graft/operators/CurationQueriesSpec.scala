@@ -390,6 +390,39 @@ class CurationQueriesSpec extends SparkSpec {
     assert(one == many)
   }
 
+  test("boilerplate removal cuts source-frequent segments from every member doc") {
+    val a = block("a"); val b = block("b"); val c = block("c")
+    val f = block("f") // the footer
+    import spark.implicits._
+    val df = Seq(
+      (1L, s"$a $f", "en", "srcA"),  // f in 2 distinct srcA docs →
+      (2L, s"$b $f", "en", "srcA"),  //   boilerplate, cut from BOTH
+      (3L, s"$f $f", "en", "srcA"),  //   (even the all-footer doc)
+      (4L, s"$c $f", "en", "srcB"))  // f once in srcB → survives there
+      .toDF("doc_id", "text", "lang", "source")
+    val out = CurationQueries.boilerplateRemoveDocs(df)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(out(0) == ((1L, 2L, 1L, a)))
+    assert(out(1) == ((2L, 2L, 1L, b)))
+    assert(out(2) == ((3L, 2L, 0L, "")))
+    assert(out(3) == ((4L, 2L, 2L, s"$c $f")))
+  }
+
+  test("boilerplate removal is partition-independent") {
+    val a = block("a"); val f = block("f")
+    import spark.implicits._
+    val base = Seq(
+      (1L, s"$a $f", "en", "srcA"), (2L, s"$f $a", "en", "srcA"))
+      .toDF("doc_id", "text", "lang", "source")
+    val one = CurationQueries.boilerplateRemoveDocs(base.repartition(1))
+      .collect().toSeq
+    val many = CurationQueries.boilerplateRemoveDocs(base.repartition(7))
+      .collect().toSeq
+    assert(one == many)
+    // a AND f both recur within srcA → everything is boilerplate
+    assert(one.forall(_.getString(3) == ""))
+  }
+
   test("incremental segment dedup equals the full pass restricted to the batch") {
     val a = block("a"); val b = block("b"); val c = block("c"); val d = block("d")
     val corpus = docsDf((1L, s"$a $b", "en"), (2L, s"$b $c", "en"))

@@ -861,6 +861,74 @@ object VectorQueries {
       .orderBy(col("qid"), col("rk"))
   }
 
+  /** Reduced dimensionality of the q121 sign random projection. */
+  private val RpDim = 32
+
+  /** The ±1 sign matrix S[j][d] for [[rpTopkCosine]], derived from md5
+    * so the DuckDB oracle regenerates the IDENTICAL matrix: S[j][d] is
+    * +1 iff the first hex digit of md5("rp<j>_<d>") is even. Rendered
+    * once as a literal [[RpDim]]×[[Dim]] constant array — the projection
+    * is then a pure codegen lambda, no join and no per-row hashing. */
+  private def rpSignsLiteral: String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val rows = (0 until RpDim).map { j =>
+      val r = (0 until Dim).map { d =>
+        val h = md.digest(s"rp${j}_${d}".getBytes("UTF-8"))
+        if (((h(0) >> 4) & 0xf) % 2 == 0) "1L" else "-1L"
+      }
+      s"array(${r.mkString(",")})"
+    }
+    s"array(${rows.mkString(",")})"
+  }
+
+  /** L33/q121: sign random-projection top-k cosine — the
+    * DIMENSION-REDUCTION ANN tier (Achlioptas 2001 database-friendly
+    * JL): every vector is projected once to [[RpDim]] integer
+    * components (p[j] = Σ_d S[j][d]·mv[d], exact longs in micro
+    * fixed-point), and search ranks by cosine in the reduced space —
+    * a 64→[[RpDim]] projection halves scanned data with zero codebook
+    * state, the trade being JL distortion ~1/√[[RpDim]] (cluster
+    * preservation asserted in VectorQueriesSpec; measured recall
+    * reports into the q110 gate as variant `rp` — on the ISOTROPIC
+    * random testdata neighbor margins are sub-distortion, so reduced
+    * recall sits near IVF's, the honest worst case; structured corpora
+    * fare far better, see the clustered-data spec). Orthogonal to IVF
+    * (which prunes rows) and SQ8/PQ (which shrink components): a
+    * production store composes them. The projection is a shuffle-free
+    * codegen lambda against the literal sign matrix; scoring is q67's
+    * broadcast-queries single scan over 16-long rows. */
+  def rpTopkCosine(spark: SparkSession, dir: String): DataFrame =
+    rpTopkCosineOf(vecs(spark, dir))
+
+  private[operators] def rpTopkCosineOf(e: DataFrame): DataFrame = {
+    val proj = microOf(e)
+      .withColumn("S", expr(rpSignsLiteral))
+      .withColumn("p", expr(
+        s"transform(sequence(0, ${RpDim - 1}), j -> " +
+          s"aggregate(sequence(0, ${Dim - 1}), 0L," +
+          " (a, d) -> a + mv[d] * S[j][d]))"))
+      .withColumn("np", expr("aggregate(p, 0L, (a, x) -> a + x * x)"))
+      .select(col("vec_id"), col("p"), col("np"))
+    val q = proj.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("p").as("pq"),
+        col("np").as("nq"))
+    val scored = proj.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("dot", expr(
+        "aggregate(zip_with(p, pq, (a, b) -> a * b), 0L, (s, x) -> s + x)"))
+      .withColumn("cos",
+        when(col("np") === 0 || col("nq") === 0, lit(0.0))
+          .otherwise(round(col("dot").cast("double") /
+            sqrt(col("np").cast("double") * col("nq").cast("double")), 6)))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= TopK)
+      .select(col("qid"), col("rk").cast("long").as("rk"),
+        col("vec_id").as("nid"), col("cos"))
+      .orderBy(col("qid"), col("rk"))
+  }
+
   /** q105: IVF index APPEND — the daily-ingest pattern for the ANN
     * serving path (L3b). The coarse quantizer (per-label fixed-point
     * centroids) is computed from the CORPUS only — the persisted index
@@ -1032,6 +1100,7 @@ object VectorQueries {
     "ivf_sq8" -> (ivfSq8TopkCosine _),
     "multiprobe" -> (ivfMultiprobeTopkCosine _),
     "pq" -> (pqTopkCosine _),
+    "rp" -> (rpTopkCosine _),
     "sq8" -> (quantizedTopkCosine _))
 
   /** q110: ANN serving quality as an ORACLE-GATED output (VERDICT r8
@@ -1077,7 +1146,8 @@ object VectorQueries {
     "q106_sq8_topk_cosine" -> (quantizedTopkCosine _),
     "q110_ann_recall" -> (annRecallSummary _),
     "q112_ivf_sq8_topk" -> (ivfSq8TopkCosine _),
-    "q117_pq_topk" -> (pqTopkCosine _))
+    "q117_pq_topk" -> (pqTopkCosine _),
+    "q121_rp_topk" -> (rpTopkCosine _))
 
   /** Oracle-side mirror of the Spark assignment ordering: the SAME
     * quantity `round(l2Sq, 6)` — squared L2 summed left-to-right over the
@@ -1396,6 +1466,45 @@ object VectorQueries {
          |SELECT qid, CAST(rk AS BIGINT) AS rk, nid, cos FROM (
          |  SELECT qid, nid, cos, row_number() OVER (PARTITION BY qid
          |    ORDER BY cos DESC, nid) AS rk FROM cosd)
+         |WHERE rk <= $TopK ORDER BY qid, rk""".stripMargin,
+    // q121: the sign matrix regenerates from the same md5 rule (+1 iff
+    // the first hex digit of md5('rp<j>_<d>') is even); projections are
+    // exact integer sums in micro units, so only the final division is
+    // floating — over the identical longs in both engines.
+    "q121_rp_topk" ->
+      s"""WITH m AS (
+         |  SELECT vec_id, list_transform(embedding::DOUBLE[],
+         |    x -> CAST(round(x * 1e6) AS BIGINT)) AS mv
+         |  FROM embeddings),
+         |signs AS (
+         |  SELECT j, d, CASE WHEN strpos('02468ace',
+         |      substr(md5('rp' || j || '_' || d), 1, 1)) > 0
+         |    THEN 1 ELSE -1 END AS s
+         |  FROM range(0, $RpDim) t1(j), range(0, $Dim) t2(d)),
+         |proj AS (
+         |  SELECT vec_id, j, CAST(sum(s * mv[d + 1]) AS BIGINT) AS p
+         |  FROM m, signs GROUP BY vec_id, j),
+         |np AS (
+         |  SELECT vec_id, CAST(sum(p * p) AS BIGINT) AS np
+         |  FROM proj GROUP BY vec_id),
+         |dots AS (
+         |  SELECT dv.vec_id AS nid, qv.vec_id AS qid,
+         |    CAST(sum(dv.p * qv.p) AS BIGINT) AS dot
+         |  FROM proj dv JOIN proj qv
+         |    ON dv.j = qv.j AND qv.vec_id < $NumQueries
+         |      AND dv.vec_id <> qv.vec_id
+         |  GROUP BY dv.vec_id, qv.vec_id),
+         |cosd AS (
+         |  SELECT qid, nid,
+         |    CASE WHEN dn.np = 0 OR qn.np = 0 THEN 0.0
+         |      ELSE round(CAST(dot AS DOUBLE) /
+         |        sqrt(CAST(dn.np AS DOUBLE) * CAST(qn.np AS DOUBLE)), 6)
+         |      END AS cos
+         |  FROM dots JOIN np dn ON dn.vec_id = dots.nid
+         |    JOIN np qn ON qn.vec_id = dots.qid)
+         |SELECT qid, CAST(rk AS BIGINT) AS rk, nid, cos FROM (
+         |  SELECT qid, nid, cos, row_number() OVER (PARTITION BY qid
+         |    ORDER BY cos DESC, nid) AS rk FROM cosd)
          |WHERE rk <= $TopK ORDER BY qid, rk""".stripMargin)
 
   /** q110's oracle COMPOSES the existing variant oracles as nested
@@ -1411,6 +1520,7 @@ object VectorQueries {
         case "ivf_sq8" => "q112_ivf_sq8_topk"
         case "multiprobe" => "q87_ivf_multiprobe"
         case "pq" => "q117_pq_topk"
+        case "rp" => "q121_rp_topk"
         case "sq8" => "q106_sq8_topk_cosine"
       }
       s"SELECT '$name' AS variant, qid, nid FROM (\n${oracleMain(twin)})"

@@ -421,12 +421,42 @@ class VectorQueriesSpec extends SparkSpec {
       (1L, 3L, 60750000000L)))   // (3*10 + 10+10.25+10.5) * 1e9
   }
 
+  test("RP projection keeps clustered neighbors and is partition-independent") {
+    // 3 tight clusters on orthogonal 64-dim axes: within-cluster reduced
+    // cosine stays ~1 under a ±1 sign projection while cross-cluster
+    // columns of the sign matrix are uncorrelated — recall must be high
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 120).map { i =>
+      val c = i % 3
+      val base = Array.fill(64)(0.0f)
+      base(c * 21) = 1.0f
+      val v = base.map(x => x + (rnd.nextFloat() - 0.5f) * 0.05f)
+      (i.toLong, v, c)
+    }
+    val e = VectorQueries.vecsOf(rows.toDF("vec_id", "embedding", "label"))
+    // within a cluster every reduced cosine ties at ~1, so exact top-3
+    // identity is not preserved (any cluster-mate is as good); the JL
+    // property under test is that every returned neighbor is a
+    // CLUSTER-MATE — cross-cluster reduced cosines are far from 1
+    val rp = VectorQueries.rpTopkCosineOf(e)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(rp.nonEmpty)
+    rp.foreach { case (qid, _, nid, cos) =>
+      assert(nid % 3 == qid % 3,
+        s"RP neighbor $nid of query $qid crossed clusters (cos $cos)")
+    }
+    val again = VectorQueries.rpTopkCosineOf(e.repartition(7)).collect().toSeq
+    assert(again == VectorQueries.rpTopkCosineOf(e.repartition(1))
+      .collect().toSeq)
+  }
+
   test("ann recall summary: bounds hold, more probes never lose recall") {
     val rows = VectorQueries.annRecallSummary(spark, sfDir)
       .as[(String, Long, Long, Long)].collect()
       .map(r => r._1 -> (r._2, r._3, r._4)).toMap
     assert(rows.keySet ==
-      Set("ivf", "ivf_incremental", "ivf_sq8", "multiprobe", "pq", "sq8"))
+      Set("ivf", "ivf_incremental", "ivf_sq8", "multiprobe", "pq", "rp",
+        "sq8"))
     rows.values.foreach { case (hits, nExact, micro) =>
       assert(nExact == 30L) // NumQueries × TopK
       assert(hits >= 0 && hits <= nExact)

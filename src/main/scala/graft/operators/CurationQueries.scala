@@ -298,10 +298,13 @@ object CurationQueries {
     * OracleParity argument as the money aggregates. The md5 runs once
     * per token via the lambda-bind idiom.
     */
-  def qualityClassifierDocs(docsDf: DataFrame): DataFrame = {
-    // 12-bit hash weight in [-2048, 2047]: value of the first 3 hex
-    // digits of md5('graft-w:' <token>), shifted. instr-on-hex-digit is
-    // the portable hex→int (Spark conv() has no DuckDB twin).
+  /** Shared q84/q122 scoring projection — ONE definition so the
+    * classifier and its per-source calibration can never score
+    * differently: doc_id, lang, source, n_tokens, score, mean_weight.
+    * 12-bit hash weight in [-2048, 2047]: value of the first 3 hex
+    * digits of md5('graft-w:' <token>), shifted. instr-on-hex-digit is
+    * the portable hex→int (Spark conv() has no DuckDB twin). */
+  private def qualityScoredDocs(docsDf: DataFrame): DataFrame = {
     def hexAt(i: Int) =
       s"(instr('0123456789abcdef', substring(h, $i, 1)) - 1)"
     val weightOf =
@@ -313,20 +316,69 @@ object CurationQueries {
         " size(w) AS n_tokens," +
         s" aggregate($weightOf, cast(0 as bigint)," +
         "   (acc, x) -> acc + x) AS score))[0]")
-    docsDf
-      .select(col("doc_id"), col("lang"), scored.as("s"))
-      .select(col("doc_id"), col("lang"),
+    // q84's contract never needed source; synthesize it when a caller
+    // (tests) scores a source-less frame
+    val src = if (docsDf.columns.contains("source")) docsDf
+              else docsDf.withColumn("source", lit(""))
+    src
+      .select(col("doc_id"), col("lang"), col("source"), scored.as("s"))
+      .select(col("doc_id"), col("lang"), col("source"),
         col("s.n_tokens").cast("long").as("n_tokens"),
         col("s.score").as("score"),
         round(col("s.score").cast("double") /
           (col("s.n_tokens") * 2048.0), 6).as("mean_weight"))
+  }
+
+  def qualityClassifierDocs(docsDf: DataFrame): DataFrame =
+    qualityScoredDocs(docsDf)
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("score"),
+        col("mean_weight"))
       .withColumn("decision",
         when(col("mean_weight") >= 0, "keep").otherwise("drop"))
       .orderBy(col("doc_id"))
-  }
 
   def qualityClassifier(spark: SparkSession, dir: String): DataFrame =
     qualityClassifierDocs(docs(spark, dir))
+
+  /** Per-source calibration percentile for q122: the bottom
+    * [[CalibPct]] of each source's docs fall below its cutoff. */
+  val CalibPct = 0.30
+
+  /** L34/q122: per-source quality-threshold CALIBRATION — the step a
+    * real curation run performs between scoring (q84) and filtering:
+    * one global cutoff over-prunes clean sources and under-prunes noisy
+    * ones, so the keep/drop threshold is calibrated per source at the
+    * [[CalibPct]] score percentile (every source sheds its own worst
+    * tail). Reports, per source, the calibrated cutoff, doc count, and
+    * survivors at that cutoff — the table a mixture designer reads
+    * before q90/q116 reweighting.
+    *
+    * Determinism: mean_weight is q84's 6-dp-rounded double; the cutoff
+    * is the exact interpolated percentile rounded to the same 6 dp
+    * (Spark `percentile` and DuckDB `quantile_cont` share the (n-1)·p
+    * rule — the q35 precedent), and the pass predicate compares the two
+    * ROUNDED values, so both engines count identical survivors. Scale
+    * shape: exact percentile buffers one source's scores per group —
+    * bounded by docs-per-source; at 100 TB swap `percentile` for
+    * `percentile_approx` (the q86 sketch pattern) and nothing else
+    * changes. The cutoff table is |sources| rows and broadcasts back
+    * for the survivor count. */
+  def qualityCalibrationDocs(docsDf: DataFrame): DataFrame = {
+    val s = qualityScoredDocs(docsDf)
+    val cuts = s.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(expr(s"percentile(mean_weight, $CalibPct)"), 6).as("cutoff"))
+    s.join(broadcast(cuts), Seq("source"))
+      .groupBy(col("source"))
+      .agg(first(col("n_docs")).as("n_docs"),
+        first(col("cutoff")).as("cutoff"),
+        count(when(col("mean_weight") >= col("cutoff"), 1)).as("n_pass"))
+      .withColumn("pass_micro", expr("n_pass * 1000000L div n_docs"))
+      .orderBy(col("source"))
+  }
+
+  def qualityCalibration(spark: SparkSession, dir: String): DataFrame =
+    qualityCalibrationDocs(docs(spark, dir))
 
   /** Jaccard threshold above which a near-dup pair becomes a cluster
     * edge. */
@@ -1061,7 +1113,8 @@ object CurationQueries {
     "q115_curation_funnel" -> (curationFunnel _),
     "q116_dsir_importance" -> (dsirImportance _),
     "q119_substring_dup_remove" -> (substringDupRemove _),
-    "q120_boilerplate_remove" -> (boilerplateRemove _))
+    "q120_boilerplate_remove" -> (boilerplateRemove _),
+    "q122_quality_calibration" -> (qualityCalibration _))
 
   // ---- oracle SQL -----------------------------------------------------
 
@@ -1364,6 +1417,40 @@ object CurationQueries {
          |  CASE WHEN mean_weight >= 0 THEN 'keep' ELSE 'drop' END
          |    AS decision
          |FROM r ORDER BY doc_id""".stripMargin
+    },
+    // q122: the q84 scoring CTEs with source riding along; the cutoff
+    // is quantile_cont at the same (n-1)p rule as Spark percentile
+    // (q35 precedent), rounded 6 dp BEFORE the pass comparison so both
+    // engines count identical survivors
+    "q122_quality_calibration" -> {
+      def hexAt(i: Int) =
+        s"(instr('0123456789abcdef', substring(md5('graft-w:' || t), $i, 1)) - 1)"
+      s"""WITH w AS (
+         |  SELECT doc_id, source, string_split_regex(text, '\\s+') AS w
+         |  FROM documents),
+         |s AS (
+         |  SELECT doc_id, source, len(w) AS n_tokens,
+         |    CAST(list_sum(list_transform(w, t ->
+         |      ${hexAt(1)} * 256 + ${hexAt(2)} * 16 + ${hexAt(3)} - 2048))
+         |      AS BIGINT) AS score
+         |  FROM w),
+         |r AS (
+         |  SELECT doc_id, source,
+         |    round(CAST(score AS DOUBLE) / (n_tokens * 2048.0), 6)
+         |      AS mean_weight
+         |  FROM s),
+         |cut AS (
+         |  SELECT source, count(*) AS n_docs,
+         |    round(quantile_cont(mean_weight, $CalibPct), 6) AS cutoff
+         |  FROM r GROUP BY source)
+         |SELECT r.source, CAST(any_value(n_docs) AS BIGINT) AS n_docs,
+         |  any_value(cutoff) AS cutoff,
+         |  CAST(count(*) FILTER (mean_weight >= cutoff) AS BIGINT)
+         |    AS n_pass,
+         |  CAST(count(*) FILTER (mean_weight >= cutoff) * 1000000 //
+         |    any_value(n_docs) AS BIGINT) AS pass_micro
+         |FROM r JOIN cut USING (source)
+         |GROUP BY r.source ORDER BY r.source""".stripMargin
     },
     "q119_substring_dup_remove" ->
       s"""WITH wa AS (

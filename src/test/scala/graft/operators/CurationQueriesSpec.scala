@@ -390,6 +390,32 @@ class CurationQueriesSpec extends SparkSpec {
     assert(one == many)
   }
 
+  test("quality calibration elects a per-source cutoff consistent with the scores") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val df = (0 until 60).map { i =>
+      val words = (0 until 20).map(_ => s"w${rnd.nextInt(300)}")
+      (i.toLong, words.mkString(" "), "en", s"src${i % 3}")
+    }.toDF("doc_id", "text", "lang", "source")
+    val out = CurationQueries.qualityCalibrationDocs(df)
+      .as[(String, Long, Double, Long, Long)].collect()
+    assert(out.map(_._1).toSeq == Seq("src0", "src1", "src2"))
+    // recount survivors with the operator's own cutoffs from the
+    // per-doc scores — the join/agg plumbing must agree
+    val scores = CurationQueries.qualityClassifierDocs(df)
+      .select("doc_id", "mean_weight").as[(Long, Double)].collect().toMap
+    out.foreach { case (src, nDocs, cutoff, nPass, micro) =>
+      val ids = (0 until 60).filter(i => s"src${i % 3}" == src)
+      assert(nDocs == ids.size)
+      assert(nPass == ids.count(i => scores(i.toLong) >= cutoff))
+      assert(micro == nPass * 1000000L / nDocs)
+      assert(nPass < nDocs) // the bottom tail is non-empty by construction
+    }
+    val again = CurationQueries.qualityCalibrationDocs(df.repartition(7))
+      .collect().toSeq
+    assert(again == CurationQueries.qualityCalibrationDocs(df).collect().toSeq)
+  }
+
   test("boilerplate removal cuts source-frequent segments from every member doc") {
     val a = block("a"); val b = block("b"); val c = block("c")
     val f = block("f") // the footer

@@ -638,6 +638,44 @@ object LLMQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Chunk window and stride (words) for q123; stride < window, so
+    * consecutive chunks overlap by ChunkTokens − ChunkStride words — the
+    * standard RAG/embedding chunker contract (boundary-straddling
+    * content appears intact in at least one chunk). */
+  val ChunkTokens = 64
+  val ChunkStride = 48
+
+  /** L35/q123: overlapping token-window CHUNKING — the primitive between
+    * curation and embedding in every retrieval/embedding pipeline: each
+    * document becomes ceil-covering [[ChunkTokens]]-word windows at
+    * [[ChunkStride]] word steps with stable (doc_id, chunk_idx) keys, so
+    * chunk embeddings stay joinable back to their documents across
+    * reruns and appends. Short docs yield exactly one (possibly short)
+    * chunk; the final window may be a partial tail.
+    *
+    * Scale shape: a pure per-row lambda (the word array binds once — the
+    * [[fingerprintExpr]] idiom) into ONE posexplode; no join, no
+    * aggregation, no shuffle beyond the output's ORDER BY. Chunk count
+    * is 1 + ceil((n − window)/stride) — identical integer arithmetic in
+    * both engines. */
+  def chunkDocs(spark: SparkSession, dir: String): DataFrame =
+    chunkDocsOf(docs(spark, dir))
+
+  private[operators] def chunkDocsOf(d: DataFrame): DataFrame = {
+    val chunksExpr = expr(
+      "transform(array(split(text, '\\\\s+')), w -> " +
+        s"transform(sequence(0, greatest(1, cast(ceil((size(w) - " +
+        s"$ChunkTokens) / ${ChunkStride}.0d) as int) + 1) - 1), " +
+        s"i -> concat_ws(' ', slice(w, i * $ChunkStride + 1, " +
+        s"$ChunkTokens))))[0]")
+    d.select(col("doc_id"), chunksExpr.as("cl"))
+      .select(col("doc_id"), posexplode(col("cl")))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
+        size(split(col("col"), "\\s+")).cast("long").as("n_tokens"),
+        col("col").as("chunk_text"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
   /** Rolling-hash winnowing fingerprint as ONE narrow per-row expression:
     * min seeded-md5 prefix over the 5-word shingles (docs under 5 words
     * fall back to hashing the whole text). The same lambda-bind idiom as
@@ -771,6 +809,7 @@ object LLMQueries {
     "q94_bpe_pairs" -> (bpePairCounts _),
     "q108_bpe_merge_loop" -> (bpeMergeLoop _),
     "q113_bpe_tokenize" -> (bpeTokenize _),
+    "q123_chunk_docs" -> (chunkDocs _),
     "q64_minhash_pairs" -> (minhashPairs _),
     "q96_incremental_near_dups" -> (incrementalNearDupsDaily _),
     "q97_incremental_exact_dedup" -> (incrementalExactDedupDaily _),
@@ -990,6 +1029,24 @@ object LLMQueries {
          |  CAST(sum(coalesce(n_tok, 1)) AS BIGINT) AS n_tokens
          |FROM ws LEFT JOIN tok USING (t)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // q123: same ceil-covering chunk-count arithmetic, DuckDB list_slice
+    // is end-inclusive where Spark slice takes a length
+    "q123_chunk_docs" ->
+      s"""WITH wa AS (
+         |  SELECT doc_id, string_split_regex(text, '\\s+') AS w
+         |  FROM documents),
+         |ch AS (
+         |  SELECT doc_id, i AS chunk_idx,
+         |    array_to_string(list_slice(w, i * $ChunkStride + 1,
+         |      i * $ChunkStride + $ChunkTokens), ' ') AS chunk_text
+         |  FROM wa, LATERAL unnest(range(0, greatest(1,
+         |    CAST(ceil((len(w) - $ChunkTokens) / ${ChunkStride}.0)
+         |      AS INT) + 1))) AS t(i))
+         |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+         |  CAST(len(string_split_regex(chunk_text, '\\s+')) AS BIGINT)
+         |    AS n_tokens,
+         |  chunk_text
+         |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin,
     "q94_bpe_pairs" ->
       s"""WITH words AS (
          |  SELECT unnest(string_split_regex(text, '\\s+')) AS t

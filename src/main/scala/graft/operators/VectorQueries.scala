@@ -901,12 +901,17 @@ object VectorQueries {
     rpTopkCosineOf(vecs(spark, dir))
 
   private[operators] def rpTopkCosineOf(e: DataFrame): DataFrame = {
-    val proj = microOf(e)
+    // mv binds ONCE per row via the array-wrap idiom (the LLMQueries
+    // PERF lesson): inlining it as a lambda operand re-evaluates the
+    // 64-element micro transform per (j, d) access — a measured 128×
+    // CPU blowup (Explain'd before/after at sf0.1)
+    val proj = e
       .withColumn("S", expr(rpSignsLiteral))
       .withColumn("p", expr(
-        s"transform(sequence(0, ${RpDim - 1}), j -> " +
+        "transform(array(transform(v, x -> cast(round(x * 1e6) as bigint)))," +
+          s" mv -> transform(sequence(0, ${RpDim - 1}), j -> " +
           s"aggregate(sequence(0, ${Dim - 1}), 0L," +
-          " (a, d) -> a + mv[d] * S[j][d]))"))
+          " (a, d) -> a + mv[d] * S[j][d])))[0]"))
       .withColumn("np", expr("aggregate(p, 0L, (a, x) -> a + x * x)"))
       .select(col("vec_id"), col("p"), col("np"))
     val q = proj.filter(col("vec_id") < NumQueries)

@@ -314,4 +314,31 @@ class LLMQueriesSpec extends SparkSpec {
     assert(rankOf(12L) < rankOf.getOrElse(11L, Long.MaxValue)) // tf=2 beats tf=1
     assert(out.forall(_._4 > 0L)) // all scores positive
   }
+
+  test("chunking covers every word with stable overlap and one chunk for short docs") {
+    val n = 150 // 3 chunks: starts 0, 48, 96 (96+54 tail)
+    val words = (0 until n).map(i => s"w$i")
+    val df = Seq((1L, words.mkString(" ")), (2L, "a b c"))
+      .toDF("doc_id", "text")
+    val out = LLMQueries.chunkDocsOf(df)
+      .as[(Long, Long, Long, String)].collect()
+    val c1 = out.filter(_._1 == 1L).sortBy(_._2)
+    assert(c1.length == 1 + math.ceil(
+      (n - LLMQueries.ChunkTokens).toDouble / LLMQueries.ChunkStride).toInt)
+    c1.foreach { case (_, idx, nTok, text) =>
+      val start = idx.toInt * LLMQueries.ChunkStride
+      val expect = words.slice(start,
+        math.min(n, start + LLMQueries.ChunkTokens))
+      assert(text == expect.mkString(" "))
+      assert(nTok == expect.length)
+    }
+    // every word position is covered by at least one chunk
+    val covered = c1.flatMap { case (_, idx, nTok, _) =>
+      val s0 = idx.toInt * LLMQueries.ChunkStride
+      s0 until (s0 + nTok.toInt)
+    }.toSet
+    assert(covered == (0 until n).toSet)
+    // short doc: exactly one chunk, the doc itself
+    assert(out.filter(_._1 == 2L).toSeq == Seq((2L, 0L, 3L, "a b c")))
+  }
 }

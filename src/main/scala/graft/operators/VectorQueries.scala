@@ -934,6 +934,75 @@ object VectorQueries {
       .orderBy(col("qid"), col("rk"))
   }
 
+  /** MMR shortlist width and selection depth for q124. */
+  private val MmrCands = 8
+  private val MmrK = 3
+
+  /** L36/q124: MMR (maximal-marginal-relevance) DIVERSIFIED top-k
+    * (Carbonell & Goldstein 1998) — the re-rank between retrieval and
+    * consumption: plain top-k returns near-duplicate neighbors, MMR
+    * greedily picks argmax λ·rel(q,d) − (1−λ)·max_{s∈S} sim(d,s) so
+    * each pick adds relevance AND novelty (λ = 0.5, where the ordering
+    * equals rel − redundancy). Production shape: rerank a bounded
+    * [[MmrCands]]-item shortlist per query — the shortlist can come
+    * from ANY ANN variant (q69/q106/q117/q121), the rerank cost is
+    * C² per query regardless of corpus size, and the [[MmrK]]
+    * selection rounds are driver-side plan iterations over
+    * broadcast-sized frames (the q108/q100 loop pattern).
+    *
+    * Determinism: rel and pairwise sims are the shared 6-dp-rounded
+    * cosine; per-round scores re-round identical doubles, ties break
+    * by vec_id — both engines pick identical chains (unrolled-CTE
+    * oracle, the kmeans pattern). */
+  def mmrTopk(spark: SparkSession, dir: String): DataFrame =
+    mmrTopkOf(vecs(spark, dir))
+
+  private[operators] def mmrTopkOf(e: DataFrame): DataFrame = {
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("rel").desc, col("vec_id"))
+    val cands = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .withColumn("rel", round(cosineSim(col("v"), col("qv")), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= MmrCands)
+      .select(col("qid"), col("vec_id"), col("v"), col("rel"))
+      .localCheckpoint(eager = false) // feeds cc + every selection round
+    val cc = cands.select(col("qid"), col("vec_id").as("d"), col("v"))
+      .join(cands.select(col("qid"), col("vec_id").as("s"),
+        col("v").as("vs")), Seq("qid"))
+      .filter(col("d") =!= col("s"))
+      .select(col("qid"), col("d"), col("s"),
+        round(cosineSim(col("v"), col("vs")), 6).as("sim"))
+      .localCheckpoint(eager = false)
+    val ws = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("vec_id"))
+    var sel = cands
+      .withColumn("score", col("rel"))
+      .withColumn("rn", row_number().over(ws))
+      .filter(col("rn") === 1)
+      .select(col("qid"), col("vec_id"), lit(1L).as("rk"), col("score"))
+    for (t <- 2 to MmrK) {
+      val red = cc
+        .join(broadcast(sel.select(col("qid"), col("vec_id").as("s"))),
+          Seq("qid", "s"))
+        .groupBy(col("qid"), col("d"))
+        .agg(max(col("sim")).as("red"))
+      val pick = cands
+        .join(broadcast(sel.select(col("qid"), col("vec_id"))),
+          Seq("qid", "vec_id"), "left_anti")
+        .join(red.withColumnRenamed("d", "vec_id"), Seq("qid", "vec_id"))
+        .withColumn("score", round(col("rel") - col("red"), 6))
+        .withColumn("rn", row_number().over(ws))
+        .filter(col("rn") === 1)
+        .select(col("qid"), col("vec_id"), lit(t.toLong).as("rk"),
+          col("score"))
+      sel = sel.unionByName(pick)
+    }
+    sel.select(col("qid"), col("rk"), col("vec_id").as("nid"), col("score"))
+      .orderBy(col("qid"), col("rk"))
+  }
+
   /** q105: IVF index APPEND — the daily-ingest pattern for the ANN
     * serving path (L3b). The coarse quantizer (per-label fixed-point
     * centroids) is computed from the CORPUS only — the persisted index
@@ -1152,7 +1221,8 @@ object VectorQueries {
     "q110_ann_recall" -> (annRecallSummary _),
     "q112_ivf_sq8_topk" -> (ivfSq8TopkCosine _),
     "q117_pq_topk" -> (pqTopkCosine _),
-    "q121_rp_topk" -> (rpTopkCosine _))
+    "q121_rp_topk" -> (rpTopkCosine _),
+    "q124_mmr_topk" -> (mmrTopk _))
 
   /** Oracle-side mirror of the Spark assignment ordering: the SAME
     * quantity `round(l2Sq, 6)` — squared L2 summed left-to-right over the
@@ -1510,7 +1580,60 @@ object VectorQueries {
          |SELECT qid, CAST(rk AS BIGINT) AS rk, nid, cos FROM (
          |  SELECT qid, nid, cos, row_number() OVER (PARTITION BY qid
          |    ORDER BY cos DESC, nid) AS rk FROM cosd)
-         |WHERE rk <= $TopK ORDER BY qid, rk""".stripMargin)
+         |WHERE rk <= $TopK ORDER BY qid, rk""".stripMargin,
+    // q124: the MMR greedy chain unrolled per selection round (the
+    // kmeans pattern) — identical rounded cosines, identical rel − red
+    // scores, vec_id tie-breaks, so both engines pick identical chains
+    "q124_mmr_topk" -> {
+      val rounds = (2 to MmrK).map { t =>
+        s"""r$t AS (
+           |  SELECT c.qid, c.vec_id, c.rel,
+           |    round(c.rel - max(cc.sim), 6) AS score
+           |  FROM cands c
+           |  JOIN cc ON cc.qid = c.qid AND cc.d = c.vec_id
+           |  JOIN sel${t - 1} ON sel${t - 1}.qid = cc.qid
+           |    AND sel${t - 1}.vec_id = cc.s
+           |  WHERE NOT EXISTS (SELECT 1 FROM sel${t - 1} x
+           |    WHERE x.qid = c.qid AND x.vec_id = c.vec_id)
+           |  GROUP BY c.qid, c.vec_id, c.rel),
+           |s$t AS (
+           |  SELECT qid, vec_id, score FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY qid
+           |      ORDER BY score DESC, vec_id) AS rn FROM r$t)
+           |  WHERE rn = 1),
+           |sel$t AS (SELECT qid, vec_id FROM sel${t - 1}
+           |  UNION ALL SELECT qid, vec_id FROM s$t)""".stripMargin
+      }.mkString(",\n")
+      val selects = (1 to MmrK).map(t =>
+        s"SELECT qid, CAST($t AS BIGINT) AS rk, vec_id AS nid, score FROM s$t")
+        .mkString("\n  UNION ALL ")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT vec_id AS qid, v AS qv FROM e
+         |      WHERE vec_id < $NumQueries),
+         |rel AS (
+         |  SELECT q.qid, e.vec_id, e.v,
+         |    round(list_cosine_similarity(e.v, q.qv), 6) AS rel
+         |  FROM e, q WHERE e.vec_id <> q.qid),
+         |cands AS (
+         |  SELECT qid, vec_id, v, rel FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY qid
+         |      ORDER BY rel DESC, vec_id) AS rn FROM rel)
+         |  WHERE rn <= $MmrCands),
+         |cc AS (
+         |  SELECT a.qid, a.vec_id AS d, b.vec_id AS s,
+         |    round(list_cosine_similarity(a.v, b.v), 6) AS sim
+         |  FROM cands a JOIN cands b
+         |    ON a.qid = b.qid AND a.vec_id <> b.vec_id),
+         |s1 AS (
+         |  SELECT qid, vec_id, rel AS score FROM (
+         |    SELECT qid, vec_id, rel, row_number() OVER (PARTITION BY qid
+         |      ORDER BY rel DESC, vec_id) AS rn FROM cands)
+         |  WHERE rn = 1),
+         |sel1 AS (SELECT qid, vec_id FROM s1),
+         |$rounds
+         |SELECT qid, rk, nid, score FROM (
+         |  $selects) ORDER BY qid, rk""".stripMargin
+    })
 
   /** q110's oracle COMPOSES the existing variant oracles as nested
     * subqueries (each carries its own WITH scope), so the recall oracle

@@ -450,6 +450,28 @@ class VectorQueriesSpec extends SparkSpec {
       .collect().toSeq)
   }
 
+  test("MMR demotes the near-duplicate and promotes the diverse neighbor") {
+    // candidates of query 0: a2 (rel .92), its near-dup a1 (rel .90,
+    // sim(a1,a2) ≈ .999), and diverse b (rel .88, sim(b,a2) ≈ .62).
+    // plain top-k returns [a2, a1, b]; MMR must return [a2, b, a1].
+    def vec(x: Double, y: Double): Array[Float] = {
+      val a = Array.fill(64)(0.0f); a(0) = x.toFloat; a(1) = y.toFloat; a
+    }
+    val df = Seq(
+      (0L, vec(1.0, 0.0), 0),                    // the query
+      (10L, vec(0.9, math.sqrt(0.19)), 0),       // a1
+      (11L, vec(0.92, math.sqrt(0.1536)), 0),    // a2
+      (12L, vec(0.88, -math.sqrt(0.2256)), 0))   // b
+      .toDF("vec_id", "embedding", "label")
+    val out = VectorQueries.mmrTopkOf(VectorQueries.vecsOf(df))
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._2)
+    assert(out.map(r => (r._2, r._3)).toSeq ==
+      Seq((1L, 11L), (2L, 12L), (3L, 10L)))
+    // the diversified pick's score is rel − redundancy, strictly above
+    // the near-dup's
+    assert(out(1)._4 > 0.2 && out(2)._4 < 0.0)
+  }
+
   test("ann recall summary: bounds hold, more probes never lose recall") {
     val rows = VectorQueries.annRecallSummary(spark, sfDir)
       .as[(String, Long, Long, Long)].collect()

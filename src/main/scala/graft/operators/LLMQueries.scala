@@ -305,6 +305,59 @@ object LLMQueries {
     verifyPairs(cands, setsOf(base))
   }
 
+  /** q125 sample stride and ground-truth Jaccard threshold. */
+  val MhSampleMod = 10L
+  val MhRecallThreshold = 0.5
+
+  /** L37/q125: MinHash-LSH RECALL gate — the dedup-family mirror of the
+    * q110 ANN gate: banded candidate generation is probabilistic (a true
+    * near-dup pair missing every band is silently lost forever), so a
+    * production dedup pipeline audits banding recall against exact
+    * Jaccard ground truth on a deterministic sample. Every doc with
+    * doc_id % [[MhSampleMod]] == 0 enters the sample; ground truth is
+    * the brute-force pair set at Jaccard ≥ [[MhRecallThreshold]];
+    * banding is the UNCHANGED q64 band join restricted to the sample.
+    * Reported per Jaccard decile — the LSH S-curve made visible: recall
+    * must rise toward 1 as similarity rises, and a banding-parameter
+    * regression (fewer bands, wider rows) shows up as a dented decile
+    * row in CORRECTNESS, not in a lost-forever pair a year later.
+    *
+    * Scale shape: brute-force cost is (corpus/[[MhSampleMod]])²/2 pairs
+    * against a broadcast sample-set table — the sample stride is the
+    * audit-cost knob (mod 10 ⇒ 1% of the full pair matrix); the banded
+    * leg is the production path at sample scale. */
+  def minhashRecall(spark: SparkSession, dir: String): DataFrame =
+    minhashRecallOf(Tables(spark, dir, "documents"))
+
+  private[operators] def minhashRecallOf(docsDf: DataFrame): DataFrame = {
+    val sample = docsDf.filter(col("doc_id") % MhSampleMod === 0)
+    val sh = shingledOf(sample)
+    val sets = setsOf(sh)
+    val right = sets.select(col("doc_id").as("doc_b"),
+      col("sh").as("shb"), col("n_sh").as("nb"))
+    val exact = sets.join(broadcast(right), col("doc_id") < col("doc_b"))
+      .select(col("doc_id").as("doc_a"), col("doc_b"),
+        size(array_intersect(col("sh"), col("shb"))).cast("long").as("ni"),
+        col("n_sh").as("na"), col("nb"))
+      .withColumn("j", round(col("ni").cast("double") /
+        (col("na") + col("nb") - col("ni")), 6))
+      .filter(col("j") >= MhRecallThreshold)
+      .select(col("doc_a"), col("doc_b"),
+        expr("cast(floor(j * 10) as bigint)").as("jdecile"))
+    val bands = bandsOf(sh)
+    val cands = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    exact.join(cands.withColumn("hit", lit(1)), Seq("doc_a", "doc_b"), "left")
+      .groupBy(col("jdecile"))
+      .agg(count(lit(1)).as("n_true"), count(col("hit")).as("n_hit"))
+      .withColumn("recall_micro", expr("n_hit * 1000000L div n_true"))
+      .orderBy(col("jdecile"))
+  }
+
   /** L2 (SimHash): 16-bit signature — bit i is the sign of the vote
     * Σ(±1) over distinct tokens, where a token votes +1 on bit i iff the
     * i-th hex digit of its md5 has its high nibble-bit set (digit ≥ '8').
@@ -811,6 +864,7 @@ object LLMQueries {
     "q113_bpe_tokenize" -> (bpeTokenize _),
     "q123_chunk_docs" -> (chunkDocs _),
     "q64_minhash_pairs" -> (minhashPairs _),
+    "q125_minhash_recall" -> (minhashRecall _),
     "q96_incremental_near_dups" -> (incrementalNearDupsDaily _),
     "q97_incremental_exact_dedup" -> (incrementalExactDedupDaily _),
     "q66_simhash_signatures" -> (simhashSignatures _),
@@ -862,22 +916,25 @@ object LLMQueries {
         .mkString(",\n")
   }
 
-  private val shingleCte =
-    """sh AS (
+  private def shingleCteOf(where: String) =
+    s"""sh AS (
       |  SELECT doc_id, list_distinct(CASE WHEN len(w) >= 3
       |    THEN list_transform(range(1, len(w)-1),
       |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
       |    ELSE [] END) AS sh
-      |  FROM (SELECT doc_id, string_split_regex(text, '\s+') AS w
-      |        FROM documents)),
+      |  FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS w
+      |        FROM documents $where)),
       |srows AS (SELECT doc_id, unnest(sh) AS s FROM sh),
       |sizes AS (SELECT doc_id, len(sh) AS n_sh FROM sh)
       |""".stripMargin
 
+  private val shingleCte = shingleCteOf("")
+
   /** The full q64 pipeline as composable CTEs ending in `pairs_all`
     * (doc_a, doc_b, n_inter, jaccard) — shared with q77's cluster
     * formation so the two oracles can't drift apart. */
-  private[operators] val minhashPairsCtes: String = (s"$shingleCte," +
+  private[operators] def minhashPairsCtesOf(where: String): String =
+    (s"${shingleCteOf(where)}," +
     s"""sigs AS (
        |  SELECT doc_id,
        |    ${(0 until NumHashes).map(j =>
@@ -905,6 +962,8 @@ object LLMQueries {
        |  JOIN sizes za ON za.doc_id = doc_a
        |  JOIN sizes zb ON zb.doc_id = doc_b)
        |""".stripMargin)
+
+  private[operators] val minhashPairsCtes: String = minhashPairsCtesOf("")
 
   private val simhashVotes = (1 to 16).map(i =>
     s"sum(CASE WHEN substr(md5(t), $i, 1) >= '8' THEN 1 ELSE -1 END) AS v$i")
@@ -1059,6 +1118,31 @@ object LLMQueries {
          |SELECT pair, CAST(sum(n) AS BIGINT) AS total
          |FROM pairs GROUP BY pair
          |ORDER BY total DESC, pair LIMIT $BpeTopPairs""".stripMargin,
+    // q125: the same shingle/band CTEs restricted to the sample; exact
+    // ground truth via brute-force list_intersect over the sample pairs
+    "q125_minhash_recall" ->
+      (s"WITH ${minhashPairsCtesOf(s"WHERE doc_id % $MhSampleMod = 0")}," +
+      s"""inter2 AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    len(list_intersect(a.sh, b.sh)) AS ni,
+         |    len(a.sh) AS na, len(b.sh) AS nb
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE len(a.sh) > 0 AND len(b.sh) > 0),
+         |tp AS (
+         |  SELECT doc_a, doc_b, CAST(floor(j * 10) AS BIGINT) AS jdecile
+         |  FROM (SELECT doc_a, doc_b,
+         |          round(CAST(ni AS DOUBLE) / (na + nb - ni), 6) AS j
+         |        FROM inter2)
+         |  WHERE j >= $MhRecallThreshold),
+         |hits AS (
+         |  SELECT jdecile, count(*) AS n_true, count(c.doc_a) AS n_hit
+         |  FROM tp LEFT JOIN cands c
+         |    ON c.doc_a = tp.doc_a AND c.doc_b = tp.doc_b
+         |  GROUP BY jdecile)
+         |SELECT jdecile, CAST(n_true AS BIGINT) AS n_true,
+         |  CAST(n_hit AS BIGINT) AS n_hit,
+         |  CAST(n_hit * 1000000 // n_true AS BIGINT) AS recall_micro
+         |FROM hits ORDER BY jdecile""".stripMargin),
     "q64_minhash_pairs" -> (s"WITH $minhashPairsCtes " +
       """SELECT doc_a, doc_b, n_inter, jaccard FROM pairs_all
         |ORDER BY doc_a, doc_b""".stripMargin),

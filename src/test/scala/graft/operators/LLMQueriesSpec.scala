@@ -341,4 +341,18 @@ class LLMQueriesSpec extends SparkSpec {
     // short doc: exactly one chunk, the doc itself
     assert(out.filter(_._1 == 2L).toSeq == Seq((2L, 0L, 3L, "a b c")))
   }
+
+  test("minhash recall gate: identical sampled docs land in decile 10 at full recall") {
+    val t = (0 until 30).map(i => s"tok$i").mkString(" ")
+    val df = Seq(
+      (0L, t), (10L, t),                       // identical pair, both sampled
+      (20L, (50 until 90).map(i => s"z$i").mkString(" ")), // sampled, unrelated
+      (7L, t))                                 // identical but NOT sampled
+      .toDF("doc_id", "text")
+    val out = LLMQueries.minhashRecallOf(df)
+      .as[(Long, Long, Long, Long)].collect()
+    // the only ground-truth pair is (0,10): j = 1.0 → decile 10; an
+    // identical pair shares every band, so the banded leg must hit it
+    assert(out.toSeq == Seq((10L, 1L, 1L, 1000000L)))
+  }
 }

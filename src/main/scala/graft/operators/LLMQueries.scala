@@ -322,23 +322,32 @@ object LLMQueries {
     * regression (fewer bands, wider rows) shows up as a dented decile
     * row in CORRECTNESS, not in a lost-forever pair a year later.
     *
-    * Scale shape: brute-force cost is (corpus/[[MhSampleMod]])²/2 pairs
-    * against a broadcast sample-set table — the sample stride is the
-    * audit-cost knob (mod 10 ⇒ 1% of the full pair matrix); the banded
-    * leg is the production path at sample scale. */
+    * Scale shape: the ground truth is EXACT without the (n/mod)²/2
+    * brute force — a pair at Jaccard ≥ 0.5 must share ≥ 1 shingle, so
+    * the pair set comes from the shingle inverted-index equi-join
+    * (O(Σ posting²) over the sample; measured 712 → 22 s CPU at the
+    * 10× soak vs the broadcast-nested-loop first cut). The sample
+    * stride is the audit-cost knob; the banded leg is the production
+    * path at sample scale. */
   def minhashRecall(spark: SparkSession, dir: String): DataFrame =
     minhashRecallOf(Tables(spark, dir, "documents"))
 
   private[operators] def minhashRecallOf(docsDf: DataFrame): DataFrame = {
     val sample = docsDf.filter(col("doc_id") % MhSampleMod === 0)
     val sh = shingledOf(sample)
+      .localCheckpoint(eager = false) // feeds srows (×2), sizes, bands
     val sets = setsOf(sh)
-    val right = sets.select(col("doc_id").as("doc_b"),
-      col("sh").as("shb"), col("n_sh").as("nb"))
-    val exact = sets.join(broadcast(right), col("doc_id") < col("doc_b"))
-      .select(col("doc_id").as("doc_a"), col("doc_b"),
-        size(array_intersect(col("sh"), col("shb"))).cast("long").as("ni"),
-        col("n_sh").as("na"), col("nb"))
+    val srows = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+    val inter = srows.as("a")
+      .join(srows.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("ni"))
+    val exact = inter
+      .join(sets.select(col("doc_id").as("doc_a"), col("n_sh").as("na")),
+        Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")),
+        Seq("doc_b"))
       .withColumn("j", round(col("ni").cast("double") /
         (col("na") + col("nb") - col("ni")), 6))
       .filter(col("j") >= MhRecallThreshold)
@@ -1123,16 +1132,18 @@ object LLMQueries {
     "q125_minhash_recall" ->
       (s"WITH ${minhashPairsCtesOf(s"WHERE doc_id % $MhSampleMod = 0")}," +
       s"""inter2 AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |    len(list_intersect(a.sh, b.sh)) AS ni,
-         |    len(a.sh) AS na, len(b.sh) AS nb
-         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-         |  WHERE len(a.sh) > 0 AND len(b.sh) > 0),
+         |  SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b, count(*) AS ni
+         |  FROM srows sa JOIN srows sb
+         |    ON sa.s = sb.s AND sa.doc_id < sb.doc_id
+         |  GROUP BY 1, 2),
          |tp AS (
          |  SELECT doc_a, doc_b, CAST(floor(j * 10) AS BIGINT) AS jdecile
          |  FROM (SELECT doc_a, doc_b,
-         |          round(CAST(ni AS DOUBLE) / (na + nb - ni), 6) AS j
-         |        FROM inter2)
+         |          round(CAST(ni AS DOUBLE) / (za.n_sh + zb.n_sh - ni), 6)
+         |            AS j
+         |        FROM inter2
+         |        JOIN sizes za ON za.doc_id = doc_a
+         |        JOIN sizes zb ON zb.doc_id = doc_b)
          |  WHERE j >= $MhRecallThreshold),
          |hits AS (
          |  SELECT jdecile, count(*) AS n_true, count(c.doc_a) AS n_hit

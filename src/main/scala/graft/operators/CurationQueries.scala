@@ -1056,31 +1056,47 @@ object CurationQueries {
     * one explode + broadcast join + per-doc rollup. The corpus never
     * shuffles anything wider than (doc_id, bucket) partial sums.
     */
-  def dsirImportanceDocs(docsDf: DataFrame): DataFrame = {
-    val wordsArr = docsDf
-      .select(col("doc_id"), split(col("text"), "\\s+").as("w"))
-      .filter(size(col("w")) >= 2)
-    // 12-bit bucket = first 3 hex digits of md5(salt || w1 || ' ' || w2);
-    // lambda-bind so the md5 runs once per bigram
+  /** (doc_id, b) hashed-bigram feature rows — 12-bit bucket = first 3
+    * hex digits of md5(salt || w1 || ' ' || w2); lambda-bind so the md5
+    * runs once per bigram. */
+  private def dsirFeats(docsDf: DataFrame): DataFrame = {
     def hexAt(i: Int) =
       s"(instr('0123456789abcdef', substring(h, $i, 1)) - 1)"
     val bucketsOf = expr(
       "transform(sequence(0, size(w) - 2)," +
         s" i -> transform(array(md5(concat('$DsirSalt', w[i], ' ', w[i+1])))," +
         s"   h -> ${hexAt(1)} * 256 + ${hexAt(2)} * 16 + ${hexAt(3)})[0])")
-    val feats = wordsArr.select(col("doc_id"), explode(bucketsOf).as("b"))
-    val isTarget = col("doc_id") % 10 === 0
+    docsDf
+      .select(col("doc_id"), split(col("text"), "\\s+").as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(bucketsOf).as("b"))
+  }
+
+  private def dsirIsTarget = col("doc_id") % 10 === 0
+
+  /** The (b, lr) importance model — the PERSISTABLE artifact a pipeline
+    * trains once per snapshot (IndexStore family `dsir_model`): per
+    * bucket, the add-one log-ratio of the target-slice vs raw-pool
+    * distributions, pre-rounded to integer micro-nats. ≤ [[DsirBuckets]]
+    * rows, broadcastable anywhere. */
+  def dsirModelOf(docsDf: DataFrame): DataFrame = {
+    val feats = dsirFeats(docsDf)
     val counts = feats.groupBy(col("b"))
-      .agg(sum(when(isTarget, 1L).otherwise(0L)).as("ct"),
-        sum(when(isTarget, 0L).otherwise(1L)).as("cr"))
+      .agg(sum(when(dsirIsTarget, 1L).otherwise(0L)).as("ct"),
+        sum(when(dsirIsTarget, 0L).otherwise(1L)).as("cr"))
     val totals = counts.agg(sum(col("ct")).as("nt"), sum(col("cr")).as("nr"))
-    val model = counts.crossJoin(broadcast(totals))
+    counts.crossJoin(broadcast(totals))
       .withColumn("lr", expr(
         s"cast(round((ln((ct + 1) / cast(nt + $DsirBuckets as double))" +
           s" - ln((cr + 1) / cast(nr + $DsirBuckets as double))) * 1e6)" +
           " as bigint)"))
       .select(col("b"), col("lr"))
-    feats.filter(!isTarget)
+  }
+
+  /** Score a document frame against a (possibly disk-read) frozen
+    * importance model — the daily leg of the DSIR lifecycle. */
+  def dsirScoreWith(model: DataFrame, docsDf: DataFrame): DataFrame =
+    dsirFeats(docsDf)
       .join(broadcast(model), Seq("b"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),
@@ -1089,7 +1105,9 @@ object CurationQueries {
         round(col("weight_micro").cast("double") / col("n_bigrams"), 6))
       .withColumn("selected", col("weight_micro") >= 0)
       .orderBy(col("doc_id"))
-  }
+
+  def dsirImportanceDocs(docsDf: DataFrame): DataFrame =
+    dsirScoreWith(dsirModelOf(docsDf), docsDf.filter(!dsirIsTarget))
 
   def dsirImportance(spark: SparkSession, dir: String): DataFrame =
     dsirImportanceDocs(docs(spark, dir))

@@ -27,6 +27,9 @@ import graft.Tables
   *   vec_bands.parquet                              # q103 (lshBandsOf)
   *   sem_fams/vecc/bandsc/ccc/statsc.parquet        # q104 (semanticIndexTables)
   *   ivf_centroids.parquet                          # q105 (centroidsOf)
+  *   media_bands.parquet                            # q111 (phashBands)
+  *   bpe_vocab.parquet                              # q113 (bpeVocabOf)
+  *   dsir_model.parquet                             # q116 (dsirModelOf)
   * }}}
   *
   * The corpus/batch split is the same residue rule the oracle queries
@@ -106,6 +109,8 @@ object IndexStore {
     writeIvfCentroids(Tables(spark, dataDir, "embeddings")
       .filter(col("vec_id") % VectorQueries.VecBatchMod =!= 0), dir)
     writeMediaBands(spark, dataDir, dir)
+    writeBpeVocab(spark, dataDir, dir)
+    writeDsirModel(spark, dataDir, dir)
   }
 
   // ---- per-family daily leg (parquet index + today's batch) ------------
@@ -187,6 +192,40 @@ object IndexStore {
       read(spark, indexDir, "media_bands"),
       graft.multimodal.Multimodal.mediaSplit(spark, dataDir)._2)
 
+  // ---- model artifacts (train once per snapshot, apply daily) ----------
+
+  /** The trained BPE vocabulary (q108's loop output, q113's input) as a
+    * parquet artifact — a tokenizer release is immutable; retraining per
+    * batch would silently shift every token count downstream. */
+  def writeBpeVocab(spark: SparkSession, dataDir: String,
+      dir: String): Unit =
+    write(LLMQueries.bpeVocabOf(
+      Tables(spark, dataDir, "documents"), LLMQueries.BpeMergeRounds),
+      dir, "bpe_vocab")
+
+  /** q113 twin: tokenize against the frozen disk vocabulary. */
+  def dailyBpeTokenize(spark: SparkSession, indexDir: String,
+      dataDir: String): DataFrame =
+    LLMQueries.tokenizeWithVocab(
+      read(spark, indexDir, "bpe_vocab"),
+      Tables(spark, dataDir, "documents"))
+
+  /** The DSIR importance model (q116's ≤4096-row log-ratio table) as a
+    * parquet artifact — importance weights must come from ONE frozen
+    * snapshot model or daily selections drift with each batch. */
+  def writeDsirModel(spark: SparkSession, dataDir: String,
+      dir: String): Unit =
+    write(CurationQueries.dsirModelOf(
+      Tables(spark, dataDir, "documents")), dir, "dsir_model")
+
+  /** q116 twin: score the raw pool against the frozen disk model. */
+  def dailyDsir(spark: SparkSession, indexDir: String,
+      dataDir: String): DataFrame =
+    CurationQueries.dsirScoreWith(
+      read(spark, indexDir, "dsir_model"),
+      Tables(spark, dataDir, "documents")
+        .filter(col("doc_id") % 10 =!= 0))
+
   /** (family name, in-memory qNN twin, write, daily-from-disk) — the one
     * table IndexSoak and IndexStoreSpec both iterate so the measured
     * flow and the pinned invariant can never cover different families. */
@@ -217,5 +256,9 @@ object IndexStore {
           .filter(col("vec_id") % VectorQueries.VecBatchMod =!= 0), dir),
       dailyIvf _),
     ("media", "q111_incremental_media_phash",
-      writeMediaBands _, dailyMedia _))
+      writeMediaBands _, dailyMedia _),
+    ("bpe_vocab", "q113_bpe_tokenize",
+      writeBpeVocab _, dailyBpeTokenize _),
+    ("dsir_model", "q116_dsir_importance",
+      writeDsirModel _, dailyDsir _))
 }

@@ -688,9 +688,17 @@ object LLMQueries {
   def bpeTokenize(spark: SparkSession, dir: String): DataFrame =
     bpeTokenizeOf(docs(spark, dir), BpeMergeRounds)
 
-  private[operators] def bpeTokenizeOf(d: DataFrame, rounds: Int): DataFrame = {
-    val tokens = bpeVocabAfter(d, rounds)
+  /** The trained vocabulary as the PERSISTABLE artifact (t, n_tok) —
+    * what a production pipeline writes once per tokenizer release
+    * (IndexStore family `bpe_vocab`). */
+  private[operators] def bpeVocabOf(d: DataFrame, rounds: Int): DataFrame =
+    bpeVocabAfter(d, rounds)
       .select(col("t"), size(col("s")).cast("long").as("n_tok"))
+
+  /** Apply a (possibly disk-read) trained vocabulary to a document
+    * frame — the daily leg of the tokenizer lifecycle. */
+  private[operators] def tokenizeWithVocab(tokens: DataFrame,
+      d: DataFrame): DataFrame =
     d.select(col("doc_id"), explode(split(col("text"), "\\s+")).as("t"))
       .filter(length(col("t")) >= 1)
       .join(broadcast(tokens), Seq("t"), "left")
@@ -698,7 +706,9 @@ object LLMQueries {
       .agg(count(lit(1)).as("n_words"),
         sum(coalesce(col("n_tok"), lit(1L))).as("n_tokens"))
       .orderBy(col("doc_id"))
-  }
+
+  private[operators] def bpeTokenizeOf(d: DataFrame, rounds: Int): DataFrame =
+    tokenizeWithVocab(bpeVocabOf(d, rounds), d)
 
   /** Chunk window and stride (words) for q123; stride < window, so
     * consecutive chunks overlap by ChunkTokens − ChunkStride words — the

@@ -38,7 +38,9 @@ object SparkEntry {
           ((s, dir) =>
             graft.multimodal.Multimodal.incrementalMediaNearDupsDaily(s, dir)),
         "q118_frame_near_dups" ->
-          ((s, dir) => graft.multimodal.Multimodal.frameNearDups(s, dir)))
+          ((s, dir) => graft.multimodal.Multimodal.frameNearDups(s, dir)),
+        "q126_audio_fp_dups" ->
+          ((s, dir) => graft.multimodal.Multimodal.audioNearDups(s, dir)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -98,6 +98,50 @@ object Multimodal {
       hash
     }
 
+    /** Chromaprint-style audio sub-fingerprints (public: Chromaprint /
+      * AcoustID's band-energy double-delta bits): the REAL pipeline
+      * decodes PCM, windows it, and compares band-energy deltas across
+      * adjacent windows; the fake "decode" reads the payload bytes as
+      * samples. Per full 64-byte window at 32-byte stride: 16 exact
+      * 4-byte band energies E[b]; bit b of the window's 15-bit
+      * sub-fingerprint is set iff (E[b]−E[b+1]) rose versus the SAME
+      * delta in the previous window (0 before the first) — time-delta of
+      * band-delta, the shift-robust trick. Pure integer arithmetic,
+      * bit-identical in the DuckDB oracle. Payloads under one window
+      * yield no fingerprints (shortest corpus doc is 2 windows). */
+    def audioFingerprints(payload: Array[Byte]): Array[Long] = {
+      val L = payload.length
+      if (L < 64) return Array.empty
+      val n = (L - 64) / 32 + 1
+      val out = new Array[Long](n)
+      var prev: Array[Long] = null
+      var t = 0
+      while (t < n) {
+        val e = new Array[Long](16)
+        var b = 0
+        while (b < 16) {
+          var s = 0L
+          var i = 0
+          while (i < 4) { s += payload(t * 32 + b * 4 + i) & 0xff; i += 1 }
+          e(b) = s
+          b += 1
+        }
+        val dv = new Array[Long](15)
+        var k = 0
+        while (k < 15) { dv(k) = e(k) - e(k + 1); k += 1 }
+        var fp = 0L
+        k = 0
+        while (k < 15) {
+          if (dv(k) > (if (prev == null) 0L else prev(k))) fp |= 1L << k
+          k += 1
+        }
+        out(t) = fp
+        prev = dv
+        t += 1
+      }
+      out
+    }
+
     /** "Frame-sample" = fixed-stride byte windows (a video decoder would
       * seek to keyframes; the batch shape — one row in, k rows out — is
       * identical). */
@@ -382,6 +426,93 @@ object Multimodal {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  case class AudioFp(doc_id: Long, win_no: Int, fp: Long)
+
+  /** Audio-variant id offset — a multiple of 3, so a variant keeps its
+    * original's `kind` residue and the audio universe contains both
+    * ends of every controlled near-dup pair (the q109 VariantIdOffset
+    * is ≡ 1 (mod 3) and would flip kinds). */
+  private[multimodal] val AudioVariantIdOffset = 999999999L
+
+  /** An audio fingerprint appearing in more than this many assets is a
+    * stop-fingerprint (silence/jingle analogue) and never pairs. */
+  val AudioDocCap = 16
+
+  /** Minimum shared-fingerprint containment for an audio near-dup. */
+  val AudioOverlapMicro = 300000L
+
+  /** The q126 audio universe: every audio-kind asset plus, for
+    * originals with doc_id % 5 = 0, a first-byte-bumped re-encode
+    * variant (the q109 construction with an audio-preserving offset).
+    * A first-byte bump perturbs only window 0's band energies and —
+    * through the time-delta — window 1's bits, so a variant shares all
+    * but ≤ 2 of its original's sub-fingerprints: a guaranteed
+    * high-containment pair at every doc length ≥ 3 windows. */
+  private[multimodal] def audioAssetTable(spark: SparkSession,
+      dir: String): Dataset[MediaRow] = {
+    val d = Tables(spark, dir, "documents")
+    val variants = d.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + AudioVariantIdOffset).as("doc_id"),
+        concat(expr("char(ascii(substring(text, 1, 1)) + 1)"),
+          expr("substring(text, 2)")).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    mediaTableOf(spark, d.select(variants.columns.map(col): _*)
+      .unionByName(variants))
+      .filter(_.kind == "audio")
+  }
+
+  /** Per-asset audio sub-fingerprints, partition-wise (payloads die
+    * inside the decode map). */
+  def audioFps(media: Dataset[MediaRow]): Dataset[AudioFp] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // per-partition setup would construct the real PCM decoder here
+      rows.flatMap(r =>
+        FakeCodec.audioFingerprints(r.payload).iterator.zipWithIndex
+          .map { case (fp, t) => AudioFp(r.doc_id, t, fp) })
+    }
+  }
+
+  /** q126: audio near-dup via sub-fingerprint containment — the audio
+    * member of the modality triple (q109 image dHash, q118 video
+    * frames): two audio assets are near-dups when they share at least
+    * [[AudioOverlapMicro]] of the shorter asset's DISTINCT
+    * sub-fingerprints, catching re-encodes/trims the way Chromaprint
+    * matching does. Same scale shape as q118: the only corpus-sized
+    * shuffles carry (doc_id, fp) longs, pairing is an fp equi-join
+    * bounded by the [[AudioDocCap]] stop-fingerprint filter, per-doc
+    * counts ride slim aggregates. */
+  def audioNearDups(spark: SparkSession, dir: String): DataFrame = {
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val fh = audioFps(audioAssetTable(spark, dir)
+      .repartition(parts, col("doc_id"))).toDF()
+    val dist = fh.select(col("doc_id"), col("fp")).distinct()
+      .localCheckpoint(eager = false) // feeds freq, nf and both join legs
+    val keep = dist.join(
+        dist.groupBy(col("fp")).agg(count(lit(1)).as("ndocs"))
+          .filter(col("ndocs") <= AudioDocCap),
+        Seq("fp"))
+      .select(col("doc_id"), col("fp"))
+      .repartition(parts, col("fp"))
+    val nf = keep.groupBy(col("doc_id")).agg(count(lit(1)).as("nfp"))
+    val pairs = keep.as("a")
+      .join(keep.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    pairs
+      .join(nf.select(col("doc_id").as("doc_a"), col("nfp").as("nf_a")),
+        Seq("doc_a"))
+      .join(nf.select(col("doc_id").as("doc_b"), col("nfp").as("nf_b")),
+        Seq("doc_b"))
+      .withColumn("overlap_micro",
+        expr("n_shared * 1000000L div least(nf_a, nf_b)"))
+      .filter(col("overlap_micro") >= AudioOverlapMicro)
+      .select(col("doc_a"), col("doc_b"), col("n_shared"),
+        col("overlap_micro"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** The asset universe split for the daily flow: batch = assets whose
     * id ≡ 0 (mod 10) — a VARIANT inherits its original's residue
     * ([[VariantIdOffset]] is a multiple of 10), so re-encodes arrive in
@@ -523,9 +654,67 @@ object Multimodal {
        |FROM o WHERE overlap_micro >= $FrameOverlapMicro
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** q126 oracle: recompute the windowed band-energy double-delta
+    * fingerprints from the ASCII text (byte k = char k+1, the q109
+    * argument; previous-window deltas via lag over a list column), then
+    * the same containment-pair query as q118's with the audio cap. */
+  private def audioNearDupsSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 1
+       |  UNION ALL
+       |  SELECT doc_id + $AudioVariantIdOffset,
+       |    chr(ascii(substr(text, 1, 1)) + 1) || substr(text, 2)
+       |  FROM documents WHERE doc_id % 5 = 0 AND doc_id % 3 = 1),
+       |codes AS (
+       |  SELECT doc_id, length(text) AS L,
+       |    list_transform(range(1, length(text) + 1),
+       |      i -> ascii(substr(text, i, 1))) AS cs
+       |  FROM t),
+       |wins AS (
+       |  SELECT doc_id, t,
+       |    list_transform(range(0, 16), b ->
+       |      list_sum(cs[(t * 32 + b * 4 + 1):(t * 32 + b * 4 + 4)])) AS e
+       |  FROM codes, LATERAL unnest(range(0,
+       |    CASE WHEN L >= 64 THEN (L - 64) // 32 + 1 ELSE 0 END)) AS u(t)),
+       |d AS (
+       |  SELECT doc_id, t,
+       |    list_transform(range(0, 15), b -> e[b + 1] - e[b + 2]) AS dv
+       |  FROM wins),
+       |fpt AS (
+       |  SELECT doc_id, t,
+       |    CAST(coalesce(list_sum(list_transform(range(0, 15), b ->
+       |      CASE WHEN dv[b + 1] > coalesce(pv[b + 1], 0)
+       |           THEN (CAST(1 AS BIGINT) << b)
+       |           ELSE CAST(0 AS BIGINT) END)), 0) AS BIGINT) AS fp
+       |  FROM (SELECT doc_id, t, dv,
+       |          lag(dv) OVER (PARTITION BY doc_id ORDER BY t) AS pv
+       |        FROM d)),
+       |dist AS (SELECT DISTINCT doc_id, fp FROM fpt),
+       |freq AS (SELECT fp, count(*) AS ndocs FROM dist GROUP BY fp),
+       |keep AS (
+       |  SELECT dist.doc_id, dist.fp FROM dist
+       |  JOIN freq USING (fp) WHERE ndocs <= $AudioDocCap),
+       |nf AS (SELECT doc_id, count(*) AS nfp FROM keep GROUP BY doc_id),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+       |  FROM keep a JOIN keep b
+       |    ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |o AS (
+       |  SELECT doc_a, doc_b, n_shared,
+       |    n_shared * 1000000 // least(na.nfp, nb.nfp) AS overlap_micro
+       |  FROM pairs
+       |  JOIN nf na ON na.doc_id = doc_a
+       |  JOIN nf nb ON nb.doc_id = doc_b)
+       |SELECT doc_a, doc_b, CAST(n_shared AS BIGINT) AS n_shared,
+       |  CAST(overlap_micro AS BIGINT) AS overlap_micro
+       |FROM o WHERE overlap_micro >= $AudioOverlapMicro
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q109_media_phash_dups" -> mediaPhashPairsSql(""),
     "q118_frame_near_dups" -> frameNearDupsSql,
+    "q126_audio_fp_dups" -> audioNearDupsSql,
     "q111_incremental_media_phash" -> mediaPhashPairsSql(
       "  AND (doc_a % 10 = 0 OR doc_b % 10 = 0)\n"),
     "q72_media_feature_summary" -> {

@@ -155,4 +155,42 @@ class MultimodalSpec extends SparkSpec {
     // corpus-internal pairs exist in full but are NOT recomputed
     assert(full.exists(p => !isBatch(p._1) && !isBatch(p._2)))
   }
+
+  test("audio near-dups == driver-side containment recomputation") {
+    val fh = Multimodal.audioFps(Multimodal.audioAssetTable(spark, sfDir))
+      .collect()
+    val distPairs = fh.map(f => (f.doc_id, f.fp)).distinct
+    val freq = distPairs.groupBy(_._2).view.mapValues(_.length).toMap
+    val kept = distPairs.filter(p => freq(p._2) <= Multimodal.AudioDocCap)
+    val byDoc = kept.groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    val ids = byDoc.keys.toSeq.sorted
+    val expected = (for {
+      i <- ids.indices; j <- (i + 1) until ids.length
+      a = ids(i); b = ids(j)
+      shared = (byDoc(a) intersect byDoc(b)).size if shared > 0
+      om = shared.toLong * 1000000L /
+        math.min(byDoc(a).size, byDoc(b).size)
+      if om >= Multimodal.AudioOverlapMicro
+    } yield (a, b, shared.toLong, om)).toSet
+    val got = Multimodal.audioNearDups(spark, sfDir)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == expected)
+    // a first-byte bump touches windows 0 and 1 only, so every variant
+    // (id = original + the audio offset) surfaces as a containment pair
+    val variantPairs = got.filter(p => p._2 - 999999999L == p._1)
+    assert(variantPairs.nonEmpty)
+    assert(variantPairs.forall(_._4 >= Multimodal.AudioOverlapMicro))
+  }
+
+  test("audio fingerprints: first-byte bump perturbs only the first two windows") {
+    val payload = Array.tabulate(200)(i => ((i * 37 + 11) % 251).toByte)
+    val bumped = payload.clone(); bumped(0) = (bumped(0) + 1).toByte
+    val a = Multimodal.FakeCodec.audioFingerprints(payload)
+    val b = Multimodal.FakeCodec.audioFingerprints(bumped)
+    assert(a.length == b.length && a.length == (200 - 64) / 32 + 1)
+    assert(a.drop(2).sameElements(b.drop(2)))
+    // short payloads yield no fingerprints rather than a partial window
+    assert(Multimodal.FakeCodec.audioFingerprints(new Array[Byte](63)).isEmpty)
+  }
 }

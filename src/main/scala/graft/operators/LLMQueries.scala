@@ -367,6 +367,40 @@ object LLMQueries {
       .orderBy(col("jdecile"))
   }
 
+  /** L37b/q127: the PRECISION half of the banding audit — q125 measures
+    * what banding LOSES (recall of true pairs), this measures what it
+    * WASTES: the fraction of banded candidates that survive exact
+    * verification at the threshold. Verification cost is proportional
+    * to candidates, so a banding-parameter change that floods the
+    * verify stage (precision collapse) is a real cluster-cost
+    * regression even when recall holds — with both gates in
+    * CORRECTNESS, the classic LSH tuning trade (bands↑ ⇒ recall↑,
+    * precision↓) is pinned from both sides on the same sample. */
+  def minhashPrecision(spark: SparkSession, dir: String): DataFrame =
+    minhashPrecisionOf(Tables(spark, dir, "documents"))
+
+  private[operators] def minhashPrecisionOf(docsDf: DataFrame): DataFrame = {
+    val sample = docsDf.filter(col("doc_id") % MhSampleMod === 0)
+    val base = shingledOf(sample)
+      .localCheckpoint(eager = false) // feeds bands and sets
+    val bands = bandsOf(base)
+    val cands = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+      .localCheckpoint(eager = false) // feeds the count and the verify
+    val nVerified = verifyPairs(cands, setsOf(base))
+      .filter(col("jaccard") >= MhRecallThreshold)
+      .agg(count(lit(1)).as("n_verified"))
+    cands.agg(count(lit(1)).as("n_cands"))
+      .crossJoin(broadcast(nVerified))
+      .withColumn("precision_micro",
+        when(col("n_cands") === 0, lit(0L))
+          .otherwise(expr("n_verified * 1000000L div n_cands")))
+  }
+
   /** L2 (SimHash): 16-bit signature — bit i is the sign of the vote
     * Σ(±1) over distinct tokens, where a token votes +1 on bit i iff the
     * i-th hex digit of its md5 has its high nibble-bit set (digit ≥ '8').
@@ -884,6 +918,7 @@ object LLMQueries {
     "q123_chunk_docs" -> (chunkDocs _),
     "q64_minhash_pairs" -> (minhashPairs _),
     "q125_minhash_recall" -> (minhashRecall _),
+    "q127_minhash_precision" -> (minhashPrecision _),
     "q96_incremental_near_dups" -> (incrementalNearDupsDaily _),
     "q97_incremental_exact_dedup" -> (incrementalExactDedupDaily _),
     "q66_simhash_signatures" -> (simhashSignatures _),
@@ -1164,6 +1199,20 @@ object LLMQueries {
          |  CAST(n_hit AS BIGINT) AS n_hit,
          |  CAST(n_hit * 1000000 // n_true AS BIGINT) AS recall_micro
          |FROM hits ORDER BY jdecile""".stripMargin),
+    // q127: same restricted CTEs; candidates from cands, survivors from
+    // pairs_all (shared-shingle contract — a zero-overlap candidate
+    // cannot reach the threshold, so counting from pairs_all is exact)
+    "q127_minhash_precision" ->
+      (s"WITH ${minhashPairsCtesOf(s"WHERE doc_id % $MhSampleMod = 0")}," +
+      s"""nc AS (SELECT count(*) AS n_cands FROM cands),
+         |nv AS (SELECT count(*) AS n_verified FROM pairs_all
+         |       WHERE jaccard >= $MhRecallThreshold)
+         |SELECT CAST(n_cands AS BIGINT) AS n_cands,
+         |  CAST(n_verified AS BIGINT) AS n_verified,
+         |  CAST(CASE WHEN n_cands = 0 THEN 0
+         |    ELSE n_verified * 1000000 // n_cands END AS BIGINT)
+         |    AS precision_micro
+         |FROM nc, nv""".stripMargin),
     "q64_minhash_pairs" -> (s"WITH $minhashPairsCtes " +
       """SELECT doc_a, doc_b, n_inter, jaccard FROM pairs_all
         |ORDER BY doc_a, doc_b""".stripMargin),

@@ -40,7 +40,10 @@ object SparkEntry {
         "q118_frame_near_dups" ->
           ((s, dir) => graft.multimodal.Multimodal.frameNearDups(s, dir)),
         "q126_audio_fp_dups" ->
-          ((s, dir) => graft.multimodal.Multimodal.audioNearDups(s, dir)))
+          ((s, dir) => graft.multimodal.Multimodal.audioNearDups(s, dir)),
+        "q128_incremental_audio_fp" ->
+          ((s, dir) =>
+            graft.multimodal.Multimodal.incrementalAudioNearDupsDaily(s, dir)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

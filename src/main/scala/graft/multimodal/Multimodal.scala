@@ -428,11 +428,12 @@ object Multimodal {
 
   case class AudioFp(doc_id: Long, win_no: Int, fp: Long)
 
-  /** Audio-variant id offset — a multiple of 3, so a variant keeps its
-    * original's `kind` residue and the audio universe contains both
-    * ends of every controlled near-dup pair (the q109 VariantIdOffset
-    * is ≡ 1 (mod 3) and would flip kinds). */
-  private[multimodal] val AudioVariantIdOffset = 999999999L
+  /** Audio-variant id offset — a multiple of 30, so a variant keeps
+    * both its original's `kind` residue (mod 3 — the q109
+    * VariantIdOffset is ≡ 1 (mod 3) and would flip kinds) and its
+    * daily-batch residue (mod 10 — re-encodes arrive in the same batch
+    * as their original, the q111 ingest shape). */
+  private[multimodal] val AudioVariantIdOffset = 999999990L
 
   /** An audio fingerprint appearing in more than this many assets is a
     * stop-fingerprint (silence/jingle analogue) and never pairs. */
@@ -511,6 +512,72 @@ object Multimodal {
       .select(col("doc_a"), col("doc_b"), col("n_shared"),
         col("overlap_micro"))
       .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** The audio fingerprint universe split for the daily flow: DISTINCT
+    * (doc_id, fp) rows, batch = assets with id ≡ 0 (mod 10) — the
+    * corpus side is exactly the `audio_fps` table IndexStore persists
+    * (8+8 bytes per row; corpus payloads are never re-decoded). */
+  def audioFpSplit(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val dist = audioFps(audioAssetTable(spark, dir)).toDF()
+      .select(col("doc_id"), col("fp")).distinct()
+    (dist.filter(col("doc_id") % 10 =!= 0),
+      dist.filter(col("doc_id") % 10 === 0))
+  }
+
+  /** q128: the daily-ingest flavor of q126 — arriving audio assets are
+    * decoded and fingerprinted, then paired against (corpus ∪ batch)
+    * fingerprints with a BATCH side required on every candidate, so
+    * corpus-only fingerprint buckets never enumerate and the daily
+    * leg's only corpus-sized work is the columnar index scan (the q111
+    * argument, containment flavor). Stop-fingerprint caps and per-doc
+    * counts are computed over the union, so the flow provably equals
+    * the full q126 pass restricted to pairs touching a batch asset
+    * (MultimodalSpec pins it; pair rows are deduped on (doc_a, doc_b,
+    * fp) before counting because batch-batch pairs emit from both join
+    * orientations). */
+  def incrementalAudioNearDups(corpusFps: DataFrame,
+      batchFps: DataFrame): DataFrame = {
+    val b = batchFps.localCheckpoint(eager = false) // both join legs
+    val all = corpusFps.unionByName(b)
+      .localCheckpoint(eager = false) // feeds freq, nf and the pair legs
+    val keep = all.join(
+        all.groupBy(col("fp")).agg(count(lit(1)).as("ndocs"))
+          .filter(col("ndocs") <= AudioDocCap),
+        Seq("fp"))
+      .select(col("doc_id"), col("fp"))
+    val nf = keep.groupBy(col("doc_id")).agg(count(lit(1)).as("nfp"))
+    val keepBatch = keep
+      .join(b.select(col("doc_id")).distinct(), Seq("doc_id"), "left_semi")
+    val pairs = keep.as("a")
+      .join(keepBatch.as("n"),
+        col("a.fp") === col("n.fp") && col("a.doc_id") =!= col("n.doc_id"))
+      .select(least(col("a.doc_id"), col("n.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("n.doc_id")).as("doc_b"),
+        col("a.fp"))
+      .distinct()
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    pairs
+      .join(nf.select(col("doc_id").as("doc_a"), col("nfp").as("nf_a")),
+        Seq("doc_a"))
+      .join(nf.select(col("doc_id").as("doc_b"), col("nfp").as("nf_b")),
+        Seq("doc_b"))
+      .withColumn("overlap_micro",
+        expr("n_shared * 1000000L div least(nf_a, nf_b)"))
+      .filter(col("overlap_micro") >= AudioOverlapMicro)
+      .select(col("doc_a"), col("doc_b"), col("n_shared"),
+        col("overlap_micro"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** q128 as an oracle query: corpus index built in-query (as the
+    * oracle must), batch decoded and merged through
+    * [[incrementalAudioNearDups]]. */
+  def incrementalAudioNearDupsDaily(spark: SparkSession,
+      dir: String): DataFrame = {
+    val (corpus, batch) = audioFpSplit(spark, dir)
+    incrementalAudioNearDups(corpus, batch)
   }
 
   /** The asset universe split for the daily flow: batch = assets whose
@@ -658,7 +725,9 @@ object Multimodal {
     * fingerprints from the ASCII text (byte k = char k+1, the q109
     * argument; previous-window deltas via lag over a list column), then
     * the same containment-pair query as q118's with the audio cap. */
-  private def audioNearDupsSql: String =
+  private def audioNearDupsSql: String = audioNearDupsSqlOf("")
+
+  private def audioNearDupsSqlOf(restrict: String): String =
     s"""WITH t AS (
        |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 1
        |  UNION ALL
@@ -709,12 +778,14 @@ object Multimodal {
        |SELECT doc_a, doc_b, CAST(n_shared AS BIGINT) AS n_shared,
        |  CAST(overlap_micro AS BIGINT) AS overlap_micro
        |FROM o WHERE overlap_micro >= $AudioOverlapMicro
-       |ORDER BY doc_a, doc_b""".stripMargin
+       |$restrict ORDER BY doc_a, doc_b""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q109_media_phash_dups" -> mediaPhashPairsSql(""),
     "q118_frame_near_dups" -> frameNearDupsSql,
     "q126_audio_fp_dups" -> audioNearDupsSql,
+    "q128_incremental_audio_fp" -> audioNearDupsSqlOf(
+      "  AND (doc_a % 10 = 0 OR doc_b % 10 = 0)\n"),
     "q111_incremental_media_phash" -> mediaPhashPairsSql(
       "  AND (doc_a % 10 = 0 OR doc_b % 10 = 0)\n"),
     "q72_media_feature_summary" -> {

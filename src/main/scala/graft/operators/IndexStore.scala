@@ -30,6 +30,7 @@ import graft.Tables
   *   media_bands.parquet                            # q111 (phashBands)
   *   bpe_vocab.parquet                              # q113 (bpeVocabOf)
   *   dsir_model.parquet                             # q116 (dsirModelOf)
+  *   audio_fps.parquet                              # q128 (audioFpSplit)
   * }}}
   *
   * The corpus/batch split is the same residue rule the oracle queries
@@ -111,6 +112,7 @@ object IndexStore {
     writeMediaBands(spark, dataDir, dir)
     writeBpeVocab(spark, dataDir, dir)
     writeDsirModel(spark, dataDir, dir)
+    writeAudioFps(spark, dataDir, dir)
   }
 
   // ---- per-family daily leg (parquet index + today's batch) ------------
@@ -226,6 +228,21 @@ object IndexStore {
       Tables(spark, dataDir, "documents")
         .filter(col("doc_id") % 10 =!= 0))
 
+  /** The corpus audio fingerprint index (q126/q128): DISTINCT
+    * (doc_id, fp) longs — 16 bytes per row, payloads never re-decoded. */
+  def writeAudioFps(spark: SparkSession, dataDir: String,
+      dir: String): Unit =
+    write(graft.multimodal.Multimodal.audioFpSplit(spark, dataDir)._1,
+      dir, "audio_fps")
+
+  /** q128 twin: [[graft.multimodal.Multimodal.incrementalAudioNearDups]]
+    * off the disk fingerprint index. */
+  def dailyAudio(spark: SparkSession, indexDir: String,
+      dataDir: String): DataFrame =
+    graft.multimodal.Multimodal.incrementalAudioNearDups(
+      read(spark, indexDir, "audio_fps"),
+      graft.multimodal.Multimodal.audioFpSplit(spark, dataDir)._2)
+
   /** (family name, in-memory qNN twin, write, daily-from-disk) — the one
     * table IndexSoak and IndexStoreSpec both iterate so the measured
     * flow and the pinned invariant can never cover different families. */
@@ -260,5 +277,7 @@ object IndexStore {
     ("bpe_vocab", "q113_bpe_tokenize",
       writeBpeVocab _, dailyBpeTokenize _),
     ("dsir_model", "q116_dsir_importance",
-      writeDsirModel _, dailyDsir _))
+      writeDsirModel _, dailyDsir _),
+    ("audio_fps", "q128_incremental_audio_fp",
+      writeAudioFps _, dailyAudio _))
 }

@@ -178,7 +178,8 @@ class MultimodalSpec extends SparkSpec {
     assert(got == expected)
     // a first-byte bump touches windows 0 and 1 only, so every variant
     // (id = original + the audio offset) surfaces as a containment pair
-    val variantPairs = got.filter(p => p._2 - 999999999L == p._1)
+    val variantPairs = got.filter(p =>
+      p._2 - Multimodal.AudioVariantIdOffset == p._1)
     assert(variantPairs.nonEmpty)
     assert(variantPairs.forall(_._4 >= Multimodal.AudioOverlapMicro))
   }
@@ -192,5 +193,14 @@ class MultimodalSpec extends SparkSpec {
     assert(a.drop(2).sameElements(b.drop(2)))
     // short payloads yield no fingerprints rather than a partial window
     assert(Multimodal.FakeCodec.audioFingerprints(new Array[Byte](63)).isEmpty)
+  }
+
+  test("incremental audio near-dups == full pass restricted to batch pairs") {
+    val full = Multimodal.audioNearDups(spark, sfDir)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val inc = Multimodal.incrementalAudioNearDupsDaily(spark, sfDir)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(inc == full.filter(p => p._1 % 10 == 0 || p._2 % 10 == 0))
+    assert(inc.nonEmpty) // the mod-30 variant offset keeps batch pairs alive
   }
 }

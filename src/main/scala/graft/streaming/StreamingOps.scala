@@ -213,6 +213,28 @@ object StreamingOps {
       .join(corpusHashes, Seq("h"), "left_anti")
       .select(col("doc_id"), col("ts"), col("text"))
 
+  /** L20 streaming: tokenizer APPLICATION as a continuous stream — the
+    * streaming twin of the q113 daily leg: arriving docs explode to
+    * words, left-join the FROZEN vocabulary table (stream-static,
+    * stateless — the `bpe_vocab` artifact IndexStore maintains; words
+    * outside the vocab count as single tokens exactly like the batch
+    * pass), and finalize per-doc token counts through a watermark-
+    * bounded windowed aggregation (append mode emits a doc's counts
+    * once its window closes — state is (window, doc_id) longs, evicted
+    * by the watermark). */
+  def streamingTokenize(docs: Dataset[StreamDoc],
+      vocab: DataFrame): DataFrame =
+    docs.toDF()
+      .withWatermark("ts", "1 hour")
+      .select(col("doc_id"), col("ts"),
+        explode(split(col("text"), "\\s+")).as("t"))
+      .filter(length(col("t")) >= 1)
+      .join(vocab, Seq("t"), "left")
+      .groupBy(window(col("ts"), "1 hour"), col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(coalesce(col("n_tok"), lit(1L))).as("n_tokens"))
+      .select(col("doc_id"), col("n_words"), col("n_tokens"))
+
   case class StreamVec(vec_id: Long, ts: Timestamp, embedding: Array[Float])
 
   /** L24 streaming: the daily-ingest exact VECTOR dedup as a CONTINUOUS

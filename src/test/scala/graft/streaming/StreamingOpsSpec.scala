@@ -383,4 +383,27 @@ class StreamingOpsSpec extends SparkSpec {
       assert(rows.toSeq == Seq((ts(0), 3L)))
     } finally query.stop()
   }
+
+  test("streaming tokenize applies the frozen vocab and finalizes after watermark") {
+    val input = MemoryStream[StreamDoc]
+    // the frozen artifact: "hello" merges to 2 tokens, "world" to 1
+    val vocab = Seq(("hello", 2L), ("world", 1L)).toDF("t", "n_tok")
+    val query = streamingTokenize(input.toDS(), vocab)
+      .writeStream.format("memory").queryName("stok")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        StreamDoc(1L, ts(0), "hello world oov"),
+        StreamDoc(2L, ts(1), "hello hello"))
+      query.processAllAvailable()
+      // advance the watermark past the first window so it finalizes
+      input.addData(StreamDoc(3L, ts(150), "late doc"))
+      query.processAllAvailable()
+      val out = spark.table("stok")
+        .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+      // doc 1: 3 words, 2 (hello) + 1 (world) + 1 (oov) = 4 tokens;
+      // doc 2: 2 words, 4 tokens — exactly the q113 batch counting rule
+      assert(out == Seq((1L, 3L, 4L), (2L, 2L, 4L)))
+    } finally query.stop()
+  }
 }

@@ -541,6 +541,35 @@ object CurationQueries {
         .filter(col("jaccard") >= ClusterThreshold)
         .select(col("doc_a"), col("doc_b")))._1
 
+  /** L38/q129: cluster-aware (leakage-proof) train/val/test split —
+    * the ML-hygiene fix q75's doc-hash split cannot give: hashing PER
+    * DOCUMENT puts ~2·p·(1−p) of every near-dup pair across the
+    * train/eval boundary, and evaluating on a near-copy of a training
+    * doc is the contamination q74 exists to catch. Here the split hash
+    * is keyed by the near-dup CLUSTER id (q85's star CC; singletons are
+    * their own cluster), so an entire duplicate family lands on one
+    * side of every boundary by construction. Same salted-md5 threshold
+    * rule as q75 — deterministic under reruns, repartitions and
+    * appends (a new member joins its family's existing split).
+    *
+    * Scale shape: the CC is q85's O(log n)-round star path; the split
+    * itself adds one left join against the (paired-docs-only) cluster
+    * map and a per-row hash — no new shuffle class. */
+  def clusterSplit(spark: SparkSession, dir: String): DataFrame = {
+    val comp = dedupClustersStar(spark, dir)
+      .select(col("doc_id"), col("cluster_id"))
+    val h = substring(md5(concat(lit("graft-csplit:"),
+      col("cluster_id").cast("string"))), 1, 8)
+    docs(spark, dir).select(col("doc_id"))
+      .join(comp, Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("split",
+        when(h < "cccccccc", "train")
+          .when(h < "e6666666", "val")
+          .otherwise("test"))
+      .orderBy(col("doc_id"))
+  }
+
   /** q88: the END of the near-dup pipeline — one canonical survivor per
     * connected component, electing the max-quality member (q71's rule)
     * with doc_id as the deterministic tie-break. Composes pairs (q64) →
@@ -1132,7 +1161,8 @@ object CurationQueries {
     "q116_dsir_importance" -> (dsirImportance _),
     "q119_substring_dup_remove" -> (substringDupRemove _),
     "q120_boilerplate_remove" -> (boilerplateRemove _),
-    "q122_quality_calibration" -> (qualityCalibration _))
+    "q122_quality_calibration" -> (qualityCalibration _),
+    "q129_cluster_split" -> (clusterSplit _))
 
   // ---- oracle SQL -----------------------------------------------------
 
@@ -1162,6 +1192,22 @@ object CurationQueries {
        |SELECT doc_id, cluster_id,
        |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
        |FROM comp ORDER BY doc_id""".stripMargin
+
+  /** q129 oracle: the q77/q85 recursive closure for the cluster map,
+    * singletons defaulting to their own id, q75's threshold rule keyed
+    * by the cluster id. */
+  private val clusterSplitOracle: String =
+    s"""$clustersCtes,
+       |wc AS (
+       |  SELECT d.doc_id, coalesce(comp.cluster_id, d.doc_id) AS cluster_id
+       |  FROM documents d LEFT JOIN comp ON comp.doc_id = d.doc_id)
+       |SELECT doc_id, cluster_id,
+       |  CASE WHEN substr(md5('graft-csplit:' || cluster_id), 1, 8)
+       |         < 'cccccccc' THEN 'train'
+       |       WHEN substr(md5('graft-csplit:' || cluster_id), 1, 8)
+       |         < 'e6666666' THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM wc ORDER BY doc_id""".stripMargin
 
   private val gramsCte =
     """garr AS (
@@ -1470,6 +1516,7 @@ object CurationQueries {
          |FROM r JOIN cut USING (source)
          |GROUP BY r.source ORDER BY r.source""".stripMargin
     },
+    "q129_cluster_split" -> clusterSplitOracle,
     "q119_substring_dup_remove" ->
       s"""WITH wa AS (
          |  SELECT doc_id, string_split_regex(text, '\\s+') AS w

@@ -390,6 +390,27 @@ class CurationQueriesSpec extends SparkSpec {
     assert(one == many)
   }
 
+  test("cluster split never puts a near-dup pair across a split boundary") {
+    val out = CurationQueries.clusterSplit(spark, sfDir)
+      .as[(Long, Long, String)].collect()
+    val splitOf = out.map(r => r._1 -> r._3).toMap
+    val clusterOf = out.map(r => r._1 -> r._2).toMap
+    val pairs = graft.operators.LLMQueries.minhashPairs(spark, sfDir)
+      .filter(org.apache.spark.sql.functions.col("jaccard") >=
+        CurationQueries.ClusterThreshold)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(clusterOf(a) == clusterOf(b))
+      assert(splitOf(a) == splitOf(b),
+        s"near-dups $a/$b straddle ${splitOf(a)}/${splitOf(b)}")
+    }
+    // every doc is assigned, singletons are their own cluster
+    assert(out.length == out.map(_._1).distinct.length)
+    assert(out.count(r => r._2 == r._1) > 0)
+    assert(out.map(_._3).toSet.subsetOf(Set("train", "val", "test")))
+  }
+
   test("quality calibration elects a per-source cutoff consistent with the scores") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)

@@ -43,7 +43,10 @@ object SparkEntry {
           ((s, dir) => graft.multimodal.Multimodal.audioNearDups(s, dir)),
         "q128_incremental_audio_fp" ->
           ((s, dir) =>
-            graft.multimodal.Multimodal.incrementalAudioNearDupsDaily(s, dir)))
+            graft.multimodal.Multimodal.incrementalAudioNearDupsDaily(s, dir)),
+        "q130_media_cluster_survivors" ->
+          ((s, dir) =>
+            graft.multimodal.Multimodal.mediaClusterSurvivors(s, dir)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -236,15 +236,21 @@ object Multimodal {
     * which the spec asserts. Text length is unchanged, so all metadata
     * carries over. */
   private[multimodal] def assetTable(spark: SparkSession,
-      dir: String): Dataset[MediaRow] = {
+      dir: String): Dataset[MediaRow] =
+    mediaTableOf(spark, assetDocs(spark, dir))
+
+  /** The q109 asset universe as a DOCUMENT frame (doc_id, text, lang,
+    * source, n_chars) — originals plus the first-byte-bumped re-encode
+    * variants. [[assetTable]] wraps it in media metadata; q130 scores
+    * caption quality straight off the text. */
+  private[graft] def assetDocs(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables(spark, dir, "documents")
     val variants = d.filter(col("doc_id") % 5 === 0)
       .select((col("doc_id") + VariantIdOffset).as("doc_id"),
         concat(expr("char(ascii(substring(text, 1, 1)) + 1)"),
           expr("substring(text, 2)")).as("text"),
         col("lang"), col("source"), col("n_chars"))
-    mediaTableOf(spark, d.select(variants.columns.map(col): _*)
-      .unionByName(variants))
+    d.select(variants.columns.map(col): _*).unionByName(variants)
   }
 
   /** Per-asset perceptual hashes, partition-wise (the decode step —
@@ -278,7 +284,13 @@ object Multimodal {
     * bit_count(xor) — no join-back. At 100 TB the standard exact-dedup
     * pre-pass (q60/q95 shape, here trivially phash-equality) bounds
     * identical-asset families before the quadratic stage. */
-  def mediaNearDups(spark: SparkSession, dir: String): DataFrame = {
+  def mediaNearDups(spark: SparkSession, dir: String): DataFrame =
+    mediaPairFrame(spark, dir).orderBy(col("doc_a"), col("doc_b"))
+
+  /** The q109 pair set WITHOUT the presentation sort — the edge input
+    * q130's cluster formation consumes (a global order would cost a
+    * range exchange the CC immediately re-shuffles away). */
+  private def mediaPairFrame(spark: SparkSession, dir: String): DataFrame = {
     val parts = spark.sessionState.conf.numShufflePartitions
     val bands = phashBands(assetHashes(spark, dir))
       .repartition(parts, col("band"), col("key"))
@@ -291,7 +303,33 @@ object Multimodal {
           .cast("long").as("hamming"))
       .filter(col("hamming") <= MediaHammingMax)
       .distinct()
-      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** q130: media-CLUSTER survivor election — the end of the media dedup
+    * pipeline, the way q88 ends the text pipeline: perceptual-hash pairs
+    * (q109) → connected components (q85's O(log n) large-star/small-star
+    * rounds — near-dup similarity is not transitive, so election must be
+    * per component) → one kept asset per cluster, electing the
+    * max-caption-quality member with min doc_id as the tie-break. This
+    * is the LAION-style move: a crop/re-encode family collapses to one
+    * asset, and the surviving row keeps the best associated text — on
+    * the equal-quality families the variants create, the ORIGINAL wins
+    * by tie-break, exactly what a curation pass wants.
+    *
+    * Scale shape: everything downstream of the (already-banded) pair
+    * query is the q85/q88 machinery — key-partitioned joins and
+    * partial-aggregating groupBys over (id, label) longs; election is
+    * ONE `max(struct)` aggregate per cluster, never a cluster-keyed
+    * window (a mega-cluster of re-encodes map-side-combines instead of
+    * single-reducing). */
+  def mediaClusterSurvivors(spark: SparkSession, dir: String): DataFrame = {
+    val (clusters, _) = graft.operators.CurationQueries
+      .connectedComponentsStar(
+        mediaPairFrame(spark, dir).select(col("doc_a"), col("doc_b")))
+    val scored = assetDocs(spark, dir)
+      .select(col("doc_id"),
+        graft.operators.LLMQueries.qualityExpr.as("quality"))
+    graft.operators.CurationQueries.electSurvivors(clusters, scored)
   }
 
   /** Hashes of the full q109 asset universe, CPU spread before decode. */
@@ -628,8 +666,8 @@ object Multimodal {
     * pigeonhole-exact at MediaHammingMax < NumBands, so engine == scan
     * provably, and the incremental flow == the scan restricted to pairs
     * touching a batch asset. */
-  private def mediaPhashPairsSql(restrict: String): String =
-    s"""WITH t AS (
+  private def mediaHashCtes: String =
+    s"""t AS (
        |  SELECT doc_id, text FROM documents
        |  UNION ALL
        |  SELECT doc_id + $VariantIdOffset,
@@ -653,13 +691,55 @@ object Multimodal {
        |    b -> CASE WHEN ws[b + 1] * wc[b + 2] > ws[b + 2] * wc[b + 1]
        |              THEN (CAST(1 AS BIGINT) << b)
        |              ELSE CAST(0 AS BIGINT) END)), 0) AS BIGINT) AS phash
-       |  FROM w)
+       |  FROM w)""".stripMargin
+
+  private def mediaPhashPairsSql(restrict: String): String =
+    s"""WITH $mediaHashCtes
        |SELECT doc_a, doc_b, hamming FROM (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |    CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
        |  FROM h a, h b WHERE a.doc_id < b.doc_id)
        |WHERE hamming <= $MediaHammingMax
        |$restrict ORDER BY doc_a, doc_b""".stripMargin
+
+  /** q130 oracle: the q109 hash CTEs, the q77/q88 recursive transitive
+    * closure over the Hamming-pair graph, caption quality recomputed
+    * over the asset universe's text (variants included), q88's
+    * row_number election. */
+  private def mediaClusterSurvivorsSql: String =
+    s"""WITH RECURSIVE $mediaHashCtes,
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM h a, h b WHERE a.doc_id < b.doc_id
+       |    AND bit_count(xor(a.phash, b.phash)) <= $MediaHammingMax),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+       |comp AS (
+       |  SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+       |  FROM reach GROUP BY src),
+       |labels AS (
+       |  SELECT doc_id, cluster_id,
+       |    count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+       |  FROM comp),
+       |quality AS (
+       |  SELECT doc_id,
+       |    round(least(1.0, CAST(len(w) AS DOUBLE) / 120.0) *
+       |          (CAST(len(list_distinct(w)) AS DOUBLE) / len(w)), 6)
+       |      AS quality
+       |  FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS w
+       |        FROM t)),
+       |ranked AS (
+       |  SELECT cluster_id, doc_id, quality, cluster_size,
+       |    row_number() OVER (PARTITION BY cluster_id
+       |      ORDER BY quality DESC, doc_id) AS rn
+       |  FROM labels JOIN quality USING (doc_id))
+       |SELECT cluster_id, doc_id AS kept_id, quality, cluster_size
+       |FROM ranked WHERE rn = 1 ORDER BY kept_id""".stripMargin
 
   /** q118 oracle: recompute the frame slices and per-frame window dHash
     * from the ASCII text (frame k = [[FrameLen]] chars at offset
@@ -782,6 +862,7 @@ object Multimodal {
 
   val oracle: Map[String, String] = Map(
     "q109_media_phash_dups" -> mediaPhashPairsSql(""),
+    "q130_media_cluster_survivors" -> mediaClusterSurvivorsSql,
     "q118_frame_near_dups" -> frameNearDupsSql,
     "q126_audio_fp_dups" -> audioNearDupsSql,
     "q128_incremental_audio_fp" -> audioNearDupsSqlOf(

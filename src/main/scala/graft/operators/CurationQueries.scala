@@ -591,7 +591,7 @@ object CurationQueries {
     * mega-cluster map-side-combines under the aggregate where a window
     * would single-reduce every member (see [[withClusterSizes]]).
     * cluster_size rides along via `max` — it is constant per cluster. */
-  private[operators] def electSurvivors(clusters: DataFrame,
+  private[graft] def electSurvivors(clusters: DataFrame,
       scored: DataFrame): DataFrame =
     clusters.join(scored, "doc_id")
       .groupBy(col("cluster_id"))
@@ -1141,6 +1141,100 @@ object CurationQueries {
   def dsirImportance(spark: SparkSession, dir: String): DataFrame =
     dsirImportanceDocs(docs(spark, dir))
 
+  /** Training shards in the epoch manifest (L39/q131): 8, so a shard is
+    * two leading hex digits' worth of key space (16 / 8). Production
+    * sets this to its writer parallelism; correctness is shard-count
+    * independent (the oracle recomputes the same ranges). */
+  val EpochShards = 8L
+
+  /** Hex digits of the shuffle key naming a position BLOCK — blocks
+    * subdivide a shard's hash range so local ranks are computable per
+    * block and the rank window's key cardinality is 16^w, never
+    * |shards|. Production sizes w so one block ≈ one task's rows
+    * (w = 6 → 16.7M blocks); 2 keeps blocks multi-document at sf0.001
+    * so the offset arithmetic is genuinely exercised. */
+  val EpochBlockHexDigits = 2
+
+  /** L39/q131: training-shard MANIFEST — the serialization step between
+    * a curated corpus and a training run: a deterministic seeded epoch
+    * shuffle (every run and every resume sees the same order) plus
+    * shard assignment, emitting (doc_id, shard_id, pos) — which shard
+    * file a document lands in and at which position. The "shuffle" is
+    * ordering by a salted md5 of the doc id (q75's determinism rule:
+    * stable under reruns, repartitions and appends-to-other-shards);
+    * shards are HASH-RANGE slices of the key space, so shard file
+    * boundaries are reproducible from the key alone.
+    *
+    * Scale shape: the corpus-facing rank window is keyed by (shard,
+    * block) where block = the key's [[EpochBlockHexDigits]]-hex prefix
+    * — a prefix of the sort key, so per-block ranks + block offsets
+    * compose to the exact in-shard position without EVER ranking a
+    * whole shard in one reducer (the q76/q107 two-level lesson applied
+    * to global ordering). Block offsets come from a bounded
+    * (shard, block) size table — ≤ 16^w rows regardless of corpus
+    * size. The oracle IS the direct one-window-per-shard rank. */
+  def shardManifestDocs(docsDf: DataFrame): DataFrame = {
+    val keyed = docsDf
+      .select(col("doc_id"),
+        md5(concat(lit("graft-epoch0:"), col("doc_id").cast("string")))
+          .as("h"))
+      .withColumn("shard_id",
+        expr(s"(instr('0123456789abcdef', substring(h, 1, 1)) - 1)" +
+          s" div ${16 / EpochShards}"))
+      .withColumn("block", substring(col("h"), 1, EpochBlockHexDigits))
+    val local = Window.partitionBy(col("shard_id"), col("block"))
+      .orderBy(col("h"), col("doc_id"))
+    val ranked = keyed.withColumn("lrk", row_number().over(local))
+    val sizes = keyed.groupBy(col("shard_id"), col("block"))
+      .agg(count(lit(1)).as("cnt"))
+    // the offsets window runs over the BOUNDED block-size table, not
+    // the corpus (16^w rows max — same class as q76's shard table)
+    val off = Window.partitionBy(col("shard_id")).orderBy(col("block"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = sizes
+      .withColumn("off", coalesce(sum(col("cnt")).over(off), lit(0L)))
+      .select(col("shard_id"), col("block"), col("off"))
+    ranked.join(offsets, Seq("shard_id", "block"))
+      .select(col("doc_id"), col("shard_id").cast("long").as("shard_id"),
+        (col("off") + col("lrk") - 1).cast("long").as("pos"))
+      .orderBy(col("shard_id"), col("pos"))
+  }
+
+  def shardManifest(spark: SparkSession, dir: String): DataFrame =
+    shardManifestDocs(docs(spark, dir))
+
+  /** L40/q132: snapshot DIFF — the corpus-versioning delta between two
+    * snapshot versions (what changed since the last training refresh):
+    * every doc id is classified added / removed / changed / unchanged
+    * by comparing content hashes across versions. The two snapshots
+    * are derived fixtures (the q79 seeding pattern — the testdata ships
+    * one version): old = docs with id % 11 ≠ 0, with ids % 13 = 0
+    * carrying a prior text revision; new = docs with id % 17 ≠ 0.
+    *
+    * Scale shape: each side reduces to (doc_id, 32-hex md5) AT THE
+    * SCAN — text bytes never shuffle — and the diff is one full-outer
+    * hash join on doc_id. At 100 TB both sides are slim key/hash
+    * tables; AQE handles the skewless equi-join. */
+  def snapshotDiffDocs(docsDf: DataFrame): DataFrame = {
+    val oldSnap = docsDf.filter(col("doc_id") % 11 =!= 0)
+      .select(col("doc_id"),
+        md5(when(col("doc_id") % 13 === 0, concat(col("text"), lit(" v0")))
+          .otherwise(col("text"))).as("old_hash"))
+    val newSnap = docsDf.filter(col("doc_id") % 17 =!= 0)
+      .select(col("doc_id"), md5(col("text")).as("new_hash"))
+    oldSnap.join(newSnap, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("old_hash").isNull, "added")
+          .when(col("new_hash").isNull, "removed")
+          .when(col("old_hash") =!= col("new_hash"), "changed")
+          .otherwise("unchanged").as("status"),
+        col("old_hash"), col("new_hash"))
+      .orderBy(col("doc_id"))
+  }
+
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame =
+    snapshotDiffDocs(docs(spark, dir))
+
   val queries: ListMap[String, graft.Q] = ListMap(
     "q74_decontaminate" -> (decontaminate _),
     "q75_hash_split" -> (hashSplit _),
@@ -1162,7 +1256,9 @@ object CurationQueries {
     "q119_substring_dup_remove" -> (substringDupRemove _),
     "q120_boilerplate_remove" -> (boilerplateRemove _),
     "q122_quality_calibration" -> (qualityCalibration _),
-    "q129_cluster_split" -> (clusterSplit _))
+    "q129_cluster_split" -> (clusterSplit _),
+    "q131_shard_manifest" -> (shardManifest _),
+    "q132_snapshot_diff" -> (snapshotDiff _))
 
   // ---- oracle SQL -----------------------------------------------------
 
@@ -1517,6 +1613,35 @@ object CurationQueries {
          |GROUP BY r.source ORDER BY r.source""".stripMargin
     },
     "q129_cluster_split" -> clusterSplitOracle,
+    "q131_shard_manifest" ->
+      s"""WITH k AS (
+         |  SELECT doc_id, md5('graft-epoch0:' || doc_id) AS h
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST((strpos('0123456789abcdef', substr(h, 1, 1)) - 1)
+         |    // ${16 / EpochShards} AS BIGINT) AS shard_id,
+         |  CAST(row_number() OVER (
+         |    PARTITION BY (strpos('0123456789abcdef', substr(h, 1, 1)) - 1)
+         |      // ${16 / EpochShards}
+         |    ORDER BY h, doc_id) - 1 AS BIGINT) AS pos
+         |FROM k ORDER BY shard_id, pos""".stripMargin,
+    "q132_snapshot_diff" ->
+      """WITH olds AS (
+        |  SELECT doc_id,
+        |    md5(CASE WHEN doc_id % 13 = 0 THEN text || ' v0'
+        |             ELSE text END) AS old_hash
+        |  FROM documents WHERE doc_id % 11 <> 0),
+        |news AS (
+        |  SELECT doc_id, md5(text) AS new_hash
+        |  FROM documents WHERE doc_id % 17 <> 0)
+        |SELECT doc_id,
+        |  CASE WHEN old_hash IS NULL THEN 'added'
+        |       WHEN new_hash IS NULL THEN 'removed'
+        |       WHEN old_hash <> new_hash THEN 'changed'
+        |       ELSE 'unchanged' END AS status,
+        |  old_hash, new_hash
+        |FROM olds FULL OUTER JOIN news USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "q119_substring_dup_remove" ->
       s"""WITH wa AS (
          |  SELECT doc_id, string_split_regex(text, '\\s+') AS w

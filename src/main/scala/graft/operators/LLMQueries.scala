@@ -802,7 +802,7 @@ object LLMQueries {
 
   /** q61's composite quality score as a per-row expression (same
     * lambda-bind idiom). */
-  private[operators] val qualityExpr = expr(
+  private[graft] val qualityExpr = expr(
     "round(transform(array(split(text, '\\\\s+'))," +
       " w -> least(1.0d, size(w) / 120.0d)" +
       " * (size(array_distinct(w)) / cast(size(w) as double)))[0], 6)")

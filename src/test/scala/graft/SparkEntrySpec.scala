@@ -15,7 +15,7 @@ class SparkEntrySpec extends SparkSpec {
     FunctionQueries.queries.size, LLMQueries.queries.size,
     CurationQueries.queries.size,
     VectorQueries.queries.size, EventQueries.queries.size,
-    6) // q72 + q109/q111 phash + q118 frames + q126/q128 audio
+    7) // q72 + q109/q111/q130 phash + q118 frames + q126/q128 audio
 
   test("no query name collides across modules") {
     assert(SparkEntry.queries.size == moduleSizes.sum,

@@ -203,4 +203,43 @@ class MultimodalSpec extends SparkSpec {
     assert(inc == full.filter(p => p._1 % 10 == 0 || p._2 % 10 == 0))
     assert(inc.nonEmpty) // the mod-30 variant offset keeps batch pairs alive
   }
+
+  test("media cluster survivors elect max quality, min id per component") {
+    import org.apache.spark.sql.functions.col
+    val pairs = Multimodal.mediaNearDups(spark, sfDir)
+      .select(col("doc_a"), col("doc_b")).as[(Long, Long)].collect()
+    // driver union-find over the proven-exact pair set
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val members = parent.keys.toSeq.groupBy(find)
+    // quality per asset evaluated by the SAME expression the engine uses
+    val quality = Multimodal.assetDocs(spark, sfDir)
+      .select(col("doc_id"),
+        graft.operators.LLMQueries.qualityExpr.as("q"))
+      .as[(Long, Double)].collect().toMap
+    val expected = members.values.map { ms =>
+      val (q, kept) = ms.map(m => (quality(m), m))
+        .minBy { case (q, id) => (-q, id) }
+      (ms.min, kept, q, ms.size.toLong)
+    }.toSet
+    val got = Multimodal.mediaClusterSurvivors(spark, sfDir)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(got == expected)
+    assert(got.nonEmpty)
+    // on the variant families (equal word multiset up to one first-char
+    // bump) the original must win its variant by the doc_id tie-break
+    // whenever qualities tie
+    members.values.filter(_.size == 2).foreach { ms =>
+      val (a, b) = (ms.min, ms.max)
+      if (b - a == 1000000000L && quality(a) == quality(b))
+        assert(got.exists(s => s._1 == a && s._2 == a))
+    }
+  }
 }

@@ -641,4 +641,49 @@ class CurationQueriesSpec extends SparkSpec {
       assert(rows.map(_.getLong(2)).sorted == (1L to rows.length).toSeq)
     }
   }
+
+  test("shard manifest: two-level positions equal the direct per-shard rank") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val d = graft.Tables(spark, sfDir, "documents")
+    val got = CurationQueries.shardManifestDocs(d)
+      .as[(Long, Long, Long)].collect().toSet
+    val direct = d
+      .select(col("doc_id"),
+        md5(concat(lit("graft-epoch0:"), col("doc_id").cast("string")))
+          .as("h"))
+      .withColumn("shard_id",
+        expr("(instr('0123456789abcdef', substring(h, 1, 1)) - 1) div 2")
+          .cast("long"))
+      .withColumn("pos",
+        (row_number().over(Window.partitionBy(col("shard_id"))
+          .orderBy(col("h"), col("doc_id"))) - 1).cast("long"))
+      .select(col("doc_id"), col("shard_id"), col("pos"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == direct)
+    // positions are dense 0..n-1 within every shard, all 8 shards live
+    val byShard = got.groupBy(_._2)
+    assert(byShard.keySet == (0L to 7L).toSet)
+    byShard.values.foreach { ms =>
+      assert(ms.map(_._3).toSeq.sorted == (0L until ms.size).toSeq)
+    }
+  }
+
+  test("shard manifest is deterministic and partition-independent") {
+    val d = graft.Tables(spark, sfDir, "documents")
+    val a = CurationQueries.shardManifestDocs(d).collect().toSeq
+    val b = CurationQueries.shardManifestDocs(d.repartition(7)).collect().toSeq
+    assert(a == b)
+  }
+
+  test("snapshot diff classifies added/removed/changed/unchanged") {
+    // 1: both, same text; 13: both, old carries the ' v0' revision;
+    // 11: new-only; 17: old-only; 0: in neither snapshot (absent)
+    val df = Seq((1L, "a", "en"), (13L, "b", "en"), (11L, "c", "en"),
+      (17L, "d", "en"), (0L, "e", "en")).toDF("doc_id", "text", "lang")
+    val got = CurationQueries.snapshotDiffDocs(df)
+      .select("doc_id", "status").as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "unchanged", 13L -> "changed",
+      11L -> "added", 17L -> "removed"))
+  }
 }

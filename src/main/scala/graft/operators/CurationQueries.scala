@@ -1203,6 +1203,42 @@ object CurationQueries {
   def shardManifest(spark: SparkSession, dir: String): DataFrame =
     shardManifestDocs(docs(spark, dir))
 
+  /** L41/q133: CCNet-style perplexity BUCKETING — the published CCNet
+    * move downstream of the q92 scorer: within each language, docs are
+    * split into head / middle / tail terciles of LM score (head =
+    * lowest NLL = most reference-like), and training mixes sample the
+    * buckets at different rates instead of hard-filtering at one
+    * threshold (q92's flag). Per-language terciles matter for the same
+    * reason as q122's per-source cutoffs: a single global boundary
+    * over-prunes whole languages.
+    *
+    * Determinism: scores are q92's exact integer micro-nats; the two
+    * cutoffs are interpolated percentiles rounded to 6 dp before any
+    * comparison (the q122 rule — Spark `percentile` and DuckDB
+    * `quantile_cont` share the (n-1)·p interpolation). Scale shape:
+    * the exact percentile buffers one language's scores per group —
+    * swap in `percentile_approx` (q86) at 100 TB; the cutoff table is
+    * |languages| rows and broadcasts back for bucket assignment. */
+  def nllBucketsDocs(docsDf: DataFrame): DataFrame = {
+    val scored = lmFluencyDocs(docsDf)
+      .select(col("doc_id"), col("avg_nll_micro"))
+    val wl = scored.join(docsDf.select(col("doc_id"), col("lang")), "doc_id")
+    val cuts = wl.groupBy(col("lang")).agg(
+      round(expr("percentile(avg_nll_micro, cast(1 as double)/3)"), 6)
+        .as("c1"),
+      round(expr("percentile(avg_nll_micro, cast(2 as double)/3)"), 6)
+        .as("c2"))
+    wl.join(broadcast(cuts), Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("avg_nll_micro"),
+        when(col("avg_nll_micro") <= col("c1"), "head")
+          .when(col("avg_nll_micro") <= col("c2"), "middle")
+          .otherwise("tail").as("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
+  def nllBuckets(spark: SparkSession, dir: String): DataFrame =
+    nllBucketsDocs(docs(spark, dir))
+
   /** L40/q132: snapshot DIFF — the corpus-versioning delta between two
     * snapshot versions (what changed since the last training refresh):
     * every doc id is classified added / removed / changed / unchanged
@@ -1258,7 +1294,8 @@ object CurationQueries {
     "q122_quality_calibration" -> (qualityCalibration _),
     "q129_cluster_split" -> (clusterSplit _),
     "q131_shard_manifest" -> (shardManifest _),
-    "q132_snapshot_diff" -> (snapshotDiff _))
+    "q132_snapshot_diff" -> (snapshotDiff _),
+    "q133_nll_buckets" -> (nllBuckets _))
 
   // ---- oracle SQL -----------------------------------------------------
 
@@ -1786,5 +1823,24 @@ object CurationQueries {
          |  UNION ALL SELECT 6, 'quality_classifier',
          |    (SELECT count(*) FROM s6)
          |) ORDER BY stage""".stripMargin
+  } + {
+    // q133 NESTS the q92 oracle (the q115 composition pattern) so the
+    // bucketing and the scorer cannot drift apart
+    "q133_nll_buckets" ->
+      s"""WITH wl AS (
+         |  SELECT s.doc_id, d.lang, s.avg_nll_micro
+         |  FROM (SELECT doc_id, avg_nll_micro FROM (
+         |${oracleMain("q92_lm_fluency")})) s
+         |  JOIN documents d USING (doc_id)),
+         |cuts AS (
+         |  SELECT lang,
+         |    round(quantile_cont(avg_nll_micro, 1.0/3), 6) AS c1,
+         |    round(quantile_cont(avg_nll_micro, 2.0/3), 6) AS c2
+         |  FROM wl GROUP BY lang)
+         |SELECT doc_id, lang, avg_nll_micro,
+         |  CASE WHEN avg_nll_micro <= c1 THEN 'head'
+         |       WHEN avg_nll_micro <= c2 THEN 'middle'
+         |       ELSE 'tail' END AS bucket
+         |FROM wl JOIN cuts USING (lang) ORDER BY doc_id""".stripMargin
   }
 }

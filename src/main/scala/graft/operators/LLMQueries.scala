@@ -744,6 +744,36 @@ object LLMQueries {
   private[operators] def bpeTokenizeOf(d: DataFrame, rounds: Int): DataFrame =
     tokenizeWithVocab(bpeVocabOf(d, rounds), d)
 
+  /** L20d/q134: tokenizer FERTILITY by language — the per-release
+    * evaluation every multilingual tokenizer gets: tokens-per-word
+    * (fertility) and chars-per-token under the trained vocabulary,
+    * aggregated per language. A language with outlier fertility is
+    * under-served by the merge table (its words shatter into chars),
+    * which silently taxes its effective context window and its share
+    * of a token-denominated training budget — the number a mixture
+    * designer reads next to q90/q133.
+    *
+    * Scale shape: q113's tokenize (merges run over the VOCABULARY, the
+    * corpus-sized work is one explode + broadcast join + doc_id sum)
+    * followed by one |languages|-row aggregate; ratios are exact
+    * integer micro-units (non-negative, so Spark `div` == DuckDB
+    * `//`). */
+  def tokenizerFertility(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    bpeTokenizeOf(d, BpeMergeRounds)
+      .join(d.select(col("doc_id"), col("lang"), col("n_chars")), "doc_id")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_words"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"))
+      .withColumn("fertility_micro",
+        expr("n_tokens * 1000000L div n_words"))
+      .withColumn("chars_per_token_micro",
+        expr("n_chars * 1000000L div n_tokens"))
+      .orderBy(col("lang"))
+  }
+
   /** Chunk window and stride (words) for q123; stride < window, so
     * consecutive chunks overlap by ChunkTokens − ChunkStride words — the
     * standard RAG/embedding chunker contract (boundary-straddling
@@ -915,6 +945,7 @@ object LLMQueries {
     "q94_bpe_pairs" -> (bpePairCounts _),
     "q108_bpe_merge_loop" -> (bpeMergeLoop _),
     "q113_bpe_tokenize" -> (bpeTokenize _),
+    "q134_tokenizer_fertility" -> (tokenizerFertility _),
     "q123_chunk_docs" -> (chunkDocs _),
     "q64_minhash_pairs" -> (minhashPairs _),
     "q125_minhash_recall" -> (minhashRecall _),
@@ -1037,6 +1068,20 @@ object LLMQueries {
       |          string_split_regex(text, '\s+') AS w FROM documents))
       |""".stripMargin
 
+  /** q113's oracle SQL, shared with the q134 fertility composition. */
+  private def bpeTokenizeSql: String =
+    s"""WITH ${bpeCtes(BpeMergeRounds)},
+       |tok AS (SELECT t, CAST(len(s) AS BIGINT) AS n_tok
+       |        FROM v$BpeMergeRounds),
+       |words AS (
+       |  SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS t
+       |  FROM documents),
+       |ws AS (SELECT doc_id, t FROM words WHERE length(t) >= 1)
+       |SELECT doc_id, count(*) AS n_words,
+       |  CAST(sum(coalesce(n_tok, 1)) AS BIGINT) AS n_tokens
+       |FROM ws LEFT JOIN tok USING (t)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q60_exact_dedup" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
@@ -1130,18 +1175,24 @@ object LLMQueries {
     // q113: per-doc token counts under the TRAINED vocabulary — the
     // final merged vocab v{N} joined back to the corpus word stream;
     // sub-2-char words are single tokens (never in the vocab → coalesce)
-    "q113_bpe_tokenize" ->
-      s"""WITH ${bpeCtes(BpeMergeRounds)},
-         |tok AS (SELECT t, CAST(len(s) AS BIGINT) AS n_tok
-         |        FROM v$BpeMergeRounds),
-         |words AS (
-         |  SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS t
-         |  FROM documents),
-         |ws AS (SELECT doc_id, t FROM words WHERE length(t) >= 1)
-         |SELECT doc_id, count(*) AS n_words,
-         |  CAST(sum(coalesce(n_tok, 1)) AS BIGINT) AS n_tokens
-         |FROM ws LEFT JOIN tok USING (t)
-         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q113_bpe_tokenize" -> bpeTokenizeSql,
+    // q134 NESTS the q113 oracle (the q115/q110 composition pattern) so
+    // fertility and the tokenizer cannot drift apart
+    "q134_tokenizer_fertility" ->
+      s"""WITH pd AS (SELECT doc_id, n_words, n_tokens FROM (
+         |$bpeTokenizeSql)),
+         |j AS (
+         |  SELECT pd.doc_id, pd.n_words, pd.n_tokens, d.lang, d.n_chars
+         |  FROM pd JOIN documents d USING (doc_id))
+         |SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(n_words) AS BIGINT) AS n_words,
+         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+         |  CAST(sum(n_tokens) * 1000000 // sum(n_words) AS BIGINT)
+         |    AS fertility_micro,
+         |  CAST(sum(n_chars) * 1000000 // sum(n_tokens) AS BIGINT)
+         |    AS chars_per_token_micro
+         |FROM j GROUP BY lang ORDER BY lang""".stripMargin,
     // q123: same ceil-covering chunk-count arithmetic, DuckDB list_slice
     // is end-inclusive where Spark slice takes a length
     "q123_chunk_docs" ->

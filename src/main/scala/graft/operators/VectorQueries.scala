@@ -61,6 +61,38 @@ object VectorQueries {
   def topkCosine(spark: SparkSession, dir: String): DataFrame =
     topkCosineOf(vecs(spark, dir))
 
+  /** Hard negatives returned per query (L42/q135). */
+  val HardNegK = 5
+
+  /** L42/q135: HARD-NEGATIVE mining — the contrastive-training step
+    * downstream of embedding generation: for every query vector, the
+    * most-similar vectors carrying a DIFFERENT label. Random negatives
+    * are trivially separable and carry no gradient; the negatives that
+    * teach an embedding model are exactly the near-misses (close in
+    * vector space, semantically distinct) this query surfaces — paired
+    * with in-class positives they form the training triples.
+    *
+    * Scale shape: q67's broadcast-queries single scan with one extra
+    * label predicate — no self-join, no new shuffle class; at serving
+    * scale the scan swaps for any of the ANN tiers (q69/q106/q117)
+    * with the same label filter applied post-candidate. */
+  def hardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir)
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("label").as("qlabel"))
+    val scored = e.join(broadcast(q),
+        col("vec_id") =!= col("qid") && col("label") =!= col("qlabel"))
+      .withColumn("cos", round(cosineSim(col("v"), col("qv")), 6))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= HardNegK)
+      .select(col("qid"), col("rk").cast("long").as("rk"),
+        col("vec_id").as("nid"), col("label").as("neg_label"), col("cos"))
+      .orderBy(col("qid"), col("rk"))
+  }
+
   private[operators] def topkCosineOf(e: DataFrame): DataFrame = {
     val q = e.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("qid"), col("v").as("qv"))
@@ -1222,7 +1254,8 @@ object VectorQueries {
     "q112_ivf_sq8_topk" -> (ivfSq8TopkCosine _),
     "q117_pq_topk" -> (pqTopkCosine _),
     "q121_rp_topk" -> (rpTopkCosine _),
-    "q124_mmr_topk" -> (mmrTopk _))
+    "q124_mmr_topk" -> (mmrTopk _),
+    "q135_hard_negatives" -> (hardNegatives _))
 
   /** Oracle-side mirror of the Spark assignment ordering: the SAME
     * quantity `round(l2Sq, 6)` — squared L2 summed left-to-right over the
@@ -1324,6 +1357,20 @@ object VectorQueries {
          |    (PARTITION BY qid ORDER BY cos DESC, nid) AS rk
          |  FROM scored)
          |WHERE rk <= $TopK ORDER BY qid, rk""".stripMargin,
+    "q135_hard_negatives" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+         |           FROM embeddings),
+         |q AS (SELECT vec_id AS qid, label AS qlabel, v AS qv
+         |      FROM e WHERE vec_id < $NumQueries),
+         |scored AS (
+         |  SELECT qid, e.vec_id AS nid, e.label AS neg_label,
+         |    round(list_cosine_similarity(e.v, q.qv), 6) AS cos
+         |  FROM e, q WHERE e.vec_id <> q.qid AND e.label <> q.qlabel)
+         |SELECT qid, rk, nid, neg_label, cos FROM (
+         |  SELECT *, row_number() OVER
+         |    (PARTITION BY qid ORDER BY cos DESC, nid) AS rk
+         |  FROM scored)
+         |WHERE rk <= $HardNegK ORDER BY qid, rk""".stripMargin,
     "q68_centroid_classify" -> (s"WITH $centroidCte" +
       """SELECT label, pred_label, count(*) AS n
         |FROM assigned GROUP BY label, pred_label

@@ -16,6 +16,7 @@ class SparkEntrySpec extends SparkSpec {
     CurationQueries.queries.size,
     VectorQueries.queries.size, EventQueries.queries.size,
     7) // q72 + q109/q111/q130 phash + q118 frames + q126/q128 audio
+  // (q133-q135 live inside Curation/LLM/Vector module maps)
 
   test("no query name collides across modules") {
     assert(SparkEntry.queries.size == moduleSizes.sum,

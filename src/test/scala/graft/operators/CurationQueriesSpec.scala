@@ -676,6 +676,29 @@ class CurationQueriesSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("nll buckets: per-language terciles are ordered and cover the scored docs") {
+    import org.apache.spark.sql.functions.col
+    val got = CurationQueries.nllBuckets(spark, sfDir)
+      .as[(Long, String, Long, String)].collect()
+    val scored = CurationQueries.lmFluency(spark, sfDir)
+      .select(col("doc_id")).as[Long].collect().toSet
+    // exactly the q92-scored docs are bucketed
+    assert(got.map(_._1).toSet == scored)
+    got.groupBy(_._2).foreach { case (lang, ds) =>
+      val byBucket = ds.groupBy(_._4).view.mapValues(_.map(_._3)).toMap
+      assert(byBucket.keySet == Set("head", "middle", "tail"),
+        s"$lang missing a tercile: ${byBucket.keySet}")
+      // thresholding a monotone score: head ≤ middle ≤ tail, and equal
+      // scores can never straddle a bucket boundary
+      assert(byBucket("head").max <= byBucket("middle").min)
+      assert(byBucket("middle").max <= byBucket("tail").min)
+      assert(byBucket("head").toSet.intersect(byBucket("middle").toSet).isEmpty)
+      assert(byBucket("middle").toSet.intersect(byBucket("tail").toSet).isEmpty)
+      // terciles: no bucket dominates (≤ ~half even with integer ties)
+      assert(byBucket.values.forall(_.size <= ds.size / 2 + 1))
+    }
+  }
+
   test("snapshot diff classifies added/removed/changed/unchanged") {
     // 1: both, same text; 13: both, old carries the ' v0' revision;
     // 11: new-only; 17: old-only; 0: in neither snapshot (absent)

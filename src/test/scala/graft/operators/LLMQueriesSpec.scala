@@ -355,4 +355,23 @@ class LLMQueriesSpec extends SparkSpec {
     // identical pair shares every band, so the banded leg must hit it
     assert(out.toSeq == Seq((10L, 1L, 1L, 1000000L)))
   }
+
+  test("tokenizer fertility aggregates the q113 per-doc counts by language") {
+    val perDoc = LLMQueries.bpeTokenize(spark, sfDir)
+      .as[(Long, Long, Long)].collect() // doc_id, n_words, n_tokens
+    val meta = graft.Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .as[(Long, String, Long)].collect()
+      .map(m => m._1 -> (m._2, m._3)).toMap
+    val expected = perDoc.groupBy(d => meta(d._1)._1).map { case (lang, ds) =>
+      val (w, t) = (ds.map(_._2).sum, ds.map(_._3).sum)
+      val c = ds.map(d => meta(d._1)._2).sum
+      (lang, ds.length.toLong, w, t, c, t * 1000000L / w, c * 1000000L / t)
+    }.toSet
+    val got = LLMQueries.tokenizerFertility(spark, sfDir)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == expected)
+    // every word is at least one token → fertility ≥ 1.0
+    assert(got.forall(_._6 >= 1000000L))
+  }
 }

@@ -571,4 +571,35 @@ class VectorQueriesSpec extends SparkSpec {
     val fromNative = xs.map(graft.functions.SignLshKeys.halfUp)
     assert(fromSpark.toSeq == fromNative)
   }
+
+  test("hard negatives = brute-force cross-label top-k per query") {
+    val all = graft.Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> cast(x AS double))"))
+      .as[(Long, Int, Array[Double])].collect()
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def r6(x: Double): Double = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = all.filter(_._1 < 10).flatMap { case (qid, ql, qv) =>
+      all.filter(c => c._1 != qid && c._2 != ql)
+        .map(c => (qid, c._1, c._2, r6(cos(c._3, qv))))
+        .sortBy { case (_, nid, _, c) => (-c, nid) }
+        .take(VectorQueries.HardNegK)
+        .zipWithIndex
+        .map { case ((q, nid, nl, c), i) => (q, i + 1L, nid, nl, c) }
+    }.toSet
+    val got = VectorQueries.hardNegatives(spark, sfDir)
+      .as[(Long, Long, Long, Int, Double)].collect().toSet
+    assert(got == expected)
+    // and none of them carries the query's own label
+    val labelOf = all.map(a => a._1 -> a._2).toMap
+    assert(got.forall { case (qid, _, nid, nl, _) =>
+      nl == labelOf(nid) && nl != labelOf(qid) })
+  }
 }

@@ -52,13 +52,20 @@ case class MinHashBandKeys(
   // empty shingle set → null result, so eval must see it (no nullSafeEval
   // shortcut semantics change; we just return null from the helper)
   override def nullSafeEval(input: Any): Any =
-    MinHashBandKeys.eval(input.asInstanceOf[ArrayData], numHashes, rowsPerBand)
+    MinHashBandKeys.kernel(
+      input.asInstanceOf[ArrayData], numHashes, rowsPerBand)
 
+  // the kernel must NOT be named `eval`: the class inherits
+  // Expression.eval, which suppresses the Scala static forwarder for a
+  // same-named companion method — Janino then resolves the call to the
+  // inherited instance method, the whole-stage compile fails, and every
+  // stage containing this expression silently falls back to the
+  // non-codegen path (observed as ERROR CodeGenerator on q64/q127)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, v => {
       s"""
          |${ev.value} = (org.apache.spark.sql.catalyst.util.GenericArrayData)
-         |  graft.functions.MinHashBandKeys.eval($v, $numHashes, $rowsPerBand);
+         |  graft.functions.MinHashBandKeys.kernel($v, $numHashes, $rowsPerBand);
          |${ev.isNull} = ${ev.value} == null;
        """.stripMargin
     })
@@ -81,7 +88,7 @@ object MinHashBandKeys {
     * and null ELEMENTS are skipped, matching the HOF formulation it
     * replaced (md5(concat('j:', null)) is null and array_min ignores
     * nulls), so an all-null set also returns null. */
-  def eval(v: ArrayData, numHashes: Int, rowsPerBand: Int): GenericArrayData = {
+  def kernel(v: ArrayData, numHashes: Int, rowsPerBand: Int): GenericArrayData = {
     val n = v.numElements()
     val digest = md5.get()
     // per-slot minima as unsigned longs of the digest's first 8 bytes

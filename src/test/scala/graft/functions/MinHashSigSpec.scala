@@ -85,4 +85,23 @@ class MinHashSigSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](
       nativeKeys(fixture, 100, 2).collect())
   }
+
+  test("generated-code kernels have the static forwarders Janino resolves") {
+    // every doGenCode that calls `graft.functions.X.method(...)` relies
+    // on the Scala static forwarder on class X. A forwarder is SUPPRESSED
+    // when the class inherits a member of the same name (Expression.eval
+    // did exactly this to MinHashBandKeys.kernel's old name) — the
+    // whole-stage compile then fails and the stage silently falls back
+    // to the non-codegen path. Pin the forwarders by reflection.
+    def hasStatic(cls: Class[_], name: String): Boolean =
+      cls.getMethods.exists(m => m.getName == name &&
+        java.lang.reflect.Modifier.isStatic(m.getModifiers))
+    assert(hasStatic(classOf[MinHashBandKeys], "kernel"),
+      "MinHashBandKeys.kernel lost its static forwarder")
+    assert(hasStatic(classOf[CompressionRatio], "ratio"),
+      "CompressionRatio.ratio lost its static forwarder")
+    assert(hasStatic(classOf[JsonTokenKind], "kindAt") &&
+      hasStatic(classOf[JsonTokenKind], "elementKindsAt"),
+      "JsonTokenKind kernels lost their static forwarders")
+  }
 }

@@ -240,6 +240,47 @@ object LLMQueries {
   def hashIndex(docsDf: DataFrame): DataFrame =
     docsDf.select(sha2(col("text"), 256).as("h")).distinct()
 
+  /** Variant-id offset for the q136 normalization fixture. */
+  private[operators] val NormVariantIdOffset = 2000000000L
+
+  /** C4-style text normalization for dedup keys: lowercase, strip
+    * non-alphanumerics to spaces, collapse runs, trim. Idempotent by
+    * construction (spec-asserted). */
+  private[graft] val normTextExpr = trim(
+    regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+
+  /** L1c/q136: NORMALIZED exact dedup — the C4/RefinedWeb move of
+    * hashing a normalized rendering (lowercase, punctuation stripped,
+    * whitespace collapsed) instead of raw bytes, so trivially-reformatted
+    * copies (capitalization, trailing punctuation, double spaces)
+    * collapse onto their original where q60's raw sha2 keeps them
+    * distinct. The shipped corpus is already lower+space-clean, so the
+    * variant copies that make normalization observable are seeded
+    * deterministically (the q79/q109 fixture pattern): ids % 9 = 0 get a
+    * leading-capital, trailing-"!!", double-spaced twin at id +
+    * [[NormVariantIdOffset]]. `n_raw_variants` counts distinct RAW
+    * hashes inside each normalized cluster — every seeded twin yields a
+    * cluster with n_raw_variants = 2, exactly the dups raw dedup misses.
+    *
+    * Scale shape: identical to q60 — normalization happens AT THE SCAN,
+    * the groupBy shuffles 32-hex keys + two counters, text never
+    * shuffles. */
+  def normalizedDedup(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val variants = d.filter(col("doc_id") % 9 === 0)
+      .select((col("doc_id") + NormVariantIdOffset).as("doc_id"),
+        concat(upper(substring(col("text"), 1, 1)),
+          expr("substring(text, 2)"), lit("  !!")).as("text"))
+    d.select(col("doc_id"), col("text")).unionByName(variants)
+      .groupBy(md5(normTextExpr).as("nh"))
+      .agg(min(col("doc_id")).as("keep_id"),
+        count(lit(1)).as("n_copies"),
+        count_distinct(md5(col("text"))).as("n_raw_variants"))
+      .select(col("keep_id"), col("n_copies"), col("n_raw_variants"))
+      .orderBy(col("keep_id"))
+  }
+
   /** Incremental exact dedup: survivors of an incoming batch against a
     * persisted corpus hash index (sha2(text) keys — what [[exactDedup]]
     * materializes). Batch docs whose hash exists in the corpus are dups;
@@ -936,6 +977,7 @@ object LLMQueries {
 
   val queries: ListMap[String, graft.Q] = ListMap(
     "q60_exact_dedup" -> (exactDedup _),
+    "q136_normalized_dedup" -> (normalizedDedup _),
     "q71_dedup_keep_best" -> (dedupKeepBest _),
     "q73_langid_ngram" -> (langIdNgram _),
     "q61_text_stats" -> (textStats _),
@@ -1086,6 +1128,21 @@ object LLMQueries {
     "q60_exact_dedup" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY sha256(text) ORDER BY keep_id""".stripMargin,
+    "q136_normalized_dedup" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + $NormVariantIdOffset,
+         |    upper(substr(text, 1, 1)) || substr(text, 2) || '  !!'
+         |  FROM documents WHERE doc_id % 9 = 0),
+         |n AS (
+         |  SELECT doc_id, text,
+         |    trim(regexp_replace(regexp_replace(lower(text),
+         |      '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS nt
+         |  FROM t)
+         |SELECT min(doc_id) AS keep_id, count(*) AS n_copies,
+         |  CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_raw_variants
+         |FROM n GROUP BY md5(nt) ORDER BY keep_id""".stripMargin,
     // batch-internal winners whose hash the corpus has never seen
     "q97_incremental_exact_dedup" ->
       s"""SELECT min(doc_id) AS keep_id, count(*) AS n_copies

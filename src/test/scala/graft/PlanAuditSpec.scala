@@ -120,6 +120,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(nKeys > 5, s"expected >5 (lang, shard) window keys, got $nKeys")
   }
 
+  // q131's corpus-facing rank must be the (shard_id, block) local
+  // window — a shard_id-only rank funnels whole shards (corpus/8 rows)
+  // through single reducers; the block key's cardinality is 16^w. The
+  // only shard_id-only window allowed is the offsets pass over the
+  // BOUNDED block-size table.
+  test("q131: manifest rank window is block-keyed, not whole-shard") {
+    val plan = SparkEntry.queries("q131_shard_manifest")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val windows = plan.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(windows.size == 2, s"expected 2 windows, got:\n${windows.mkString("\n")}")
+    assert(windows.exists(w => w.contains("block") && w.contains("row_number")),
+      "q131's rank window is not (shard, block)-keyed")
+  }
+
   for ((name, fn) <- SparkEntry.queries) {
     test(s"$name: no cartesian product, no unpartitioned window") {
       val plan = fn(spark, sfDir).queryExecution.executedPlan.toString

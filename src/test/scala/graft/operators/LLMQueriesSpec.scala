@@ -356,6 +356,22 @@ class LLMQueriesSpec extends SparkSpec {
     assert(out.toSeq == Seq((10L, 1L, 1L, 1000000L)))
   }
 
+  test("normalized dedup collapses case/punct twins raw dedup keeps apart") {
+    val rows = LLMQueries.normalizedDedup(spark, sfDir)
+      .as[(Long, Long, Long)].collect()
+    // every seeded twin produces a cluster holding >= 2 distinct RAW
+    // hashes — exactly the dups q60's raw key misses
+    val twinned = rows.filter(_._3 >= 2)
+    assert(twinned.nonEmpty)
+    assert(rows.forall(r => r._2 >= r._3)) // copies >= raw variants
+    // originals win their twins by min-id election
+    assert(twinned.forall(_._1 < LLMQueries.NormVariantIdOffset))
+    // normalization is idempotent: applying it to its own output is a no-op
+    val once = graft.Tables(spark, sfDir, "documents")
+      .select(LLMQueries.normTextExpr.as("text"))
+    assert(once.filter(LLMQueries.normTextExpr =!= col("text")).isEmpty)
+  }
+
   test("tokenizer fertility aggregates the q113 per-doc counts by language") {
     val perDoc = LLMQueries.bpeTokenize(spark, sfDir)
       .as[(Long, Long, Long)].collect() // doc_id, n_words, n_tokens

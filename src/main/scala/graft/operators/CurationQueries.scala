@@ -88,6 +88,47 @@ object CurationQueries {
   def decontaminate(spark: SparkSession, dir: String): DataFrame =
     decontaminateDocs(docs(spark, dir))
 
+  /** L8b/q137: CONTAMINATION REPORT — the audit mirror of q74. q74
+    * answers "which train docs must be dropped"; this answers the
+    * question an eval owner asks: per EVAL document, how many train
+    * docs share a 5-gram with it and what fraction of its own grams
+    * leak anywhere into the training side. An eval doc with a high hit
+    * ratio is compromised as a benchmark item even AFTER q74 drops the
+    * offending train docs (the next crawl re-introduces them);
+    * zero-overlap eval docs appear with zeros, so the report is
+    * complete over the eval set.
+    *
+    * Scale shape: the eval side is benchmark-sized → exploded grams
+    * BROADCAST (the q74 argument, reversed); the train side is the
+    * same flat explode feeding the broadcast hash join, and the rollup
+    * aggregates only matching rows. count_distinct over two columns is
+    * one Expand×2 of those matching rows — never corpus-sized. */
+  def contaminationReportDocs(docsDf: DataFrame): DataFrame = {
+    val evalDocs = docsDf.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id").as("eval_id"), gramsExpr.as("gs"))
+      .select(col("eval_id"), size(col("gs")).cast("long")
+        .as("n_eval_grams"), col("gs"))
+    val evalG = evalDocs
+      .select(col("eval_id"), explode(col("gs")).as("g"))
+    val trainG = docsDf.filter(col("doc_id") % 10 =!= 0)
+      .select(col("doc_id"), explode(gramsExpr).as("g"))
+    val hits = trainG.join(broadcast(evalG), Seq("g"))
+      .groupBy(col("eval_id"))
+      .agg(count_distinct(col("doc_id")).as("n_train_docs"),
+        count_distinct(col("g")).as("n_hit_grams"))
+    evalDocs.select(col("eval_id"), col("n_eval_grams"))
+      .join(hits, Seq("eval_id"), "left")
+      .select(col("eval_id"), col("n_eval_grams"),
+        coalesce(col("n_train_docs"), lit(0L)).as("n_train_docs"),
+        coalesce(col("n_hit_grams"), lit(0L)).as("n_hit_grams"),
+        round(coalesce(col("n_hit_grams"), lit(0L)).cast("double") /
+          col("n_eval_grams"), 6).as("hit_ratio"))
+      .orderBy(col("eval_id"))
+  }
+
+  def contaminationReport(spark: SparkSession, dir: String): DataFrame =
+    contaminationReportDocs(docs(spark, dir))
+
   /** Per-language sampling rates as 8-hex-digit md5-prefix thresholds
     * (rate ≈ threshold / 2^32): a doc is kept iff the first 8 hex chars
     * of md5("graft-sample:" <doc_id>) sort below its language's
@@ -304,7 +345,7 @@ object CurationQueries {
     * 12-bit hash weight in [-2048, 2047]: value of the first 3 hex
     * digits of md5('graft-w:' <token>), shifted. instr-on-hex-digit is
     * the portable hex→int (Spark conv() has no DuckDB twin). */
-  private def qualityScoredDocs(docsDf: DataFrame): DataFrame = {
+  private[graft] def qualityScoredDocs(docsDf: DataFrame): DataFrame = {
     def hexAt(i: Int) =
       s"(instr('0123456789abcdef', substring(h, $i, 1)) - 1)"
     val weightOf =
@@ -1295,7 +1336,8 @@ object CurationQueries {
     "q129_cluster_split" -> (clusterSplit _),
     "q131_shard_manifest" -> (shardManifest _),
     "q132_snapshot_diff" -> (snapshotDiff _),
-    "q133_nll_buckets" -> (nllBuckets _))
+    "q133_nll_buckets" -> (nllBuckets _),
+    "q137_contamination_report" -> (contaminationReport _))
 
   // ---- oracle SQL -----------------------------------------------------
 
@@ -1391,6 +1433,26 @@ object CurationQueries {
         |WHERE doc_id % 10 <> 0
         |GROUP BY doc_id, n_grams
         |ORDER BY doc_id""".stripMargin),
+    "q137_contamination_report" -> (s"WITH $gramsCte," +
+      """ev AS (SELECT doc_id AS eval_id, n_grams AS n_eval_grams, g
+        |       FROM grams WHERE doc_id % 10 = 0),
+        |tr AS (SELECT doc_id, g FROM grams WHERE doc_id % 10 <> 0),
+        |hits AS (
+        |  SELECT eval_id,
+        |    CAST(count(DISTINCT tr.doc_id) AS BIGINT) AS n_train_docs,
+        |    CAST(count(DISTINCT ev.g) AS BIGINT) AS n_hit_grams
+        |  FROM ev JOIN tr USING (g) GROUP BY eval_id),
+        |evdocs AS (
+        |  SELECT doc_id AS eval_id, CAST(len(gs) AS BIGINT)
+        |    AS n_eval_grams
+        |  FROM garr WHERE doc_id % 10 = 0)
+        |SELECT eval_id, n_eval_grams,
+        |  coalesce(n_train_docs, 0) AS n_train_docs,
+        |  coalesce(n_hit_grams, 0) AS n_hit_grams,
+        |  round(CAST(coalesce(n_hit_grams, 0) AS DOUBLE) / n_eval_grams,
+        |    6) AS hit_ratio
+        |FROM evdocs LEFT JOIN hits USING (eval_id)
+        |ORDER BY eval_id""".stripMargin),
     "q75_hash_split" -> {
       val rateCase = SampleRates.map { case (lang, hex) =>
         s"WHEN lang = '$lang' THEN '$hex'"

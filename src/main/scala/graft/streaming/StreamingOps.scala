@@ -294,6 +294,27 @@ object StreamingOps {
       .dropDuplicatesWithinWatermark(Seq("doc_id", "corpus_id"))
   }
 
+  case class SourcedDoc(doc_id: Long, ts: Timestamp, text: String,
+      lang: String, source: String)
+
+  /** L34 streaming: the per-source QUALITY GATE as a continuous stream —
+    * the production shape of q84 + q122: cutoffs are CALIBRATED by the
+    * nightly batch pass (q122's per-source percentile table, persisted
+    * like the bpe_vocab artifact — retraining thresholds per micro-batch
+    * would silently shift the gate), and arriving docs are scored by the
+    * SAME shared projection the batch classifier uses
+    * ([[graft.operators.CurationQueries.qualityScoredDocs]] — one
+    * definition, so batch and stream can never score differently), then
+    * gated through a stream-static join against the cutoff table.
+    * Completely stateless: scoring is per-row, the static side is probed
+    * per micro-batch, nothing accumulates. */
+  def streamingQualityGate(docs: Dataset[SourcedDoc],
+      cutoffs: DataFrame): DataFrame =
+    graft.operators.CurationQueries.qualityScoredDocs(docs.toDF())
+      .join(cutoffs, Seq("source"))
+      .select(col("doc_id"), col("source"), col("mean_weight"),
+        (col("mean_weight") >= col("cutoff")).as("pass"))
+
   /** The spec's latest-status-wins polling update as a stream
     * (README.md:85): keep the max-timestamp event per key in state, emit
     * the current winner on every update (Update mode downstream).

@@ -155,6 +155,44 @@ class StreamingOpsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming quality gate scores exactly like the batch classifier") {
+    // calibrate cutoffs on a small batch corpus: srcA's worst tail must
+    // fall below its own cutoff, srcB's below its own
+    def doc(id: Long, words: Seq[String], src: String) =
+      (id, words.mkString(" "), "en", src)
+    val rnd = new scala.util.Random(7)
+    def toks(n: Int) = Seq.fill(n)(s"w${rnd.nextInt(500)}")
+    val corpus = ((0L until 12L).map(i => doc(i, toks(30), "srcA")) ++
+      (12L until 24L).map(i => doc(i, toks(30), "srcB")))
+      .toDF("doc_id", "text", "lang", "source")
+    val cutoffs = graft.operators.CurationQueries
+      .qualityCalibrationDocs(corpus).select(col("source"), col("cutoff"))
+    val streamDocs = Seq(
+      SourcedDoc(100L, ts(0), toks(25).mkString(" "), "en", "srcA"),
+      SourcedDoc(101L, ts(1), toks(25).mkString(" "), "en", "srcB"),
+      SourcedDoc(102L, ts(2), toks(25).mkString(" "), "en", "srcA"))
+    val input = MemoryStream[SourcedDoc]
+    val query = streamingQualityGate(input.toDS(), cutoffs)
+      .writeStream.format("memory").queryName("qgate")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(streamDocs: _*)
+      query.processAllAvailable()
+      val got = spark.table("qgate")
+        .as[(Long, String, Double, Boolean)].collect().toSet
+      // the batch classifier + the SAME cutoff table must agree row-level
+      val expected = graft.operators.CurationQueries.qualityScoredDocs(
+          streamDocs.map(d => (d.doc_id, d.text, d.lang, d.source))
+            .toDF("doc_id", "text", "lang", "source"))
+        .join(cutoffs, Seq("source"))
+        .select(col("doc_id"), col("source"), col("mean_weight"),
+          (col("mean_weight") >= col("cutoff")).as("pass"))
+        .as[(Long, String, Double, Boolean)].collect().toSet
+      assert(got == expected)
+      assert(got.size == 3)
+    } finally query.stop()
+  }
+
   test("streaming dedup drops replayed event ids") {
     val input = MemoryStream[Event]
     val query = dedupByEventId(input.toDS())

@@ -34,6 +34,22 @@ class CurationQueriesSpec extends SparkSpec {
     assert(nGrams == 2L && nHit == 1L && ratio == 0.5)
   }
 
+  test("contamination report: per-eval-doc leak counts, zeros included") {
+    // eval doc 10 leaks its one shared gram into train docs 1 AND 2;
+    // eval doc 20 is clean and must still appear (zeros)
+    val df = docsDf(
+      (10L, "a b c d e f", "en"),    // grams: "a b c d e", "b c d e f"
+      (1L, "x a b c d e", "en"),     // shares "a b c d e"
+      (2L, "a b c d e y", "en"),     // shares "a b c d e"
+      (20L, "p q r s t", "en"),      // eval, clean → zero row
+      (3L, "z1 z2 z3 z4 z5", "en"))
+    val out = CurationQueries.contaminationReportDocs(df)
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(out == Seq(
+      (10L, 2L, 2L, 1L, 0.5),
+      (20L, 1L, 0L, 0L, 0.0)))
+  }
+
   test("decontamination never reports eval docs or clean docs") {
     val df = docsDf(
       (0L, "w1 w2 w3 w4 w5", "en"),

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
@@ -64,6 +64,39 @@ object VectorQueries {
   /** Hard negatives returned per query (L42/q135). */
   val HardNegK = 5
 
+  /** Width of a top-k shard in vec_id space for the two-level rank —
+    * the [[CurationQueries.SourceCapShardDocs]] rationale: small so the
+    * smallest sf already crosses shards; production sizes it so a
+    * (query, shard) bucket ≈ one task's rows. */
+  private[operators] val TopkShardVecs = 64L
+
+  /** Two-level per-query top-k — the q107 pattern, ANN flavor. A
+    * qid-keyed rank alone funnels every scored corpus row through
+    * |queries| reducers (constant-cardinality key — the q76 hot-key
+    * lesson, which r5-r7 flagged for packing and source caps). Ranking
+    * first within (qid, vec_id-range shard) keeps ≤ k rows per shard —
+    * shard cardinality GROWS with the corpus — so the final qid-keyed
+    * rank sees shards×k survivor rows, never the corpus. Equivalent to
+    * the direct rank because a global top-k row has fewer than k rows
+    * ordered above it anywhere, a fortiori within its own shard (the
+    * q107 argument verbatim). Expects (qid, vec_id, <score>); returns
+    * the frame with `rk` attached, ≤ k rows per query, all other
+    * columns carried through. */
+  private def rankTopKPerQuery(scored: DataFrame, k: Int,
+      score: Column = col("cos")): DataFrame = {
+    val local = Window.partitionBy(col("qid"), col("tkshard"))
+      .orderBy(score.desc, col("vec_id"))
+    val survivors = scored
+      .withColumn("tkshard", expr(s"vec_id div $TopkShardVecs"))
+      .withColumn("lrk", row_number().over(local))
+      .filter(col("lrk") <= k)
+      .drop("lrk", "tkshard")
+    val global = Window.partitionBy(col("qid"))
+      .orderBy(score.desc, col("vec_id"))
+    survivors.withColumn("rk", row_number().over(global))
+      .filter(col("rk") <= k)
+  }
+
   /** L42/q135: HARD-NEGATIVE mining — the contrastive-training step
     * downstream of embedding generation: for every query vector, the
     * most-similar vectors carrying a DIFFERENT label. Random negatives
@@ -84,10 +117,7 @@ object VectorQueries {
     val scored = e.join(broadcast(q),
         col("vec_id") =!= col("qid") && col("label") =!= col("qlabel"))
       .withColumn("cos", round(cosineSim(col("v"), col("qv")), 6))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("cos").desc, col("vec_id"))
-    scored.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= HardNegK)
+    rankTopKPerQuery(scored, HardNegK)
       .select(col("qid"), col("rk").cast("long").as("rk"),
         col("vec_id").as("nid"), col("label").as("neg_label"), col("cos"))
       .orderBy(col("qid"), col("rk"))
@@ -98,10 +128,7 @@ object VectorQueries {
       .select(col("vec_id").as("qid"), col("v").as("qv"))
     val scored = e.join(broadcast(q), col("vec_id") =!= col("qid"))
       .withColumn("cos", round(cosineSim(col("v"), col("qv")), 6))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("cos").desc, col("vec_id"))
-    scored.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= TopK)
+    rankTopKPerQuery(scored, TopK)
       .select(col("qid"), col("rk").cast("long").as("rk"),
         col("vec_id").as("nid"), col("cos"))
       .orderBy(col("qid"), col("rk"))
@@ -735,10 +762,7 @@ object VectorQueries {
       .filter(col("vec_id") =!= col("qid"))
       .withColumn("dot", sq8Dot)
       .withColumn("cos", sq8Cos)
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("cos").desc, col("vec_id"))
-    scored.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= TopK)
+    rankTopKPerQuery(scored, TopK)
       .select(col("qid"), col("rk").cast("long").as("rk"),
         col("vec_id").as("nid"), col("cos"))
       .orderBy(col("qid"), col("rk"))
@@ -884,10 +908,7 @@ object VectorQueries {
         when(col("nd") === 0 || col("nqm") === 0, lit(0.0))
           .otherwise(round(col("dot").cast("double") /
             sqrt(col("nd").cast("double") * col("nqm").cast("double")), 6)))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("cos").desc, col("vec_id"))
-    scored.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= TopK)
+    rankTopKPerQuery(scored, TopK)
       .select(col("qid"), col("rk").cast("long").as("rk"),
         col("vec_id").as("nid"), col("cos"))
       .orderBy(col("qid"), col("rk"))
@@ -957,10 +978,7 @@ object VectorQueries {
         when(col("np") === 0 || col("nq") === 0, lit(0.0))
           .otherwise(round(col("dot").cast("double") /
             sqrt(col("np").cast("double") * col("nq").cast("double")), 6)))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("cos").desc, col("vec_id"))
-    scored.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= TopK)
+    rankTopKPerQuery(scored, TopK)
       .select(col("qid"), col("rk").cast("long").as("rk"),
         col("vec_id").as("nid"), col("cos"))
       .orderBy(col("qid"), col("rk"))
@@ -992,12 +1010,11 @@ object VectorQueries {
   private[operators] def mmrTopkOf(e: DataFrame): DataFrame = {
     val q = e.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("qid"), col("v").as("qv"))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("rel").desc, col("vec_id"))
-    val cands = e.join(broadcast(q), col("vec_id") =!= col("qid"))
-      .withColumn("rel", round(cosineSim(col("v"), col("qv")), 6))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= MmrCands)
+    // shortlist via the two-level rank — the only corpus-sized op here
+    val cands = rankTopKPerQuery(
+        e.join(broadcast(q), col("vec_id") =!= col("qid"))
+          .withColumn("rel", round(cosineSim(col("v"), col("qv")), 6)),
+        MmrCands, col("rel"))
       .select(col("qid"), col("vec_id"), col("v"), col("rel"))
       .localCheckpoint(eager = false) // feeds cc + every selection round
     val cc = cands.select(col("qid"), col("vec_id").as("d"), col("v"))

@@ -134,6 +134,20 @@ class PlanAuditSpec extends SparkSpec {
       "q131's rank window is not (shard, block)-keyed")
   }
 
+  // the brute-force ANN tails rank via the two-level (qid, tkshard)
+  // pattern — a qid-only rank funnels every scored corpus row through
+  // |queries| reducers (constant-cardinality key, the q76/q107 lesson)
+  for (q <- Seq("q67_topk_cosine", "q106_sq8_topk_cosine", "q117_pq_topk",
+      "q121_rp_topk", "q135_hard_negatives")) {
+    test(s"$q: per-query top-k rank is sharded (two-level)") {
+      val plan = SparkEntry.queries(q)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      assert(plan.linesIterator.exists(l =>
+        l.contains("Window [") && l.contains("tkshard")),
+        s"$q's rank is not (qid, tkshard)-sharded")
+    }
+  }
+
   for ((name, fn) <- SparkEntry.queries) {
     test(s"$name: no cartesian product, no unpartitioned window") {
       val plan = fn(spark, sfDir).queryExecution.executedPlan.toString

@@ -606,9 +606,20 @@ object LLMQueries {
     val perDoc = termScores.groupBy(col("qid"), col("doc_id"))
       .agg(sum(col("s_micro")).as("score_micro"),
         count(lit(1)).as("n_terms"))
+    // two-level top-k (the q107/q67 pattern): qid is a constant-
+    // cardinality key, and on a common-term query the per-query posting
+    // union is corpus-sized — rank within (qid, doc_id-range shard)
+    // first so the final qid rank sees shards×K survivor rows
+    val local = Window.partitionBy(col("qid"), col("bshard"))
+      .orderBy(col("score_micro").desc, col("doc_id"))
+    val survivors = perDoc
+      .withColumn("bshard", expr("doc_id div 64"))
+      .withColumn("lrk", row_number().over(local))
+      .filter(col("lrk") <= Bm25TopK)
+      .drop("lrk", "bshard")
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("score_micro").desc, col("doc_id"))
-    perDoc.withColumn("rk", row_number().over(w))
+    survivors.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= Bm25TopK)
       .select(col("qid"), col("rk").cast("long").as("rk"),
         col("doc_id"), col("score_micro"), col("n_terms"))

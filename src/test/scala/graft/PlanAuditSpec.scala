@@ -148,6 +148,14 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q93: per-query BM25 rank is sharded (two-level)") {
+    val plan = SparkEntry.queries("q93_bm25_topk")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l =>
+      l.contains("Window [") && l.contains("bshard")),
+      "q93's rank is not (qid, bshard)-sharded")
+  }
+
   for ((name, fn) <- SparkEntry.queries) {
     test(s"$name: no cartesian product, no unpartitioned window") {
       val plan = fn(spark, sfDir).queryExecution.executedPlan.toString

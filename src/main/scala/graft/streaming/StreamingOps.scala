@@ -315,6 +315,34 @@ object StreamingOps {
       .select(col("doc_id"), col("source"), col("mean_weight"),
         (col("mean_weight") >= col("cutoff")).as("pass"))
 
+  /** L28 streaming: the CURATION FUNNEL as one continuous pipeline —
+    * the streaming mirror of q115's batch composition, chaining three
+    * proven stages over an arriving doc stream: (1) incremental exact
+    * dedup (watermark-bounded in-stream hash dedup + stateless
+    * stream-static anti-join against the persisted corpus hash index —
+    * the q97 twin), (2) PII redaction (per-row, the q79 regexes via the
+    * SAME shared vals), (3) the per-source quality gate over the
+    * REDACTED text (stream-static join against q122's calibrated
+    * cutoffs — scoring post-redaction, as a production funnel orders
+    * it). Only the dedup stage holds state, bounded by the watermark
+    * horizon; everything downstream is per-row or stream-static. */
+  def streamingCurationFunnel(docs: Dataset[SourcedDoc],
+      corpusHashes: DataFrame, cutoffs: DataFrame): DataFrame = {
+    import graft.operators.CurationQueries.{EmailRe, PhoneRe}
+    val deduped = docs.toDF()
+      .withColumn("h", sha2(col("text"), 256))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark(Seq("h"))
+      .join(corpusHashes, Seq("h"), "left_anti")
+    val redacted = deduped.withColumn("text",
+      regexp_replace(regexp_replace(col("text"), EmailRe, "<EMAIL>"),
+        PhoneRe, "<PHONE>"))
+    graft.operators.CurationQueries.qualityScoredDocs(redacted)
+      .join(cutoffs, Seq("source"))
+      .filter(col("mean_weight") >= col("cutoff"))
+      .select(col("doc_id"), col("source"), col("mean_weight"))
+  }
+
   /** The spec's latest-status-wins polling update as a stream
     * (README.md:85): keep the max-timestamp event per key in state, emit
     * the current winner on every update (Update mode downstream).

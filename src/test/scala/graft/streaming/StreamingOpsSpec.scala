@@ -193,6 +193,48 @@ class StreamingOpsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming curation funnel = dedup + redact + gate, composed") {
+    val rnd = new scala.util.Random(11)
+    def toks(n: Int) = Seq.fill(n)(s"w${rnd.nextInt(400)}").mkString(" ")
+    val knownText = toks(25)
+    val corpusIndex = Seq(knownText).toDF("text")
+      .select(sha2(col("text"), 256).as("h"))
+    // a permissive and a blocking cutoff so the gate provably fires
+    val cutoffs = Seq(("srcA", -1.0), ("srcB", 2.0))
+      .toDF("source", "cutoff")
+    val piiText = toks(20) + " bob@example.com " + toks(3)
+    val stream = Seq(
+      SourcedDoc(1L, ts(0), knownText, "en", "srcA"),  // corpus dup → drop
+      SourcedDoc(2L, ts(1), piiText, "en", "srcA"),    // redact, pass
+      SourcedDoc(3L, ts(2), piiText, "en", "srcA"),    // in-stream echo → drop
+      SourcedDoc(4L, ts(3), toks(25), "en", "srcB"),   // gate cutoff 2.0 → drop
+      SourcedDoc(5L, ts(4), toks(25), "en", "srcA"))   // pass
+    val input = MemoryStream[SourcedDoc]
+    val query = streamingCurationFunnel(input.toDS(), corpusIndex, cutoffs)
+      .writeStream.format("memory").queryName("sfunnel")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(stream: _*)
+      query.processAllAvailable()
+      val got = spark.table("sfunnel")
+        .as[(Long, String, Double)].collect().toSet
+      // batch recomputation of the same composition: docs 1/3 deduped
+      // away, then redact + score + gate via the SAME shared defs
+      val expected = graft.operators.CurationQueries.qualityScoredDocs(
+          Seq(stream(1), stream(4)).map(d => (d.doc_id,
+            d.text.replaceAll(
+              graft.operators.CurationQueries.EmailRe, "<EMAIL>"),
+            d.lang, d.source))
+            .toDF("doc_id", "text", "lang", "source"))
+        .join(cutoffs, Seq("source"))
+        .filter(col("mean_weight") >= col("cutoff"))
+        .select(col("doc_id"), col("source"), col("mean_weight"))
+        .as[(Long, String, Double)].collect().toSet
+      assert(got == expected)
+      assert(got.map(_._1) == Set(2L, 5L))
+    } finally query.stop()
+  }
+
   test("streaming dedup drops replayed event ids") {
     val input = MemoryStream[Event]
     val query = dedupByEventId(input.toDS())

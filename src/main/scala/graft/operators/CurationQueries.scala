@@ -129,6 +129,43 @@ object CurationQueries {
   def contaminationReport(spark: SparkSession, dir: String): DataFrame =
     contaminationReportDocs(docs(spark, dir))
 
+  /** L43/q138: per-source CORPUS REPORT CARD — the one-table health
+    * summary a data lead reads before signing off a snapshot: per
+    * source, document and byte volume, whitespace-token volume, how
+    * many docs sit in a corpus-wide exact-dup family, and mean quality
+    * — the table that decides which source gets capped (q107),
+    * reweighted (q90) or re-crawled. One row per source; every column
+    * derives from already-proven operator definitions.
+    *
+    * Determinism: mean quality is an exact integer mean of per-doc
+    * micro-unit scores (round(q·1e6) of the 6-dp-rounded qualityExpr —
+    * double-rounding is engine-identical), dup membership compares
+    * corpus-wide sha2 family sizes. Scale shape: one hash groupBy +
+    * join-back (the q60 shuffle class: 64-hex keys) and one
+    * partial-aggregating per-source rollup; text never shuffles. */
+  def sourceReportDocs(docsDf: DataFrame): DataFrame = {
+    val h = docsDf.select(col("doc_id"), col("source"), col("n_chars"),
+      sha2(col("text"), 256).as("hh"),
+      size(split(col("text"), "\\s+")).cast("long").as("n_tokens"),
+      expr("cast(round(" +
+        "round(transform(array(split(text, '\\\\s+'))," +
+        " w -> least(1.0d, size(w) / 120.0d)" +
+        " * (size(array_distinct(w)) / cast(size(w) as double)))[0], 6)" +
+        " * 1e6) as bigint)").as("qmicro"))
+    val fam = h.groupBy(col("hh")).agg(count(lit(1)).as("fam"))
+    h.join(fam, Seq("hh"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("n_chars"),
+        sum(col("n_tokens")).as("n_tokens"),
+        count(when(col("fam") >= 2, 1)).as("n_dup_docs"),
+        expr("sum(qmicro) div count(*)").as("mean_quality_micro"))
+      .orderBy(col("source"))
+  }
+
+  def sourceReport(spark: SparkSession, dir: String): DataFrame =
+    sourceReportDocs(docs(spark, dir))
+
   /** Per-language sampling rates as 8-hex-digit md5-prefix thresholds
     * (rate ≈ threshold / 2^32): a doc is kept iff the first 8 hex chars
     * of md5("graft-sample:" <doc_id>) sort below its language's
@@ -1337,7 +1374,8 @@ object CurationQueries {
     "q131_shard_manifest" -> (shardManifest _),
     "q132_snapshot_diff" -> (snapshotDiff _),
     "q133_nll_buckets" -> (nllBuckets _),
-    "q137_contamination_report" -> (contaminationReport _))
+    "q137_contamination_report" -> (contaminationReport _),
+    "q138_source_report" -> (sourceReport _))
 
   // ---- oracle SQL -----------------------------------------------------
 
@@ -1712,6 +1750,27 @@ object CurationQueries {
          |GROUP BY r.source ORDER BY r.source""".stripMargin
     },
     "q129_cluster_split" -> clusterSplitOracle,
+    "q138_source_report" ->
+      """WITH h AS (
+        |  SELECT doc_id, source, n_chars, sha256(text) AS hh,
+        |    CAST(len(string_split_regex(text, '\s+')) AS BIGINT)
+        |      AS n_tokens,
+        |    CAST(round(
+        |      round(least(1.0, CAST(len(string_split_regex(text, '\s+'))
+        |              AS DOUBLE) / 120.0) *
+        |            (CAST(len(list_distinct(string_split_regex(text,
+        |              '\s+'))) AS DOUBLE) /
+        |             len(string_split_regex(text, '\s+'))), 6)
+        |      * 1e6) AS BIGINT) AS qmicro
+        |  FROM documents),
+        |fam AS (SELECT hh, count(*) AS fam FROM h GROUP BY hh)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+        |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |  count(CASE WHEN fam >= 2 THEN 1 END) AS n_dup_docs,
+        |  CAST(sum(qmicro) // count(*) AS BIGINT) AS mean_quality_micro
+        |FROM h JOIN fam USING (hh)
+        |GROUP BY source ORDER BY source""".stripMargin,
     "q131_shard_manifest" ->
       s"""WITH k AS (
          |  SELECT doc_id, md5('graft-epoch0:' || doc_id) AS h

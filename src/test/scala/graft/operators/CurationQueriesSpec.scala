@@ -692,6 +692,18 @@ class CurationQueriesSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("source report partitions the corpus and bounds its columns") {
+    val rows = CurationQueries.sourceReport(spark, sfDir)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    val nDocs = graft.Tables(spark, sfDir, "documents").count()
+    assert(rows.map(_._2).sum == nDocs) // every doc in exactly one source
+    rows.foreach { case (_, n, chars, toks, dups, q) =>
+      assert(dups >= 0 && dups <= n)
+      assert(q >= 0 && q <= 1000000L) // quality is a [0,1] micro ratio
+      assert(chars > 0 && toks > 0)
+    }
+  }
+
   test("nll buckets: per-language terciles are ordered and cover the scored docs") {
     import org.apache.spark.sql.functions.col
     val got = CurationQueries.nllBuckets(spark, sfDir)

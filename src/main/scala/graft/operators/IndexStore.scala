@@ -31,6 +31,7 @@ import graft.Tables
   *   bpe_vocab.parquet                              # q113 (bpeVocabOf)
   *   dsir_model.parquet                             # q116 (dsirModelOf)
   *   audio_fps.parquet                              # q128 (audioFpSplit)
+  *   norm_hash.parquet                              # q139 (normHashIndex)
   * }}}
   *
   * The corpus/batch split is the same residue rule the oracle queries
@@ -243,6 +244,21 @@ object IndexStore {
       read(spark, indexDir, "audio_fps"),
       graft.multimodal.Multimodal.audioFpSplit(spark, dataDir)._2)
 
+  /** The corpus NORMALIZED-hash index (q136/q139): one distinct 32-hex
+    * md5 per known normalized rendering. */
+  def writeNormHash(spark: SparkSession, dataDir: String,
+      dir: String): Unit =
+    write(LLMQueries.normHashIndex(
+      LLMQueries.normSplit(spark, dataDir)._1), dir, "norm_hash")
+
+  /** q139 twin: [[LLMQueries.incrementalNormalizedDedup]] off the disk
+    * normalized-hash index. */
+  def dailyNormHash(spark: SparkSession, indexDir: String,
+      dataDir: String): DataFrame =
+    LLMQueries.incrementalNormalizedDedup(
+      read(spark, indexDir, "norm_hash"),
+      LLMQueries.normSplit(spark, dataDir)._2)
+
   /** (family name, in-memory qNN twin, write, daily-from-disk) — the one
     * table IndexSoak and IndexStoreSpec both iterate so the measured
     * flow and the pinned invariant can never cover different families. */
@@ -279,5 +295,7 @@ object IndexStore {
     ("dsir_model", "q116_dsir_importance",
       writeDsirModel _, dailyDsir _),
     ("audio_fps", "q128_incremental_audio_fp",
-      writeAudioFps _, dailyAudio _))
+      writeAudioFps _, dailyAudio _),
+    ("norm_hash", "q139_incremental_normalized_dedup",
+      writeNormHash _, dailyNormHash _))
 }

@@ -266,19 +266,67 @@ object LLMQueries {
     * Scale shape: identical to q60 — normalization happens AT THE SCAN,
     * the groupBy shuffles 32-hex keys + two counters, text never
     * shuffles. */
-  def normalizedDedup(spark: SparkSession, dir: String): DataFrame = {
-    val d = docs(spark, dir)
-    val variants = d.filter(col("doc_id") % 9 === 0)
-      .select((col("doc_id") + NormVariantIdOffset).as("doc_id"),
-        concat(upper(substring(col("text"), 1, 1)),
-          expr("substring(text, 2)"), lit("  !!")).as("text"))
-    d.select(col("doc_id"), col("text")).unionByName(variants)
+  def normalizedDedup(spark: SparkSession, dir: String): DataFrame =
+    normUniverse(docs(spark, dir))
       .groupBy(md5(normTextExpr).as("nh"))
       .agg(min(col("doc_id")).as("keep_id"),
         count(lit(1)).as("n_copies"),
         count_distinct(md5(col("text"))).as("n_raw_variants"))
       .select(col("keep_id"), col("n_copies"), col("n_raw_variants"))
       .orderBy(col("keep_id"))
+
+  /** The q136/q139 universe: documents plus their seeded normalization
+    * twins. [[NormVariantIdOffset]] is a multiple of [[BatchMod]], so a
+    * twin inherits its original's daily-batch residue — a reformatted
+    * re-crawl arrives in the same batch as its source would (the q111
+    * ingest-shape argument). */
+  private def normUniverse(docsDf: DataFrame): DataFrame = {
+    val variants = docsDf.filter(col("doc_id") % 9 === 0)
+      .select((col("doc_id") + NormVariantIdOffset).as("doc_id"),
+        concat(upper(substring(col("text"), 1, 1)),
+          expr("substring(text, 2)"), lit("  !!")).as("text"))
+    docsDf.select(col("doc_id"), col("text")).unionByName(variants)
+  }
+
+  /** The (corpus, batch) split of the q136 universe for the daily
+    * flow — the corpus side is exactly what [[normHashIndex]]
+    * persists. */
+  def normSplit(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val u = normUniverse(docs(spark, dir))
+    (u.filter(col("doc_id") % BatchMod =!= 0),
+      u.filter(col("doc_id") % BatchMod === 0))
+  }
+
+  /** The persisted corpus NORMALIZED-hash index: one distinct 32-hex
+    * md5 per known normalized rendering (IndexStore family
+    * `norm_hash`). */
+  def normHashIndex(corpusDocs: DataFrame): DataFrame =
+    corpusDocs.select(md5(normTextExpr).as("nh")).distinct()
+
+  /** L1d/q139: incremental NORMALIZED dedup — q97's daily-ingest flow
+    * under q136's key rule: a batch doc survives iff its NORMALIZED
+    * hash is corpus-unseen, min doc_id winning within the batch. The
+    * case this catches that q97's raw key waves through: a reformatted
+    * re-crawl of a corpus doc (new capitalization, trailing punct) has
+    * novel raw bytes but a known normalized key, and dies at ingest.
+    * Same O(batch) daily cost: the anti-join shuffles 32-hex keys,
+    * corpus text never moves. */
+  def incrementalNormalizedDedup(corpusNorm: DataFrame,
+      newDocs: DataFrame): DataFrame =
+    newDocs
+      .withColumn("nh", md5(normTextExpr))
+      .groupBy(col("nh"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .join(corpusNorm.select(col("nh")), Seq("nh"), "left_anti")
+      .select(col("keep_id"), col("n_copies"))
+      .orderBy(col("keep_id"))
+
+  /** q139 as an oracle query: corpus index built in-query (as the
+    * oracle must), batch cleaned against it. */
+  def incrementalNormalizedDedupDaily(spark: SparkSession,
+      dir: String): DataFrame = {
+    val (corpus, batch) = normSplit(spark, dir)
+    incrementalNormalizedDedup(normHashIndex(corpus), batch)
   }
 
   /** Incremental exact dedup: survivors of an incoming batch against a
@@ -989,6 +1037,7 @@ object LLMQueries {
   val queries: ListMap[String, graft.Q] = ListMap(
     "q60_exact_dedup" -> (exactDedup _),
     "q136_normalized_dedup" -> (normalizedDedup _),
+    "q139_incremental_normalized_dedup" -> (incrementalNormalizedDedupDaily _),
     "q71_dedup_keep_best" -> (dedupKeepBest _),
     "q73_langid_ngram" -> (langIdNgram _),
     "q61_text_stats" -> (textStats _),
@@ -1154,6 +1203,25 @@ object LLMQueries {
          |SELECT min(doc_id) AS keep_id, count(*) AS n_copies,
          |  CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_raw_variants
          |FROM n GROUP BY md5(nt) ORDER BY keep_id""".stripMargin,
+    // q139: the q97 incremental shape under q136's normalized key —
+    // batch-internal winners whose NORMALIZED hash the corpus never saw
+    "q139_incremental_normalized_dedup" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + $NormVariantIdOffset,
+         |    upper(substr(text, 1, 1)) || substr(text, 2) || '  !!'
+         |  FROM documents WHERE doc_id % 9 = 0),
+         |n AS (
+         |  SELECT doc_id,
+         |    md5(trim(regexp_replace(regexp_replace(lower(text),
+         |      '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS nh
+         |  FROM t)
+         |SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+         |FROM n WHERE doc_id % 10 = 0
+         |GROUP BY nh
+         |HAVING nh NOT IN (SELECT nh FROM n WHERE doc_id % 10 <> 0)
+         |ORDER BY keep_id""".stripMargin,
     // batch-internal winners whose hash the corpus has never seen
     "q97_incremental_exact_dedup" ->
       s"""SELECT min(doc_id) AS keep_id, count(*) AS n_copies

@@ -1030,6 +1030,53 @@ object CurationQueries {
   def sourceMixture(spark: SparkSession, dir: String): DataFrame =
     sourceMixtureDocs(docs(spark, dir))
 
+  /** Token budget the q141 recipe allocates across sources — a constant
+    * so the oracle can repeat the arithmetic. */
+  val RecipeTokenBudget = 1000000L
+
+  /** L45/q141: TEMPERATURE-SAMPLING mixture recipe — the "data recipe"
+    * table a training run is configured from. q90 applies externally
+    * GIVEN weights; this derives them: per-source weight ∝ tokens^α
+    * with α = 0.5 (the mT5/UniMax temperature rule — α < 1 upsamples
+    * small sources relative to their raw share so one dominant crawl
+    * can't drown the tail), normalized to [[RecipeTokenBudget]] target
+    * tokens, with the per-source repeat factor (target/actual — > 1e6
+    * micro means the source runs multiple epochs) a sampler like q90
+    * consumes directly.
+    *
+    * Determinism: the only double step is sqrt of an exact-integer
+    * token count — IEEE-754 correctly rounded in both engines — then
+    * round(·1e6) into micro-unit longs; everything after is exact
+    * integer arithmetic (the q92/q116 rule). Bounds: weight_micro =
+    * sqrt(tokens)·1e6 ≤ 3.2e12 at 1e13 tokens (100 TB of text), so the
+    * ·1e6 share numerator stays under 2^63.
+    *
+    * Scale shape: one partial-aggregating per-source rollup (|sources|
+    * rows) + a 1-row broadcast total — text never shuffles; the recipe
+    * frame is broadcast-sized by construction. */
+  def mixtureRecipeDocs(docsDf: DataFrame): DataFrame = {
+    val perSource = docsDf
+      .select(col("source"),
+        size(split(col("text"), "\\s+")).cast("long").as("n_tokens"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+      .withColumn("weight_micro",
+        expr("cast(round(sqrt(cast(n_tokens as double)) * 1e6) as bigint)"))
+    val tot = perSource.agg(sum(col("weight_micro")).as("w_tot"))
+    perSource.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("weight_micro"),
+        expr("weight_micro * 1000000L div w_tot").as("share_micro"),
+        expr(s"${RecipeTokenBudget}L * weight_micro div w_tot")
+          .as("target_tokens"),
+        expr(s"(${RecipeTokenBudget}L * weight_micro div w_tot)" +
+          " * 1000000L div n_tokens").as("repeat_micro"))
+      .orderBy(col("source"))
+  }
+
+  def mixtureRecipe(spark: SparkSession, dir: String): DataFrame =
+    mixtureRecipeDocs(docs(spark, dir))
+
   /** Max documents kept per source (L26) — the over-representation guard
     * every curated corpus applies to its dominant domains. */
   val SourceCap = 25
@@ -1349,6 +1396,78 @@ object CurationQueries {
   def snapshotDiff(spark: SparkSession, dir: String): DataFrame =
     snapshotDiffDocs(docs(spark, dir))
 
+  /** L46/q142: snapshot DISTRIBUTION drift — the release monitor that
+    * catches what q132's row diff can't: a snapshot whose documents all
+    * changed "a little" in the same direction (a crawler started
+    * truncating, a filter started over-firing) shifts the per-source
+    * length DISTRIBUTION even when row counts look healthy. Per source:
+    * total-variation distance between the old and new snapshots'
+    * token-length histograms (10 buckets of 32 tokens, top-coded), over
+    * the same two snapshot fixtures as q132.
+    *
+    * Determinism: per-bucket fractions are micro-unit integer floors
+    * (c·1e6 div N, ≤ 1e6 — overflow-free at any corpus size), TV is an
+    * exact integer sum of absolute differences halved; no doubles
+    * anywhere. tv_micro ∈ [0, 1e6]: 0 = identical shape, 1e6 = disjoint.
+    *
+    * Scale shape: two narrow scans project (source, bucket) rows — text
+    * never shuffles — into one partial-aggregating histogram groupBy
+    * (|sources|·10 rows) and a |sources|-row rollup. */
+  def snapshotDriftDocs(docsDf: DataFrame): DataFrame = {
+    val bucket =
+      expr("least(9L, cast(size(split(text, '\\\\s+')) as bigint) div 32)")
+    val oldSnap = docsDf.filter(col("doc_id") % 11 =!= 0)
+      .select(col("source"),
+        when(col("doc_id") % 13 === 0, concat(col("text"), lit(" v0")))
+          .otherwise(col("text")).as("text"))
+      .select(col("source"), bucket.as("bucket"),
+        lit(1L).as("c_old"), lit(0L).as("c_new"))
+    val newSnap = docsDf.filter(col("doc_id") % 17 =!= 0)
+      .select(col("source"), bucket.as("bucket"),
+        lit(0L).as("c_old"), lit(1L).as("c_new"))
+    val hist = oldSnap.unionByName(newSnap)
+      .groupBy(col("source"), col("bucket"))
+      .agg(sum(col("c_old")).as("c_old"), sum(col("c_new")).as("c_new"))
+    val totals = hist.groupBy(col("source"))
+      .agg(sum(col("c_old")).as("n_old"), sum(col("c_new")).as("n_new"))
+    hist.join(totals, Seq("source"))
+      .groupBy(col("source"), col("n_old"), col("n_new"))
+      .agg(expr("sum(abs(c_old * 1000000L div greatest(n_old, 1L)" +
+        " - c_new * 1000000L div greatest(n_new, 1L))) div 2")
+        .as("tv_micro"))
+      .select(col("source"), col("n_old"), col("n_new"), col("tv_micro"))
+      .orderBy(col("source"))
+  }
+
+  def snapshotDrift(spark: SparkSession, dir: String): DataFrame =
+    snapshotDriftDocs(docs(spark, dir))
+
+  /** L47/q143: duplicate-family SIZE histogram — the dedup audit read
+    * alongside q125/q127's recall/precision gates: how much of the
+    * corpus sits in families of 2, of 3, of 10+? A fat tail says one
+    * boilerplate template dominates (route to q120, not doc dedup); a
+    * mass of 2s says crawl-level re-fetches (q60's exact pass handles
+    * them cheaper than LSH). Families are q85's star-CC components over
+    * the q64 pair graph; unpaired docs count as singleton families so
+    * the histogram partitions the whole corpus (n_docs sums to |docs|).
+    *
+    * Scale shape: q85's O(log n) star CC + one long-key groupBy for
+    * family sizes + a histogram rollup over ≤ max-family-size rows. */
+  def dupSizeHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val comp = dedupClustersStar(spark, dir)
+      .select(col("doc_id"), col("cluster_id"))
+    val sizes = docs(spark, dir).select(col("doc_id"))
+      .join(comp, Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("fam_size"))
+    sizes.groupBy(col("fam_size"))
+      .agg(count(lit(1)).as("n_families"))
+      .select(col("fam_size"), col("n_families"),
+        (col("fam_size") * col("n_families")).as("n_docs"))
+      .orderBy(col("fam_size"))
+  }
+
   val queries: ListMap[String, graft.Q] = ListMap(
     "q74_decontaminate" -> (decontaminate _),
     "q75_hash_split" -> (hashSplit _),
@@ -1375,7 +1494,10 @@ object CurationQueries {
     "q132_snapshot_diff" -> (snapshotDiff _),
     "q133_nll_buckets" -> (nllBuckets _),
     "q137_contamination_report" -> (contaminationReport _),
-    "q138_source_report" -> (sourceReport _))
+    "q138_source_report" -> (sourceReport _),
+    "q141_mixture_recipe" -> (mixtureRecipe _),
+    "q142_snapshot_drift" -> (snapshotDrift _),
+    "q143_dup_size_histogram" -> (dupSizeHistogram _))
 
   // ---- oracle SQL -----------------------------------------------------
 
@@ -1615,6 +1737,20 @@ object CurationQueries {
          |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q77_dedup_clusters" -> clustersOracle,
     "q85_dedup_clusters_star" -> clustersOracle,
+    // q143 NESTS the cluster closure (singletons default to their own
+    // id, the q129 rule) so the histogram partitions the whole corpus
+    "q143_dup_size_histogram" ->
+      s"""$clustersCtes,
+         |allc AS (
+         |  SELECT d.doc_id, coalesce(comp.cluster_id, d.doc_id)
+         |    AS cluster_id
+         |  FROM documents d LEFT JOIN comp ON comp.doc_id = d.doc_id),
+         |famsz AS (
+         |  SELECT cluster_id, count(*) AS fam_size
+         |  FROM allc GROUP BY cluster_id)
+         |SELECT fam_size, count(*) AS n_families,
+         |  CAST(fam_size * count(*) AS BIGINT) AS n_docs
+         |FROM famsz GROUP BY fam_size ORDER BY fam_size""".stripMargin,
     "q88_cluster_survivors" ->
       s"""$clustersCtes,
          |labels AS (
@@ -1800,6 +1936,51 @@ object CurationQueries {
         |  old_hash, new_hash
         |FROM olds FULL OUTER JOIN news USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    "q141_mixture_recipe" ->
+      s"""WITH s AS (
+         |  SELECT source, count(*) AS n_docs,
+         |    CAST(sum(len(string_split_regex(text, '\\s+'))) AS BIGINT)
+         |      AS n_tokens
+         |  FROM documents GROUP BY source),
+         |w AS (
+         |  SELECT *, CAST(round(sqrt(CAST(n_tokens AS DOUBLE)) * 1e6)
+         |    AS BIGINT) AS weight_micro FROM s),
+         |t AS (SELECT CAST(sum(weight_micro) AS BIGINT) AS w_tot FROM w)
+         |SELECT source, n_docs, n_tokens, weight_micro,
+         |  CAST(weight_micro * 1000000 // w_tot AS BIGINT) AS share_micro,
+         |  CAST($RecipeTokenBudget * weight_micro // w_tot AS BIGINT)
+         |    AS target_tokens,
+         |  CAST(($RecipeTokenBudget * weight_micro // w_tot) * 1000000
+         |    // n_tokens AS BIGINT) AS repeat_micro
+         |FROM w, t ORDER BY source""".stripMargin,
+    "q142_snapshot_drift" ->
+      """WITH olds AS (
+        |  SELECT source, least(9, CAST(len(string_split_regex(
+        |      CASE WHEN doc_id % 13 = 0 THEN text || ' v0' ELSE text END,
+        |      '\s+')) AS BIGINT) // 32) AS bucket
+        |  FROM documents WHERE doc_id % 11 <> 0),
+        |news AS (
+        |  SELECT source, least(9, CAST(len(string_split_regex(text,
+        |      '\s+')) AS BIGINT) // 32) AS bucket
+        |  FROM documents WHERE doc_id % 17 <> 0),
+        |hist AS (
+        |  SELECT source, bucket, CAST(sum(c_old) AS BIGINT) AS c_old,
+        |    CAST(sum(c_new) AS BIGINT) AS c_new
+        |  FROM (
+        |    SELECT source, bucket, 1 AS c_old, 0 AS c_new FROM olds
+        |    UNION ALL
+        |    SELECT source, bucket, 0, 1 FROM news)
+        |  GROUP BY source, bucket),
+        |tot AS (
+        |  SELECT source, CAST(sum(c_old) AS BIGINT) AS n_old,
+        |    CAST(sum(c_new) AS BIGINT) AS n_new
+        |  FROM hist GROUP BY source)
+        |SELECT source, n_old, n_new,
+        |  CAST(sum(abs(c_old * 1000000 // greatest(n_old, 1)
+        |             - c_new * 1000000 // greatest(n_new, 1))) // 2
+        |    AS BIGINT) AS tv_micro
+        |FROM hist JOIN tot USING (source)
+        |GROUP BY source, n_old, n_new ORDER BY source""".stripMargin,
     "q119_substring_dup_remove" ->
       s"""WITH wa AS (
          |  SELECT doc_id, string_split_regex(text, '\\s+') AS w

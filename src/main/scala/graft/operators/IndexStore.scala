@@ -32,6 +32,7 @@ import graft.Tables
   *   dsir_model.parquet                             # q116 (dsirModelOf)
   *   audio_fps.parquet                              # q128 (audioFpSplit)
   *   norm_hash.parquet                              # q139 (normHashIndex)
+  *   bm25_tf/bm25_dl.parquet                        # q144 (bm25Index)
   * }}}
   *
   * The corpus/batch split is the same residue rule the oracle queries
@@ -259,6 +260,24 @@ object IndexStore {
       read(spark, indexDir, "norm_hash"),
       LLMQueries.normSplit(spark, dataDir)._2)
 
+  /** The corpus BM25 postings index (q93/q144): postings (doc_id, t,
+    * tf) + doc lengths (doc_id, dl) — the text-touching tokenize runs
+    * once per corpus snapshot; df/N/avgdl derive per run because every
+    * batch shifts them anyway. */
+  def writeBm25(spark: SparkSession, dataDir: String, dir: String): Unit = {
+    val (tf, dl) = LLMQueries.bm25Index(docSplit(spark, dataDir)._1)
+    write(tf, dir, "bm25_tf")
+    write(dl, dir, "bm25_dl")
+  }
+
+  /** q144 twin: [[LLMQueries.incrementalBm25]] off the disk postings. */
+  def dailyBm25(spark: SparkSession, indexDir: String,
+      dataDir: String): DataFrame =
+    LLMQueries.incrementalBm25(
+      read(spark, indexDir, "bm25_tf"),
+      read(spark, indexDir, "bm25_dl"),
+      docSplit(spark, dataDir)._2)
+
   /** (family name, in-memory qNN twin, write, daily-from-disk) — the one
     * table IndexSoak and IndexStoreSpec both iterate so the measured
     * flow and the pinned invariant can never cover different families. */
@@ -297,5 +316,7 @@ object IndexStore {
     ("audio_fps", "q128_incremental_audio_fp",
       writeAudioFps _, dailyAudio _),
     ("norm_hash", "q139_incremental_normalized_dedup",
-      writeNormHash _, dailyNormHash _))
+      writeNormHash _, dailyNormHash _),
+    ("bm25", "q144_incremental_bm25",
+      writeBm25 _, dailyBm25 _))
 }

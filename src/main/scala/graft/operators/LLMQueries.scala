@@ -631,14 +631,57 @@ object LLMQueries {
     bm25TopkOf(docs(spark, dir))
 
   private[operators] def bm25TopkOf(docsDf: DataFrame): DataFrame = {
-    val words = docsDf
+    val (tf, dl) = bm25Index(docsDf)
+    bm25Rank(tf, dl)
+  }
+
+  /** The corpus-side BM25 INDEX tables (IndexStore family `bm25`):
+    * postings (doc_id, t, tf) and doc lengths (doc_id, dl) — the two
+    * artifacts a lexical search engine persists. Everything else BM25
+    * needs (df, N, avgdl) is a slim aggregation OVER the postings, so
+    * it derives per run — df must merge with every batch anyway. The
+    * expensive, text-touching step (tokenize + tf) happens exactly
+    * once per document here. */
+  def bm25Index(docsDf: DataFrame): (DataFrame, DataFrame) = {
+    val tf = docsDf
       .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("t"))
-    val tf = words.groupBy(col("doc_id"), col("t"))
+      .groupBy(col("doc_id"), col("t"))
       .agg(count(lit(1)).as("tf"))
-    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    (tf, tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl")))
+  }
+
+  /** L19b/q144: incremental BM25 — a daily batch becomes searchable by
+    * MERGING its postings into the persisted corpus index: tf/dl union,
+    * df and collection stats recomputed over the union (they shift with
+    * every batch by definition — no frozen-idf drift). Corpus TEXT is
+    * never re-tokenized; the recurring cost is the batch tokenize plus
+    * slim-row aggregations over the postings table. The ranking tail is
+    * [[bm25Rank]] — the SAME definition q93 runs, so the incremental
+    * path can never drift from the full pass. */
+  def incrementalBm25(corpusTf: DataFrame, corpusDl: DataFrame,
+      newDocs: DataFrame): DataFrame = {
+    val (btf, bdl) = bm25Index(newDocs)
+    bm25Rank(corpusTf.unionByName(btf), corpusDl.unionByName(bdl))
+  }
+
+  /** q144 as an oracle query: corpus index built in-query (as the
+    * oracle must), batch merged against it. The union is the whole
+    * documents table, so the result IS q93's — one shared oracle. */
+  def incrementalBm25Daily(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    val (ctf, cdl) = bm25Index(d.filter(col("doc_id") % BatchMod =!= 0))
+    incrementalBm25(ctf, cdl, d.filter(col("doc_id") % BatchMod === 0))
+  }
+
+  /** The BM25 scoring+ranking tail shared by q93 (full pass) and q144
+    * (incremental): expects postings (doc_id, t, tf) and doc lengths
+    * (doc_id, dl); derives df and collection stats from them (one slim
+    * aggregation — every doc has ≥ 1 posting, so counting dl rows IS
+    * counting docs, saving the second corpus scan q93 first carried). */
+  private def bm25Rank(tf: DataFrame, dl: DataFrame): DataFrame = {
     val df = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
-    val stats = docsDf.select(count(lit(1)).as("n_docs"))
-      .crossJoin(dl.select(avg(col("dl")).as("avgdl")))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      avg(col("dl")).as("avgdl"))
     val qterms = tf.filter(col("doc_id") < Bm25NumQueries)
       .select(col("doc_id").as("qid"), col("t"))
     val termScores = tf.filter(col("doc_id") >= Bm25NumQueries)
@@ -1038,6 +1081,7 @@ object LLMQueries {
     "q60_exact_dedup" -> (exactDedup _),
     "q136_normalized_dedup" -> (normalizedDedup _),
     "q139_incremental_normalized_dedup" -> (incrementalNormalizedDedupDaily _),
+    "q144_incremental_bm25" -> (incrementalBm25Daily _),
     "q71_dedup_keep_best" -> (dedupKeepBest _),
     "q73_langid_ngram" -> (langIdNgram _),
     "q61_text_stats" -> (textStats _),
@@ -1184,6 +1228,44 @@ object LLMQueries {
        |FROM ws LEFT JOIN tok USING (t)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Shared by q93 (full pass) and q144 (incremental merge): the
+    * incremental union covers the whole table, so both must produce
+    * exactly this answer. */
+  private val bm25Oracle: String =
+    s"""WITH words AS (
+       |  SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS t
+       |  FROM documents),
+       |tf AS (SELECT doc_id, t, count(*) AS tf FROM words GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+       |       FROM tf GROUP BY doc_id),
+       |df AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+       |stats AS (
+       |  SELECT (SELECT count(*) FROM documents) AS n_docs,
+       |         (SELECT avg(dl) FROM dl) AS avgdl),
+       |qterms AS (SELECT doc_id AS qid, t FROM tf
+       |           WHERE doc_id < $Bm25NumQueries),
+       |ts AS (
+       |  SELECT qid, tf.doc_id,
+       |    CAST(round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+       |      * (tf * ${Bm25K1 + 1})
+       |      / (tf + $Bm25K1 * (1.0 - $Bm25B + $Bm25B * dl / avgdl))
+       |      * 1e6) AS BIGINT) AS s_micro
+       |  FROM tf
+       |  JOIN qterms USING (t)
+       |  JOIN df USING (t)
+       |  JOIN dl ON dl.doc_id = tf.doc_id
+       |  CROSS JOIN stats
+       |  WHERE tf.doc_id >= $Bm25NumQueries),
+       |perdoc AS (
+       |  SELECT qid, doc_id, CAST(sum(s_micro) AS BIGINT) AS score_micro,
+       |         count(*) AS n_terms
+       |  FROM ts GROUP BY 1, 2)
+       |SELECT qid, rk, doc_id, score_micro, n_terms FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY qid
+       |    ORDER BY score_micro DESC, doc_id) AS rk
+       |  FROM perdoc)
+       |WHERE rk <= $Bm25TopK ORDER BY qid, rk""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q60_exact_dedup" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
@@ -1266,40 +1348,11 @@ object LLMQueries {
         |    (PARTITION BY doc_id ORDER BY score DESC, t) AS rk
         |  FROM scored WHERE doc_id < 50)
         |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
-    "q93_bm25_topk" ->
-      s"""WITH words AS (
-         |  SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS t
-         |  FROM documents),
-         |tf AS (SELECT doc_id, t, count(*) AS tf FROM words GROUP BY 1, 2),
-         |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
-         |       FROM tf GROUP BY doc_id),
-         |df AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
-         |stats AS (
-         |  SELECT (SELECT count(*) FROM documents) AS n_docs,
-         |         (SELECT avg(dl) FROM dl) AS avgdl),
-         |qterms AS (SELECT doc_id AS qid, t FROM tf
-         |           WHERE doc_id < $Bm25NumQueries),
-         |ts AS (
-         |  SELECT qid, tf.doc_id,
-         |    CAST(round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
-         |      * (tf * ${Bm25K1 + 1})
-         |      / (tf + $Bm25K1 * (1.0 - $Bm25B + $Bm25B * dl / avgdl))
-         |      * 1e6) AS BIGINT) AS s_micro
-         |  FROM tf
-         |  JOIN qterms USING (t)
-         |  JOIN df USING (t)
-         |  JOIN dl ON dl.doc_id = tf.doc_id
-         |  CROSS JOIN stats
-         |  WHERE tf.doc_id >= $Bm25NumQueries),
-         |perdoc AS (
-         |  SELECT qid, doc_id, CAST(sum(s_micro) AS BIGINT) AS score_micro,
-         |         count(*) AS n_terms
-         |  FROM ts GROUP BY 1, 2)
-         |SELECT qid, rk, doc_id, score_micro, n_terms FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY qid
-         |    ORDER BY score_micro DESC, doc_id) AS rk
-         |  FROM perdoc)
-         |WHERE rk <= $Bm25TopK ORDER BY qid, rk""".stripMargin,
+    "q93_bm25_topk" -> bm25Oracle,
+    // q144: the (corpus ∪ batch) postings union is the whole documents
+    // table, so the incremental answer IS the full q93 answer — one
+    // shared oracle, zero drift by construction
+    "q144_incremental_bm25" -> bm25Oracle,
     "q108_bpe_merge_loop" -> {
       val unioned = (1 to BpeMergeRounds).map(r =>
         s"SELECT CAST($r AS BIGINT) AS round, pa, pb, total FROM b$r")

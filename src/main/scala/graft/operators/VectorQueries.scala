@@ -123,6 +123,32 @@ object VectorQueries {
       .orderBy(col("qid"), col("rk"))
   }
 
+  /** L44/q140: POSITIVE-pair mining — the other half of the q135
+    * contrastive triple: for every query vector, the most-similar
+    * vectors carrying the SAME label (self excluded). A (query,
+    * positive, hard-negative) row from q140×q135 is exactly the triplet
+    * a contrastive embedding loss consumes; mining positives by
+    * similarity (not at random from the class) keeps the pair
+    * semantically tight, which is what makes in-batch negatives work.
+    *
+    * Scale shape: identical to q135 — q67's broadcast-queries single
+    * scan with the label predicate flipped to equality, two-level
+    * ranked. No new shuffle class; at serving scale the scan swaps for
+    * an ANN tier with the same post-candidate filter. */
+  def positivePairs(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir)
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("label").as("qlabel"))
+    val scored = e.join(broadcast(q),
+        col("vec_id") =!= col("qid") && col("label") === col("qlabel"))
+      .withColumn("cos", round(cosineSim(col("v"), col("qv")), 6))
+    rankTopKPerQuery(scored, HardNegK)
+      .select(col("qid"), col("rk").cast("long").as("rk"),
+        col("vec_id").as("pid"), col("label").as("pos_label"), col("cos"))
+      .orderBy(col("qid"), col("rk"))
+  }
+
   private[operators] def topkCosineOf(e: DataFrame): DataFrame = {
     val q = e.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("qid"), col("v").as("qv"))
@@ -1272,7 +1298,8 @@ object VectorQueries {
     "q117_pq_topk" -> (pqTopkCosine _),
     "q121_rp_topk" -> (rpTopkCosine _),
     "q124_mmr_topk" -> (mmrTopk _),
-    "q135_hard_negatives" -> (hardNegatives _))
+    "q135_hard_negatives" -> (hardNegatives _),
+    "q140_positive_pairs" -> (positivePairs _))
 
   /** Oracle-side mirror of the Spark assignment ordering: the SAME
     * quantity `round(l2Sq, 6)` — squared L2 summed left-to-right over the
@@ -1386,6 +1413,20 @@ object VectorQueries {
          |SELECT qid, rk, nid, neg_label, cos FROM (
          |  SELECT *, row_number() OVER
          |    (PARTITION BY qid ORDER BY cos DESC, nid) AS rk
+         |  FROM scored)
+         |WHERE rk <= $HardNegK ORDER BY qid, rk""".stripMargin,
+    "q140_positive_pairs" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+         |           FROM embeddings),
+         |q AS (SELECT vec_id AS qid, label AS qlabel, v AS qv
+         |      FROM e WHERE vec_id < $NumQueries),
+         |scored AS (
+         |  SELECT qid, e.vec_id AS pid, e.label AS pos_label,
+         |    round(list_cosine_similarity(e.v, q.qv), 6) AS cos
+         |  FROM e, q WHERE e.vec_id <> q.qid AND e.label = q.qlabel)
+         |SELECT qid, rk, pid, pos_label, cos FROM (
+         |  SELECT *, row_number() OVER
+         |    (PARTITION BY qid ORDER BY cos DESC, pid) AS rk
          |  FROM scored)
          |WHERE rk <= $HardNegK ORDER BY qid, rk""".stripMargin,
     "q68_centroid_classify" -> (s"WITH $centroidCte" +

@@ -138,7 +138,7 @@ class PlanAuditSpec extends SparkSpec {
   // pattern — a qid-only rank funnels every scored corpus row through
   // |queries| reducers (constant-cardinality key, the q76/q107 lesson)
   for (q <- Seq("q67_topk_cosine", "q106_sq8_topk_cosine", "q117_pq_topk",
-      "q121_rp_topk", "q135_hard_negatives")) {
+      "q121_rp_topk", "q135_hard_negatives", "q140_positive_pairs")) {
     test(s"$q: per-query top-k rank is sharded (two-level)") {
       val plan = SparkEntry.queries(q)(spark, sfDir)
         .queryExecution.executedPlan.toString

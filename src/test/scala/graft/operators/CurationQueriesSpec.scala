@@ -737,4 +737,72 @@ class CurationQueriesSpec extends SparkSpec {
     assert(got == Map(1L -> "unchanged", 13L -> "changed",
       11L -> "added", 17L -> "removed"))
   }
+
+  test("mixture recipe matches a driver-side exact-integer recomputation") {
+    val rows = CurationQueries.mixtureRecipe(spark, sfDir)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+    val toks = graft.Tables(spark, sfDir, "documents")
+      .select($"source", $"text").as[(String, String)].collect()
+      .groupBy(_._1).view
+      .mapValues(ds => (ds.size.toLong,
+        ds.map(_._2.split("\\s+").length.toLong).sum)).toMap
+    val w = toks.view.mapValues { case (_, t) =>
+      math.round(math.sqrt(t.toDouble) * 1e6) }.toMap
+    val wTot = w.values.sum
+    rows.foreach { case (src, nDocs, nTok, wm, share, target, rep) =>
+      assert((nDocs, nTok) == toks(src))
+      assert(wm == w(src))
+      assert(share == wm * 1000000L / wTot)
+      assert(target == CurationQueries.RecipeTokenBudget * wm / wTot)
+      assert(rep == target * 1000000L / nTok)
+    }
+    // the temperature property itself: α = 0.5 < 1 gives a smaller
+    // source MORE than its raw token share relative to a bigger one
+    for (a <- rows; b <- rows if a._3 < b._3)
+      assert(a._4.toDouble * b._3 > b._4.toDouble * a._3,
+        s"${a._1} not upsampled vs ${b._1}")
+  }
+
+  test("snapshot drift: hand-built two-bucket shift yields TV = 500000") {
+    // doc 1: 10 tokens, in both snapshots unchanged (bucket 0 / 0);
+    // doc 13: 31 tokens, the old snapshot carries ' v0' → 32 tokens
+    // (bucket 1) vs new bucket 0 — half the mass moved a bucket
+    val df = Seq(
+      (1L, Seq.fill(10)("w").mkString(" "), "en", "s1"),
+      (13L, Seq.fill(31)("w").mkString(" "), "en", "s1"))
+      .toDF("doc_id", "text", "lang", "source")
+    val got = CurationQueries.snapshotDriftDocs(df)
+      .as[(String, Long, Long, Long)].collect()
+    assert(got.toSeq == Seq(("s1", 2L, 2L, 500000L)))
+  }
+
+  test("snapshot drift is bounded and counts match the fixtures") {
+    val rows = CurationQueries.snapshotDrift(spark, sfDir)
+      .as[(String, Long, Long, Long)].collect()
+    val d = graft.Tables(spark, sfDir, "documents")
+      .select($"doc_id", $"source").as[(Long, String)].collect()
+    val oldN = d.filter(_._1 % 11 != 0).groupBy(_._2).view.mapValues(_.size)
+    val newN = d.filter(_._1 % 17 != 0).groupBy(_._2).view.mapValues(_.size)
+    rows.foreach { case (src, nOld, nNew, tv) =>
+      assert(nOld == oldN(src).toLong && nNew == newN(src).toLong)
+      assert(tv >= 0 && tv <= 1000000L)
+    }
+  }
+
+  test("dup-size histogram partitions the corpus, matches the star CC") {
+    val rows = CurationQueries.dupSizeHistogram(spark, sfDir)
+      .as[(Long, Long, Long)].collect()
+    val nDocs = graft.Tables(spark, sfDir, "documents").count()
+    assert(rows.map(_._3).sum == nDocs) // every doc in exactly one family
+    rows.foreach { case (sz, fams, docs) => assert(docs == sz * fams) }
+    // fam_size >= 2 rows are exactly the star-CC component sizes
+    val ccSizes = CurationQueries.dedupClustersStar(spark, sfDir)
+      .select($"cluster_id").as[Long].collect()
+      .groupBy(identity).values.map(_.size.toLong)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(rows.filter(_._1 >= 2).map(r => r._1 -> r._2).toMap == ccSizes)
+    // and the singleton row is everything the pair graph never touched
+    val paired = ccSizes.map { case (sz, n) => sz * n }.sum
+    assert(rows.find(_._1 == 1L).map(_._2).getOrElse(0L) == nDocs - paired)
+  }
 }

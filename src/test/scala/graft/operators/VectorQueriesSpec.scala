@@ -602,4 +602,40 @@ class VectorQueriesSpec extends SparkSpec {
     assert(got.forall { case (qid, _, nid, nl, _) =>
       nl == labelOf(nid) && nl != labelOf(qid) })
   }
+
+  test("positive pairs = brute-force same-label top-k per query") {
+    val all = graft.Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> cast(x AS double))"))
+      .as[(Long, Int, Array[Double])].collect()
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def r6(x: Double): Double = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = all.filter(_._1 < 10).flatMap { case (qid, ql, qv) =>
+      all.filter(c => c._1 != qid && c._2 == ql)
+        .map(c => (qid, c._1, c._2, r6(cos(c._3, qv))))
+        .sortBy { case (_, pid, _, c) => (-c, pid) }
+        .take(VectorQueries.HardNegK)
+        .zipWithIndex
+        .map { case ((q, pid, pl, c), i) => (q, i + 1L, pid, pl, c) }
+    }.toSet
+    val got = VectorQueries.positivePairs(spark, sfDir)
+      .as[(Long, Long, Long, Int, Double)].collect().toSet
+    assert(got == expected)
+    // every positive carries the query's own label, and (q140 ∪ q135)
+    // rows compose into contrastive triples: same qid, disjoint ids
+    val labelOf = all.map(a => a._1 -> a._2).toMap
+    assert(got.forall { case (qid, _, pid, pl, _) =>
+      pl == labelOf(pid) && pl == labelOf(qid) })
+    val negIds = VectorQueries.hardNegatives(spark, sfDir)
+      .select(col("qid"), col("nid")).as[(Long, Long)].collect().toSet
+    assert(got.forall { case (qid, _, pid, _, _) =>
+      !negIds.contains((qid, pid)) })
+  }
 }

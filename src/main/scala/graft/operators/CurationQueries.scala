@@ -215,6 +215,51 @@ object CurationQueries {
   def hashSplit(spark: SparkSession, dir: String): DataFrame =
     hashSplitDocs(docs(spark, dir))
 
+  /** Docs kept per language by the q145 eval sampler. */
+  val EvalSampleK = 20
+
+  /** q145's own shard-width knob (the q107/SourceCapShardDocs rule:
+    * every two-level rank owns its width). */
+  val EvalSampleShardDocs = 128L
+
+  /** L48/q145: EXACT-K stratified eval sample — exactly [[EvalSampleK]]
+    * docs per language, selected by salted-md5 order. q75's
+    * rate-threshold sampler is append-stable but only approximates its
+    * sizes (rate·N ± binomial noise — useless when the eval budget is
+    * "exactly 500 per language"); hash-ORDER selection pins the size
+    * exactly, trading perfect append-stability for O(1)-expected churn
+    * per append (a new doc displaces at most the K-th member of its own
+    * language). Still a pure function of doc_id — rerun- and
+    * partition-independent, never rand().
+    *
+    * Scale shape: lang is a constant-cardinality HOT key, so the rank
+    * must not be one lang-keyed window (the q76/q107 lesson verbatim):
+    * rank locally per (lang, doc_id-range shard) — shard cardinality
+    * grows with the corpus — keep ≤ K per shard, and the final lang
+    * rank sees shards×K survivors. Equivalent to the direct rank: a
+    * global top-K row has fewer than K rows ordered above it anywhere,
+    * a fortiori within its own shard. */
+  def evalSampleDocs(docsDf: DataFrame): DataFrame = {
+    val scored = docsDf.select(col("doc_id"), col("lang"),
+        md5(concat(lit("graft-eval:"), col("doc_id").cast("string")))
+          .as("h"))
+      .withColumn("shard", expr(s"doc_id div $EvalSampleShardDocs"))
+    val local = Window.partitionBy(col("lang"), col("shard"))
+      .orderBy(col("h"), col("doc_id"))
+    val survivors = scored.withColumn("lrk", row_number().over(local))
+      .filter(col("lrk") <= EvalSampleK)
+      .drop("lrk", "shard")
+    val global = Window.partitionBy(col("lang"))
+      .orderBy(col("h"), col("doc_id"))
+    survivors.withColumn("rk", row_number().over(global))
+      .filter(col("rk") <= EvalSampleK)
+      .select(col("lang"), col("rk").cast("long").as("rk"), col("doc_id"))
+      .orderBy(col("lang"), col("rk"))
+  }
+
+  def evalSample(spark: SparkSession, dir: String): DataFrame =
+    evalSampleDocs(docs(spark, dir))
+
   /** Sequence packing, concat-then-chunk: concatenate each (language,
     * shard)'s documents in doc_id order and cut the token stream into
     * [[PackTokens]]-token training sequences. Each document lands in the
@@ -1497,7 +1542,8 @@ object CurationQueries {
     "q138_source_report" -> (sourceReport _),
     "q141_mixture_recipe" -> (mixtureRecipe _),
     "q142_snapshot_drift" -> (snapshotDrift _),
-    "q143_dup_size_histogram" -> (dupSizeHistogram _))
+    "q143_dup_size_histogram" -> (dupSizeHistogram _),
+    "q145_eval_sample" -> (evalSample _))
 
   // ---- oracle SQL -----------------------------------------------------
 
@@ -1981,6 +2027,14 @@ object CurationQueries {
         |    AS BIGINT) AS tv_micro
         |FROM hist JOIN tot USING (source)
         |GROUP BY source, n_old, n_new ORDER BY source""".stripMargin,
+    // q145: the oracle ranks directly per language — the Spark side's
+    // two-level shard rank is provably the same selection
+    "q145_eval_sample" ->
+      s"""SELECT lang, rk, doc_id FROM (
+         |  SELECT lang, doc_id, row_number() OVER (PARTITION BY lang
+         |    ORDER BY md5('graft-eval:' || doc_id), doc_id) AS rk
+         |  FROM documents)
+         |WHERE rk <= $EvalSampleK ORDER BY lang, rk""".stripMargin,
     "q119_substring_dup_remove" ->
       s"""WITH wa AS (
          |  SELECT doc_id, string_split_regex(text, '\\s+') AS w

@@ -278,6 +278,156 @@ object IndexStore {
       read(spark, indexDir, "bm25_dl"),
       docSplit(spark, dataDir)._2)
 
+  // ---- compaction (merge today's batch into the NEXT snapshot) ---------
+  //
+  // The third leg of the index lifecycle: build (once) → daily reads
+  // (recurring) → nightly COMPACTION, which merges the day's batch into
+  // the persisted index so tomorrow's snapshot never re-tokenizes /
+  // re-hashes / re-decodes the corpus — exactly the O(corpus) cost the
+  // incremental family exists to avoid, now removed from the snapshot
+  // roll too. `outDir` must differ from `indexDir` (parquet cannot
+  // overwrite its own input); a real pipeline writes snapshot N+1's
+  // directory and flips a pointer.
+  //
+  // Every compactable index is a per-document row set or a distinct key
+  // set — both union pointwise, so compaction provably equals a full
+  // rebuild over (corpus ∪ batch); IndexStoreSpec pins the equality
+  // table-for-table. The rebuild-class artifacts (sem_*, ivf_centroids,
+  // bpe_vocab, dsir_model) are deliberately absent: they freeze a
+  // quantizer / model per snapshot (the q105/q113/q116 serving trade)
+  // and refresh by scheduled rebuild, not merge.
+
+  def compactTextNearDup(spark: SparkSession, indexDir: String,
+      dataDir: String, outDir: String): Unit = {
+    val (bands, sets) =
+      LLMQueries.signatureTables(docSplit(spark, dataDir)._2)
+    write(read(spark, indexDir, "text_bands").unionByName(bands),
+      outDir, "text_bands")
+    write(read(spark, indexDir, "text_sets").unionByName(sets),
+      outDir, "text_sets")
+  }
+
+  def compactTextExact(spark: SparkSession, indexDir: String,
+      dataDir: String, outDir: String): Unit =
+    write(read(spark, indexDir, "text_hash")
+      .unionByName(LLMQueries.hashIndex(docSplit(spark, dataDir)._2))
+      .distinct(), outDir, "text_hash")
+
+  def compactSegments(spark: SparkSession, indexDir: String,
+      dataDir: String, outDir: String): Unit =
+    write(read(spark, indexDir, "segments")
+      .unionByName(
+        CurationQueries.segmentIndex(docSplit(spark, dataDir)._2))
+      .distinct(), outDir, "segments")
+
+  def compactVecExact(spark: SparkSession, indexDir: String,
+      dataDir: String, outDir: String): Unit =
+    write(read(spark, indexDir, "vec_hash")
+      .unionByName(
+        VectorQueries.vectorHashIndex(vecSplit(spark, dataDir)._2))
+      .distinct(), outDir, "vec_hash")
+
+  def compactVecNearDup(spark: SparkSession, indexDir: String,
+      dataDir: String, outDir: String): Unit =
+    write(read(spark, indexDir, "vec_bands")
+      .unionByName(VectorQueries.lshBandsOf(vecSplit(spark, dataDir)._2)),
+      outDir, "vec_bands")
+
+  def compactMediaBands(spark: SparkSession, indexDir: String,
+      dataDir: String, outDir: String): Unit =
+    write(read(spark, indexDir, "media_bands")
+      .unionByName(graft.multimodal.Multimodal.phashBands(
+        graft.multimodal.Multimodal.mediaSplit(spark, dataDir)._2)),
+      outDir, "media_bands")
+
+  def compactAudioFps(spark: SparkSession, indexDir: String,
+      dataDir: String, outDir: String): Unit =
+    write(read(spark, indexDir, "audio_fps")
+      .unionByName(
+        graft.multimodal.Multimodal.audioFpSplit(spark, dataDir)._2),
+      outDir, "audio_fps")
+
+  def compactNormHash(spark: SparkSession, indexDir: String,
+      dataDir: String, outDir: String): Unit =
+    write(read(spark, indexDir, "norm_hash")
+      .unionByName(
+        LLMQueries.normHashIndex(LLMQueries.normSplit(spark, dataDir)._2))
+      .distinct(), outDir, "norm_hash")
+
+  def compactBm25(spark: SparkSession, indexDir: String,
+      dataDir: String, outDir: String): Unit = {
+    val (btf, bdl) = LLMQueries.bm25Index(docSplit(spark, dataDir)._2)
+    write(read(spark, indexDir, "bm25_tf").unionByName(btf),
+      outDir, "bm25_tf")
+    write(read(spark, indexDir, "bm25_dl").unionByName(bdl),
+      outDir, "bm25_dl")
+  }
+
+  /** (family, table names, compact, rebuild-over-union) — the table
+    * IndexStoreSpec iterates to pin compaction == full rebuild. The
+    * rebuild closure writes the same family FROM the whole (corpus ∪
+    * batch) universe, the ground truth compaction must reproduce. */
+  val compactions: Seq[(String, Seq[String],
+      (SparkSession, String, String, String) => Unit,
+      (SparkSession, String, String) => Unit)] = Seq(
+    ("text_near_dup", Seq("text_bands", "text_sets"),
+      compactTextNearDup _,
+      (s, dataDir, dir) => {
+        val (c, b) = docSplit(s, dataDir)
+        writeTextNearDup(c.unionByName(b), dir)
+      }),
+    ("text_exact", Seq("text_hash"),
+      compactTextExact _,
+      (s, dataDir, dir) => {
+        val (c, b) = docSplit(s, dataDir)
+        writeTextExact(c.unionByName(b), dir)
+      }),
+    ("segments", Seq("segments"),
+      compactSegments _,
+      (s, dataDir, dir) => {
+        val (c, b) = docSplit(s, dataDir)
+        writeSegments(c.unionByName(b), dir)
+      }),
+    ("vec_exact", Seq("vec_hash"),
+      compactVecExact _,
+      (s, dataDir, dir) => {
+        val (c, b) = vecSplit(s, dataDir)
+        writeVecExact(c.unionByName(b), dir)
+      }),
+    ("vec_near_dup", Seq("vec_bands"),
+      compactVecNearDup _,
+      (s, dataDir, dir) => {
+        val (c, b) = vecSplit(s, dataDir)
+        writeVecNearDup(c.unionByName(b), dir)
+      }),
+    ("media", Seq("media_bands"),
+      compactMediaBands _,
+      (s, dataDir, dir) => {
+        val (c, b) = graft.multimodal.Multimodal.mediaSplit(s, dataDir)
+        write(graft.multimodal.Multimodal.phashBands(c.unionByName(b)),
+          dir, "media_bands")
+      }),
+    ("audio_fps", Seq("audio_fps"),
+      compactAudioFps _,
+      (s, dataDir, dir) => {
+        val (c, b) = graft.multimodal.Multimodal.audioFpSplit(s, dataDir)
+        write(c.unionByName(b), dir, "audio_fps")
+      }),
+    ("norm_hash", Seq("norm_hash"),
+      compactNormHash _,
+      (s, dataDir, dir) => {
+        val (c, b) = LLMQueries.normSplit(s, dataDir)
+        write(LLMQueries.normHashIndex(c.unionByName(b)), dir, "norm_hash")
+      }),
+    ("bm25", Seq("bm25_tf", "bm25_dl"),
+      compactBm25 _,
+      (s, dataDir, dir) => {
+        val (c, b) = docSplit(s, dataDir)
+        val (tf, dl) = LLMQueries.bm25Index(c.unionByName(b))
+        write(tf, dir, "bm25_tf")
+        write(dl, dir, "bm25_dl")
+      }))
+
   /** (family name, in-memory qNN twin, write, daily-from-disk) — the one
     * table IndexSoak and IndexStoreSpec both iterate so the measured
     * flow and the pinned invariant can never cover different families. */

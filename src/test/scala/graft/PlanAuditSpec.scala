@@ -90,6 +90,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(joins == 1, s"q109 expected exactly the band self-join, got $joins")
   }
 
+  test("q145: per-language sample rank is sharded (two-level)") {
+    val plan = SparkEntry.queries("q145_eval_sample")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val windows = plan.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(windows.size == 2, s"expected 2 windows, got:\n${windows.mkString("\n")}")
+    assert(windows.exists(_.contains("shard")),
+      "no shard-keyed local window in q145's plan")
+  }
+
   test("q107: corpus-facing top-K window is sharded") {
     val plan = SparkEntry.queries("q107_source_caps")(spark, sfDir)
       .queryExecution.executedPlan.toString

@@ -805,4 +805,24 @@ class CurationQueriesSpec extends SparkSpec {
     val paired = ccSizes.map { case (sz, n) => sz * n }.sum
     assert(rows.find(_._1 == 1L).map(_._2).getOrElse(0L) == nDocs - paired)
   }
+
+  test("eval sample: two-level rank equals the direct per-language rank") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val got = CurationQueries.evalSample(spark, sfDir)
+      .as[(String, Long, Long)].collect().toSeq
+    val d = graft.Tables(spark, sfDir, "documents")
+      .select($"doc_id", $"lang").as[(Long, String)].collect()
+    val expected = d.groupBy(_._2).toSeq.flatMap { case (lang, ds) =>
+      ds.map(_._1).map(id => (id, md5hex("graft-eval:" + id)))
+        .sortBy { case (id, h) => (h, id) }
+        .take(CurationQueries.EvalSampleK).zipWithIndex
+        .map { case ((id, _), i) => (lang, i + 1L, id) }
+    }
+    assert(got.toSet == expected.toSet)
+    // exact K per language (every testdata language exceeds K docs)
+    got.groupBy(_._1).values.foreach(g =>
+      assert(g.size == CurationQueries.EvalSampleK))
+  }
 }

@@ -27,4 +27,32 @@ class IndexStoreSpec extends SparkSpec {
       assert(fromDisk.nonEmpty, s"$family daily leg returned no rows")
       assert(fromDisk == inMemory)
     }
+
+  // Compaction (the third lifecycle leg): merging the batch into the
+  // persisted index must equal a full rebuild over (corpus ∪ batch),
+  // table for table — otherwise tomorrow's snapshot quietly diverges
+  // from the index the oracle queries prove correct.
+  for ((family, tables, compact, rebuild) <- IndexStore.compactions)
+    test(s"$family: compaction == full rebuild over (corpus ∪ batch)") {
+      def tmp(tag: String) = {
+        val d = Files.createTempDirectory(s"graft_${tag}_$family").toFile
+        d.deleteOnExit()
+        d.getAbsolutePath
+      }
+      val base = tmp("cidx")
+      val out = tmp("cout")
+      val full = tmp("cfull")
+      IndexStore.families.find(_._1 == family).get._3(spark, sfDir, base)
+      compact(spark, base, sfDir, out)
+      rebuild(spark, sfDir, full)
+      for (t <- tables) {
+        val got = spark.read.parquet(s"$out/$t.parquet")
+        val want = spark.read.parquet(s"$full/$t.parquet")
+        assert(got.schema == want.schema, s"$family/$t schema drift")
+        val g = got.collect().map(_.toString).sorted.toSeq
+        val w = want.collect().map(_.toString).sorted.toSeq
+        assert(g.nonEmpty, s"$family/$t compacted to empty")
+        assert(g == w, s"$family/$t rows diverge from the rebuild")
+      }
+    }
 }

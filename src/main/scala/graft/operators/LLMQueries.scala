@@ -608,6 +608,38 @@ object LLMQueries {
   private val Bm25NumQueries = 5
   private val Bm25TopK = 3
 
+  /** The per-(doc, term) Okapi contribution in integer micro-units,
+    * over columns (tf, df, dl, n_docs, avgdl) — ONE definition shared
+    * by q93/q144's batch tail and the streaming search twin, so the
+    * three paths can never score differently. */
+  private[graft] val Bm25ScoreSql: String =
+    s"cast(round(ln((n_docs - df + 0.5d) / (df + 0.5d) + 1.0d)" +
+      s" * (tf * ${Bm25K1 + 1}d)" +
+      s" / (tf + $Bm25K1 * (1.0d - $Bm25B + $Bm25B * dl / avgdl))" +
+      " * 1e6) as bigint)"
+
+  /** Query-independent IMPACT-SCORED postings (the Lucene-impacts /
+    * learned-sparse serving trick): a term's BM25 contribution to a
+    * document depends only on (tf, df, dl, collection stats) — not on
+    * the query — so the whole scoring computation can be baked into the
+    * postings once per snapshot. A search then reduces to joining query
+    * terms against pre-scored rows and summing. Stats are driver-side
+    * literals (one bounded row) so the frame is fully static — what the
+    * streaming twin requires for a stateless stream-static join. */
+  def bm25ScoredPostings(corpusTf: DataFrame,
+      corpusDl: DataFrame): DataFrame = {
+    val stats = corpusDl
+      .agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl")).head()
+    val dfT = corpusTf.groupBy(col("t")).agg(count(lit(1)).as("df"))
+    corpusTf
+      .join(dfT, Seq("t"))
+      .join(corpusDl, Seq("doc_id"))
+      .withColumn("n_docs", lit(stats.getLong(0)))
+      .withColumn("avgdl", lit(stats.getDouble(1)))
+      .withColumn("s_micro", expr(Bm25ScoreSql))
+      .select(col("t"), col("doc_id"), col("s_micro"))
+  }
+
   /** Lexical top-k retrieval via Okapi BM25 — the standard keyword-search
     * scorer, complementing the embedding-cosine family (q67/q69): the
     * first [[Bm25NumQueries]] documents act as queries (their distinct
@@ -689,11 +721,7 @@ object LLMQueries {
       .join(broadcast(df), Seq("t"))
       .join(dl, Seq("doc_id"))
       .crossJoin(broadcast(stats))
-      .withColumn("s_micro", expr(
-        s"cast(round(ln((n_docs - df + 0.5d) / (df + 0.5d) + 1.0d)" +
-          s" * (tf * ${Bm25K1 + 1}d)" +
-          s" / (tf + $Bm25K1 * (1.0d - $Bm25B + $Bm25B * dl / avgdl))" +
-          " * 1e6) as bigint)"))
+      .withColumn("s_micro", expr(Bm25ScoreSql))
     val perDoc = termScores.groupBy(col("qid"), col("doc_id"))
       .agg(sum(col("s_micro")).as("score_micro"),
         count(lit(1)).as("n_terms"))

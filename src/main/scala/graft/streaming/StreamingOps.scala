@@ -235,6 +235,33 @@ object StreamingOps {
         sum(coalesce(col("n_tok"), lit(1L))).as("n_tokens"))
       .select(col("doc_id"), col("n_words"), col("n_tokens"))
 
+  /** L19c streaming: BM25 SEARCH as a continuous stream — arriving
+    * query documents retrieve from the persisted corpus postings. The
+    * static side is [[graft.operators.LLMQueries.bm25ScoredPostings]]
+    * (each term's contribution to each doc baked in once per snapshot —
+    * the impact-postings serving shape; BM25 term scores are
+    * query-INDEPENDENT, which is what makes this possible), so the
+    * stream leg is completely stateless on the corpus side: explode the
+    * query's distinct terms, one stream-static inner join, and a
+    * watermark-bounded per-(query, doc) sum finalizing in append mode.
+    * Top-k ranking stays with the consumer — a streaming rank would
+    * hold unbounded per-query state for no benefit when k·|queries|
+    * rows already fit anywhere. Emitted scores equal the batch Okapi
+    * formula under corpus-only collection stats (one shared score
+    * expression — StreamingSpec pins the equality). */
+  def streamingBm25Search(queries: Dataset[StreamDoc],
+      scoredPostings: DataFrame): DataFrame =
+    queries.toDF()
+      .withWatermark("ts", "1 hour")
+      .select(col("doc_id").as("qid"), col("ts"),
+        explode(array_distinct(split(col("text"), "\\s+"))).as("t"))
+      .join(scoredPostings, Seq("t"))
+      .groupBy(window(col("ts"), "1 hour"), col("qid"), col("doc_id"))
+      .agg(sum(col("s_micro")).as("score_micro"),
+        count(lit(1)).as("n_terms"))
+      .select(col("qid"), col("doc_id"), col("score_micro"),
+        col("n_terms"))
+
   case class StreamVec(vec_id: Long, ts: Timestamp, embedding: Array[Float])
 
   /** L24 streaming: the daily-ingest exact VECTOR dedup as a CONTINUOUS

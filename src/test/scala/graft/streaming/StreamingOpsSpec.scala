@@ -486,4 +486,33 @@ class StreamingOpsSpec extends SparkSpec {
       assert(out == Seq((1L, 3L, 4L), (2L, 2L, 4L)))
     } finally query.stop()
   }
+
+  test("streaming BM25 search off impact postings equals the batch formula") {
+    val input = MemoryStream[StreamDoc]
+    val corpus = Seq((10L, "a a b"), (11L, "a c"), (12L, "b b b c"))
+      .toDF("doc_id", "text")
+    val (ctf, cdl) = graft.operators.LLMQueries.bm25Index(corpus)
+    val posts = graft.operators.LLMQueries.bm25ScoredPostings(ctf, cdl)
+    val query = streamingBm25Search(input.toDS(), posts)
+      .writeStream.format("memory").queryName("sbm25")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // query "a c a" → distinct terms {a, c}
+      input.addData(StreamDoc(100L, ts(0), "a c a"))
+      query.processAllAvailable()
+      input.addData(StreamDoc(999L, ts(150), "zzz")) // advance watermark
+      query.processAllAvailable()
+      // the Okapi contribution recomputed driver-side: N=3, avgdl=3,
+      // k1=1.2, b=0.75 — the exact constants the shared score SQL bakes
+      def s(tf: Long, df: Long, dl: Long): Long =
+        math.round(math.log((3 - df + 0.5) / (df + 0.5) + 1.0) *
+          (tf * 2.2) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / 3.0)) * 1e6)
+      val out = spark.table("sbm25").as[(Long, Long, Long, Long)]
+        .collect().sortBy(_._2).toSeq
+      assert(out == Seq(
+        (100L, 10L, s(2, 2, 3), 1L),                 // 'a' only
+        (100L, 11L, s(1, 2, 2) + s(1, 2, 2), 2L),    // 'a' + 'c'
+        (100L, 12L, s(1, 2, 4), 1L)))                // 'c' only
+    } finally query.stop()
+  }
 }

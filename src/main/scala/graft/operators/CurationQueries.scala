@@ -1487,6 +1487,72 @@ object CurationQueries {
   def snapshotDrift(spark: SparkSession, dir: String): DataFrame =
     snapshotDriftDocs(docs(spark, dir))
 
+  /** Quality-block width in micro-units for q146's distributed prefix
+    * sum — parallelism is |sources| × (1e6 / width) local windows, a
+    * KNOB-bounded fan-out (the standard range-partitioned prefix-sum
+    * trade): narrower blocks buy more reducers at the cost of a larger
+    * (still bounded) offset table. */
+  val BudgetQualityBlockMicros = 10000L
+
+  /** L49/q146: BUDGET-bounded selection — materializes the q141 recipe
+    * into an actual document selection: each source keeps its
+    * highest-quality documents, in (quality desc, doc_id) order, until
+    * its token target is exhausted (the crossing document is kept, so
+    * budgets always fill). Targets are HALF the corpus's token volume
+    * split by q141's temperature weights — big sources truncate hard,
+    * up-weighted small sources keep everything (fill pegs at their own
+    * volume).
+    *
+    * Scale shape: the running token sum is a DISTRIBUTED PREFIX SUM,
+    * never one source-keyed window (the q76/q107 hot-key rule): local
+    * before-sums within (source, quality-block) — block = qmicro div
+    * [[BudgetQualityBlockMicros]], order-ALIGNED with the sort key
+    * because div is monotone — plus a bounded (|sources| × |blocks|)
+    * block-offset table. Exact integer arithmetic throughout; the
+    * micro-share product stays under 2^63 up to ~1.8e13 corpus tokens
+    * (switch the share to decimal past ~90 TB of text). */
+  def budgetSelectDocs(docsDf: DataFrame): DataFrame = {
+    val s = docsDf.select(col("doc_id"), col("source"),
+        size(split(col("text"), "\\s+")).cast("long").as("n_tokens"),
+        round(LLMQueries.qualityExpr * 1e6).cast("bigint").as("qmicro"))
+      .withColumn("qblock", expr(s"qmicro div $BudgetQualityBlockMicros"))
+    val agg = s.groupBy(col("source"))
+      .agg(sum(col("n_tokens")).as("src_tokens"))
+      .withColumn("wm",
+        expr("cast(round(sqrt(cast(src_tokens as double)) * 1e6) as bigint)"))
+    val tot = agg.agg(sum(col("wm")).as("w_tot"),
+      sum(col("src_tokens")).as("tok_tot"))
+    val targets = agg.crossJoin(broadcast(tot))
+      .select(col("source"),
+        expr("(tok_tot div 2) * (wm * 1000000L div w_tot) div 1000000L")
+          .as("target_tokens"))
+    val wLocal = Window.partitionBy(col("source"), col("qblock"))
+      .orderBy(col("qmicro").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = s.withColumn("before_local",
+      coalesce(sum(col("n_tokens")).over(wLocal), lit(0L)))
+    val wBlocks = Window.partitionBy(col("source"))
+      .orderBy(col("qblock").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = s.groupBy(col("source"), col("qblock"))
+      .agg(sum(col("n_tokens")).as("btok"))
+      .withColumn("boffset", coalesce(sum(col("btok")).over(wBlocks), lit(0L)))
+      .select(col("source"), col("qblock"), col("boffset"))
+    local.join(offsets, Seq("source", "qblock"))
+      .join(broadcast(targets), Seq("source"))
+      .filter(col("before_local") + col("boffset") < col("target_tokens"))
+      .groupBy(col("source"), col("target_tokens"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("n_tokens")).as("tokens_kept"))
+      .select(col("source"), col("n_kept"), col("tokens_kept"),
+        col("target_tokens"),
+        expr("tokens_kept * 1000000L div greatest(target_tokens, 1L)")
+          .as("fill_micro"))
+      .orderBy(col("source"))
+  }
+
+  def budgetSelect(spark: SparkSession, dir: String): DataFrame =
+    budgetSelectDocs(docs(spark, dir))
+
   /** L47/q143: duplicate-family SIZE histogram — the dedup audit read
     * alongside q125/q127's recall/precision gates: how much of the
     * corpus sits in families of 2, of 3, of 10+? A fat tail says one
@@ -1543,7 +1609,8 @@ object CurationQueries {
     "q141_mixture_recipe" -> (mixtureRecipe _),
     "q142_snapshot_drift" -> (snapshotDrift _),
     "q143_dup_size_histogram" -> (dupSizeHistogram _),
-    "q145_eval_sample" -> (evalSample _))
+    "q145_eval_sample" -> (evalSample _),
+    "q146_budget_select" -> (budgetSelect _))
 
   // ---- oracle SQL -----------------------------------------------------
 
@@ -2027,6 +2094,45 @@ object CurationQueries {
         |    AS BIGINT) AS tv_micro
         |FROM hist JOIN tot USING (source)
         |GROUP BY source, n_old, n_new ORDER BY source""".stripMargin,
+    // q146: the oracle runs the DIRECT per-source running-sum window —
+    // the Spark side's block-partitioned prefix sum is provably the
+    // same order (div is monotone in the sort key)
+    "q146_budget_select" ->
+      """WITH s AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split_regex(text, '\s+')) AS BIGINT)
+        |      AS n_tokens,
+        |    CAST(round(round(least(1.0,
+        |        CAST(len(string_split_regex(text, '\s+')) AS DOUBLE)
+        |          / 120.0) *
+        |      (CAST(len(list_distinct(string_split_regex(text, '\s+')))
+        |          AS DOUBLE) / len(string_split_regex(text, '\s+'))), 6)
+        |      * 1e6) AS BIGINT) AS qmicro
+        |  FROM documents),
+        |agg AS (SELECT source, CAST(sum(n_tokens) AS BIGINT)
+        |          AS src_tokens FROM s GROUP BY source),
+        |w AS (SELECT source, src_tokens,
+        |        CAST(round(sqrt(CAST(src_tokens AS DOUBLE)) * 1e6)
+        |          AS BIGINT) AS wm FROM agg),
+        |t AS (SELECT CAST(sum(wm) AS BIGINT) AS w_tot,
+        |        CAST(sum(src_tokens) AS BIGINT) AS tok_tot FROM w),
+        |tgt AS (SELECT source,
+        |          CAST((tok_tot // 2) * (wm * 1000000 // w_tot)
+        |            // 1000000 AS BIGINT) AS target_tokens
+        |        FROM w, t),
+        |r AS (SELECT doc_id, source, n_tokens,
+        |        coalesce(CAST(sum(n_tokens) OVER (PARTITION BY source
+        |          ORDER BY qmicro DESC, doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |          AS BIGINT), 0) AS bfr
+        |      FROM s)
+        |SELECT source, count(*) AS n_kept,
+        |  CAST(sum(n_tokens) AS BIGINT) AS tokens_kept, target_tokens,
+        |  CAST(sum(n_tokens) * 1000000 // greatest(target_tokens, 1)
+        |    AS BIGINT) AS fill_micro
+        |FROM r JOIN tgt USING (source)
+        |WHERE bfr < target_tokens
+        |GROUP BY source, target_tokens ORDER BY source""".stripMargin,
     // q145: the oracle ranks directly per language — the Spark side's
     // two-level shard rank is provably the same selection
     "q145_eval_sample" ->

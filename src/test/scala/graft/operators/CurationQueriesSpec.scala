@@ -806,6 +806,47 @@ class CurationQueriesSpec extends SparkSpec {
     assert(rows.find(_._1 == 1L).map(_._2).getOrElse(0L) == nDocs - paired)
   }
 
+  test("budget select: block prefix sum equals the direct running sum") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val got = CurationQueries.budgetSelect(spark, sfDir)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    // direct recomputation: ONE source-keyed running-sum window
+    val s = graft.Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), "\\s+")).cast("long").as("n_tokens"),
+        round(expr("round(transform(array(split(text, '\\\\s+'))," +
+          " w -> least(1.0d, size(w) / 120.0d)" +
+          " * (size(array_distinct(w)) / cast(size(w) as double)))[0], 6)")
+          * 1e6).cast("bigint").as("qmicro"))
+    val perDoc = s.collect().map(r =>
+      (r.getString(1), r.getLong(0), r.getLong(2), r.getLong(3)))
+    val bySource = perDoc.groupBy(_._1)
+    val srcTokens = bySource.view.mapValues(_.map(_._3).sum).toMap
+    val wm = srcTokens.view
+      .mapValues(t => math.round(math.sqrt(t.toDouble) * 1e6)).toMap
+    val wTot = wm.values.sum
+    val tokTot = srcTokens.values.sum
+    val expected = bySource.toSeq.map { case (src, ds) =>
+      val target = (tokTot / 2) * (wm(src) * 1000000L / wTot) / 1000000L
+      val ordered = ds.sortBy { case (_, id, _, q) => (-q, id) }
+      val kept = ordered
+        .scanLeft(0L) { case (acc, (_, _, n, _)) => acc + n }
+        .zip(ordered).takeWhile { case (before, _) => before < target }
+      val toks = kept.map(_._2._3).sum
+      (src, kept.size.toLong, toks, target,
+        toks * 1000000L / math.max(target, 1L))
+    }.sortBy(_._1)
+    assert(got == expected)
+    // budget property: a source either keeps everything (its volume is
+    // below target) or fills its budget (the crossing doc is kept)
+    got.foreach { case (src, nKept, toks, target, _) =>
+      assert(nKept == bySource(src).size.toLong && toks <= target ||
+        toks >= target,
+        s"$src neither kept all nor filled: $toks vs $target")
+    }
+  }
+
   test("eval sample: two-level rank equals the direct per-language rank") {
     def md5hex(s: String): String =
       java.security.MessageDigest.getInstance("MD5")

@@ -1553,6 +1553,84 @@ object CurationQueries {
   def budgetSelect(spark: SparkSession, dir: String): DataFrame =
     budgetSelectDocs(docs(spark, dir))
 
+  /** L50/q147: cross-source SHARED-SEGMENT matrix — the mirror-crawl /
+    * syndication detector: for every unordered source pair, how many
+    * distinct segments (q89's [[SegWords]]-word units) both carry, each
+    * side's distinct-segment volume, and the overlap as a micro
+    * fraction of the smaller side. Exact-doc overlap is subsumed
+    * (identical docs share every segment); the table routes a
+    * high-overlap pair to a crawl-dedup fix upstream of any per-doc
+    * pass.
+    *
+    * Scale shape: segments reduce to md5 AT THE SCAN (32-hex keys
+    * shuffle, text never does — the q60/q132 rule); the distinct
+    * (source, hash) projection collapses segment popularity BEFORE the
+    * self-join, so a boilerplate segment carried by millions of docs
+    * contributes at most |sources|² pair rows, not a quadratic blowup
+    * (the q120 DF argument). */
+  def sourceOverlapDocs(docsDf: DataFrame): DataFrame = {
+    val ss = docsDf
+      .select(col("source"), explode(segArrExpr).as("seg"))
+      .select(col("source"), md5(col("seg")).as("sh"))
+      .distinct()
+    val vol = ss.groupBy(col("source")).agg(count(lit(1)).as("n_segs"))
+    ss.as("a")
+      .join(ss.as("b"),
+        col("a.sh") === col("b.sh") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(vol.select(col("source").as("src_a"),
+        col("n_segs").as("segs_a"))), Seq("src_a"))
+      .join(broadcast(vol.select(col("source").as("src_b"),
+        col("n_segs").as("segs_b"))), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("n_shared"),
+        col("segs_a"), col("segs_b"),
+        expr("n_shared * 1000000L div least(segs_a, segs_b)")
+          .as("overlap_micro"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame =
+    sourceOverlapDocs(docs(spark, dir))
+
+  /** Survivors kept per near-dup cluster by q148. */
+  val ClusterCap = 3
+
+  /** q148's own shard-width knob (the q107 rule: every two-level rank
+    * owns its width). */
+  val ClusterCapShardDocs = 128L
+
+  /** L51/q148: per-cluster CAPS — the soft middle ground between q88
+    * (one survivor per near-dup family) and no dedup at all: keep the
+    * top [[ClusterCap]] members of every q85 cluster by (quality desc,
+    * doc_id). SemDeDup-style pipelines keep a few diverse members per
+    * family — one canonical loses paraphrase variance the model could
+    * use; the cap bounds redundancy instead of erasing it.
+    *
+    * Scale shape: cluster_id is a DATA-DEPENDENT hot key (a boilerplate
+    * mega-cluster is corpus-sized), so the rank is two-level per
+    * (cluster_id, doc_id-range shard) — the q107 argument verbatim;
+    * q88's aggregation trick covers only M = 1. */
+  def clusterCaps(spark: SparkSession, dir: String): DataFrame = {
+    val scored = dedupClustersStar(spark, dir)
+      .join(docs(spark, dir)
+        .select(col("doc_id"), LLMQueries.qualityExpr.as("quality")),
+        Seq("doc_id"))
+      .withColumn("cshard", expr(s"doc_id div $ClusterCapShardDocs"))
+    val local = Window.partitionBy(col("cluster_id"), col("cshard"))
+      .orderBy(col("quality").desc, col("doc_id"))
+    val survivors = scored.withColumn("lrk", row_number().over(local))
+      .filter(col("lrk") <= ClusterCap)
+      .drop("lrk", "cshard")
+    val global = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("quality").desc, col("doc_id"))
+    survivors.withColumn("rk", row_number().over(global))
+      .filter(col("rk") <= ClusterCap)
+      .select(col("cluster_id"), col("rk").cast("long").as("rk"),
+        col("doc_id"), col("quality"), col("cluster_size"))
+      .orderBy(col("cluster_id"), col("rk"))
+  }
+
   /** L47/q143: duplicate-family SIZE histogram — the dedup audit read
     * alongside q125/q127's recall/precision gates: how much of the
     * corpus sits in families of 2, of 3, of 10+? A fat tail says one
@@ -1610,7 +1688,9 @@ object CurationQueries {
     "q142_snapshot_drift" -> (snapshotDrift _),
     "q143_dup_size_histogram" -> (dupSizeHistogram _),
     "q145_eval_sample" -> (evalSample _),
-    "q146_budget_select" -> (budgetSelect _))
+    "q146_budget_select" -> (budgetSelect _),
+    "q147_source_overlap" -> (sourceOverlap _),
+    "q148_cluster_caps" -> (clusterCaps _))
 
   // ---- oracle SQL -----------------------------------------------------
 
@@ -2133,6 +2213,55 @@ object CurationQueries {
         |FROM r JOIN tgt USING (source)
         |WHERE bfr < target_tokens
         |GROUP BY source, target_tokens ORDER BY source""".stripMargin,
+    "q147_source_overlap" ->
+      s"""WITH segarr AS (
+         |  SELECT source, list_transform(
+         |    range(0, CAST(ceil(len(w) / ${SegWords}.0) AS INT)),
+         |    i -> array_to_string(
+         |      list_slice(w, i*$SegWords + 1, i*$SegWords + $SegWords), ' '))
+         |    AS sl
+         |  FROM (SELECT source, string_split_regex(text, '\\s+') AS w
+         |        FROM documents)),
+         |segs AS (SELECT DISTINCT source, md5(unnest(sl)) AS sh
+         |         FROM segarr),
+         |vol AS (SELECT source, count(*) AS n_segs FROM segs
+         |        GROUP BY source),
+         |p AS (SELECT a.source AS src_a, b.source AS src_b,
+         |        count(*) AS n_shared
+         |      FROM segs a JOIN segs b
+         |        ON a.sh = b.sh AND a.source < b.source
+         |      GROUP BY 1, 2)
+         |SELECT src_a, src_b, n_shared, va.n_segs AS segs_a,
+         |  vb.n_segs AS segs_b,
+         |  CAST(n_shared * 1000000 // least(va.n_segs, vb.n_segs)
+         |    AS BIGINT) AS overlap_micro
+         |FROM p JOIN vol va ON va.source = p.src_a
+         |       JOIN vol vb ON vb.source = p.src_b
+         |ORDER BY src_a, src_b""".stripMargin,
+    // q148 NESTS the cluster closure + q88's quality CTE: top-M per
+    // family where q88 elects only M = 1
+    "q148_cluster_caps" ->
+      s"""$clustersCtes,
+         |labels AS (
+         |  SELECT doc_id, cluster_id,
+         |    count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+         |  FROM comp),
+         |quality AS (
+         |  SELECT doc_id,
+         |    round(least(1.0, CAST(len(w) AS DOUBLE) / 120.0) *
+         |          (CAST(len(list_distinct(w)) AS DOUBLE) / len(w)), 6)
+         |      AS quality
+         |  FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS w
+         |        FROM documents)),
+         |ranked AS (
+         |  SELECT cluster_id, doc_id, quality, cluster_size,
+         |    row_number() OVER (PARTITION BY cluster_id
+         |      ORDER BY quality DESC, doc_id) AS rn
+         |  FROM labels JOIN quality USING (doc_id))
+         |SELECT cluster_id, CAST(rn AS BIGINT) AS rk, doc_id, quality,
+         |  cluster_size
+         |FROM ranked WHERE rn <= $ClusterCap
+         |ORDER BY cluster_id, rk""".stripMargin,
     // q145: the oracle ranks directly per language — the Spark side's
     // two-level shard rank is provably the same selection
     "q145_eval_sample" ->

@@ -90,6 +90,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(joins == 1, s"q109 expected exactly the band self-join, got $joins")
   }
 
+  test("q148: per-cluster cap rank is sharded (two-level)") {
+    val plan = SparkEntry.queries("q148_cluster_caps")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val windows = plan.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(windows.exists(w => w.contains("cshard")),
+      "no shard-keyed local window in q148's plan")
+  }
+
   test("q145: per-language sample rank is sharded (two-level)") {
     val plan = SparkEntry.queries("q145_eval_sample")(spark, sfDir)
       .queryExecution.executedPlan.toString

@@ -847,6 +847,40 @@ class CurationQueriesSpec extends SparkSpec {
     }
   }
 
+  test("source overlap: hand-built mirror pair with exact fractions") {
+    val seg1 = (1 to 10).map(i => s"w$i").mkString(" ")
+    val seg2 = (11 to 20).map(i => s"x$i").mkString(" ")
+    // alpha carries both segments; beta mirrors only the first
+    val df = Seq(
+      (1L, s"$seg1 $seg2", "en", "alpha"),
+      (2L, seg1, "en", "beta"))
+      .toDF("doc_id", "text", "lang", "source")
+    val got = CurationQueries.sourceOverlapDocs(df)
+      .as[(String, String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(("alpha", "beta", 1L, 2L, 1L, 1000000L)))
+  }
+
+  test("cluster caps keep the top-quality min(size, cap) of every family") {
+    val caps = CurationQueries.clusterCaps(spark, sfDir)
+      .as[(Long, Long, Long, Double, Long)].collect().toSeq
+    val fam = CurationQueries.dedupClustersStar(spark, sfDir)
+      .select($"doc_id", $"cluster_id").as[(Long, Long)].collect()
+    val q = graft.Tables(spark, sfDir, "documents")
+      .select($"doc_id", org.apache.spark.sql.functions.expr(
+        "round(transform(array(split(text, '\\\\s+'))," +
+          " w -> least(1.0d, size(w) / 120.0d)" +
+          " * (size(array_distinct(w)) / cast(size(w) as double)))[0], 6)"))
+      .as[(Long, Double)].collect().toMap
+    val expected = fam.groupBy(_._2).toSeq.flatMap { case (cid, ds) =>
+      ds.map(_._1).map(id => (id, q(id)))
+        .sortBy { case (id, ql) => (-ql, id) }
+        .take(CurationQueries.ClusterCap).zipWithIndex
+        .map { case ((id, ql), i) =>
+          (cid, i + 1L, id, ql, ds.size.toLong) }
+    }.toSet
+    assert(caps.toSet == expected)
+  }
+
   test("eval sample: two-level rank equals the direct per-language rank") {
     def md5hex(s: String): String =
       java.security.MessageDigest.getInstance("MD5")

@@ -48,6 +48,16 @@ object IndexSoak {
       }
       Timing.timedPasses(spark, cpuNs, s"[index-soak] $name daily")(
         daily(spark, indexDir, dataDir).count())
+      // the third lifecycle leg: nightly compaction (batch → next
+      // snapshot's index) — must beat the O(corpus) rebuild `build`
+      // just measured, or the compactor has regressed to corpus work
+      operators.IndexStore.compactions.find(_._1 == name).foreach {
+        case (_, _, compact, _) =>
+          Timing.timedPasses(spark, cpuNs, s"[index-soak] $name compact",
+            passes = 1) {
+            compact(spark, indexDir, dataDir, s"$workDir/index_next"); 0L
+          }
+      }
       println(s"[index-soak] $name twin=$twin done")
     }
     spark.stop()

@@ -193,6 +193,44 @@ object VectorQueries {
       .orderBy(col("label"), col("pred_label"))
   }
 
+  /** L52/q149: embedding-space HEALTH report — the per-label diagnostic
+    * read before trusting an embedding table for ANN serving or
+    * hard-negative mining: population, COMPACTNESS (exact integer mean
+    * of squared distance to the label's own centroid — the cluster
+    * radius), and SEPARATION (the nearest other centroid and its gap).
+    * Embedding collapse shows as every gap → 0; label bleed shows as
+    * gap ≪ radius. Same A9 fixed-point centroids as q68, so the report
+    * and the classifier can never disagree about where a label sits.
+    *
+    * Scale shape: one broadcast-centroids scan for compactness (the q68
+    * plan without the argmin) + a |labels|² broadcast self-join for
+    * gaps — bounded by the label vocabulary, never the corpus. */
+  def embeddingReport(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir)
+    val cents = centroids(spark, dir)
+    // double-rounding is engine-identical: l2Sq is 6-dp rounded first,
+    // then the micro cast is exact (the q138 qmicro argument)
+    val compact = e.join(broadcast(cents), col("label") === col("clabel"))
+      .withColumn("d2micro",
+        round(round(l2Sq(col("v"), col("c")), 6) * 1e6).cast("bigint"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        expr("sum(d2micro) div count(*)").as("mean_d2_micro"))
+    val gaps = cents.as("a")
+      .crossJoin(broadcast(cents.select(col("clabel").as("blabel"),
+        col("c").as("bc"))))
+      .filter(col("clabel") =!= col("blabel"))
+      .withColumn("g", round(l2Sq(col("c"), col("bc")), 6))
+    val nearest = gaps.groupBy(col("clabel").as("label"))
+      .agg(min(struct(col("g"), col("blabel"))).as("best"))
+      .select(col("label"), col("best.blabel").as("nearest_label"),
+        col("best.g").as("centroid_gap"))
+    compact.join(nearest, Seq("label"))
+      .select(col("label"), col("n"), col("mean_d2_micro"),
+        col("nearest_label"), col("centroid_gap"))
+      .orderBy(col("label"))
+  }
+
   /** IVF-style ANN (scale path for L3): vectors are bucketed by nearest
     * centroid (the coarse quantizer); each query probes ONLY its own cell,
     * so the per-query work is ~1/|cells| of the brute-force scan. At
@@ -1299,7 +1337,8 @@ object VectorQueries {
     "q121_rp_topk" -> (rpTopkCosine _),
     "q124_mmr_topk" -> (mmrTopk _),
     "q135_hard_negatives" -> (hardNegatives _),
-    "q140_positive_pairs" -> (positivePairs _))
+    "q140_positive_pairs" -> (positivePairs _),
+    "q149_embedding_report" -> (embeddingReport _))
 
   /** Oracle-side mirror of the Spark assignment ordering: the SAME
     * quantity `round(l2Sq, 6)` — squared L2 summed left-to-right over the
@@ -1433,6 +1472,28 @@ object VectorQueries {
       """SELECT label, pred_label, count(*) AS n
         |FROM assigned GROUP BY label, pred_label
         |ORDER BY label, pred_label""".stripMargin),
+    // q149 NESTS the q68 centroid CTE (same fixed-point rule) — the
+    // report and the classifier cannot disagree about label geometry
+    "q149_embedding_report" -> (s"WITH $centroidCte," +
+      s"""own AS (
+         |  SELECT e.label,
+         |    CAST(round(${oracleL2Sq("e.v", "cent.c")} * 1e6) AS BIGINT)
+         |      AS d2micro
+         |  FROM e JOIN cent ON cent.clabel = e.label),
+         |comp AS (
+         |  SELECT label, count(*) AS n,
+         |    CAST(sum(d2micro) // count(*) AS BIGINT) AS mean_d2_micro
+         |  FROM own GROUP BY label),
+         |gaps AS (
+         |  SELECT a.clabel AS label, b.clabel AS nl,
+         |    ${oracleL2Sq("a.c", "b.c")} AS g
+         |  FROM cent a JOIN cent b ON a.clabel <> b.clabel),
+         |near AS (
+         |  SELECT label, nl AS nearest_label, g AS centroid_gap FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY label
+         |      ORDER BY g, nl) AS rn FROM gaps) WHERE rn = 1)
+         |SELECT label, n, mean_d2_micro, nearest_label, centroid_gap
+         |FROM comp JOIN near USING (label) ORDER BY label""".stripMargin),
     "q69_ivf_topk_cosine" -> (s"WITH $centroidCte," +
       s"""q AS (SELECT vec_id AS qid, v AS qv, pred_label AS cell
          |      FROM assigned WHERE vec_id < $NumQueries),

@@ -603,6 +603,35 @@ class VectorQueriesSpec extends SparkSpec {
       nl == labelOf(nid) && nl != labelOf(qid) })
   }
 
+  test("embedding report: populations + driver-side centroid geometry") {
+    val rows = VectorQueries.embeddingReport(spark, sfDir)
+      .as[(Int, Long, Long, Int, Double)].collect().toSeq
+    val labels = graft.Tables(spark, sfDir, "embeddings")
+      .groupBy(col("label")).count().as[(Int, Long)].collect().toMap
+    assert(rows.map(r => r._1 -> r._2).toMap == labels)
+    rows.foreach { case (l, _, rad, nl, gap) =>
+      assert(rad >= 0 && nl != l && gap > 0)
+    }
+    // nearest/gap recomputed from the same UDAF centroids
+    val cs = VectorQueries.centroidsOf(
+      graft.Tables(spark, sfDir, "embeddings"))
+      .as[(Int, Array[Double])].collect()
+    def r6(x: Double): Double = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def l2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    val expNear = cs.map { case (la, ca) =>
+      la -> cs.filter(_._1 != la)
+        .map { case (lb, cb) => (r6(l2(ca, cb)), lb) }.min
+    }.toMap
+    rows.foreach { case (l, _, _, nl, gap) =>
+      assert(expNear(l) == ((gap, nl)), s"label $l nearest mismatch")
+    }
+  }
+
   test("positive pairs = brute-force same-label top-k per query") {
     val all = graft.Tables(spark, sfDir, "embeddings")
       .select(col("vec_id"), col("label"),

@@ -46,7 +46,7 @@ object CurationQueries {
     * fingerprint, via the same lambda-bind idiom (the regex split binds
     * once; see the PERF note on LLMQueries.shingledDocs).
     */
-  private val gramsExpr: Column = expr(
+  private[graft] val gramsExpr: Column = expr(
     "array_distinct(transform(array(split(text, '\\\\s+'))," +
       " w -> if(size(w) >= 5," +
       " transform(sequence(0, size(w)-5)," +
@@ -87,6 +87,51 @@ object CurationQueries {
 
   def decontaminate(spark: SparkSession, dir: String): DataFrame =
     decontaminateDocs(docs(spark, dir))
+
+  /** The persisted EVAL-gram index (IndexStore family `eval_grams`):
+    * one distinct 5-gram per benchmark item — benchmark-sized, frozen
+    * per benchmark RELEASE (it changes when the eval suite does, not
+    * daily — the rebuild-class refresh cycle of bpe_vocab/dsir_model,
+    * but read by every single ingest). */
+  def evalGramIndex(docsDf: DataFrame): DataFrame =
+    docsDf.filter(col("doc_id") % 10 === 0)
+      .select(explode(gramsExpr).as("g")).distinct()
+
+  /** Batch residue on the train side for the q150 daily flow (coprime
+    * with the eval residue so the batch is a proper train slice). */
+  private[operators] val DeconBatchMod = 7
+
+  /** L53/q150: incremental DECONTAMINATION — q74 as a daily-ingest
+    * flow: only today's arriving train docs screen against the
+    * persisted eval-gram index; yesterday's corpus was screened when
+    * it arrived, and the per-doc check is independent across docs, so
+    * the restriction provably equals the full pass on the batch. Daily
+    * cost is O(batch grams) through one broadcast join — corpus text
+    * never re-explodes, which is the entire point of freezing the eval
+    * grams as an artifact. */
+  def incrementalDecontaminate(evalGrams: DataFrame,
+      newDocs: DataFrame): DataFrame =
+    newDocs
+      .select(col("doc_id"), gramsExpr.as("gs"))
+      .select(col("doc_id"), size(col("gs")).cast("long").as("n_grams"),
+        explode(col("gs")).as("g"))
+      .join(broadcast(evalGrams), Seq("g"))
+      .groupBy(col("doc_id"), col("n_grams"))
+      .agg(count(lit(1)).as("n_contaminated"))
+      .select(col("doc_id"), col("n_grams"), col("n_contaminated"),
+        round(col("n_contaminated").cast("double") / col("n_grams"), 6)
+          .as("contamination_ratio"))
+      .orderBy(col("doc_id"))
+
+  /** q150 as an oracle query: eval index built in-query (as the oracle
+    * must), today's train batch screened against it. */
+  def incrementalDecontaminateDaily(spark: SparkSession,
+      dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    incrementalDecontaminate(evalGramIndex(d),
+      d.filter(col("doc_id") % 10 =!= 0 &&
+        col("doc_id") % DeconBatchMod === 0))
+  }
 
   /** L8b/q137: CONTAMINATION REPORT — the audit mirror of q74. q74
     * answers "which train docs must be dropped"; this answers the
@@ -1690,7 +1735,8 @@ object CurationQueries {
     "q145_eval_sample" -> (evalSample _),
     "q146_budget_select" -> (budgetSelect _),
     "q147_source_overlap" -> (sourceOverlap _),
-    "q148_cluster_caps" -> (clusterCaps _))
+    "q148_cluster_caps" -> (clusterCaps _),
+    "q150_incremental_decontaminate" -> (incrementalDecontaminateDaily _))
 
   // ---- oracle SQL -----------------------------------------------------
 
@@ -1786,6 +1832,18 @@ object CurationQueries {
         |WHERE doc_id % 10 <> 0
         |GROUP BY doc_id, n_grams
         |ORDER BY doc_id""".stripMargin),
+    // q150: q74's oracle restricted to today's train batch — the
+    // per-doc check is independent, so restriction == the daily flow
+    "q150_incremental_decontaminate" -> (s"WITH $gramsCte," +
+      s"""ev AS (SELECT DISTINCT g FROM grams WHERE doc_id % 10 = 0)
+         |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+         |  count(*) AS n_contaminated,
+         |  round(CAST(count(*) AS DOUBLE) / n_grams, 6)
+         |    AS contamination_ratio
+         |FROM grams JOIN ev USING (g)
+         |WHERE doc_id % 10 <> 0 AND doc_id % $DeconBatchMod = 0
+         |GROUP BY doc_id, n_grams
+         |ORDER BY doc_id""".stripMargin),
     "q137_contamination_report" -> (s"WITH $gramsCte," +
       """ev AS (SELECT doc_id AS eval_id, n_grams AS n_eval_grams, g
         |       FROM grams WHERE doc_id % 10 = 0),

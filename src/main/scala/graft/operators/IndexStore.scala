@@ -278,6 +278,25 @@ object IndexStore {
       read(spark, indexDir, "bm25_dl"),
       docSplit(spark, dataDir)._2)
 
+  /** The frozen eval-gram index (q74/q150): one distinct 5-gram per
+    * benchmark item. Refreshes when the BENCHMARK release does (the
+    * bpe_vocab/dsir_model rebuild cycle), but every daily ingest reads
+    * it — the most-read, least-written artifact in the store. */
+  def writeEvalGrams(spark: SparkSession, dataDir: String,
+      dir: String): Unit =
+    write(CurationQueries.evalGramIndex(
+      Tables(spark, dataDir, "documents")), dir, "eval_grams")
+
+  /** q150 twin: [[CurationQueries.incrementalDecontaminate]] off the
+    * frozen disk eval grams. */
+  def dailyDecontaminate(spark: SparkSession, indexDir: String,
+      dataDir: String): DataFrame =
+    CurationQueries.incrementalDecontaminate(
+      read(spark, indexDir, "eval_grams"),
+      Tables(spark, dataDir, "documents")
+        .filter(col("doc_id") % 10 =!= 0 &&
+          col("doc_id") % CurationQueries.DeconBatchMod === 0))
+
   // ---- compaction (merge today's batch into the NEXT snapshot) ---------
   //
   // The third leg of the index lifecycle: build (once) → daily reads
@@ -468,5 +487,7 @@ object IndexStore {
     ("norm_hash", "q139_incremental_normalized_dedup",
       writeNormHash _, dailyNormHash _),
     ("bm25", "q144_incremental_bm25",
-      writeBm25 _, dailyBm25 _))
+      writeBm25 _, dailyBm25 _),
+    ("eval_grams", "q150_incremental_decontaminate",
+      writeEvalGrams _, dailyDecontaminate _))
 }

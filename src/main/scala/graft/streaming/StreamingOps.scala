@@ -235,6 +235,31 @@ object StreamingOps {
         sum(coalesce(col("n_tok"), lit(1L))).as("n_tokens"))
       .select(col("doc_id"), col("n_words"), col("n_tokens"))
 
+  /** L53 streaming: DECONTAMINATION as a continuous stream — arriving
+    * train docs screen against the frozen eval-gram index (the
+    * `eval_grams` artifact IndexStore maintains; it changes per
+    * benchmark release, never per batch, so the static side is truly
+    * static). Each doc explodes its distinct 5-grams through the SAME
+    * [[graft.operators.CurationQueries.gramsExpr]] as q74/q150 — one
+    * definition, zero drift — inner-joins the index (stream-static,
+    * stateless) and finalizes per-doc hit counts through a
+    * watermark-bounded windowed aggregation. Clean docs never emit
+    * (inner join): the output is the contamination ALERT stream a
+    * quarantine queue consumes, not a pass-through. */
+  def streamingDecontaminate(docs: Dataset[StreamDoc],
+      evalGrams: DataFrame): DataFrame = {
+    val grams = graft.operators.CurationQueries.gramsExpr
+    docs.toDF()
+      .withWatermark("ts", "1 hour")
+      .select(col("doc_id"), col("ts"),
+        size(grams).cast("long").as("n_grams"),
+        explode(grams).as("g"))
+      .join(evalGrams, Seq("g"))
+      .groupBy(window(col("ts"), "1 hour"), col("doc_id"), col("n_grams"))
+      .agg(count(lit(1)).as("n_contaminated"))
+      .select(col("doc_id"), col("n_grams"), col("n_contaminated"))
+  }
+
   /** L19c streaming: BM25 SEARCH as a continuous stream — arriving
     * query documents retrieve from the persisted corpus postings. The
     * static side is [[graft.operators.LLMQueries.bm25ScoredPostings]]

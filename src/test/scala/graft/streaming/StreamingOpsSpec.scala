@@ -487,6 +487,27 @@ class StreamingOpsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming decontamination alerts only on eval-gram overlap") {
+    val input = MemoryStream[StreamDoc]
+    // eval doc 0 (0 % 10 == 0) contributes grams "a b c d e"/"b c d e f"
+    val evalGrams = graft.operators.CurationQueries.evalGramIndex(
+      Seq((0L, "a b c d e f", "en")).toDF("doc_id", "text", "lang"))
+    val query = streamingDecontaminate(input.toDS(), evalGrams)
+      .writeStream.format("memory").queryName("sdecon")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        StreamDoc(1L, ts(0), "x a b c d e"), // shares "a b c d e"
+        StreamDoc(2L, ts(1), "p q r s t u")) // clean — must NOT emit
+      query.processAllAvailable()
+      input.addData(StreamDoc(3L, ts(150), "zz zz")) // advance watermark
+      query.processAllAvailable()
+      val out = spark.table("sdecon").as[(Long, Long, Long)]
+        .collect().toSeq
+      assert(out == Seq((1L, 2L, 1L))) // 2 grams, 1 contaminated
+    } finally query.stop()
+  }
+
   test("streaming BM25 search off impact postings equals the batch formula") {
     val input = MemoryStream[StreamDoc]
     val corpus = Seq((10L, "a a b"), (11L, "a c"), (12L, "b b b c"))

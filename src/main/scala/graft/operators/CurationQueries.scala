@@ -1598,6 +1598,48 @@ object CurationQueries {
   def budgetSelect(spark: SparkSession, dir: String): DataFrame =
     budgetSelectDocs(docs(spark, dir))
 
+  /** L54/q151: RELEASE-FUNNEL report — the per-source sign-off table
+    * for a training-corpus release, composing the two mandatory gates
+    * in their production order: exact dedup (q60's keep-min rule) then
+    * benchmark decontamination (q74's flag set), over the train side
+    * only (eval docs are held out by definition). One row per source:
+    * docs in, docs surviving dedup, docs surviving decontamination,
+    * and the final token volume a release manifest records. The oracle
+    * NESTS the q60/q74 fragments (the q115 rule) so the funnel cannot
+    * drift from its stages.
+    *
+    * Scale shape: dedup is q60's 64-hex hash groupBy + a doc_id
+    * semi-join; decon reduces q74's broadcast gram join to a distinct
+    * flag set anti-joined on long ids; the three stage frames union
+    * into ONE per-source rollup (conditional aggregation), so the
+    * report adds a single source-keyed shuffle over slim rows. */
+  def releaseFunnelDocs(docsDf: DataFrame): DataFrame = {
+    val train = docsDf.filter(col("doc_id") % 10 =!= 0)
+      .select(col("doc_id"), col("source"),
+        sha2(col("text"), 256).as("hh"),
+        size(split(col("text"), "\\s+")).cast("long").as("n_tokens"))
+    val keep = train.groupBy(col("hh")).agg(min(col("doc_id")).as("doc_id"))
+    val deduped = train.join(keep.select(col("doc_id")),
+      Seq("doc_id"), "left_semi")
+    val flagged = decontaminateDocs(docsDf).select(col("doc_id"))
+    val clean = deduped.join(flagged, Seq("doc_id"), "left_anti")
+    train.select(col("source"), col("n_tokens"), lit(0).as("st"))
+      .unionByName(deduped.select(col("source"), col("n_tokens"),
+        lit(1).as("st")))
+      .unionByName(clean.select(col("source"), col("n_tokens"),
+        lit(2).as("st")))
+      .groupBy(col("source"))
+      .agg(count(when(col("st") === 0, 1)).as("n_docs"),
+        count(when(col("st") === 1, 1)).as("n_after_dedup"),
+        count(when(col("st") === 2, 1)).as("n_final"),
+        coalesce(sum(when(col("st") === 2, col("n_tokens"))), lit(0L))
+          .as("tokens_final"))
+      .orderBy(col("source"))
+  }
+
+  def releaseFunnel(spark: SparkSession, dir: String): DataFrame =
+    releaseFunnelDocs(docs(spark, dir))
+
   /** L50/q147: cross-source SHARED-SEGMENT matrix — the mirror-crawl /
     * syndication detector: for every unordered source pair, how many
     * distinct segments (q89's [[SegWords]]-word units) both carry, each
@@ -1736,7 +1778,8 @@ object CurationQueries {
     "q146_budget_select" -> (budgetSelect _),
     "q147_source_overlap" -> (sourceOverlap _),
     "q148_cluster_caps" -> (clusterCaps _),
-    "q150_incremental_decontaminate" -> (incrementalDecontaminateDaily _))
+    "q150_incremental_decontaminate" -> (incrementalDecontaminateDaily _),
+    "q151_release_funnel" -> (releaseFunnel _))
 
   // ---- oracle SQL -----------------------------------------------------
 
@@ -1844,6 +1887,35 @@ object CurationQueries {
          |WHERE doc_id % 10 <> 0 AND doc_id % $DeconBatchMod = 0
          |GROUP BY doc_id, n_grams
          |ORDER BY doc_id""".stripMargin),
+    // q151 NESTS the q60 keep-min and q74 flag fragments (the q115
+    // composition rule): funnel and stages cannot drift apart
+    "q151_release_funnel" -> (s"WITH $gramsCte," +
+      """tr AS (
+        |  SELECT doc_id, source, sha256(text) AS hh,
+        |    CAST(len(string_split_regex(text, '\s+')) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents WHERE doc_id % 10 <> 0),
+        |keep AS (SELECT min(doc_id) AS doc_id FROM tr GROUP BY hh),
+        |evg AS (SELECT DISTINCT g FROM grams WHERE doc_id % 10 = 0),
+        |flagged AS (
+        |  SELECT DISTINCT grams.doc_id FROM grams JOIN evg USING (g)
+        |  WHERE grams.doc_id % 10 <> 0),
+        |stages AS (
+        |  SELECT source, n_tokens, 0 AS st FROM tr
+        |  UNION ALL
+        |  SELECT source, n_tokens, 1 FROM tr
+        |  WHERE doc_id IN (SELECT doc_id FROM keep)
+        |  UNION ALL
+        |  SELECT source, n_tokens, 2 FROM tr
+        |  WHERE doc_id IN (SELECT doc_id FROM keep)
+        |    AND doc_id NOT IN (SELECT doc_id FROM flagged))
+        |SELECT source,
+        |  count(*) FILTER (st = 0) AS n_docs,
+        |  count(*) FILTER (st = 1) AS n_after_dedup,
+        |  count(*) FILTER (st = 2) AS n_final,
+        |  CAST(coalesce(sum(n_tokens) FILTER (st = 2), 0) AS BIGINT)
+        |    AS tokens_final
+        |FROM stages GROUP BY source ORDER BY source""".stripMargin),
     "q137_contamination_report" -> (s"WITH $gramsCte," +
       """ev AS (SELECT doc_id AS eval_id, n_grams AS n_eval_grams, g
         |       FROM grams WHERE doc_id % 10 = 0),

@@ -847,6 +847,28 @@ class CurationQueriesSpec extends SparkSpec {
     }
   }
 
+  test("release funnel: monotone stages consistent with q60/q74") {
+    val rows = CurationQueries.releaseFunnel(spark, sfDir)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    rows.foreach { case (src, n, nd, nf, toks) =>
+      assert(n >= nd && nd >= nf, s"$src funnel not monotone")
+      assert(toks >= 0 && (nf > 0 || toks == 0))
+    }
+    // stage totals recomputed from the component operators
+    val d = graft.Tables(spark, sfDir, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val train = d.filter(_._1 % 10 != 0)
+    import java.security.MessageDigest
+    def sha(s: String) = MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes("UTF-8")).toSeq
+    val kept = train.groupBy(t => sha(t._2)).values
+      .map(_.map(_._1).min).toSet
+    val flagged = CurationQueries.decontaminate(spark, sfDir)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(rows.map(_._3).sum == kept.size.toLong)
+    assert(rows.map(_._4).sum == kept.count(id => !flagged.contains(id)))
+  }
+
   test("source overlap: hand-built mirror pair with exact fractions") {
     val seg1 = (1 to 10).map(i => s"w$i").mkString(" ")
     val seg2 = (11 to 20).map(i => s"x$i").mkString(" ")

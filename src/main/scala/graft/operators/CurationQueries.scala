@@ -343,6 +343,42 @@ object CurationQueries {
   def packSequences(spark: SparkSession, dir: String): DataFrame =
     packSequencesDocs(docs(spark, dir))
 
+  /** L56/q153: PACKING-EFFICIENCY report — the padding-waste metric for
+    * q76's concat-then-chunk layout: per language, shard count, token
+    * volume, chunk count, padded tokens, and fill as a micro fraction.
+    * Padding is paid GPU time — a language whose shards end half-empty
+    * (many tiny shards, or one straggler doc per shard) burns that
+    * fraction of every training step it appears in; the fix is raising
+    * [[PackShardDocs]] for that slice, and this table says when. Shares
+    * q76's exact constants and shard rule, so it reports the REAL
+    * layout, not an estimate.
+    *
+    * Scale shape: one (lang, shard) partial-aggregating rollup + a
+    * |langs|-sized final aggregate; exact integer arithmetic — ceil
+    * via (n + k-1) div k, so no doubles anywhere. */
+  def packingEfficiencyDocs(docsDf: DataFrame): DataFrame = {
+    val perShard = docsDf
+      .select(col("lang"),
+        size(split(col("text"), "\\s+")).cast("long").as("n_tokens"),
+        expr(s"doc_id div $PackShardDocs").as("shard"))
+      .groupBy(col("lang"), col("shard"))
+      .agg(sum(col("n_tokens")).as("stok"))
+      .withColumn("chunks",
+        expr(s"(stok + ${PackTokens - 1}) div $PackTokens"))
+    perShard.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_shards"), sum(col("stok")).as("n_tokens"),
+        sum(col("chunks")).as("n_chunks"))
+      .select(col("lang"), col("n_shards"), col("n_tokens"),
+        col("n_chunks"),
+        expr(s"n_chunks * $PackTokens - n_tokens").as("pad_tokens"),
+        expr(s"n_tokens * 1000000L div (n_chunks * $PackTokens)")
+          .as("fill_micro"))
+      .orderBy(col("lang"))
+  }
+
+  def packingEfficiency(spark: SparkSession, dir: String): DataFrame =
+    packingEfficiencyDocs(docs(spark, dir))
+
   /** Per-document repetition / quality metrics in the style of the
     * published Gopher quality rules (Rae et al. 2021 §A1.1): type-token
     * ratio, most-frequent-word mass, and duplicate-bigram mass, plus a
@@ -1779,7 +1815,8 @@ object CurationQueries {
     "q147_source_overlap" -> (sourceOverlap _),
     "q148_cluster_caps" -> (clusterCaps _),
     "q150_incremental_decontaminate" -> (incrementalDecontaminateDaily _),
-    "q151_release_funnel" -> (releaseFunnel _))
+    "q151_release_funnel" -> (releaseFunnel _),
+    "q153_packing_efficiency" -> (packingEfficiency _))
 
   // ---- oracle SQL -----------------------------------------------------
 
@@ -1887,6 +1924,25 @@ object CurationQueries {
          |WHERE doc_id % 10 <> 0 AND doc_id % $DeconBatchMod = 0
          |GROUP BY doc_id, n_grams
          |ORDER BY doc_id""".stripMargin),
+    // q153: q76's exact shard/chunk constants — the report covers the
+    // REAL packing layout; ceil in exact integers ((n + k-1) // k)
+    "q153_packing_efficiency" ->
+      s"""WITH pershard AS (
+         |  SELECT lang, doc_id // $PackShardDocs AS shard,
+         |    CAST(sum(len(string_split_regex(text, '\\s+'))) AS BIGINT)
+         |      AS stok
+         |  FROM documents GROUP BY lang, shard),
+         |ch AS (SELECT lang, stok,
+         |         (stok + ${PackTokens - 1}) // $PackTokens AS chunks
+         |       FROM pershard)
+         |SELECT lang, count(*) AS n_shards,
+         |  CAST(sum(stok) AS BIGINT) AS n_tokens,
+         |  CAST(sum(chunks) AS BIGINT) AS n_chunks,
+         |  CAST(sum(chunks) * $PackTokens - sum(stok) AS BIGINT)
+         |    AS pad_tokens,
+         |  CAST(sum(stok) * 1000000 // (sum(chunks) * $PackTokens)
+         |    AS BIGINT) AS fill_micro
+         |FROM ch GROUP BY lang ORDER BY lang""".stripMargin,
     // q151 NESTS the q60 keep-min and q74 flag fragments (the q115
     // composition rule): funnel and stages cannot drift apart
     "q151_release_funnel" -> (s"WITH $gramsCte," +

@@ -177,7 +177,17 @@ object VectorQueries {
     * the result is reported as a confusion matrix. Centroids are a
     * |labels|-row broadcast; the scan is a single pass.
     */
-  def centroidClassify(spark: SparkSession, dir: String): DataFrame = {
+  def centroidClassify(spark: SparkSession, dir: String): DataFrame =
+    assignedToCentroid(spark, dir)
+      .groupBy(col("label"), col("clabel").as("pred_label"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("label"), col("pred_label"))
+
+  /** Every vector with its nearest q68 centroid attached — shared by
+    * the classifier (q68) and the cell-balance report (q152) so they
+    * can never disagree about the quantizer's Voronoi layout. */
+  private def assignedToCentroid(spark: SparkSession,
+      dir: String): DataFrame = {
     val scored = vecs(spark, dir)
       .crossJoin(broadcast(centroids(spark, dir)))
       // native fused loop; 6-dp rounded so a near-tie collapses
@@ -188,9 +198,25 @@ object VectorQueries {
       .orderBy(col("d2"), col("clabel"))
     scored.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
-      .groupBy(col("label"), col("clabel").as("pred_label"))
+  }
+
+  /** L55/q152: IVF CELL-BALANCE report — ANN index health for the
+    * q68/q69 coarse quantizer: per Voronoi cell, population and corpus
+    * share. IVF probe latency is bounded by the hottest cell a query
+    * lands in, so a skewed layout (one cell holding half the corpus)
+    * is a serving regression even at held recall — the number to watch
+    * when deciding a quantizer retrain (q105 documents the frozen-
+    * quantizer trade this report polices). Same assignment as q68,
+    * one definition. */
+  def ivfCellBalance(spark: SparkSession, dir: String): DataFrame = {
+    val counts = assignedToCentroid(spark, dir)
+      .groupBy(col("clabel").as("cell"))
       .agg(count(lit(1)).as("n"))
-      .orderBy(col("label"), col("pred_label"))
+    val tot = counts.agg(sum(col("n")).as("n_total"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("cell"), col("n"),
+        expr("n * 1000000L div n_total").as("share_micro"))
+      .orderBy(col("cell"))
   }
 
   /** L52/q149: embedding-space HEALTH report — the per-label diagnostic
@@ -1338,7 +1364,8 @@ object VectorQueries {
     "q124_mmr_topk" -> (mmrTopk _),
     "q135_hard_negatives" -> (hardNegatives _),
     "q140_positive_pairs" -> (positivePairs _),
-    "q149_embedding_report" -> (embeddingReport _))
+    "q149_embedding_report" -> (embeddingReport _),
+    "q152_ivf_cell_balance" -> (ivfCellBalance _))
 
   /** Oracle-side mirror of the Spark assignment ordering: the SAME
     * quantity `round(l2Sq, 6)` — squared L2 summed left-to-right over the
@@ -1472,6 +1499,16 @@ object VectorQueries {
       """SELECT label, pred_label, count(*) AS n
         |FROM assigned GROUP BY label, pred_label
         |ORDER BY label, pred_label""".stripMargin),
+    // q152 NESTS the q68 assigned CTE: cell balance IS the quantizer's
+    // real layout, not a re-derivation
+    "q152_ivf_cell_balance" -> (s"WITH $centroidCte," +
+      """cells AS (
+        |  SELECT pred_label AS cell, count(*) AS n
+        |  FROM assigned GROUP BY pred_label),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM cells)
+        |SELECT cell, n, CAST(n * 1000000 // n_total AS BIGINT)
+        |  AS share_micro
+        |FROM cells, tot ORDER BY cell""".stripMargin),
     // q149 NESTS the q68 centroid CTE (same fixed-point rule) — the
     // report and the classifier cannot disagree about label geometry
     "q149_embedding_report" -> (s"WITH $centroidCte," +

@@ -847,6 +847,29 @@ class CurationQueriesSpec extends SparkSpec {
     }
   }
 
+  test("packing efficiency: identities hold and match a driver recount") {
+    val rows = CurationQueries.packingEfficiency(spark, sfDir)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    rows.foreach { case (lang, shards, toks, chunks, pad, fill) =>
+      assert(toks + pad == chunks * CurationQueries.PackTokens)
+      assert(pad < shards * CurationQueries.PackTokens) // < 1 chunk/shard
+      assert(fill > 0 && fill <= 1000000L)
+    }
+    val d = graft.Tables(spark, sfDir, "documents")
+      .select($"doc_id", $"lang", $"text").as[(Long, String, String)]
+      .collect()
+    val expected = d.groupBy(_._2).view.mapValues { ds =>
+      val perShard = ds.groupBy(_._1 / CurationQueries.PackShardDocs)
+        .values.map(_.map(_._3.split("\\s+").length.toLong).sum)
+      (perShard.size.toLong, perShard.sum,
+        perShard.map(t => (t + CurationQueries.PackTokens - 1) /
+          CurationQueries.PackTokens).sum)
+    }.toMap
+    rows.foreach { case (lang, shards, toks, chunks, _, _) =>
+      assert(expected(lang) == ((shards, toks, chunks)), s"$lang mismatch")
+    }
+  }
+
   test("release funnel: monotone stages consistent with q60/q74") {
     val rows = CurationQueries.releaseFunnel(spark, sfDir)
       .as[(String, Long, Long, Long, Long)].collect().toSeq

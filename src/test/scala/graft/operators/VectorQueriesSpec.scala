@@ -632,6 +632,21 @@ class VectorQueriesSpec extends SparkSpec {
     }
   }
 
+  test("ivf cell balance partitions the corpus and matches q68 totals") {
+    val rows = VectorQueries.ivfCellBalance(spark, sfDir)
+      .as[(Int, Long, Long)].collect().toSeq
+    val nVecs = graft.Tables(spark, sfDir, "embeddings").count()
+    assert(rows.map(_._2).sum == nVecs)
+    rows.foreach { case (_, n, share) =>
+      assert(n > 0 && share >= 0 && share <= 1000000L)
+    }
+    // per-cell totals equal the q68 confusion matrix's pred columns
+    val conf = VectorQueries.centroidClassify(spark, sfDir)
+      .as[(Int, Int, Long)].collect()
+      .groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    assert(rows.map(r => r._1 -> r._2).toMap == conf)
+  }
+
   test("positive pairs = brute-force same-label top-k per query") {
     val all = graft.Tables(spark, sfDir, "embeddings")
       .select(col("vec_id"), col("label"),

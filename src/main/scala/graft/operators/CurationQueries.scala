@@ -1597,6 +1597,9 @@ object CurationQueries {
         size(split(col("text"), "\\s+")).cast("long").as("n_tokens"),
         round(LLMQueries.qualityExpr * 1e6).cast("bigint").as("qmicro"))
       .withColumn("qblock", expr(s"qmicro div $BudgetQualityBlockMicros"))
+      // feeds the local-window leg, the block-offset leg and the
+      // targets aggregate — one tokenize+score pass, not four
+      .localCheckpoint(eager = false)
     val agg = s.groupBy(col("source"))
       .agg(sum(col("n_tokens")).as("src_tokens"))
       .withColumn("wm",
@@ -1654,6 +1657,9 @@ object CurationQueries {
       .select(col("doc_id"), col("source"),
         sha2(col("text"), 256).as("hh"),
         size(split(col("text"), "\\s+")).cast("long").as("n_tokens"))
+      // feeds keep, the stage-0 frame and the semi-join — one
+      // hash+tokenize pass, not three
+      .localCheckpoint(eager = false)
     val keep = train.groupBy(col("hh")).agg(min(col("doc_id")).as("doc_id"))
     val deduped = train.join(keep.select(col("doc_id")),
       Seq("doc_id"), "left_semi")
@@ -1696,6 +1702,9 @@ object CurationQueries {
       .select(col("source"), explode(segArrExpr).as("seg"))
       .select(col("source"), md5(col("seg")).as("sh"))
       .distinct()
+    // NO localCheckpoint here: the self-join legs are IDENTICAL
+    // subplans, so Spark already reuses one exchange for all three
+    // consumers (measured: a checkpoint made this 22% slower)
     val vol = ss.groupBy(col("source")).agg(count(lit(1)).as("n_segs"))
     ss.as("a")
       .join(ss.as("b"),

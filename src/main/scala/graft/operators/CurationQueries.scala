@@ -1763,6 +1763,64 @@ object CurationQueries {
       .orderBy(col("cluster_id"), col("rk"))
   }
 
+  /** L57/q154: snapshot DEDUP-RATE trend — the release-over-release
+    * regression gate for dedup itself: per source, the exact-dup rate
+    * inside the OLD and NEW snapshots (q132's fixtures) and its delta.
+    * A rate that jumps between releases means a crawler started
+    * re-fetching (or a dedup stage silently stopped running) — caught
+    * here before q60 pays the cleanup. Rates are micro-unit integer
+    * floors; the delta is a plain subtraction (no signed division, the
+    * Spark-div/DuckDB-// trap). The shipped corpus is dup-free, so the
+    * NEW snapshot carries a seeded re-fetch fixture (every doc_id ≡ 0
+    * mod 19 arrives again byte-identical — the q136 twin rule) making
+    * the regression observable: old rates 0, new rates > 0.
+    *
+    * Scale shape: two q60-class hash groupBys + join-backs (32-hex
+    * keys, text never shuffles) into one per-source rollup. */
+  def snapshotDedupTrendDocs(docsDf: DataFrame): DataFrame = {
+    def snapStats(df: DataFrame, tag: Int): DataFrame = {
+      val h = df.select(col("source"), md5(col("text")).as("hh"))
+      val fam = h.groupBy(col("hh")).agg(count(lit(1)).as("fam"))
+      h.join(fam, Seq("hh"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"),
+          count(when(col("fam") >= 2, 1)).as("dups"))
+        .select(col("source"), lit(tag).as("snap"), col("n"),
+          col("dups"))
+    }
+    val oldSnap = docsDf.filter(col("doc_id") % 11 =!= 0)
+      .select(col("source"),
+        when(col("doc_id") % 13 === 0, concat(col("text"), lit(" v0")))
+          .otherwise(col("text")).as("text"))
+    val newSnap = docsDf.filter(col("doc_id") % 17 =!= 0)
+      .select(col("source"), col("text"))
+      .unionByName(docsDf.filter(col("doc_id") % 19 === 0)
+        .select(col("source"), col("text")))
+    snapStats(oldSnap, 0).unionByName(snapStats(newSnap, 1))
+      .groupBy(col("source"))
+      .agg(
+        coalesce(sum(when(col("snap") === 0, col("n"))), lit(0L))
+          .as("n_old"),
+        coalesce(sum(when(col("snap") === 0, col("dups"))), lit(0L))
+          .as("dups_old"),
+        coalesce(sum(when(col("snap") === 1, col("n"))), lit(0L))
+          .as("n_new"),
+        coalesce(sum(when(col("snap") === 1, col("dups"))), lit(0L))
+          .as("dups_new"))
+      .select(col("source"), col("n_old"),
+        expr("dups_old * 1000000L div greatest(n_old, 1L)")
+          .as("dup_old_micro"),
+        col("n_new"),
+        expr("dups_new * 1000000L div greatest(n_new, 1L)")
+          .as("dup_new_micro"))
+      .withColumn("delta_micro",
+        col("dup_new_micro") - col("dup_old_micro"))
+      .orderBy(col("source"))
+  }
+
+  def snapshotDedupTrend(spark: SparkSession, dir: String): DataFrame =
+    snapshotDedupTrendDocs(docs(spark, dir))
+
   /** L47/q143: duplicate-family SIZE histogram — the dedup audit read
     * alongside q125/q127's recall/precision gates: how much of the
     * corpus sits in families of 2, of 3, of 10+? A fat tail says one
@@ -1825,7 +1883,8 @@ object CurationQueries {
     "q148_cluster_caps" -> (clusterCaps _),
     "q150_incremental_decontaminate" -> (incrementalDecontaminateDaily _),
     "q151_release_funnel" -> (releaseFunnel _),
-    "q153_packing_efficiency" -> (packingEfficiency _))
+    "q153_packing_efficiency" -> (packingEfficiency _),
+    "q154_snapshot_dedup_trend" -> (snapshotDedupTrend _))
 
   // ---- oracle SQL -----------------------------------------------------
 
@@ -2457,6 +2516,47 @@ object CurationQueries {
          |  cluster_size
          |FROM ranked WHERE rn <= $ClusterCap
          |ORDER BY cluster_id, rk""".stripMargin,
+    // q154: both snapshots' dup rates from the q132 fixtures; FULL
+    // JOIN + coalesce so a source absent from one side still reports
+    "q154_snapshot_dedup_trend" ->
+      """WITH olds AS (
+        |  SELECT source,
+        |    md5(CASE WHEN doc_id % 13 = 0 THEN text || ' v0'
+        |             ELSE text END) AS hh
+        |  FROM documents WHERE doc_id % 11 <> 0),
+        |news AS (
+        |  SELECT source, md5(text) AS hh
+        |  FROM documents WHERE doc_id % 17 <> 0
+        |  UNION ALL
+        |  SELECT source, md5(text) AS hh
+        |  FROM documents WHERE doc_id % 19 = 0),
+        |so AS (
+        |  SELECT source, count(*) AS n,
+        |    count(*) FILTER (fam >= 2) AS dups
+        |  FROM (SELECT source, count(*) OVER (PARTITION BY hh) AS fam
+        |        FROM olds)
+        |  GROUP BY source),
+        |sn AS (
+        |  SELECT source, count(*) AS n,
+        |    count(*) FILTER (fam >= 2) AS dups
+        |  FROM (SELECT source, count(*) OVER (PARTITION BY hh) AS fam
+        |        FROM news)
+        |  GROUP BY source)
+        |SELECT source,
+        |  coalesce(so.n, 0) AS n_old,
+        |  CAST(coalesce(so.dups, 0) * 1000000
+        |    // greatest(coalesce(so.n, 0), 1) AS BIGINT)
+        |    AS dup_old_micro,
+        |  coalesce(sn.n, 0) AS n_new,
+        |  CAST(coalesce(sn.dups, 0) * 1000000
+        |    // greatest(coalesce(sn.n, 0), 1) AS BIGINT)
+        |    AS dup_new_micro,
+        |  CAST(coalesce(sn.dups, 0) * 1000000
+        |    // greatest(coalesce(sn.n, 0), 1)
+        |    - coalesce(so.dups, 0) * 1000000
+        |    // greatest(coalesce(so.n, 0), 1) AS BIGINT) AS delta_micro
+        |FROM so FULL OUTER JOIN sn USING (source)
+        |ORDER BY source""".stripMargin,
     // q145: the oracle ranks directly per language — the Spark side's
     // two-level shard rank is provably the same selection
     "q145_eval_sample" ->

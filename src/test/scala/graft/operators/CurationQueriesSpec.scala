@@ -847,6 +847,26 @@ class CurationQueriesSpec extends SparkSpec {
     }
   }
 
+  test("snapshot dedup trend: re-fetch fixture lifts only the new rate") {
+    val rows = CurationQueries.snapshotDedupTrend(spark, sfDir)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    val d = graft.Tables(spark, sfDir, "documents")
+      .select($"doc_id", $"source").as[(Long, String)].collect()
+    // the shipped corpus is dup-free → old snapshot rate must be 0
+    rows.foreach { case (_, _, dupOld, _, _, delta) =>
+      assert(dupOld == 0L)
+      assert(delta >= 0L)
+    }
+    // a source whose %19 re-fetch also survives the %17 filter gains a
+    // 2-member family in the new snapshot — its rate must be positive
+    val lifted = d.filter(t => t._1 % 19 == 0 && t._1 % 17 != 0)
+      .map(_._2).toSet
+    rows.filter(r => lifted.contains(r._1)).foreach {
+      case (src, _, _, _, dupNew, _) =>
+        assert(dupNew > 0L, s"$src should show the re-fetch")
+    }
+  }
+
   test("packing efficiency: identities hold and match a driver recount") {
     val rows = CurationQueries.packingEfficiency(spark, sfDir)
       .as[(String, Long, Long, Long, Long, Long)].collect().toSeq

@@ -1763,6 +1763,45 @@ object CurationQueries {
       .orderBy(col("cluster_id"), col("rk"))
   }
 
+  /** L58/q155: EVAL-SAMPLE churn across snapshots — measures the
+    * stability claim q145's doc makes (hash-ORDER selection churns
+    * O(1) expected members per append): per language, the q145 sample
+    * drawn from the OLD and NEW snapshot id-universes (q132's
+    * fixtures) and how many members they share. A sampler whose eval
+    * set rewrites itself every release silently invalidates every
+    * longitudinal eval comparison — this is the table that proves ours
+    * doesn't. Pure hash arithmetic end to end; the sampler logic is
+    * [[evalSampleDocs]]'s rule verbatim on both sides.
+    *
+    * Scale shape: two two-level sample ranks (each the q145 plan) over
+    * id/lang projections + one |langs|-row rollup of the K-sized
+    * sample frames. */
+  def evalSampleChurnDocs(docsDf: DataFrame): DataFrame = {
+    val ids = docsDf.select(col("doc_id"), col("lang"))
+    val oldIds = ids.filter(col("doc_id") % 11 =!= 0)
+    val newIds = ids.filter(col("doc_id") % 17 =!= 0)
+    val o = evalSampleDocs(oldIds).select(col("lang"), col("doc_id"))
+    val n = evalSampleDocs(newIds).select(col("lang"), col("doc_id"))
+    o.select(col("lang"), col("doc_id"), lit(1L).as("in_old"),
+        lit(0L).as("in_new"))
+      .unionByName(n.select(col("lang"), col("doc_id"),
+        lit(0L).as("in_old"), lit(1L).as("in_new")))
+      .groupBy(col("lang"), col("doc_id"))
+      .agg(max(col("in_old")).as("in_old"), max(col("in_new")).as("in_new"))
+      .groupBy(col("lang"))
+      .agg(sum(col("in_old") * (lit(1L) - col("in_new"))).as("n_dropped"),
+        sum(col("in_new") * (lit(1L) - col("in_old"))).as("n_added"),
+        sum(col("in_old") * col("in_new")).as("n_stable"))
+      .select(col("lang"), col("n_stable"), col("n_added"),
+        col("n_dropped"),
+        expr(s"n_stable * 1000000L div ${EvalSampleK}L")
+          .as("stable_micro"))
+      .orderBy(col("lang"))
+  }
+
+  def evalSampleChurn(spark: SparkSession, dir: String): DataFrame =
+    evalSampleChurnDocs(docs(spark, dir))
+
   /** L57/q154: snapshot DEDUP-RATE trend — the release-over-release
     * regression gate for dedup itself: per source, the exact-dup rate
     * inside the OLD and NEW snapshots (q132's fixtures) and its delta.
@@ -1884,7 +1923,8 @@ object CurationQueries {
     "q150_incremental_decontaminate" -> (incrementalDecontaminateDaily _),
     "q151_release_funnel" -> (releaseFunnel _),
     "q153_packing_efficiency" -> (packingEfficiency _),
-    "q154_snapshot_dedup_trend" -> (snapshotDedupTrend _))
+    "q154_snapshot_dedup_trend" -> (snapshotDedupTrend _),
+    "q155_eval_sample_churn" -> (evalSampleChurn _))
 
   // ---- oracle SQL -----------------------------------------------------
 
@@ -2557,6 +2597,35 @@ object CurationQueries {
         |    // greatest(coalesce(so.n, 0), 1) AS BIGINT) AS delta_micro
         |FROM so FULL OUTER JOIN sn USING (source)
         |ORDER BY source""".stripMargin,
+    // q155: the q145 rank rule on both snapshot universes, overlap by
+    // conditional aggregation; stable fraction over the fixed K
+    "q155_eval_sample_churn" ->
+      s"""WITH o AS (
+         |  SELECT lang, doc_id FROM (
+         |    SELECT lang, doc_id, row_number() OVER (PARTITION BY lang
+         |      ORDER BY md5('graft-eval:' || doc_id), doc_id) AS rk
+         |    FROM documents WHERE doc_id % 11 <> 0)
+         |  WHERE rk <= $EvalSampleK),
+         |n AS (
+         |  SELECT lang, doc_id FROM (
+         |    SELECT lang, doc_id, row_number() OVER (PARTITION BY lang
+         |      ORDER BY md5('graft-eval:' || doc_id), doc_id) AS rk
+         |    FROM documents WHERE doc_id % 17 <> 0)
+         |  WHERE rk <= $EvalSampleK),
+         |m AS (
+         |  SELECT lang, doc_id, max(in_old) AS in_old, max(in_new) AS in_new
+         |  FROM (
+         |    SELECT lang, doc_id, 1 AS in_old, 0 AS in_new FROM o
+         |    UNION ALL
+         |    SELECT lang, doc_id, 0, 1 FROM n)
+         |  GROUP BY lang, doc_id)
+         |SELECT lang,
+         |  CAST(sum(in_old * in_new) AS BIGINT) AS n_stable,
+         |  CAST(sum(in_new * (1 - in_old)) AS BIGINT) AS n_added,
+         |  CAST(sum(in_old * (1 - in_new)) AS BIGINT) AS n_dropped,
+         |  CAST(sum(in_old * in_new) * 1000000 // $EvalSampleK AS BIGINT)
+         |    AS stable_micro
+         |FROM m GROUP BY lang ORDER BY lang""".stripMargin,
     // q145: the oracle ranks directly per language — the Spark side's
     // two-level shard rank is provably the same selection
     "q145_eval_sample" ->

@@ -847,6 +847,20 @@ class CurationQueriesSpec extends SparkSpec {
     }
   }
 
+  test("eval sample churn: identities and high stability across snapshots") {
+    val rows = CurationQueries.evalSampleChurn(spark, sfDir)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    rows.foreach { case (lang, stable, added, dropped, micro) =>
+      // both samples are exactly K: adds and drops must balance
+      assert(stable + added == CurationQueries.EvalSampleK.toLong)
+      assert(stable + dropped == CurationQueries.EvalSampleK.toLong)
+      assert(micro == stable * 1000000L / CurationQueries.EvalSampleK)
+      // the snapshots share ~84% of ids; hash-order churn is bounded
+      // by the removed members, so stability stays majority
+      assert(stable > CurationQueries.EvalSampleK / 2, s"$lang unstable")
+    }
+  }
+
   test("snapshot dedup trend: re-fetch fixture lifts only the new rate") {
     val rows = CurationQueries.snapshotDedupTrend(spark, sfDir)
       .as[(String, Long, Long, Long, Long, Long)].collect().toSeq

@@ -960,8 +960,10 @@ object CurationQueries {
     * the join back is gram-keyed and AQE-skew-splittable. Short docs
     * (< window) surface with zero windows via the left join from the
     * documents table, not a post-hoc union. */
-  def substringDupStatsDocs(docsDf: DataFrame): DataFrame = {
-    val wins = docsDf
+  /** (doc_id, w) — one row per [[DupWinWords]]-word window occurrence;
+    * shared by q114's stats and the q156 incremental report. */
+  private def winRows(docsDf: DataFrame): DataFrame =
+    docsDf
       .select(col("doc_id"), posexplode(expr(
         "transform(array(split(text, '\\\\s+'))," +
           s" w -> if(size(w) >= $DupWinWords," +
@@ -969,6 +971,9 @@ object CurationQueries {
           s" i -> concat_ws(' ', slice(w, i + 1, $DupWinWords)))," +
           " cast(array() as array<string>)))[0]")))
       .select(col("doc_id"), col("col").as("w"))
+
+  def substringDupStatsDocs(docsDf: DataFrame): DataFrame = {
+    val wins = winRows(docsDf)
     val dupGrams = wins.groupBy(col("w"))
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= 2)
@@ -1039,6 +1044,67 @@ object CurationQueries {
 
   def substringDupStats(spark: SparkSession, dir: String): DataFrame =
     substringDupStatsDocs(docs(spark, dir))
+
+  /** The corpus substring-window index (IndexStore family
+    * `substr_windows`): one (window md5, distinct-corpus-doc count)
+    * row per known window — 16+8 bytes/row, window text never
+    * persists. */
+  def substrWindowIndex(corpusDocs: DataFrame): DataFrame =
+    winRows(corpusDocs)
+      .select(md5(col("w")).as("wh"), col("doc_id"))
+      .groupBy(col("wh"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+
+  /** L59/q156: incremental SUBSTRING-DUP report — the daily-ingest
+    * rendering of the one dedup family whose full pass (q119) must
+    * rewrite CORPUS docs too: a batch window colliding with a single
+    * corpus doc makes BOTH newly duplicated. The daily report
+    * therefore splits each batch doc's duplicated windows into KNOWN
+    * (corpus-side count already ≥ 2 — the corpus rewrite covers them)
+    * and NEWLY duplicated (the batch's arrival created the collision —
+    * these flag corpus docs for the next q119 re-clean). n_known +
+    * n_newly equals the full q114 count over (corpus ∪ batch)
+    * restricted to batch docs, which is what the oracle checks.
+    * Daily cost: O(batch windows) against the persisted index. */
+  def incrementalSubstringReport(corpusWins: DataFrame,
+      newDocs: DataFrame): DataFrame = {
+    val bw = winRows(newDocs)
+      .select(col("doc_id"), md5(col("w")).as("wh"))
+      // feeds the batch-side distinct count AND the per-doc rollup —
+      // different subplans, so exchange reuse can't dedupe the explode
+      .localCheckpoint(eager = false)
+    val bnd = bw.groupBy(col("wh"))
+      .agg(countDistinct(col("doc_id")).as("bnd"))
+    val status = bnd.join(corpusWins, Seq("wh"), "left")
+      .select(col("wh"), coalesce(col("nd"), lit(0L)).as("cnd"),
+        col("bnd"))
+      .withColumn("known", col("cnd") >= 2)
+      .withColumn("newly", !(col("cnd") >= 2) && col("cnd") + col("bnd") >= 2)
+    val perDoc = bw.join(status, Seq("wh"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_win"),
+        count(when(col("known"), 1)).as("n_known_dup"),
+        count(when(col("newly"), 1)).as("n_newly_dup"))
+    newDocs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_win"), lit(0L)).as("n_win"),
+        coalesce(col("n_known_dup"), lit(0L)).as("n_known_dup"),
+        coalesce(col("n_newly_dup"), lit(0L)).as("n_newly_dup"))
+      .withColumn("dup_micro",
+        when(col("n_win") === 0, lit(0L)).otherwise(
+          expr("(n_known_dup + n_newly_dup) * 1000000L div n_win")))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q156 as an oracle query: corpus index built in-query, batch
+    * (doc_id ≡ 0 mod 10) reported against it. */
+  def incrementalSubstringReportDaily(spark: SparkSession,
+      dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    incrementalSubstringReport(
+      substrWindowIndex(d.filter(col("doc_id") % 10 =!= 0)),
+      d.filter(col("doc_id") % 10 === 0))
+  }
 
   /** L28: the curation FUNNEL — the whole cleaning pass a training run
     * actually executes, as ONE oracle query: exact dedup → Gopher
@@ -1924,7 +1990,9 @@ object CurationQueries {
     "q151_release_funnel" -> (releaseFunnel _),
     "q153_packing_efficiency" -> (packingEfficiency _),
     "q154_snapshot_dedup_trend" -> (snapshotDedupTrend _),
-    "q155_eval_sample_churn" -> (evalSampleChurn _))
+    "q155_eval_sample_churn" -> (evalSampleChurn _),
+    "q156_incremental_substring_report" ->
+      (incrementalSubstringReportDaily _))
 
   // ---- oracle SQL -----------------------------------------------------
 
@@ -2556,6 +2624,40 @@ object CurationQueries {
          |  cluster_size
          |FROM ranked WHERE rn <= $ClusterCap
          |ORDER BY cluster_id, rk""".stripMargin,
+    // q156: the q114 window CTE split corpus/total; known = corpus-side
+    // count ≥ 2, newly = batch arrival completed the collision
+    "q156_incremental_substring_report" ->
+      s"""WITH wins AS (
+         |  SELECT doc_id, unnest(CASE WHEN len(wa) >= $DupWinWords
+         |    THEN list_transform(range(0, len(wa) - $DupWinWords + 1),
+         |      i -> array_to_string(
+         |        list_slice(wa, i + 1, i + $DupWinWords), ' '))
+         |    ELSE []::VARCHAR[] END) AS w
+         |  FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS wa
+         |        FROM documents)),
+         |cnd AS (SELECT w, count(DISTINCT doc_id) AS cnd FROM wins
+         |        WHERE doc_id % 10 <> 0 GROUP BY w),
+         |tnd AS (SELECT w, count(DISTINCT doc_id) AS tnd FROM wins
+         |        GROUP BY w),
+         |st AS (SELECT tnd.w, coalesce(cnd.cnd, 0) AS cnd, tnd
+         |       FROM tnd LEFT JOIN cnd ON tnd.w = cnd.w),
+         |per AS (
+         |  SELECT wins.doc_id, count(*) AS n_win,
+         |    sum(CASE WHEN st.cnd >= 2 THEN 1 ELSE 0 END) AS nk,
+         |    sum(CASE WHEN st.cnd < 2 AND st.tnd >= 2 THEN 1 ELSE 0 END)
+         |      AS nn
+         |  FROM wins JOIN st ON wins.w = st.w
+         |  WHERE wins.doc_id % 10 = 0
+         |  GROUP BY wins.doc_id)
+         |SELECT doc_id, CAST(coalesce(n_win, 0) AS BIGINT) AS n_win,
+         |  CAST(coalesce(nk, 0) AS BIGINT) AS n_known_dup,
+         |  CAST(coalesce(nn, 0) AS BIGINT) AS n_newly_dup,
+         |  CAST(CASE WHEN coalesce(n_win, 0) = 0 THEN 0
+         |    ELSE (coalesce(nk, 0) + coalesce(nn, 0)) * 1000000 // n_win
+         |    END AS BIGINT) AS dup_micro
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) b
+         |LEFT JOIN per USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
     // q154: both snapshots' dup rates from the q132 fixtures; FULL
     // JOIN + coalesce so a source absent from one side still reports
     "q154_snapshot_dedup_trend" ->

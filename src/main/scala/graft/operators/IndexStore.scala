@@ -278,6 +278,23 @@ object IndexStore {
       read(spark, indexDir, "bm25_dl"),
       docSplit(spark, dataDir)._2)
 
+  /** The corpus substring-window index (q114/q156): (window md5,
+    * distinct-corpus-doc count) — the count rides along because the
+    * incremental report must distinguish known (corpus nd ≥ 2) from
+    * newly-created collisions. */
+  def writeSubstrWindows(spark: SparkSession, dataDir: String,
+      dir: String): Unit =
+    write(CurationQueries.substrWindowIndex(docSplit(spark, dataDir)._1),
+      dir, "substr_windows")
+
+  /** q156 twin: [[CurationQueries.incrementalSubstringReport]] off the
+    * disk window index. */
+  def dailySubstr(spark: SparkSession, indexDir: String,
+      dataDir: String): DataFrame =
+    CurationQueries.incrementalSubstringReport(
+      read(spark, indexDir, "substr_windows"),
+      docSplit(spark, dataDir)._2)
+
   /** The frozen eval-gram index (q74/q150): one distinct 5-gram per
     * benchmark item. Refreshes when the BENCHMARK release does (the
     * bpe_vocab/dsir_model rebuild cycle), but every daily ingest reads
@@ -415,6 +432,15 @@ object IndexStore {
         LLMQueries.normHashIndex(LLMQueries.normSplit(spark, dataDir)._2))
       .distinct(), outDir, "norm_hash")
 
+  def compactSubstrWindows(spark: SparkSession, indexDir: String,
+      dataDir: String, outDir: String): Unit =
+    write(read(spark, indexDir, "substr_windows")
+      .unionByName(
+        CurationQueries.substrWindowIndex(docSplit(spark, dataDir)._2))
+      // corpus and batch ids are disjoint, so distinct-doc counts ADD
+      .groupBy(col("wh")).agg(sum(col("nd")).as("nd")),
+      outDir, "substr_windows")
+
   def compactBm25(spark: SparkSession, indexDir: String,
       dataDir: String, outDir: String): Unit = {
     val (btf, bdl) = LLMQueries.bm25Index(docSplit(spark, dataDir)._2)
@@ -487,6 +513,13 @@ object IndexStore {
         val (tf, dl) = LLMQueries.bm25Index(c.unionByName(b))
         write(tf, dir, "bm25_tf")
         write(dl, dir, "bm25_dl")
+      }),
+    ("substr_windows", Seq("substr_windows"),
+      compactSubstrWindows _,
+      (s, dataDir, dir) => {
+        val (c, b) = docSplit(s, dataDir)
+        write(CurationQueries.substrWindowIndex(c.unionByName(b)),
+          dir, "substr_windows")
       }))
 
   /** (family name, in-memory qNN twin, write, daily-from-disk) — the one
@@ -531,5 +564,7 @@ object IndexStore {
     ("bm25", "q144_incremental_bm25",
       writeBm25 _, dailyBm25 _),
     ("eval_grams", "q150_incremental_decontaminate",
-      writeEvalGrams _, dailyDecontaminate _))
+      writeEvalGrams _, dailyDecontaminate _),
+    ("substr_windows", "q156_incremental_substring_report",
+      writeSubstrWindows _, dailySubstr _))
 }

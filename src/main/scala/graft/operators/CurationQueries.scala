@@ -1106,6 +1106,96 @@ object CurationQueries {
       d.filter(col("doc_id") % 10 === 0))
   }
 
+  /** L60/q158: n-gram NOVELTY scoring — the data-selection measure
+    * dual to q156's dup report: per batch doc, how many of its DISTINCT
+    * [[DupWinWords]]-word windows the corpus has never seen. Dedup asks
+    * "is this a copy?"; novelty asks "does this add anything?" — a doc
+    * whose windows are all corpus-known carries no new n-gram content
+    * even if no single source document duplicates it (stitched/spun
+    * pages), while high-novelty docs are the ones worth ingest priority
+    * when the token budget (q146) is tight. A second consumer of the
+    * SAME persisted `substr_windows` index (presence is the signal; the
+    * count rides along for q156): one index, two reports, zero extra
+    * corpus passes.
+    *
+    * Convention: windows are counted DISTINCT per doc (novelty is about
+    * vocabulary coverage, not repetition — q78 owns repetition); a doc
+    * too short for any window is fully novel (1e6 micro) — the corpus
+    * has seen none of it. Daily cost: O(batch windows) against the
+    * index. */
+  def noveltyReport(corpusWins: DataFrame,
+      newDocs: DataFrame): DataFrame = {
+    val bw = winRows(newDocs)
+      .select(col("doc_id"), md5(col("w")).as("wh"))
+      .distinct()
+    val perDoc = bw
+      .join(corpusWins.select(col("wh"), lit(true).as("seen")),
+        Seq("wh"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_win"),
+        count(when(col("seen"), 1)).as("n_seen"))
+    newDocs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_win"), lit(0L)).as("n_win"),
+        coalesce(col("n_seen"), lit(0L)).as("n_seen"))
+      .withColumn("novelty_micro",
+        when(col("n_win") === 0, lit(1000000L)).otherwise(
+          expr("(n_win - n_seen) * 1000000L div n_win")))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q158 as an oracle query: same corpus/batch split as q156. */
+  def noveltyReportDaily(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    noveltyReport(
+      substrWindowIndex(d.filter(col("doc_id") % 10 =!= 0)),
+      d.filter(col("doc_id") % 10 === 0))
+  }
+
+  /** L61/q157: per-doc funnel DISPOSITION — the row-level explain of
+    * the q115 funnel: for every document, either `kept` or the FIRST
+    * stage (in the funnel's production order) that dropped it. The
+    * funnel chart says a stage shed 12% — this table says WHICH docs,
+    * which is what a data lead actually inspects before loosening a
+    * gate, and what a provenance record has to store per doc. Every
+    * predicate IS the corresponding proven operator (q60/q78/q92/q74/
+    * q84), composed here as slim boolean flag frames; the oracle nests
+    * the stage oracles (the q115 rule), so the explain can never
+    * disagree with the funnel it explains — a reconciliation the spec
+    * asserts directly (stage-k survivors == docs kept or dropped at a
+    * stage > k).
+    *
+    * Scale shape: five left joins of (doc_id, true) frames onto the
+    * slim (doc_id, source) projection — text never moves, and the flag
+    * frames partial-aggregate before joining; one case-when decides. */
+  def funnelDisposition(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select(col("doc_id"), col("source"))
+    def flag(df: DataFrame, name: String): DataFrame =
+      df.select(col("doc_id")).distinct().withColumn(name, lit(true))
+    val winner = flag(LLMQueries.exactDedup(spark, dir)
+      .select(col("keep_id").as("doc_id")), "f_win")
+    val repOk = flag(repetitionStats(spark, dir)
+      .filter(col("quality_flag") === "ok"), "f_rep")
+    val unfluent = flag(lmFluency(spark, dir)
+      .filter(!col("is_fluent")), "f_unfl")
+    val contaminated = flag(decontaminate(spark, dir), "f_cont")
+    val qualKeep = flag(qualityClassifier(spark, dir)
+      .filter(col("decision") === "keep"), "f_qual")
+    d.join(winner, Seq("doc_id"), "left")
+      .join(repOk, Seq("doc_id"), "left")
+      .join(unfluent, Seq("doc_id"), "left")
+      .join(contaminated, Seq("doc_id"), "left")
+      .join(qualKeep, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+        when(col("f_win").isNull, "dropped_exact_dup")
+          .when(col("f_rep").isNull, "dropped_repetition")
+          .when(col("f_unfl").isNotNull, "dropped_fluency")
+          .when(col("f_cont").isNotNull, "dropped_contaminated")
+          .when(col("f_qual").isNull, "dropped_quality")
+          .otherwise("kept").as("disposition"))
+      .orderBy(col("doc_id"))
+  }
+
   /** L28: the curation FUNNEL — the whole cleaning pass a training run
     * actually executes, as ONE oracle query: exact dedup → Gopher
     * repetition filter → LM fluency filter → benchmark decontamination
@@ -1992,7 +2082,9 @@ object CurationQueries {
     "q154_snapshot_dedup_trend" -> (snapshotDedupTrend _),
     "q155_eval_sample_churn" -> (evalSampleChurn _),
     "q156_incremental_substring_report" ->
-      (incrementalSubstringReportDaily _))
+      (incrementalSubstringReportDaily _),
+    "q157_funnel_disposition" -> (funnelDisposition _),
+    "q158_novelty_report" -> (noveltyReportDaily _))
 
   // ---- oracle SQL -----------------------------------------------------
 
@@ -2658,6 +2750,33 @@ object CurationQueries {
          |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) b
          |LEFT JOIN per USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+    // q158: distinct batch windows probed against the corpus-side
+    // distinct window set; zero-window docs are fully novel
+    "q158_novelty_report" ->
+      s"""WITH wins AS (
+         |  SELECT doc_id, unnest(CASE WHEN len(wa) >= $DupWinWords
+         |    THEN list_transform(range(0, len(wa) - $DupWinWords + 1),
+         |      i -> array_to_string(
+         |        list_slice(wa, i + 1, i + $DupWinWords), ' '))
+         |    ELSE []::VARCHAR[] END) AS w
+         |  FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS wa
+         |        FROM documents)),
+         |cw AS (SELECT DISTINCT w FROM wins WHERE doc_id % 10 <> 0),
+         |bw AS (SELECT DISTINCT doc_id, w FROM wins
+         |       WHERE doc_id % 10 = 0),
+         |per AS (
+         |  SELECT bw.doc_id, count(*) AS n_win,
+         |    sum(CASE WHEN cw.w IS NOT NULL THEN 1 ELSE 0 END) AS n_seen
+         |  FROM bw LEFT JOIN cw ON bw.w = cw.w
+         |  GROUP BY bw.doc_id)
+         |SELECT doc_id, CAST(coalesce(n_win, 0) AS BIGINT) AS n_win,
+         |  CAST(coalesce(n_seen, 0) AS BIGINT) AS n_seen,
+         |  CAST(CASE WHEN coalesce(n_win, 0) = 0 THEN 1000000
+         |    ELSE (n_win - n_seen) * 1000000 // n_win
+         |    END AS BIGINT) AS novelty_micro
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) b
+         |LEFT JOIN per USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
     // q154: both snapshots' dup rates from the q132 fixtures; FULL
     // JOIN + coalesce so a source absent from one side still reports
     "q154_snapshot_dedup_trend" ->
@@ -2880,6 +2999,37 @@ object CurationQueries {
          |  UNION ALL SELECT 6, 'quality_classifier',
          |    (SELECT count(*) FROM s6)
          |) ORDER BY stage""".stripMargin
+  } + {
+    // q157 NESTS the five stage oracles (the q115 rule): disposition =
+    // the first funnel stage, in production order, that drops the doc
+    "q157_funnel_disposition" ->
+      s"""WITH s2 AS (SELECT keep_id AS doc_id FROM (
+         |${LLMQueries.oracle("q60_exact_dedup")})),
+         |rep_ok AS (SELECT doc_id FROM (
+         |${oracleMain("q78_repetition_stats")})
+         |  WHERE quality_flag = 'ok'),
+         |unfl AS (SELECT doc_id FROM (
+         |${oracleMain("q92_lm_fluency")})
+         |  WHERE NOT is_fluent),
+         |cont AS (SELECT DISTINCT doc_id FROM (
+         |${oracleMain("q74_decontaminate")})),
+         |qk AS (SELECT doc_id FROM (
+         |${oracleMain("q84_quality_classifier")})
+         |  WHERE decision = 'keep')
+         |SELECT d.doc_id, d.source,
+         |  CASE
+         |    WHEN d.doc_id NOT IN (SELECT doc_id FROM s2)
+         |      THEN 'dropped_exact_dup'
+         |    WHEN d.doc_id NOT IN (SELECT doc_id FROM rep_ok)
+         |      THEN 'dropped_repetition'
+         |    WHEN d.doc_id IN (SELECT doc_id FROM unfl)
+         |      THEN 'dropped_fluency'
+         |    WHEN d.doc_id IN (SELECT doc_id FROM cont)
+         |      THEN 'dropped_contaminated'
+         |    WHEN d.doc_id NOT IN (SELECT doc_id FROM qk)
+         |      THEN 'dropped_quality'
+         |    ELSE 'kept' END AS disposition
+         |FROM documents d ORDER BY d.doc_id""".stripMargin
   } + {
     // q133 NESTS the q92 oracle (the q115 composition pattern) so the
     // bucketing and the scorer cannot drift apart

@@ -979,4 +979,43 @@ class CurationQueriesSpec extends SparkSpec {
     got.groupBy(_._1).values.foreach(g =>
       assert(g.size == CurationQueries.EvalSampleK))
   }
+
+  test("funnel disposition reconciles with the q115 funnel counts") {
+    val disp = CurationQueries.funnelDisposition(spark, sfDir)
+      .select($"doc_id", $"disposition").as[(Long, String)]
+      .collect().toSeq
+    val funnel = CurationQueries.curationFunnel(spark, sfDir)
+      .select($"stage_name", $"n_docs").as[(String, Long)]
+      .collect().toMap
+    // stage-k survivors == docs kept or dropped at a LATER stage: the
+    // explain and the chart are two renderings of one pass
+    val order = Seq("dropped_exact_dup", "dropped_repetition",
+      "dropped_fluency", "dropped_contaminated", "dropped_quality",
+      "kept")
+    val byDisp = disp.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    assert(byDisp.keySet.subsetOf(order.toSet))
+    def survivors(afterStage: Int): Long =
+      order.drop(afterStage).map(byDisp.getOrElse(_, 0L)).sum
+    assert(survivors(0) == funnel("all"))
+    assert(survivors(1) == funnel("exact_dedup"))
+    assert(survivors(2) == funnel("repetition_filter"))
+    assert(survivors(3) == funnel("fluency_filter"))
+    assert(survivors(4) == funnel("decontaminate"))
+    assert(survivors(5) == funnel("quality_classifier"))
+  }
+
+  test("novelty report off the disk window index == in-memory") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_novelty_idx").toFile
+    dir.deleteOnExit()
+    IndexStore.writeSubstrWindows(spark, sfDir, dir.getAbsolutePath)
+    val (_, batch) = IndexStore.docSplit(spark, sfDir)
+    val fromDisk = CurationQueries.noveltyReport(
+      spark.read.parquet(s"${dir.getAbsolutePath}/substr_windows.parquet"),
+      batch).collect().toSeq
+    val inMemory = CurationQueries.noveltyReportDaily(spark, sfDir)
+      .collect().toSeq
+    assert(fromDisk.nonEmpty)
+    assert(fromDisk == inMemory)
+  }
 }

@@ -962,14 +962,20 @@ object CurationQueries {
     * documents table, not a post-hoc union. */
   /** (doc_id, w) — one row per [[DupWinWords]]-word window occurrence;
     * shared by q114's stats and the q156 incremental report. */
+  /** Array of [[DupWinWords]]-word windows of `text` (empty when the
+    * doc is shorter) — ONE definition for q114/q119/q156/q158 and the
+    * streaming novelty twin, so batch and stream can never window
+    * differently. */
+  private[graft] val winsExpr: org.apache.spark.sql.Column = expr(
+    "transform(array(split(text, '\\\\s+'))," +
+      s" w -> if(size(w) >= $DupWinWords," +
+      s" transform(sequence(0, size(w) - $DupWinWords)," +
+      s" i -> concat_ws(' ', slice(w, i + 1, $DupWinWords)))," +
+      " cast(array() as array<string>)))[0]")
+
   private def winRows(docsDf: DataFrame): DataFrame =
     docsDf
-      .select(col("doc_id"), posexplode(expr(
-        "transform(array(split(text, '\\\\s+'))," +
-          s" w -> if(size(w) >= $DupWinWords," +
-          s" transform(sequence(0, size(w) - $DupWinWords)," +
-          s" i -> concat_ws(' ', slice(w, i + 1, $DupWinWords)))," +
-          " cast(array() as array<string>)))[0]")))
+      .select(col("doc_id"), posexplode(winsExpr))
       .select(col("doc_id"), col("col").as("w"))
 
   def substringDupStatsDocs(docsDf: DataFrame): DataFrame = {

@@ -260,6 +260,36 @@ object StreamingOps {
       .select(col("doc_id"), col("n_grams"), col("n_contaminated"))
   }
 
+  /** L60 streaming: NOVELTY scoring as a continuous stream — arriving
+    * docs score against the persisted `substr_windows` corpus index
+    * (the same table the q156 dup report and q158 batch novelty read;
+    * it changes per corpus snapshot, never per batch, so the static
+    * side is truly static). The live signal the batch report can't
+    * give: mean novelty collapsing mid-crawl means the crawler started
+    * re-fetching known content — stop paying for it NOW, not at the
+    * nightly report. Distinct windows via the SAME
+    * [[graft.operators.CurationQueries.winsExpr]] as the batch (one
+    * definition, zero drift), one stateless stream-static LEFT join
+    * (unseen must count, unlike the decontamination alert's inner
+    * join), watermark-bounded per-doc finalization; zero-window docs
+    * survive the explode_outer as fully novel — the q158 convention. */
+  def streamingNoveltyScore(docs: Dataset[StreamDoc],
+      corpusWins: DataFrame): DataFrame =
+    docs.toDF()
+      .withWatermark("ts", "1 hour")
+      .select(col("doc_id"), col("ts"), explode_outer(
+        array_distinct(graft.operators.CurationQueries.winsExpr)).as("w"))
+      .withColumn("wh", md5(col("w")))
+      .join(corpusWins.select(col("wh"), lit(true).as("seen")),
+        Seq("wh"), "left")
+      .groupBy(window(col("ts"), "1 hour"), col("doc_id"))
+      .agg(count(col("w")).as("n_win"),
+        count(when(col("seen"), 1)).as("n_seen"))
+      .select(col("doc_id"), col("n_win"), col("n_seen"),
+        when(col("n_win") === 0, lit(1000000L)).otherwise(
+          expr("(n_win - n_seen) * 1000000L div n_win"))
+          .as("novelty_micro"))
+
   /** L19c streaming: BM25 SEARCH as a continuous stream — arriving
     * query documents retrieve from the persisted corpus postings. The
     * static side is [[graft.operators.LLMQueries.bm25ScoredPostings]]

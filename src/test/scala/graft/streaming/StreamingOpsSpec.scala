@@ -508,6 +508,40 @@ class StreamingOpsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming novelty score off the window index equals the batch rule") {
+    val input = MemoryStream[StreamDoc]
+    // corpus doc: windows "w1..w8" and "w2..w9" (8-word windows)
+    val corpus = Seq((0L, "w1 w2 w3 w4 w5 w6 w7 w8 w9", "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+    val idx = graft.operators.CurationQueries.substrWindowIndex(corpus)
+    val query = streamingNoveltyScore(input.toDS(), idx)
+      .writeStream.format("memory").queryName("snov")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        // doc 1: same 9 words → both windows corpus-known → novelty 0
+        StreamDoc(1L, ts(0), "w1 w2 w3 w4 w5 w6 w7 w8 w9"),
+        // doc 2: one known window, one novel → 1/2 = 500000 micro
+        StreamDoc(2L, ts(1), "w1 w2 w3 w4 w5 w6 w7 w8 x9"),
+        // doc 3: too short for any window → fully novel by convention
+        StreamDoc(3L, ts(2), "a b"))
+      query.processAllAvailable()
+      input.addData(StreamDoc(9L, ts(150), "zz zz")) // advance watermark
+      query.processAllAvailable()
+      val out = spark.table("snov").as[(Long, Long, Long, Long)]
+        .collect().sortBy(_._1).toSeq
+      assert(out == Seq((1L, 2L, 2L, 0L), (2L, 2L, 1L, 500000L),
+        (3L, 0L, 0L, 1000000L)))
+      // the batch q158 rule on the same frames agrees row for row
+      val batch = graft.operators.CurationQueries.noveltyReport(idx,
+        Seq((1L, "w1 w2 w3 w4 w5 w6 w7 w8 w9"),
+          (2L, "w1 w2 w3 w4 w5 w6 w7 w8 x9"), (3L, "a b"))
+          .toDF("doc_id", "text"))
+        .as[(Long, Long, Long, Long)].collect().toSeq
+      assert(out == batch)
+    } finally query.stop()
+  }
+
   test("streaming BM25 search off impact postings equals the batch formula") {
     val input = MemoryStream[StreamDoc]
     val corpus = Seq((10L, "a a b"), (11L, "a c"), (12L, "b b b c"))

@@ -942,6 +942,24 @@ object CurationQueries {
   /** Window width (words) for cross-document substring duplication. */
   val DupWinWords = 8
 
+  /** Array of [[DupWinWords]]-word windows of `text` (empty when the
+    * doc is shorter) — ONE definition for q114/q119/q156/q158 and the
+    * streaming novelty twin, so batch and stream can never window
+    * differently. */
+  private[graft] val winsExpr: org.apache.spark.sql.Column = expr(
+    "transform(array(split(text, '\\\\s+'))," +
+      s" w -> if(size(w) >= $DupWinWords," +
+      s" transform(sequence(0, size(w) - $DupWinWords)," +
+      s" i -> concat_ws(' ', slice(w, i + 1, $DupWinWords)))," +
+      " cast(array() as array<string>)))[0]")
+
+  /** (doc_id, w) — one row per [[winsExpr]] window occurrence; shared
+    * by q114's stats, the q156 incremental report and q158 novelty. */
+  private def winRows(docsDf: DataFrame): DataFrame =
+    docsDf
+      .select(col("doc_id"), posexplode(winsExpr))
+      .select(col("doc_id"), col("col").as("w"))
+
   /** L15b: cross-document exact-SUBSTRING duplication stats — the
     * sliding-window flavor of dedup (public precedent: "Deduplicating
     * Training Data Makes Language Models Better", Lee et al. 2022,
@@ -960,24 +978,6 @@ object CurationQueries {
     * the join back is gram-keyed and AQE-skew-splittable. Short docs
     * (< window) surface with zero windows via the left join from the
     * documents table, not a post-hoc union. */
-  /** (doc_id, w) — one row per [[DupWinWords]]-word window occurrence;
-    * shared by q114's stats and the q156 incremental report. */
-  /** Array of [[DupWinWords]]-word windows of `text` (empty when the
-    * doc is shorter) — ONE definition for q114/q119/q156/q158 and the
-    * streaming novelty twin, so batch and stream can never window
-    * differently. */
-  private[graft] val winsExpr: org.apache.spark.sql.Column = expr(
-    "transform(array(split(text, '\\\\s+'))," +
-      s" w -> if(size(w) >= $DupWinWords," +
-      s" transform(sequence(0, size(w) - $DupWinWords)," +
-      s" i -> concat_ws(' ', slice(w, i + 1, $DupWinWords)))," +
-      " cast(array() as array<string>)))[0]")
-
-  private def winRows(docsDf: DataFrame): DataFrame =
-    docsDf
-      .select(col("doc_id"), posexplode(winsExpr))
-      .select(col("doc_id"), col("col").as("w"))
-
   def substringDupStatsDocs(docsDf: DataFrame): DataFrame = {
     val wins = winRows(docsDf)
     val dupGrams = wins.groupBy(col("w"))
@@ -1176,8 +1176,10 @@ object CurationQueries {
     * frames partial-aggregate before joining; one case-when decides. */
   def funnelDisposition(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir).select(col("doc_id"), col("source"))
+    // every stage operator is already unique per doc_id (keep_ids and
+    // per-doc aggregates), so no distinct — five fewer exchanges
     def flag(df: DataFrame, name: String): DataFrame =
-      df.select(col("doc_id")).distinct().withColumn(name, lit(true))
+      df.select(col("doc_id")).withColumn(name, lit(true))
     val winner = flag(LLMQueries.exactDedup(spark, dir)
       .select(col("keep_id").as("doc_id")), "f_win")
     val repOk = flag(repetitionStats(spark, dir)

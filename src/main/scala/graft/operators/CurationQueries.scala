@@ -1174,7 +1174,14 @@ object CurationQueries {
     * Scale shape: five left joins of (doc_id, true) frames onto the
     * slim (doc_id, source) projection — text never moves, and the flag
     * frames partial-aggregate before joining; one case-when decides. */
-  def funnelDisposition(spark: SparkSession, dir: String): DataFrame = {
+  /** (doc_id, source, o, disposition): o = the funnel stage the doc
+    * failed to survive (2..6), 7 = kept — the per-doc frame BOTH q157
+    * and q115 render (one definition, so the explain and the chart can
+    * never disagree). Each stage operator appears as exactly one slim
+    * flag-join subtree, computed once per job — no checkpoints, no
+    * union branches racing to materialize shared caches. */
+  private def dispositionFrame(spark: SparkSession,
+      dir: String): DataFrame = {
     val d = docs(spark, dir).select(col("doc_id"), col("source"))
     // every stage operator is already unique per doc_id (keep_ids and
     // per-doc aggregates), so no distinct — five fewer exchanges
@@ -1195,14 +1202,22 @@ object CurationQueries {
       .join(contaminated, Seq("doc_id"), "left")
       .join(qualKeep, Seq("doc_id"), "left")
       .select(col("doc_id"), col("source"),
-        when(col("f_win").isNull, "dropped_exact_dup")
-          .when(col("f_rep").isNull, "dropped_repetition")
-          .when(col("f_unfl").isNotNull, "dropped_fluency")
-          .when(col("f_cont").isNotNull, "dropped_contaminated")
-          .when(col("f_qual").isNull, "dropped_quality")
-          .otherwise("kept").as("disposition"))
-      .orderBy(col("doc_id"))
+        when(col("f_win").isNull, 2)
+          .when(col("f_rep").isNull, 3)
+          .when(col("f_unfl").isNotNull, 4)
+          .when(col("f_cont").isNotNull, 5)
+          .when(col("f_qual").isNull, 6)
+          .otherwise(7).as("o"))
+      .withColumn("disposition", expr(
+        "element_at(array('dropped_exact_dup', 'dropped_repetition'," +
+          " 'dropped_fluency', 'dropped_contaminated'," +
+          " 'dropped_quality', 'kept'), o - 1)"))
   }
+
+  def funnelDisposition(spark: SparkSession, dir: String): DataFrame =
+    dispositionFrame(spark, dir)
+      .select(col("doc_id"), col("source"), col("disposition"))
+      .orderBy(col("doc_id"))
 
   /** L28: the curation FUNNEL — the whole cleaning pass a training run
     * actually executes, as ONE oracle query: exact dedup → Gopher
@@ -1218,41 +1233,30 @@ object CurationQueries {
     * Stage conventions: docs too short for a fluency score pass that
     * stage (unscorable ≠ unfluent); q74 lists exactly the contaminated
     * docs, so decontamination is an anti-join on its output. Scale
-    * shape: per-stage id frames are slim (doc_id only), semi/anti joins
-    * on the dedup winners' ids, each stage lazily checkpointed so the
-    * chain is evaluated once per stage, not once per downstream stage.
-    */
-  def curationFunnel(spark: SparkSession, dir: String): DataFrame = {
-    val all = docs(spark, dir).select(col("doc_id"))
-    val s2 = LLMQueries.exactDedup(spark, dir)
-      .select(col("keep_id").as("doc_id"))
-      .localCheckpoint(eager = false)
-    val s3 = s2.join(
-        repetitionStats(spark, dir).filter(col("quality_flag") === "ok")
-          .select(col("doc_id")), Seq("doc_id"), "left_semi")
-      .localCheckpoint(eager = false)
-    val s4 = s3.join(
-        lmFluency(spark, dir).filter(!col("is_fluent"))
-          .select(col("doc_id")), Seq("doc_id"), "left_anti")
-      .localCheckpoint(eager = false)
-    val s5 = s4.join(decontaminate(spark, dir).select(col("doc_id")),
-        Seq("doc_id"), "left_anti")
-      .localCheckpoint(eager = false)
-    val s6 = s5.join(
-        qualityClassifier(spark, dir).filter(col("decision") === "keep")
-          .select(col("doc_id")), Seq("doc_id"), "left_semi")
-    def cnt(stage: Int, name: String, df: DataFrame) =
-      df.agg(count(lit(1)).as("n_docs"))
-        .select(lit(stage).cast("long").as("stage"),
-          lit(name).as("stage_name"), col("n_docs"))
-    cnt(1, "all", all)
-      .unionByName(cnt(2, "exact_dedup", s2))
-      .unionByName(cnt(3, "repetition_filter", s3))
-      .unionByName(cnt(4, "fluency_filter", s4))
-      .unionByName(cnt(5, "decontaminate", s5))
-      .unionByName(cnt(6, "quality_classifier", s6))
+    * shape: the chart is ONE aggregate over [[dispositionFrame]]
+    * (stage-k survivors == docs whose first failing stage is later
+    * than k — stage predicates are per-doc, so the sequential funnel
+    * and the first-failure decomposition agree by construction). The
+    * earlier formulation unioned six per-stage count branches over a
+    * lazily-checkpointed chain; under concurrent schedulers the
+    * branches race to materialize the shared caches and a stage can
+    * recompute once per downstream branch. This shape executes every
+    * stage subtree exactly once by construction (same physical plan as
+    * q157 below the top operator), identical six output rows. */
+  def curationFunnel(spark: SparkSession, dir: String): DataFrame =
+    dispositionFrame(spark, dir)
+      .agg(count(lit(1)).as("n1"),
+        count(when(col("o") > 2, 1)).as("n2"),
+        count(when(col("o") > 3, 1)).as("n3"),
+        count(when(col("o") > 4, 1)).as("n4"),
+        count(when(col("o") > 5, 1)).as("n5"),
+        count(when(col("o") > 6, 1)).as("n6"))
+      .select(expr(
+        "stack(6, 1L, 'all', n1, 2L, 'exact_dedup', n2," +
+          " 3L, 'repetition_filter', n3, 4L, 'fluency_filter', n4," +
+          " 5L, 'decontaminate', n5, 6L, 'quality_classifier', n6)" +
+          " as (stage, stage_name, n_docs)"))
       .orderBy(col("stage"))
-  }
 
   /** q98: the daily-ingest segment-dedup flow as an ORACLE query — the
     * corpus/batch residue split the q96/q97 incremental family uses
@@ -1811,35 +1815,34 @@ object CurationQueries {
     * NESTS the q60/q74 fragments (the q115 rule) so the funnel cannot
     * drift from its stages.
     *
-    * Scale shape: dedup is q60's 64-hex hash groupBy + a doc_id
-    * semi-join; decon reduces q74's broadcast gram join to a distinct
-    * flag set anti-joined on long ids; the three stage frames union
-    * into ONE per-source rollup (conditional aggregation), so the
-    * report adds a single source-keyed shuffle over slim rows. */
+    * Scale shape: dedup is q60's 64-hex hash groupBy joined back as a
+    * keeper flag; decon reduces q74's broadcast gram join to a
+    * distinct flag set; ONE pass over train with per-doc flags feeding
+    * ONE per-source conditional rollup — no union branches, so no
+    * concurrent re-materialization of the shared hash+tokenize pass
+    * (the q115 lesson) and a single source-keyed shuffle over slim
+    * rows. */
   def releaseFunnelDocs(docsDf: DataFrame): DataFrame = {
     val train = docsDf.filter(col("doc_id") % 10 =!= 0)
       .select(col("doc_id"), col("source"),
         sha2(col("text"), 256).as("hh"),
         size(split(col("text"), "\\s+")).cast("long").as("n_tokens"))
-      // feeds keep, the stage-0 frame and the semi-join — one
-      // hash+tokenize pass, not three
+      // feeds the keeper-election leg AND the main leg — different
+      // subplans, so exchange reuse can't dedupe the hash+tokenize
       .localCheckpoint(eager = false)
-    val keep = train.groupBy(col("hh")).agg(min(col("doc_id")).as("doc_id"))
-    val deduped = train.join(keep.select(col("doc_id")),
-      Seq("doc_id"), "left_semi")
-    val flagged = decontaminateDocs(docsDf).select(col("doc_id"))
-    val clean = deduped.join(flagged, Seq("doc_id"), "left_anti")
-    train.select(col("source"), col("n_tokens"), lit(0).as("st"))
-      .unionByName(deduped.select(col("source"), col("n_tokens"),
-        lit(1).as("st")))
-      .unionByName(clean.select(col("source"), col("n_tokens"),
-        lit(2).as("st")))
+    val keepIds = train.groupBy(col("hh"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"), lit(true).as("kd"))
+    val flagged = decontaminateDocs(docsDf)
+      .select(col("doc_id"), lit(true).as("fl"))
+    train.join(keepIds, Seq("doc_id"), "left")
+      .join(flagged, Seq("doc_id"), "left")
       .groupBy(col("source"))
-      .agg(count(when(col("st") === 0, 1)).as("n_docs"),
-        count(when(col("st") === 1, 1)).as("n_after_dedup"),
-        count(when(col("st") === 2, 1)).as("n_final"),
-        coalesce(sum(when(col("st") === 2, col("n_tokens"))), lit(0L))
-          .as("tokens_final"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("kd"), 1)).as("n_after_dedup"),
+        count(when(col("kd") && col("fl").isNull, 1)).as("n_final"),
+        coalesce(sum(when(col("kd") && col("fl").isNull,
+          col("n_tokens"))), lit(0L)).as("tokens_final"))
       .orderBy(col("source"))
   }
 

@@ -1,0 +1,78 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+
+/** End-to-end gate for the DailyIngest orchestration: artifacts land,
+  * the summary reconciles with the per-doc disposition, the gates agree
+  * with their in-memory operator definitions, and the compacted
+  * next-snapshot index equals a rebuild.
+  */
+class DailyIngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(tag: String) = {
+    val d = Files.createTempDirectory(s"graft_ingest_$tag").toFile
+    d.deleteOnExit()
+    d.getAbsolutePath
+  }
+
+  test("daily ingest: artifacts, reconciliation, gate parity") {
+    val idxDir = tmp("idx")
+    val outDir = tmp("out")
+    DailyIngest.writeIndexes(spark, sfDir, idxDir)
+
+    val summary = DailyIngest.run(spark, idxDir, sfDir, outDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    val (corpus, batch) = DailyIngest.split(spark, sfDir)
+    val batchIds = batch.select($"doc_id").as[Long].collect().toSet
+    val disp = spark.read.parquet(s"$outDir/disposition.parquet")
+      .as[(Long, String)].collect().toSeq
+    val kept = spark.read.parquet(s"$outDir/kept_docs.parquet")
+
+    // the disposition partitions the batch; the summary is its rollup
+    assert(disp.map(_._1).toSet == batchIds)
+    assert(summary("batch_in") == batchIds.size.toLong)
+    val byStep = disp.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    byStep.foreach { case (step, n) => assert(summary(step) == n) }
+    assert(summary.filterNot(_._1 == "batch_in").values.sum ==
+      batchIds.size.toLong)
+
+    // kept artifact == the disposition's kept rows, full doc rows
+    val keptIds = kept.select($"doc_id").as[Long].collect().toSet
+    assert(keptIds == disp.filter(_._2 == "kept").map(_._1).toSet)
+    assert(kept.columns.toSet == batch.columns.toSet)
+    assert(keptIds.nonEmpty && keptIds.subsetOf(batchIds))
+
+    // first-gate parity: exact-dup drops equal the in-memory q97 rule
+    val exactKeepIds = LLMQueries.incrementalExactDedup(
+        LLMQueries.hashIndex(corpus), batch)
+      .select($"keep_id").as[Long].collect().toSet
+    assert(disp.filter(_._2 == "dropped_exact_dup").map(_._1).toSet ==
+      batchIds -- exactKeepIds)
+
+    // reports + bookkeeping landed
+    for (a <- Seq("novelty_report.parquet", "substring_report.parquet"))
+      assert(spark.read.parquet(s"$outDir/$a").count() > 0, a)
+    val ledger = spark.read.parquet(s"$outDir/ledger")
+    assert(ledger.count() == summary.size.toLong)
+    assert(ledger.select($"status").distinct().as[String].collect()
+      .toSeq == Seq("completed"))
+    assert(spark.read.json(s"$outDir/logs").count() == summary.size.toLong)
+
+    // the compacted next-snapshot index equals a rebuild over
+    // (corpus ∪ batch) — tomorrow reads index_next and nothing drifts
+    val got = spark.read.parquet(s"$outDir/index_next/text_hash.parquet")
+    val wantHash = LLMQueries.hashIndex(corpus.unionByName(batch))
+    assert(got.collect().map(_.toString).sorted.toSeq ==
+      wantHash.collect().map(_.toString).sorted.toSeq)
+    val gotW = spark.read
+      .parquet(s"$outDir/index_next/substr_windows.parquet")
+    val wantW = CurationQueries
+      .substrWindowIndex(corpus.unionByName(batch))
+    assert(gotW.collect().map(_.toString).sorted.toSeq ==
+      wantW.collect().map(_.toString).sorted.toSeq)
+  }
+}

@@ -43,22 +43,31 @@ import sinks.Sinks
   */
 object DailyIngest {
 
-  /** (corpus, batch) on the train side; see the universe layout above. */
-  def split(spark: SparkSession, dataDir: String): (DataFrame, DataFrame) = {
+  /** (corpus, batch) on the train side; see the universe layout above.
+    * `day` picks which DeconBatchMod residue arrives today, and
+    * `pendingDays` are residues NOT yet ingested (tomorrow's batches) —
+    * the corpus is every train doc outside the pending set, which is
+    * what lets a multi-day chain start from a corpus that has not seen
+    * any of the days it will ingest. */
+  def split(spark: SparkSession, dataDir: String, day: Int = 0,
+      pendingDays: Set[Int] = Set(0)): (DataFrame, DataFrame) = {
+    require(pendingDays.contains(day), s"day $day already ingested")
     val train = Tables(spark, dataDir, "documents")
       .repartition(spark.sessionState.conf.numShufflePartitions,
         col("doc_id"))
       .filter(col("doc_id") % 10 =!= 0)
-    (train.filter(col("doc_id") % CurationQueries.DeconBatchMod =!= 0),
-      train.filter(col("doc_id") % CurationQueries.DeconBatchMod === 0))
+    val residue = col("doc_id") % CurationQueries.DeconBatchMod
+    (train.filter(!residue.isin(pendingDays.toSeq: _*)),
+      train.filter(residue === day))
   }
 
   /** Writes the corpus-side indexes the pipeline reads — the once-per-
     * snapshot cost; `eval_grams` refreshes on the benchmark release
     * cycle instead but lives in the same layout. */
-  def writeIndexes(spark: SparkSession, dataDir: String,
-      dir: String): Unit = {
-    val (corpus, _) = split(spark, dataDir)
+  def writeIndexes(spark: SparkSession, dataDir: String, dir: String,
+      pendingDays: Set[Int] = Set(0)): Unit = {
+    val (corpus, _) =
+      split(spark, dataDir, pendingDays.head, pendingDays)
     def w(df: DataFrame, name: String): Unit =
       df.write.mode("overwrite").parquet(s"$dir/$name.parquet")
     w(LLMQueries.hashIndex(corpus), "text_hash")
@@ -75,8 +84,9 @@ object DailyIngest {
     * is also written to the ledger. `ts` is caller-supplied so runs
     * are deterministic (the S8 rule). */
   def run(spark: SparkSession, indexDir: String, dataDir: String,
-      outDir: String, ts: String = "1970-01-01T00:00:00Z"): DataFrame = {
-    val batch = split(spark, dataDir)._2
+      outDir: String, ts: String = "1970-01-01T00:00:00Z",
+      day: Int = 0): DataFrame = {
+    val batch = split(spark, dataDir, day, Set(day))._2
       .localCheckpoint(eager = false) // feeds every gate + the writes
     def idx(name: String): DataFrame =
       spark.read.parquet(s"$indexDir/$name.parquet")
@@ -130,7 +140,10 @@ object DailyIngest {
 
     // next-snapshot indexes: merge the BATCH into the read tables —
     // additive/union compaction, never a corpus rescan (the IndexStore
-    // compaction algebra on this pipeline's own split)
+    // compaction algebra on this pipeline's own split). index_next is a
+    // COMPLETE snapshot: tomorrow's run reads it as its indexDir, so a
+    // multi-day chain composes (DailyIngestSpec proves two days equal
+    // one rebuilt snapshot).
     def wNext(df: DataFrame, name: String): Unit =
       df.write.mode("overwrite").parquet(s"$outDir/index_next/$name.parquet")
     wNext(idx("text_hash")
@@ -141,6 +154,11 @@ object DailyIngest {
       .unionByName(CurationQueries.substrWindowIndex(batch))
       // corpus and batch ids are disjoint, so distinct-doc counts ADD
       .groupBy(col("wh")).agg(sum(col("nd")).as("nd")), "substr_windows")
+    val (batchBands, batchSets) = LLMQueries.signatureTables(batch)
+    wNext(idx("text_bands").unionByName(batchBands), "text_bands")
+    wNext(idx("text_sets").unionByName(batchSets), "text_sets")
+    // frozen per benchmark release — carried through unchanged
+    wNext(idx("eval_grams"), "eval_grams")
 
     // bookkeeping: one ledger row + one log line per step
     val summary = disposition.groupBy(col("disposition").as("step"))

@@ -75,4 +75,29 @@ class DailyIngestSpec extends SparkSpec {
     assert(gotW.collect().map(_.toString).sorted.toSeq ==
       wantW.collect().map(_.toString).sorted.toSeq)
   }
+
+  test("two-day chain: day 2 off day 1's index_next == a rebuilt snapshot") {
+    val idx0 = tmp("chain_idx0")
+    val out0 = tmp("chain_out0")
+    val out1 = tmp("chain_out1")
+    val idxFull = tmp("chain_idxfull")
+    val out1b = tmp("chain_out1b")
+    // start from a corpus that has ingested neither day 0 nor day 1
+    DailyIngest.writeIndexes(spark, sfDir, idx0, pendingDays = Set(0, 1))
+    DailyIngest.run(spark, idx0, sfDir, out0, day = 0)
+    // day 1 reads yesterday's compacted snapshot, nothing else
+    DailyIngest.run(spark, s"$out0/index_next", sfDir, out1, day = 1)
+    // the oracle path: one snapshot built directly over (corpus ∪ day-0)
+    DailyIngest.writeIndexes(spark, sfDir, idxFull, pendingDays = Set(1))
+    DailyIngest.run(spark, idxFull, sfDir, out1b, day = 1)
+    for (a <- Seq("disposition.parquet", "novelty_report.parquet",
+        "substring_report.parquet")) {
+      val chained = spark.read.parquet(s"$out1/$a")
+        .collect().map(_.toString).sorted.toSeq
+      val rebuilt = spark.read.parquet(s"$out1b/$a")
+        .collect().map(_.toString).sorted.toSeq
+      assert(chained.nonEmpty, s"$a is empty")
+      assert(chained == rebuilt, s"$a diverges between chain and rebuild")
+    }
+  }
 }

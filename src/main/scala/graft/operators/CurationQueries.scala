@@ -2095,7 +2095,9 @@ object CurationQueries {
     "q156_incremental_substring_report" ->
       (incrementalSubstringReportDaily _),
     "q157_funnel_disposition" -> (funnelDisposition _),
-    "q158_novelty_report" -> (noveltyReportDaily _))
+    "q158_novelty_report" -> (noveltyReportDaily _),
+    "q159_daily_ingest_disposition" ->
+      ((s: SparkSession, d: String) => DailyIngest.ingestDisposition(s, d)))
 
   // ---- oracle SQL -----------------------------------------------------
 
@@ -3041,6 +3043,62 @@ object CurationQueries {
          |      THEN 'dropped_quality'
          |    ELSE 'kept' END AS disposition
          |FROM documents d ORDER BY d.doc_id""".stripMargin
+  } + {
+    // q159: the DailyIngest gate chain over the q150 universe (eval =
+    // mod 10, batch = train side mod DeconBatchMod); near-dup losers
+    // need a VERIFIED jaccard ≥ ClusterThreshold against a smaller id
+    "q159_daily_ingest_disposition" ->
+      (s"WITH ${LLMQueries.minhashPairsCtesOf("WHERE doc_id % 10 <> 0")}," +
+       s" $gramsCte," +
+       s"""exact_keep AS (
+         |  SELECT min(doc_id) AS doc_id FROM documents
+         |  WHERE doc_id % 10 <> 0 AND doc_id % $DeconBatchMod = 0
+         |  GROUP BY sha256(text)
+         |  HAVING sha256(text) NOT IN (
+         |    SELECT sha256(text) FROM documents
+         |    WHERE doc_id % 10 <> 0 AND doc_id % $DeconBatchMod <> 0)),
+         |norm_keep AS (
+         |  SELECT min(doc_id) AS doc_id FROM (
+         |    SELECT doc_id,
+         |      md5(trim(regexp_replace(regexp_replace(lower(text),
+         |        '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS nh
+         |    FROM documents
+         |    WHERE doc_id % 10 <> 0 AND doc_id % $DeconBatchMod = 0)
+         |  GROUP BY nh
+         |  HAVING nh NOT IN (
+         |    SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
+         |      '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')))
+         |    FROM documents
+         |    WHERE doc_id % 10 <> 0 AND doc_id % $DeconBatchMod <> 0)),
+         |near_loser AS (
+         |  SELECT DISTINCT doc_b AS doc_id FROM pairs_all
+         |  WHERE jaccard >= $ClusterThreshold
+         |    AND doc_b % $DeconBatchMod = 0),
+         |cont AS (
+         |  SELECT DISTINCT grams.doc_id FROM grams
+         |  JOIN (SELECT DISTINCT g FROM grams WHERE doc_id % 10 = 0) ev
+         |    USING (g)
+         |  WHERE grams.doc_id % 10 <> 0
+         |    AND grams.doc_id % $DeconBatchMod = 0),
+         |qk AS (SELECT doc_id FROM (
+         |${oracleMain("q84_quality_classifier")})
+         |  WHERE decision = 'keep')
+         |SELECT d.doc_id,
+         |  CASE
+         |    WHEN d.doc_id NOT IN (SELECT doc_id FROM exact_keep)
+         |      THEN 'dropped_exact_dup'
+         |    WHEN d.doc_id NOT IN (SELECT doc_id FROM norm_keep)
+         |      THEN 'dropped_normalized_dup'
+         |    WHEN d.doc_id IN (SELECT doc_id FROM near_loser)
+         |      THEN 'dropped_near_dup'
+         |    WHEN d.doc_id IN (SELECT doc_id FROM cont)
+         |      THEN 'dropped_contaminated'
+         |    WHEN d.doc_id NOT IN (SELECT doc_id FROM qk)
+         |      THEN 'dropped_quality'
+         |    ELSE 'kept' END AS disposition
+         |FROM documents d
+         |WHERE d.doc_id % 10 <> 0 AND d.doc_id % $DeconBatchMod = 0
+         |ORDER BY d.doc_id""".stripMargin)
   } + {
     // q133 NESTS the q92 oracle (the q115 composition pattern) so the
     // bucketing and the scorer cannot drift apart

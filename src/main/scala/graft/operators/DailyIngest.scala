@@ -80,36 +80,31 @@ object DailyIngest {
       "eval_grams")
   }
 
-  /** Runs the pipeline; returns the summary frame (step, n_docs) that
-    * is also written to the ledger. `ts` is caller-supplied so runs
-    * are deterministic (the S8 rule). */
-  def run(spark: SparkSession, indexDir: String, dataDir: String,
-      outDir: String, ts: String = "1970-01-01T00:00:00Z",
-      day: Int = 0): DataFrame = {
-    val batch = split(spark, dataDir, day, Set(day))._2
-      .localCheckpoint(eager = false) // feeds every gate + the writes
-    def idx(name: String): DataFrame =
-      spark.read.parquet(s"$indexDir/$name.parquet")
-
-    // gate flags, each a slim (doc_id, true) frame off one index read
-    val exactKeep = LLMQueries
-      .incrementalExactDedup(idx("text_hash"), batch)
+  /** The per-batch-doc disposition given the corpus-side index frames —
+    * ONE definition for the pipeline (disk-read frames) and the q159
+    * oracle query (in-query frames), so the shipped flow and the
+    * DuckDB-checked flow can never disagree. A near-dup drop requires
+    * a verified jaccard ≥ [[CurationQueries.ClusterThreshold]] against
+    * a smaller id (the q85 cluster-membership criterion — banding alone
+    * is a candidate generator, not a verdict). */
+  def dispositionOf(batch: DataFrame, textHash: DataFrame,
+      normHash: DataFrame, bands: DataFrame, sets: DataFrame,
+      evalGrams: DataFrame): DataFrame = {
+    val exactKeep = LLMQueries.incrementalExactDedup(textHash, batch)
       .select(col("keep_id").as("doc_id"), lit(true).as("f_exact"))
-    val normKeep = LLMQueries
-      .incrementalNormalizedDedup(idx("norm_hash"), batch)
+    val normKeep = LLMQueries.incrementalNormalizedDedup(normHash, batch)
       .select(col("keep_id").as("doc_id"), lit(true).as("f_norm"))
-    val nearLoser = LLMQueries
-      .incrementalNearDups(idx("text_bands"), idx("text_sets"), batch)
+    val nearLoser = LLMQueries.incrementalNearDups(bands, sets, batch)
+      .filter(col("jaccard") >= CurationQueries.ClusterThreshold)
       .select(col("doc_b").as("doc_id")).distinct()
       .select(col("doc_id"), lit(true).as("f_near"))
     val contaminated = CurationQueries
-      .incrementalDecontaminate(idx("eval_grams"), batch)
+      .incrementalDecontaminate(evalGrams, batch)
       .select(col("doc_id"), lit(true).as("f_cont"))
     val qualityKeep = CurationQueries.qualityClassifierDocs(batch)
       .filter(col("decision") === "keep")
       .select(col("doc_id"), lit(true).as("f_qual"))
-
-    val disposition = batch.select(col("doc_id"))
+    batch.select(col("doc_id"))
       .join(exactKeep, Seq("doc_id"), "left")
       .join(normKeep, Seq("doc_id"), "left")
       .join(nearLoser, Seq("doc_id"), "left")
@@ -122,6 +117,56 @@ object DailyIngest {
           .when(col("f_cont").isNotNull, "dropped_contaminated")
           .when(col("f_qual").isNull, "dropped_quality")
           .otherwise("kept").as("disposition"))
+  }
+
+  /** q159: the ingest disposition as an ORACLE query — index frames
+    * built in-query (as the oracle must; the pipeline reads the same
+    * frames from parquet, parity spec-pinned in DailyIngestSpec). */
+  def ingestDisposition(spark: SparkSession, dir: String): DataFrame = {
+    val (corpus, batch) = split(spark, dir)
+    val (bands, sets) = LLMQueries.signatureTables(corpus)
+    dispositionOf(batch, LLMQueries.hashIndex(corpus),
+      LLMQueries.normHashIndex(corpus), bands, sets,
+      CurationQueries.evalGramIndex(Tables(spark, dir, "documents")))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Merges today's batch into the read index frames and writes a
+    * COMPLETE next snapshot — additive/union compaction, never a
+    * corpus rescan. ONE definition shared by [[run]] (nightly) and
+    * [[graft.streaming.StreamingOps.continuousIngest]] (per
+    * micro-batch), so the two cadences compact identically. */
+  def compactIndexes(idx: String => DataFrame, batch: DataFrame,
+      write: (DataFrame, String) => Unit): Unit = {
+    write(idx("text_hash")
+      .unionByName(LLMQueries.hashIndex(batch)).distinct(), "text_hash")
+    write(idx("norm_hash")
+      .unionByName(LLMQueries.normHashIndex(batch)).distinct(), "norm_hash")
+    write(idx("substr_windows")
+      .unionByName(CurationQueries.substrWindowIndex(batch))
+      // corpus and batch ids are disjoint, so distinct-doc counts ADD
+      .groupBy(col("wh")).agg(sum(col("nd")).as("nd")), "substr_windows")
+    val (batchBands, batchSets) = LLMQueries.signatureTables(batch)
+    write(idx("text_bands").unionByName(batchBands), "text_bands")
+    write(idx("text_sets").unionByName(batchSets), "text_sets")
+    // frozen per benchmark release — carried through unchanged
+    write(idx("eval_grams"), "eval_grams")
+  }
+
+  /** Runs the pipeline; returns the summary frame (step, n_docs) that
+    * is also written to the ledger. `ts` is caller-supplied so runs
+    * are deterministic (the S8 rule). */
+  def run(spark: SparkSession, indexDir: String, dataDir: String,
+      outDir: String, ts: String = "1970-01-01T00:00:00Z",
+      day: Int = 0): DataFrame = {
+    val batch = split(spark, dataDir, day, Set(day))._2
+      .localCheckpoint(eager = false) // feeds every gate + the writes
+    def idx(name: String): DataFrame =
+      spark.read.parquet(s"$indexDir/$name.parquet")
+
+    val disposition = dispositionOf(batch, idx("text_hash"),
+      idx("norm_hash"), idx("text_bands"), idx("text_sets"),
+      idx("eval_grams"))
       .localCheckpoint(eager = false) // feeds kept join, summary, write
 
     val kept = batch.join(
@@ -144,21 +189,9 @@ object DailyIngest {
     // COMPLETE snapshot: tomorrow's run reads it as its indexDir, so a
     // multi-day chain composes (DailyIngestSpec proves two days equal
     // one rebuilt snapshot).
-    def wNext(df: DataFrame, name: String): Unit =
-      df.write.mode("overwrite").parquet(s"$outDir/index_next/$name.parquet")
-    wNext(idx("text_hash")
-      .unionByName(LLMQueries.hashIndex(batch)).distinct(), "text_hash")
-    wNext(idx("norm_hash")
-      .unionByName(LLMQueries.normHashIndex(batch)).distinct(), "norm_hash")
-    wNext(idx("substr_windows")
-      .unionByName(CurationQueries.substrWindowIndex(batch))
-      // corpus and batch ids are disjoint, so distinct-doc counts ADD
-      .groupBy(col("wh")).agg(sum(col("nd")).as("nd")), "substr_windows")
-    val (batchBands, batchSets) = LLMQueries.signatureTables(batch)
-    wNext(idx("text_bands").unionByName(batchBands), "text_bands")
-    wNext(idx("text_sets").unionByName(batchSets), "text_sets")
-    // frozen per benchmark release — carried through unchanged
-    wNext(idx("eval_grams"), "eval_grams")
+    compactIndexes(idx, batch, (df, name) =>
+      df.write.mode("overwrite")
+        .parquet(s"$outDir/index_next/$name.parquet"))
 
     // bookkeeping: one ledger row + one log line per step
     val summary = disposition.groupBy(col("disposition").as("step"))

@@ -425,6 +425,61 @@ object StreamingOps {
       .select(col("doc_id"), col("source"), col("mean_weight"))
   }
 
+  /** L62 streaming: the DAILY-INGEST gate chain as a CONTINUOUS flow —
+    * every micro-batch is a miniature ingest day. The SAME
+    * [[graft.operators.DailyIngest.dispositionOf]] that renders the
+    * oracle-checked q159 and the nightly disk pipeline runs inside
+    * `foreachBatch` against the newest on-disk index generation, the
+    * per-doc disposition lands under `out/disposition/batch_id=N`
+    * (partition-dir layout, so one read reassembles the history), and
+    * [[graft.operators.DailyIngest.compactIndexes]] writes generation
+    * N+1 — so micro-batch N+1 sees micro-batch N's documents. One gate
+    * definition, three cadences (query / nightly / continuous), zero
+    * drift by construction.
+    *
+    * State lives entirely in the generation dirs, not in streaming
+    * state: `index_gen_0` is the caller-seeded corpus snapshot
+    * ([[graft.operators.DailyIngest.writeIndexes]] layout), batch N
+    * reads the newest generation ≤ N and OVERWRITES its own outputs —
+    * a replayed uncommitted batch (the foreachBatch at-least-once
+    * contract) rewrites generation N+1 from the same inputs, so the
+    * flow is idempotent exactly like the bucketed-ledger upsert twin.
+    *
+    * Scale posture: per micro-batch cost is the O(batch) daily cost
+    * DailyIngest already measures — every gate reads the batch plus a
+    * slim index; compaction unions batch-sized deltas onto a
+    * sequentially-read snapshot. The generation chain is the streaming
+    * rendering of the nightly `index_next` handoff.
+    */
+  def continuousIngest(docs: Dataset[SourcedDoc], workDir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[SourcedDoc] =
+    docs.writeStream.foreachBatch {
+      (batch: Dataset[SourcedDoc], batchId: Long) =>
+        val spark = batch.sparkSession
+        val gens = Option(new java.io.File(workDir).listFiles())
+          .getOrElse(Array.empty)
+          .flatMap(f => f.getName match {
+            case s if s.startsWith("index_gen_") =>
+              scala.util.Try(s.stripPrefix("index_gen_").toLong).toOption
+            case _ => None
+          })
+          .filter(_ <= batchId)
+        require(gens.nonEmpty, s"seed $workDir/index_gen_0 first " +
+          "(DailyIngest.writeIndexes layout)")
+        val genDir = s"$workDir/index_gen_${gens.max}"
+        def idx(name: String): DataFrame =
+          spark.read.parquet(s"$genDir/$name.parquet")
+        val b = batch.toDF().localCheckpoint(eager = false)
+        graft.operators.DailyIngest
+          .dispositionOf(b, idx("text_hash"), idx("norm_hash"),
+            idx("text_bands"), idx("text_sets"), idx("eval_grams"))
+          .write.mode("overwrite")
+          .parquet(s"$workDir/out/disposition/batch_id=$batchId")
+        graft.operators.DailyIngest.compactIndexes(idx, b, (df, name) =>
+          df.write.mode("overwrite")
+            .parquet(s"$workDir/index_gen_${batchId + 1}/$name.parquet"))
+    }
+
   /** The spec's latest-status-wins polling update as a stream
     * (README.md:85): keep the max-timestamp event per key in state, emit
     * the current winner on every update (Update mode downstream).

@@ -76,6 +76,20 @@ class DailyIngestSpec extends SparkSpec {
       wantW.collect().map(_.toString).sorted.toSeq)
   }
 
+  test("q159 in-query disposition == the disk-read pipeline artifact") {
+    val idxDir = tmp("q159_idx")
+    val outDir = tmp("q159_out")
+    DailyIngest.writeIndexes(spark, sfDir, idxDir)
+    DailyIngest.run(spark, idxDir, sfDir, outDir)
+    val fromDisk = spark.read.parquet(s"$outDir/disposition.parquet")
+      .collect().map(_.toString).sorted.toSeq
+    val inQuery = DailyIngest.ingestDisposition(spark, sfDir)
+      .collect().map(_.toString).sorted.toSeq
+    // one dispositionOf definition, two index sources (parquet vs
+    // in-query) — the oracle-checked q159 IS the shipped gate chain
+    assert(inQuery.nonEmpty && inQuery == fromDisk)
+  }
+
   test("two-day chain: day 2 off day 1's index_next == a rebuilt snapshot") {
     val idx0 = tmp("chain_idx0")
     val out0 = tmp("chain_out0")

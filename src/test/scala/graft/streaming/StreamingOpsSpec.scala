@@ -446,6 +446,58 @@ class StreamingOpsSpec extends SparkSpec {
     assert(state() == want)
   }
 
+  test("continuous ingest: micro-batches chain generations like nightly days") {
+    import graft.operators.DailyIngest
+    val root = java.nio.file.Files.createTempDirectory("graft-ci")
+      .toFile.getAbsolutePath
+    // seed generation 0 from a corpus that has ingested neither day
+    DailyIngest.writeIndexes(spark, sfDir, s"$root/index_gen_0",
+      pendingDays = Set(0, 1))
+    def docsOf(day: Int): Seq[SourcedDoc] =
+      DailyIngest.split(spark, sfDir, day, Set(0, 1))._2
+        .select($"doc_id", $"text", $"lang", $"source").collect().toSeq
+        .map(r => SourcedDoc(r.getLong(0), ts(day), r.getString(1),
+          r.getString(2), r.getString(3)))
+
+    val input = MemoryStream[SourcedDoc]
+    val query = continuousIngest(input.toDS(), root)
+      .option("checkpointLocation", s"$root/ckpt").start()
+    try {
+      input.addData(docsOf(0): _*)
+      query.processAllAvailable()
+      input.addData(docsOf(1): _*)
+      query.processAllAvailable()
+    } finally query.stop()
+
+    // micro-batch 1's disposition == the NIGHTLY rendering of day 1 off
+    // a snapshot rebuilt over (corpus ∪ day 0) — the two-day chain
+    // equivalence, now across cadences
+    val idxFull = java.nio.file.Files.createTempDirectory("graft-ci-idx")
+      .toFile.getAbsolutePath
+    val outFull = java.nio.file.Files.createTempDirectory("graft-ci-out")
+      .toFile.getAbsolutePath
+    DailyIngest.writeIndexes(spark, sfDir, idxFull, pendingDays = Set(1))
+    DailyIngest.run(spark, idxFull, sfDir, outFull, day = 1)
+    val nightly = spark.read.parquet(s"$outFull/disposition.parquet")
+      .select($"doc_id", $"disposition").as[(Long, String)]
+      .collect().sorted.toSeq
+    val streamed = spark.read.parquet(s"$root/out/disposition")
+      .filter($"batch_id" === 1)
+      .select($"doc_id", $"disposition").as[(Long, String)]
+      .collect().sorted.toSeq
+    assert(streamed.nonEmpty && streamed == nightly)
+
+    // generation 2 is a complete snapshot: its text_hash equals a
+    // rebuild over every ingested doc (corpus ∪ day 0 ∪ day 1)
+    val everything = graft.Tables(spark, sfDir, "documents")
+      .filter($"doc_id" % 10 =!= 0)
+    val want = graft.operators.LLMQueries.hashIndex(everything)
+      .as[String].collect().sorted.toSeq
+    val got = spark.read.parquet(s"$root/index_gen_2/text_hash.parquet")
+      .as[String].collect().sorted.toSeq
+    assert(got == want)
+  }
+
   test("watermarked tumbling counts finalize once the watermark passes") {
     val input = MemoryStream[Event]
     val query = tumblingCounts(input.toDS())

@@ -1072,6 +1072,22 @@ object CurationQueries {
     * n_newly equals the full q114 count over (corpus ∪ batch)
     * restricted to batch docs, which is what the oracle checks.
     * Daily cost: O(batch windows) against the persisted index. */
+  /** Per-wh corpus totals restricted to the windows the batch touches —
+    * the only rows either report reads. Accepts BOTH index layouts: a
+    * compacted snapshot (one row per wh) and the DELTA layout (one
+    * partial (wh, nd) row per generation — [[DailyIngest.runDelta]]);
+    * the aggregation runs AFTER the batch-bounded semi-join, so totals
+    * cost O(batch windows), never a corpus-wide shuffle. Corpus and
+    * batch doc ids are disjoint, so partial distinct-doc counts ADD. */
+  private def touchedWins(corpusWins: DataFrame,
+      batchWins: DataFrame): DataFrame =
+    // no broadcast hint: batch windows range from thousands (sf0.001)
+    // to millions (soak) of md5 keys — AQE broadcasts when they fit
+    // and falls back to the same shuffle the pre-delta report paid
+    corpusWins
+      .join(batchWins.select(col("wh")).distinct(), Seq("wh"), "left_semi")
+      .groupBy(col("wh")).agg(sum(col("nd")).as("nd"))
+
   def incrementalSubstringReport(corpusWins: DataFrame,
       newDocs: DataFrame): DataFrame = {
     val bw = winRows(newDocs)
@@ -1081,7 +1097,7 @@ object CurationQueries {
       .localCheckpoint(eager = false)
     val bnd = bw.groupBy(col("wh"))
       .agg(countDistinct(col("doc_id")).as("bnd"))
-    val status = bnd.join(corpusWins, Seq("wh"), "left")
+    val status = bnd.join(touchedWins(corpusWins, bw), Seq("wh"), "left")
       .select(col("wh"), coalesce(col("nd"), lit(0L)).as("cnd"),
         col("bnd"))
       .withColumn("known", col("cnd") >= 2)
@@ -1134,8 +1150,10 @@ object CurationQueries {
     val bw = winRows(newDocs)
       .select(col("doc_id"), md5(col("w")).as("wh"))
       .distinct()
+      .localCheckpoint(eager = false) // feeds the semi-join AND perDoc
     val perDoc = bw
-      .join(corpusWins.select(col("wh"), lit(true).as("seen")),
+      .join(touchedWins(corpusWins, bw)
+          .select(col("wh"), lit(true).as("seen")),
         Seq("wh"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_win"),

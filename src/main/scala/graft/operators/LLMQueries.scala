@@ -133,7 +133,20 @@ object LLMQueries {
     // daily run). The batch is the small side by definition, so the
     // checkpoint is cheap; eager=false keeps plan construction/audit
     // free (the q70 lesson, uniformly — VERDICT r8 "What's wrong" #1).
-    val newBands = bandsOf(shingledNew).localCheckpoint(eager = false)
+    incrementalNearDupsFrom(corpusBands, corpusSets,
+      bandsOf(shingledNew).localCheckpoint(eager = false),
+      setsOf(shingledNew))
+  }
+
+  /** [[incrementalNearDups]] with the batch's signature tables supplied
+    * by the caller — the DailyIngest flow computes them ONCE per day
+    * and reuses them for index persistence (IngestSoak measured the
+    * recompute at ~30 s CPU per 64k-doc batch). Contract: `newBands`
+    * feeds two subplans (probe + union), so pass a reusable frame (a
+    * lazy localCheckpoint); `newSets` is read once. */
+  def incrementalNearDupsFrom(corpusBands: DataFrame,
+      corpusSets: DataFrame, newBands: DataFrame,
+      newSets: DataFrame): DataFrame = {
     // probe shape: (corpus ∪ new) bands join against NEW bands only — a
     // corpus-only bucket has no matching probe key and never enumerates
     // its pairs (a full self-join with an is-new residual predicate
@@ -172,9 +185,9 @@ object LLMQueries {
     // partitions", observed on the 30× soak once the joins were too big
     // to broadcast). Post-filter the repartition moves candidate-sized
     // rows, not the corpus.
-    val sets = corpusSets.unionByName(setsOf(shingledNew))
+    val sets = corpusSets.unionByName(newSets)
       .join(broadcast(ends), Seq("doc_id"), "left_semi")
-      .repartition(newDocs.sparkSession.sessionState.conf
+      .repartition(newSets.sparkSession.sessionState.conf
         .numShufflePartitions, col("doc_id"))
     verifyPairs(cands, sets)
   }

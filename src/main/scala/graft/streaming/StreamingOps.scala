@@ -470,14 +470,22 @@ object StreamingOps {
         def idx(name: String): DataFrame =
           spark.read.parquet(s"$genDir/$name.parquet")
         val b = batch.toDF().localCheckpoint(eager = false)
+        // the micro-batch's MinHash tables feed the near-dup gate AND
+        // the compaction — once per micro-batch (the writeDay rule)
+        val (rawBands, rawSets) =
+          graft.operators.LLMQueries.signatureTables(b)
+        val bBands = rawBands.localCheckpoint(eager = false)
+        val bSets = rawSets.localCheckpoint(eager = false)
         graft.operators.DailyIngest
           .dispositionOf(b, idx("text_hash"), idx("norm_hash"),
-            idx("text_bands"), idx("text_sets"), idx("eval_grams"))
+            idx("text_bands"), idx("text_sets"), idx("eval_grams"),
+            bBands, bSets)
           .write.mode("overwrite")
           .parquet(s"$workDir/out/disposition/batch_id=$batchId")
-        graft.operators.DailyIngest.compactIndexes(idx, b, (df, name) =>
-          df.write.mode("overwrite")
-            .parquet(s"$workDir/index_gen_${batchId + 1}/$name.parquet"))
+        graft.operators.DailyIngest.compactIndexes(idx, b, bBands,
+          bSets, (df, name) =>
+            df.write.mode("overwrite")
+              .parquet(s"$workDir/index_gen_${batchId + 1}/$name.parquet"))
     }
 
   /** The spec's latest-status-wins polling update as a stream

@@ -90,6 +90,45 @@ class DailyIngestSpec extends SparkSpec {
     assert(inQuery.nonEmpty && inQuery == fromDisk)
   }
 
+  test("delta layout: two-day chain == the snapshot pipeline; replay is clean") {
+    def artifacts(dir: String): Map[String, Seq[String]] =
+      Seq("disposition.parquet", "novelty_report.parquet",
+        "substring_report.parquet")
+        .map(a => a -> spark.read.parquet(s"$dir/$a")
+          .collect().map(_.toString).sorted.toSeq).toMap
+
+    // delta chain: one root, generations accumulate in place
+    val root = tmp("delta_root")
+    val dOut0 = tmp("delta_out0")
+    val dOut1 = tmp("delta_out1")
+    DailyIngest.writeIndexesDelta(spark, sfDir, root,
+      pendingDays = Set(0, 1))
+    DailyIngest.runDelta(spark, root, sfDir, dOut0, day = 0)
+    DailyIngest.runDelta(spark, root, sfDir, dOut1, day = 1)
+
+    // snapshot chain: the proven nightly path over the same two days
+    val sIdx = tmp("delta_sidx")
+    val sOut0 = tmp("delta_sout0")
+    val sOut1 = tmp("delta_sout1")
+    DailyIngest.writeIndexes(spark, sfDir, sIdx, pendingDays = Set(0, 1))
+    DailyIngest.run(spark, sIdx, sfDir, sOut0, day = 0)
+    DailyIngest.run(spark, s"$sOut0/index_next", sfDir, sOut1, day = 1)
+
+    for ((d, s) <- Seq(dOut0 -> sOut0, dOut1 -> sOut1)) {
+      val (got, want) = (artifacts(d), artifacts(s))
+      for (a <- want.keys) {
+        assert(want(a).nonEmpty, s"$a is empty")
+        assert(got(a) == want(a), s"$a diverges between delta and snapshot")
+      }
+    }
+
+    // replay: re-running day 1 overwrites its own generation and reads
+    // gen ≤ 1 — the disposition must not change (at-least-once safety)
+    val dOut1b = tmp("delta_out1b")
+    DailyIngest.runDelta(spark, root, sfDir, dOut1b, day = 1)
+    assert(artifacts(dOut1b) == artifacts(dOut1))
+  }
+
   test("two-day chain: day 2 off day 1's index_next == a rebuilt snapshot") {
     val idx0 = tmp("chain_idx0")
     val out0 = tmp("chain_out0")

@@ -52,8 +52,12 @@ object IngestSoak {
       operators.LLMQueries.signatureTables(batch)
     val bBands = rawBands.localCheckpoint(eager = false)
     val bSets = rawSets.localCheckpoint(eager = false)
+    val bWins = operators.CurationQueries.docWindows(batch)
+      .localCheckpoint(eager = false)
     Timing.timedPasses(spark, cpuNs, "[ingest-soak] batch-sigs",
       passes = 1)(bBands.count() + bSets.count())
+    Timing.timedPasses(spark, cpuNs, "[ingest-soak] batch-wins",
+      passes = 1)(bWins.count())
     Timing.timedPasses(spark, cpuNs, "[ingest-soak] gates")(
       operators.DailyIngest.dispositionOf(batch, idx("text_hash"),
         idx("norm_hash"), idx("text_bands"), idx("text_sets"),
@@ -61,7 +65,7 @@ object IngestSoak {
     Timing.timedPasses(spark, cpuNs, "[ingest-soak] compact",
       passes = 1) {
       operators.DailyIngest.compactIndexes(idx, batch, bBands, bSets,
-        (df, name) => df.write.mode("overwrite")
+        bWins, (df, name) => df.write.mode("overwrite")
           .parquet(s"$workDir/attr_next/$name.parquet"))
       0L
     }
@@ -88,10 +92,10 @@ object IngestSoak {
       0L
     }
     Timing.timedPasses(spark, cpuNs, "[ingest-soak] reports")(
-      operators.CurationQueries.noveltyReport(idx("substr_windows"),
-        batch).count() +
-      operators.CurationQueries.incrementalSubstringReport(
-        idx("substr_windows"), batch).count())
+      operators.CurationQueries.noveltyReportFrom(idx("substr_windows"),
+        batch, bWins).count() +
+      operators.CurationQueries.incrementalSubstringReportFrom(
+        idx("substr_windows"), batch, bWins).count())
     // the DELTA layout's full daily run — same gates and artifacts,
     // but index persistence is an O(batch) generation write instead of
     // the O(corpus) snapshot compact measured above. Repeated passes
@@ -116,7 +120,7 @@ object IngestSoak {
       w(operators.LLMQueries.normHashIndex(batch), "norm_hash")
       w(bBands, "text_bands")
       w(bSets, "text_sets")
-      w(operators.CurationQueries.substrWindowIndex(batch),
+      w(operators.CurationQueries.substrWindowIndexFrom(bWins),
         "substr_windows")
       0L
     }

@@ -1056,10 +1056,21 @@ object CurationQueries {
     * row per known window — 16+8 bytes/row, window text never
     * persists. */
   def substrWindowIndex(corpusDocs: DataFrame): DataFrame =
-    winRows(corpusDocs)
-      .select(md5(col("w")).as("wh"), col("doc_id"))
-      .groupBy(col("wh"))
+    substrWindowIndexFrom(docWindows(corpusDocs))
+
+  /** [[substrWindowIndex]] over a precomputed [[docWindows]] frame. */
+  def substrWindowIndexFrom(windows: DataFrame): DataFrame =
+    windows.groupBy(col("wh"))
       .agg(countDistinct(col("doc_id")).as("nd"))
+
+  /** The (doc_id, wh) window rows of a document frame — the ONE
+    * window-explode pass a daily run needs: both reports and the index
+    * persistence consume it ([[DailyIngest]] computes it once per day,
+    * checkpointed; it was being paid three times, and the window
+    * explode dominates the batch-side index persistence in IngestSoak's
+    * delta-write leg). */
+  def docWindows(docsDf: DataFrame): DataFrame =
+    winRows(docsDf).select(col("doc_id"), md5(col("w")).as("wh"))
 
   /** L59/q156: incremental SUBSTRING-DUP report — the daily-ingest
     * rendering of the one dedup family whose full pass (q119) must
@@ -1089,12 +1100,17 @@ object CurationQueries {
       .groupBy(col("wh")).agg(sum(col("nd")).as("nd"))
 
   def incrementalSubstringReport(corpusWins: DataFrame,
-      newDocs: DataFrame): DataFrame = {
-    val bw = winRows(newDocs)
-      .select(col("doc_id"), md5(col("w")).as("wh"))
+      newDocs: DataFrame): DataFrame =
+    incrementalSubstringReportFrom(corpusWins, newDocs,
       // feeds the batch-side distinct count AND the per-doc rollup —
       // different subplans, so exchange reuse can't dedupe the explode
-      .localCheckpoint(eager = false)
+      docWindows(newDocs).localCheckpoint(eager = false))
+
+  /** [[incrementalSubstringReport]] over a precomputed (reusable)
+    * [[docWindows]] frame of the batch. */
+  def incrementalSubstringReportFrom(corpusWins: DataFrame,
+      newDocs: DataFrame, batchWins: DataFrame): DataFrame = {
+    val bw = batchWins
     val bnd = bw.groupBy(col("wh"))
       .agg(countDistinct(col("doc_id")).as("bnd"))
     val status = bnd.join(touchedWins(corpusWins, bw), Seq("wh"), "left")
@@ -1146,9 +1162,14 @@ object CurationQueries {
     * has seen none of it. Daily cost: O(batch windows) against the
     * index. */
   def noveltyReport(corpusWins: DataFrame,
-      newDocs: DataFrame): DataFrame = {
-    val bw = winRows(newDocs)
-      .select(col("doc_id"), md5(col("w")).as("wh"))
+      newDocs: DataFrame): DataFrame =
+    noveltyReportFrom(corpusWins, newDocs, docWindows(newDocs))
+
+  /** [[noveltyReport]] over a precomputed [[docWindows]] frame of the
+    * batch (novelty distincts it — coverage, not repetition). */
+  def noveltyReportFrom(corpusWins: DataFrame, newDocs: DataFrame,
+      batchWins: DataFrame): DataFrame = {
+    val bw = batchWins
       .distinct()
       .localCheckpoint(eager = false) // feeds the semi-join AND perDoc
     val perDoc = bw

@@ -97,8 +97,7 @@ object DailyIngest {
 
   /** [[dispositionOf]] with the batch's signature tables supplied —
     * [[writeDay]] computes them once per day and reuses them for index
-    * persistence, removing the dominant duplicated compute IngestSoak
-    * measured (~30 s CPU per 64k-doc batch at the 10× soak). Contract:
+    * persistence (one definition, one execution). Contract:
     * `batchBands` must be reusable (it feeds the gate's probe + union
     * legs) — pass a lazy localCheckpoint. */
   def dispositionOf(batch: DataFrame, textHash: DataFrame,
@@ -155,21 +154,22 @@ object DailyIngest {
   def compactIndexes(idx: String => DataFrame, batch: DataFrame,
       write: (DataFrame, String) => Unit): Unit = {
     val (batchBands, batchSets) = LLMQueries.signatureTables(batch)
-    compactIndexes(idx, batch, batchBands, batchSets, write)
+    compactIndexes(idx, batch, batchBands, batchSets,
+      CurationQueries.docWindows(batch), write)
   }
 
-  /** [[compactIndexes]] with the batch's signature tables supplied —
-    * see the [[dispositionOf]] overload's rationale (compute the
-    * MinHash tables once per day, not once per consumer). */
+  /** [[compactIndexes]] with the batch's signature tables and window
+    * rows supplied — see the [[dispositionOf]] overload's rationale
+    * (compute each batch pass once per day, not once per consumer). */
   def compactIndexes(idx: String => DataFrame, batch: DataFrame,
       batchBands: DataFrame, batchSets: DataFrame,
-      write: (DataFrame, String) => Unit): Unit = {
+      batchWins: DataFrame, write: (DataFrame, String) => Unit): Unit = {
     write(idx("text_hash")
       .unionByName(LLMQueries.hashIndex(batch)).distinct(), "text_hash")
     write(idx("norm_hash")
       .unionByName(LLMQueries.normHashIndex(batch)).distinct(), "norm_hash")
     write(idx("substr_windows")
-      .unionByName(CurationQueries.substrWindowIndex(batch))
+      .unionByName(CurationQueries.substrWindowIndexFrom(batchWins))
       // corpus and batch ids are disjoint, so distinct-doc counts ADD
       .groupBy(col("wh")).agg(sum(col("nd")).as("nd")), "substr_windows")
     write(idx("text_bands").unionByName(batchBands), "text_bands")
@@ -185,13 +185,16 @@ object DailyIngest {
     * generation in place. */
   private def writeDay(spark: SparkSession, batch: DataFrame,
       idx: String => DataFrame, outDir: String, ts: String)(
-      persistNext: (DataFrame, DataFrame) => Unit): DataFrame = {
+      persistNext: (DataFrame, DataFrame, DataFrame) => Unit): DataFrame = {
     // the batch's MinHash tables feed the near-dup gate AND the index
-    // persistence — computed once per day (checkpointed), not once per
-    // consumer (IngestSoak measured the recompute at ~30 s CPU)
+    // persistence, its window rows feed BOTH reports AND the index —
+    // each computed once per day (checkpointed), not once per consumer
+    // (the window explode was being paid three times per day)
     val (rawBands, batchSets0) = LLMQueries.signatureTables(batch)
     val batchBands = rawBands.localCheckpoint(eager = false)
     val batchSets = batchSets0.localCheckpoint(eager = false)
+    val batchWins = CurationQueries.docWindows(batch)
+      .localCheckpoint(eager = false)
     val disposition = dispositionOf(batch, idx("text_hash"),
       idx("norm_hash"), idx("text_bands"), idx("text_sets"),
       idx("eval_grams"), batchBands, batchSets)
@@ -205,13 +208,15 @@ object DailyIngest {
     kept.write.mode("overwrite").parquet(s"$outDir/kept_docs.parquet")
     disposition.orderBy(col("doc_id")).write.mode("overwrite")
       .parquet(s"$outDir/disposition.parquet")
-    CurationQueries.noveltyReport(idx("substr_windows"), batch)
+    CurationQueries.noveltyReportFrom(idx("substr_windows"), batch,
+        batchWins)
       .write.mode("overwrite").parquet(s"$outDir/novelty_report.parquet")
-    CurationQueries.incrementalSubstringReport(idx("substr_windows"), batch)
+    CurationQueries.incrementalSubstringReportFrom(idx("substr_windows"),
+        batch, batchWins)
       .write.mode("overwrite")
       .parquet(s"$outDir/substring_report.parquet")
 
-    persistNext(batchBands, batchSets)
+    persistNext(batchBands, batchSets, batchWins)
 
     // bookkeeping: one ledger row + one log line per step
     val summary = disposition.groupBy(col("disposition").as("step"))
@@ -249,8 +254,8 @@ object DailyIngest {
     // COMPLETE snapshot: tomorrow's run reads it as its indexDir, so a
     // multi-day chain composes (DailyIngestSpec proves two days equal
     // one rebuilt snapshot).
-    writeDay(spark, batch, idx, outDir, ts) { (bBands, bSets) =>
-      compactIndexes(idx, batch, bBands, bSets, (df, name) =>
+    writeDay(spark, batch, idx, outDir, ts) { (bBands, bSets, bWins) =>
+      compactIndexes(idx, batch, bBands, bSets, bWins, (df, name) =>
         df.write.mode("overwrite")
           .parquet(s"$outDir/index_next/$name.parquet"))
     }
@@ -302,6 +307,35 @@ object DailyIngest {
       "eval_grams")
   }
 
+  /** Folds a delta root's generations into a fresh single-generation
+    * root — the periodic vacuum of the delta layout: N days of batch
+    * partitions merge into one gen-0 snapshot (distinct for the hash
+    * families, re-aggregated counts for the window family, plain
+    * concatenation for the doc-disjoint signature tables). Reads and
+    * rewrites INDEX rows only, never documents — the amortized cost a
+    * table format's compaction job pays; day numbering continues
+    * unchanged afterwards ([[runDelta]] reads gen ≤ day, and the fold
+    * is gen 0). `throughGen` bounds the fold to COMMITTED generations:
+    * a vacuum running beside an in-flight day must not absorb that
+    * day's (possibly partial, possibly about-to-be-replayed) partition
+    * — fold gen ≤ day, exactly like the readers. */
+  def foldDelta(spark: SparkSession, rootDir: String,
+      outRootDir: String, throughGen: Int = Int.MaxValue): Unit = {
+    def r(name: String): DataFrame =
+      spark.read.parquet(s"$rootDir/$name.parquet")
+        .filter(col("gen") <= throughGen).drop("gen")
+    def w(df: DataFrame, name: String): Unit =
+      df.write.mode("overwrite")
+        .parquet(s"$outRootDir/$name.parquet/gen=0")
+    w(r("text_hash").distinct(), "text_hash")
+    w(r("norm_hash").distinct(), "norm_hash")
+    w(r("text_bands"), "text_bands")
+    w(r("text_sets"), "text_sets")
+    w(r("substr_windows")
+      .groupBy(col("wh")).agg(sum(col("nd")).as("nd")), "substr_windows")
+    w(r("eval_grams"), "eval_grams")
+  }
+
   /** [[run]] against the delta layout: same gates, same artifacts, but
     * index persistence is an O(batch) generation write into `rootDir`
     * itself — no `index_next`, tomorrow reads the same root. */
@@ -317,7 +351,7 @@ object DailyIngest {
       spark.read.parquet(s"$rootDir/$name.parquet")
         .filter(col("gen") <= day).drop("gen")
 
-    writeDay(spark, batch, idx, outDir, ts) { (bBands, bSets) =>
+    writeDay(spark, batch, idx, outDir, ts) { (bBands, bSets, bWins) =>
       def w(df: DataFrame, name: String): Unit =
         df.write.mode("overwrite")
           .parquet(s"$rootDir/$name.parquet/gen=${day + 1}")
@@ -325,7 +359,7 @@ object DailyIngest {
       w(LLMQueries.normHashIndex(batch), "norm_hash")
       w(bBands, "text_bands")
       w(bSets, "text_sets")
-      w(CurationQueries.substrWindowIndex(batch), "substr_windows")
+      w(CurationQueries.substrWindowIndexFrom(bWins), "substr_windows")
       // eval_grams is frozen per benchmark release — gen 0 only
     }
   }

@@ -140,10 +140,11 @@ object LLMQueries {
 
   /** [[incrementalNearDups]] with the batch's signature tables supplied
     * by the caller — the DailyIngest flow computes them ONCE per day
-    * and reuses them for index persistence (IngestSoak measured the
-    * recompute at ~30 s CPU per 64k-doc batch). Contract: `newBands`
-    * feeds two subplans (probe + union), so pass a reusable frame (a
-    * lazy localCheckpoint); `newSets` is read once. */
+    * and reuses them for index persistence (one definition, one
+    * execution; IngestSoak's batch-sigs leg prices the compute).
+    * Contract: `newBands` feeds two subplans (probe + union), so pass
+    * a reusable frame (a lazy localCheckpoint); `newSets` is read
+    * once. */
   def incrementalNearDupsFrom(corpusBands: DataFrame,
       corpusSets: DataFrame, newBands: DataFrame,
       newSets: DataFrame): DataFrame = {

@@ -483,7 +483,8 @@ object StreamingOps {
           .write.mode("overwrite")
           .parquet(s"$workDir/out/disposition/batch_id=$batchId")
         graft.operators.DailyIngest.compactIndexes(idx, b, bBands,
-          bSets, (df, name) =>
+          bSets, graft.operators.CurationQueries.docWindows(b),
+          (df, name) =>
             df.write.mode("overwrite")
               .parquet(s"$workDir/index_gen_${batchId + 1}/$name.parquet"))
     }

@@ -127,6 +127,18 @@ class DailyIngestSpec extends SparkSpec {
     val dOut1b = tmp("delta_out1b")
     DailyIngest.runDelta(spark, root, sfDir, dOut1b, day = 1)
     assert(artifacts(dOut1b) == artifacts(dOut1))
+
+    // fold: generations ≤ 1 (seed + day 0 — day 1's own gen=2 is the
+    // in-flight partition a vacuum must skip) collapse into one gen-0
+    // snapshot, and day 1 re-run off the folded root matches exactly
+    val folded = tmp("delta_folded")
+    DailyIngest.foldDelta(spark, root, folded, throughGen = 1)
+    val gens = new java.io.File(s"$folded/text_hash.parquet")
+      .listFiles().map(_.getName).filter(_.startsWith("gen=")).toSeq
+    assert(gens == Seq("gen=0"))
+    val dOut1c = tmp("delta_out1c")
+    DailyIngest.runDelta(spark, folded, sfDir, dOut1c, day = 1)
+    assert(artifacts(dOut1c) == artifacts(dOut1))
   }
 
   test("two-day chain: day 2 off day 1's index_next == a rebuilt snapshot") {

@@ -27,6 +27,7 @@ import graft.Tables
   *   vec_bands.parquet                              # q103 (lshBandsOf)
   *   sem_fams/vecc/bandsc/ccc/statsc.parquet        # q104 (semanticIndexTables)
   *   ivf_centroids.parquet                          # q105 (centroidsOf)
+  *   ivf_cell_stats.parquet                         # q160 (cellStatsOf)
   *   media_bands.parquet                            # q111 (phashBands)
   *   bpe_vocab.parquet                              # q113 (bpeVocabOf)
   *   dsir_model.parquet                             # q116 (dsirModelOf)
@@ -109,8 +110,7 @@ object IndexStore {
     writeVecExact(corpusVecs, dir)
     writeVecNearDup(corpusVecs, dir)
     writeSemantic(corpusVecs, dir)
-    writeIvfCentroids(Tables(spark, dataDir, "embeddings")
-      .filter(col("vec_id") % VectorQueries.VecBatchMod =!= 0), dir)
+    writeQuantizerStats(spark, dataDir, dir) // centroids + cell stats
     writeMediaBands(spark, dataDir, dir)
     writeBpeVocab(spark, dataDir, dir)
     writeDsirModel(spark, dataDir, dir)
@@ -181,6 +181,31 @@ object IndexStore {
     VectorQueries.ivfTopkCosineOf(
       VectorQueries.vecsOf(Tables(spark, dataDir, "embeddings")),
       read(spark, indexDir, "ivf_centroids"))
+
+  /** The frozen-quantizer SERVING STATS (q160): per-cell corpus
+    * population + exact d2micro sum, persisted beside the centroids —
+    * what an ANN serving tier keeps so the drift report's daily leg
+    * never rescans the corpus (≤|cells| rows, the cheapest artifact in
+    * the store; refreshed only when the quantizer itself retrains). */
+  def writeQuantizerStats(spark: SparkSession, dataDir: String,
+      dir: String): Unit = {
+    val cents = VectorQueries.centroidsOf(
+        Tables(spark, dataDir, "embeddings")
+          .filter(col("vec_id") % VectorQueries.VecBatchMod =!= 0))
+      .localCheckpoint(eager = false) // feeds the write AND the assign
+    write(cents, dir, "ivf_centroids")
+    write(VectorQueries.cellStatsOf(VectorQueries.cellAssign(
+      vecSplit(spark, dataDir)._1, cents)), dir, "ivf_cell_stats")
+  }
+
+  /** q160 twin: [[VectorQueries.quantizerDriftOf]] off the disk
+    * centroids + cell stats — the daily leg assigns ONLY the batch. */
+  def dailyQuantizerDrift(spark: SparkSession, indexDir: String,
+      dataDir: String): DataFrame =
+    VectorQueries.quantizerDriftOf(
+      read(spark, indexDir, "ivf_centroids"),
+      read(spark, indexDir, "ivf_cell_stats"),
+      vecSplit(spark, dataDir)._2)
 
   def writeMediaBands(spark: SparkSession, dataDir: String,
       dir: String): Unit =
@@ -551,6 +576,8 @@ object IndexStore {
         Tables(s, dataDir, "embeddings")
           .filter(col("vec_id") % VectorQueries.VecBatchMod =!= 0), dir),
       dailyIvf _),
+    ("quantizer_drift", "q160_quantizer_drift",
+      writeQuantizerStats _, dailyQuantizerDrift _),
     ("media", "q111_incremental_media_phash",
       writeMediaBands _, dailyMedia _),
     ("bpe_vocab", "q113_bpe_tokenize",

@@ -219,6 +219,96 @@ object VectorQueries {
       .orderBy(col("cell"))
   }
 
+  /** Per-vector nearest-cell assignment against a SUPPLIED frozen
+    * quantizer, exchange-free: the ≤|labels|-row centroid table
+    * collapses to ONE array row, and the argmin is a pure array lambda —
+    * `array_sort`'s struct ordering is exactly the q68 (d2, cell)
+    * tie-break — so a scan assigns cells without a window or a
+    * per-vector groupBy; the only shuffle in any consumer is its own
+    * ≤|cells|-row rollup. Emits (vec_id, cell, d2micro): the 6-dp-rounded
+    * squared distance to the winning centroid as an exact micro-unit
+    * long (the q149 double-rounding rule — engine-identical). */
+  private[operators] def cellAssign(vecsDf: DataFrame,
+      cents: DataFrame): DataFrame = {
+    val centArr = cents.agg(
+      collect_list(struct(col("clabel"), col("c"))).as("cents"))
+    vecsDf.crossJoin(broadcast(centArr))
+      .withColumn("best", element_at(array_sort(transform(col("cents"),
+        ct => struct(round(l2Sq(col("v"), ct.getField("c")), 6).as("d2"),
+          ct.getField("clabel").as("cell")))), 1))
+      .select(col("vec_id"), col("best.cell").as("cell"),
+        round(col("best.d2") * 1e6).cast("bigint").as("d2micro"))
+  }
+
+  /** Per-cell population + exact d2micro sum of a [[cellAssign]] frame —
+    * the quantizer-stats artifact an ANN serving tier persists beside
+    * its centroids (IndexStore `ivf_cell_stats`); q160's in-query corpus
+    * leg and the disk-read daily leg share this one definition. */
+  private[operators] def cellStatsOf(assigned: DataFrame): DataFrame =
+    assigned.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"), sum(col("d2micro")).as("s"))
+
+  /** L63/q160: QUANTIZER-DRIFT report — the RETRAIN TRIGGER for the
+    * frozen coarse quantizer the ANN tiers serve off (q105/q112 freeze
+    * it per corpus snapshot; q152 reports its balance). A frozen
+    * quantizer degrades silently as the data distribution shifts: new
+    * mass lands ever further from the nearest centroid, cell residuals
+    * grow, and recall@probes decays even though the index "works". Per
+    * cell this reports resident vs arriving mass side by side —
+    * `n_corpus`/`n_batch` population, `growth_micro` (batch arrivals per
+    * million residents — a cell growing far above its corpus share is a
+    * distribution shift), and the mean squared distance to the frozen
+    * centroid of residents (`corpus_d2_micro`) vs arrivals
+    * (`batch_d2_micro`), with `drift_micro` their gap: positive drift =
+    * arriving vectors fit the frozen cells worse = quantization error
+    * creep, the number that schedules a retrain.
+    *
+    * Scale shape: the corpus side is a PERSISTED ≤|cells|-row artifact
+    * (IndexStore `ivf_cell_stats`, written once per snapshot beside the
+    * centroids); the daily leg assigns ONLY the batch — one broadcast-
+    * centroid scan with the exchange-free [[cellAssign]] lambda argmin —
+    * then joins two ≤|cells|-row frames. All distances are exact
+    * micro-unit longs; means are integer divisions (the q149 rule), so
+    * the report is bit-portable and order-independent. */
+  def quantizerDriftOf(cents: DataFrame, corpusStats: DataFrame,
+      batch: DataFrame): DataFrame = {
+    val b = cellStatsOf(cellAssign(batch, cents))
+      .select(col("cell"), col("n").as("n_batch"), col("s").as("s_b"))
+    corpusStats
+      .select(col("cell"), col("n").as("n_corpus"), col("s").as("s_c"))
+      .join(b, Seq("cell"), "full_outer")
+      .na.fill(0L, Seq("n_corpus", "n_batch"))
+      .select(col("cell"), col("n_corpus"), col("n_batch"),
+        when(col("n_corpus") === 0, lit(null).cast("bigint"))
+          .otherwise(expr("n_batch * 1000000L div n_corpus"))
+          .as("growth_micro"),
+        when(col("n_corpus") === 0, lit(null).cast("bigint"))
+          .otherwise(expr("s_c div n_corpus")).as("corpus_d2_micro"),
+        when(col("n_batch") === 0, lit(null).cast("bigint"))
+          .otherwise(expr("s_b div n_batch")).as("batch_d2_micro"),
+        when(col("n_batch") === 0 || col("n_corpus") === 0,
+            lit(null).cast("bigint"))
+          .otherwise(expr("s_b div n_batch - s_c div n_corpus"))
+          .as("drift_micro"))
+      .orderBy(col("cell"))
+  }
+
+  /** q160 as an oracle query: quantizer frozen on the corpus residue
+    * (the q105 rule), corpus stats computed in-query (the production
+    * pipeline reads them persisted — IndexStore `quantizer_drift`
+    * family, disk==memory spec-pinned). */
+  def quantizerDrift(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir)
+    val corpus = e.filter(col("vec_id") % VecBatchMod =!= 0)
+    val batch = e.filter(col("vec_id") % VecBatchMod === 0)
+      .select(col("vec_id"), col("v"))
+    val cents = centroidsOf(
+        Tables(spark, dir, "embeddings")
+          .filter(col("vec_id") % VecBatchMod =!= 0))
+      .localCheckpoint(eager = false) // feeds corpus AND batch assignment
+    quantizerDriftOf(cents, cellStatsOf(cellAssign(corpus, cents)), batch)
+  }
+
   /** L52/q149: embedding-space HEALTH report — the per-label diagnostic
     * read before trusting an embedding table for ANN serving or
     * hard-negative mining: population, COMPACTNESS (exact integer mean
@@ -1365,7 +1455,8 @@ object VectorQueries {
     "q135_hard_negatives" -> (hardNegatives _),
     "q140_positive_pairs" -> (positivePairs _),
     "q149_embedding_report" -> (embeddingReport _),
-    "q152_ivf_cell_balance" -> (ivfCellBalance _))
+    "q152_ivf_cell_balance" -> (ivfCellBalance _),
+    "q160_quantizer_drift" -> (quantizerDrift _))
 
   /** Oracle-side mirror of the Spark assignment ordering: the SAME
     * quantity `round(l2Sq, 6)` — squared L2 summed left-to-right over the
@@ -1495,6 +1586,38 @@ object VectorQueries {
          |    (PARTITION BY qid ORDER BY cos DESC, pid) AS rk
          |  FROM scored)
          |WHERE rk <= $HardNegK ORDER BY qid, rk""".stripMargin,
+    // q160 NESTS q105's frozen-quantizer CTE (centroids from the corpus
+    // residue, assignment over every vector) and re-derives the winning
+    // distance exactly as Spark does: round(l2sq, 6) then micro cast.
+    // The corpus stats are in-query here; the pipeline reads them
+    // persisted (IndexStore quantizer_drift family, spec-pinned equal).
+    "q160_quantizer_drift" ->
+      (s"WITH ${centroidCteFrom(s"WHERE e.vec_id % $VecBatchMod <> 0")}," +
+      s"""d AS (
+         |  SELECT a.vec_id, a.pred_label AS cell,
+         |    CAST(round(${oracleL2Sq("a.v", "cent.c")} * 1e6) AS BIGINT)
+         |      AS d2micro,
+         |    a.vec_id % $VecBatchMod = 0 AS is_batch
+         |  FROM assigned a JOIN cent ON cent.clabel = a.pred_label),
+         |stats AS (
+         |  SELECT cell,
+         |    count(*) FILTER (WHERE NOT is_batch) AS n_corpus,
+         |    count(*) FILTER (WHERE is_batch) AS n_batch,
+         |    sum(d2micro) FILTER (WHERE NOT is_batch) AS s_c,
+         |    sum(d2micro) FILTER (WHERE is_batch) AS s_b
+         |  FROM d GROUP BY cell)
+         |SELECT cell, n_corpus, n_batch,
+         |  CASE WHEN n_corpus = 0 THEN NULL
+         |    ELSE CAST(n_batch * 1000000 // n_corpus AS BIGINT)
+         |  END AS growth_micro,
+         |  CASE WHEN n_corpus = 0 THEN NULL
+         |    ELSE CAST(s_c // n_corpus AS BIGINT) END AS corpus_d2_micro,
+         |  CASE WHEN n_batch = 0 THEN NULL
+         |    ELSE CAST(s_b // n_batch AS BIGINT) END AS batch_d2_micro,
+         |  CASE WHEN n_batch = 0 OR n_corpus = 0 THEN NULL
+         |    ELSE CAST(s_b // n_batch - s_c // n_corpus AS BIGINT)
+         |  END AS drift_micro
+         |FROM stats ORDER BY cell""".stripMargin),
     "q68_centroid_classify" -> (s"WITH $centroidCte" +
       """SELECT label, pred_label, count(*) AS n
         |FROM assigned GROUP BY label, pred_label

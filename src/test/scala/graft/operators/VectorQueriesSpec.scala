@@ -682,4 +682,34 @@ class VectorQueriesSpec extends SparkSpec {
     assert(got.forall { case (qid, _, pid, _, _) =>
       !negIds.contains((qid, pid)) })
   }
+
+  test("quantizer drift reconciles populations and its own arithmetic") {
+    val e = graft.Tables(spark, sfDir, "embeddings")
+    val nCorpus = e.filter(col("vec_id") % 10 =!= 0).count()
+    val nBatch = e.filter(col("vec_id") % 10 === 0).count()
+    val rows = VectorQueries.quantizerDrift(spark, sfDir)
+      .select(col("cell"), col("n_corpus"), col("n_batch"),
+        col("growth_micro"), col("corpus_d2_micro"),
+        col("batch_d2_micro"), col("drift_micro"))
+      .collect()
+    // every vector lands in exactly one cell on exactly one side
+    assert(rows.map(_.getLong(1)).sum == nCorpus)
+    assert(rows.map(_.getLong(2)).sum == nBatch)
+    // the report's own arithmetic: growth and drift derive from the
+    // populations/means exactly as documented (integer division)
+    rows.foreach { r =>
+      val (nc, nb) = (r.getLong(1), r.getLong(2))
+      if (nc > 0)
+        assert(r.getLong(3) == nb * 1000000L / nc)
+      else assert(r.isNullAt(3) && r.isNullAt(4))
+      if (nb == 0) assert(r.isNullAt(5) && r.isNullAt(6))
+      if (nc > 0 && nb > 0)
+        assert(r.getLong(6) == r.getLong(5) - r.getLong(4))
+    }
+    // the batch-side assignment agrees with the q68 tie-break: cells
+    // are drawn from the corpus label vocabulary
+    val labels = e.select(col("label")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    assert(rows.map(_.getInt(0)).toSet.subsetOf(labels))
+  }
 }

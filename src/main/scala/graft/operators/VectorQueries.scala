@@ -163,7 +163,7 @@ object VectorQueries {
   /** Per-label centroids via the A9 `Aggregator` (fixed-point long sums →
     * exact, order-independent double means).
     */
-  private[operators] def centroidsOf(emb: DataFrame): DataFrame = {
+  private[graft] def centroidsOf(emb: DataFrame): DataFrame = {
     val centroid = udaf(CentroidAggregator)
     emb.groupBy(col("label").as("clabel"))
       .agg(centroid(col("embedding")).as("c"))
@@ -225,10 +225,12 @@ object VectorQueries {
     * `array_sort`'s struct ordering is exactly the q68 (d2, cell)
     * tie-break — so a scan assigns cells without a window or a
     * per-vector groupBy; the only shuffle in any consumer is its own
-    * ≤|cells|-row rollup. Emits (vec_id, cell, d2micro): the 6-dp-rounded
-    * squared distance to the winning centroid as an exact micro-unit
-    * long (the q149 double-rounding rule — engine-identical). */
-  private[operators] def cellAssign(vecsDf: DataFrame,
+    * ≤|cells|-row rollup. Attaches (cell, d2micro) to the input rows —
+    * d2micro the 6-dp-rounded squared distance to the winning centroid
+    * as an exact micro-unit long (the q149 double-rounding rule —
+    * engine-identical); being a pure stateless projection it also
+    * serves the STREAMING drift twin unchanged. */
+  private[graft] def cellAssign(vecsDf: DataFrame,
       cents: DataFrame): DataFrame = {
     val centArr = cents.agg(
       collect_list(struct(col("clabel"), col("c"))).as("cents"))
@@ -236,15 +238,16 @@ object VectorQueries {
       .withColumn("best", element_at(array_sort(transform(col("cents"),
         ct => struct(round(l2Sq(col("v"), ct.getField("c")), 6).as("d2"),
           ct.getField("clabel").as("cell")))), 1))
-      .select(col("vec_id"), col("best.cell").as("cell"),
-        round(col("best.d2") * 1e6).cast("bigint").as("d2micro"))
+      .withColumn("cell", col("best.cell"))
+      .withColumn("d2micro", round(col("best.d2") * 1e6).cast("bigint"))
+      .drop("cents", "best")
   }
 
   /** Per-cell population + exact d2micro sum of a [[cellAssign]] frame —
     * the quantizer-stats artifact an ANN serving tier persists beside
     * its centroids (IndexStore `ivf_cell_stats`); q160's in-query corpus
     * leg and the disk-read daily leg share this one definition. */
-  private[operators] def cellStatsOf(assigned: DataFrame): DataFrame =
+  private[graft] def cellStatsOf(assigned: DataFrame): DataFrame =
     assigned.groupBy(col("cell"))
       .agg(count(lit(1)).as("n"), sum(col("d2micro")).as("s"))
 

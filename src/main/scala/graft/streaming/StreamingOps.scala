@@ -340,6 +340,38 @@ object StreamingOps {
       .join(corpusKeys, Seq("vkey"), "left_anti")
       .select(col("vec_id"), col("ts"), col("embedding"))
 
+  /** L63 streaming: QUANTIZER-DRIFT as a continuous stream — arriving
+    * vectors assign to the frozen disk centroids with the SAME
+    * exchange-free array-lambda argmin as q160
+    * ([[graft.operators.VectorQueries.cellAssign]] — one definition,
+    * zero drift between the nightly report and the live signal), then a
+    * watermark-bounded per-(window, cell) rollup joins the persisted
+    * corpus cell stats (`ivf_cell_stats`). The live signal the nightly
+    * q160 can't give: a cell whose arriving mass sits ever further from
+    * its frozen centroid MID-STREAM means the quantizer went stale now
+    * — schedule the retrain before a full day of badly-quantized
+    * vectors lands in the index. Stateless on the corpus side (two
+    * ≤|cells|-row static frames, both broadcast); state is bounded by
+    * |windows|·|cells|. Cells the corpus has never populated emit a
+    * NULL drift (no resident baseline), the q160 convention. */
+  def streamingQuantizerDrift(vecs: Dataset[StreamVec],
+      cents: DataFrame, corpusStats: DataFrame): DataFrame =
+    graft.operators.VectorQueries.cellAssign(
+        vecs.toDF()
+          .withWatermark("ts", "1 hour")
+          .withColumn("v",
+            expr("transform(embedding, x -> cast(x AS double))")),
+        cents)
+      .groupBy(window(col("ts"), "1 hour"), col("cell"))
+      .agg(count(lit(1)).as("n_batch"), sum(col("d2micro")).as("s_b"))
+      .join(broadcast(corpusStats.select(col("cell"),
+        col("n").as("n_corpus"), col("s").as("s_c"))), Seq("cell"), "left")
+      .select(col("cell"), col("n_batch"),
+        expr("s_b div n_batch").as("batch_d2_micro"),
+        when(col("n_corpus").isNull, lit(null).cast("bigint"))
+          .otherwise(expr("s_b div n_batch - s_c div n_corpus"))
+          .as("drift_micro"))
+
   case class StreamAsset(doc_id: Long, ts: Timestamp, payload: Array[Byte])
 
   /** L27 streaming: perceptual near-dup DETECTION as a continuous

@@ -125,6 +125,50 @@ class StreamingOpsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming quantizer drift assigns and scores like the q160 rule") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val input = MemoryStream[StreamVec]
+    // frozen quantizer + persisted cell stats built through the SAME
+    // shared definitions the batch pass uses (one geometry, zero drift)
+    val corpusEmb = Seq(
+      (1L, Array(0.0f, 0.0f), 0), (2L, Array(0.2f, 0.0f), 0),
+      (3L, Array(10.0f, 10.0f), 1), (4L, Array(10.0f, 10.4f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val cents = graft.operators.VectorQueries.centroidsOf(corpusEmb)
+    val corpusVecs = corpusEmb.select(col("vec_id"),
+      expr("transform(embedding, x -> cast(x AS double))").as("v"))
+    val stats = graft.operators.VectorQueries.cellStatsOf(
+      graft.operators.VectorQueries.cellAssign(corpusVecs, cents))
+    val query = streamingQuantizerDrift(input.toDS(), cents, stats)
+      .writeStream.format("memory").queryName("qdrift")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        StreamVec(100L, ts(0), Array(0.1f, 0.0f)),   // cell 0, resident-like
+        StreamVec(101L, ts(1), Array(30.0f, 30.0f))) // cell 1, far → drift
+      query.processAllAvailable()
+      input.addData(StreamVec(999L, ts(150), Array(0.0f, 0.0f)))
+      query.processAllAvailable()
+      val out = spark.table("qdrift")
+        .select("cell", "n_batch", "batch_d2_micro", "drift_micro")
+        .as[(Int, Long, Long, Long)].collect().sortBy(_._1).toSeq
+      // the batch q160 rule on the same frames agrees cell for cell
+      val batch = graft.operators.VectorQueries
+        .quantizerDriftOf(cents, stats,
+          Seq((100L, Array(0.1f, 0.0f)), (101L, Array(30.0f, 30.0f)))
+            .toDF("vec_id", "embedding")
+            .select(col("vec_id"),
+              expr("transform(embedding, x -> cast(x AS double))").as("v")))
+        .filter(col("n_batch") > 0)
+        .select("cell", "n_batch", "batch_d2_micro", "drift_micro")
+        .as[(Int, Long, Long, Long)].collect().sortBy(_._1).toSeq
+      assert(out == batch)
+      assert(out.map(_._1) == Seq(0, 1))
+      // the far arrival drifts; the resident-like one barely does
+      assert(out(1)._4 > out(0)._4 && out(1)._4 > 100000000L)
+    } finally query.stop()
+  }
+
   test("streaming media near-dup probes the persisted band index") {
     val base = "stream payload bytes for the perceptual hash".getBytes("UTF-8")
     val bumped = base.clone(); bumped(0) = (bumped(0) + 1).toByte

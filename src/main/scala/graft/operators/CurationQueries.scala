@@ -1844,6 +1844,69 @@ object CurationQueries {
   def budgetSelect(spark: SparkSession, dir: String): DataFrame =
     budgetSelectDocs(docs(spark, dir))
 
+  /** Sample size for q161's priority sample — small enough that the
+    * smallest sf (500 docs) keeps a meaningful threshold item;
+    * production sizes K by the target standard error (the estimator's
+    * relative stdev is ≈ 1/sqrt(K−1)). */
+  private[operators] val PpsK = 40
+
+  /** hex→int of the first 8 md5 hex digits of a column named `h` —
+    * instr-on-hex-digit is the portable idiom (the q84 rule: Spark
+    * `conv()` has no DuckDB twin); the SAME fragment text parses in
+    * both engines, so the two sides cannot drift. */
+  private val ppsHex32 = (1 to 8)
+    .map(i => s"(instr('0123456789abcdef', substring(h, $i, 1)) - 1)")
+    .zipWithIndex
+    .map { case (d, i) => // the fold must run in 64-bit: 8 digits > 2^31
+      if (i == 0) s"cast($d as bigint)" else d }
+    .reduceLeft((a, b) => s"($a * 16 + $b)")
+
+  /** L64/q161: WEIGHT-PROPORTIONAL corpus sample (priority sampling,
+    * Duffield–Lund–Thorup) — the ESTIMATION sampler the suite's other
+    * three cannot replace: q75 samples at a uniform rate (token-weighted
+    * statistics then need post-hoc reweighting whose variance blows up
+    * on heavy docs), q145 pins exact-K per language (uniform again),
+    * q146 selects deterministically by quality (not a sample — no
+    * estimator exists). Priority sampling gives inclusion probability
+    * ∝ tokens with an unbiased Horvitz–Thompson-style estimator: per
+    * doc, priority = w / u with u ∈ (0,1] a salted-md5 uniform (a pure
+    * function of doc_id — the q75 determinism rule, so reruns and
+    * appends re-draw nothing); keep the top K priorities; the (K+1)-th
+    * is the threshold τ, and each kept doc estimates max(w, τ) tokens.
+    * E[Σ est] = Σ w exactly, so a 40-doc sample audits the token mass
+    * (or any token-weighted statistic) of a 100 TB corpus within
+    * ~1/√(K−1) relative error without scanning it twice.
+    *
+    * Engine portability: u = (hex32(md5) + 1) / 2^32 — every operand an
+    * integer exactly representable in double — and priority =
+    * w · 2^32 / u32 is ONE correctly-rounded IEEE division, so both
+    * engines rank the identical set (doc_id breaks ties). Scale shape:
+    * one scan into a TakeOrderedAndProject top-(K+1) — no window, no
+    * hot reducer; the τ/sample split runs over K+1 broadcast rows. */
+  def ppsSampleDocs(docsDf: DataFrame): DataFrame = {
+    val top = docsDf
+      .select(col("doc_id"),
+        size(split(col("text"), "\\s+")).cast("long").as("n_tokens"),
+        md5(concat(lit("graft-pps:"), col("doc_id").cast("string")))
+          .as("h"))
+      .withColumn("prio", expr("cast(n_tokens as double) * 4294967296.0" +
+        s" / cast(($ppsHex32) + 1 as double)"))
+      .orderBy(col("prio").desc, col("doc_id"))
+      .limit(PpsK + 1)
+      .localCheckpoint(eager = false) // K+1 rows feed τ AND the sample
+    val tau = top.orderBy(col("prio").asc, col("doc_id").desc).limit(1)
+      .select(col("doc_id").as("tid"), col("prio").as("t"))
+    top.crossJoin(broadcast(tau))
+      .filter(col("doc_id") =!= col("tid"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(greatest(col("n_tokens").cast("double"), col("t")), 6)
+          .as("est_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  def ppsSample(spark: SparkSession, dir: String): DataFrame =
+    ppsSampleDocs(docs(spark, dir))
+
   /** L54/q151: RELEASE-FUNNEL report — the per-source sign-off table
     * for a training-corpus release, composing the two mandatory gates
     * in their production order: exact dedup (q60's keep-min rule) then
@@ -2124,6 +2187,7 @@ object CurationQueries {
     "q143_dup_size_histogram" -> (dupSizeHistogram _),
     "q145_eval_sample" -> (evalSample _),
     "q146_budget_select" -> (budgetSelect _),
+    "q161_pps_sample" -> (ppsSample _),
     "q147_source_overlap" -> (sourceOverlap _),
     "q148_cluster_caps" -> (clusterCaps _),
     "q150_incremental_decontaminate" -> (incrementalDecontaminateDaily _),
@@ -2719,6 +2783,30 @@ object CurationQueries {
         |FROM r JOIN tgt USING (source)
         |WHERE bfr < target_tokens
         |GROUP BY source, target_tokens ORDER BY source""".stripMargin,
+    // q161: the hex32 fragment is the SAME text Spark parses; u is an
+    // exact dyadic rational and the priority one IEEE division, so both
+    // engines rank the identical top-(K+1) set.
+    "q161_pps_sample" ->
+      s"""WITH w AS (
+         |  SELECT doc_id,
+         |    CAST(len(string_split_regex(text, '\\s+')) AS BIGINT)
+         |      AS n_tokens,
+         |    md5('graft-pps:' || CAST(doc_id AS VARCHAR)) AS h
+         |  FROM documents),
+         |p AS (
+         |  SELECT doc_id, n_tokens,
+         |    CAST(n_tokens AS DOUBLE) * 4294967296.0 /
+         |      CAST(($ppsHex32) + 1 AS DOUBLE) AS prio
+         |  FROM w),
+         |top AS (SELECT * FROM p ORDER BY prio DESC, doc_id
+         |        LIMIT ${PpsK + 1}),
+         |tau AS (SELECT doc_id AS tid, prio AS t FROM top
+         |        ORDER BY prio ASC, doc_id DESC LIMIT 1)
+         |SELECT top.doc_id, top.n_tokens,
+         |  round(greatest(CAST(top.n_tokens AS DOUBLE), tau.t), 6)
+         |    AS est_tokens
+         |FROM top, tau WHERE top.doc_id <> tau.tid
+         |ORDER BY top.doc_id""".stripMargin,
     "q147_source_overlap" ->
       s"""WITH segarr AS (
          |  SELECT source, list_transform(

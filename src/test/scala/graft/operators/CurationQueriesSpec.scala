@@ -1004,6 +1004,31 @@ class CurationQueriesSpec extends SparkSpec {
     assert(survivors(5) == funnel("quality_classifier"))
   }
 
+  test("pps sample: K rows, HT estimator shape, partition-invariant") {
+    import org.apache.spark.sql.functions.{col, size, split, sum}
+    val docsDf = graft.Tables(spark, sfDir, "documents")
+    val rows = CurationQueries.ppsSampleDocs(docsDf)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(rows.size == CurationQueries.PpsK)
+    // every estimate is max(w, τ): never below the doc's own weight,
+    // and the sub-threshold docs all carry the SAME value (τ itself)
+    assert(rows.forall { case (_, w, est) => est >= w.toDouble })
+    val inflated = rows.collect { case (_, w, est) if est > w => est }
+    assert(inflated.distinct.size <= 1)
+    // the single-realization estimate lands near the true token mass
+    // (relative stderr ≈ 1/sqrt(K-1) ≈ 16%; 2× is a >6σ band)
+    val truth = docsDf
+      .agg(sum(size(split(col("text"), "\\s+")).cast("long")))
+      .as[Long].collect().head.toDouble
+    val est = rows.map(_._3).sum
+    assert(est > truth / 2 && est < truth * 2,
+      s"estimate $est vs truth $truth")
+    // a pure function of doc_id: physical layout cannot move the sample
+    val reshuffled = CurationQueries.ppsSampleDocs(docsDf.repartition(7))
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(reshuffled == rows)
+  }
+
   test("novelty report off the disk window index == in-memory") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_novelty_idx").toFile

@@ -1883,15 +1883,36 @@ object CurationQueries {
     * engines rank the identical set (doc_id breaks ties). Scale shape:
     * one scan into a TakeOrderedAndProject top-(K+1) — no window, no
     * hot reducer; the τ/sample split runs over K+1 broadcast rows. */
-  def ppsSampleDocs(docsDf: DataFrame): DataFrame = {
-    val top = docsDf
+  def ppsSampleDocs(docsDf: DataFrame): DataFrame =
+    ppsFinish(ppsPriorityTable(docsDf))
+
+  def ppsSample(spark: SparkSession, dir: String): DataFrame =
+    ppsSampleDocs(docs(spark, dir))
+
+  /** The (doc_id, n_tokens, prio) top-(K+1) priority table of a doc
+    * frame — the PERSISTED state that makes q161 incrementally
+    * maintainable: priorities are pure per-doc functions, so the
+    * top-(K+1) of (corpus ∪ batch) equals the top-(K+1) of (corpus's
+    * persisted top-(K+1) ∪ the batch's own top-(K+1)) — a daily sample
+    * refresh reads K+1 rows and scans ONLY the batch, never the corpus
+    * (IndexStore `pps_sample` family; disk==memory spec-pinned against
+    * the full q161 pass). */
+  def ppsPriorityTable(docsDf: DataFrame): DataFrame =
+    docsDf
       .select(col("doc_id"),
         size(split(col("text"), "\\s+")).cast("long").as("n_tokens"),
         md5(concat(lit("graft-pps:"), col("doc_id").cast("string")))
           .as("h"))
       .withColumn("prio", expr("cast(n_tokens as double) * 4294967296.0" +
         s" / cast(($ppsHex32) + 1 as double)"))
+      .drop("h")
       .orderBy(col("prio").desc, col("doc_id"))
+      .limit(PpsK + 1)
+
+  /** q161's τ/estimate tail over an already-priority-ranked union —
+    * shared by the full pass and the incremental merge. */
+  private[operators] def ppsFinish(ranked: DataFrame): DataFrame = {
+    val top = ranked.orderBy(col("prio").desc, col("doc_id"))
       .limit(PpsK + 1)
       .localCheckpoint(eager = false) // K+1 rows feed τ AND the sample
     val tau = top.orderBy(col("prio").asc, col("doc_id").desc).limit(1)
@@ -1904,8 +1925,11 @@ object CurationQueries {
       .orderBy(col("doc_id"))
   }
 
-  def ppsSample(spark: SparkSession, dir: String): DataFrame =
-    ppsSampleDocs(docs(spark, dir))
+  /** The incremental q161: merge today's batch into the persisted
+    * corpus priority table — O(batch) daily cost, K+1 corpus rows. */
+  def incrementalPpsSample(corpusPrio: DataFrame,
+      newDocs: DataFrame): DataFrame =
+    ppsFinish(corpusPrio.unionByName(ppsPriorityTable(newDocs)))
 
   /** L54/q151: RELEASE-FUNNEL report — the per-source sign-off table
     * for a training-corpus release, composing the two mandatory gates

@@ -34,6 +34,7 @@ import graft.Tables
   *   audio_fps.parquet                              # q128 (audioFpSplit)
   *   norm_hash.parquet                              # q139 (normHashIndex)
   *   bm25_tf/bm25_dl.parquet                        # q144 (bm25Index)
+  *   pps_prio.parquet                               # q161 (ppsPriorityTable)
   * }}}
   *
   * The corpus/batch split is the same residue rule the oracle queries
@@ -320,6 +321,35 @@ object IndexStore {
       read(spark, indexDir, "substr_windows"),
       docSplit(spark, dataDir)._2)
 
+  /** The corpus PPS priority table (q161): the K+1 highest-priority
+    * (doc_id, n_tokens, prio) rows — priority sampling's ENTIRE
+    * mergeable state (priorities are pure per-doc functions, so the
+    * union's top-(K+1) equals the top-(K+1) of the per-side
+    * top-(K+1)s), which makes the daily sample refresh read K+1 rows
+    * and scan only the batch. */
+  def writePpsPriorities(spark: SparkSession, dataDir: String,
+      dir: String): Unit =
+    write(CurationQueries.ppsPriorityTable(docSplit(spark, dataDir)._1),
+      dir, "pps_prio")
+
+  /** q161 twin: [[CurationQueries.incrementalPpsSample]] off the disk
+    * priority table — equals the FULL q161 pass over (corpus ∪ batch)
+    * by mergeability, which is exactly what the spec pin proves. */
+  def dailyPpsSample(spark: SparkSession, indexDir: String,
+      dataDir: String): DataFrame =
+    CurationQueries.incrementalPpsSample(
+      read(spark, indexDir, "pps_prio"),
+      docSplit(spark, dataDir)._2)
+
+  def compactPpsPriorities(spark: SparkSession, indexDir: String,
+      dataDir: String, outDir: String): Unit =
+    write(read(spark, indexDir, "pps_prio")
+      .unionByName(CurationQueries.ppsPriorityTable(
+        docSplit(spark, dataDir)._2))
+      .orderBy(col("prio").desc, col("doc_id"))
+      .limit(CurationQueries.PpsK + 1),
+      outDir, "pps_prio")
+
   /** The frozen eval-gram index (q74/q150): one distinct 5-gram per
     * benchmark item. Refreshes when the BENCHMARK release does (the
     * bpe_vocab/dsir_model rebuild cycle), but every daily ingest reads
@@ -545,6 +575,13 @@ object IndexStore {
         val (c, b) = docSplit(s, dataDir)
         write(CurationQueries.substrWindowIndex(c.unionByName(b)),
           dir, "substr_windows")
+      }),
+    ("pps_sample", Seq("pps_prio"),
+      compactPpsPriorities _,
+      (s, dataDir, dir) => {
+        val (c, b) = docSplit(s, dataDir)
+        write(CurationQueries.ppsPriorityTable(c.unionByName(b)),
+          dir, "pps_prio")
       }))
 
   /** (family name, in-memory qNN twin, write, daily-from-disk) — the one
@@ -590,6 +627,8 @@ object IndexStore {
       writeNormHash _, dailyNormHash _),
     ("bm25", "q144_incremental_bm25",
       writeBm25 _, dailyBm25 _),
+    ("pps_sample", "q161_pps_sample",
+      writePpsPriorities _, dailyPpsSample _),
     ("eval_grams", "q150_incremental_decontaminate",
       writeEvalGrams _, dailyDecontaminate _),
     ("substr_windows", "q156_incremental_substring_report",

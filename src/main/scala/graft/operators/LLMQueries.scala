@@ -1100,23 +1100,84 @@ object LLMQueries {
     * order). One narrow projection pass — no explode, no shuffle except
     * the final rollup.
     */
-  def langIdNgram(spark: SparkSession, dir: String): DataFrame = {
-    val scoreCols = LangProfiles.map { case (lang, grams) =>
-      expr(grams.map(g => occSql("t", g)).mkString(" + ")).as(s"s_$lang")
-    }
+  /** The q73 scorer, factored so the doc-level classifier (q73) and the
+    * segment-level code-switch scan (q162) share ONE definition: per
+    * language, the profile-trigram occurrence sum over a column named
+    * `t`, and the argmax CASE (ties break by profile order). */
+  private val langScoreCols = LangProfiles.map { case (lang, grams) =>
+    expr(grams.map(g => occSql("t", g)).mkString(" + ")).as(s"s_$lang")
+  }
+  private val langPredSql = {
     val langs = LangProfiles.map(_._1)
-    val predSql = langs.map { l =>
+    langs.map { l =>
       val geAll = langs.filter(_ != l).map(o => s"s_$l >= s_$o")
         .mkString(" AND ")
       s"WHEN $geAll THEN '$l'"
     }.mkString("CASE ", " ", " END")
+  }
+
+  def langIdNgram(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
       .select(col("doc_id"), col("lang"), lower(col("text")).as("t"))
-      .select(Seq(col("doc_id"), col("lang")) ++ scoreCols: _*)
-      .withColumn("pred_lang", expr(predSql))
+      .select(Seq(col("doc_id"), col("lang")) ++ langScoreCols: _*)
+      .withColumn("pred_lang", expr(langPredSql))
       .groupBy(col("lang"), col("pred_lang"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("lang"), col("pred_lang"))
+
+  /** Segment width (words) for q162's code-switch scan — short enough
+    * that a half-and-half bilingual page yields several segments of
+    * each kind at every sf. */
+  private[operators] val MixSegWords = 20
+
+  /** Minority share above which a doc is flagged mixed (30%). */
+  private[operators] val MixedThresholdMicro = 300000L
+
+  /** L65/q162: CODE-SWITCHING / language-MIX detection — the curation
+    * gap a per-doc classifier cannot see: q73's argmax happily labels a
+    * half-German page "en", and a monolingual training mix silently
+    * ingests the German half. Per doc: segment the lowercased word
+    * array into [[MixSegWords]]-word chunks, lang-ID each segment with
+    * the SAME trigram profiles and argmax CASE as q73 (one definition —
+    * the two scorers cannot drift), majority-vote the primary language
+    * (ties: fewer-segments loses, then profile order), and report the
+    * minority share in micro units plus the `is_mixed` flag a routing
+    * gate consumes (mixed docs go to splitting or exclusion, not to a
+    * monolingual shard — the q62 partitioned pipeline upstream).
+    *
+    * Scale shape: one projection explodes each doc into O(words /
+    * [[MixSegWords]]) slim (doc_id, segment-scores) rows — text dies at
+    * the scan; the shuffles carry (doc_id, pred) counts only, two
+    * partial-aggregating groupBys, no window (the majority vote is a
+    * min(struct) aggregate — a mega-doc map-side-combines). */
+  def langMixReport(spark: SparkSession, dir: String): DataFrame =
+    langMixReportDocs(docs(spark, dir))
+
+  private[graft] def langMixReportDocs(docsDf: DataFrame): DataFrame = {
+    val segs = docsDf
+      .select(col("doc_id"), col("lang"), expr(
+        s"""transform(array(split(lower(text), '\\\\s+')), w ->
+           |  transform(sequence(0,
+           |      cast(ceil(size(w) / ${MixSegWords}.0) as int) - 1),
+           |    i -> array_join(
+           |      slice(w, i * $MixSegWords + 1, $MixSegWords), ' ')))[0]
+           |""".stripMargin).as("segarr"))
+      .select(col("doc_id"), col("lang"), explode(col("segarr")).as("t"))
+    val perPred = segs
+      .select(Seq(col("doc_id"), col("lang")) ++ langScoreCols: _*)
+      .withColumn("pred", expr(langPredSql))
+      .groupBy(col("doc_id"), col("lang"), col("pred"))
+      .agg(count(lit(1)).as("cnt"))
+    perPred.groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("cnt")).as("n_segments"),
+        min(struct((-col("cnt")).as("nc"), col("pred"))).as("best"))
+      .select(col("doc_id"), col("lang"),
+        col("best.pred").as("primary_lang"), col("n_segments"),
+        (-col("best.nc")).as("n_primary"),
+        expr("(n_segments - (-best.nc)) * 1000000L div n_segments")
+          .as("mix_micro"))
+      .withColumn("is_mixed", col("mix_micro") >= MixedThresholdMicro)
+      .orderBy(col("doc_id"))
   }
 
   val queries: ListMap[String, graft.Q] = ListMap(
@@ -1126,6 +1187,7 @@ object LLMQueries {
     "q144_incremental_bm25" -> (incrementalBm25Daily _),
     "q71_dedup_keep_best" -> (dedupKeepBest _),
     "q73_langid_ngram" -> (langIdNgram _),
+    "q162_lang_mix" -> (langMixReport _),
     "q61_text_stats" -> (textStats _),
     "q62_lang_rollup" -> (langRollup _),
     "q63_tfidf_top_terms" -> (tfidfTopTerms _),
@@ -1520,6 +1582,51 @@ object LLMQueries {
          |  FROM (SELECT doc_id, lang, lower(text) AS t FROM documents))
          |SELECT lang, $predSql AS pred_lang, count(*) AS n
          |FROM scored GROUP BY 1, 2 ORDER BY lang, pred_lang""".stripMargin
+    },
+    // q162 reuses q73's exact score/argmax fragments over SEGMENTS; the
+    // majority vote is the row_number twin of Spark's min(struct(-cnt,
+    // pred)) — (cnt DESC, pred) — so both engines elect identically.
+    "q162_lang_mix" -> {
+      val scoreSelects = LangProfiles.map { case (lang, grams) =>
+        grams.map(g => occSql("t", g)).mkString(" + ") + s" AS s_$lang"
+      }.mkString(",\n    ")
+      val langs = LangProfiles.map(_._1)
+      val predSql = langs.map { l =>
+        val geAll = langs.filter(_ != l).map(o => s"s_$l >= s_$o")
+          .mkString(" AND ")
+        s"WHEN $geAll THEN '$l'"
+      }.mkString("CASE ", " ", " END")
+      s"""WITH segs AS (
+         |  SELECT doc_id, lang, unnest(list_transform(
+         |    range(0, CAST(ceil(len(w) / ${MixSegWords}.0) AS INT)),
+         |    i -> array_to_string(list_slice(w,
+         |      i * $MixSegWords + 1, i * $MixSegWords + $MixSegWords),
+         |      ' '))) AS t
+         |  FROM (SELECT doc_id, lang,
+         |          string_split_regex(lower(text), '\\s+') AS w
+         |        FROM documents)),
+         |scored AS (
+         |  SELECT doc_id, lang,
+         |    $scoreSelects
+         |  FROM segs),
+         |pp AS (
+         |  SELECT doc_id, lang, $predSql AS pred, count(*) AS cnt
+         |  FROM scored GROUP BY 1, 2, 3),
+         |pd AS (
+         |  SELECT doc_id, lang, pred AS primary_lang, cnt AS n_primary
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+         |          ORDER BY cnt DESC, pred) AS rn FROM pp)
+         |  WHERE rn = 1),
+         |tot AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_segments
+         |        FROM pp GROUP BY doc_id)
+         |SELECT pd.doc_id, pd.lang, pd.primary_lang, tot.n_segments,
+         |  CAST(pd.n_primary AS BIGINT) AS n_primary,
+         |  CAST((tot.n_segments - pd.n_primary) * 1000000
+         |    // tot.n_segments AS BIGINT) AS mix_micro,
+         |  (tot.n_segments - pd.n_primary) * 1000000
+         |    // tot.n_segments >= $MixedThresholdMicro AS is_mixed
+         |FROM pd JOIN tot USING (doc_id)
+         |ORDER BY pd.doc_id""".stripMargin
     },
     "q71_dedup_keep_best" ->
       """WITH grams AS (

@@ -390,4 +390,29 @@ class LLMQueriesSpec extends SparkSpec {
     // every word is at least one token → fertility ≥ 1.0
     assert(got.forall(_._6 >= 1000000L))
   }
+
+  test("lang-mix flags a code-switched doc that per-doc lang-ID misses") {
+    // 40 words each: the first half saturates the English profile
+    // (the/ing/and trigrams), the second the German (sch/ein/der)
+    val en = Seq.fill(10)("the thing and").mkString(" ")   // 30 words
+    val de = Seq.fill(10)("schein der ein").mkString(" ")  // 30 words
+    val docsDf = Seq(
+      (1L, s"$en $de", "en"),       // half-and-half → mixed
+      (2L, en, "en"),               // pure → not mixed
+      (3L, de, "de"))               // pure → not mixed
+      .toDF("doc_id", "text", "lang")
+    val rows = LLMQueries.langMixReportDocs(docsDf)
+      .as[(Long, String, String, Long, Long, Long, Boolean)]
+      .collect().sortBy(_._1).toSeq
+    // reconciliation: majority never exceeds the segment count
+    assert(rows.forall(r => r._5 <= r._4 && r._4 > 0))
+    assert(rows.forall(r =>
+      r._6 == (r._4 - r._5) * 1000000L / r._4))
+    val (mixed, pureEn, pureDe) = (rows(0), rows(1), rows(2))
+    assert(mixed._7, s"code-switched doc not flagged: $mixed")
+    // 3 segments: en, boundary (majority-absorbed), de → 1/3 minority
+    assert(mixed._6 >= LLMQueries.MixedThresholdMicro)
+    assert(!pureEn._7 && pureEn._3 == "en" && pureEn._6 == 0L)
+    assert(!pureDe._7 && pureDe._3 == "de" && pureDe._6 == 0L)
+  }
 }

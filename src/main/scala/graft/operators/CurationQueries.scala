@@ -1514,6 +1514,104 @@ object CurationQueries {
   def lmFluency(spark: SparkSession, dir: String): DataFrame =
     lmFluencyDocs(docs(spark, dir))
 
+  /** Top-bigram report size for [[knBigramLm]]. */
+  private val KnTopBigrams = 30
+
+  /** Absolute discount D — Kneser–Ney's standard 0.75. */
+  private val KnDiscount = 0.75
+
+  /** The interpolated-KN estimate in integer micro-units over columns
+    * (cb, cu, n1f, n1b, bt) — identical text (modulo double-literal
+    * suffix) to the oracle's, so both engines evaluate the same double
+    * expression:  max(c−D,0)/c(w1) + D·N1+(w1,·)/c(w1) · N1+(·,w2)/B. */
+  private val KnScoreSql: String =
+    // `d` suffixes: an unsuffixed 0.75 parses as DECIMAL in Spark SQL
+    // and the all-integer second term would then round in decimal
+    // arithmetic mid-chain; DuckDB promotes every division to DOUBLE
+    s"cast(round((greatest(cb - ${KnDiscount}d, 0.0d) / cu" +
+      s" + ${KnDiscount}d * n1f / cu * n1b / bt) * 1e6) as bigint)"
+
+  /** L46/q165: interpolated Kneser–Ney bigram estimation — the
+    * LM-training counts table behind the q92-style fluency filters: for
+    * each bigram, its raw count, context total, fan-out/fan-in TYPE
+    * counts (how many distinct continuations/contexts — KN's "novel
+    * continuation" statistic), and the discounted interpolated
+    * probability. Add-one (q92) over-smooths frequent contexts; KN's
+    * continuation probability is the production choice for counting-LM
+    * quality filters.
+    *
+    * Determinism: every input to the formula is an exact integer count;
+    * the single double expression is rounded to micro-units; top-k by
+    * (count, bigram) total order via TakeOrderedAndProject.
+    *
+    * Scale shape: ONE corpus-wide shuffle (the bigram-type count, which
+    * collapses at vocab²-bounded cardinality); every derived statistic
+    * aggregates the slim count table, not the corpus. `ctx`/`fanIn` are
+    * vocabulary-sized broadcasts here — t-keyed shuffle joins at
+    * web-corpus vocab, exactly the q93 df trade. */
+  def knBigramLm(spark: SparkSession, dir: String): DataFrame =
+    knFromBigrams(knBigramTable(docs(spark, dir)))
+
+  /** The corpus bigram-TYPE count table (w1, w2, cb) — the KN family's
+    * ENTIRE persistable state: counts are additive across disjoint
+    * document sets (bigrams never cross a document boundary), so two
+    * tables merge by groupBy-sum and every other KN statistic derives
+    * from the merged table. */
+  private[operators] def knBigramTable(docsDf: DataFrame): DataFrame = {
+    val wordsArr = docsDf
+      .select(col("doc_id"), split(col("text"), "\\s+").as("w"))
+      // sequence(0, -1) DESCENDS in Spark: a 1-word doc must not reach
+      // the bigram transform (DuckDB's range(1, 1) is empty naturally)
+      .filter(size(col("w")) >= 2)
+    val biExpr = expr(
+      "transform(sequence(0, size(w) - 2)," +
+        " i -> struct(w[i] AS w1, w[i+1] AS w2))")
+    wordsArr.select(explode(biExpr).as("b"))
+      .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .agg(count(lit(1)).as("cb"))
+  }
+
+  /** Additive merge of two bigram-count tables (the KN family's
+    * compaction AND daily-merge rule — same shape as bm25's tf union). */
+  private[operators] def mergeBigrams(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(col("w1"), col("w2"))
+      .agg(sum(col("cb")).as("cb"))
+
+  /** The KN head over a bigram-count table: context totals, type
+    * fan-out/fan-in, the type total, and the discounted estimate. */
+  private[operators] def knFromBigrams(bi: DataFrame): DataFrame = {
+    val ctx = bi.groupBy(col("w1"))
+      .agg(sum(col("cb")).as("cu"), count(lit(1)).as("n1f"))
+    val fanIn = bi.groupBy(col("w2")).agg(count(lit(1)).as("n1b"))
+    val types = bi.agg(count(lit(1)).as("bt"))
+    bi.join(broadcast(ctx), Seq("w1"))
+      .join(broadcast(fanIn), Seq("w2"))
+      .crossJoin(broadcast(types))
+      .withColumn("pkn_micro", expr(KnScoreSql))
+      .select(col("w1"), col("w2"), col("cb"), col("cu"),
+        col("n1f"), col("n1b"), col("pkn_micro"))
+      .orderBy(col("cb").desc, col("w1"), col("w2"))
+      .limit(KnTopBigrams)
+  }
+
+  /** L46b/q167: incremental KN — a daily batch updates the LM by
+    * MERGING its bigram counts into the persisted corpus table
+    * (additive, so merge == full recount by construction); corpus TEXT
+    * is never re-scanned. The (corpus ∪ batch) union covers the whole
+    * documents table, so the answer IS q165's — one shared oracle,
+    * zero drift. */
+  def incrementalKn(corpusBi: DataFrame, newDocs: DataFrame): DataFrame =
+    knFromBigrams(mergeBigrams(corpusBi, knBigramTable(newDocs)))
+
+  /** q167 as an oracle query: corpus bigram table built in-query (as
+    * the oracle must), batch merged against it. */
+  def incrementalKnDaily(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    incrementalKn(
+      knBigramTable(d.filter(col("doc_id") % LLMQueries.BatchMod =!= 0)),
+      d.filter(col("doc_id") % LLMQueries.BatchMod === 0))
+  }
+
   /** Hashed-feature bucket count for DSIR importance weights (2¹² —
     * three md5 hex digits, the q84 idiom). */
   val DsirBuckets = 4096
@@ -2195,6 +2293,8 @@ object CurationQueries {
     "q90_source_mixture" -> (sourceMixture _),
     "q107_source_caps" -> (sourceCaps _),
     "q92_lm_fluency" -> (lmFluency _),
+    "q165_kn_bigram" -> (knBigramLm _),
+    "q167_incremental_kn" -> (incrementalKnDaily _),
     "q115_curation_funnel" -> (curationFunnel _),
     "q116_dsir_importance" -> (dsirImportance _),
     "q119_substring_dup_remove" -> (substringDupRemove _),
@@ -2283,6 +2383,28 @@ object CurationQueries {
       |grams AS (SELECT doc_id, len(gs) AS n_grams, unnest(gs) AS g
       |          FROM garr)
       |""".stripMargin
+
+  /** Shared by q165 (full pass) and q167 (incremental merge): bigram
+    * counts are additive over disjoint doc sets, so both must produce
+    * exactly this answer. Formula text matches [[KnScoreSql]]. */
+  private val knOracle: String =
+    s"""WITH wordsarr AS (
+       |  SELECT doc_id, string_split_regex(text, '\\s+') AS w
+       |  FROM documents),
+       |bi AS (
+       |  SELECT w[i] AS w1, w[i+1] AS w2, count(*) AS cb
+       |  FROM wordsarr, LATERAL unnest(range(1, len(w))) AS t(i)
+       |  GROUP BY 1, 2),
+       |ctx AS (SELECT w1, CAST(sum(cb) AS BIGINT) AS cu, count(*) AS n1f
+       |        FROM bi GROUP BY w1),
+       |fanin AS (SELECT w2, count(*) AS n1b FROM bi GROUP BY w2),
+       |types AS (SELECT count(*) AS bt FROM bi)
+       |SELECT w1, w2, cb, cu, n1f, n1b,
+       |  CAST(round((greatest(cb - $KnDiscount, 0.0) / cu
+       |    + $KnDiscount * n1f / cu * n1b / bt) * 1e6) AS BIGINT)
+       |    AS pkn_micro
+       |FROM bi JOIN ctx USING (w1) JOIN fanin USING (w2) CROSS JOIN types
+       |ORDER BY cb DESC, w1, w2 LIMIT $KnTopBigrams""".stripMargin
 
   private val oracleMain: Map[String, String] = Map(
     "q114_substring_dup_stats" ->
@@ -2492,6 +2614,11 @@ object CurationQueries {
          |SELECT doc_id, source, CAST(unnest(range(1, n_rep + 1)) AS BIGINT)
          |  AS copy_id
          |FROM rep ORDER BY doc_id, copy_id""".stripMargin,
+    "q165_kn_bigram" -> knOracle,
+    // q167: the (corpus ∪ batch) bigram-count merge covers the whole
+    // documents table and counts are additive, so the incremental
+    // answer IS the full q165 answer — one shared oracle, zero drift
+    "q167_incremental_kn" -> knOracle,
     "q92_lm_fluency" ->
       s"""WITH wordsarr AS (
          |  SELECT doc_id, string_split_regex(text, '\\s+') AS w

@@ -34,6 +34,7 @@ import graft.Tables
   *   audio_fps.parquet                              # q128 (audioFpSplit)
   *   norm_hash.parquet                              # q139 (normHashIndex)
   *   bm25_tf/bm25_dl.parquet                        # q144 (bm25Index)
+  *   kn_bigrams.parquet                             # q167 (knBigramTable)
   *   pps_prio.parquet                               # q161 (ppsPriorityTable)
   * }}}
   *
@@ -303,6 +304,29 @@ object IndexStore {
       read(spark, indexDir, "bm25_tf"),
       read(spark, indexDir, "bm25_dl"),
       docSplit(spark, dataDir)._2)
+
+  /** The corpus KN bigram-count table (q165/q167): the additive
+    * (w1, w2, cb) state — bigrams never cross a document boundary, so
+    * counts over disjoint doc sets merge by groupBy-sum and every other
+    * KN statistic derives from the merged table. */
+  def writeKnBigrams(spark: SparkSession, dataDir: String,
+      dir: String): Unit =
+    write(CurationQueries.knBigramTable(docSplit(spark, dataDir)._1),
+      dir, "kn_bigrams")
+
+  /** q167 twin: [[CurationQueries.incrementalKn]] off the disk counts. */
+  def dailyKn(spark: SparkSession, indexDir: String,
+      dataDir: String): DataFrame =
+    CurationQueries.incrementalKn(
+      read(spark, indexDir, "kn_bigrams"),
+      docSplit(spark, dataDir)._2)
+
+  def compactKnBigrams(spark: SparkSession, indexDir: String,
+      dataDir: String, outDir: String): Unit =
+    write(CurationQueries.mergeBigrams(
+      read(spark, indexDir, "kn_bigrams"),
+      CurationQueries.knBigramTable(docSplit(spark, dataDir)._2)),
+      outDir, "kn_bigrams")
 
   /** The corpus substring-window index (q114/q156): (window md5,
     * distinct-corpus-doc count) — the count rides along because the
@@ -576,6 +600,13 @@ object IndexStore {
         write(CurationQueries.substrWindowIndex(c.unionByName(b)),
           dir, "substr_windows")
       }),
+    ("kn_bigram", Seq("kn_bigrams"),
+      compactKnBigrams _,
+      (s, dataDir, dir) => {
+        val (c, b) = docSplit(s, dataDir)
+        write(CurationQueries.knBigramTable(c.unionByName(b)),
+          dir, "kn_bigrams")
+      }),
     ("pps_sample", Seq("pps_prio"),
       compactPpsPriorities _,
       (s, dataDir, dir) => {
@@ -627,6 +658,8 @@ object IndexStore {
       writeNormHash _, dailyNormHash _),
     ("bm25", "q144_incremental_bm25",
       writeBm25 _, dailyBm25 _),
+    ("kn_bigram", "q167_incremental_kn",
+      writeKnBigrams _, dailyKn _),
     ("pps_sample", "q161_pps_sample",
       writePpsPriorities _, dailyPpsSample _),
     ("eval_grams", "q150_incremental_decontaminate",

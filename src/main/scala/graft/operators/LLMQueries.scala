@@ -384,11 +384,20 @@ object LLMQueries {
 
   private[operators] def minhashPairsOf(docsDf: DataFrame): DataFrame = {
     val base = shingledOf(docsDf)
+    // the shared-shingle filter inside verifyPairs keeps the exploded
+    // formulation's contract (pairs must share ≥1 shingle)
+    verifyPairs(minhashCandidatesOf(base), setsOf(base))
+  }
+
+  /** MinHash-banded candidate pairs (doc_a < doc_b, distinct) over a
+    * [[shingledOf]] frame — the shared candidate-generation stage of
+    * q64 (Jaccard verification) and q166 (edit-distance verification). */
+  private[operators] def minhashCandidatesOf(base: DataFrame): DataFrame = {
     // repartition on the join key: both self-join legs then read ONE
     // materialized exchange (ReusedExchange), so the 8-hash signature
     // computation runs once per query instead of once per leg
     val bands = bandsOf(base)
-      .repartition(docsDf.sparkSession.sessionState.conf.numShufflePartitions,
+      .repartition(base.sparkSession.sessionState.conf.numShufflePartitions,
         col("band"), col("key"))
 
     // Pair generation stays a self-join (not groupBy+collect_list pair
@@ -396,16 +405,57 @@ object LLMQueries {
     // one boilerplate text — would materialize O(bucket²) pairs inside a
     // single collected row, where the join spreads the same pairs across
     // shuffle partitions (and AQE skew-split can cut the hot bucket).
-    val cands = bands.as("a")
+    bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+  }
 
-    // the shared-shingle filter inside verifyPairs keeps the exploded
-    // formulation's contract (pairs must share ≥1 shingle)
-    verifyPairs(cands, setsOf(base))
+  /** Text prefix length and acceptance threshold (millis of 1 − the
+    * normalized edit distance) for [[editVerifiedDups]]. */
+  private val EditPrefChars = 160
+  private val EditSimMilli = 550
+
+  /** L47/q166: edit-distance-VERIFIED near-dups — the verification rung
+    * the LSH ladder is usually deployed with: MinHash banding proposes
+    * candidate pairs (recall stage), and each candidate is CONFIRMED by
+    * true normalized edit similarity 1 − lev/max(len) over a bounded
+    * text prefix, rather than by the Jaccard estimate q64 reports.
+    * Jaccard is order-blind (bag-of-shingles); edit distance is the
+    * sequence-aware measure, so the two stages disagree exactly on
+    * reordered/shuffled text — which is why production dedup verifies.
+    *
+    * Determinism: lev and lengths are exact integers; the similarity is
+    * an exact integer floor-division in millis (non-negative, so
+    * Spark's truncating `div` equals DuckDB's floor `//`).
+    *
+    * Scale shape: cost is O(candidate pairs × prefix²) — the prefix cap
+    * bounds the per-pair DP at 160², and pairs only exist where banding
+    * collided (the q64 contract); the prefix join ships ≤160 chars per
+    * doc, never full text. */
+  def editVerifiedDups(spark: SparkSession, dir: String): DataFrame =
+    editVerifiedDupsOf(Tables(spark, dir, "documents"))
+
+  private[operators] def editVerifiedDupsOf(docsDf: DataFrame): DataFrame = {
+    val cands = minhashCandidatesOf(shingledOf(docsDf))
+    val prefs = docsDf.select(col("doc_id"),
+      expr(s"substring(text, 1, $EditPrefChars)").as("pref"))
+    cands
+      .join(prefs.select(col("doc_id").as("doc_a"), col("pref").as("pa")),
+        Seq("doc_a"))
+      .join(prefs.select(col("doc_id").as("doc_b"), col("pref").as("pb")),
+        Seq("doc_b"))
+      .withColumn("lev", levenshtein(col("pa"), col("pb")).cast("long"))
+      // lev ≤ max(len) always, so sim ∈ [0, 1000]; the lit(1) floor
+      // guards the empty-vs-empty pair (ANSI div-by-zero)
+      .withColumn("glen",
+        greatest(length(col("pa")), length(col("pb")), lit(1)).cast("long"))
+      .withColumn("sim_milli", expr("((glen - lev) * 1000) div glen"))
+      .filter(col("sim_milli") >= EditSimMilli)
+      .select(col("doc_a"), col("doc_b"), col("lev"), col("sim_milli"))
+      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** q125 sample stride and ground-truth Jaccard threshold. */
@@ -621,6 +671,12 @@ object LLMQueries {
   private val Bm25B = 0.75
   private val Bm25NumQueries = 5
   private val Bm25TopK = 3
+  /** Dirichlet prior μ for q163 query-likelihood smoothing. */
+  private val QlMu = 300.0
+  /** RRF fusion (q164): per-ranker depth, rank constant, fused top-k. */
+  private val RrfDepth = 10
+  private val RrfKConst = 60
+  private val RrfTopK = 5
 
   /** The per-(doc, term) Okapi contribution in integer micro-units,
     * over columns (tf, df, dl, n_docs, avgdl) — ONE definition shared
@@ -724,7 +780,8 @@ object LLMQueries {
     * (doc_id, dl); derives df and collection stats from them (one slim
     * aggregation — every doc has ≥ 1 posting, so counting dl rows IS
     * counting docs, saving the second corpus scan q93 first carried). */
-  private def bm25Rank(tf: DataFrame, dl: DataFrame): DataFrame = {
+  private[operators] def bm25Rank(tf: DataFrame, dl: DataFrame,
+      k: Int = Bm25TopK): DataFrame = {
     val df = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
     val stats = dl.agg(count(lit(1)).as("n_docs"),
       avg(col("dl")).as("avgdl"))
@@ -743,19 +800,112 @@ object LLMQueries {
     // cardinality key, and on a common-term query the per-query posting
     // union is corpus-sized — rank within (qid, doc_id-range shard)
     // first so the final qid rank sees shards×K survivor rows
+    rankRetrieved(perDoc, k)
+  }
+
+  /** The shared two-level per-query top-k tail of the retrieval family
+    * (q93/q144 BM25, q163 QL, q164 RRF reuses its rankings): expects
+    * (qid, doc_id, score_micro, n_terms). */
+  private def rankRetrieved(perDoc: DataFrame, k: Int): DataFrame = {
     val local = Window.partitionBy(col("qid"), col("bshard"))
       .orderBy(col("score_micro").desc, col("doc_id"))
     val survivors = perDoc
       .withColumn("bshard", expr("doc_id div 64"))
       .withColumn("lrk", row_number().over(local))
-      .filter(col("lrk") <= Bm25TopK)
+      .filter(col("lrk") <= k)
       .drop("lrk", "bshard")
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("score_micro").desc, col("doc_id"))
     survivors.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= Bm25TopK)
+      .filter(col("rk") <= k)
       .select(col("qid"), col("rk").cast("long").as("rk"),
         col("doc_id"), col("score_micro"), col("n_terms"))
+      .orderBy(col("qid"), col("rk"))
+  }
+
+  /** The per-(doc, matched-term) query-likelihood contribution in
+    * integer micro-units over columns (tf, cf, tot) — the match term of
+    * the Dirichlet-smoothed score in its rank-equivalent rewritten form
+    * ln(1 + tf·|C| / (μ·cf)). */
+  private val QlMatchSql: String =
+    // `d` suffixes keep the whole chain in IEEE double (an unsuffixed
+    // literal is DECIMAL in Spark SQL; DuckDB divisions are DOUBLE)
+    s"cast(round(ln(1.0d + (tf * tot) / (${QlMu}d * cf)) * 1e6) as bigint)"
+
+  /** The per-doc length-normalizer term |q|·ln(μ/(dl+μ)), with the ln
+    * rounded to micro-units BEFORE the |q| multiply so the sum stays
+    * exact-integer (the q92 NLL pattern). */
+  private val QlNormSql: String =
+    s"qlen * cast(round(ln(${QlMu}d / (dl + ${QlMu}d)) * 1e6) as bigint)"
+
+  /** L19c/q163: query-likelihood retrieval with Dirichlet smoothing —
+    * the probabilistic-LM alternative to Okapi BM25 over the SAME
+    * postings artifacts:
+    *   score(q,d) = Σ_{t∈q∩d} ln(1 + tf·|C|/(μ·cf(t)))
+    *                + |q|·ln(μ/(dl+μ)),
+    * the standard rewrite of Σ_{t∈q} ln((tf + μ·cf/|C|)/(dl+μ)) that
+    * drops the doc-independent Σ ln(μ·cf/|C|) (rank-equivalent) so
+    * scoring touches ONLY postings matching a query term — the same
+    * candidate contract as BM25, and the reason the persisted `bm25`
+    * index family (tf/dl) serves this scorer with zero new artifacts:
+    * cf and |C| derive from tf/dl exactly as df/avgdl do.
+    *
+    * Determinism: per-term micro-unit rounding before the sum; the
+    * per-doc normalizer's ln is rounded before the integer |q| multiply.
+    * Scale shape: identical to q93 — one corpus tf shuffle (ReusedExchange
+    * feeds dl), broadcast query terms, vocabulary-sized cf broadcast
+    * (a t-keyed shuffle join at web-corpus vocab), two-level top-k. */
+  def qlTopk(spark: SparkSession, dir: String): DataFrame = {
+    val (tf, dl) = bm25Index(docs(spark, dir))
+    qlRank(tf, dl, Bm25TopK)
+  }
+
+  private[operators] def qlRank(tf: DataFrame, dl: DataFrame, k: Int): DataFrame = {
+    val cf = tf.groupBy(col("t")).agg(sum(col("tf")).as("cf"))
+    val stats = dl.agg(sum(col("dl")).as("tot"))
+    val qterms = tf.filter(col("doc_id") < Bm25NumQueries)
+      .select(col("doc_id").as("qid"), col("t"))
+    val qlen = qterms.groupBy(col("qid")).agg(count(lit(1)).as("qlen"))
+    val perDoc = tf.filter(col("doc_id") >= Bm25NumQueries)
+      .join(broadcast(qterms), Seq("t"))
+      .join(broadcast(cf), Seq("t"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("m_micro", expr(QlMatchSql))
+      .groupBy(col("qid"), col("doc_id"), col("dl"))
+      .agg(sum(col("m_micro")).as("mm"), count(lit(1)).as("n_terms"))
+      .join(broadcast(qlen), Seq("qid"))
+      .withColumn("score_micro", col("mm") + expr(QlNormSql))
+    rankRetrieved(perDoc, k)
+  }
+
+  /** L19d/q164: hybrid-retrieval fusion via Reciprocal Rank Fusion —
+    * rrf(d) = Σ_rankers 1/(K + rank_r(d)), the standard score-free way
+    * to combine retrieval systems (Cormack et al., SIGIR'09). Fuses the
+    * q93 BM25 and q163 QL rankings to depth [[RrfDepth]]; in a hybrid
+    * search deployment one leg swaps for the dense ANN tier
+    * (q69/q106/q112) — RRF needs only ranks, which is exactly why it is
+    * the fusion rule of choice when scores live on different scales.
+    *
+    * Determinism: contributions are exact integers (1e6 div (K+rank)).
+    * Scale shape: both legs share one postings build (identical tf
+    * subplans → one exchange); the fused frame is ≤ |queries|·2·depth
+    * rows BY CONSTRUCTION at any corpus size, so the final qid window
+    * ranks a bounded frame — no shard level needed. */
+  def rrfFusion(spark: SparkSession, dir: String): DataFrame = {
+    val (tf, dl) = bm25Index(docs(spark, dir))
+    val legs = bm25Rank(tf, dl, RrfDepth).unionByName(qlRank(tf, dl, RrfDepth))
+    val fused = legs
+      .withColumn("contrib",
+        expr(s"cast(1000000 div ($RrfKConst + rk) as bigint)"))
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(sum(col("contrib")).as("rrf_micro"), count(lit(1)).as("n_sys"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("rrf_micro").desc, col("doc_id"))
+    fused.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= RrfTopK)
+      .select(col("qid"), col("rk").cast("long").as("rk"),
+        col("doc_id"), col("rrf_micro"), col("n_sys"))
       .orderBy(col("qid"), col("rk"))
   }
 
@@ -1192,12 +1342,15 @@ object LLMQueries {
     "q62_lang_rollup" -> (langRollup _),
     "q63_tfidf_top_terms" -> (tfidfTopTerms _),
     "q93_bm25_topk" -> (bm25Topk _),
+    "q163_ql_topk" -> (qlTopk _),
+    "q164_rrf_fusion" -> (rrfFusion _),
     "q94_bpe_pairs" -> (bpePairCounts _),
     "q108_bpe_merge_loop" -> (bpeMergeLoop _),
     "q113_bpe_tokenize" -> (bpeTokenize _),
     "q134_tokenizer_fertility" -> (tokenizerFertility _),
     "q123_chunk_docs" -> (chunkDocs _),
     "q64_minhash_pairs" -> (minhashPairs _),
+    "q166_edit_verified_dups" -> (editVerifiedDups _),
     "q125_minhash_recall" -> (minhashRecall _),
     "q127_minhash_precision" -> (minhashPrecision _),
     "q96_incremental_near_dups" -> (incrementalNearDupsDaily _),
@@ -1332,22 +1485,25 @@ object LLMQueries {
        |FROM ws LEFT JOIN tok USING (t)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
-  /** Shared by q93 (full pass) and q144 (incremental merge): the
-    * incremental union covers the whole table, so both must produce
-    * exactly this answer. */
-  private val bm25Oracle: String =
-    s"""WITH words AS (
+  /** Shared corpus-side CTEs of the retrieval family (word stream,
+    * postings, doc lengths, query terms) — the q93/q144 BM25, q163 QL,
+    * and q164 RRF oracles all rank over exactly these. */
+  private val retrievalCtes: String =
+    s"""words AS (
        |  SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS t
        |  FROM documents),
        |tf AS (SELECT doc_id, t, count(*) AS tf FROM words GROUP BY 1, 2),
        |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
        |       FROM tf GROUP BY doc_id),
-       |df AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+       |qterms AS (SELECT doc_id AS qid, t FROM tf
+       |           WHERE doc_id < $Bm25NumQueries)""".stripMargin
+
+  /** BM25 CTE block → per-(query, doc) relation `perdoc`. */
+  private val bm25Block: String =
+    s"""df AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
        |stats AS (
        |  SELECT (SELECT count(*) FROM documents) AS n_docs,
        |         (SELECT avg(dl) FROM dl) AS avgdl),
-       |qterms AS (SELECT doc_id AS qid, t FROM tf
-       |           WHERE doc_id < $Bm25NumQueries),
        |ts AS (
        |  SELECT qid, tf.doc_id,
        |    CAST(round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
@@ -1363,12 +1519,79 @@ object LLMQueries {
        |perdoc AS (
        |  SELECT qid, doc_id, CAST(sum(s_micro) AS BIGINT) AS score_micro,
        |         count(*) AS n_terms
-       |  FROM ts GROUP BY 1, 2)
+       |  FROM ts GROUP BY 1, 2)""".stripMargin
+
+  /** QL CTE block → per-(query, doc) relation `qscored` (same formula
+    * text as [[QlMatchSql]]/[[QlNormSql]] modulo double-literal suffix,
+    * so both engines evaluate the identical double expression). */
+  private val qlBlock: String =
+    s"""cf AS (SELECT t, CAST(sum(tf) AS BIGINT) AS cf FROM tf GROUP BY t),
+       |tot AS (SELECT CAST(sum(dl) AS BIGINT) AS tot FROM dl),
+       |qlen AS (SELECT qid, count(*) AS qlen FROM qterms GROUP BY qid),
+       |qts AS (
+       |  SELECT qid, tf.doc_id, dl,
+       |    CAST(round(ln(1.0 + (tf * tot) / ($QlMu * cf)) * 1e6)
+       |      AS BIGINT) AS m_micro
+       |  FROM tf
+       |  JOIN qterms USING (t)
+       |  JOIN cf USING (t)
+       |  JOIN dl ON dl.doc_id = tf.doc_id
+       |  CROSS JOIN tot
+       |  WHERE tf.doc_id >= $Bm25NumQueries),
+       |qperdoc AS (
+       |  SELECT qid, doc_id, dl, CAST(sum(m_micro) AS BIGINT) AS mm,
+       |         count(*) AS n_terms
+       |  FROM qts GROUP BY 1, 2, 3),
+       |qscored AS (
+       |  SELECT qid, doc_id,
+       |    mm + qlen * CAST(round(ln($QlMu / (dl + $QlMu)) * 1e6) AS BIGINT)
+       |      AS score_micro,
+       |    n_terms
+       |  FROM qperdoc JOIN qlen USING (qid))""".stripMargin
+
+  /** Shared by q93 (full pass) and q144 (incremental merge): the
+    * incremental union covers the whole table, so both must produce
+    * exactly this answer. */
+  private val bm25Oracle: String =
+    s"""WITH $retrievalCtes,
+       |$bm25Block
        |SELECT qid, rk, doc_id, score_micro, n_terms FROM (
        |  SELECT *, row_number() OVER (PARTITION BY qid
        |    ORDER BY score_micro DESC, doc_id) AS rk
        |  FROM perdoc)
        |WHERE rk <= $Bm25TopK ORDER BY qid, rk""".stripMargin
+
+  private val qlOracle: String =
+    s"""WITH $retrievalCtes,
+       |$qlBlock
+       |SELECT qid, rk, doc_id, score_micro, n_terms FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY qid
+       |    ORDER BY score_micro DESC, doc_id) AS rk
+       |  FROM qscored)
+       |WHERE rk <= $Bm25TopK ORDER BY qid, rk""".stripMargin
+
+  private val rrfOracle: String =
+    s"""WITH $retrievalCtes,
+       |$bm25Block,
+       |$qlBlock,
+       |brank AS (
+       |  SELECT qid, doc_id, row_number() OVER (PARTITION BY qid
+       |    ORDER BY score_micro DESC, doc_id) AS rk FROM perdoc),
+       |qrank AS (
+       |  SELECT qid, doc_id, row_number() OVER (PARTITION BY qid
+       |    ORDER BY score_micro DESC, doc_id) AS rk FROM qscored),
+       |fused AS (
+       |  SELECT qid, doc_id,
+       |    CAST(sum(1000000 // ($RrfKConst + rk)) AS BIGINT) AS rrf_micro,
+       |    count(*) AS n_sys
+       |  FROM (SELECT * FROM brank WHERE rk <= $RrfDepth
+       |        UNION ALL SELECT * FROM qrank WHERE rk <= $RrfDepth)
+       |  GROUP BY 1, 2)
+       |SELECT qid, rk, doc_id, rrf_micro, n_sys FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY qid
+       |    ORDER BY rrf_micro DESC, doc_id) AS rk
+       |  FROM fused)
+       |WHERE rk <= $RrfTopK ORDER BY qid, rk""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q60_exact_dedup" ->
@@ -1453,6 +1676,8 @@ object LLMQueries {
         |  FROM scored WHERE doc_id < 50)
         |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
     "q93_bm25_topk" -> bm25Oracle,
+    "q163_ql_topk" -> qlOracle,
+    "q164_rrf_fusion" -> rrfOracle,
     // q144: the (corpus ∪ batch) postings union is the whole documents
     // table, so the incremental answer IS the full q93 answer — one
     // shared oracle, zero drift by construction
@@ -1560,6 +1785,24 @@ object LLMQueries {
     "q64_minhash_pairs" -> (s"WITH $minhashPairsCtes " +
       """SELECT doc_a, doc_b, n_inter, jaccard FROM pairs_all
         |ORDER BY doc_a, doc_b""".stripMargin),
+    // q166 shares q64's banding CTEs but verifies by edit distance over
+    // a bounded prefix instead of shingle-set Jaccard
+    "q166_edit_verified_dups" -> (s"WITH $minhashPairsCtes, " +
+      s"""prefs AS (
+         |  SELECT doc_id, substring(text, 1, $EditPrefChars) AS pref
+         |  FROM documents),
+         |verified AS (
+         |  SELECT doc_a, doc_b,
+         |    CAST(levenshtein(pa.pref, pb.pref) AS BIGINT) AS lev,
+         |    CAST(greatest(len(pa.pref), len(pb.pref), 1) AS BIGINT) AS glen
+         |  FROM cands
+         |  JOIN prefs pa ON pa.doc_id = doc_a
+         |  JOIN prefs pb ON pb.doc_id = doc_b)
+         |SELECT doc_a, doc_b, lev,
+         |  ((glen - lev) * 1000) // glen AS sim_milli
+         |FROM verified
+         |WHERE ((glen - lev) * 1000) // glen >= $EditSimMilli
+         |ORDER BY doc_a, doc_b""".stripMargin),
     // the incremental pass = the full pair pass restricted to pairs with
     // ≥1 batch-side endpoint (signatures are per-document functions)
     "q96_incremental_near_dups" -> (s"WITH $minhashPairsCtes " +

@@ -1043,4 +1043,37 @@ class CurationQueriesSpec extends SparkSpec {
     assert(fromDisk.nonEmpty)
     assert(fromDisk == inMemory)
   }
+
+  // --- Kneser–Ney bigram LM (q165/q167) --------------------------------
+
+  test("KN fixture: hand-computed discounted probabilities") {
+    val df = Seq((1L, "a b a b c", "en", "web"))
+      .toDF("doc_id", "text", "lang", "source")
+    val rows = CurationQueries
+      .knFromBigrams(CurationQueries.knBigramTable(df))
+      .as[(String, String, Long, Long, Long, Long, Long)]
+      .collect().toSet
+    // bigrams: (a,b)×2, (b,a), (b,c); bt=3
+    // pkn(a,b) = (2−.75)/2 + .75·1/2·1/3 = 0.75
+    // pkn(b,a) = (1−.75)/2 + .75·2/2·1/3 = 0.375 (= pkn(b,c))
+    assert(rows == Set(
+      ("a", "b", 2L, 2L, 1L, 1L, 750000L),
+      ("b", "a", 1L, 2L, 2L, 1L, 375000L),
+      ("b", "c", 1L, 2L, 2L, 1L, 375000L)))
+  }
+
+  test("KN bigram counts merge additively: split+merge == full recount") {
+    import org.apache.spark.sql.functions.col
+    val d = graft.Tables(spark, sfDir, "documents")
+    val full = CurationQueries
+      .knFromBigrams(CurationQueries.knBigramTable(d))
+      .collect().toSeq
+    val merged = CurationQueries.knFromBigrams(
+      CurationQueries.mergeBigrams(
+        CurationQueries.knBigramTable(d.filter(col("doc_id") % 3 === 0)),
+        CurationQueries.knBigramTable(d.filter(col("doc_id") % 3 =!= 0))))
+      .collect().toSeq
+    assert(full.nonEmpty)
+    assert(merged == full)
+  }
 }

@@ -415,4 +415,116 @@ class LLMQueriesSpec extends SparkSpec {
     assert(!pureEn._7 && pureEn._3 == "en" && pureEn._6 == 0L)
     assert(!pureDe._7 && pureDe._3 == "de" && pureDe._6 == 0L)
   }
+
+  // --- retrieval family: QL (q163) + RRF (q164) ------------------------
+
+  test("QL ranking matches a driver-side brute-force Dirichlet scorer") {
+    // docs 0-4 are queries (the Bm25NumQueries contract); 5+ are corpus
+    val docsDf = Seq(
+      (0L, "spark batch engine"),
+      (1L, "stream state engine"),
+      (2L, "join agg"), (3L, "scan filter"), (4L, "sort merge"),
+      (5L, "spark spark batch engine row"),
+      (6L, "batch engine state column spark"),
+      (7L, "stream stream state engine engine"),
+      (8L, "join agg scan filter sort merge"),
+      (9L, "row column window nothing shared here"))
+      .toDF("doc_id", "text")
+    val (tf, dl) = LLMQueries.bm25Index(docsDf)
+    val got = LLMQueries.qlRank(tf, dl, 3)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+
+    // brute force, mirroring the formula text exactly (Math.log is the
+    // same intrinsic Spark's ln codegen calls)
+    val postings = tf.as[(Long, String, Long)].collect()
+    val dls = postings.groupBy(_._1).map { case (d, ps) =>
+      d -> ps.map(_._3).sum }
+    val cf = postings.groupBy(_._2).map { case (t, ps) =>
+      t -> ps.map(_._3).sum }
+    val tot = dls.values.sum
+    val expected = (0L to 4L).flatMap { qid =>
+      val qts = postings.filter(_._1 == qid).map(_._2).toSet
+      val scored = dls.keys.filter(_ >= 5L).toSeq.flatMap { d =>
+        val matched = postings.filter(p => p._1 == d && qts(p._2))
+        if (matched.isEmpty) None
+        else {
+          val m = matched.map { p =>
+            math.round(math.log(1.0 + (p._3 * tot) / (300.0 * cf(p._2)))
+              * 1e6)
+          }.sum
+          val norm = qts.size *
+            math.round(math.log(300.0 / (dls(d) + 300.0)) * 1e6)
+          Some((d, m + norm, matched.size.toLong))
+        }
+      }
+      scored.sortBy { case (d, s, _) => (-s, d) }.take(3).zipWithIndex
+        .map { case ((d, s, n), i) => (qid, (i + 1).toLong, d, s, n) }
+    }
+    assert(got.sortBy(r => (r._1, r._2)) ==
+      expected.sortBy(r => (r._1, r._2)))
+  }
+
+  test("RRF fusion is exactly the integer rank-sum of its two legs") {
+    val (tf, dl) =
+      LLMQueries.bm25Index(graft.Tables(spark, sfDir, "documents"))
+    val legs =
+      LLMQueries.bm25Rank(tf, dl, 10).unionByName(
+        LLMQueries.qlRank(tf, dl, 10))
+        .select("qid", "doc_id", "rk")
+        .as[(Long, Long, Long)].collect().toSeq
+    val expected = legs.groupBy(t => (t._1, t._2)).map {
+      case ((qid, d), rs) =>
+        (qid, d, rs.map(r => 1000000L / (60L + r._3)).sum, rs.size.toLong)
+    }.toSeq
+    val topExpected = expected.groupBy(_._1).flatMap { case (_, rows) =>
+      rows.sortBy(r => (-r._3, r._2)).take(5).zipWithIndex
+        .map { case ((qid, d, s, n), i) => (qid, (i + 1).toLong, d, s, n) }
+    }.toSeq.sortBy(r => (r._1, r._2))
+    val got = LLMQueries.rrfFusion(spark, sfDir)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == topExpected)
+    // a fused doc always comes from at least one leg, by construction;
+    // n_sys counts the contributing rankers
+    assert(got.forall(r => r._5 == 1L || r._5 == 2L))
+  }
+
+  // --- edit-distance verification (q166) -------------------------------
+
+  test("edit verification keeps copies and drops rotated text that " +
+      "shingle-banding proposes") {
+    val words = (0 until 30).map(i => f"w$i%02d")
+    val a = words.mkString(" ")
+    // rotation by half: the shingle BAG barely changes (2 of 28
+    // 3-shingles differ) so banding still collides, but the SEQUENCE is
+    // maximally displaced — the exact disagreement q166 exists to catch
+    val rot = (words.drop(15) ++ words.take(15)).mkString(" ")
+    val docsDf = Seq((1L, a), (2L, a), (3L, rot))
+      .toDF("doc_id", "text")
+    val cands = LLMQueries
+      .minhashCandidatesOf(LLMQueries.shingledOf(docsDf))
+      .as[(Long, Long)].collect().toSet
+    // banding proposes BOTH the true copy and the rotation
+    assert(cands.contains((1L, 2L)))
+    assert(cands.contains((1L, 3L)) || cands.contains((2L, 3L)),
+      s"rotation should band-collide: $cands")
+    val verified = LLMQueries.editVerifiedDupsOf(docsDf)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // the copy survives with lev 0 / sim 1000; the rotation is dropped
+    assert(verified.contains((1L, 2L, 0L, 1000L)))
+    assert(verified.forall(v => v._2 != 3L && v._4 >= 550L),
+      s"rotated doc must fail edit verification: $verified")
+  }
+
+  test("edit similarity is the exact integer floor-division in millis") {
+    val rows = LLMQueries.editVerifiedDups(spark, sfDir)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(rows.nonEmpty)
+    val prefs = graft.Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), expr("substring(text, 1, 160)").as("p"))
+      .as[(Long, String)].collect().toMap
+    rows.foreach { case (da, db, lev, sim) =>
+      val glen = math.max(1, math.max(prefs(da).length, prefs(db).length))
+      assert(sim == (glen - lev) * 1000 / glen && sim >= 550L)
+    }
+  }
 }

@@ -1594,6 +1594,85 @@ object CurationQueries {
       .limit(KnTopBigrams)
   }
 
+  /** Fluency cut for [[knFluency]] — same scale as [[FluencyNllMicro]]
+    * (micro-nats per bigram) but KN's discounting sits lower than
+    * add-one on in-domain text, so the gate tightens accordingly. */
+  val KnFluencyNllMicro = 3200000L
+
+  /** The per-bigram interpolated-KN probability with an add-one-smoothed
+    * continuation floor, over (cb, cu, n1f, n1b, bt, v) where NULL
+    * cb/cu/n1b mean "unseen in the reference" — identical text (modulo
+    * double-literal suffix) in both engines:
+    * seen pair   → (c−D)/cu + D·n1f/cu · pcont
+    * seen w1     → D·n1f/cu · pcont          (discount mass backs off)
+    * unseen w1   → pcont                     (all mass to continuation)
+    * pcont(w2) = (N1+(·,w2)+1)/(B+V) — positive everywhere, so NLL is
+    * always finite and non-negative (p ≤ 1 since n1f ≤ cu). */
+  private def knProbSql(suffix: String): String =
+    s"(CASE WHEN cb IS NOT NULL THEN (cb - $KnDiscount$suffix) / cu" +
+      s" ELSE 0.0$suffix END" +
+      s" + (CASE WHEN cu IS NOT NULL THEN $KnDiscount$suffix * n1f / cu" +
+      s" ELSE 1.0$suffix END)" +
+      " * ((coalesce(n1b, 0) + 1) / (bt + v)))"
+
+  /** L46c/q169: KN-model fluency scoring — the q92 flow with the q165
+    * model: an interpolated Kneser–Ney bigram LM is estimated on the
+    * reference slice (doc_id % 10 == 0, q92's convention) and every
+    * other document is scored by its mean bigram NLL under it. Add-one
+    * (q92) over-penalizes frequent contexts with many continuations;
+    * KN's discounted interpolation is what production perplexity
+    * filters (CCNet-class) actually run, so the two scorers bracket the
+    * same gate and this one is the production-shaped instance.
+    *
+    * Determinism: one double expression per bigram rounded to integer
+    * micro-nats before the per-doc sum (the q92 rule); the mean is a
+    * non-negative integer floor-division.
+    *
+    * Scale shape: the model (bigram counts + context/continuation type
+    * tables + two scalars) is bounded by the REFERENCE corpus — all
+    * broadcasts; the training side is one explode + three broadcast
+    * left-joins + one doc_id rollup. Exactly q92's join plan with one
+    * more |vocab|-row broadcast. */
+  def knFluency(spark: SparkSession, dir: String): DataFrame =
+    knFluencyDocs(docs(spark, dir))
+
+  private[operators] def knFluencyDocs(docsDf: DataFrame): DataFrame = {
+    val allWords = docsDf
+      .select(col("doc_id"), split(col("text"), "\\s+").as("w"))
+    val wordsArr = allWords.filter(size(col("w")) >= 2)
+    val biExpr = expr(
+      "transform(sequence(0, size(w) - 2)," +
+        " i -> struct(w[i] AS w1, w[i+1] AS w2))")
+    val refBi = wordsArr.filter(col("doc_id") % 10 === 0)
+      .select(explode(biExpr).as("b"))
+      .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .agg(count(lit(1)).as("cb"))
+    val ctx = refBi.groupBy(col("w1"))
+      .agg(sum(col("cb")).as("cu"), count(lit(1)).as("n1f"))
+    val fanIn = refBi.groupBy(col("w2")).agg(count(lit(1)).as("n1b"))
+    // bt (bigram types) and v (add-one vocab, q92's unfiltered-slice
+    // rule) collapse to one broadcast row
+    val scalars = refBi.agg(count(lit(1)).as("bt")).crossJoin(
+      allWords.filter(col("doc_id") % 10 === 0)
+        .select(explode(col("w")).as("t"))
+        .agg(count_distinct(col("t")).as("v")))
+    wordsArr.filter(col("doc_id") % 10 =!= 0)
+      .select(col("doc_id"), explode(biExpr).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .join(broadcast(refBi), Seq("w1", "w2"), "left")
+      .join(broadcast(ctx), Seq("w1"), "left")
+      .join(broadcast(fanIn), Seq("w2"), "left")
+      .crossJoin(broadcast(scalars))
+      .withColumn("nll", expr(
+        s"cast(round(-ln(${knProbSql("d")}) * 1e6) as bigint)"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        // non-negative (p ≤ 1), so truncating div == flooring //
+        expr("sum(nll) div count(*)").as("avg_nll_micro"))
+      .withColumn("is_fluent", col("avg_nll_micro") <= KnFluencyNllMicro)
+      .orderBy(col("doc_id"))
+  }
+
   /** L46b/q167: incremental KN — a daily batch updates the LM by
     * MERGING its bigram counts into the persisted corpus table
     * (additive, so merge == full recount by construction); corpus TEXT
@@ -2277,6 +2356,32 @@ object CurationQueries {
       .orderBy(col("fam_size"))
   }
 
+  /** L50b/q168: SOFT dedup — per-doc training weights 1/|family| over
+    * the q85/q143 duplicate families instead of hard-dropping losers
+    * (the SoftDeDup idea: duplicates carry signal about natural data
+    * frequency, so down-weighting preserves the effective distribution
+    * while hard dedup distorts it; every family contributes ~one doc's
+    * worth of gradient regardless of its copy count). Emits the weight
+    * a loss-weighted sampler consumes directly, in exact integer
+    * micro-units (1e6 div n — non-negative, engine-identical floor).
+    *
+    * Scale shape: q85's star CC + one family-size groupBy + a join-back
+    * on the long family key; text never moves past the pair stage. */
+  def softDedupWeights(spark: SparkSession, dir: String): DataFrame = {
+    val comp = dedupClustersStar(spark, dir)
+      .select(col("doc_id"), col("cluster_id"))
+    val withFam = docs(spark, dir).select(col("doc_id"))
+      .join(comp, Seq("doc_id"), "left")
+      .withColumn("fam", coalesce(col("cluster_id"), col("doc_id")))
+    val sizes = withFam.groupBy(col("fam"))
+      .agg(count(lit(1)).as("n_members"))
+    withFam.join(sizes, Seq("fam"))
+      .withColumn("weight_micro", expr("1000000 div n_members"))
+      .select(col("doc_id"), col("fam"), col("n_members"),
+        col("weight_micro"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: ListMap[String, graft.Q] = ListMap(
     "q74_decontaminate" -> (decontaminate _),
     "q75_hash_split" -> (hashSplit _),
@@ -2295,6 +2400,7 @@ object CurationQueries {
     "q92_lm_fluency" -> (lmFluency _),
     "q165_kn_bigram" -> (knBigramLm _),
     "q167_incremental_kn" -> (incrementalKnDaily _),
+    "q169_kn_fluency" -> (knFluency _),
     "q115_curation_funnel" -> (curationFunnel _),
     "q116_dsir_importance" -> (dsirImportance _),
     "q119_substring_dup_remove" -> (substringDupRemove _),
@@ -2309,6 +2415,7 @@ object CurationQueries {
     "q141_mixture_recipe" -> (mixtureRecipe _),
     "q142_snapshot_drift" -> (snapshotDrift _),
     "q143_dup_size_histogram" -> (dupSizeHistogram _),
+    "q168_soft_dedup_weights" -> (softDedupWeights _),
     "q145_eval_sample" -> (evalSample _),
     "q146_budget_select" -> (budgetSelect _),
     "q161_pps_sample" -> (ppsSample _),
@@ -2619,6 +2726,41 @@ object CurationQueries {
     // documents table and counts are additive, so the incremental
     // answer IS the full q165 answer — one shared oracle, zero drift
     "q167_incremental_kn" -> knOracle,
+    // q169: the q92 oracle shape with the KN model CTEs; the prob
+    // formula text is knProbSql modulo the double-literal suffix
+    "q169_kn_fluency" ->
+      s"""WITH wordsarr AS (
+         |  SELECT doc_id, string_split_regex(text, '\\s+') AS w
+         |  FROM documents),
+         |refbi AS (
+         |  SELECT w[i] AS w1, w[i+1] AS w2, count(*) AS cb
+         |  FROM wordsarr, LATERAL unnest(range(1, len(w))) AS t(i)
+         |  WHERE doc_id % 10 = 0 GROUP BY 1, 2),
+         |ctx AS (SELECT w1, CAST(sum(cb) AS BIGINT) AS cu, count(*) AS n1f
+         |        FROM refbi GROUP BY w1),
+         |fanin AS (SELECT w2, count(*) AS n1b FROM refbi GROUP BY w2),
+         |scalars AS (
+         |  SELECT (SELECT count(*) FROM refbi) AS bt,
+         |         (SELECT count(*) FROM (
+         |            SELECT DISTINCT unnest(w) FROM wordsarr
+         |            WHERE doc_id % 10 = 0)) AS v),
+         |docbi AS (
+         |  SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+         |  FROM wordsarr, LATERAL unnest(range(1, len(w))) AS t(i)
+         |  WHERE doc_id % 10 <> 0),
+         |scored AS (
+         |  SELECT doc_id,
+         |    CAST(round(-ln(${knProbSql("")}) * 1e6) AS BIGINT) AS nll
+         |  FROM docbi
+         |  LEFT JOIN refbi USING (w1, w2)
+         |  LEFT JOIN ctx USING (w1)
+         |  LEFT JOIN fanin USING (w2)
+         |  CROSS JOIN scalars)
+         |SELECT doc_id, count(*) AS n_bigrams,
+         |  CAST(sum(nll) // count(*) AS BIGINT) AS avg_nll_micro,
+         |  (CAST(sum(nll) // count(*) AS BIGINT)) <= $KnFluencyNllMicro
+         |    AS is_fluent
+         |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q92_lm_fluency" ->
       s"""WITH wordsarr AS (
          |  SELECT doc_id, string_split_regex(text, '\\s+') AS w
@@ -2665,6 +2807,19 @@ object CurationQueries {
          |SELECT fam_size, count(*) AS n_families,
          |  CAST(fam_size * count(*) AS BIGINT) AS n_docs
          |FROM famsz GROUP BY fam_size ORDER BY fam_size""".stripMargin,
+    // q168 nests the same whole-corpus family partition as q143 and
+    // projects per doc instead of histogramming
+    "q168_soft_dedup_weights" ->
+      s"""$clustersCtes,
+         |allc AS (
+         |  SELECT d.doc_id, coalesce(comp.cluster_id, d.doc_id) AS fam
+         |  FROM documents d LEFT JOIN comp ON comp.doc_id = d.doc_id),
+         |famsz AS (
+         |  SELECT fam, count(*) AS n_members FROM allc GROUP BY fam)
+         |SELECT doc_id, fam, n_members,
+         |  1000000 // n_members AS weight_micro
+         |FROM allc JOIN famsz USING (fam)
+         |ORDER BY doc_id""".stripMargin,
     "q88_cluster_survivors" ->
       s"""$clustersCtes,
          |labels AS (

@@ -835,8 +835,34 @@ object LLMQueries {
   /** The per-doc length-normalizer term |q|·ln(μ/(dl+μ)), with the ln
     * rounded to micro-units BEFORE the |q| multiply so the sum stays
     * exact-integer (the q92 NLL pattern). */
-  private val QlNormSql: String =
-    s"qlen * cast(round(ln(${QlMu}d / (dl + ${QlMu}d)) * 1e6) as bigint)"
+  /** The per-doc length term ln(μ/(dl+μ)) alone, micro-rounded — what
+    * [[qlScoredPostings]] bakes per doc so the streaming twin only
+    * multiplies by the integer query length. */
+  private[graft] val QlDnormSql: String =
+    s"cast(round(ln(${QlMu}d / (dl + ${QlMu}d)) * 1e6) as bigint)"
+
+  private val QlNormSql: String = s"qlen * $QlDnormSql"
+
+  /** Query-independent IMPACT-SCORED postings for the QL scorer — the
+    * same serving trick as [[bm25ScoredPostings]]: the match term
+    * depends only on (tf, cf, |C|) and the length normalizer only on
+    * dl, so BOTH bake into the postings once per snapshot; a search
+    * reduces to joining query terms, summing m_micro, and adding
+    * |q| × dnorm_micro. Stats are driver-side literals (one bounded
+    * row) so the frame is fully static — what the streaming twin's
+    * stateless stream-static join requires. */
+  def qlScoredPostings(corpusTf: DataFrame,
+      corpusDl: DataFrame): DataFrame = {
+    val tot = corpusDl.agg(sum(col("dl"))).head().getLong(0)
+    val cf = corpusTf.groupBy(col("t")).agg(sum(col("tf")).as("cf"))
+    corpusTf
+      .join(cf, Seq("t"))
+      .join(corpusDl, Seq("doc_id"))
+      .withColumn("tot", lit(tot))
+      .withColumn("m_micro", expr(QlMatchSql))
+      .withColumn("dnorm_micro", expr(QlDnormSql))
+      .select(col("t"), col("doc_id"), col("m_micro"), col("dnorm_micro"))
+  }
 
   /** L19c/q163: query-likelihood retrieval with Dirichlet smoothing —
     * the probabilistic-LM alternative to Okapi BM25 over the SAME

@@ -317,6 +317,35 @@ object StreamingOps {
       .select(col("qid"), col("doc_id"), col("score_micro"),
         col("n_terms"))
 
+  /** L19c streaming: query-likelihood SEARCH as a continuous stream —
+    * the QL twin of [[streamingBm25Search]] over
+    * [[graft.operators.LLMQueries.qlScoredPostings]]: the Dirichlet
+    * match term (tf, cf, |C|) AND the per-doc length normalizer (dl)
+    * are both query-independent, so the stream leg is one stateless
+    * stream-static join plus a watermark-bounded per-(query, doc) sum;
+    * the only query-side quantity is |q|, carried as a column from the
+    * arriving doc and multiplied into the baked normalizer — emitted
+    * scores equal batch qlRank's formula under corpus-only collection
+    * stats (one shared score SQL; StreamingOpsSpec pins it). */
+  def streamingQlSearch(queries: Dataset[StreamDoc],
+      scoredPostings: DataFrame): DataFrame =
+    queries.toDF()
+      .withWatermark("ts", "1 hour")
+      .select(col("doc_id").as("qid"), col("ts"),
+        size(array_distinct(split(col("text"), "\\s+")))
+          .cast("long").as("qlen"),
+        explode(array_distinct(split(col("text"), "\\s+"))).as("t"))
+      .join(scoredPostings, Seq("t"))
+      .groupBy(window(col("ts"), "1 hour"), col("qid"), col("doc_id"))
+      .agg(sum(col("m_micro")).as("mm"),
+        // constant within the group (carried per row) — max() finalizes
+        max(col("qlen")).as("qlen"),
+        max(col("dnorm_micro")).as("dnorm_micro"),
+        count(lit(1)).as("n_terms"))
+      .select(col("qid"), col("doc_id"),
+        (col("mm") + col("qlen") * col("dnorm_micro")).as("score_micro"),
+        col("n_terms"))
+
   case class StreamVec(vec_id: Long, ts: Timestamp, embedding: Array[Float])
 
   /** L24 streaming: the daily-ingest exact VECTOR dedup as a CONTINUOUS

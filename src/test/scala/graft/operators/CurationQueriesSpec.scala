@@ -1044,6 +1044,31 @@ class CurationQueriesSpec extends SparkSpec {
     assert(fromDisk == inMemory)
   }
 
+  test("soft-dedup weights partition the corpus and reconcile with " +
+      "the q143 family histogram") {
+    val rows = CurationQueries.softDedupWeights(spark, sfDir)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val nDocs = graft.Tables(spark, sfDir, "documents").count()
+    // every doc exactly once
+    assert(rows.size.toLong == nDocs)
+    assert(rows.map(_._1).distinct.size.toLong == nDocs)
+    // family-internal consistency + the exact integer weight rule
+    rows.groupBy(_._2).foreach { case (fam, members) =>
+      val n = members.head._3
+      assert(members.size.toLong == n, s"fam $fam size mismatch")
+      assert(members.forall(m => m._3 == n && m._4 == 1000000L / n))
+    }
+    // singletons carry full weight
+    assert(rows.filter(_._3 == 1L).forall(_._4 == 1000000L))
+    // the family-size histogram implied here IS q143's
+    val hist = rows.groupBy(_._2).values.map(_.size.toLong)
+      .groupBy(identity).map { case (sz, fs) => (sz, fs.size.toLong) }
+    val q143 = CurationQueries.dupSizeHistogram(spark, sfDir)
+      .as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2)).toMap
+    assert(hist == q143)
+  }
+
   // --- Kneser–Ney bigram LM (q165/q167) --------------------------------
 
   test("KN fixture: hand-computed discounted probabilities") {
@@ -1060,6 +1085,25 @@ class CurationQueriesSpec extends SparkSpec {
       ("a", "b", 2L, 2L, 1L, 1L, 750000L),
       ("b", "a", 1L, 2L, 2L, 1L, 375000L),
       ("b", "c", 1L, 2L, 2L, 1L, 375000L)))
+  }
+
+  test("KN fluency: in-domain text scores lower NLL than unseen text, " +
+      "and every score is finite-positive") {
+    val df = Seq(
+      (0L, "the cat sat on the mat", "en", "web"),
+      (10L, "the cat ran on the mat", "en", "web"),
+      (1L, "the cat sat on the mat", "en", "web"),
+      (2L, "zig zag quux blorp frob", "en", "web"))
+      .toDF("doc_id", "text", "lang", "source")
+    val rows = CurationQueries.knFluencyDocs(df)
+      .as[(Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    // only non-reference docs are scored
+    assert(rows.keySet == Set(1L, 2L))
+    // the unseen-vocab doc backs off to the continuation floor — worse
+    // than the verbatim in-domain doc, but still finite and positive
+    assert(rows(1L)._3 < rows(2L)._3)
+    assert(rows.values.forall(r => r._3 > 0L && r._2 >= 1L))
   }
 
   test("KN bigram counts merge additively: split+merge == full recount") {

@@ -666,4 +666,33 @@ class StreamingOpsSpec extends SparkSpec {
         (100L, 12L, s(1, 2, 4), 1L)))                // 'c' only
     } finally query.stop()
   }
+
+  test("streaming QL search off impact postings equals the batch formula") {
+    val input = MemoryStream[StreamDoc]
+    val corpus = Seq((10L, "a a b"), (11L, "a c"), (12L, "b b b c"))
+      .toDF("doc_id", "text")
+    val (ctf, cdl) = graft.operators.LLMQueries.bm25Index(corpus)
+    val posts = graft.operators.LLMQueries.qlScoredPostings(ctf, cdl)
+    val query = streamingQlSearch(input.toDS(), posts)
+      .writeStream.format("memory").queryName("sql1")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // query "a c a" → distinct terms {a, c}, |q| = 2
+      input.addData(StreamDoc(100L, ts(0), "a c a"))
+      query.processAllAvailable()
+      input.addData(StreamDoc(999L, ts(150), "zzz")) // advance watermark
+      query.processAllAvailable()
+      // Dirichlet (μ=300) recomputed driver-side: |C|=9, cf(a)=3, cf(c)=2
+      def m(tf: Long, cf: Long): Long =
+        math.round(math.log(1.0 + (tf * 9) / (300.0 * cf)) * 1e6)
+      def dn(dl: Long): Long =
+        math.round(math.log(300.0 / (dl + 300.0)) * 1e6)
+      val out = spark.table("sql1").as[(Long, Long, Long, Long)]
+        .collect().sortBy(_._2).toSeq
+      assert(out == Seq(
+        (100L, 10L, m(2, 3) + 2 * dn(3), 1L),           // 'a' only
+        (100L, 11L, m(1, 3) + m(1, 2) + 2 * dn(2), 2L), // 'a' + 'c'
+        (100L, 12L, m(1, 2) + 2 * dn(4), 1L)))          // 'c' only
+    } finally query.stop()
+  }
 }

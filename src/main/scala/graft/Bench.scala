@@ -108,8 +108,22 @@ object Bench {
       "q03_top_customers", "q04_customer_order_counts",
       "q05_urgent_customers", "q06_customers_without_orders")
       .flatMap(times.get).sum
-    println(
-      s"""{"metric":"total","value":$total,"unit":"sec","headline6":$headline,"queries":$qs,"queries_cpu":$qcpu$errJson,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","headline6":$headline,"queries":$qs,"queries_cpu":$qcpu$errJson,"sf":"$sfDir"}"""
+    println(line)
+    // The driver archives only the 2000-char TAIL of stdout, which
+    // truncates the per-query maps out of BENCH_r{N}.json and loses the
+    // round-over-round per-query history (VERDICT r9 "What's wrong" #2).
+    // Persist the full line in-repo too: bench_local/<tag>.json, tag from
+    // SPARK_GRAFT_BENCH_TAG (committed per round as r<N>; the driver's
+    // own runs land on "latest" and are never committed by it).
+    try {
+      val tag = sys.env.getOrElse("SPARK_GRAFT_BENCH_TAG", "latest")
+      val dir = new java.io.File("bench_local")
+      dir.mkdirs()
+      val w = new java.io.PrintWriter(new java.io.File(dir, s"$tag.json"))
+      try w.println(line) finally w.close()
+    } catch { case _: Throwable => () } // bench numbers still print
     // The driver archives only the TAIL of this process's output (2000
     // chars in round 4, which truncated the wall map and total out of
     // BENCH_r04.json — VERDICT r4 "What's wrong" #4). A second, short

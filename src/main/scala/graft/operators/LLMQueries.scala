@@ -940,9 +940,14 @@ object LLMQueries {
 
   /** BPE tokenizer training, step one: corpus-wide adjacent character-pair
     * frequencies (each pair weighted by its word's corpus frequency) —
-    * the statistic the first BPE merge maximizes. Adjacent pair =
-    * 2-char substring, which both engines slice identically, so no
-    * engine-specific char-split is needed.
+    * the statistic the first BPE merge maximizes. At round 0 every
+    * symbol is a single char, so an adjacent SYMBOL pair coincides with
+    * a 2-char substring, which both engines slice identically — no
+    * engine-specific char-split is needed for this first-round
+    * statistic. The actual training loop ([[bpeMergeLoop]], q108) is
+    * full symbol-level BPE over symbol ARRAYS: later rounds recount
+    * pairs over merged symbols, so merge №2 can consume merge №1's
+    * output symbol (cascading-merge fixture pinned in LLMQueriesSpec).
     *
     * Scale shape: the word-frequency aggregation is the only corpus-wide
     * shuffle (vocabulary-sized output); pair counting then runs over the

@@ -34,6 +34,33 @@ class CurationQueriesSpec extends SparkSpec {
     assert(nGrams == 2L && nHit == 1L && ratio == 0.5)
   }
 
+  test("eval-gram broadcast guard fails loudly over the cap") {
+    // the bounded-eval precondition (VERDICT r9 #3): with the cap
+    // lowered under the eval doc's gram count, the query must raise a
+    // named error instead of silently broadcasting an unbounded side
+    val df = docsDf(
+      (10L, "a b c d e f g h", "en"), // eval: 4 distinct 5-grams > cap 2
+      (1L, "x a b c d e", "en"))
+    val e = intercept[Exception] {
+      CurationQueries.decontaminateDocs(df, evalCap = 2L).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("not benchmark-sized")), e.toString)
+    // identical frame under the production cap: unchanged behavior
+    val ok = CurationQueries.decontaminateDocs(df)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(ok.map(_._1).toSeq == Seq(1L))
+    // the daily flow guards the same way
+    val e2 = intercept[Exception] {
+      CurationQueries.incrementalDecontaminate(
+        CurationQueries.evalGramIndex(df),
+        df.filter($"doc_id" % 10 =!= 0), evalCap = 2L).collect()
+    }
+    assert(msgs(e2).exists(_.contains("not benchmark-sized")), e2.toString)
+  }
+
   test("contamination report: per-eval-doc leak counts, zeros included") {
     // eval doc 10 leaks its one shared gram into train docs 1 AND 2;
     // eval doc 20 is clean and must still appear (zeros)

@@ -10,14 +10,20 @@ import org.apache.spark.sql.functions._
   * validation must be compiled dynamically, not declared statically.
   *
   * Supported keywords: `type` (object/array/string/number/integer/
-  * boolean), `required`, `properties` (one level of nesting per call —
-  * recurse for deeper), `minimum`/`maximum` (numbers), `minLength`/
-  * `maxLength` (strings), `pattern` (unanchored regex, per the JSON
-  * Schema spec), `enum` (strings), and `items` (one schema applied to
-  * every element of an array value — type/bounds/length/pattern/enum at
-  * element level). Unknown keywords are ignored (permissive, like most
-  * validators' default dialect handling); an `items` array that cannot
-  * be parsed is likewise skipped permissively.
+  * boolean), `required`, `properties` (RECURSIVE — nested object
+  * schemas validate at their `$.a.b.c` paths to any depth, and object
+  * array elements recurse into their own properties), `minimum`/
+  * `maximum` (numbers), `minLength`/`maxLength` (strings), `pattern`
+  * (unanchored regex, per the JSON Schema spec), `enum` (strings),
+  * `items` (one schema applied to every element of an array value —
+  * type/bounds/length/pattern/enum at element level), `anyOf`/`oneOf`
+  * (combinators over full subschemas at the same path — `oneOf` is the
+  * exactly-one count, per the spec), and `additionalProperties: false`
+  * (closed object: every key present must be declared in `properties`;
+  * the schema-valued form is skipped permissively). Unknown keywords
+  * are ignored (permissive, like most validators' default dialect
+  * handling); an `items` array that cannot be parsed is likewise
+  * skipped permissively.
   *
   * The compiled predicate is pure Column logic over `get_json_object`
   * (plus one `from_json` + `forall` per `items` schema, and one native
@@ -160,7 +166,46 @@ object JsonSchemaLite {
           }
       case _ => lit(true)
     }
-    typeOk && itemsOk && requiredOk && propsOk
+    // combinators: each branch is a FULL subschema evaluated at this
+    // same path (type/required/properties/items + scalar constraints),
+    // null-coalesced to false so a failed branch can't poison the
+    // oneOf count through three-valued logic
+    def branchOk(sub: JObject): Column =
+      coalesce(validate(sub, json, path, coercedRoot) &&
+        scalarOk(sub, here), lit(false))
+    val anyOfOk = (schema \ "anyOf") match {
+      case JArray(subs) =>
+        val os = subs.collect { case o: JObject => o }
+        if (os.isEmpty) lit(true) else os.map(branchOk).reduce(_ || _)
+      case _ => lit(true)
+    }
+    val oneOfOk = (schema \ "oneOf") match {
+      case JArray(subs) =>
+        val os = subs.collect { case o: JObject => o }
+        if (os.isEmpty) lit(true)
+        else os.map(b => branchOk(b).cast("int")).reduce(_ + _) === 1
+      case _ => lit(true)
+    }
+    // additionalProperties: false — a closed object: every key PRESENT
+    // must be declared in `properties`. Non-object values yield a null
+    // key array → permissive skip (a declared object type is already
+    // enforced by typeOk). The schema-valued form (validate undeclared
+    // keys against a subschema) needs dynamic paths — out of scope,
+    // skipped permissively and documented.
+    val addlOk = (schema \ "additionalProperties") match {
+      case JBool(false) =>
+        val declared = (schema \ "properties") match {
+          case JObject(fields) => fields.map(_._1)
+          case _ => Seq.empty[String]
+        }
+        val keys = json_object_keys(here)
+        coalesce(forall(keys, k =>
+          if (declared.isEmpty) lit(false) else k.isin(declared: _*)),
+          lit(true))
+      case _ => lit(true)
+    }
+    typeOk && itemsOk && requiredOk && propsOk && anyOfOk && oneOfOk &&
+      addlOk
   }
 
   private def propertyOk(schema: JObject, json: Column,

@@ -920,7 +920,14 @@ object LLMQueries {
     * ranks a bounded frame — no shard level needed. */
   def rrfFusion(spark: SparkSession, dir: String): DataFrame = {
     val (tf, dl) = bm25Index(docs(spark, dir))
-    val legs = bm25Rank(tf, dl, RrfDepth).unionByName(qlRank(tf, dl, RrfDepth))
+    rrfFuse(bm25Rank(tf, dl, RrfDepth).unionByName(qlRank(tf, dl, RrfDepth)))
+  }
+
+  /** The exact-integer RRF fusion tail shared by q164 (two lexical
+    * legs) and q170 (dense+lexical): expects ranked legs (qid, doc_id,
+    * rk, ...) already truncated to depth [[RrfDepth]] each; fuses with
+    * 1e6 div (K+rk) contributions and ranks the bounded fused frame. */
+  private def rrfFuse(legs: DataFrame): DataFrame = {
     val fused = legs
       .withColumn("contrib",
         expr(s"cast(1000000 div ($RrfKConst + rk) as bigint)"))
@@ -933,6 +940,41 @@ object LLMQueries {
       .select(col("qid"), col("rk").cast("long").as("rk"),
         col("doc_id"), col("rrf_micro"), col("n_sys"))
       .orderBy(col("qid"), col("rk"))
+  }
+
+  /** L72/q170: dense+lexical HYBRID retrieval — the deployment q164's
+    * RRF exists for (VERDICT r9 "Next round" #1): one leg is the q93
+    * BM25 lexical ranking, the other a DENSE embedding leg — per-query
+    * cosine ranking over the `embeddings` table (documents↔embeddings
+    * share the id space, so vec_id IS the doc_id) through the q69/q87
+    * IVF multi-probe tier ([[VectorQueries.denseRankedLeg]]) — fused by
+    * the SAME exact-integer RRF rule ([[rrfFuse]], one definition with
+    * q164).
+    *
+    * Why this matters: a synonym page sharing ZERO terms with the query
+    * scores nothing under BM25 — no posting matches — but its embedding
+    * is close, so the dense leg ranks it and RRF surfaces it
+    * (spec-pinned on a synonym-style fixture in LLMQueriesSpec). RRF
+    * needs only ranks, which is exactly why hybrid search standardized
+    * on it: BM25 micro-units and cosine never need a shared scale.
+    *
+    * Scale shape: the lexical leg is q93's (one corpus tf shuffle,
+    * broadcast query terms, two-level top-k); the dense leg is the IVF
+    * cell-pruned scan (partition-pruned at 100 TB) with the same
+    * two-level rank; both legs arrive as ≤ |queries|·depth-row frames,
+    * so the fused frame is ≤ |queries|·2·depth rows BY CONSTRUCTION at
+    * any corpus size. */
+  def hybridDenseRrf(spark: SparkSession, dir: String): DataFrame =
+    hybridDenseRrfOf(docs(spark, dir), Tables(spark, dir, "embeddings"))
+
+  private[operators] def hybridDenseRrfOf(docsDf: DataFrame,
+      emb: DataFrame): DataFrame = {
+    val (tf, dl) = bm25Index(docsDf)
+    val lex = bm25Rank(tf, dl, RrfDepth)
+      .select(col("qid"), col("doc_id"), col("rk"))
+    val dense = VectorQueries.denseRankedLeg(emb, Bm25NumQueries, RrfDepth)
+      .select(col("qid"), col("doc_id"), col("rk"))
+    rrfFuse(lex.unionByName(dense))
   }
 
   /** Top pair count for [[bpePairCounts]]. */
@@ -1375,6 +1417,7 @@ object LLMQueries {
     "q93_bm25_topk" -> (bm25Topk _),
     "q163_ql_topk" -> (qlTopk _),
     "q164_rrf_fusion" -> (rrfFusion _),
+    "q170_hybrid_dense_rrf" -> (hybridDenseRrf _),
     "q94_bpe_pairs" -> (bpePairCounts _),
     "q108_bpe_merge_loop" -> (bpeMergeLoop _),
     "q113_bpe_tokenize" -> (bpeTokenize _),
@@ -1624,7 +1667,34 @@ object LLMQueries {
        |  FROM fused)
        |WHERE rk <= $RrfTopK ORDER BY qid, rk""".stripMargin
 
+  /** q170's oracle: NESTS the proven fragments — the q93 BM25 block
+    * (retrievalCtes + bm25Block + brank) and the q69/q87 IVF dense leg
+    * (VectorQueries.denseLegOracleCtes → drank) — and fuses with the
+    * exact q164 integer RRF rule, so the hybrid cannot drift from its
+    * legs. */
+  private def hybridOracle: String =
+    s"""WITH $retrievalCtes,
+       |$bm25Block,
+       |brank AS (
+       |  SELECT qid, doc_id, row_number() OVER (PARTITION BY qid
+       |    ORDER BY score_micro DESC, doc_id) AS rk FROM perdoc),
+       |${VectorQueries.denseLegOracleCtes(Bm25NumQueries)},
+       |fused AS (
+       |  SELECT qid, doc_id,
+       |    CAST(sum(1000000 // ($RrfKConst + rk)) AS BIGINT) AS rrf_micro,
+       |    count(*) AS n_sys
+       |  FROM (SELECT qid, doc_id, rk FROM brank WHERE rk <= $RrfDepth
+       |        UNION ALL
+       |        SELECT qid, doc_id, rk FROM drank WHERE rk <= $RrfDepth)
+       |  GROUP BY 1, 2)
+       |SELECT qid, rk, doc_id, rrf_micro, n_sys FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY qid
+       |    ORDER BY rrf_micro DESC, doc_id) AS rk
+       |  FROM fused)
+       |WHERE rk <= $RrfTopK ORDER BY qid, rk""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q170_hybrid_dense_rrf" -> hybridOracle,
     "q60_exact_dedup" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY sha256(text) ORDER BY keep_id""".stripMargin,

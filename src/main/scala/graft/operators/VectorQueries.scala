@@ -376,6 +376,65 @@ object VectorQueries {
   def ivfMultiprobeTopkCosine(spark: SparkSession, dir: String): DataFrame =
     ivfTopkCosineOf(vecs(spark, dir), centroids(spark, dir), NumProbes)
 
+  /** Dense retrieval leg for the q170 hybrid fusion (LLMQueries): the
+    * q87 multi-probe IVF tier under the RETRIEVAL family's contract —
+    * queries are vec_id < nQueries, the corpus is vec_id ≥ nQueries
+    * (documents and embeddings share the id space, so this mirrors
+    * BM25's query/corpus split exactly) — ranked to depth k with the
+    * two-level [[rankTopKPerQuery]] shape. Returns (qid, doc_id, rk):
+    * rank-only, which is all RRF consumes — the reason hybrid search
+    * standardized on rank fusion is precisely that the dense leg's
+    * cosine and the lexical leg's BM25 micro-units never need a shared
+    * scale. */
+  private[operators] def denseRankedLeg(emb: DataFrame, nQueries: Int,
+      k: Int): DataFrame = {
+    val e = vecsOf(emb)
+    val cents = centroidsOf(emb)
+    val ranked = {
+      val scored = e
+        .crossJoin(broadcast(cents))
+        .withColumn("d2", round(l2Sq(col("v"), col("c")), 6))
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("d2"), col("clabel"))
+      scored.withColumn("rn", row_number().over(w))
+    }
+    val assigned = ranked.filter(col("rn") === 1 && col("vec_id") >= nQueries)
+      .select(col("vec_id"), col("v"), col("clabel").as("cell"))
+    val q = ranked
+      .filter(col("rn") <= NumProbes && col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("clabel").as("cell"))
+    val scored = assigned.join(broadcast(q), Seq("cell"))
+      .withColumn("cos", round(cosineSim(col("v"), col("qv")), 6))
+    rankTopKPerQuery(scored, k)
+      .select(col("qid"), col("vec_id").as("doc_id"),
+        col("rk").cast("long").as("rk"))
+  }
+
+  /** The [[denseRankedLeg]] as oracle CTEs for the q170 hybrid — the
+    * shared centroid/assignment CTEs (e, cent, assigned: the q68/q69
+    * fixed-point quantizer, one definition) plus the multi-probe query
+    * assignment and the ranked dense leg, ending in
+    * `drank(qid, doc_id, rk)`. Exported to LLMQueries so the hybrid
+    * oracle NESTS the proven IVF fragments (the q115 composition
+    * rule). */
+  private[operators] def denseLegOracleCtes(nQueries: Int): String =
+    s"$centroidCte," +
+      s"""dqm AS (SELECT qid, qv, cell FROM (
+         |    SELECT e.vec_id AS qid, e.v AS qv, cent.clabel AS cell,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${oracleL2Sq("e.v", "cent.c")}, cent.clabel) AS rn
+         |    FROM e, cent WHERE e.vec_id < $nQueries)
+         |  WHERE rn <= $NumProbes),
+         |dscored AS (
+         |  SELECT dqm.qid, a.vec_id AS doc_id,
+         |    round(list_cosine_similarity(a.v, dqm.qv), 6) AS cos
+         |  FROM assigned a JOIN dqm
+         |    ON a.pred_label = dqm.cell AND a.vec_id >= $nQueries),
+         |drank AS (
+         |  SELECT qid, doc_id, row_number() OVER (PARTITION BY qid
+         |    ORDER BY cos DESC, doc_id) AS rk FROM dscored)""".stripMargin
+
   private[operators] def ivfTopkCosineOf(
       e: DataFrame, cents: DataFrame, probes: Int = 1): DataFrame = {
     val ranked = {

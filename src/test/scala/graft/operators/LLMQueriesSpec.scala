@@ -488,6 +488,42 @@ class LLMQueriesSpec extends SparkSpec {
     assert(got.forall(r => r._5 == 1L || r._5 == 2L))
   }
 
+  test("hybrid RRF: the dense leg surfaces a synonym doc BM25 misses") {
+    // query doc 0 and corpus doc 7 are synonym pages sharing ZERO terms,
+    // so BM25 cannot score doc 7 at all (no posting matches a query
+    // term); their embeddings are near-identical and share a label (the
+    // IVF cell), so the dense leg ranks doc 7 first and RRF surfaces it.
+    // doc 8 is the lexical hit; doc 9 is noise on both sides.
+    val docsDf = Seq(
+      (0L, "automobile insurance quote request"),
+      (7L, "car coverage pricing enquiry"),
+      (8L, "automobile insurance quote request form online"),
+      (9L, "gardening tips for tomato seedlings")
+    ).toDF("doc_id", "text")
+    val emb = Seq(
+      (0L, Array(1.0f, 0.05f, 0.0f, 0.1f), 1),
+      (7L, Array(0.99f, 0.04f, 0.01f, 0.1f), 1),
+      (8L, Array(0.0f, 1.0f, 0.2f, 0.0f), 2),
+      (9L, Array(0.1f, 0.0f, 1.0f, 0.0f), 2)
+    ).toDF("vec_id", "embedding", "label")
+
+    // the lexical leg alone never sees doc 7
+    val (tf, dl) = LLMQueries.bm25Index(docsDf)
+    val lex = LLMQueries.bm25Rank(tf, dl, 10)
+      .select("qid", "doc_id").as[(Long, Long)].collect().toSet
+    assert(!lex.contains((0L, 7L)), s"BM25 unexpectedly scored doc 7: $lex")
+    assert(lex.contains((0L, 8L)))
+
+    // the fused hybrid surfaces it through the dense leg (n_sys = 1)
+    val fused = LLMQueries.hybridDenseRrfOf(docsDf, emb)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    val row7 = fused.find(r => r._1 == 0L && r._3 == 7L)
+    assert(row7.nonEmpty, s"dense leg failed to surface doc 7: $fused")
+    assert(row7.get._5 == 1L) // exactly one ranker (the dense leg)
+    // the lexical hit also survives fusion
+    assert(fused.exists(r => r._1 == 0L && r._3 == 8L))
+  }
+
   // --- edit-distance verification (q166) -------------------------------
 
   test("edit verification keeps copies and drops rotated text that " +

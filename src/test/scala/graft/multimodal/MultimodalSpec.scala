@@ -80,6 +80,92 @@ class MultimodalSpec extends SparkSpec {
     assert(sum.map(_.getLong(1)).sum == media.count())
   }
 
+  // ---- the real decoder boundary (VERDICT r9 "Next round" #3) --------
+
+  /** A w×h binary P6 PPM with the given RGB pixel function. */
+  private def ppm(w: Int, h: Int)(px: Int => (Int, Int, Int)): Array[Byte] = {
+    val header = s"P6\n# crafted\n$w $h\n255\n".getBytes("US-ASCII")
+    val raster = (0 until w * h).flatMap { p =>
+      val (r, g, b) = px(p); Seq(r.toByte, g.toByte, b.toByte)
+    }
+    header ++ raster
+  }
+
+  /** A canonical mono 16-bit PCM RIFF/WAVE file around the samples. */
+  private def wav(samples: Seq[Int]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte,
+      (v >> 16).toByte, (v >> 24).toByte)
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    "RIFF".getBytes ++ le32(36 + dataLen) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(1) ++
+      le32(8000) ++ le32(16000) ++ le16(2) ++ le16(16) ++
+      "data".getBytes ++ le32(dataLen) ++
+      samples.toArray.flatMap(le16)
+  }
+
+  test("PPM decoder round-trips a crafted asset to exact luminance") {
+    // 2×2: pure red, pure green, pure blue, white — integer Rec.601
+    val img = ppm(2, 2) {
+      case 0 => (255, 0, 0)
+      case 1 => (0, 255, 0)
+      case 2 => (0, 0, 255)
+      case _ => (255, 255, 255)
+    }
+    val lum = Multimodal.PpmDecoder.decode(img).map(_ & 0xff)
+    assert(lum.toSeq == Seq(
+      299 * 255 / 1000, 587 * 255 / 1000, 114 * 255 / 1000, 255))
+    // malformed payloads degrade to the empty signal, never throw
+    assert(Multimodal.PpmDecoder.decode("not a ppm".getBytes).isEmpty)
+    assert(Multimodal.PpmDecoder.decode(img.take(10)).isEmpty)
+    assert(Multimodal.FakeCodec.dHash(Array.empty[Byte]) == 0L)
+  }
+
+  test("WAV PCM decoder round-trips a crafted asset to exact samples") {
+    val s = Seq(0, 256, -256, 32767, -32768)
+    val bytes = Multimodal.WavPcmDecoder.decode(wav(s)).map(_ & 0xff)
+    // (sample >> 8) + 128: arithmetic shift, so -256 >> 8 = -1
+    assert(bytes.toSeq == Seq(128, 129, 127, 255, 0))
+    assert(Multimodal.WavPcmDecoder.decode("RIFFjunk".getBytes).isEmpty)
+    // a compressed (non-PCM) format tag is rejected, not misread
+    val bad = wav(s); bad(20) = 2 // fmt tag: 2 = ADPCM
+    assert(Multimodal.WavPcmDecoder.decode(bad).isEmpty)
+  }
+
+  test("both decoders drive the SAME hash pipeline; near-identical " +
+      "real images stay Hamming-close") {
+    // two 64×1 zigzag PPMs differing in one pixel's brightness: the
+    // decoded luminance differs in one of dHash's 64 windows, so the
+    // hashes differ in at most 2 adjacent comparison bits (a MONOTONE
+    // ramp would hash to 0 — every adjacent comparison false)
+    def grad(bump: Int) = ppm(64, 1) { p =>
+      val v = (p * 37) % 200 + (if (p == 10) bump else 0)
+      (v, v, v)
+    }
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "image", grad(0), 64, 1, "ppm"),
+      Multimodal.MediaRow(2L, "image", grad(40), 64, 1, "ppm"))
+      .toDS()
+    val real = Multimodal.perceptualHashes(rows, Multimodal.PpmDecoder)
+      .collect().map(h => h.doc_id -> h.phash).toMap
+    assert(real(1L) != 0L) // the real parse produced a genuine signal
+    assert(java.lang.Long.bitCount(real(1L) ^ real(2L)) <= 2)
+    // the same pipeline under the fake decoder: also fine, different
+    // signal (the PPM header bytes shift every window)
+    val fake = Multimodal.perceptualHashes(rows)
+      .collect().map(h => h.doc_id -> h.phash).toMap
+    assert(fake.size == 2)
+    // audio: the crafted WAV through the real PCM decoder yields
+    // fingerprints via the SAME band-energy machinery as the fake
+    val tone = wav((0 until 256).map(i => (i % 64) * 512 - 16384))
+    val aRows = Seq(Multimodal.MediaRow(3L, "audio", tone,
+      0, 0, "wav")).toDS()
+    val fps = Multimodal.audioFps(aRows, Multimodal.WavPcmDecoder).collect()
+    assert(fps.nonEmpty && fps.forall(_.doc_id == 3L))
+    // 256 samples → (256-64)/32+1 = 7 windows
+    assert(fps.length == 7)
+  }
+
   test("dHash: deterministic, first-byte bump flips at most bit 0") {
     val p = "some fake image payload bytes for hashing".getBytes("UTF-8")
     assert(Multimodal.FakeCodec.dHash(p) == Multimodal.FakeCodec.dHash(p.clone()))

@@ -132,7 +132,7 @@ object CurationQueries {
 
   /** Batch residue on the train side for the q150 daily flow (coprime
     * with the eval residue so the batch is a proper train slice). */
-  private[operators] val DeconBatchMod = 7
+  private[graft] val DeconBatchMod = 7
 
   /** L53/q150: incremental DECONTAMINATION — q74 as a daily-ingest
     * flow: only today's arriving train docs screen against the
@@ -536,17 +536,28 @@ object CurationQueries {
     * OracleParity argument as the money aggregates. The md5 runs once
     * per token via the lambda-bind idiom.
     */
-  /** Shared q84/q122 scoring projection — ONE definition so the
-    * classifier and its per-source calibration can never score
-    * differently: doc_id, lang, source, n_tokens, score, mean_weight.
+  /** Shared q84/q122/q171 scoring projection — ONE definition per SALT
+    * so a classifier and its consumers can never score differently:
+    * doc_id, lang, source, n_tokens, score, mean_weight.
     * 12-bit hash weight in [-2048, 2047]: value of the first 3 hex
-    * digits of md5('graft-w:' <token>), shifted. instr-on-hex-digit is
+    * digits of md5(<salt> <token>), shifted. instr-on-hex-digit is
     * the portable hex→int (Spark conv() has no DuckDB twin). */
-  private[graft] def qualityScoredDocs(docsDf: DataFrame): DataFrame = {
+  private[graft] def qualityScoredDocs(docsDf: DataFrame): DataFrame =
+    hashScoredDocs(docsDf, QualitySalt)
+
+  /** Weight-table salts: each model FAMILY is the same hashed linear
+    * scorer under a different salt — in production, a different trained
+    * weight table shipped per model (quality, toxicity, ...); here the
+    * salt is what makes the two models' weights independent. */
+  private[operators] val QualitySalt = "graft-w:"
+  private[operators] val ToxSalt = "graft-tox:"
+
+  private[graft] def hashScoredDocs(docsDf: DataFrame,
+      salt: String): DataFrame = {
     def hexAt(i: Int) =
       s"(instr('0123456789abcdef', substring(h, $i, 1)) - 1)"
     val weightOf =
-      s"transform(w, t -> transform(array(md5(concat('graft-w:', t)))," +
+      s"transform(w, t -> transform(array(md5(concat('$salt', t)))," +
         s" h -> ${hexAt(1)} * 256 + ${hexAt(2)} * 16 + ${hexAt(3)}" +
         s" - 2048)[0])"
     val scored = expr(
@@ -567,16 +578,57 @@ object CurationQueries {
           (col("s.n_tokens") * 2048.0), 6).as("mean_weight"))
   }
 
+  /** q84's operating point: the corpus MEDIAN of the hashed weight
+    * table's mean_weight (≈ −0.15 at every test SF). A raw weight
+    * table has no reason to center on zero — the round-9 constant
+    * `>= 0` silently kept only ~2% of docs, which degenerated every
+    * downstream funnel/ingest demo to a near-empty kept set. A trained
+    * classifier's threshold is likewise CALIBRATED on held-out data,
+    * never assumed; "keep the top half" is the documented contract. */
+  val QualityThreshold = -0.15
+
   def qualityClassifierDocs(docsDf: DataFrame): DataFrame =
     qualityScoredDocs(docsDf)
       .select(col("doc_id"), col("lang"), col("n_tokens"), col("score"),
         col("mean_weight"))
       .withColumn("decision",
-        when(col("mean_weight") >= 0, "keep").otherwise("drop"))
+        when(col("mean_weight") >= QualityThreshold, "keep")
+          .otherwise("drop"))
       .orderBy(col("doc_id"))
 
   def qualityClassifier(spark: SparkSession, dir: String): DataFrame =
     qualityClassifierDocs(docs(spark, dir))
+
+  /** Toxicity decision threshold on the mean hashed weight: unlike
+    * quality (which drops the BOTTOM half at its calibrated median),
+    * a safety filter flags the HIGH tail — 0.28 sits between the
+    * corpus p85 and p95 under the [[ToxSalt]] weights at both test
+    * SFs, the ~10% drop rate a production toxicity stage runs at. */
+  val ToxicityThreshold = 0.28
+
+  /** L73/q171: TOXICITY classifier — the second model family of the
+    * funnel (VERDICT r9 "Next round" #9): the exact q84 hashed-linear
+    * scorer shape under an independent weight table ([[ToxSalt]] — in
+    * production, a trained safety model's weights), thresholded on the
+    * HIGH tail: a doc whose mean weight clears [[ToxicityThreshold]] is
+    * `toxic`, everything else `clean`. Same scale shape as q84: one
+    * shuffle-free projection, exact integer token-weight sum, the mean
+    * the only double (6-dp rounded).
+    *
+    * Wired as the SIXTH funnel stage (q115/q157) and the last
+    * DailyIngest gate, so the safety drop is accounted per first
+    * failing gate like every other stage. */
+  def toxicityClassifierDocs(docsDf: DataFrame): DataFrame =
+    hashScoredDocs(docsDf, ToxSalt)
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("score"),
+        col("mean_weight"))
+      .withColumn("decision",
+        when(col("mean_weight") >= ToxicityThreshold, "toxic")
+          .otherwise("clean"))
+      .orderBy(col("doc_id"))
+
+  def toxicityClassifier(spark: SparkSession, dir: String): DataFrame =
+    toxicityClassifierDocs(docs(spark, dir))
 
   /** Per-source calibration percentile for q122: the bottom
     * [[CalibPct]] of each source's docs fall below its cutoff. */
@@ -1269,22 +1321,26 @@ object CurationQueries {
     val contaminated = flag(decontaminate(spark, dir), "f_cont")
     val qualKeep = flag(qualityClassifier(spark, dir)
       .filter(col("decision") === "keep"), "f_qual")
+    val toxClean = flag(toxicityClassifier(spark, dir)
+      .filter(col("decision") === "clean"), "f_tox")
     d.join(winner, Seq("doc_id"), "left")
       .join(repOk, Seq("doc_id"), "left")
       .join(unfluent, Seq("doc_id"), "left")
       .join(contaminated, Seq("doc_id"), "left")
       .join(qualKeep, Seq("doc_id"), "left")
+      .join(toxClean, Seq("doc_id"), "left")
       .select(col("doc_id"), col("source"),
         when(col("f_win").isNull, 2)
           .when(col("f_rep").isNull, 3)
           .when(col("f_unfl").isNotNull, 4)
           .when(col("f_cont").isNotNull, 5)
           .when(col("f_qual").isNull, 6)
-          .otherwise(7).as("o"))
+          .when(col("f_tox").isNull, 7)
+          .otherwise(8).as("o"))
       .withColumn("disposition", expr(
         "element_at(array('dropped_exact_dup', 'dropped_repetition'," +
           " 'dropped_fluency', 'dropped_contaminated'," +
-          " 'dropped_quality', 'kept'), o - 1)"))
+          " 'dropped_quality', 'dropped_toxicity', 'kept'), o - 1)"))
   }
 
   def funnelDisposition(spark: SparkSession, dir: String): DataFrame =
@@ -1323,11 +1379,13 @@ object CurationQueries {
         count(when(col("o") > 3, 1)).as("n3"),
         count(when(col("o") > 4, 1)).as("n4"),
         count(when(col("o") > 5, 1)).as("n5"),
-        count(when(col("o") > 6, 1)).as("n6"))
+        count(when(col("o") > 6, 1)).as("n6"),
+        count(when(col("o") > 7, 1)).as("n7"))
       .select(expr(
-        "stack(6, 1L, 'all', n1, 2L, 'exact_dedup', n2," +
+        "stack(7, 1L, 'all', n1, 2L, 'exact_dedup', n2," +
           " 3L, 'repetition_filter', n3, 4L, 'fluency_filter', n4," +
-          " 5L, 'decontaminate', n5, 6L, 'quality_classifier', n6)" +
+          " 5L, 'decontaminate', n5, 6L, 'quality_classifier', n6," +
+          " 7L, 'toxicity_filter', n7)" +
           " as (stage, stage_name, n_docs)"))
       .orderBy(col("stage"))
 
@@ -2440,6 +2498,7 @@ object CurationQueries {
     "q119_substring_dup_remove" -> (substringDupRemove _),
     "q120_boilerplate_remove" -> (boilerplateRemove _),
     "q122_quality_calibration" -> (qualityCalibration _),
+    "q171_toxicity_classifier" -> (toxicityClassifier _),
     "q129_cluster_split" -> (clusterSplit _),
     "q131_shard_manifest" -> (shardManifest _),
     "q132_snapshot_diff" -> (snapshotDiff _),
@@ -2950,8 +3009,33 @@ object CurationQueries {
          |      AS mean_weight
          |  FROM s)
          |SELECT doc_id, lang, n_tokens, score, mean_weight,
-         |  CASE WHEN mean_weight >= 0 THEN 'keep' ELSE 'drop' END
-         |    AS decision
+         |  CASE WHEN mean_weight >= $QualityThreshold THEN 'keep'
+         |       ELSE 'drop' END AS decision
+         |FROM r ORDER BY doc_id""".stripMargin
+    },
+    // q171: the q84 scoring CTEs under the independent toxicity salt,
+    // thresholded on the HIGH tail (safety flags outliers, quality
+    // drops the bottom half)
+    "q171_toxicity_classifier" -> {
+      def hexAt(i: Int) =
+        s"(instr('0123456789abcdef', substring(md5('$ToxSalt' || t), $i, 1)) - 1)"
+      s"""WITH w AS (
+         |  SELECT doc_id, lang, string_split_regex(text, '\\s+') AS w
+         |  FROM documents),
+         |s AS (
+         |  SELECT doc_id, lang, len(w) AS n_tokens,
+         |    CAST(list_sum(list_transform(w, t ->
+         |      ${hexAt(1)} * 256 + ${hexAt(2)} * 16 + ${hexAt(3)} - 2048))
+         |      AS BIGINT) AS score
+         |  FROM w),
+         |r AS (
+         |  SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens, score,
+         |    round(CAST(score AS DOUBLE) / (n_tokens * 2048.0), 6)
+         |      AS mean_weight
+         |  FROM s)
+         |SELECT doc_id, lang, n_tokens, score, mean_weight,
+         |  CASE WHEN mean_weight >= $ToxicityThreshold THEN 'toxic'
+         |       ELSE 'clean' END AS decision
          |FROM r ORDER BY doc_id""".stripMargin
     },
     // q122: the q84 scoring CTEs with source riding along; the cutoff
@@ -3468,7 +3552,11 @@ object CurationQueries {
          |s6 AS (SELECT doc_id FROM s5 WHERE doc_id IN (
          |  SELECT doc_id FROM (
          |${oracleMain("q84_quality_classifier")})
-         |  WHERE decision = 'keep'))
+         |  WHERE decision = 'keep')),
+         |s7 AS (SELECT doc_id FROM s6 WHERE doc_id IN (
+         |  SELECT doc_id FROM (
+         |${oracleMain("q171_toxicity_classifier")})
+         |  WHERE decision = 'clean'))
          |SELECT stage, stage_name, n_docs FROM (
          |  SELECT CAST(1 AS BIGINT) AS stage, 'all' AS stage_name,
          |    (SELECT count(*) FROM documents) AS n_docs
@@ -3478,6 +3566,8 @@ object CurationQueries {
          |  UNION ALL SELECT 5, 'decontaminate', (SELECT count(*) FROM s5)
          |  UNION ALL SELECT 6, 'quality_classifier',
          |    (SELECT count(*) FROM s6)
+         |  UNION ALL SELECT 7, 'toxicity_filter',
+         |    (SELECT count(*) FROM s7)
          |) ORDER BY stage""".stripMargin
   } + {
     // q157 NESTS the five stage oracles (the q115 rule): disposition =
@@ -3495,7 +3585,10 @@ object CurationQueries {
          |${oracleMain("q74_decontaminate")})),
          |qk AS (SELECT doc_id FROM (
          |${oracleMain("q84_quality_classifier")})
-         |  WHERE decision = 'keep')
+         |  WHERE decision = 'keep'),
+         |toxc AS (SELECT doc_id FROM (
+         |${oracleMain("q171_toxicity_classifier")})
+         |  WHERE decision = 'clean')
          |SELECT d.doc_id, d.source,
          |  CASE
          |    WHEN d.doc_id NOT IN (SELECT doc_id FROM s2)
@@ -3508,6 +3601,8 @@ object CurationQueries {
          |      THEN 'dropped_contaminated'
          |    WHEN d.doc_id NOT IN (SELECT doc_id FROM qk)
          |      THEN 'dropped_quality'
+         |    WHEN d.doc_id NOT IN (SELECT doc_id FROM toxc)
+         |      THEN 'dropped_toxicity'
          |    ELSE 'kept' END AS disposition
          |FROM documents d ORDER BY d.doc_id""".stripMargin
   } + {
@@ -3549,7 +3644,10 @@ object CurationQueries {
          |    AND grams.doc_id % $DeconBatchMod = 0),
          |qk AS (SELECT doc_id FROM (
          |${oracleMain("q84_quality_classifier")})
-         |  WHERE decision = 'keep')
+         |  WHERE decision = 'keep'),
+         |toxc AS (SELECT doc_id FROM (
+         |${oracleMain("q171_toxicity_classifier")})
+         |  WHERE decision = 'clean')
          |SELECT d.doc_id,
          |  CASE
          |    WHEN d.doc_id NOT IN (SELECT doc_id FROM exact_keep)
@@ -3562,6 +3660,8 @@ object CurationQueries {
          |      THEN 'dropped_contaminated'
          |    WHEN d.doc_id NOT IN (SELECT doc_id FROM qk)
          |      THEN 'dropped_quality'
+         |    WHEN d.doc_id NOT IN (SELECT doc_id FROM toxc)
+         |      THEN 'dropped_toxicity'
          |    ELSE 'kept' END AS disposition
          |FROM documents d
          |WHERE d.doc_id % 10 <> 0 AND d.doc_id % $DeconBatchMod = 0

@@ -28,9 +28,11 @@ import sinks.Sinks
   *
   * Gate order mirrors q115's funnel: exact dedup → normalized dedup →
   * near-dup (keep-min election: a batch doc loses only to a SMALLER
-  * id, the q88 rule) → decontamination → quality classifier. Drops are
-  * counted per FIRST failing gate (the q157 disposition convention),
-  * so the summary's stage counts reconcile exactly.
+  * id, the q88 rule) → decontamination → quality classifier →
+  * toxicity classifier (the second model family — q171's safety gate,
+  * round 10). Drops are counted per FIRST failing gate (the q157
+  * disposition convention), so the summary's stage counts reconcile
+  * exactly.
   *
   * Artifacts under `outDir`:
   *   - `kept_docs.parquet` — surviving batch docs (full rows)
@@ -119,18 +121,23 @@ object DailyIngest {
     val qualityKeep = CurationQueries.qualityClassifierDocs(batch)
       .filter(col("decision") === "keep")
       .select(col("doc_id"), lit(true).as("f_qual"))
+    val toxClean = CurationQueries.toxicityClassifierDocs(batch)
+      .filter(col("decision") === "clean")
+      .select(col("doc_id"), lit(true).as("f_tox"))
     batch.select(col("doc_id"))
       .join(exactKeep, Seq("doc_id"), "left")
       .join(normKeep, Seq("doc_id"), "left")
       .join(nearLoser, Seq("doc_id"), "left")
       .join(contaminated, Seq("doc_id"), "left")
       .join(qualityKeep, Seq("doc_id"), "left")
+      .join(toxClean, Seq("doc_id"), "left")
       .select(col("doc_id"),
         when(col("f_exact").isNull, "dropped_exact_dup")
           .when(col("f_norm").isNull, "dropped_normalized_dup")
           .when(col("f_near").isNotNull, "dropped_near_dup")
           .when(col("f_cont").isNotNull, "dropped_contaminated")
           .when(col("f_qual").isNull, "dropped_quality")
+          .when(col("f_tox").isNull, "dropped_toxicity")
           .otherwise("kept").as("disposition"))
   }
 

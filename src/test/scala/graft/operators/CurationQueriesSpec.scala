@@ -353,7 +353,8 @@ class CurationQueriesSpec extends SparkSpec {
       BigDecimal(s1 / (3 * 2048.0)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
         .toDouble)
     assert(out(1)._4 == weight("gamma"))
-    val flag = if (out(1)._5 >= 0) "keep" else "drop"
+    val flag = if (out(1)._5 >= CurationQueries.QualityThreshold) "keep"
+               else "drop"
     assert(out(1)._6 == flag)
   }
 
@@ -1018,7 +1019,7 @@ class CurationQueriesSpec extends SparkSpec {
     // explain and the chart are two renderings of one pass
     val order = Seq("dropped_exact_dup", "dropped_repetition",
       "dropped_fluency", "dropped_contaminated", "dropped_quality",
-      "kept")
+      "dropped_toxicity", "kept")
     val byDisp = disp.groupBy(_._2).view.mapValues(_.size.toLong).toMap
     assert(byDisp.keySet.subsetOf(order.toSet))
     def survivors(afterStage: Int): Long =
@@ -1029,6 +1030,15 @@ class CurationQueriesSpec extends SparkSpec {
     assert(survivors(3) == funnel("fluency_filter"))
     assert(survivors(4) == funnel("decontaminate"))
     assert(survivors(5) == funnel("quality_classifier"))
+    assert(survivors(6) == funnel("toxicity_filter"))
+    // the toxicity stage is the q171 classifier restricted to stage-6
+    // survivors: every toxicity-dropped doc is flagged toxic by q171
+    val toxic = CurationQueries.toxicityClassifier(spark, sfDir)
+      .filter($"decision" === "toxic")
+      .select($"doc_id").as[Long].collect().toSet
+    val droppedTox = disp.collect {
+      case (id, "dropped_toxicity") => id }.toSet
+    assert(droppedTox.subsetOf(toxic))
   }
 
   test("pps sample: K rows, HT estimator shape, partition-invariant") {

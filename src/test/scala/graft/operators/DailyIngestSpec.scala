@@ -53,6 +53,16 @@ class DailyIngestSpec extends SparkSpec {
     assert(disp.filter(_._2 == "dropped_exact_dup").map(_._1).toSet ==
       batchIds -- exactKeepIds)
 
+    // last-gate parity (round 10): every toxicity drop is flagged toxic
+    // by the q171 classifier, and every kept doc is clean under it —
+    // the safety gate is the SAME operator, first-failure-attributed
+    val toxicIds = CurationQueries.toxicityClassifierDocs(batch)
+      .filter($"decision" === "toxic")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(disp.filter(_._2 == "dropped_toxicity").map(_._1).toSet
+      .subsetOf(toxicIds))
+    assert(keptIds.intersect(toxicIds).isEmpty)
+
     // reports + bookkeeping landed
     for (a <- Seq("novelty_report.parquet", "substring_report.parquet"))
       assert(spark.read.parquet(s"$outDir/$a").count() > 0, a)
@@ -139,6 +149,61 @@ class DailyIngestSpec extends SparkSpec {
     val dOut1c = tmp("delta_out1c")
     DailyIngest.runDelta(spark, folded, sfDir, dOut1c, day = 1)
     assert(artifacts(dOut1c) == artifacts(dOut1))
+  }
+
+  test("seven-generation delta chain with mid-chain vacuum == rebuild") {
+    // the full generation-GC lifecycle (GenSoak measures it at N×):
+    // a COLD START over every DeconBatchMod residue — gen-0 seeds an
+    // EMPTY corpus, days 0..6 each ingest one residue, a foldDelta
+    // vacuum lands after day 3 (gens 0..4 — day 4 is "in flight"),
+    // and days 4..6 resume off the folded root
+    val root = tmp("gen7_root")
+    val allDays = (0 until CurationQueries.DeconBatchMod).toSet
+    assert(allDays.size == 7)
+    DailyIngest.writeIndexesDelta(spark, sfDir, root, pendingDays = allDays)
+    val outs = (0 to 6).map(d => d -> tmp(s"gen7_out$d")).toMap
+    for (d <- 0 to 3)
+      DailyIngest.runDelta(spark, root, sfDir, outs(d), day = d)
+    val folded = tmp("gen7_folded")
+    DailyIngest.foldDelta(spark, root, folded, throughGen = 4)
+    for (d <- 4 to 6)
+      DailyIngest.runDelta(spark, folded, sfDir, outs(d), day = d)
+
+    // day 6 through seed→4 gens→vacuum→2 more gens == day 6 off a
+    // from-scratch snapshot whose corpus already holds days 0..5
+    val sIdx = tmp("gen7_sidx")
+    val sOut = tmp("gen7_sout")
+    DailyIngest.writeIndexes(spark, sfDir, sIdx, pendingDays = Set(6))
+    DailyIngest.run(spark, sIdx, sfDir, sOut, day = 6)
+    for (a <- Seq("disposition.parquet", "novelty_report.parquet",
+        "substring_report.parquet")) {
+      val chained = spark.read.parquet(s"${outs(6)}/$a")
+        .collect().map(_.toString).sorted.toSeq
+      val rebuilt = spark.read.parquet(s"$sOut/$a")
+        .collect().map(_.toString).sorted.toSeq
+      assert(chained.nonEmpty, s"$a is empty")
+      assert(chained == rebuilt, s"$a diverges at generation 7")
+    }
+    // something survives the whole 7-day chain (gate liveness)
+    val kept6 = spark.read.parquet(s"${outs(6)}/disposition.parquet")
+      .filter($"disposition" === "kept").count()
+    assert(kept6 > 0)
+
+    // the FINAL vacuum == a cold re-seed over the fully-ingested train
+    // side: every family folds to the single-generation content a
+    // from-scratch index build would produce
+    val finalFold = tmp("gen7_final")
+    DailyIngest.foldDelta(spark, folded, finalFold)
+    val train = graft.Tables(spark, sfDir, "documents")
+      .filter($"doc_id" % 10 =!= 0)
+    def sortedRows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    assert(sortedRows(spark.read
+        .parquet(s"$finalFold/text_hash.parquet").drop("gen")) ==
+      sortedRows(LLMQueries.hashIndex(train)))
+    assert(sortedRows(spark.read
+        .parquet(s"$finalFold/substr_windows.parquet").drop("gen")) ==
+      sortedRows(CurationQueries.substrWindowIndex(train)))
   }
 
   test("two-day chain: day 2 off day 1's index_next == a rebuilt snapshot") {

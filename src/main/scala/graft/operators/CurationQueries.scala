@@ -167,6 +167,84 @@ object CurationQueries {
         col("doc_id") % DeconBatchMod === 0))
   }
 
+  /** L74/q172: FUZZY decontamination — the near-dup verdict aimed
+    * across the train/eval boundary. Exact-gram screening (q74) fires
+    * on ANY single shared 5-gram, which is the recall-side instrument:
+    * one quoted idiom flags a clean doc. This is the precision-side
+    * one: a train doc is contaminated iff it would be elected into a
+    * benchmark item's DUP CLUSTER — MinHash-banded candidates against
+    * the eval suite, verified by exact shingle Jaccard ≥ the same
+    * [[ClusterThreshold]] the dedup election uses (one threshold, one
+    * meaning: "these are the same document"). The fuzzy/exact split is
+    * how production decontamination actually runs (exact n-gram first,
+    * similarity screen behind it); both rungs sit on the SAME persisted
+    * signature machinery.
+    *
+    * Per contaminated train doc: how many eval items it collides with,
+    * the smallest such eval id, and the strongest verified similarity.
+    *
+    * Scale shape: the probe side is the BOUNDED benchmark (the q74
+    * broadcast argument, banded): eval bands probe the corpus band
+    * index through [[LLMQueries.incrementalNearDupsFrom]], so corpus-
+    * only buckets never enumerate, candidates require an eval endpoint,
+    * and verification touches only candidate-endpoint shingle sets. At
+    * 100 TB the corpus side is the ALREADY-PERSISTED text_bands/
+    * text_sets families — fuzzy decon adds zero corpus-side artifacts. */
+  def fuzzyDecontaminateDocs(docsDf: DataFrame): DataFrame = {
+    val evalD = docsDf.filter(col("doc_id") % 10 === 0)
+    val train = docsDf.filter(col("doc_id") % 10 =!= 0)
+    val (tBands, tSets) = LLMQueries.signatureTables(train)
+    val (eBandsRaw, eSets) = LLMQueries.signatureTables(evalD)
+    fuzzyDeconRollup(LLMQueries.incrementalNearDupsFrom(tBands, tSets,
+      eBandsRaw.localCheckpoint(eager = false), eSets))
+  }
+
+  def fuzzyDecontaminate(spark: SparkSession, dir: String): DataFrame =
+    fuzzyDecontaminateDocs(docs(spark, dir))
+
+  /** The train-side rollup of verified cross-boundary pairs — shared by
+    * the full pass and the daily leg so the two cannot drift. Same-side
+    * pairs (train×train from the full pass's union leg, batch×batch
+    * from the daily probe) are dedup's business, not decon's. */
+  private def fuzzyDeconRollup(pairs: DataFrame): DataFrame =
+    pairs
+      .filter((col("doc_a") % 10 === 0) =!= (col("doc_b") % 10 === 0))
+      .filter(col("jaccard") >= ClusterThreshold)
+      .select(
+        when(col("doc_a") % 10 =!= 0, col("doc_a")).otherwise(col("doc_b"))
+          .as("doc_id"),
+        when(col("doc_a") % 10 === 0, col("doc_a")).otherwise(col("doc_b"))
+          .as("eval_id"),
+        col("jaccard"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_eval_matches"),
+        min(col("eval_id")).as("top_eval_id"),
+        max(col("jaccard")).as("max_jaccard"))
+      .orderBy(col("doc_id"))
+
+  /** L74b/q173: the DAILY leg of fuzzy decontamination — today's batch
+    * probes the persisted EVAL signature tables (benchmark-sized,
+    * frozen per benchmark release: `eval_grams`' lifecycle, banded).
+    * Candidates require a batch endpoint, eval-only buckets never
+    * enumerate, and per-doc independence makes the restriction provably
+    * equal the full q172 pass on the batch (the q150 argument). */
+  def incrementalFuzzyDecontaminate(evalBands: DataFrame,
+      evalSets: DataFrame, newDocs: DataFrame): DataFrame =
+    fuzzyDeconRollup(
+      LLMQueries.incrementalNearDups(evalBands, evalSets, newDocs))
+
+  /** q173 as an oracle query: eval signature tables built in-query (as
+    * the oracle must), today's train batch screened against them. */
+  def incrementalFuzzyDecontaminateDaily(spark: SparkSession,
+      dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val (eBands, eSets) =
+      LLMQueries.signatureTables(d.filter(col("doc_id") % 10 === 0))
+    incrementalFuzzyDecontaminate(eBands, eSets,
+      d.filter(col("doc_id") % 10 =!= 0 &&
+        col("doc_id") % DeconBatchMod === 0))
+  }
+
   /** L8b/q137: CONTAMINATION REPORT — the audit mirror of q74. q74
     * answers "which train docs must be dropped"; this answers the
     * question an eval owner asks: per EVAL document, how many train
@@ -2515,6 +2593,9 @@ object CurationQueries {
     "q147_source_overlap" -> (sourceOverlap _),
     "q148_cluster_caps" -> (clusterCaps _),
     "q150_incremental_decontaminate" -> (incrementalDecontaminateDaily _),
+    "q172_fuzzy_decontaminate" -> (fuzzyDecontaminate _),
+    "q173_incremental_fuzzy_decontaminate" ->
+      (incrementalFuzzyDecontaminateDaily _),
     "q151_release_funnel" -> (releaseFunnel _),
     "q153_packing_efficiency" -> (packingEfficiency _),
     "q154_snapshot_dedup_trend" -> (snapshotDedupTrend _),
@@ -2654,6 +2735,44 @@ object CurationQueries {
          |WHERE doc_id % 10 <> 0 AND doc_id % $DeconBatchMod = 0
          |GROUP BY doc_id, n_grams
          |ORDER BY doc_id""".stripMargin),
+    // q172: the near-dup verdict across the train/eval boundary — the
+    // shared pairs_all CTEs over ALL docs, cross pairs verified at the
+    // same ClusterThreshold, rolled up per train endpoint
+    "q172_fuzzy_decontaminate" ->
+      (s"WITH ${LLMQueries.minhashPairsCtesOf("")}," +
+      s"""cross_pairs AS (
+         |  SELECT CASE WHEN doc_a % 10 <> 0 THEN doc_a ELSE doc_b END
+         |      AS tid,
+         |    CASE WHEN doc_a % 10 = 0 THEN doc_a ELSE doc_b END
+         |      AS eval_id,
+         |    jaccard
+         |  FROM pairs_all
+         |  WHERE ((doc_a % 10 = 0) <> (doc_b % 10 = 0))
+         |    AND jaccard >= $ClusterThreshold)
+         |SELECT tid AS doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_eval_matches,
+         |  CAST(min(eval_id) AS BIGINT) AS top_eval_id,
+         |  max(jaccard) AS max_jaccard
+         |FROM cross_pairs GROUP BY tid ORDER BY doc_id""".stripMargin),
+    // q173: the q172 rule on the (eval ∪ batch) universe — per-pair
+    // functions make the restriction equal the full pass on the batch
+    "q173_incremental_fuzzy_decontaminate" ->
+      (s"WITH ${LLMQueries.minhashPairsCtesOf(
+          s"WHERE doc_id % 10 = 0 OR doc_id % $DeconBatchMod = 0")}," +
+      s"""cross_pairs AS (
+         |  SELECT CASE WHEN doc_a % 10 <> 0 THEN doc_a ELSE doc_b END
+         |      AS tid,
+         |    CASE WHEN doc_a % 10 = 0 THEN doc_a ELSE doc_b END
+         |      AS eval_id,
+         |    jaccard
+         |  FROM pairs_all
+         |  WHERE ((doc_a % 10 = 0) <> (doc_b % 10 = 0))
+         |    AND jaccard >= $ClusterThreshold)
+         |SELECT tid AS doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_eval_matches,
+         |  CAST(min(eval_id) AS BIGINT) AS top_eval_id,
+         |  max(jaccard) AS max_jaccard
+         |FROM cross_pairs GROUP BY tid ORDER BY doc_id""".stripMargin),
     // q153: q76's exact shard/chunk constants — the report covers the
     // REAL packing layout; ceil in exact integers ((n + k-1) // k)
     "q153_packing_efficiency" ->

@@ -393,6 +393,30 @@ object IndexStore {
         .filter(col("doc_id") % 10 =!= 0 &&
           col("doc_id") % CurationQueries.DeconBatchMod === 0))
 
+  /** The frozen eval SIGNATURE tables (q172/q173): MinHash band keys
+    * and shingle sets of the benchmark items — `eval_grams`' lifecycle
+    * (rebuilt per benchmark release, read by every ingest), but for
+    * the fuzzy rung: the banded analogue of the gram broadcast. */
+  def writeEvalSignatures(spark: SparkSession, dataDir: String,
+      dir: String): Unit = {
+    val (bands, sets) = LLMQueries.signatureTables(
+      Tables(spark, dataDir, "documents")
+        .filter(col("doc_id") % 10 === 0))
+    write(bands, dir, "eval_bands")
+    write(sets, dir, "eval_sets")
+  }
+
+  /** q173 twin: [[CurationQueries.incrementalFuzzyDecontaminate]] off
+    * the frozen disk eval signatures. */
+  def dailyFuzzyDecontaminate(spark: SparkSession, indexDir: String,
+      dataDir: String): DataFrame =
+    CurationQueries.incrementalFuzzyDecontaminate(
+      read(spark, indexDir, "eval_bands"),
+      read(spark, indexDir, "eval_sets"),
+      Tables(spark, dataDir, "documents")
+        .filter(col("doc_id") % 10 =!= 0 &&
+          col("doc_id") % CurationQueries.DeconBatchMod === 0))
+
   // ---- bucketed index layout (the 100 TB refinement) -------------------
   //
   // The compaction table (PLANS.md) shows the distinct-set families'
@@ -664,6 +688,8 @@ object IndexStore {
       writePpsPriorities _, dailyPpsSample _),
     ("eval_grams", "q150_incremental_decontaminate",
       writeEvalGrams _, dailyDecontaminate _),
+    ("eval_signatures", "q173_incremental_fuzzy_decontaminate",
+      writeEvalSignatures _, dailyFuzzyDecontaminate _),
     ("substr_windows", "q156_incremental_substring_report",
       writeSubstrWindows _, dailySubstr _))
 }

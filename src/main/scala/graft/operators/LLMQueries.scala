@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
@@ -55,6 +55,21 @@ object LLMQueries {
   private def shingledDocs(spark: SparkSession, dir: String): DataFrame =
     shingledOf(Tables(spark, dir, "documents"))
 
+  /** The per-row shingle expression — ONE definition shared by the
+    * batch projection and the streaming fuzzy-decon twin, so the two
+    * can never shingle differently. */
+  private[graft] val shingleArrayExpr: Column = expr(
+    "transform(array(split(text, '\\\\s+'))," +
+      " w -> array_distinct(transform(sequence(0, size(w)-3)," +
+      " i -> concat_ws(' ', w[i], w[i+1], w[i+2]))))")
+    .getItem(0)
+
+  /** The fused MinHash-signature+banding expression over a shingle
+    * array column — the streaming-twin entry to [[bandsOf]]'s keys. */
+  private[graft] def bandKeysOf(sh: Column): Column =
+    graft.functions.MinHashBandKeys.minhashBandKeys(sh, NumHashes,
+      RowsPerBand)
+
   /** The shingle projection over any (doc_id, text) frame. */
   private[operators] def shingledOf(docsDf: DataFrame): DataFrame = {
     val parts = docsDf.sparkSession.sessionState.conf.numShufflePartitions
@@ -63,11 +78,7 @@ object LLMQueries {
       // one file → a one-partition scan (same lesson as SpecPipeline.base)
       .repartition(parts, col("doc_id"))
       .filter(size(split(col("text"), "\\s+")) >= 3)
-      .select(col("doc_id"), expr(
-        "transform(array(split(text, '\\\\s+'))," +
-          " w -> array_distinct(transform(sequence(0, size(w)-3)," +
-          " i -> concat_ws(' ', w[i], w[i+1], w[i+2]))))")
-        .getItem(0).as("sh"))
+      .select(col("doc_id"), shingleArrayExpr.as("sh"))
       .repartition(parts, col("doc_id"))
   }
 
@@ -81,9 +92,7 @@ object LLMQueries {
     * concat/hex/substring allocations, hex rendered once per doc. */
   private[operators] def bandsOf(shingled: DataFrame): DataFrame =
     shingled
-      .select(col("doc_id"),
-        posexplode(graft.functions.MinHashBandKeys.minhashBandKeys(
-          col("sh"), NumHashes, RowsPerBand)))
+      .select(col("doc_id"), posexplode(bandKeysOf(col("sh"))))
       .select(col("doc_id"), col("pos").as("band"), col("col").as("key"))
 
   /** Per-doc shingle sets with sizes — the verification-side table a

@@ -260,6 +260,48 @@ object StreamingOps {
       .select(col("doc_id"), col("n_grams"), col("n_contaminated"))
   }
 
+  /** L74 streaming: FUZZY decontamination as a continuous stream — the
+    * similarity rung of [[streamingDecontaminate]]: arriving docs
+    * shingle and band through the SAME expressions as the batch
+    * operators ([[graft.operators.LLMQueries.shingleArrayExpr]] /
+    * `bandKeysOf` — one definition, zero drift), probe the frozen
+    * `eval_signatures` band index (stream-static inner join — clean
+    * docs never emit), verify INLINE by exact shingle Jaccard against
+    * the static eval sets (the arriving doc's shingle array rides the
+    * row; no state needed for verification), and collapse multi-band
+    * candidate duplicates through a watermark-bounded per-(doc, eval)
+    * max — the only stateful stage, bounded by the horizon. Emits the
+    * quarantine alert stream: (doc_id, eval_id, jaccard ≥ the dup
+    * election threshold). */
+  def streamingFuzzyDecontaminate(docs: Dataset[StreamDoc],
+      evalBands: DataFrame, evalSets: DataFrame): DataFrame = {
+    import graft.operators.{CurationQueries, LLMQueries}
+    docs.toDF()
+      .withWatermark("ts", "1 hour")
+      .filter(size(split(col("text"), "\\s+")) >= 3)
+      .select(col("doc_id"), col("ts"),
+        LLMQueries.shingleArrayExpr.as("sh"))
+      .select(col("doc_id"), col("ts"), col("sh"),
+        posexplode(LLMQueries.bandKeysOf(col("sh"))))
+      .select(col("doc_id"), col("ts"), col("sh"),
+        col("pos").as("band"), col("col").as("key"))
+      .join(evalBands.select(col("doc_id").as("eval_id"), col("band"),
+        col("key")), Seq("band", "key"))
+      .join(evalSets.select(col("doc_id").as("eval_id"),
+        col("sh").as("esh"), col("n_sh")), Seq("eval_id"))
+      .select(col("doc_id"), col("ts"), col("eval_id"),
+        size(array_intersect(col("sh"), col("esh"))).cast("long")
+          .as("n_inter"),
+        size(col("sh")).cast("long").as("na"), col("n_sh"))
+      .filter(col("n_inter") > 0)
+      .withColumn("jaccard", round(col("n_inter").cast("double") /
+        (col("na") + col("n_sh") - col("n_inter")), 6))
+      .filter(col("jaccard") >= CurationQueries.ClusterThreshold)
+      .groupBy(window(col("ts"), "1 hour"), col("doc_id"), col("eval_id"))
+      .agg(max(col("jaccard")).as("jaccard"))
+      .select(col("doc_id"), col("eval_id"), col("jaccard"))
+  }
+
   /** L60 streaming: NOVELTY scoring as a continuous stream — arriving
     * docs score against the persisted `substr_windows` corpus index
     * (the same table the q156 dup report and q158 batch novelty read;

@@ -94,6 +94,42 @@ class CurationQueriesSpec extends SparkSpec {
     assert(out.toSeq == Seq((7L, 1L, 1L, 1.0)))
   }
 
+  test("fuzzy decon: paraphrase caught, single-idiom overlap NOT flagged") {
+    // 30-word eval doc; train doc 11 is a paraphrase (last word swapped
+    // → shingle Jaccard ≈ 0.93, well over ClusterThreshold); train doc
+    // 12 shares exactly ONE 5-word idiom (words 5..9) — q74's exact
+    // screen fires on it, the similarity screen must NOT (J ≈ 0.06)
+    val evalWords = (0 until 30).map(i => s"e$i")
+    val para = (evalWords.dropRight(1) :+ "changed").mkString(" ")
+    val idiom = ((0 until 5).map(i => s"t$i") ++ evalWords.slice(5, 10) ++
+      (10 until 30).map(i => s"t$i")).mkString(" ")
+    val df = docsDf(
+      (10L, evalWords.mkString(" "), "en"),
+      (11L, para, "en"),
+      (12L, idiom, "en"))
+    val fuzzy = CurationQueries.fuzzyDecontaminateDocs(df)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(fuzzy.map(_._1) == Seq(11L))
+    val (_, nMatches, topEval, maxJ) = fuzzy.head
+    assert(nMatches == 1L && topEval == 10L && maxJ > 0.9)
+    // the exact screen DOES flag the idiom doc — the two rungs are
+    // recall (q74) vs precision (q172), not substitutes
+    assert(CurationQueries.decontaminateDocs(df)
+      .select($"doc_id").as[Long].collect().toSet.contains(12L))
+  }
+
+  test("fuzzy decon: daily leg == the full pass restricted to the batch") {
+    val full = CurationQueries.fuzzyDecontaminate(spark, sfDir)
+      .filter($"doc_id" % CurationQueries.DeconBatchMod === 0)
+      .collect().map(_.toString).sorted.toSeq
+    val daily = CurationQueries
+      .incrementalFuzzyDecontaminateDaily(spark, sfDir)
+      .collect().map(_.toString).sorted.toSeq
+    assert(daily == full)
+    // liveness at this SF: the full pass flags someone
+    assert(CurationQueries.fuzzyDecontaminate(spark, sfDir).count() > 0)
+  }
+
   test("hash split is deterministic and partition-count-independent") {
     val rows = (0L until 200L).map(i =>
       (i, s"tok${i % 7} tok${i % 5} tok${i % 3}",

@@ -604,6 +604,39 @@ class StreamingOpsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming fuzzy decon verifies inline and matches the batch rule") {
+    val input = MemoryStream[StreamDoc]
+    val evalWords = (0 until 30).map(i => s"e$i")
+    val evalDf = Seq((10L, evalWords.mkString(" "), "en"))
+      .toDF("doc_id", "text", "lang")
+    val (eBands, eSets) =
+      graft.operators.LLMQueries.signatureTables(evalDf)
+    val query = streamingFuzzyDecontaminate(input.toDS(),
+      eBands, eSets)
+      .writeStream.format("memory").queryName("sfuzzy")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val para = (evalWords.dropRight(1) :+ "changed").mkString(" ")
+      input.addData(
+        StreamDoc(1L, ts(0), para),              // near-copy → alert
+        StreamDoc(2L, ts(1), "p q r s t u v w")) // clean — must NOT emit
+      query.processAllAvailable()
+      input.addData(StreamDoc(3L, ts(150), "zz zz zz")) // advance watermark
+      query.processAllAvailable()
+      val out = spark.table("sfuzzy").as[(Long, Long, Double)]
+        .collect().toSeq
+      // 30-word docs share 27 of 28 shingles → J = 27/29
+      assert(out == Seq((1L, 10L, 0.931034)))
+      // the batch daily rule over the same frames agrees
+      val batch = graft.operators.CurationQueries
+        .incrementalFuzzyDecontaminate(eBands, eSets,
+          Seq((1L, para, "en"), (2L, "p q r s t u v w", "en"))
+            .toDF("doc_id", "text", "lang"))
+        .as[(Long, Long, Long, Double)].collect().toSeq
+      assert(batch == Seq((1L, 1L, 10L, 0.931034)))
+    } finally query.stop()
+  }
+
   test("streaming novelty score off the window index equals the batch rule") {
     val input = MemoryStream[StreamDoc]
     // corpus doc: windows "w1..w8" and "w2..w9" (8-word windows)

@@ -61,7 +61,8 @@ object IngestSoak {
     Timing.timedPasses(spark, cpuNs, "[ingest-soak] gates")(
       operators.DailyIngest.dispositionOf(batch, idx("text_hash"),
         idx("norm_hash"), idx("text_bands"), idx("text_sets"),
-        idx("eval_grams"), bBands, bSets).count())
+        idx("eval_grams"), idx("eval_bands"), idx("eval_sets"),
+        bBands, bSets).count())
     Timing.timedPasses(spark, cpuNs, "[ingest-soak] compact",
       passes = 1) {
       operators.DailyIngest.compactIndexes(idx, batch, bBands, bSets,
@@ -74,7 +75,8 @@ object IngestSoak {
     import org.apache.spark.sql.functions.col
     val disposition = operators.DailyIngest.dispositionOf(batch,
       idx("text_hash"), idx("norm_hash"), idx("text_bands"),
-      idx("text_sets"), idx("eval_grams"))
+      idx("text_sets"), idx("eval_grams"), idx("eval_bands"),
+      idx("eval_sets"))
       .localCheckpoint(eager = false)
     Timing.timedPasses(spark, cpuNs, "[ingest-soak] disposition",
       passes = 1)(disposition.count())

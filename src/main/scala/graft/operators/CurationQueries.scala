@@ -233,6 +233,16 @@ object CurationQueries {
     fuzzyDeconRollup(
       LLMQueries.incrementalNearDups(evalBands, evalSets, newDocs))
 
+  /** [[incrementalFuzzyDecontaminate]] with the batch's signature
+    * tables supplied — the DailyIngest gate reuses the once-per-day
+    * batch MinHash pass it already shares with the near-dup gate
+    * (compute each batch pass once per day, not once per consumer). */
+  def incrementalFuzzyDecontaminateFrom(evalBands: DataFrame,
+      evalSets: DataFrame, batchBands: DataFrame,
+      batchSets: DataFrame): DataFrame =
+    fuzzyDeconRollup(LLMQueries.incrementalNearDupsFrom(evalBands,
+      evalSets, batchBands, batchSets))
+
   /** q173 as an oracle query: eval signature tables built in-query (as
     * the oracle must), today's train batch screened against them. */
   def incrementalFuzzyDecontaminateDaily(spark: SparkSession,
@@ -708,6 +718,48 @@ object CurationQueries {
   def toxicityClassifier(spark: SparkSession, dir: String): DataFrame =
     toxicityClassifierDocs(docs(spark, dir))
 
+  /** q174's threshold grid in micro units: −0.40 … 0.50 step 0.05 —
+    * spans both shipped operating points with margin on each side. */
+  private[operators] val SweepThresholds: Seq[Long] =
+    (-8 to 10).map(_ * 50000L)
+
+  /** L75/q174: classifier OPERATING-CURVE sweep — per model family and
+    * candidate threshold, the doc count and pass rate. The table a data
+    * lead reads to SET an operating point ([[QualityThreshold]] /
+    * [[ToxicityThreshold]]) instead of assuming one: this round's q84
+    * calibration bug (a `>= 0` constant silently keeping 2% of docs)
+    * is exactly the failure this report makes impossible to miss — the
+    * zero row would have read `24000 micro`, not the documented "top
+    * half". Sweeping BOTH families in one frame also shows the two
+    * weight tables' distributions side by side (they differ only by
+    * salt, so any rate gap at a shared threshold is the model, not the
+    * corpus).
+    *
+    * Scale shape: one scan per model family (the q84 shuffle-free
+    * scoring projection), a 19-int explode per slim (model,
+    * mean_weight) row that partial-aggregates immediately to
+    * 2·|grid| groups — text dies at the scan, the shuffle carries 38
+    * rows. Rates are exact integer micro units. */
+  def thresholdSweepDocs(docsDf: DataFrame): DataFrame = {
+    def leg(salt: String, model: String) =
+      hashScoredDocs(docsDf, salt)
+        .select(lit(model).as("model"), col("mean_weight"))
+    leg(QualitySalt, "quality")
+      .unionByName(leg(ToxSalt, "toxicity"))
+      .select(col("model"), col("mean_weight"),
+        explode(lit(SweepThresholds.toArray)).as("threshold_micro"))
+      .groupBy(col("model"), col("threshold_micro"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("mean_weight") >=
+          col("threshold_micro").cast("double") / 1000000.0, 1))
+          .as("n_above"))
+      .withColumn("above_micro", expr("n_above * 1000000L div n_docs"))
+      .orderBy(col("model"), col("threshold_micro"))
+  }
+
+  def thresholdSweep(spark: SparkSession, dir: String): DataFrame =
+    thresholdSweepDocs(docs(spark, dir))
+
   /** Per-source calibration percentile for q122: the bottom
     * [[CalibPct]] of each source's docs fall below its cutoff. */
   val CalibPct = 0.30
@@ -968,6 +1020,90 @@ object CurationQueries {
       .select(col("cluster_id"), (-col("best.nid")).as("kept_id"),
         col("best.quality").as("quality"), col("cluster_size"))
       .orderBy(col("kept_id"))
+
+  /** L76/q175: incremental near-dup CLUSTER maintenance — the text-side
+    * twin of q104's contracted merge, closing the text dedup lifecycle:
+    * q96 gives the daily PAIRS, but a pipeline serves cluster LABELS
+    * (q129's split keys on them, q88 elects within them), and
+    * re-running q85's CC over a 100 TB corpus nightly is exactly the
+    * rescan the persisted indexes exist to avoid. Given the persisted
+    * signature tables and the persisted label table, emit every member
+    * of every cluster the FULL q77/q85 pass over corpus ∪ batch would
+    * form that contains ≥ 1 batch doc — without re-pairing or
+    * re-clustering the corpus.
+    *
+    * Mechanics: (1) q96's incremental verified pairs (every pair has a
+    * batch endpoint by construction); (2) corpus endpoints CONTRACT to
+    * their persisted label (or themselves if unclustered) — corpus-
+    * corpus connectivity is already fully inside the label table,
+    * because banding is per-doc and corpus-corpus candidates are
+    * batch-independent; (3) star-CC over the contracted BATCH-SIZED
+    * graph — a batch doc bridging two corpus clusters merges them here,
+    * whole clusters moving as single nodes; (4) members re-enumerate
+    * from the label table only for touched clusters. Daily cost is
+    * O(batch + candidate pairs + touched-cluster members).
+    *
+    * The label table is the persisted artifact (IndexStore `text_cc`);
+    * its compaction (relabel touched + append new members) equals a
+    * from-scratch rebuild — spec-pinned, same contract as every index
+    * family. */
+  def incrementalDedupClusters(bandsC: DataFrame, setsC: DataFrame,
+      ccC: DataFrame, newDocs: DataFrame): DataFrame =
+    withClusterSizes(incrementalClusterMembers(bandsC, setsC, ccC, newDocs))
+
+  /** The (doc_id, cluster_id) membership rows of batch-touched clusters
+    * — shared by the q175 report and the `text_cc` compaction. */
+  private[operators] def incrementalClusterMembers(bandsC: DataFrame,
+      setsC: DataFrame, ccC: DataFrame, newDocs: DataFrame): DataFrame = {
+    val pairs = LLMQueries.incrementalNearDups(bandsC, setsC, newDocs)
+      .filter(col("jaccard") >= ClusterThreshold)
+      .select(col("doc_a"), col("doc_b"))
+    val edges = pairs
+      .join(ccC.select(col("doc_id").as("doc_a"),
+        col("cluster_id").as("la")), Seq("doc_a"), "left")
+      .join(ccC.select(col("doc_id").as("doc_b"),
+        col("cluster_id").as("lb")), Seq("doc_b"), "left")
+      .select(coalesce(col("la"), col("doc_a")).as("doc_a"),
+        coalesce(col("lb"), col("doc_b")).as("doc_b"))
+      .filter(col("doc_a") =!= col("doc_b"))
+    // contracted CC: nodes are labels, batch ids, and corpus singleton
+    // endpoints — batch-sized by the q96 candidate contract
+    val comps = connectedComponentsStar(edges)._1
+      .select(col("doc_id").as("node"), col("cluster_id").as("tmp"))
+    // the merged cluster id is min(node): every label IS its cluster's
+    // min member id, every raw node its own id
+    val nodeMap = comps
+      .join(comps.groupBy(col("tmp")).agg(min(col("node")).as("new_id")),
+        Seq("tmp"))
+      .select(col("node"), col("new_id"))
+      .localCheckpoint(eager = false) // feeds member + anti join-backs
+    val corpusMembers = ccC
+      .join(nodeMap.withColumnRenamed("node", "cluster_id"),
+        Seq("cluster_id"))
+      .select(col("doc_id"), col("new_id"))
+    val rawMembers = nodeMap
+      .join(ccC.select(col("cluster_id").as("node")).distinct(),
+        Seq("node"), "left_anti")
+      .select(col("node").as("doc_id"), col("new_id"))
+    corpusMembers.unionByName(rawMembers)
+      .select(col("doc_id"), col("new_id").as("cluster_id"))
+  }
+
+  /** q175 as an oracle query: corpus-side tables built in-query over
+    * the q96 universe (corpus = doc_id % 10 ≠ 0, batch = the rest). */
+  def incrementalDedupClustersDaily(spark: SparkSession,
+      dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val corpus = d.filter(col("doc_id") % 10 =!= 0)
+    val batch = d.filter(col("doc_id") % 10 === 0)
+    val (bandsC, setsC) = LLMQueries.signatureTables(corpus)
+    val ccC = connectedComponentsStar(
+      LLMQueries.minhashPairsOf(corpus)
+        .filter(col("jaccard") >= ClusterThreshold)
+        .select(col("doc_a"), col("doc_b")))._1
+      .select(col("doc_id"), col("cluster_id"))
+    incrementalDedupClusters(bandsC, setsC, ccC, batch)
+  }
 
   /** Words per segment for sub-document (line-level) dedup. */
   val SegWords = 10
@@ -2577,6 +2713,8 @@ object CurationQueries {
     "q120_boilerplate_remove" -> (boilerplateRemove _),
     "q122_quality_calibration" -> (qualityCalibration _),
     "q171_toxicity_classifier" -> (toxicityClassifier _),
+    "q174_threshold_sweep" -> (thresholdSweep _),
+    "q175_incremental_dedup_clusters" -> (incrementalDedupClustersDaily _),
     "q129_cluster_split" -> (clusterSplit _),
     "q131_shard_manifest" -> (shardManifest _),
     "q132_snapshot_diff" -> (snapshotDiff _),
@@ -3005,6 +3143,19 @@ object CurationQueries {
          |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q77_dedup_clusters" -> clustersOracle,
     "q85_dedup_clusters_star" -> clustersOracle,
+    // q175: the SAME recursive closure restricted to clusters holding a
+    // batch member — the incremental merge must reproduce it exactly
+    "q175_incremental_dedup_clusters" ->
+      s"""$clustersCtes,
+         |csize AS (SELECT cluster_id, count(*) AS cluster_size
+         |          FROM comp GROUP BY cluster_id),
+         |touched AS (SELECT DISTINCT cluster_id FROM comp
+         |            WHERE doc_id % 10 = 0)
+         |SELECT comp.doc_id, comp.cluster_id,
+         |  CAST(cluster_size AS BIGINT) AS cluster_size
+         |FROM comp JOIN csize USING (cluster_id)
+         |JOIN touched USING (cluster_id)
+         |ORDER BY doc_id""".stripMargin,
     // q143 NESTS the cluster closure (singletons default to their own
     // id, the q129 rule) so the histogram partitions the whole corpus
     "q143_dup_size_histogram" ->
@@ -3654,6 +3805,30 @@ object CurationQueries {
   /** q115's oracle NESTS the stage oracles as subqueries (the q110
     * composition pattern) — funnel and stages cannot drift apart. */
   val oracle: Map[String, String] = oracleMain + {
+    // q174 NESTS the q84/q171 oracles (the q115 rule) so the sweep and
+    // the shipped classifiers cannot score differently; thresholds via
+    // LATERAL unnest of the same micro grid
+    "q174_threshold_sweep" ->
+      s"""WITH scored AS (
+         |  SELECT 'quality' AS model, mean_weight FROM (
+         |${oracleMain("q84_quality_classifier")})
+         |  UNION ALL
+         |  SELECT 'toxicity' AS model, mean_weight FROM (
+         |${oracleMain("q171_toxicity_classifier")})),
+         |th AS (SELECT unnest([${SweepThresholds.mkString(", ")}])
+         |         AS threshold_micro)
+         |SELECT model, CAST(threshold_micro AS BIGINT) AS threshold_micro,
+         |  count(*) AS n_docs,
+         |  CAST(count(*) FILTER (mean_weight >=
+         |    CAST(threshold_micro AS DOUBLE) / 1000000.0) AS BIGINT)
+         |    AS n_above,
+         |  CAST(count(*) FILTER (mean_weight >=
+         |    CAST(threshold_micro AS DOUBLE) / 1000000.0) * 1000000
+         |    // count(*) AS BIGINT) AS above_micro
+         |FROM scored CROSS JOIN th
+         |GROUP BY model, threshold_micro
+         |ORDER BY model, threshold_micro""".stripMargin
+  } + {
     "q115_curation_funnel" ->
       s"""WITH s2 AS (SELECT keep_id AS doc_id FROM (
          |${LLMQueries.oracle("q60_exact_dedup")})),
@@ -3727,9 +3902,11 @@ object CurationQueries {
   } + {
     // q159: the DailyIngest gate chain over the q150 universe (eval =
     // mod 10, batch = train side mod DeconBatchMod); near-dup losers
-    // need a VERIFIED jaccard ≥ ClusterThreshold against a smaller id
+    // need a VERIFIED jaccard ≥ ClusterThreshold against a smaller id.
+    // ONE pairs_all CTE set over ALL docs serves BOTH banded gates:
+    // near-dup = both-train pairs, fuzzy decon = cross-boundary pairs
     "q159_daily_ingest_disposition" ->
-      (s"WITH ${LLMQueries.minhashPairsCtesOf("WHERE doc_id % 10 <> 0")}," +
+      (s"WITH ${LLMQueries.minhashPairsCtesOf("")}," +
        s" $gramsCte," +
        s"""exact_keep AS (
          |  SELECT min(doc_id) AS doc_id FROM documents
@@ -3754,7 +3931,16 @@ object CurationQueries {
          |near_loser AS (
          |  SELECT DISTINCT doc_b AS doc_id FROM pairs_all
          |  WHERE jaccard >= $ClusterThreshold
+         |    AND doc_a % 10 <> 0 AND doc_b % 10 <> 0
          |    AND doc_b % $DeconBatchMod = 0),
+         |fuzzy_cont AS (
+         |  SELECT DISTINCT
+         |    CASE WHEN doc_a % 10 <> 0 THEN doc_a ELSE doc_b END AS doc_id
+         |  FROM pairs_all
+         |  WHERE ((doc_a % 10 = 0) <> (doc_b % 10 = 0))
+         |    AND jaccard >= $ClusterThreshold
+         |    AND (CASE WHEN doc_a % 10 <> 0 THEN doc_a ELSE doc_b END)
+         |      % $DeconBatchMod = 0),
          |cont AS (
          |  SELECT DISTINCT grams.doc_id FROM grams
          |  JOIN (SELECT DISTINCT g FROM grams WHERE doc_id % 10 = 0) ev
@@ -3777,6 +3963,8 @@ object CurationQueries {
          |      THEN 'dropped_near_dup'
          |    WHEN d.doc_id IN (SELECT doc_id FROM cont)
          |      THEN 'dropped_contaminated'
+         |    WHEN d.doc_id IN (SELECT doc_id FROM fuzzy_cont)
+         |      THEN 'dropped_fuzzy_contaminated'
          |    WHEN d.doc_id NOT IN (SELECT doc_id FROM qk)
          |      THEN 'dropped_quality'
          |    WHEN d.doc_id NOT IN (SELECT doc_id FROM toxc)

@@ -28,11 +28,12 @@ import sinks.Sinks
   *
   * Gate order mirrors q115's funnel: exact dedup → normalized dedup →
   * near-dup (keep-min election: a batch doc loses only to a SMALLER
-  * id, the q88 rule) → decontamination → quality classifier →
-  * toxicity classifier (the second model family — q171's safety gate,
-  * round 10). Drops are counted per FIRST failing gate (the q157
-  * disposition convention), so the summary's stage counts reconcile
-  * exactly.
+  * id, the q88 rule) → exact decontamination → FUZZY decontamination
+  * (q173's similarity rung off the frozen eval signatures — both decon
+  * rungs run, the production deployment) → quality classifier →
+  * toxicity classifier (the second model family — q171's safety gate).
+  * Drops are counted per FIRST failing gate (the q157 disposition
+  * convention), so the summary's stage counts reconcile exactly.
   *
   * Artifacts under `outDir`:
   *   - `kept_docs.parquet` — surviving batch docs (full rows)
@@ -78,8 +79,12 @@ object DailyIngest {
     w(bands, "text_bands")
     w(sets, "text_sets")
     w(CurationQueries.substrWindowIndex(corpus), "substr_windows")
-    w(CurationQueries.evalGramIndex(Tables(spark, dataDir, "documents")),
-      "eval_grams")
+    val all = Tables(spark, dataDir, "documents")
+    w(CurationQueries.evalGramIndex(all), "eval_grams")
+    val (eBands, eSets) =
+      LLMQueries.signatureTables(all.filter(col("doc_id") % 10 === 0))
+    w(eBands, "eval_bands")
+    w(eSets, "eval_sets")
   }
 
   /** The per-batch-doc disposition given the corpus-side index frames —
@@ -91,21 +96,24 @@ object DailyIngest {
     * is a candidate generator, not a verdict). */
   def dispositionOf(batch: DataFrame, textHash: DataFrame,
       normHash: DataFrame, bands: DataFrame, sets: DataFrame,
-      evalGrams: DataFrame): DataFrame = {
+      evalGrams: DataFrame, evalBands: DataFrame,
+      evalSets: DataFrame): DataFrame = {
     val (batchBands, batchSets) = LLMQueries.signatureTables(batch)
     dispositionOf(batch, textHash, normHash, bands, sets, evalGrams,
-      batchBands.localCheckpoint(eager = false), batchSets)
+      evalBands, evalSets,
+      batchBands.localCheckpoint(eager = false),
+      batchSets.localCheckpoint(eager = false))
   }
 
   /** [[dispositionOf]] with the batch's signature tables supplied —
     * [[writeDay]] computes them once per day and reuses them for index
     * persistence (one definition, one execution). Contract:
-    * `batchBands` must be reusable (it feeds the gate's probe + union
-    * legs) — pass a lazy localCheckpoint. */
+    * `batchBands`/`batchSets` must be reusable (each feeds the near-dup
+    * AND fuzzy-decon gates) — pass lazy localCheckpoints. */
   def dispositionOf(batch: DataFrame, textHash: DataFrame,
       normHash: DataFrame, bands: DataFrame, sets: DataFrame,
-      evalGrams: DataFrame, batchBands: DataFrame,
-      batchSets: DataFrame): DataFrame = {
+      evalGrams: DataFrame, evalBands: DataFrame, evalSets: DataFrame,
+      batchBands: DataFrame, batchSets: DataFrame): DataFrame = {
     val exactKeep = LLMQueries.incrementalExactDedup(textHash, batch)
       .select(col("keep_id").as("doc_id"), lit(true).as("f_exact"))
     val normKeep = LLMQueries.incrementalNormalizedDedup(normHash, batch)
@@ -118,6 +126,10 @@ object DailyIngest {
     val contaminated = CurationQueries
       .incrementalDecontaminate(evalGrams, batch)
       .select(col("doc_id"), lit(true).as("f_cont"))
+    val fuzzyCont = CurationQueries
+      .incrementalFuzzyDecontaminateFrom(evalBands, evalSets,
+        batchBands, batchSets)
+      .select(col("doc_id"), lit(true).as("f_fuzzy"))
     val qualityKeep = CurationQueries.qualityClassifierDocs(batch)
       .filter(col("decision") === "keep")
       .select(col("doc_id"), lit(true).as("f_qual"))
@@ -129,6 +141,7 @@ object DailyIngest {
       .join(normKeep, Seq("doc_id"), "left")
       .join(nearLoser, Seq("doc_id"), "left")
       .join(contaminated, Seq("doc_id"), "left")
+      .join(fuzzyCont, Seq("doc_id"), "left")
       .join(qualityKeep, Seq("doc_id"), "left")
       .join(toxClean, Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -136,6 +149,7 @@ object DailyIngest {
           .when(col("f_norm").isNull, "dropped_normalized_dup")
           .when(col("f_near").isNotNull, "dropped_near_dup")
           .when(col("f_cont").isNotNull, "dropped_contaminated")
+          .when(col("f_fuzzy").isNotNull, "dropped_fuzzy_contaminated")
           .when(col("f_qual").isNull, "dropped_quality")
           .when(col("f_tox").isNull, "dropped_toxicity")
           .otherwise("kept").as("disposition"))
@@ -147,9 +161,12 @@ object DailyIngest {
   def ingestDisposition(spark: SparkSession, dir: String): DataFrame = {
     val (corpus, batch) = split(spark, dir)
     val (bands, sets) = LLMQueries.signatureTables(corpus)
+    val all = Tables(spark, dir, "documents")
+    val (eBands, eSets) =
+      LLMQueries.signatureTables(all.filter(col("doc_id") % 10 === 0))
     dispositionOf(batch, LLMQueries.hashIndex(corpus),
       LLMQueries.normHashIndex(corpus), bands, sets,
-      CurationQueries.evalGramIndex(Tables(spark, dir, "documents")))
+      CurationQueries.evalGramIndex(all), eBands, eSets)
       .orderBy(col("doc_id"))
   }
 
@@ -183,6 +200,8 @@ object DailyIngest {
     write(idx("text_sets").unionByName(batchSets), "text_sets")
     // frozen per benchmark release — carried through unchanged
     write(idx("eval_grams"), "eval_grams")
+    write(idx("eval_bands"), "eval_bands")
+    write(idx("eval_sets"), "eval_sets")
   }
 
   /** The day's shared core: disposition + artifacts + (layout-specific)
@@ -204,7 +223,8 @@ object DailyIngest {
       .localCheckpoint(eager = false)
     val disposition = dispositionOf(batch, idx("text_hash"),
       idx("norm_hash"), idx("text_bands"), idx("text_sets"),
-      idx("eval_grams"), batchBands, batchSets)
+      idx("eval_grams"), idx("eval_bands"), idx("eval_sets"),
+      batchBands, batchSets)
       .localCheckpoint(eager = false) // feeds kept join, summary, write
 
     val kept = batch.join(
@@ -310,8 +330,12 @@ object DailyIngest {
     w(bands, "text_bands")
     w(sets, "text_sets")
     w(CurationQueries.substrWindowIndex(corpus), "substr_windows")
-    w(CurationQueries.evalGramIndex(Tables(spark, dataDir, "documents")),
-      "eval_grams")
+    val all = Tables(spark, dataDir, "documents")
+    w(CurationQueries.evalGramIndex(all), "eval_grams")
+    val (eBands, eSets) =
+      LLMQueries.signatureTables(all.filter(col("doc_id") % 10 === 0))
+    w(eBands, "eval_bands")
+    w(eSets, "eval_sets")
   }
 
   /** Folds a delta root's generations into a fresh single-generation
@@ -341,6 +365,8 @@ object DailyIngest {
     w(r("substr_windows")
       .groupBy(col("wh")).agg(sum(col("nd")).as("nd")), "substr_windows")
     w(r("eval_grams"), "eval_grams")
+    w(r("eval_bands"), "eval_bands")
+    w(r("eval_sets"), "eval_sets")
   }
 
   /** [[run]] against the delta layout: same gates, same artifacts, but

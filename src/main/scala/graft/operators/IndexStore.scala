@@ -393,6 +393,53 @@ object IndexStore {
         .filter(col("doc_id") % 10 =!= 0 &&
           col("doc_id") % CurationQueries.DeconBatchMod === 0))
 
+  /** The corpus near-dup cluster LABEL table (q175): q85's star CC
+    * over the corpus pair graph, persisted as (doc_id, cluster_id) —
+    * the artifact a split (q129) or survivor election (q88) serves
+    * from, maintained incrementally instead of re-clustered nightly. */
+  def writeTextCc(spark: SparkSession, dataDir: String,
+      dir: String): Unit = {
+    val corpus = docSplit(spark, dataDir)._1
+    // the daily leg reads the signature pair too — write the trio
+    // together so the family is self-contained (idempotent with
+    // writeTextNearDup: same corpus, same tables)
+    writeTextNearDup(corpus, dir)
+    write(CurationQueries.connectedComponentsStar(
+        LLMQueries.minhashPairsOf(corpus)
+          .filter(col("jaccard") >= CurationQueries.ClusterThreshold)
+          .select(col("doc_a"), col("doc_b")))._1
+      .select(col("doc_id"), col("cluster_id")), dir, "text_cc")
+  }
+
+  /** q175 twin: [[CurationQueries.incrementalDedupClusters]] off the
+    * disk label table + the text_near_dup signature tables (one index
+    * pair, three consumers: q96 pairs, q175 clusters, q173's eval probe
+    * pattern). */
+  def dailyDedupClusters(spark: SparkSession, indexDir: String,
+      dataDir: String): DataFrame =
+    CurationQueries.incrementalDedupClusters(
+      read(spark, indexDir, "text_bands"),
+      read(spark, indexDir, "text_sets"),
+      read(spark, indexDir, "text_cc"),
+      docSplit(spark, dataDir)._2)
+
+  /** `text_cc` compaction: touched clusters relabel and gain members
+    * through the SAME contracted merge as the daily leg; untouched
+    * labels carry through — equals a from-scratch re-cluster over
+    * (corpus ∪ batch), spec-pinned. */
+  def compactTextCc(spark: SparkSession, indexDir: String,
+      dataDir: String, outDir: String): Unit = {
+    val ccC = read(spark, indexDir, "text_cc")
+    val updated = CurationQueries.incrementalClusterMembers(
+      read(spark, indexDir, "text_bands"),
+      read(spark, indexDir, "text_sets"),
+      ccC, docSplit(spark, dataDir)._2)
+      .localCheckpoint(eager = false) // feeds the anti leg + the union
+    write(ccC
+      .join(updated.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .unionByName(updated), outDir, "text_cc")
+  }
+
   /** The frozen eval SIGNATURE tables (q172/q173): MinHash band keys
     * and shingle sets of the benchmark items — `eval_grams`' lifecycle
     * (rebuilt per benchmark release, read by every ingest), but for
@@ -590,6 +637,16 @@ object IndexStore {
         val (c, b) = vecSplit(s, dataDir)
         writeVecNearDup(c.unionByName(b), dir)
       }),
+    ("text_cc", Seq("text_cc"),
+      compactTextCc _,
+      (s, dataDir, dir) => {
+        val (c, b) = docSplit(s, dataDir)
+        write(CurationQueries.connectedComponentsStar(
+            LLMQueries.minhashPairsOf(c.unionByName(b))
+              .filter(col("jaccard") >= CurationQueries.ClusterThreshold)
+              .select(col("doc_a"), col("doc_b")))._1
+          .select(col("doc_id"), col("cluster_id")), dir, "text_cc")
+      }),
     ("media", Seq("media_bands"),
       compactMediaBands _,
       (s, dataDir, dir) => {
@@ -690,6 +747,8 @@ object IndexStore {
       writeEvalGrams _, dailyDecontaminate _),
     ("eval_signatures", "q173_incremental_fuzzy_decontaminate",
       writeEvalSignatures _, dailyFuzzyDecontaminate _),
+    ("text_cc", "q175_incremental_dedup_clusters",
+      writeTextCc _, dailyDedupClusters _),
     ("substr_windows", "q156_incremental_substring_report",
       writeSubstrWindows _, dailySubstr _))
 }

@@ -582,7 +582,7 @@ object StreamingOps {
         graft.operators.DailyIngest
           .dispositionOf(b, idx("text_hash"), idx("norm_hash"),
             idx("text_bands"), idx("text_sets"), idx("eval_grams"),
-            bBands, bSets)
+            idx("eval_bands"), idx("eval_sets"), bBands, bSets)
           .write.mode("overwrite")
           .parquet(s"$workDir/out/disposition/batch_id=$batchId")
         graft.operators.DailyIngest.compactIndexes(idx, b, bBands,

@@ -130,6 +130,58 @@ class CurationQueriesSpec extends SparkSpec {
     assert(CurationQueries.fuzzyDecontaminate(spark, sfDir).count() > 0)
   }
 
+  test("incremental clusters: a batch doc merges two corpus clusters") {
+    // corpus: cluster {1,3} (near-copies on the w-words) and cluster
+    // {5,7} (w-prefix + x-tail) sit at J≈0.47 — BELOW the threshold, so
+    // they are separate clusters; batch doc 10 interpolates (J≈0.70 to
+    // cluster A, J≈0.60 to cluster B) and must merge them through the
+    // contracted CC without any corpus re-pairing
+    val w = (0 until 30).map(i => s"w$i")
+    val x = (20 until 30).map(i => s"x$i")
+    val corpus = docsDf(
+      (1L, w.mkString(" "), "en"),
+      (3L, (w.dropRight(1) :+ "c29").mkString(" "), "en"),
+      (5L, (w.take(20) ++ x).mkString(" "), "en"),
+      (7L, (w.take(20) ++ x.dropRight(1) :+ "d29").mkString(" "), "en"))
+    val batch = docsDf((10L, (w.take(23) ++ x.drop(3)).mkString(" "), "en"))
+    val (bandsC, setsC) = LLMQueries.signatureTables(corpus)
+    val ccC = CurationQueries.connectedComponentsStar(
+      LLMQueries.minhashPairsOf(corpus)
+        .filter($"jaccard" >= CurationQueries.ClusterThreshold)
+        .select($"doc_a", $"doc_b"))._1
+      .select($"doc_id", $"cluster_id")
+    // precondition: the corpus really holds TWO clusters
+    assert(ccC.as[(Long, Long)].collect().toSet ==
+      Set((1L, 1L), (3L, 1L), (5L, 5L), (7L, 5L)))
+    val out = CurationQueries
+      .incrementalDedupClusters(bandsC, setsC, ccC, batch)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out == Set((1L, 1L, 5L), (3L, 1L, 5L), (5L, 1L, 5L),
+      (7L, 1L, 5L), (10L, 1L, 5L)))
+  }
+
+  test("threshold sweep: monotone curves, shipped operating points sane") {
+    val rows = CurationQueries.thresholdSweep(spark, sfDir)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    val n = graft.Tables(spark, sfDir, "documents").count()
+    assert(rows.map(_._1).distinct.sorted == Seq("quality", "toxicity"))
+    assert(rows.forall(_._3 == n)) // every grid row sees every doc
+    for (model <- Seq("quality", "toxicity")) {
+      val curve = rows.filter(_._1 == model).sortBy(_._2).map(_._5)
+      // pass rate is non-increasing in the threshold
+      assert(curve.zip(curve.tail).forall { case (a, b) => a >= b })
+    }
+    val byKey = rows.map(r => (r._1, r._2) -> r._5).toMap
+    // the calibrated quality point keeps roughly the top half —
+    // the invariant whose violation was this round's q84 bug
+    val qKeep = byKey(("quality",
+      Math.round(CurationQueries.QualityThreshold * 1000000)))
+    assert(qKeep > 350000L && qKeep < 650000L, qKeep.toString)
+    // the toxicity point flags a small high tail, not half the corpus
+    val tFlag = byKey(("toxicity", 300000L))
+    assert(tFlag > 0L && tFlag < 200000L, tFlag.toString)
+  }
+
   test("hash split is deterministic and partition-count-independent") {
     val rows = (0L until 200L).map(i =>
       (i, s"tok${i % 7} tok${i % 5} tok${i % 3}",

@@ -63,6 +63,15 @@ class DailyIngestSpec extends SparkSpec {
       .subsetOf(toxicIds))
     assert(keptIds.intersect(toxicIds).isEmpty)
 
+    // fuzzy-decon gate parity (round 10): every fuzzy drop is q173-
+    // flagged, and no kept doc is — the gate IS the q173 operator
+    val fuzzyIds = CurationQueries
+      .incrementalFuzzyDecontaminateDaily(spark, sfDir)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(disp.filter(_._2 == "dropped_fuzzy_contaminated").map(_._1)
+      .toSet.subsetOf(fuzzyIds))
+    assert(keptIds.intersect(fuzzyIds).isEmpty)
+
     // reports + bookkeeping landed
     for (a <- Seq("novelty_report.parquet", "substring_report.parquet"))
       assert(spark.read.parquet(s"$outDir/$a").count() > 0, a)

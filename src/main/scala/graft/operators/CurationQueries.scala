@@ -255,6 +255,37 @@ object CurationQueries {
         col("doc_id") % DeconBatchMod === 0))
   }
 
+  /** L77/q176: decon RUNG comparison — the audit that closes the
+    * two-rung story: per train doc, which decontamination rung(s) flag
+    * it — `both`, `exact_only` (a shared 5-gram without document-level
+    * similarity: the quoted-idiom case the fuzzy rung deliberately
+    * ignores), `fuzzy_only` (document-level similarity with zero shared
+    * 5-grams: heavy-rewrite leakage the exact rung cannot see), or
+    * `clean`. The relative sizes are what an eval owner reads to set
+    * the deployment (exact-only drops are the recall rung's false-
+    * positive budget; fuzzy-only drops justify running the second
+    * rung at all). Scale shape: two proven flag frames left-joined on
+    * a slim id projection, one 4-group rollup — text never moves. */
+  def deconRungReportDocs(docsDf: DataFrame): DataFrame = {
+    val exactF = decontaminateDocs(docsDf)
+      .select(col("doc_id"), lit(true).as("f_ex"))
+    val fuzzyF = fuzzyDecontaminateDocs(docsDf)
+      .select(col("doc_id"), lit(true).as("f_fz"))
+    docsDf.filter(col("doc_id") % 10 =!= 0).select(col("doc_id"))
+      .join(exactF, Seq("doc_id"), "left")
+      .join(fuzzyF, Seq("doc_id"), "left")
+      .select(
+        when(col("f_ex").isNotNull && col("f_fz").isNotNull, "both")
+          .when(col("f_ex").isNotNull, "exact_only")
+          .when(col("f_fz").isNotNull, "fuzzy_only")
+          .otherwise("clean").as("rung"))
+      .groupBy(col("rung")).agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("rung"))
+  }
+
+  def deconRungReport(spark: SparkSession, dir: String): DataFrame =
+    deconRungReportDocs(docs(spark, dir))
+
   /** L8b/q137: CONTAMINATION REPORT — the audit mirror of q74. q74
     * answers "which train docs must be dropped"; this answers the
     * question an eval owner asks: per EVAL document, how many train
@@ -2715,6 +2746,7 @@ object CurationQueries {
     "q171_toxicity_classifier" -> (toxicityClassifier _),
     "q174_threshold_sweep" -> (thresholdSweep _),
     "q175_incremental_dedup_clusters" -> (incrementalDedupClustersDaily _),
+    "q176_decon_rung_report" -> (deconRungReport _),
     "q129_cluster_split" -> (clusterSplit _),
     "q131_shard_manifest" -> (shardManifest _),
     "q132_snapshot_diff" -> (snapshotDiff _),
@@ -3805,6 +3837,24 @@ object CurationQueries {
   /** q115's oracle NESTS the stage oracles as subqueries (the q110
     * composition pattern) — funnel and stages cannot drift apart. */
   val oracle: Map[String, String] = oracleMain + {
+    // q176 NESTS the q74/q172 oracles so the rung comparison cannot
+    // drift from either rung's own verdict
+    "q176_decon_rung_report" ->
+      s"""WITH ex AS (SELECT doc_id FROM (
+         |${oracleMain("q74_decontaminate")})),
+         |fz AS (SELECT doc_id FROM (
+         |${oracleMain("q172_fuzzy_decontaminate")})),
+         |tagged AS (
+         |  SELECT CASE
+         |    WHEN doc_id IN (SELECT doc_id FROM ex)
+         |     AND doc_id IN (SELECT doc_id FROM fz) THEN 'both'
+         |    WHEN doc_id IN (SELECT doc_id FROM ex) THEN 'exact_only'
+         |    WHEN doc_id IN (SELECT doc_id FROM fz) THEN 'fuzzy_only'
+         |    ELSE 'clean' END AS rung
+         |  FROM documents WHERE doc_id % 10 <> 0)
+         |SELECT rung, count(*) AS n_docs FROM tagged
+         |GROUP BY rung ORDER BY rung""".stripMargin
+  } + {
     // q174 NESTS the q84/q171 oracles (the q115 rule) so the sweep and
     // the shipped classifiers cannot score differently; thresholds via
     // LATERAL unnest of the same micro grid

@@ -130,6 +130,20 @@ class CurationQueriesSpec extends SparkSpec {
     assert(CurationQueries.fuzzyDecontaminate(spark, sfDir).count() > 0)
   }
 
+  test("decon rung report reconciles with both rungs and the universe") {
+    val rows = CurationQueries.deconRungReport(spark, sfDir)
+      .as[(String, Long)].collect().toMap
+    val nTrain = graft.Tables(spark, sfDir, "documents")
+      .filter($"doc_id" % 10 =!= 0).count()
+    assert(rows.values.sum == nTrain)
+    val nEx = CurationQueries.decontaminate(spark, sfDir).count()
+    val nFz = CurationQueries.fuzzyDecontaminate(spark, sfDir).count()
+    assert(rows.getOrElse("both", 0L) +
+      rows.getOrElse("exact_only", 0L) == nEx)
+    assert(rows.getOrElse("both", 0L) +
+      rows.getOrElse("fuzzy_only", 0L) == nFz)
+  }
+
   test("incremental clusters: a batch doc merges two corpus clusters") {
     // corpus: cluster {1,3} (near-copies on the w-words) and cluster
     // {5,7} (w-prefix + x-tail) sit at J≈0.47 — BELOW the threshold, so

@@ -668,33 +668,46 @@ object CurationQueries {
     * scorer under a different salt — in production, a different trained
     * weight table shipped per model (quality, toxicity, ...); here the
     * salt is what makes the two models' weights independent. */
-  private[operators] val QualitySalt = "graft-w:"
-  private[operators] val ToxSalt = "graft-tox:"
+  private[graft] val QualitySalt = "graft-w:"
+  private[graft] val ToxSalt = "graft-tox:"
 
-  private[graft] def hashScoredDocs(docsDf: DataFrame,
-      salt: String): DataFrame = {
+  /** The per-row (n_tokens, score) scorer of [[hashScoredDocs]] as ONE
+    * expression over `text` — exposed so a streaming stage can ride the
+    * scorer inline on a frame that must keep its other columns (a
+    * stream cannot self-join its own projection). */
+  private[graft] def hashScoreStruct(salt: String): Column = {
     def hexAt(i: Int) =
       s"(instr('0123456789abcdef', substring(h, $i, 1)) - 1)"
     val weightOf =
       s"transform(w, t -> transform(array(md5(concat('$salt', t)))," +
         s" h -> ${hexAt(1)} * 256 + ${hexAt(2)} * 16 + ${hexAt(3)}" +
         s" - 2048)[0])"
-    val scored = expr(
+    expr(
       "transform(array(split(text, '\\\\s+')), w -> struct(" +
         " size(w) AS n_tokens," +
         s" aggregate($weightOf, cast(0 as bigint)," +
         "   (acc, x) -> acc + x) AS score))[0]")
+  }
+
+  /** [[hashScoreStruct]]'s mean weight (the decision statistic), from
+    * the already-projected struct column. */
+  private[graft] def meanWeightOf(s: Column): Column =
+    round(s.getField("score").cast("double") /
+      (s.getField("n_tokens") * 2048.0), 6)
+
+  private[graft] def hashScoredDocs(docsDf: DataFrame,
+      salt: String): DataFrame = {
     // q84's contract never needed source; synthesize it when a caller
     // (tests) scores a source-less frame
     val src = if (docsDf.columns.contains("source")) docsDf
               else docsDf.withColumn("source", lit(""))
     src
-      .select(col("doc_id"), col("lang"), col("source"), scored.as("s"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        hashScoreStruct(salt).as("s"))
       .select(col("doc_id"), col("lang"), col("source"),
         col("s.n_tokens").cast("long").as("n_tokens"),
         col("s.score").as("score"),
-        round(col("s.score").cast("double") /
-          (col("s.n_tokens") * 2048.0), 6).as("mean_weight"))
+        meanWeightOf(col("s")).as("mean_weight"))
   }
 
   /** q84's operating point: the corpus MEDIAN of the hashed weight

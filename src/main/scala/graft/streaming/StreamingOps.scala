@@ -501,7 +501,7 @@ object StreamingOps {
         (col("mean_weight") >= col("cutoff")).as("pass"))
 
   /** L28 streaming: the CURATION FUNNEL as one continuous pipeline —
-    * the streaming mirror of q115's batch composition, chaining three
+    * the streaming mirror of q115's batch composition, chaining four
     * proven stages over an arriving doc stream: (1) incremental exact
     * dedup (watermark-bounded in-stream hash dedup + stateless
     * stream-static anti-join against the persisted corpus hash index —
@@ -509,8 +509,11 @@ object StreamingOps {
     * SAME shared vals), (3) the per-source quality gate over the
     * REDACTED text (stream-static join against q122's calibrated
     * cutoffs — scoring post-redaction, as a production funnel orders
-    * it). Only the dedup stage holds state, bounded by the watermark
-    * horizon; everything downstream is per-row or stream-static. */
+    * it), (4) the q171 toxicity gate (per-row, the SAME
+    * toxicityClassifierDocs projection — the second model family,
+    * last, mirroring the batch funnel's round-10 stage order). Only
+    * the dedup stage holds state, bounded by the watermark horizon;
+    * everything downstream is per-row or stream-static. */
   def streamingCurationFunnel(docs: Dataset[SourcedDoc],
       corpusHashes: DataFrame, cutoffs: DataFrame): DataFrame = {
     import graft.operators.CurationQueries.{EmailRe, PhoneRe}
@@ -519,9 +522,15 @@ object StreamingOps {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark(Seq("h"))
       .join(corpusHashes, Seq("h"), "left_anti")
+    import graft.operators.CurationQueries.{hashScoreStruct, meanWeightOf,
+      ToxSalt, ToxicityThreshold}
     val redacted = deduped.withColumn("text",
       regexp_replace(regexp_replace(col("text"), EmailRe, "<EMAIL>"),
         PhoneRe, "<PHONE>"))
+      // the toxicity stage rides INLINE on the same rows (a stream
+      // cannot self-join its own projection): the shared scorer
+      // expression under the q171 salt, clean = below the HIGH tail
+      .filter(meanWeightOf(hashScoreStruct(ToxSalt)) < ToxicityThreshold)
     graft.operators.CurationQueries.qualityScoredDocs(redacted)
       .join(cutoffs, Seq("source"))
       .filter(col("mean_weight") >= col("cutoff"))

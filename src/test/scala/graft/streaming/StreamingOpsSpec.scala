@@ -263,19 +263,34 @@ class StreamingOpsSpec extends SparkSpec {
       val got = spark.table("sfunnel")
         .as[(Long, String, Double)].collect().toSet
       // batch recomputation of the same composition: docs 1/3 deduped
-      // away, then redact + score + gate via the SAME shared defs
+      // away, then redact + toxicity gate + score + quality gate via
+      // the SAME shared defs (toxicity joined the funnel in round 10)
+      val redactedBatch = Seq(stream(1), stream(4)).map(d => (d.doc_id,
+          d.text.replaceAll(
+            graft.operators.CurationQueries.EmailRe, "<EMAIL>"),
+          d.lang, d.source))
+        .toDF("doc_id", "text", "lang", "source")
+      val toxClean = graft.operators.CurationQueries
+        .toxicityClassifierDocs(redactedBatch)
+        .filter(col("decision") === "clean").select(col("doc_id"))
       val expected = graft.operators.CurationQueries.qualityScoredDocs(
-          Seq(stream(1), stream(4)).map(d => (d.doc_id,
-            d.text.replaceAll(
-              graft.operators.CurationQueries.EmailRe, "<EMAIL>"),
-            d.lang, d.source))
-            .toDF("doc_id", "text", "lang", "source"))
+          redactedBatch)
+        .join(toxClean, Seq("doc_id"), "left_semi")
         .join(cutoffs, Seq("source"))
         .filter(col("mean_weight") >= col("cutoff"))
         .select(col("doc_id"), col("source"), col("mean_weight"))
         .as[(Long, String, Double)].collect().toSet
       assert(got == expected)
-      assert(got.map(_._1) == Set(2L, 5L))
+      // doc 5's seed-11 text happens to score over the toxicity
+      // threshold — the round-10 gate drops it where the round-9
+      // funnel passed it; pin the attribution so the drop is the
+      // CLASSIFIER's verdict, not an accident of the composition
+      assert(got.map(_._1) == Set(2L))
+      val tox5 = graft.operators.CurationQueries.toxicityClassifierDocs(
+          Seq((stream(4).doc_id, stream(4).text, "en"))
+            .toDF("doc_id", "text", "lang"))
+        .select(col("decision")).as[String].collect().toSeq
+      assert(tox5 == Seq("toxic"))
     } finally query.stop()
   }
 

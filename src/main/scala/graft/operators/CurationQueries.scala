@@ -1121,15 +1121,24 @@ object CurationQueries {
         Seq("tmp"))
       .select(col("node"), col("new_id"))
       .localCheckpoint(eager = false) // feeds member + anti join-backs
-    val corpusMembers = ccC
-      .join(nodeMap.withColumnRenamed("node", "cluster_id"),
+    // ONE broadcast-probed corpus scan enumerates touched-cluster
+    // members; which nodes matched a label falls out of the same rows,
+    // so the raw-node (batch doc / corpus singleton) anti-join runs
+    // over two BATCH-sized frames — the daily path never shuffles the
+    // corpus label table (an earlier draft anti-joined nodeMap against
+    // a distinct() of every corpus label: a corpus-wide exchange per
+    // day, the exact cost the persisted index exists to avoid)
+    val labelHits = ccC
+      .join(broadcast(nodeMap.withColumnRenamed("node", "cluster_id")),
         Seq("cluster_id"))
-      .select(col("doc_id"), col("new_id"))
+      .localCheckpoint(eager = false) // feeds members + touched labels
+    val touchedLabels = labelHits
+      .select(col("cluster_id").as("node")).distinct()
     val rawMembers = nodeMap
-      .join(ccC.select(col("cluster_id").as("node")).distinct(),
-        Seq("node"), "left_anti")
+      .join(touchedLabels, Seq("node"), "left_anti")
       .select(col("node").as("doc_id"), col("new_id"))
-    corpusMembers.unionByName(rawMembers)
+    labelHits.select(col("doc_id"), col("new_id"))
+      .unionByName(rawMembers)
       .select(col("doc_id"), col("new_id").as("cluster_id"))
   }
 

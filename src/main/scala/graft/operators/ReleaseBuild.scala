@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{Tables, sinks}
+import sinks.Sinks
+
+/** The RELEASE-side product flow — the write-path mirror of
+  * [[DailyIngest]]: where the ingest pipeline decides what ENTERS the
+  * corpus day by day, this composes what SHIPS out of it — the
+  * artifact set a training-data team hands to a trainer per release,
+  * every stage the already-proven operator (this object adds
+  * sequencing, artifact layout, and bookkeeping — no new predicates):
+  *
+  *   1. survivors: the full 7-stage curation funnel's `kept` docs
+  *      (q157's disposition — exact dedup → repetition → fluency →
+  *      exact decon → quality → toxicity, first-failure attributed);
+  *      the disposition table itself ships as the release's provenance
+  *      record
+  *   2. packing: q76's shard-local sequence layout over the survivors
+  *      (offsets a trainer's loader seeks by)
+  *   3. manifest: q131's per-shard accounting over the survivors
+  *   4. mixture: q141's temperature-reweighted sampling recipe over
+  *      the surviving source distribution
+  *   5. report card: q138's per-source sign-off table over the
+  *      survivors
+  *
+  * plus S5 job-ledger rows and S8 structured logs around the whole
+  * run (the reference's bookkeeping machinery, release flavor).
+  *
+  * Artifacts under `outDir`: `kept_docs.parquet`,
+  * `disposition.parquet`, `packing.parquet`, `manifest.parquet`,
+  * `mixture.parquet`, `report_card.parquet`, `ledger/`, `logs/`.
+  *
+  * Scale shape: ONE funnel pass decides the kept set (each stage the
+  * proven operator's plan); every downstream artifact is one
+  * already-audited query over the kept frame (q76/q131's two-level
+  * sharded ranks, q141/q138's per-source rollups). The kept id set
+  * rides a lazy checkpoint so the funnel executes once, not once per
+  * artifact. Deterministic under reruns: every stage is salted-hash /
+  * integer arithmetic, `ts` is caller-supplied (the S8 rule), and
+  * rerunning overwrites byte-identical artifacts (spec-pinned).
+  */
+object ReleaseBuild {
+
+  def run(spark: SparkSession, dataDir: String, outDir: String,
+      ts: String = "1970-01-01T00:00:00Z"): DataFrame = {
+    // eval docs (doc_id % 10 == 0) are the BENCHMARK holdout — they
+    // gate the funnel's decontamination stages but must never ship in
+    // a training release (the q151 rule); the release universe is the
+    // train side only
+    val d = Tables(spark, dataDir, "documents")
+      .filter(col("doc_id") % 10 =!= 0)
+    val disposition = CurationQueries.funnelDisposition(spark, dataDir)
+      .filter(col("doc_id") % 10 =!= 0)
+      .localCheckpoint(eager = false) // feeds provenance write + kept
+    val keptDocs = d.join(
+      disposition.filter(col("disposition") === "kept")
+        .select(col("doc_id")), Seq("doc_id"), "left_semi")
+      .localCheckpoint(eager = false) // feeds all five artifacts
+
+    def w(df: DataFrame, name: String): Long = {
+      df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+      spark.read.parquet(s"$outDir/$name.parquet").count()
+    }
+    val counts = Seq(
+      "disposition" -> w(disposition.orderBy(col("doc_id")), "disposition"),
+      "kept_docs" -> w(keptDocs, "kept_docs"),
+      "packing" -> w(CurationQueries.packSequencesDocs(keptDocs),
+        "packing"),
+      "manifest" -> w(CurationQueries.shardManifestDocs(keptDocs),
+        "manifest"),
+      "mixture" -> w(CurationQueries.mixtureRecipeDocs(keptDocs),
+        "mixture"),
+      "report_card" -> w(CurationQueries.sourceReportDocs(keptDocs),
+        "report_card"))
+
+    // bookkeeping: one ledger row + one log line per artifact
+    import spark.implicits._
+    val summary = counts.toDF("step", "n_rows")
+      .orderBy(col("step"))
+      .localCheckpoint(eager = false) // feeds ledger, logs AND return
+    Sinks.appendLedger(summary
+      .select(monotonically_increasing_id().as("job_id"), col("step"),
+        col("n_rows").as("n_docs"), lit(ts).as("ts"),
+        lit("completed").as("status")),
+      s"$outDir/ledger")
+    Sinks.writeLogs(summary
+      .select(lit(ts).as("ts"), lit("INFO").as("level"),
+        lit("release_build_step").as("event"),
+        concat_ws(" ", col("step"), col("n_rows")).as("message")),
+      s"$outDir/logs")
+    summary
+  }
+}

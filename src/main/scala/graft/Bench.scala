@@ -118,12 +118,18 @@ object Bench {
     // SPARK_GRAFT_BENCH_TAG (committed per round as r<N>; the driver's
     // own runs land on "latest" and are never committed by it).
     try {
+      // Tag sanitized to a plain filename: no path separators or shell
+      // metacharacters from the env var reach the filesystem.
       val tag = sys.env.getOrElse("SPARK_GRAFT_BENCH_TAG", "latest")
+        .replaceAll("[^A-Za-z0-9._-]", "_").take(64)
       val dir = new java.io.File("bench_local")
       dir.mkdirs()
       val w = new java.io.PrintWriter(new java.io.File(dir, s"$tag.json"))
       try w.println(line) finally w.close()
-    } catch { case _: Throwable => () } // bench numbers still print
+    } catch {
+      // NonFatal only: an OOM mid-benchmark must surface, not be swallowed
+      case scala.util.control.NonFatal(_) => () // bench numbers still print
+    }
     // The driver archives only the TAIL of this process's output (2000
     // chars in round 4, which truncated the wall map and total out of
     // BENCH_r04.json — VERDICT r4 "What's wrong" #4). A second, short

@@ -145,23 +145,26 @@ object Multimodal {
           ((payload(off + 2) & 0xffL) << 16) |
           ((payload(off + 3) & 0xffL) << 24)
       if (n < 12 || !tag(0, "RIFF") || !tag(8, "WAVE")) return Array.empty
-      var i = 12
+      // Offset tracked as a Long: a corrupt/crafted chunk size near 2^31
+      // (or the full unsigned 2^32-1) must advance past end-of-payload and
+      // end the scan, never wrap negative into payload(negativeIndex).
+      var i = 12L
       var channels = -1
       var dataOff = -1
       var dataLen = -1L
       while (i + 8 <= n && (channels < 0 || dataOff < 0)) {
-        val sz = le32(i + 4)
-        if (tag(i, "fmt ") && i + 8 + 16 <= n) {
-          val fmt = le16(i + 8)
-          channels = le16(i + 10)
-          val bits = le16(i + 22)
+        val io = i.toInt // safe: i + 8 <= n <= Int.MaxValue
+        val sz = le32(io + 4)
+        if (tag(io, "fmt ") && i + 8 + 16 <= n) {
+          val fmt = le16(io + 8)
+          channels = le16(io + 10)
+          val bits = le16(io + 22)
           if (fmt != 1 || bits != 16 || channels < 1) return Array.empty
-        } else if (tag(i, "data")) {
-          dataOff = i + 8
+        } else if (tag(io, "data")) {
+          dataOff = io + 8
           dataLen = math.min(sz, (n - dataOff).toLong)
         }
-        i += 8 + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
-        if (sz > Int.MaxValue - 16) return Array.empty
+        i += 8L + sz + (sz & 1L) // word-aligned chunks; Long math, no wrap
       }
       if (channels < 1 || dataOff < 0) return Array.empty
       val frameBytes = 2 * channels

@@ -252,8 +252,11 @@ object DailyIngest {
         .select(lit("batch_in").as("step"), col("n_docs")))
       .orderBy(col("step"))
       .localCheckpoint(eager = false) // feeds ledger, logs AND return
+    // job_id = hash(ts, step): unique per ingest day even though the
+    // ledger APPENDS across days (monotonically_increasing_id restarts
+    // at 0 every run — ADVICE r10, fixed alongside ReleaseBuild)
     Sinks.appendLedger(summary
-      .select(monotonically_increasing_id().as("job_id"), col("step"),
+      .select(xxhash64(lit(ts), col("step")).as("job_id"), col("step"),
         col("n_docs"), lit(ts).as("ts"), lit("completed").as("status")),
       s"$outDir/ledger")
     Sinks.writeLogs(summary

@@ -81,8 +81,12 @@ object ReleaseBuild {
     val summary = counts.toDF("step", "n_rows")
       .orderBy(col("step"))
       .localCheckpoint(eager = false) // feeds ledger, logs AND return
+    // job_id is a pure function of (ts, step): monotonically_increasing_id
+    // restarts at 0 every run, which duplicated job_ids across appended
+    // reruns — hashing the caller-supplied ts keeps provenance rows
+    // uniquely keyed per release build (ADVICE r10)
     Sinks.appendLedger(summary
-      .select(monotonically_increasing_id().as("job_id"), col("step"),
+      .select(xxhash64(lit(ts), col("step")).as("job_id"), col("step"),
         col("n_rows").as("n_docs"), lit(ts).as("ts"),
         lit("completed").as("status")),
       s"$outDir/ledger")

@@ -509,11 +509,15 @@ object StreamingOps {
     * SAME shared vals), (3) the per-source quality gate over the
     * REDACTED text (stream-static join against q122's calibrated
     * cutoffs — scoring post-redaction, as a production funnel orders
-    * it), (4) the q171 toxicity gate (per-row, the SAME
-    * toxicityClassifierDocs projection — the second model family,
-    * last, mirroring the batch funnel's round-10 stage order). Only
-    * the dedup stage holds state, bounded by the watermark horizon;
-    * everything downstream is per-row or stream-static. */
+    * it), (4) the q171 toxicity gate LAST, mirroring the batch funnel's
+    * round-10 stage order — and scored over the RAW pre-redaction text,
+    * exactly the input batch q171/q157 score, so a doc whose emails
+    * change its hashed score cannot classify differently in stream vs
+    * batch. The score rides INLINE as a column computed before the
+    * redaction rewrite (a stream cannot self-join its own projection);
+    * only its FILTER applies last. Only the dedup stage holds state,
+    * bounded by the watermark horizon; everything downstream is per-row
+    * or stream-static. */
   def streamingCurationFunnel(docs: Dataset[SourcedDoc],
       corpusHashes: DataFrame, cutoffs: DataFrame): DataFrame = {
     import graft.operators.CurationQueries.{EmailRe, PhoneRe}
@@ -523,17 +527,21 @@ object StreamingOps {
       .dropDuplicatesWithinWatermark(Seq("h"))
       .join(corpusHashes, Seq("h"), "left_anti")
     import graft.operators.CurationQueries.{hashScoreStruct, meanWeightOf,
-      ToxSalt, ToxicityThreshold}
-    val redacted = deduped.withColumn("text",
+      QualitySalt, ToxSalt, ToxicityThreshold}
+    // the shared q171 scorer over RAW text, captured before redaction
+    val toxScored = deduped.withColumn("tox_mean",
+      meanWeightOf(hashScoreStruct(ToxSalt)))
+    val redacted = toxScored.withColumn("text",
       regexp_replace(regexp_replace(col("text"), EmailRe, "<EMAIL>"),
         PhoneRe, "<PHONE>"))
-      // the toxicity stage rides INLINE on the same rows (a stream
-      // cannot self-join its own projection): the shared scorer
-      // expression under the q171 salt, clean = below the HIGH tail
-      .filter(meanWeightOf(hashScoreStruct(ToxSalt)) < ToxicityThreshold)
-    graft.operators.CurationQueries.qualityScoredDocs(redacted)
+    redacted
+      // the shared q84 scorer (the hashScoredDocs expression verbatim)
+      // over the redacted text, kept inline so tox_mean survives
+      .withColumn("mean_weight",
+        meanWeightOf(hashScoreStruct(QualitySalt)))
       .join(cutoffs, Seq("source"))
       .filter(col("mean_weight") >= col("cutoff"))
+      .filter(col("tox_mean") < ToxicityThreshold) // stage 6: clean = low tail
       .select(col("doc_id"), col("source"), col("mean_weight"))
   }
 

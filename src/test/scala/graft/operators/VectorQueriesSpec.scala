@@ -477,8 +477,8 @@ class VectorQueriesSpec extends SparkSpec {
       .as[(String, Long, Long, Long)].collect()
       .map(r => r._1 -> (r._2, r._3, r._4)).toMap
     assert(rows.keySet ==
-      Set("ivf", "ivf_incremental", "ivf_sq8", "multiprobe", "pq", "rp",
-        "sq8"))
+      Set("ivf", "ivf_incremental", "ivf_sq8", "multiprobe", "pq",
+        "pq_trained", "rp", "sq8"))
     rows.values.foreach { case (hits, nExact, micro) =>
       assert(nExact == 30L) // NumQueries × TopK
       assert(hits >= 0 && hits <= nExact)
@@ -489,6 +489,37 @@ class VectorQueriesSpec extends SparkSpec {
     // variant's top-k (at most k-1 items beat it anywhere) — so hits are
     // monotone in the candidate set
     assert(rows("multiprobe")._1 >= rows("ivf")._1)
+  }
+
+  test("PQ training strictly reduces quantization distortion") {
+    // the q178 gate: total squared sub-vector↔centroid error is THE
+    // quantity the Lloyd rounds descend — recall@3 over 10 queries is
+    // 30 indicator draws and cannot rank codebooks (PLANS.md r11)
+    val d = VectorQueries.pqDistortion(spark, sfDir)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> r._2).toMap
+    assert(d.keySet == Set("seeded", "trained"))
+    assert(d("trained") < d("seeded"),
+      s"training did not reduce distortion: ${d("trained")} vs " +
+        s"${d("seeded")}")
+  }
+
+  test("trained PQ codebook keeps geometry and fills from assignments") {
+    val row = VectorQueries.pqTrainedCodebookOf(
+      graft.Tables(spark, sfDir, "embeddings")
+        .selectExpr("vec_id",
+          "transform(embedding, x -> cast(x as double)) AS v"))
+      .selectExpr("size(cb) AS ns", "size(nb) AS nns",
+        "forall(cb, sub -> size(sub) = 16 AND " +
+          "forall(sub, cv -> size(cv) = 8)) AS shape_ok",
+        // norms must equal the recomputed sum of squares of each entry
+        "forall(sequence(0, 7), s -> forall(sequence(0, 15), c -> " +
+          "nb[s][c] = aggregate(cb[s][c], 0L, (a, x) -> a + x * x))) " +
+          "AS norms_ok")
+      .head()
+    assert(row.getInt(0) == 8 && row.getInt(1) == 8)
+    assert(row.getBoolean(2), "codebook lost its 8x16x8 shape")
+    assert(row.getBoolean(3), "nb norms disagree with cb entries")
   }
 
   test("kmeans packed argmin fails fast when preconditions break") {

@@ -986,6 +986,58 @@ object LLMQueries {
     rrfFuse(lex.unionByName(dense))
   }
 
+  /** L79/q179: RETRIEVAL-QUALITY gate — the q110 pattern applied to the
+    * retrieval family (VERDICT r10 "Next round" #2): per variant (q93
+    * BM25, q163 QL, q164 lexical-RRF, q170 dense-hybrid, plus the raw
+    * q87-tier dense leg for context), exact-integer
+    * overlap@[[Bm25TopK]] against a pinned SEMANTIC ground truth — the
+    * exact dense scan under the retrieval family's query/corpus split
+    * ([[VectorQueries.denseExactLeg]]). A lexical scorer is blind to a
+    * synonym page by construction (zero shared terms = zero postings);
+    * the hybrid's dense leg is exactly the published fix, and this gate
+    * turns that benefit into a MEASURED correctness output the way q110
+    * did for ANN recall and q125/q127 for LSH banding, instead of a
+    * one-off CI fixture (the synonym fixture in LLMQueriesSpec stays as
+    * the qualitative pin, now asserted through this gate too).
+    *
+    * Scale shape: every variant is its existing proven scan; the
+    * overlap join keys on (qid, doc_id) — |queries| × k rows per
+    * variant, broadcast-sized by construction (the q110 argument
+    * verbatim). Oracle NESTS the five variant oracles and the exact
+    * dense fragment, so the gate can never drift from what ships. */
+  def retrievalQuality(spark: SparkSession, dir: String): DataFrame =
+    retrievalQualityOf(docs(spark, dir), Tables(spark, dir, "embeddings"))
+
+  private[operators] def retrievalQualityOf(docsDf: DataFrame,
+      emb: DataFrame): DataFrame = {
+    val k = Bm25TopK
+    val (tf, dl) = bm25Index(docsDf)
+    val truth = VectorQueries.denseExactLeg(emb, Bm25NumQueries, k)
+      .select(col("qid"), col("doc_id"))
+      .localCheckpoint(eager = false) // feeds the join and the total
+    val variants: Seq[(String, DataFrame)] = Seq(
+      "bm25" -> bm25Rank(tf, dl, k),
+      "dense_ivf" -> VectorQueries.denseRankedLeg(emb, Bm25NumQueries, k),
+      "hybrid_dense" ->
+        hybridDenseRrfOf(docsDf, emb).filter(col("rk") <= k),
+      "ql" -> qlRank(tf, dl, k),
+      "rrf" -> rrfFuse(bm25Rank(tf, dl, RrfDepth)
+        .unionByName(qlRank(tf, dl, RrfDepth))).filter(col("rk") <= k))
+    val union = variants.map { case (name, df) =>
+      df.select(lit(name).as("variant"), col("qid"), col("doc_id"))
+    }.reduce(_.unionByName(_))
+    val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+    union
+      .join(truth.withColumn("hit", lit(1)), Seq("qid", "doc_id"), "left")
+      .groupBy(col("variant"))
+      .agg(count(col("hit")).as("hits"))
+      .crossJoin(broadcast(nTruth))
+      .select(col("variant"), col("hits"), col("n_truth"),
+        // both operands non-negative: Spark div ≡ DuckDB //
+        expr("hits * 1000000L div n_truth").as("overlap_micro"))
+      .orderBy(col("variant"))
+  }
+
   /** Top pair count for [[bpePairCounts]]. */
   private val BpeTopPairs = 20
 
@@ -1427,6 +1479,7 @@ object LLMQueries {
     "q163_ql_topk" -> (qlTopk _),
     "q164_rrf_fusion" -> (rrfFusion _),
     "q170_hybrid_dense_rrf" -> (hybridDenseRrf _),
+    "q179_retrieval_quality" -> (retrievalQuality _),
     "q94_bpe_pairs" -> (bpePairCounts _),
     "q108_bpe_merge_loop" -> (bpeMergeLoop _),
     "q113_bpe_tokenize" -> (bpeTokenize _),
@@ -1702,8 +1755,45 @@ object LLMQueries {
        |  FROM fused)
        |WHERE rk <= $RrfTopK ORDER BY qid, rk""".stripMargin
 
+  /** q179's oracle nests the five shipped variant oracles verbatim (the
+    * q110 composition rule) against the exact dense fragment; the LEFT
+    * join keeps a zero-overlap variant's row alive. */
+  private def retrievalQualityOracle: String = {
+    val k = Bm25TopK
+    s"""WITH truth AS (
+       |  SELECT qid, doc_id FROM (
+       |${VectorQueries.denseExactOracleSql(Bm25NumQueries, k)})),
+       |v AS (
+       |  SELECT 'bm25' AS variant, qid, doc_id FROM (
+       |$bm25Oracle)
+       |  UNION ALL
+       |  SELECT 'dense_ivf', qid, doc_id FROM (
+       |    WITH ${VectorQueries.denseLegOracleCtes(Bm25NumQueries)}
+       |    SELECT qid, doc_id FROM drank WHERE rk <= $k)
+       |  UNION ALL
+       |  SELECT 'hybrid_dense', qid, doc_id FROM (
+       |$hybridOracle) WHERE rk <= $k
+       |  UNION ALL
+       |  SELECT 'ql', qid, doc_id FROM (
+       |$qlOracle)
+       |  UNION ALL
+       |  SELECT 'rrf', qid, doc_id FROM (
+       |$rrfOracle) WHERE rk <= $k),
+       |hits AS (
+       |  SELECT variant, count(truth.qid) AS hits
+       |  FROM v LEFT JOIN truth
+       |    ON v.qid = truth.qid AND v.doc_id = truth.doc_id
+       |  GROUP BY variant),
+       |tot AS (SELECT count(*) AS n_truth FROM truth)
+       |SELECT variant, CAST(hits AS BIGINT) AS hits,
+       |  CAST(n_truth AS BIGINT) AS n_truth,
+       |  CAST(hits * 1000000 // n_truth AS BIGINT) AS overlap_micro
+       |FROM hits, tot ORDER BY variant""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "q170_hybrid_dense_rrf" -> hybridOracle,
+    "q179_retrieval_quality" -> retrievalQualityOracle,
     "q60_exact_dedup" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY sha256(text) ORDER BY keep_id""".stripMargin,

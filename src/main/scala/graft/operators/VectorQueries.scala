@@ -450,6 +450,43 @@ object VectorQueries {
          |  SELECT qid, doc_id, row_number() OVER (PARTITION BY qid
          |    ORDER BY cos DESC, doc_id) AS rk FROM dscored)""".stripMargin
 
+  /** Exact dense GROUND TRUTH for the q179 retrieval-quality gate:
+    * brute-force cosine under the RETRIEVAL family's query/corpus split
+    * (queries = vec_id < nQueries, corpus = everything else — exactly
+    * the q93/q163/q170 contract, where q67's own split ranks other
+    * queries too). Returns (qid, doc_id, rk) to depth k. One broadcast-
+    * queries scan, two-level ranked — the q67 plan. */
+  private[operators] def denseExactLeg(emb: DataFrame, nQueries: Int,
+      k: Int): DataFrame = {
+    val e = vecsOf(emb)
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val scored = e.filter(col("vec_id") >= nQueries)
+      .crossJoin(broadcast(q))
+      .withColumn("cos", round(cosineSim(col("v"), col("qv")), 6))
+    rankTopKPerQuery(scored, k)
+      .select(col("qid"), col("vec_id").as("doc_id"),
+        col("rk").cast("long").as("rk"))
+  }
+
+  /** [[denseExactLeg]] as a standalone oracle SELECT (the q67 scoring
+    * form verbatim, restricted to the retrieval split) — exported to
+    * LLMQueries so the q179 gate's ground truth nests the proven
+    * fragment. */
+  private[operators] def denseExactOracleSql(nQueries: Int,
+      k: Int): String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < $nQueries),
+       |scored AS (
+       |  SELECT qid, e.vec_id AS doc_id,
+       |    round(list_cosine_similarity(e.v, q.qv), 6) AS cos
+       |  FROM e, q WHERE e.vec_id >= $nQueries)
+       |SELECT qid, doc_id, CAST(rk AS BIGINT) AS rk FROM (
+       |  SELECT qid, doc_id, row_number() OVER
+       |    (PARTITION BY qid ORDER BY cos DESC, doc_id) AS rk
+       |  FROM scored)
+       |WHERE rk <= $k""".stripMargin
+
   private[operators] def ivfTopkCosineOf(
       e: DataFrame, cents: DataFrame, probes: Int = 1): DataFrame = {
     // data vectors live in exactly ONE cell; queries may probe several

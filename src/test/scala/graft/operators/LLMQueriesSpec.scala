@@ -524,6 +524,44 @@ class LLMQueriesSpec extends SparkSpec {
     assert(fused.exists(r => r._1 == 0L && r._3 == 8L))
   }
 
+  test("retrieval-quality gate: hybrid beats the blind lexical leg") {
+    // the q179 fixture: query doc 0; doc 7 is a synonym page (zero
+    // shared terms, near-identical embedding), doc 8 the only lexical
+    // hit (weak embedding), docs 9-11 lexical noise with embeddings
+    // that outrank doc 8 semantically. Dense truth@3 = {7, 10, 11};
+    // BM25 can only ever return doc 8 (the one posting match), so its
+    // overlap is 0 — the hybrid's dense leg lifts it strictly above.
+    val docsDf = Seq(
+      (0L, "automobile insurance quote request"),
+      (7L, "car coverage pricing enquiry"),
+      (8L, "automobile insurance quote request form online"),
+      (9L, "gardening tips for tomato seedlings"),
+      (10L, "vehicle protection premium estimate"),
+      (11L, "kitchen renovation budget planner")
+    ).toDF("doc_id", "text")
+    val emb = Seq(
+      (0L, Array(1.0f, 0.05f, 0.0f, 0.1f), 1),
+      (7L, Array(0.99f, 0.04f, 0.01f, 0.1f), 1),
+      (8L, Array(0.0f, 1.0f, 0.2f, 0.0f), 2),
+      (9L, Array(0.1f, 0.0f, 1.0f, 0.0f), 2),
+      (10L, Array(0.9f, 0.1f, 0.3f, 0.05f), 1),
+      (11L, Array(0.0f, 0.2f, 0.1f, 1.0f), 2)
+    ).toDF("vec_id", "embedding", "label")
+    val got = LLMQueries.retrievalQualityOf(docsDf, emb)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> r._4).toMap
+    assert(got.keySet ==
+      Set("bm25", "dense_ivf", "hybrid_dense", "ql", "rrf"))
+    // the gate's headline claim: fusion with a dense leg strictly
+    // beats every lexical-only variant on semantic ground truth
+    assert(got("hybrid_dense") > got("bm25"),
+      s"hybrid ${got("hybrid_dense")} !> bm25 ${got("bm25")}: $got")
+    assert(got("hybrid_dense") > got("ql"))
+    assert(got("hybrid_dense") > got("rrf"))
+    // and the pure dense tier bounds everything lexical from above here
+    assert(got("dense_ivf") >= got("hybrid_dense"))
+  }
+
   // --- edit-distance verification (q166) -------------------------------
 
   test("edit verification keeps copies and drops rotated text that " +

@@ -46,7 +46,11 @@ object SparkEntry {
             graft.multimodal.Multimodal.incrementalAudioNearDupsDaily(s, dir)),
         "q130_media_cluster_survivors" ->
           ((s, dir) =>
-            graft.multimodal.Multimodal.mediaClusterSurvivors(s, dir)))
+            graft.multimodal.Multimodal.mediaClusterSurvivors(s, dir)),
+        "q180_incremental_media_clusters" ->
+          ((s, dir) =>
+            graft.multimodal.Multimodal
+              .incrementalMediaClustersDaily(s, dir)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -441,9 +441,14 @@ object Multimodal {
   /** The q109 pair set WITHOUT the presentation sort — the edge input
     * q130's cluster formation consumes (a global order would cost a
     * range exchange the CC immediately re-shuffles away). */
-  private def mediaPairFrame(spark: SparkSession, dir: String): DataFrame = {
-    val parts = spark.sessionState.conf.numShufflePartitions
-    val bands = phashBands(assetHashes(spark, dir))
+  private def mediaPairFrame(spark: SparkSession, dir: String): DataFrame =
+    pairFrameOf(assetHashes(spark, dir))
+
+  /** The banded Hamming pair query over ANY hash frame — shared by the
+    * full pass (q109/q130) and the corpus-side media_cc build (q180). */
+  private def pairFrameOf(h: DataFrame): DataFrame = {
+    val parts = h.sparkSession.sessionState.conf.numShufflePartitions
+    val bands = phashBands(h)
       .repartition(parts, col("band"), col("key"))
     bands.as("a")
       .join(bands.as("b"),
@@ -477,11 +482,19 @@ object Multimodal {
     val (clusters, _) = graft.operators.CurationQueries
       .connectedComponentsStar(
         mediaPairFrame(spark, dir).select(col("doc_a"), col("doc_b")))
-    val scored = assetDocs(spark, dir)
+    graft.operators.CurationQueries
+      .electSurvivors(clusters, scoredAssets(spark, dir))
+  }
+
+  /** Per-asset caption quality over the q109 asset universe — ONE
+    * definition shared by q130's election, the media_cc label table and
+    * the q180 daily election, so the three can never score a caption
+    * differently. */
+  private[graft] def scoredAssets(spark: SparkSession,
+      dir: String): DataFrame =
+    assetDocs(spark, dir)
       .select(col("doc_id"),
         graft.operators.LLMQueries.qualityExpr.as("quality"))
-    graft.operators.CurationQueries.electSurvivors(clusters, scored)
-  }
 
   /** Hashes of the full q109 asset universe, CPU spread before decode. */
   private def assetHashes(spark: SparkSession, dir: String): DataFrame =
@@ -514,6 +527,13 @@ object Multimodal {
     * provably equals the full q109 pass restricted to pairs touching
     * ≥ 1 batch asset, which is what the oracle checks. */
   def incrementalMediaNearDups(corpusBands: DataFrame,
+      newHashes: DataFrame): DataFrame =
+    incrementalMediaPairFrame(corpusBands, newHashes)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** The q111 pair set WITHOUT the presentation sort — the edge input
+    * the q180 contracted merge consumes. */
+  private[multimodal] def incrementalMediaPairFrame(corpusBands: DataFrame,
       newHashes: DataFrame): DataFrame = {
     // lazy-materialized: feeds both the union leg and the probe leg
     val newBands = phashBands(newHashes).localCheckpoint(eager = false)
@@ -527,7 +547,143 @@ object Multimodal {
           .cast("long").as("hamming"))
       .filter(col("hamming") <= MediaHammingMax)
       .distinct()
-      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** The media cluster LABEL+QUALITY table — IndexStore family
+    * `media_cc`, the persisted artifact that closes the MEDIA dedup
+    * lifecycle the way `text_cc` closed text (VERDICT r10 "Next round"
+    * #4: media had daily pairs q111 and a full-pass election q130, but
+    * survivor elections still implied a nightly corpus re-cluster):
+    * q85's star CC over the q109 corpus pair graph, EVERY corpus asset
+    * labeled (singletons carry their own id — the q143 whole-corpus
+    * partition convention, which is what lets the daily contraction
+    * treat every corpus endpoint uniformly), with the q130 caption
+    * quality riding in the row. Persisting quality is what keeps the
+    * daily election O(touched members): corpus captions never re-read,
+    * never re-score. ~24 bytes per asset. */
+  def mediaCcOf(corpusHashes: DataFrame,
+      corpusScored: DataFrame): DataFrame = {
+    val cc = graft.operators.CurationQueries.connectedComponentsStar(
+        pairFrameOf(corpusHashes).select(col("doc_a"), col("doc_b")))._1
+    corpusScored.join(cc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
+        col("quality"))
+  }
+
+  /** Membership rows (doc_id, cluster_id, quality) of every cluster the
+    * FULL q130 pass over corpus ∪ batch would form that contains ≥ 1
+    * batch asset — without re-pairing or re-clustering the corpus (the
+    * q175 contracted merge, media flavor). Shared by the q180 election
+    * and the `media_cc` compaction.
+    *
+    * Mechanics: (1) q111's incremental pairs (every pair has a batch
+    * endpoint by construction — pigeonhole-exact banding); (2) corpus
+    * endpoints CONTRACT to their persisted label — sound because
+    * banding is per-asset, so corpus-corpus connectivity is
+    * batch-independent and fully inside the label table; the label
+    * lookup is ONE broadcast-semi probe of `media_cc` by the
+    * batch-bounded endpoint set, broadcast back into the edge list, so
+    * the corpus label table is scanned once and NEVER shuffled (the
+    * q96 endpoint contract, label flavor — q175's text version joins
+    * the label table directly and pays a corpus exchange the text side
+    * tolerates because `text_cc` holds only paired docs; media_cc holds
+    * every asset, so the probe shape is load-bearing here); (3) star-CC
+    * over the contracted BATCH-SIZED graph — a batch asset bridging two
+    * corpus clusters merges them as single nodes (bridge fixture
+    * spec-pinned); (4) members re-enumerate only for touched clusters,
+    * via one broadcast-probed label scan. Daily cost O(batch +
+    * candidate pairs + touched members). */
+  def incrementalMediaClusterMembers(ccC: DataFrame, bandsC: DataFrame,
+      newHashes: DataFrame, newScored: DataFrame): DataFrame = {
+    val pairs = incrementalMediaPairFrame(bandsC, newHashes)
+      .select(col("doc_a"), col("doc_b"))
+      .localCheckpoint(eager = false) // feeds endpoint ids + contraction
+    val endpointIds = pairs.select(col("doc_a").as("doc_id"))
+      .unionByName(pairs.select(col("doc_b").as("doc_id")))
+      .distinct()
+    val labels = ccC
+      .join(broadcast(endpointIds), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("cluster_id"))
+      .localCheckpoint(eager = false) // batch-bounded label subset
+    val edges = pairs
+      .join(broadcast(labels.select(col("doc_id").as("doc_a"),
+        col("cluster_id").as("la"))), Seq("doc_a"), "left")
+      .join(broadcast(labels.select(col("doc_id").as("doc_b"),
+        col("cluster_id").as("lb"))), Seq("doc_b"), "left")
+      .select(coalesce(col("la"), col("doc_a")).as("doc_a"),
+        coalesce(col("lb"), col("doc_b")).as("doc_b"))
+      .filter(col("doc_a") =!= col("doc_b"))
+    // contracted CC: nodes are corpus labels and batch ids — batch-sized
+    val comps = graft.operators.CurationQueries
+      .connectedComponentsStar(edges)._1
+      .select(col("doc_id").as("node"), col("cluster_id").as("tmp"))
+    // merged cluster id = min(node): every label IS its cluster's min
+    // member id (star-CC invariant; a singleton label its own id), so
+    // min over nodes = the full pass's least member id
+    val nodeMap = comps
+      .join(comps.groupBy(col("tmp")).agg(min(col("node")).as("new_id")),
+        Seq("tmp"))
+      .select(col("node"), col("new_id"))
+      .localCheckpoint(eager = false) // feeds members + anti join-backs
+    // ONE broadcast-probed corpus scan enumerates touched-cluster
+    // members WITH their persisted quality (the q175 plan-read rule:
+    // the daily path never shuffles the corpus label table)
+    val labelHits = ccC
+      .join(broadcast(nodeMap.withColumnRenamed("node", "cluster_id")),
+        Seq("cluster_id"))
+      .localCheckpoint(eager = false) // feeds members + touched labels
+    val corpusMembers = labelHits
+      .select(col("doc_id"), col("new_id"), col("quality"))
+    val touchedLabels = labelHits
+      .select(col("cluster_id").as("node")).distinct()
+    // every corpus endpoint has a label row (media_cc partitions the
+    // corpus), so the anti leg leaves exactly the batch nodes — scored
+    // from the batch's own captions, a batch-sized join
+    val batchMembers = nodeMap
+      .join(touchedLabels, Seq("node"), "left_anti")
+      .select(col("node").as("doc_id"), col("new_id"))
+      .join(newScored, Seq("doc_id"))
+    corpusMembers
+      .unionByName(
+        batchMembers.select(col("doc_id"), col("new_id"), col("quality")))
+      .select(col("doc_id"), col("new_id").as("cluster_id"),
+        col("quality"))
+  }
+
+  /** L80/q180: incremental media CLUSTER maintenance + survivor
+    * election — the daily operator that closes the media dedup
+    * lifecycle: [[incrementalMediaClusterMembers]]' batch-touched
+    * membership, elected per q130's rule (max caption quality, min
+    * doc_id tie-break) as ONE max(struct) aggregate per cluster with
+    * the member count riding along — never a cluster-keyed window, so a
+    * mega-family of re-encodes map-side-combines. Provably equals the
+    * full q130 pass over corpus ∪ batch restricted to clusters holding
+    * ≥ 1 batch asset — exactly what the oracle checks via the recursive
+    * closure. */
+  def incrementalMediaClusters(ccC: DataFrame, bandsC: DataFrame,
+      newHashes: DataFrame, newScored: DataFrame): DataFrame =
+    incrementalMediaClusterMembers(ccC, bandsC, newHashes, newScored)
+      .groupBy(col("cluster_id"))
+      .agg(max(struct(col("quality"), (-col("doc_id")).as("nid")))
+        .as("best"),
+        count(lit(1)).as("cluster_size"))
+      .select(col("cluster_id"), (-col("best.nid")).as("kept_id"),
+        col("best.quality").as("quality"), col("cluster_size"))
+      .orderBy(col("kept_id"))
+
+  /** q180 as an oracle query: corpus-side label table built in-query
+    * over the q111 universe (corpus = id % 10 ≠ 0, batch = the rest —
+    * the q104/q159/q175 convention; the production pipeline reads
+    * IndexStore `media_cc`, disk==memory spec-pinned). */
+  def incrementalMediaClustersDaily(spark: SparkSession,
+      dir: String): DataFrame = {
+    val (corpusH, batchH) = mediaSplit(spark, dir)
+    val scored = scoredAssets(spark, dir)
+      .localCheckpoint(eager = false) // feeds corpus AND batch scoring
+    val ccC = mediaCcOf(corpusH, scored.filter(col("doc_id") % 10 =!= 0))
+    incrementalMediaClusters(ccC, phashBands(corpusH), batchH,
+      scored.filter(col("doc_id") % 10 === 0))
   }
 
   case class FrameHash(doc_id: Long, frame_no: Int, fhash: Long)
@@ -866,6 +1022,13 @@ object Multimodal {
     * over the asset universe's text (variants included), q88's
     * row_number election. */
   private def mediaClusterSurvivorsSql: String =
+    mediaClusterSurvivorsSqlOf("")
+
+  /** The q130 recursive-closure election with an optional restriction on
+    * the final SELECT — shared by q130 (no restriction) and q180
+    * (clusters holding a batch member) so the full pass and the
+    * incremental maintenance oracle can never drift apart. */
+  private def mediaClusterSurvivorsSqlOf(restrict: String): String =
     s"""WITH RECURSIVE $mediaHashCtes,
        |pairs AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -898,7 +1061,8 @@ object Multimodal {
        |      ORDER BY quality DESC, doc_id) AS rn
        |  FROM labels JOIN quality USING (doc_id))
        |SELECT cluster_id, doc_id AS kept_id, quality, cluster_size
-       |FROM ranked WHERE rn = 1 ORDER BY kept_id""".stripMargin
+       |FROM ranked WHERE rn = 1
+       |$restrict ORDER BY kept_id""".stripMargin
 
   /** q118 oracle: recompute the frame slices and per-frame window dHash
     * from the ASCII text (frame k = [[FrameLen]] chars at offset
@@ -1028,6 +1192,11 @@ object Multimodal {
       "  AND (doc_a % 10 = 0 OR doc_b % 10 = 0)\n"),
     "q111_incremental_media_phash" -> mediaPhashPairsSql(
       "  AND (doc_a % 10 = 0 OR doc_b % 10 = 0)\n"),
+    // q180: the SAME recursive closure + election restricted to clusters
+    // holding a batch member — the contracted merge must reproduce it
+    "q180_incremental_media_clusters" -> mediaClusterSurvivorsSqlOf(
+      "  AND cluster_id IN (SELECT DISTINCT cluster_id FROM comp\n" +
+        "                    WHERE doc_id % 10 = 0)\n"),
     "q72_media_feature_summary" -> {
       val bucket0Chars = Seq(" ", "0", "@", "P", "`", "p")
       val b0 = bucket0Chars

@@ -440,6 +440,59 @@ object IndexStore {
       .unionByName(updated), outDir, "text_cc")
   }
 
+  /** The media cluster LABEL+quality table (q180): star CC over the
+    * corpus q109 pair graph with caption quality riding along — every
+    * corpus asset labeled (singletons their own id), so the daily
+    * election never re-reads or re-scores corpus captions. Written with
+    * `media_bands` so the family is self-contained (the text_cc
+    * convention: the daily leg reads the band index too). */
+  def writeMediaCc(spark: SparkSession, dataDir: String,
+      dir: String): Unit = {
+    val m = graft.multimodal.Multimodal
+    writeMediaBands(spark, dataDir, dir)
+    write(m.mediaCcOf(m.mediaSplit(spark, dataDir)._1,
+        m.scoredAssets(spark, dataDir).filter(col("doc_id") % 10 =!= 0)),
+      dir, "media_cc")
+  }
+
+  /** q180 twin: [[graft.multimodal.Multimodal.incrementalMediaClusters]]
+    * off the disk label + band tables. */
+  def dailyMediaClusters(spark: SparkSession, indexDir: String,
+      dataDir: String): DataFrame = {
+    val m = graft.multimodal.Multimodal
+    m.incrementalMediaClusters(
+      read(spark, indexDir, "media_cc"),
+      read(spark, indexDir, "media_bands"),
+      m.mediaSplit(spark, dataDir)._2,
+      m.scoredAssets(spark, dataDir).filter(col("doc_id") % 10 === 0))
+  }
+
+  /** `media_cc` compaction: touched clusters relabel and gain members
+    * through the SAME contracted merge as the daily leg; untouched
+    * labels carry through; batch assets in no touched cluster append as
+    * their own singletons (the table partitions corpus ∪ batch) —
+    * equals a from-scratch re-cluster, spec-pinned. */
+  def compactMediaCc(spark: SparkSession, indexDir: String,
+      dataDir: String, outDir: String): Unit = {
+    val m = graft.multimodal.Multimodal
+    val ccC = read(spark, indexDir, "media_cc")
+    val batchScored = m.scoredAssets(spark, dataDir)
+      .filter(col("doc_id") % 10 === 0)
+      .localCheckpoint(eager = false) // feeds members + singleton legs
+    val updated = m.incrementalMediaClusterMembers(ccC,
+        read(spark, indexDir, "media_bands"),
+        m.mediaSplit(spark, dataDir)._2, batchScored)
+      .localCheckpoint(eager = false) // feeds the anti legs + the union
+    val untouched = ccC
+      .join(updated.select(col("doc_id")), Seq("doc_id"), "left_anti")
+    val batchSingles = batchScored
+      .join(updated.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("cluster_id"),
+        col("quality"))
+    write(untouched.unionByName(updated).unionByName(batchSingles),
+      outDir, "media_cc")
+  }
+
   /** The frozen eval SIGNATURE tables (q172/q173): MinHash band keys
     * and shingle sets of the benchmark items — `eval_grams`' lifecycle
     * (rebuilt per benchmark release, read by every ingest), but for
@@ -654,6 +707,14 @@ object IndexStore {
         write(graft.multimodal.Multimodal.phashBands(c.unionByName(b)),
           dir, "media_bands")
       }),
+    ("media_cc", Seq("media_cc"),
+      compactMediaCc _,
+      (s, dataDir, dir) => {
+        val m = graft.multimodal.Multimodal
+        val (c, b) = m.mediaSplit(s, dataDir)
+        write(m.mediaCcOf(c.unionByName(b), m.scoredAssets(s, dataDir)),
+          dir, "media_cc")
+      }),
     ("audio_fps", Seq("audio_fps"),
       compactAudioFps _,
       (s, dataDir, dir) => {
@@ -749,6 +810,8 @@ object IndexStore {
       writeEvalSignatures _, dailyFuzzyDecontaminate _),
     ("text_cc", "q175_incremental_dedup_clusters",
       writeTextCc _, dailyDedupClusters _),
+    ("media_cc", "q180_incremental_media_clusters",
+      writeMediaCc _, dailyMediaClusters _),
     ("substr_windows", "q156_incremental_substring_report",
       writeSubstrWindows _, dailySubstr _))
 }

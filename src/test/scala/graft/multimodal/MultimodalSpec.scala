@@ -290,6 +290,65 @@ class MultimodalSpec extends SparkSpec {
     assert(inc.nonEmpty) // the mod-30 variant offset keeps batch pairs alive
   }
 
+  test("incremental media clusters == full election on batch-touched " +
+      "clusters") {
+    import org.apache.spark.sql.functions.col
+    val full = Multimodal.mediaClusterSurvivors(spark, sfDir)
+      .as[(Long, Long, Double, Long)].collect()
+    // batch-touched = full-pass clusters holding a % 10 == 0 member
+    val membership = {
+      val pairs = Multimodal.mediaNearDups(spark, sfDir)
+        .select(col("doc_a"), col("doc_b")).as[(Long, Long)].collect()
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      parent.keys.toSeq.groupBy(find)
+    }
+    val touched = membership.filter(_._2.exists(_ % 10 == 0))
+      .values.map(_.min).toSet
+    val expected = full.filter(r => touched(r._1)).toSet
+    val got = Multimodal.incrementalMediaClustersDaily(spark, sfDir)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(got == expected)
+    assert(got.nonEmpty) // batch variants guarantee touched clusters
+    // and corpus-only clusters are NOT re-emitted by the daily leg
+    assert(full.toSet.size > got.size)
+  }
+
+  test("media_cc bridge: a batch asset merges two corpus clusters") {
+    import org.apache.spark.sql.functions.col
+    // two corpus clusters far apart in Hamming space (h(0x00,0xFF)=8 >
+    // 6), a batch asset at 0x0F bridging both (h=4 to each side, and
+    // bands 1-6 agree with both sides so banding proposes the pairs)
+    val corpusH = Seq(
+      (1L, "image", 0x00L), (2L, "image", 0x01L),
+      (3L, "image", 0xFFL), (4L, "image", 0xFEL)
+    ).toDF("doc_id", "kind", "phash")
+    val corpusScored = Seq((1L, 0.3), (2L, 0.9), (3L, 0.7), (4L, 0.2))
+      .toDF("doc_id", "quality")
+    val ccC = Multimodal.mediaCcOf(corpusH, corpusScored)
+      .as[(Long, Long, Double)].collect().toSet
+    // the corpus pass forms {1,2} and {3,4}; every asset is labeled
+    assert(ccC == Set((1L, 1L, 0.3), (2L, 1L, 0.9),
+      (3L, 3L, 0.7), (4L, 3L, 0.2)))
+    val batchH = Seq((10L, "image", 0x0FL)).toDF("doc_id", "kind", "phash")
+    val batchScored = Seq((10L, 0.5)).toDF("doc_id", "quality")
+    val got = Multimodal.incrementalMediaClusters(
+        Multimodal.mediaCcOf(corpusH, corpusScored),
+        Multimodal.phashBands(corpusH), batchH, batchScored)
+      .as[(Long, Long, Double, Long)].collect().toSeq
+    // ONE merged cluster: id = min member (1), kept = max quality
+    // (doc 2 at 0.9), size = all five members — whole corpus clusters
+    // moved as single contracted nodes
+    assert(got == Seq((1L, 2L, 0.9, 5L)))
+  }
+
   test("media cluster survivors elect max quality, min id per component") {
     import org.apache.spark.sql.functions.col
     val pairs = Multimodal.mediaNearDups(spark, sfDir)

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions.col
+
+/** Measured end-to-end cost of the COMPOSED lifecycle at N× scale —
+  * the product flow a training-data team actually runs (VERDICT r10
+  * "Next round" #5): a cold-start 7-day delta-ingest chain (the
+  * GenSoak shape: one O(batch) generation per day off one root), then
+  * [[operators.ReleaseBuild]] over the chain's ingested corpus
+  * (kept_docs of all days ∪ the benchmark holdout, which gates the
+  * release funnel's decontamination stages but never ships).
+  *
+  * ReleaseBuildSpec pins the correctness half at sf0.001 (chain-fed
+  * release byte-identical to per-day from-scratch ingests); this main
+  * prices it: per-day ingest cost, the one-time union scan, and the
+  * release bill, each as wall + executor-CPU lines.
+  *
+  * Usage: tools/run.sh graft.LifecycleSoak <sfDir> <workDir> <factor>
+  * Corpus replica reused if present (IngestSoak's contract); the chain
+  * root is wiped per run — the chain IS the measurement.
+  */
+object LifecycleSoak {
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir, workDir, factorS) = args
+    val factor = factorS.toInt
+    val spark = Soak.session()
+    val parts = spark.sessionState.conf.numShufflePartitions
+
+    val dataDir = s"$workDir/data"
+    Soak.ensureCorpus(spark, sfDir, dataDir, factor, parts)
+
+    def wipe(dir: String): Unit = {
+      def rec(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rec)
+        f.delete(); ()
+      }
+      val f = new java.io.File(dir)
+      if (f.exists()) rec(f)
+    }
+    val root = s"$workDir/lc_root"
+    wipe(root)
+
+    val cpuNs = Timing.cpuCounter(spark)
+    spark.range(1000000L).selectExpr("sum(id)").collect() // JIT warm
+    val nDays = operators.CurationQueries.DeconBatchMod
+    val allDays = (0 until nDays).toSet
+    Timing.timedPasses(spark, cpuNs, "[lifecycle-soak] seed", passes = 1) {
+      operators.DailyIngest.writeIndexesDelta(spark, dataDir, root,
+        pendingDays = allDays)
+      0L
+    }
+    for (d <- 0 until nDays)
+      Timing.timedPasses(spark, cpuNs, s"[lifecycle-soak] day$d",
+        passes = 1)(
+        operators.DailyIngest.runDelta(spark, root, dataDir,
+          s"$workDir/lc_out$d", day = d).count())
+    // the release universe: every day's survivors ∪ the eval holdout
+    val ingested = (0 until nDays)
+      .map(d => spark.read.parquet(s"$workDir/lc_out$d/kept_docs.parquet"))
+      .reduce(_.unionByName(_))
+    val universe = ingested.unionByName(
+      Tables(spark, dataDir, "documents").filter(col("doc_id") % 10 === 0))
+    Timing.timedPasses(spark, cpuNs, "[lifecycle-soak] release",
+      passes = 1)(
+      operators.ReleaseBuild.runOn(spark, universe,
+        s"$workDir/lc_release").count())
+    spark.stop()
+  }
+}

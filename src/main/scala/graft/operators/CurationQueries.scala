@@ -1573,22 +1573,29 @@ object CurationQueries {
     * flag-join subtree, computed once per job — no checkpoints, no
     * union branches racing to materialize shared caches. */
   private def dispositionFrame(spark: SparkSession,
-      dir: String): DataFrame = {
-    val d = docs(spark, dir).select(col("doc_id"), col("source"))
+      dir: String): DataFrame =
+    dispositionFrameOf(docs(spark, dir))
+
+  /** [[dispositionFrame]] over an EXPLICIT document universe — what the
+    * composed lifecycle needs (ReleaseBuild off an ingest chain's kept
+    * docs ∪ the benchmark holdout); every stage is the SAME Docs-shaped
+    * operator the (spark, dir) rendering uses. */
+  private[operators] def dispositionFrameOf(docsDf: DataFrame): DataFrame = {
+    val d = docsDf.select(col("doc_id"), col("source"))
     // every stage operator is already unique per doc_id (keep_ids and
     // per-doc aggregates), so no distinct — five fewer exchanges
     def flag(df: DataFrame, name: String): DataFrame =
       df.select(col("doc_id")).withColumn(name, lit(true))
-    val winner = flag(LLMQueries.exactDedup(spark, dir)
+    val winner = flag(LLMQueries.exactDedupDocs(docsDf)
       .select(col("keep_id").as("doc_id")), "f_win")
-    val repOk = flag(repetitionStats(spark, dir)
+    val repOk = flag(repetitionStatsDocs(docsDf)
       .filter(col("quality_flag") === "ok"), "f_rep")
-    val unfluent = flag(lmFluency(spark, dir)
+    val unfluent = flag(lmFluencyDocs(docsDf)
       .filter(!col("is_fluent")), "f_unfl")
-    val contaminated = flag(decontaminate(spark, dir), "f_cont")
-    val qualKeep = flag(qualityClassifier(spark, dir)
+    val contaminated = flag(decontaminateDocs(docsDf), "f_cont")
+    val qualKeep = flag(qualityClassifierDocs(docsDf)
       .filter(col("decision") === "keep"), "f_qual")
-    val toxClean = flag(toxicityClassifier(spark, dir)
+    val toxClean = flag(toxicityClassifierDocs(docsDf)
       .filter(col("decision") === "clean"), "f_tox")
     d.join(winner, Seq("doc_id"), "left")
       .join(repOk, Seq("doc_id"), "left")
@@ -1612,6 +1619,13 @@ object CurationQueries {
 
   def funnelDisposition(spark: SparkSession, dir: String): DataFrame =
     dispositionFrame(spark, dir)
+      .select(col("doc_id"), col("source"), col("disposition"))
+      .orderBy(col("doc_id"))
+
+  /** [[funnelDisposition]] over an explicit universe (the ReleaseBuild
+    * composed-lifecycle entry point). */
+  def funnelDispositionOf(docsDf: DataFrame): DataFrame =
+    dispositionFrameOf(docsDf)
       .select(col("doc_id"), col("source"), col("disposition"))
       .orderBy(col("doc_id"))
 

@@ -252,7 +252,10 @@ object LLMQueries {
     * the 64-hex-char key shuffles instead of the full text.
     */
   def exactDedup(spark: SparkSession, dir: String): DataFrame =
-    docs(spark, dir)
+    exactDedupDocs(docs(spark, dir))
+
+  def exactDedupDocs(docsDf: DataFrame): DataFrame =
+    docsDf
       .groupBy(sha2(col("text"), 256).as("h"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
       .select(col("keep_id"), col("n_copies"))
@@ -1111,8 +1114,10 @@ object LLMQueries {
     bpeLoop(docsDf, rounds)._1.get.orderBy(col("round"))
 
   /** The trained vocabulary after `rounds` merges: (t, s, n) with `s`
-    * the word's final symbol sequence — what [[bpeTokenize]] applies. */
-  private[operators] def bpeVocabAfter(
+    * the word's final symbol sequence — what [[bpeTokenize]] applies.
+    * private[graft] so [[graft.BpeSoak]] can price realistic merge
+    * counts. */
+  private[graft] def bpeVocabAfter(
       docsDf: DataFrame, rounds: Int): DataFrame =
     bpeLoop(docsDf, rounds)._2
 
@@ -1149,7 +1154,16 @@ object LLMQueries {
       val row = best.select(lit(r).cast("long").as("round"),
         col("pa"), col("pb"), col("total"))
       out = Some(out.map(_.unionByName(row)).getOrElse(row))
-      vocab = vocab.crossJoin(broadcast(best.select(col("pa"), col("pb"))))
+      // LEFT join on the 1-row best pair, not a cross join: once the
+      // pair space is EXHAUSTED (every word fully merged — reachable at
+      // realistic merge counts, see BpeSoak) `best` is empty, and a
+      // cross join would silently erase the vocabulary; under the left
+      // join pa/pb are null, no position marks, and every word passes
+      // through unchanged — training becomes a fixed point, which is
+      // what a real trainer's early-stop produces. Identical output
+      // whenever a best pair exists (the q108 oracle regime).
+      vocab = vocab.join(broadcast(best.select(col("pa"), col("pb"))),
+          lit(true), "left")
         // marks[i] ⟺ (s[i], s[i+1]) is the best pair (1-based, empty
         // for 1-symbol words — sequence(1, 0) DESCENDS in Spark, guard)
         .withColumn("marks", expr(
@@ -1173,7 +1187,14 @@ object LLMQueries {
             " WHEN i > 1 AND element_at(kept, i - 1)" +
             " THEN cast(array() as array<string>)" +
             " ELSE array(element_at(s, i)) END)))").as("s"), col("n"))
-        .localCheckpoint(eager = false) // truncate per-round lineage
+        // truncate per-round lineage; EAGERLY every 16 rounds — a lazy
+        // checkpoint only truncates after its first action, so a long
+        // training run (BpeSoak at 256 merges) otherwise serializes the
+        // whole multi-hundred-round RDD chain into each task and dies
+        // in a deserialization StackOverflowError (~round 200,
+        // measured). Eager every 16 bounds the chain at 16 rounds and
+        // changes nothing at the shipped 4-round queries.
+        .localCheckpoint(eager = r % 16 == 0)
     }
     (out, vocab)
   }

@@ -45,14 +45,27 @@ import sinks.Sinks
 object ReleaseBuild {
 
   def run(spark: SparkSession, dataDir: String, outDir: String,
+      ts: String = "1970-01-01T00:00:00Z"): DataFrame =
+    runOn(spark, Tables(spark, dataDir, "documents"), outDir, ts)
+
+  /** The same flow over an EXPLICIT document universe — the composed
+    * lifecycle's entry point (VERDICT r10 "Next round" #5): the caller
+    * passes (ingested train docs ∪ the benchmark holdout), so the
+    * funnel's decontamination stages gate against the SAME eval suite
+    * the ingest chain used, and the release ships what survived N
+    * ingest days AND the release funnel. ReleaseBuildSpec pins the
+    * chain-fed release byte-identical to one fed by per-day
+    * from-scratch ingests. */
+  def runOn(spark: SparkSession, docsUniverse: DataFrame, outDir: String,
       ts: String = "1970-01-01T00:00:00Z"): DataFrame = {
     // eval docs (doc_id % 10 == 0) are the BENCHMARK holdout — they
     // gate the funnel's decontamination stages but must never ship in
     // a training release (the q151 rule); the release universe is the
     // train side only
-    val d = Tables(spark, dataDir, "documents")
-      .filter(col("doc_id") % 10 =!= 0)
-    val disposition = CurationQueries.funnelDisposition(spark, dataDir)
+    val universe = docsUniverse
+      .localCheckpoint(eager = false) // feeds six funnel stages + kept
+    val d = universe.filter(col("doc_id") % 10 =!= 0)
+    val disposition = CurationQueries.funnelDispositionOf(universe)
       .filter(col("doc_id") % 10 =!= 0)
       .localCheckpoint(eager = false) // feeds provenance write + kept
     val keptDocs = d.join(

@@ -274,6 +274,30 @@ class LLMQueriesSpec extends SparkSpec {
     assert(got == referenceBpe(words, 3))
   }
 
+  test("bpe training past pair exhaustion is a fixed point, not erasure") {
+    // a fully-mergeable corpus: after 3 effective merges ('ab', 'cd',
+    // then 'abab' needs (ab,ab)) every word is ONE symbol and the pair
+    // space is empty — further rounds must keep the trained vocabulary
+    // intact (the round-11 left-join fix: the old cross join against an
+    // empty best pair silently erased it), and emit no merge rows
+    val corpus = Seq((1L, "abab abab cd"), (2L, "cd cd"))
+      .toDF("doc_id", "text")
+    val merges = LLMQueries.bpeMergeLoopOf(corpus, 8)
+      .as[(Long, String, String, Long)].collect().toSeq
+    // rounds beyond exhaustion produce no rows at all
+    assert(merges.map(_._1) == Seq(1L, 2L, 3L))
+    val vocab = LLMQueries.bpeVocabAfter(corpus, 8)
+      .selectExpr("t", "size(s)", "n")
+      .as[(String, Int, Long)].collect().toSet
+    assert(vocab == Set(("abab", 1, 2L), ("cd", 1, 3L)))
+    // and the fixed point tokenizes identically to stop-at-exhaustion
+    val atExhaustion = LLMQueries.bpeTokenizeOf(corpus, 3)
+      .as[(Long, Long, Long)].collect().toSeq
+    val past = LLMQueries.bpeTokenizeOf(corpus, 8)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(past == atExhaustion)
+  }
+
   test("bpe tokenize counts tokens under the trained vocabulary") {
     // vocab: aaaa×2, aaa×1, bc×1 (x is 1-char → never in the vocab).
     // r1 best (a,a,8) → aaaa=[aa,aa], aaa=[aa,a]; r2 (aa,aa,2) →

@@ -61,4 +61,74 @@ class ReleaseBuildSpec extends SparkSpec {
     ReleaseBuild.run(spark, sfDir, outDir)
     assert(rows(spark.read.parquet(s"$outDir/manifest.parquet")) == before)
   }
+
+  test("composed lifecycle: release off the 7-day delta chain == " +
+      "release off per-day from-scratch ingests") {
+    import org.apache.spark.sql.functions.col
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    val nDays = CurationQueries.DeconBatchMod
+    val allDays = (0 until nDays).toSet
+
+    // 1. the GenSoak shape: cold-start delta chain, one generation per
+    //    day off ONE root (no vacuum — the vacuum equivalence is pinned
+    //    in DailyIngestSpec; this test composes THROUGH the release)
+    val root = tmp("lc_root")
+    DailyIngest.writeIndexesDelta(spark, sfDir, root,
+      pendingDays = allDays)
+    val chainKept = (0 until nDays).map { d =>
+      val out = tmp(s"lc_chain$d")
+      DailyIngest.runDelta(spark, root, sfDir, out, day = d)
+      spark.read.parquet(s"$out/kept_docs.parquet")
+    }.reduce(_.unionByName(_))
+
+    // 2. the ground truth: every day re-run off a from-scratch snapshot
+    //    holding exactly the residues that had already arrived (the
+    //    DailyIngestSpec day-equivalence, applied to all seven days)
+    val scratchKept = (0 until nDays).map { d =>
+      val idx = tmp(s"lc_sidx$d")
+      val out = tmp(s"lc_sout$d")
+      DailyIngest.writeIndexes(spark, sfDir, idx,
+        pendingDays = (d until nDays).toSet)
+      DailyIngest.run(spark, idx, sfDir, out, day = d)
+      spark.read.parquet(s"$out/kept_docs.parquet")
+    }.reduce(_.unionByName(_))
+
+    // the two ingested corpora are row-identical
+    assert(rows(chainKept).nonEmpty)
+    assert(rows(chainKept) == rows(scratchKept),
+      "chain-ingested corpus diverges from the from-scratch days")
+
+    // 3. the release universe = ingested corpus ∪ benchmark holdout
+    //    (eval docs gate decontamination but never ship — q151)
+    val evalDocs = graft.Tables(spark, sfDir, "documents")
+      .filter(col("doc_id") % 10 === 0)
+    val relChain = tmp("lc_rel_chain")
+    val relScratch = tmp("lc_rel_scratch")
+    ReleaseBuild.runOn(spark, chainKept.unionByName(evalDocs), relChain)
+    ReleaseBuild.runOn(spark, scratchKept.unionByName(evalDocs),
+      relScratch)
+    for (a <- Seq("kept_docs", "disposition", "packing", "manifest",
+        "mixture", "report_card")) {
+      val c = rows(spark.read.parquet(s"$relChain/$a.parquet"))
+      val s = rows(spark.read.parquet(s"$relScratch/$a.parquet"))
+      assert(c.nonEmpty, s"$a is empty")
+      assert(c == s, s"$a diverges between chain-fed and scratch-fed")
+    }
+    // holdout enforced end to end: nothing eval-side ships
+    val shipped = spark.read.parquet(s"$relChain/kept_docs.parquet")
+      .select(col("doc_id")).as[Long].collect()
+    assert(shipped.forall(_ % 10 != 0))
+    // the release funnel does REAL work on the ingested corpus: its
+    // exact-dup/near-dup gates passed at ingest, but release-only
+    // stages (repetition/fluency/quality/toxicity operate on the full
+    // union's statistics) still drop documents
+    assert(shipped.length < chainKept.count(),
+      "release funnel dropped nothing — composition is vacuous")
+    // rerun off the same chain: byte-identical artifacts
+    val before = rows(spark.read.parquet(s"$relChain/manifest.parquet"))
+    ReleaseBuild.runOn(spark, chainKept.unionByName(evalDocs), relChain)
+    assert(rows(spark.read
+      .parquet(s"$relChain/manifest.parquet")) == before)
+  }
 }

@@ -1,0 +1,781 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Dedup cluster/segment/substring family (L11/L15a-c/L22/L32/
+  * L47/L70/L51/L59/L60/L76): connected components, survivor election,
+  * segment & substring dedup, window indexes and their incremental
+  * legs — q77/q85/q88/q89/q98/q114/q119/q120/q129/q143/q148/q156/
+  * q158/q168/q175.
+  *
+  * Split out of CurationQueries by family (round 11, pure moves) —
+  * the object mixes every family trait back in, so call sites and
+  * behavior are unchanged; shared constants/oracles stay on the
+  * object, reachable through the self-type.
+  */
+private[operators] trait CurationClusters {
+  this: CurationQueries.type =>
+
+  /** Near-dup cluster formation: connected components over an
+    * undirected pair graph, by iterative min-label propagation — each
+    * round every node adopts the smallest label among itself and its
+    * neighbors, converging in O(component diameter) rounds to
+    * cluster_id = min doc_id of the component. This is the step a real
+    * dedup pipeline needs between PAIRS (q64) and SURVIVORS: near-dup
+    * similarity is not transitive, so survivor election must happen
+    * per connected component, not per pair.
+    *
+    * Scale posture: each round is two hash joins + a min aggregation on
+    * (id, label) pairs — all key-partitioned, no driver data except the
+    * one-long convergence count per round. Rounds = component diameter,
+    * and near-dup components are shallow (dups of a common source);
+    * for adversarial long-chain graphs the public large-star/small-star
+    * formulation (Kiveris et al., "Connected Components in MapReduce
+    * and Beyond", SoCC 2014) drops rounds to O(log n) with the same
+    * per-round join shape. The iteration cap is a safety net, not a
+    * correctness device — the loop exits on the first unchanged round.
+    */
+  def connectedComponents(edges: DataFrame): DataFrame = {
+    // localCheckpoint (eager) after every round: persist alone keeps the
+    // DATA hot but the logical plan still nests one union+aggregate per
+    // round, and Catalyst re-analysis of that growing tree dominates an
+    // iterative loop within a handful of rounds (measured: a 12-round
+    // toy graph analysis-stalled for minutes). Checkpointing truncates
+    // lineage so every round plans against a flat scan; on a cluster the
+    // same code uses reliable checkpoint() to a DFS dir for fault
+    // tolerance.
+    val sym = edges
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint()
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).localCheckpoint()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 50) {
+      val neighborMin = sym.join(labels, sym("dst") === labels("id"))
+        .select(sym("src").as("id"), col("label"))
+      val next = labels.select(col("id"), col("label"))
+        .union(neighborMin)
+        .groupBy(col("id")).agg(min(col("label")).as("label"))
+        .localCheckpoint()
+      changed = next.join(labels.withColumnRenamed("label", "old"), "id")
+        .filter(col("label") =!= col("old")).count()
+      labels = next
+      rounds += 1
+    }
+    // stale labels would silently mislabel clusters downstream — fail loud
+    require(changed == 0,
+      s"connectedComponents did not converge within $rounds rounds")
+    withClusterSizes(
+      labels.select(col("id").as("doc_id"), col("label").as("cluster_id")))
+  }
+
+  /** Cluster sizing for a (doc_id, cluster_id) membership frame via a
+    * partial-aggregating `groupBy(cluster_id).agg(count)` + join-back —
+    * NEVER `count().over(Window.partitionBy(cluster_id))`: a web-scale
+    * dedup's raison d'être is mega-clusters, and a cluster_id-keyed
+    * window funnels every member of one through a single reducer, while
+    * the aggregate map-side-combines it to one row per task and the
+    * join-back is AQE-skew-splittable (the q89 segment-keeper / q91
+    * election argument, applied to the CC family — VERDICT r5/r6
+    * "What's wrong" #1). PlanAuditSpec asserts q77/q85/q88 window-free.
+    */
+  private[operators] def withClusterSizes(members: DataFrame): DataFrame = {
+    val sizes = members.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    members.join(sizes, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q77: components of the q64 near-dup graph at jaccard ≥ 0.5. */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame =
+    connectedComponents(
+      LLMQueries.minhashPairs(spark, dir)
+        .filter(col("jaccard") >= ClusterThreshold)
+        .select(col("doc_a"), col("doc_b")))
+
+  /** Connected components via alternating large-star / small-star
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC 2014) — the adversarial-diameter scale path that
+    * [[connectedComponents]]'s min-label propagation is not: rounds are
+    * O(log n) in the component size instead of O(diameter), so a
+    * pathological million-node chain converges in ~20 rounds, not a
+    * million. Each round is two groupBy-min aggregations and two
+    * key-partitioned joins over the canonical (larger → smaller) edge
+    * set; no driver data except the convergence counts.
+    *
+    * Returns the same (doc_id, cluster_id, cluster_size) frame as the
+    * propagation variant, plus the round count for diameter tests.
+    */
+  def connectedComponentsStar(edges: DataFrame): (DataFrame, Int) = {
+    // canonical undirected edges, larger endpoint first
+    var e = edges.select(
+      greatest(col("doc_a"), col("doc_b")).as("u"),
+      least(col("doc_a"), col("doc_b")).as("v"))
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+    var rounds = 0
+    var done = false
+    // carried across rounds: last round's `next.count()` is this round's
+    // |e|, so convergence costs ONE count action per round, not two
+    var eCount = e.count()
+    while (!done && rounds < 50) {
+      // large-star: every neighbor LARGER than u links to
+      // min(Γ(u) ∪ {u}); each undirected edge is seen once from its
+      // smaller endpoint
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val minsL = sym.groupBy(col("u"))
+        .agg(least(min(col("v")), col("u")).as("m"))
+      val large = sym.join(minsL, "u").where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+      // small-star: all (smaller) neighbors of u and u itself link to
+      // the minimum of the star
+      val minsS = large.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val next = large.join(minsS, "u").where(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(minsS.select(col("u"), col("m").as("v")))
+        .distinct().localCheckpoint()
+      // converged ⟺ next == e as sets; both are distinct, so equal counts
+      // + empty one-sided difference suffice. The difference is a plain
+      // left-anti hash join (cheaper than EXCEPT's set op) and only runs
+      // when the counts already match — the propagation loop's
+      // changed-count idiom, applied to edge sets.
+      val nextCount = next.count()
+      done = nextCount == eCount &&
+        next.join(e, Seq("u", "v"), "left_anti").isEmpty
+      eCount = nextCount
+      e = next
+      rounds += 1
+    }
+    // the star-forest extraction below ASSUMES convergence: on a
+    // non-converged edge set a node can hold several out-edges and the
+    // labels would be silently wrong — fail loud instead
+    require(done,
+      s"connectedComponentsStar did not converge within $rounds rounds")
+    // converged edge set is a star forest: u → component min; roots
+    // (the mins) have no outgoing edge
+    val roots = e.select(col("v")).distinct()
+      .join(e.select(col("u")).distinct(),
+        col("v") === col("u"), "left_anti")
+      .select(col("v").as("doc_id"), col("v").as("cluster_id"))
+    val labels = e.select(col("u").as("doc_id"), col("v").as("cluster_id"))
+      .union(roots)
+    (withClusterSizes(labels), rounds)
+  }
+
+  /** q85: q77's cluster formation on the O(log n)-round star algorithm —
+    * same pair graph, same oracle, different (scale-proof) iteration. */
+  def dedupClustersStar(spark: SparkSession, dir: String): DataFrame =
+    connectedComponentsStar(
+      LLMQueries.minhashPairs(spark, dir)
+        .filter(col("jaccard") >= ClusterThreshold)
+        .select(col("doc_a"), col("doc_b")))._1
+
+  /** L38/q129: cluster-aware (leakage-proof) train/val/test split —
+    * the ML-hygiene fix q75's doc-hash split cannot give: hashing PER
+    * DOCUMENT puts ~2·p·(1−p) of every near-dup pair across the
+    * train/eval boundary, and evaluating on a near-copy of a training
+    * doc is the contamination q74 exists to catch. Here the split hash
+    * is keyed by the near-dup CLUSTER id (q85's star CC; singletons are
+    * their own cluster), so an entire duplicate family lands on one
+    * side of every boundary by construction. Same salted-md5 threshold
+    * rule as q75 — deterministic under reruns, repartitions and
+    * appends (a new member joins its family's existing split).
+    *
+    * Scale shape: the CC is q85's O(log n)-round star path; the split
+    * itself adds one left join against the (paired-docs-only) cluster
+    * map and a per-row hash — no new shuffle class. */
+  def clusterSplit(spark: SparkSession, dir: String): DataFrame = {
+    val comp = dedupClustersStar(spark, dir)
+      .select(col("doc_id"), col("cluster_id"))
+    val h = substring(md5(concat(lit("graft-csplit:"),
+      col("cluster_id").cast("string"))), 1, 8)
+    docs(spark, dir).select(col("doc_id"))
+      .join(comp, Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("split",
+        when(h < "cccccccc", "train")
+          .when(h < "e6666666", "val")
+          .otherwise("test"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q88: the END of the near-dup pipeline — one canonical survivor per
+    * connected component, electing the max-quality member (q71's rule)
+    * with doc_id as the deterministic tie-break. Composes pairs (q64) →
+    * clusters (q85's star CC) → survivors in a single query; everything
+    * downstream of clustering is one partial-aggregating groupBy over
+    * cluster_id, so survivor election adds exactly one key-partitioned
+    * shuffle at any corpus size — and a mega-cluster map-side-combines
+    * under it instead of funneling through one window reducer.
+    */
+  def clusterSurvivors(spark: SparkSession, dir: String): DataFrame =
+    electSurvivors(dedupClustersStar(spark, dir),
+      docs(spark, dir)
+        .select(col("doc_id"), LLMQueries.qualityExpr.as("quality")))
+
+  /** Survivor election: max quality wins per cluster, min doc_id breaks
+    * ties. ONE partial-aggregating groupBy (`max(struct(quality,
+    * -doc_id))` ⟺ max quality, min doc_id tie-break — the q71/q91
+    * election), NOT a cluster_id-keyed `row_number` window: a
+    * mega-cluster map-side-combines under the aggregate where a window
+    * would single-reduce every member (see [[withClusterSizes]]).
+    * cluster_size rides along via `max` — it is constant per cluster. */
+  private[graft] def electSurvivors(clusters: DataFrame,
+      scored: DataFrame): DataFrame =
+    clusters.join(scored, "doc_id")
+      .groupBy(col("cluster_id"))
+      .agg(max(struct(col("quality"), (-col("doc_id")).as("nid"))).as("best"),
+        max(col("cluster_size")).as("cluster_size"))
+      .select(col("cluster_id"), (-col("best.nid")).as("kept_id"),
+        col("best.quality").as("quality"), col("cluster_size"))
+      .orderBy(col("kept_id"))
+
+  /** L76/q175: incremental near-dup CLUSTER maintenance — the text-side
+    * twin of q104's contracted merge, closing the text dedup lifecycle:
+    * q96 gives the daily PAIRS, but a pipeline serves cluster LABELS
+    * (q129's split keys on them, q88 elects within them), and
+    * re-running q85's CC over a 100 TB corpus nightly is exactly the
+    * rescan the persisted indexes exist to avoid. Given the persisted
+    * signature tables and the persisted label table, emit every member
+    * of every cluster the FULL q77/q85 pass over corpus ∪ batch would
+    * form that contains ≥ 1 batch doc — without re-pairing or
+    * re-clustering the corpus.
+    *
+    * Mechanics: (1) q96's incremental verified pairs (every pair has a
+    * batch endpoint by construction); (2) corpus endpoints CONTRACT to
+    * their persisted label (or themselves if unclustered) — corpus-
+    * corpus connectivity is already fully inside the label table,
+    * because banding is per-doc and corpus-corpus candidates are
+    * batch-independent; (3) star-CC over the contracted BATCH-SIZED
+    * graph — a batch doc bridging two corpus clusters merges them here,
+    * whole clusters moving as single nodes; (4) members re-enumerate
+    * from the label table only for touched clusters. Daily cost is
+    * O(batch + candidate pairs + touched-cluster members).
+    *
+    * The label table is the persisted artifact (IndexStore `text_cc`);
+    * its compaction (relabel touched + append new members) equals a
+    * from-scratch rebuild — spec-pinned, same contract as every index
+    * family. */
+  def incrementalDedupClusters(bandsC: DataFrame, setsC: DataFrame,
+      ccC: DataFrame, newDocs: DataFrame): DataFrame =
+    withClusterSizes(incrementalClusterMembers(bandsC, setsC, ccC, newDocs))
+
+  /** The (doc_id, cluster_id) membership rows of batch-touched clusters
+    * — shared by the q175 report and the `text_cc` compaction. */
+  private[operators] def incrementalClusterMembers(bandsC: DataFrame,
+      setsC: DataFrame, ccC: DataFrame, newDocs: DataFrame): DataFrame = {
+    val pairs = LLMQueries.incrementalNearDups(bandsC, setsC, newDocs)
+      .filter(col("jaccard") >= ClusterThreshold)
+      .select(col("doc_a"), col("doc_b"))
+    val edges = pairs
+      .join(ccC.select(col("doc_id").as("doc_a"),
+        col("cluster_id").as("la")), Seq("doc_a"), "left")
+      .join(ccC.select(col("doc_id").as("doc_b"),
+        col("cluster_id").as("lb")), Seq("doc_b"), "left")
+      .select(coalesce(col("la"), col("doc_a")).as("doc_a"),
+        coalesce(col("lb"), col("doc_b")).as("doc_b"))
+      .filter(col("doc_a") =!= col("doc_b"))
+    // contracted CC: nodes are labels, batch ids, and corpus singleton
+    // endpoints — batch-sized by the q96 candidate contract
+    val comps = connectedComponentsStar(edges)._1
+      .select(col("doc_id").as("node"), col("cluster_id").as("tmp"))
+    // the merged cluster id is min(node): every label IS its cluster's
+    // min member id, every raw node its own id
+    val nodeMap = comps
+      .join(comps.groupBy(col("tmp")).agg(min(col("node")).as("new_id")),
+        Seq("tmp"))
+      .select(col("node"), col("new_id"))
+      .localCheckpoint(eager = false) // feeds member + anti join-backs
+    // ONE broadcast-probed corpus scan enumerates touched-cluster
+    // members; which nodes matched a label falls out of the same rows,
+    // so the raw-node (batch doc / corpus singleton) anti-join runs
+    // over two BATCH-sized frames — the daily path never shuffles the
+    // corpus label table (an earlier draft anti-joined nodeMap against
+    // a distinct() of every corpus label: a corpus-wide exchange per
+    // day, the exact cost the persisted index exists to avoid)
+    val labelHits = ccC
+      .join(broadcast(nodeMap.withColumnRenamed("node", "cluster_id")),
+        Seq("cluster_id"))
+      .localCheckpoint(eager = false) // feeds members + touched labels
+    val touchedLabels = labelHits
+      .select(col("cluster_id").as("node")).distinct()
+    val rawMembers = nodeMap
+      .join(touchedLabels, Seq("node"), "left_anti")
+      .select(col("node").as("doc_id"), col("new_id"))
+    labelHits.select(col("doc_id"), col("new_id"))
+      .unionByName(rawMembers)
+      .select(col("doc_id"), col("new_id").as("cluster_id"))
+  }
+
+  /** q175 as an oracle query: corpus-side tables built in-query over
+    * the q96 universe (corpus = doc_id % 10 ≠ 0, batch = the rest). */
+  def incrementalDedupClustersDaily(spark: SparkSession,
+      dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val corpus = d.filter(col("doc_id") % 10 =!= 0)
+    val batch = d.filter(col("doc_id") % 10 === 0)
+    val (bandsC, setsC) = LLMQueries.signatureTables(corpus)
+    val ccC = connectedComponentsStar(
+      LLMQueries.minhashPairsOf(corpus)
+        .filter(col("jaccard") >= ClusterThreshold)
+        .select(col("doc_a"), col("doc_b")))._1
+      .select(col("doc_id"), col("cluster_id"))
+    incrementalDedupClusters(bandsC, setsC, ccC, batch)
+  }
+
+  /** (doc_id, n_segs, pos, seg) — one row per segment occurrence. */
+  private[operators] def segRows(docsDf: DataFrame): DataFrame =
+    docsDf
+      .select(col("doc_id"), segArrExpr.as("sl"))
+      .select(col("doc_id"), size(col("sl")).cast("long").as("n_segs"),
+        posexplode(col("sl")))
+      .toDF("doc_id", "n_segs", "pos", "seg")
+
+  /** Reassemble docs from their surviving segment occurrences: count +
+    * in-order concat via conditional aggregation, so docs whose EVERY
+    * segment is a duplicate survive with empty text. */
+  private[operators] def reassemble(marked: DataFrame): DataFrame =
+    marked
+      .groupBy(col("doc_id"))
+      .agg(first(col("n_segs")).as("n_segs"),
+        count(when(col("kept"), 1)).as("n_kept"),
+        concat_ws(" ", expr(
+          "transform(array_sort(collect_list(CASE WHEN kept THEN" +
+            " struct(pos, seg) END)), s -> s.seg)")).as("cleaned_text"))
+      .orderBy(col("doc_id"))
+
+  def segmentDedupDocs(docsDf: DataFrame): DataFrame = {
+    val segs = segRows(docsDf)
+    val keepers = segs.groupBy(col("seg"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("kp"))
+    reassemble(segs.join(keepers, Seq("seg"))
+      .withColumn("kept",
+        col("doc_id") === col("kp.doc_id") && col("pos") === col("kp.pos")))
+  }
+
+  /** The persisted corpus segment index for [[incrementalSegmentDedup]]:
+    * one row per distinct segment seen in the corpus. Presence is all the
+    * incremental pass needs (corpus keepers beat any batch occurrence),
+    * so the index is a single string column — compact to store and to
+    * anti-join against. */
+  def segmentIndex(docsDf: DataFrame): DataFrame =
+    segRows(docsDf).select(col("seg")).distinct()
+
+  /** Incremental segment dedup: clean an incoming batch against a
+    * persisted corpus segment index WITHOUT re-reading corpus text —
+    * same daily-ingest contract as [[graft.operators.LLMQueries
+    * .incrementalExactDedup]]/incrementalNearDups, completing the
+    * incremental family at sub-document granularity. A batch segment
+    * occurrence survives iff its segment is absent from the corpus
+    * index AND it is the batch-wide first occurrence. Equals the full
+    * pass restricted to the batch whenever batch doc_ids sort after
+    * corpus doc_ids (the append-only id discipline the other
+    * incremental operators already assume); the invariant is asserted
+    * in CurationQueriesSpec. Daily cost: O(batch) segment rows through
+    * one aggregate plus one seg-keyed join against the index.
+    */
+  def incrementalSegmentDedup(corpusSegs: DataFrame,
+      newDocs: DataFrame): DataFrame = {
+    val segs = segRows(newDocs)
+    val batchKeepers = segs.groupBy(col("seg"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("kp"))
+    reassemble(segs
+      .join(batchKeepers, Seq("seg"))
+      .join(corpusSegs.select(col("seg"), lit(true).as("known")),
+        Seq("seg"), "left")
+      .withColumn("kept",
+        col("known").isNull &&
+          col("doc_id") === col("kp.doc_id") && col("pos") === col("kp.pos")))
+  }
+
+  def segmentDedup(spark: SparkSession, dir: String): DataFrame =
+    segmentDedupDocs(docs(spark, dir))
+
+  /** L32: per-source BOILERPLATE removal — the CCNet/jusText cleaning
+    * pass, distinct from q89's dedup in both criterion and effect:
+    * dedup keeps the corpus-wide FIRST copy of any repeated segment,
+    * while boilerplate removal targets segments frequent WITHIN ONE
+    * SOURCE (nav bars, cookie banners, site footers — document-frequency
+    * ≥ [[BoilerplateMinDocs]] in that source) and cuts them from EVERY
+    * member document: a site's footer should survive in zero documents,
+    * not one. Source-scoping is what keeps a phrase that is merely
+    * common across the whole web from being treated as template markup.
+    *
+    * Scale shape: the (source, seg) document-frequency comes from one
+    * partial-aggregating two-phase count-distinct — a hot footer
+    * collapses map-side per task instead of funnelling through a
+    * window reducer; the boilerplate set (DF-filtered) is far smaller
+    * than the segment universe and the join back on (source, seg) is
+    * AQE-skew-splittable; reassembly is q89's conditional aggregation,
+    * so an all-boilerplate doc survives with empty text. Shuffles carry
+    * ids and [[SegWords]]-word segments, never documents. */
+  def boilerplateRemoveDocs(docsDf: DataFrame): DataFrame = {
+    // source rides through the explode — no join back to the docs table
+    val segs = docsDf
+      .select(col("doc_id"), col("source"), segArrExpr.as("sl"))
+      .select(col("doc_id"), col("source"),
+        size(col("sl")).cast("long").as("n_segs"), posexplode(col("sl")))
+      .toDF("doc_id", "source", "n_segs", "pos", "seg")
+    val bp = segs.groupBy(col("source"), col("seg"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= BoilerplateMinDocs)
+      .select(col("source"), col("seg"), lit(true).as("bp"))
+    reassemble(segs.join(bp, Seq("source", "seg"), "left")
+      .withColumn("kept", col("bp").isNull))
+  }
+
+  def boilerplateRemove(spark: SparkSession, dir: String): DataFrame =
+    boilerplateRemoveDocs(docs(spark, dir))
+
+  /** (doc_id, w) — one row per [[winsExpr]] window occurrence; shared
+    * by q114's stats, the q156 incremental report and q158 novelty. */
+  private[operators] def winRows(docsDf: DataFrame): DataFrame =
+    docsDf
+      .select(col("doc_id"), posexplode(winsExpr))
+      .select(col("doc_id"), col("col").as("w"))
+
+  /** L15b: cross-document exact-SUBSTRING duplication stats — the
+    * sliding-window flavor of dedup (public precedent: "Deduplicating
+    * Training Data Makes Language Models Better", Lee et al. 2022,
+    * which dedups on ≥k-token substrings): q89's consecutive segments
+    * miss a duplicated passage that straddles a segment boundary, while
+    * EVERY [[DupWinWords]]-word window of a copied passage matches here
+    * regardless of alignment. Reported per document: window count,
+    * windows whose exact text recurs in ≥2 distinct documents, and the
+    * duplicated fraction in integer micro-units — the statistic a
+    * curation pass thresholds on.
+    *
+    * Scale shape: the window explode is the corpus × ~words/doc row
+    * stream every substring dedup pays; duplicated grams come from ONE
+    * partial-aggregating `groupBy(w)` (map-side combined — a hot
+    * boilerplate gram collapses per task, the q89 keeper argument), and
+    * the join back is gram-keyed and AQE-skew-splittable. Short docs
+    * (< window) surface with zero windows via the left join from the
+    * documents table, not a post-hoc union. */
+  def substringDupStatsDocs(docsDf: DataFrame): DataFrame = {
+    val wins = winRows(docsDf)
+    val dupGrams = wins.groupBy(col("w"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("w"))
+    val perDoc = wins
+      .join(dupGrams.withColumn("dup", lit(1)), Seq("w"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_win"),
+        count(col("dup")).as("n_dup"))
+    docsDf.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_win"), lit(0L)).as("n_win"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"))
+      .withColumn("dup_micro",
+        when(col("n_win") === 0, lit(0L))
+          .otherwise(expr("n_dup * 1000000L div n_win")))
+      .orderBy(col("doc_id"))
+  }
+
+  /** L15c: cross-document duplicated-SPAN removal — the second half of
+    * Lee et al. 2022's substring dedup: q114 measures duplication,
+    * this operator REWRITES the corpus with every duplicated span cut
+    * out. A word position is covered iff any [[DupWinWords]]-window
+    * containing it recurs verbatim in ≥ 2 distinct documents; the
+    * cleaned document keeps exactly its uncovered words, in order
+    * (so a passage pasted into two documents disappears from both —
+    * the symmetric variant; keep-first needs only q89's min-struct
+    * keeper added to the dup-gram aggregate).
+    *
+    * Scale shape: the gram aggregate is q114's (partial-aggregated,
+    * hot grams collapse map-side); coverage fans each duplicated
+    * window into [[DupWinWords]] slim (doc_id, wp) rows — O(dup
+    * windows), not O(corpus windows); reassembly is q89's conditional
+    * aggregation over the word explode. Everything shuffles ids and
+    * single words, never documents.
+    */
+  def substringDupRemoveDocs(docsDf: DataFrame): DataFrame = {
+    val words = docsDf
+      .select(col("doc_id"), split(col("text"), "\\s+").as("wa"))
+    val wins = words.filter(size(col("wa")) >= DupWinWords)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, size(wa) - $DupWinWords)," +
+          s" i -> concat_ws(' ', slice(wa, i + 1, $DupWinWords)))")))
+      .select(col("doc_id"), col("pos"), col("col").as("w"))
+    val dupGrams = wins.groupBy(col("w"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("w"))
+    val covered = wins.join(dupGrams, Seq("w"))
+      .select(col("doc_id"),
+        explode(expr(s"sequence(pos, pos + ${DupWinWords - 1})")).as("wp"))
+      .distinct()
+    words
+      .select(col("doc_id"), posexplode(col("wa")).as(Seq("wp", "word")))
+      .join(covered.withColumn("cov", lit(1)), Seq("doc_id", "wp"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        count(col("cov")).as("n_removed"),
+        concat_ws(" ", expr(
+          "transform(array_sort(collect_list(CASE WHEN cov IS NULL THEN" +
+            " struct(wp, word) END)), s -> s.word)")).as("cleaned_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  def substringDupRemove(spark: SparkSession, dir: String): DataFrame =
+    substringDupRemoveDocs(docs(spark, dir))
+
+  def substringDupStats(spark: SparkSession, dir: String): DataFrame =
+    substringDupStatsDocs(docs(spark, dir))
+
+  /** The corpus substring-window index (IndexStore family
+    * `substr_windows`): one (window md5, distinct-corpus-doc count)
+    * row per known window — 16+8 bytes/row, window text never
+    * persists. */
+  def substrWindowIndex(corpusDocs: DataFrame): DataFrame =
+    substrWindowIndexFrom(docWindows(corpusDocs))
+
+  /** [[substrWindowIndex]] over a precomputed [[docWindows]] frame. */
+  def substrWindowIndexFrom(windows: DataFrame): DataFrame =
+    windows.groupBy(col("wh"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+
+  /** The (doc_id, wh) window rows of a document frame — the ONE
+    * window-explode pass a daily run needs: both reports and the index
+    * persistence consume it ([[DailyIngest]] computes it once per day,
+    * checkpointed; it was being paid three times, and the window
+    * explode dominates the batch-side index persistence in IngestSoak's
+    * delta-write leg). */
+  def docWindows(docsDf: DataFrame): DataFrame =
+    winRows(docsDf).select(col("doc_id"), md5(col("w")).as("wh"))
+
+  /** L59/q156: incremental SUBSTRING-DUP report — the daily-ingest
+    * rendering of the one dedup family whose full pass (q119) must
+    * rewrite CORPUS docs too: a batch window colliding with a single
+    * corpus doc makes BOTH newly duplicated. The daily report
+    * therefore splits each batch doc's duplicated windows into KNOWN
+    * (corpus-side count already ≥ 2 — the corpus rewrite covers them)
+    * and NEWLY duplicated (the batch's arrival created the collision —
+    * these flag corpus docs for the next q119 re-clean). n_known +
+    * n_newly equals the full q114 count over (corpus ∪ batch)
+    * restricted to batch docs, which is what the oracle checks.
+    * Daily cost: O(batch windows) against the persisted index. */
+  /** Per-wh corpus totals restricted to the windows the batch touches —
+    * the only rows either report reads. Accepts BOTH index layouts: a
+    * compacted snapshot (one row per wh) and the DELTA layout (one
+    * partial (wh, nd) row per generation — [[DailyIngest.runDelta]]);
+    * the aggregation runs AFTER the batch-bounded semi-join, so totals
+    * cost O(batch windows), never a corpus-wide shuffle. Corpus and
+    * batch doc ids are disjoint, so partial distinct-doc counts ADD. */
+  private[operators] def touchedWins(corpusWins: DataFrame,
+      batchWins: DataFrame): DataFrame =
+    // no broadcast hint: batch windows range from thousands (sf0.001)
+    // to millions (soak) of md5 keys — AQE broadcasts when they fit
+    // and falls back to the same shuffle the pre-delta report paid
+    corpusWins
+      .join(batchWins.select(col("wh")).distinct(), Seq("wh"), "left_semi")
+      .groupBy(col("wh")).agg(sum(col("nd")).as("nd"))
+
+  def incrementalSubstringReport(corpusWins: DataFrame,
+      newDocs: DataFrame): DataFrame =
+    incrementalSubstringReportFrom(corpusWins, newDocs,
+      // feeds the batch-side distinct count AND the per-doc rollup —
+      // different subplans, so exchange reuse can't dedupe the explode
+      docWindows(newDocs).localCheckpoint(eager = false))
+
+  /** [[incrementalSubstringReport]] over a precomputed (reusable)
+    * [[docWindows]] frame of the batch. */
+  def incrementalSubstringReportFrom(corpusWins: DataFrame,
+      newDocs: DataFrame, batchWins: DataFrame): DataFrame = {
+    val bw = batchWins
+    val bnd = bw.groupBy(col("wh"))
+      .agg(countDistinct(col("doc_id")).as("bnd"))
+    val status = bnd.join(touchedWins(corpusWins, bw), Seq("wh"), "left")
+      .select(col("wh"), coalesce(col("nd"), lit(0L)).as("cnd"),
+        col("bnd"))
+      .withColumn("known", col("cnd") >= 2)
+      .withColumn("newly", !(col("cnd") >= 2) && col("cnd") + col("bnd") >= 2)
+    val perDoc = bw.join(status, Seq("wh"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_win"),
+        count(when(col("known"), 1)).as("n_known_dup"),
+        count(when(col("newly"), 1)).as("n_newly_dup"))
+    newDocs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_win"), lit(0L)).as("n_win"),
+        coalesce(col("n_known_dup"), lit(0L)).as("n_known_dup"),
+        coalesce(col("n_newly_dup"), lit(0L)).as("n_newly_dup"))
+      .withColumn("dup_micro",
+        when(col("n_win") === 0, lit(0L)).otherwise(
+          expr("(n_known_dup + n_newly_dup) * 1000000L div n_win")))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q156 as an oracle query: corpus index built in-query, batch
+    * (doc_id ≡ 0 mod 10) reported against it. */
+  def incrementalSubstringReportDaily(spark: SparkSession,
+      dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    incrementalSubstringReport(
+      substrWindowIndex(d.filter(col("doc_id") % 10 =!= 0)),
+      d.filter(col("doc_id") % 10 === 0))
+  }
+
+  /** L60/q158: n-gram NOVELTY scoring — the data-selection measure
+    * dual to q156's dup report: per batch doc, how many of its DISTINCT
+    * [[DupWinWords]]-word windows the corpus has never seen. Dedup asks
+    * "is this a copy?"; novelty asks "does this add anything?" — a doc
+    * whose windows are all corpus-known carries no new n-gram content
+    * even if no single source document duplicates it (stitched/spun
+    * pages), while high-novelty docs are the ones worth ingest priority
+    * when the token budget (q146) is tight. A second consumer of the
+    * SAME persisted `substr_windows` index (presence is the signal; the
+    * count rides along for q156): one index, two reports, zero extra
+    * corpus passes.
+    *
+    * Convention: windows are counted DISTINCT per doc (novelty is about
+    * vocabulary coverage, not repetition — q78 owns repetition); a doc
+    * too short for any window is fully novel (1e6 micro) — the corpus
+    * has seen none of it. Daily cost: O(batch windows) against the
+    * index. */
+  def noveltyReport(corpusWins: DataFrame,
+      newDocs: DataFrame): DataFrame =
+    noveltyReportFrom(corpusWins, newDocs, docWindows(newDocs))
+
+  /** [[noveltyReport]] over a precomputed [[docWindows]] frame of the
+    * batch (novelty distincts it — coverage, not repetition). */
+  def noveltyReportFrom(corpusWins: DataFrame, newDocs: DataFrame,
+      batchWins: DataFrame): DataFrame = {
+    val bw = batchWins
+      .distinct()
+      .localCheckpoint(eager = false) // feeds the semi-join AND perDoc
+    val perDoc = bw
+      .join(touchedWins(corpusWins, bw)
+          .select(col("wh"), lit(true).as("seen")),
+        Seq("wh"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_win"),
+        count(when(col("seen"), 1)).as("n_seen"))
+    newDocs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_win"), lit(0L)).as("n_win"),
+        coalesce(col("n_seen"), lit(0L)).as("n_seen"))
+      .withColumn("novelty_micro",
+        when(col("n_win") === 0, lit(1000000L)).otherwise(
+          expr("(n_win - n_seen) * 1000000L div n_win")))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q158 as an oracle query: same corpus/batch split as q156. */
+  def noveltyReportDaily(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    noveltyReport(
+      substrWindowIndex(d.filter(col("doc_id") % 10 =!= 0)),
+      d.filter(col("doc_id") % 10 === 0))
+  }
+
+  /** q98: the daily-ingest segment-dedup flow as an ORACLE query — the
+    * corpus/batch residue split the q96/q97 incremental family uses
+    * (doc_id % 10 = 0 is today's batch). The corpus leg persists only
+    * its [[segmentIndex]] (one row per distinct segment string); the
+    * batch leg flows through [[incrementalSegmentDedup]]. The oracle
+    * expresses the incremental semantics directly: a batch occurrence
+    * is kept iff it is the batch-wide first occurrence AND its segment
+    * is absent from the corpus index — corpus keepers beat any batch
+    * occurrence regardless of id order, which is why this is NOT the
+    * full q89 pass restricted to the batch.
+    */
+  def incrementalSegmentDedupDaily(spark: SparkSession,
+      dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    incrementalSegmentDedup(
+      segmentIndex(d.filter(col("doc_id") % 10 =!= 0)),
+      d.filter(col("doc_id") % 10 === 0))
+  }
+
+  /** L51/q148: per-cluster CAPS — the soft middle ground between q88
+    * (one survivor per near-dup family) and no dedup at all: keep the
+    * top [[ClusterCap]] members of every q85 cluster by (quality desc,
+    * doc_id). SemDeDup-style pipelines keep a few diverse members per
+    * family — one canonical loses paraphrase variance the model could
+    * use; the cap bounds redundancy instead of erasing it.
+    *
+    * Scale shape: cluster_id is a DATA-DEPENDENT hot key (a boilerplate
+    * mega-cluster is corpus-sized), so the rank is two-level per
+    * (cluster_id, doc_id-range shard) — the q107 argument verbatim;
+    * q88's aggregation trick covers only M = 1. */
+  def clusterCaps(spark: SparkSession, dir: String): DataFrame = {
+    val scored = dedupClustersStar(spark, dir)
+      .join(docs(spark, dir)
+        .select(col("doc_id"), LLMQueries.qualityExpr.as("quality")),
+        Seq("doc_id"))
+      .withColumn("cshard", expr(s"doc_id div $ClusterCapShardDocs"))
+    val local = Window.partitionBy(col("cluster_id"), col("cshard"))
+      .orderBy(col("quality").desc, col("doc_id"))
+    val survivors = scored.withColumn("lrk", row_number().over(local))
+      .filter(col("lrk") <= ClusterCap)
+      .drop("lrk", "cshard")
+    val global = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("quality").desc, col("doc_id"))
+    survivors.withColumn("rk", row_number().over(global))
+      .filter(col("rk") <= ClusterCap)
+      .select(col("cluster_id"), col("rk").cast("long").as("rk"),
+        col("doc_id"), col("quality"), col("cluster_size"))
+      .orderBy(col("cluster_id"), col("rk"))
+  }
+
+  /** L47/q143: duplicate-family SIZE histogram — the dedup audit read
+    * alongside q125/q127's recall/precision gates: how much of the
+    * corpus sits in families of 2, of 3, of 10+? A fat tail says one
+    * boilerplate template dominates (route to q120, not doc dedup); a
+    * mass of 2s says crawl-level re-fetches (q60's exact pass handles
+    * them cheaper than LSH). Families are q85's star-CC components over
+    * the q64 pair graph; unpaired docs count as singleton families so
+    * the histogram partitions the whole corpus (n_docs sums to |docs|).
+    *
+    * Scale shape: q85's O(log n) star CC + one long-key groupBy for
+    * family sizes + a histogram rollup over ≤ max-family-size rows. */
+  def dupSizeHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val comp = dedupClustersStar(spark, dir)
+      .select(col("doc_id"), col("cluster_id"))
+    val sizes = docs(spark, dir).select(col("doc_id"))
+      .join(comp, Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("fam_size"))
+    sizes.groupBy(col("fam_size"))
+      .agg(count(lit(1)).as("n_families"))
+      .select(col("fam_size"), col("n_families"),
+        (col("fam_size") * col("n_families")).as("n_docs"))
+      .orderBy(col("fam_size"))
+  }
+
+  /** L50b/q168: SOFT dedup — per-doc training weights 1/|family| over
+    * the q85/q143 duplicate families instead of hard-dropping losers
+    * (the SoftDeDup idea: duplicates carry signal about natural data
+    * frequency, so down-weighting preserves the effective distribution
+    * while hard dedup distorts it; every family contributes ~one doc's
+    * worth of gradient regardless of its copy count). Emits the weight
+    * a loss-weighted sampler consumes directly, in exact integer
+    * micro-units (1e6 div n — non-negative, engine-identical floor).
+    *
+    * Scale shape: q85's star CC + one family-size groupBy + a join-back
+    * on the long family key; text never moves past the pair stage. */
+  def softDedupWeights(spark: SparkSession, dir: String): DataFrame = {
+    val comp = dedupClustersStar(spark, dir)
+      .select(col("doc_id"), col("cluster_id"))
+    val withFam = docs(spark, dir).select(col("doc_id"))
+      .join(comp, Seq("doc_id"), "left")
+      .withColumn("fam", coalesce(col("cluster_id"), col("doc_id")))
+    val sizes = withFam.groupBy(col("fam"))
+      .agg(count(lit(1)).as("n_members"))
+    withFam.join(sizes, Seq("fam"))
+      .withColumn("weight_micro", expr("1000000 div n_members"))
+      .select(col("doc_id"), col("fam"), col("n_members"),
+        col("weight_micro"))
+      .orderBy(col("doc_id"))
+  }
+}

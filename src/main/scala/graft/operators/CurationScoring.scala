@@ -1,0 +1,294 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Model-family scoring (L12/L13/L14/L34/L73/L75): Gopher
+  * repetition, PII scrub, the shared hashed-linear scorer under the
+  * quality/toxicity salts, calibration and the operating-curve sweep
+  * — q78/q79/q84/q122/q171/q174.
+  *
+  * Split out of CurationQueries by family (round 11, pure moves) —
+  * the object mixes every family trait back in, so call sites and
+  * behavior are unchanged; shared constants/oracles stay on the
+  * object, reachable through the self-type.
+  */
+private[operators] trait CurationScoring {
+  this: CurationQueries.type =>
+
+  /** Per-document repetition / quality metrics in the style of the
+    * published Gopher quality rules (Rae et al. 2021 §A1.1): type-token
+    * ratio, most-frequent-word mass, and duplicate-bigram mass, plus a
+    * threshold flag. Repetitious documents are the single biggest
+    * quality problem in web-scale training corpora, and these three
+    * metrics are the standard cheap detectors.
+    *
+    * Scale shape: one narrow projection — every metric is a per-row
+    * lambda over the split word array (bound ONCE via the
+    * transform-array idiom; see gramsExpr), so there is no explode, no
+    * shuffle, and the operator is embarrassingly parallel at any corpus
+    * size. The top-word count is O(distinct·words) per row, which is
+    * the right trade below ~10k words/doc; a mega-doc corpus would
+    * explode+count instead (same numbers, one extra shuffle).
+    */
+  def repetitionStatsDocs(docsDf: DataFrame): DataFrame = {
+    val stats = expr(
+      "transform(array(split(text, '\\\\s+')), w -> struct(" +
+        " size(w) AS n_words," +
+        " size(array_distinct(w)) AS n_distinct," +
+        " array_max(transform(array_distinct(w)," +
+        "   d -> size(filter(w, x -> x = d)))) AS top_freq," +
+        " if(size(w) >= 2, array(" +
+        "   size(w) - 1," +
+        "   size(array_distinct(transform(sequence(0, size(w)-2)," +
+        "     i -> concat(w[i], ' ', w[i+1]))))), array(0, 0)) AS bi))[0]")
+    docsDf
+      .select(col("doc_id"), stats.as("s"))
+      .select(
+        col("doc_id"),
+        col("s.n_words").cast("long").as("n_words"),
+        round(col("s.n_distinct").cast("double") / col("s.n_words"), 6)
+          .as("type_token_ratio"),
+        round(col("s.top_freq").cast("double") / col("s.n_words"), 6)
+          .as("top_word_ratio"),
+        when(col("s.bi")(0) > 0,
+          round(lit(1.0) - col("s.bi")(1).cast("double") / col("s.bi")(0), 6))
+          .otherwise(0.0).as("dup_bigram_ratio"))
+      .withColumn("quality_flag",
+        when(col("top_word_ratio") > 0.2 || col("dup_bigram_ratio") > 0.4,
+          "repetitive").otherwise("ok"))
+      .orderBy(col("doc_id"))
+  }
+
+  def repetitionStats(spark: SparkSession, dir: String): DataFrame =
+    repetitionStatsDocs(docs(spark, dir))
+
+  /** PII scrub: detect emails/phones, replace them with placeholder
+    * tokens, and report per-doc counts plus a residual self-check
+    * (PII matches remaining AFTER redaction — must be 0). Emits only
+    * docs that contained PII.
+    *
+    * Scale shape: pure per-row regex projection + filter — no shuffle
+    * except the output ORDER BY. At 100 TB the regex cost is the whole
+    * cost, so patterns stay anchored-free and backtracking-free.
+    */
+  def piiScrubDocs(docsDf: DataFrame): DataFrame = {
+    // patterns go through the typed API (lit), NOT expr(): Spark's SQL
+    // string-literal parser strips unrecognized escapes, so '\.' inside
+    // an expr() string silently becomes the any-char '.'
+    def matches(c: Column, re: String): Column =
+      size(regexp_extract_all(c, lit(re), lit(0))).cast("long")
+    val redacted = regexp_replace(
+      regexp_replace(col("text"), EmailRe, "<EMAIL>"),
+      PhoneRe, "<PHONE>")
+    docsDf
+      .select(
+        col("doc_id"),
+        matches(col("text"), EmailRe).as("n_emails"),
+        matches(col("text"), PhoneRe).as("n_phones"),
+        redacted.as("redacted"))
+      .filter(col("n_emails") + col("n_phones") > 0)
+      .select(
+        col("doc_id"), col("n_emails"), col("n_phones"),
+        length(col("redacted")).cast("long").as("redacted_chars"),
+        (matches(col("redacted"), EmailRe) +
+          matches(col("redacted"), PhoneRe)).as("residual_pii"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q79 fixture: the shipped documents are digit-free word streams
+    * (verified — no [0-9] anywhere), so PII is seeded deterministically
+    * from doc_id: every 7th doc gains an email, every 11th a phone
+    * number. The oracle replays the identical seeding. */
+  def seedPii(docsDf: DataFrame): DataFrame =
+    docsDf.select(
+      col("doc_id"),
+      concat(
+        col("text"),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com now"))).otherwise(""),
+        when(col("doc_id") % 11 === 0,
+          concat(lit(" call 555-"),
+            lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise("")).as("text"))
+
+  def piiScrub(spark: SparkSession, dir: String): DataFrame =
+    piiScrubDocs(seedPii(docs(spark, dir)))
+
+  /** Model-based quality filtering (the CCNet/DCLM-style classifier
+    * stage): score every document with a hashed linear model — each
+    * token hashes to a signed integer weight, the document score is the
+    * exact integer sum, and the keep/drop decision thresholds the
+    * normalized mean. Here the per-feature weights are derived from a
+    * salted md5 (so the DuckDB oracle recomputes them verbatim); in
+    * production they come from a trained weight table shipped to every
+    * executor — same plan either way, because the lookup is a pure
+    * per-token function.
+    *
+    * Scale shape: one shuffle-free projection. The dot product is an
+    * INTEGER sum (weights are 12-bit ints centered on 0), so the score
+    * is bit-identical at any partition count or token order — the same
+    * OracleParity argument as the money aggregates. The md5 runs once
+    * per token via the lambda-bind idiom.
+    */
+  /** Shared q84/q122/q171 scoring projection — ONE definition per SALT
+    * so a classifier and its consumers can never score differently:
+    * doc_id, lang, source, n_tokens, score, mean_weight.
+    * 12-bit hash weight in [-2048, 2047]: value of the first 3 hex
+    * digits of md5(<salt> <token>), shifted. instr-on-hex-digit is
+    * the portable hex→int (Spark conv() has no DuckDB twin). */
+  private[graft] def qualityScoredDocs(docsDf: DataFrame): DataFrame =
+    hashScoredDocs(docsDf, QualitySalt)
+
+  /** The per-row (n_tokens, score) scorer of [[hashScoredDocs]] as ONE
+    * expression over `text` — exposed so a streaming stage can ride the
+    * scorer inline on a frame that must keep its other columns (a
+    * stream cannot self-join its own projection). */
+  private[graft] def hashScoreStruct(salt: String): Column = {
+    def hexAt(i: Int) =
+      s"(instr('0123456789abcdef', substring(h, $i, 1)) - 1)"
+    val weightOf =
+      s"transform(w, t -> transform(array(md5(concat('$salt', t)))," +
+        s" h -> ${hexAt(1)} * 256 + ${hexAt(2)} * 16 + ${hexAt(3)}" +
+        s" - 2048)[0])"
+    expr(
+      "transform(array(split(text, '\\\\s+')), w -> struct(" +
+        " size(w) AS n_tokens," +
+        s" aggregate($weightOf, cast(0 as bigint)," +
+        "   (acc, x) -> acc + x) AS score))[0]")
+  }
+
+  /** [[hashScoreStruct]]'s mean weight (the decision statistic), from
+    * the already-projected struct column. */
+  private[graft] def meanWeightOf(s: Column): Column =
+    round(s.getField("score").cast("double") /
+      (s.getField("n_tokens") * 2048.0), 6)
+
+  private[graft] def hashScoredDocs(docsDf: DataFrame,
+      salt: String): DataFrame = {
+    // q84's contract never needed source; synthesize it when a caller
+    // (tests) scores a source-less frame
+    val src = if (docsDf.columns.contains("source")) docsDf
+              else docsDf.withColumn("source", lit(""))
+    src
+      .select(col("doc_id"), col("lang"), col("source"),
+        hashScoreStruct(salt).as("s"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        col("s.n_tokens").cast("long").as("n_tokens"),
+        col("s.score").as("score"),
+        meanWeightOf(col("s")).as("mean_weight"))
+  }
+
+  def qualityClassifierDocs(docsDf: DataFrame): DataFrame =
+    qualityScoredDocs(docsDf)
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("score"),
+        col("mean_weight"))
+      .withColumn("decision",
+        when(col("mean_weight") >= QualityThreshold, "keep")
+          .otherwise("drop"))
+      .orderBy(col("doc_id"))
+
+  def qualityClassifier(spark: SparkSession, dir: String): DataFrame =
+    qualityClassifierDocs(docs(spark, dir))
+
+  /** L73/q171: TOXICITY classifier — the second model family of the
+    * funnel (VERDICT r9 "Next round" #9): the exact q84 hashed-linear
+    * scorer shape under an independent weight table ([[ToxSalt]] — in
+    * production, a trained safety model's weights), thresholded on the
+    * HIGH tail: a doc whose mean weight clears [[ToxicityThreshold]] is
+    * `toxic`, everything else `clean`. Same scale shape as q84: one
+    * shuffle-free projection, exact integer token-weight sum, the mean
+    * the only double (6-dp rounded).
+    *
+    * Wired as the SIXTH funnel stage (q115/q157) and the last
+    * DailyIngest gate, so the safety drop is accounted per first
+    * failing gate like every other stage. */
+  def toxicityClassifierDocs(docsDf: DataFrame): DataFrame =
+    hashScoredDocs(docsDf, ToxSalt)
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("score"),
+        col("mean_weight"))
+      .withColumn("decision",
+        when(col("mean_weight") >= ToxicityThreshold, "toxic")
+          .otherwise("clean"))
+      .orderBy(col("doc_id"))
+
+  def toxicityClassifier(spark: SparkSession, dir: String): DataFrame =
+    toxicityClassifierDocs(docs(spark, dir))
+
+  /** L75/q174: classifier OPERATING-CURVE sweep — per model family and
+    * candidate threshold, the doc count and pass rate. The table a data
+    * lead reads to SET an operating point ([[QualityThreshold]] /
+    * [[ToxicityThreshold]]) instead of assuming one: this round's q84
+    * calibration bug (a `>= 0` constant silently keeping 2% of docs)
+    * is exactly the failure this report makes impossible to miss — the
+    * zero row would have read `24000 micro`, not the documented "top
+    * half". Sweeping BOTH families in one frame also shows the two
+    * weight tables' distributions side by side (they differ only by
+    * salt, so any rate gap at a shared threshold is the model, not the
+    * corpus).
+    *
+    * Scale shape: one scan per model family (the q84 shuffle-free
+    * scoring projection), a 19-int explode per slim (model,
+    * mean_weight) row that partial-aggregates immediately to
+    * 2·|grid| groups — text dies at the scan, the shuffle carries 38
+    * rows. Rates are exact integer micro units. */
+  def thresholdSweepDocs(docsDf: DataFrame): DataFrame = {
+    def leg(salt: String, model: String) =
+      hashScoredDocs(docsDf, salt)
+        .select(lit(model).as("model"), col("mean_weight"))
+    leg(QualitySalt, "quality")
+      .unionByName(leg(ToxSalt, "toxicity"))
+      .select(col("model"), col("mean_weight"),
+        explode(lit(SweepThresholds.toArray)).as("threshold_micro"))
+      .groupBy(col("model"), col("threshold_micro"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("mean_weight") >=
+          col("threshold_micro").cast("double") / 1000000.0, 1))
+          .as("n_above"))
+      .withColumn("above_micro", expr("n_above * 1000000L div n_docs"))
+      .orderBy(col("model"), col("threshold_micro"))
+  }
+
+  def thresholdSweep(spark: SparkSession, dir: String): DataFrame =
+    thresholdSweepDocs(docs(spark, dir))
+
+  /** L34/q122: per-source quality-threshold CALIBRATION — the step a
+    * real curation run performs between scoring (q84) and filtering:
+    * one global cutoff over-prunes clean sources and under-prunes noisy
+    * ones, so the keep/drop threshold is calibrated per source at the
+    * [[CalibPct]] score percentile (every source sheds its own worst
+    * tail). Reports, per source, the calibrated cutoff, doc count, and
+    * survivors at that cutoff — the table a mixture designer reads
+    * before q90/q116 reweighting.
+    *
+    * Determinism: mean_weight is q84's 6-dp-rounded double; the cutoff
+    * is the exact interpolated percentile rounded to the same 6 dp
+    * (Spark `percentile` and DuckDB `quantile_cont` share the (n-1)·p
+    * rule — the q35 precedent), and the pass predicate compares the two
+    * ROUNDED values, so both engines count identical survivors. Scale
+    * shape: exact percentile buffers one source's scores per group —
+    * bounded by docs-per-source; at 100 TB swap `percentile` for
+    * `percentile_approx` (the q86 sketch pattern) and nothing else
+    * changes. The cutoff table is |sources| rows and broadcasts back
+    * for the survivor count. */
+  def qualityCalibrationDocs(docsDf: DataFrame): DataFrame = {
+    val s = qualityScoredDocs(docsDf)
+    val cuts = s.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(expr(s"percentile(mean_weight, $CalibPct)"), 6).as("cutoff"))
+    s.join(broadcast(cuts), Seq("source"))
+      .groupBy(col("source"))
+      .agg(first(col("n_docs")).as("n_docs"),
+        first(col("cutoff")).as("cutoff"),
+        count(when(col("mean_weight") >= col("cutoff"), 1)).as("n_pass"))
+      .withColumn("pass_micro", expr("n_pass * 1000000L div n_docs"))
+      .orderBy(col("source"))
+  }
+
+  def qualityCalibration(spark: SparkSession, dir: String): DataFrame =
+    qualityCalibrationDocs(docs(spark, dir))
+}

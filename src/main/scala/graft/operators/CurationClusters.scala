@@ -273,11 +273,23 @@ private[operators] trait CurationClusters {
     val pairs = LLMQueries.incrementalNearDups(bandsC, setsC, newDocs)
       .filter(col("jaccard") >= ClusterThreshold)
       .select(col("doc_a"), col("doc_b"))
+      .localCheckpoint(eager = false) // feeds endpoint ids + contraction
+    // contraction labels via ONE broadcast-semi probe of the label
+    // table by the batch-bounded endpoint set, broadcast back into the
+    // edge list — the direct pairs-LEFT-JOIN-ccC shape planned a
+    // sort-merge that re-shuffled the corpus label table per day (the
+    // round-11 media_cc lesson, applied back to the text side)
+    val endpointIds = pairs.select(col("doc_a").as("doc_id"))
+      .unionByName(pairs.select(col("doc_b").as("doc_id")))
+      .distinct()
+    val labels = ccC
+      .join(broadcast(endpointIds), Seq("doc_id"), "left_semi")
+      .localCheckpoint(eager = false) // batch-bounded label subset
     val edges = pairs
-      .join(ccC.select(col("doc_id").as("doc_a"),
-        col("cluster_id").as("la")), Seq("doc_a"), "left")
-      .join(ccC.select(col("doc_id").as("doc_b"),
-        col("cluster_id").as("lb")), Seq("doc_b"), "left")
+      .join(broadcast(labels.select(col("doc_id").as("doc_a"),
+        col("cluster_id").as("la"))), Seq("doc_a"), "left")
+      .join(broadcast(labels.select(col("doc_id").as("doc_b"),
+        col("cluster_id").as("lb"))), Seq("doc_b"), "left")
       .select(coalesce(col("la"), col("doc_a")).as("doc_a"),
         coalesce(col("lb"), col("doc_b")).as("doc_b"))
       .filter(col("doc_a") =!= col("doc_b"))

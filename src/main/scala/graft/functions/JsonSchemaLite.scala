@@ -18,9 +18,13 @@ import org.apache.spark.sql.functions._
   * `items` (one schema applied to every element of an array value —
   * type/bounds/length/pattern/enum at element level), `anyOf`/`oneOf`
   * (combinators over full subschemas at the same path — `oneOf` is the
-  * exactly-one count, per the spec), and `additionalProperties: false`
-  * (closed object: every key present must be declared in `properties`;
-  * the schema-valued form is skipped permissively). Unknown keywords
+  * exactly-one count, per the spec), `additionalProperties: false`
+  * (closed object: every key present must be declared in `properties`
+  * or match a `patternProperties` regex; the schema-valued form is
+  * skipped permissively), `patternProperties` (regex-keyed subschemas
+  * over present keys, coerced-scalar regime like array elements), and
+  * local `$ref` (`#/$defs/...`-style pointers, resolved by compile-time
+  * substitution — recursive schemas fail fast). Unknown keywords
   * are ignored (permissive, like most validators' default dialect
   * handling); an `items` array that cannot be parsed is likewise
   * skipped permissively.
@@ -37,7 +41,7 @@ object JsonSchemaLite {
     * The predicate is total: a null comparison (e.g. a bound applied to
     * non-numeric text) means the value fails validation, never NULL. */
   def compile(schemaJson: String): Column => Column = {
-    val schema = parseObj(schemaJson)
+    val schema = resolveRefs(parseObj(schemaJson))
     (c: Column) => coalesce(validate(schema, c, "$"), lit(false))
   }
 
@@ -51,6 +55,44 @@ object JsonSchemaLite {
       case other => throw new IllegalArgumentException(
         s"JSON Schema must be an object, got ${other.getClass.getSimpleName}")
     }
+
+  /** Resolve local `$ref` pointers (`#/$defs/name`, `#/definitions/name`
+    * or any local `#/a/b` pointer) by substitution at COMPILE time — one
+    * driver-side walk, so the Column-building code below never sees a
+    * `$ref`. Replace-with-target semantics (the draft-07 rule; sibling
+    * keywords next to `$ref` are ignored, like most validators in that
+    * dialect). Recursive/self-referential schemas exceed the depth cap
+    * and fail fast with a clear error — a truly recursive structure
+    * cannot compile to a finite Column predicate anyway. */
+  private def resolveRefs(root: JObject): JObject = {
+    def lookup(ref: String): JObject = {
+      require(ref.startsWith("#/"),
+        s"only local '#/...' $$ref pointers are supported: $ref")
+      ref.stripPrefix("#/").split("/")
+        .foldLeft(root: JValue)((j, k) => j \ k) match {
+        case o: JObject => o
+        case other => throw new IllegalArgumentException(
+          s"$$ref target $ref is not an object schema: " +
+            other.getClass.getSimpleName)
+      }
+    }
+    def walk(v: JValue, depth: Int): JValue = {
+      require(depth < 64,
+        "circular or too-deep $ref chain (recursive schemas are not " +
+          "compilable to a finite predicate)")
+      v match {
+        case o: JObject =>
+          (o \ "$ref") match {
+            case JString(r) => walk(lookup(r), depth + 1)
+            case _ => JObject(o.obj.map { case (k, sv) =>
+              (k, walk(sv, depth + 1)) })
+          }
+        case JArray(vs) => JArray(vs.map(walk(_, depth + 1)))
+        case other => other
+      }
+    }
+    walk(root, 0).asInstanceOf[JObject]
+  }
 
   private def str(o: JObject, k: String): Option[String] =
     (o \ k) match { case JString(v) => Some(v); case _ => None }
@@ -192,6 +234,40 @@ object JsonSchemaLite {
     // enforced by typeOk). The schema-valued form (validate undeclared
     // keys against a subschema) needs dynamic paths — out of scope,
     // skipped permissively and documented.
+    // patternProperties: every PRESENT key matching the (unanchored)
+    // regex validates against the subschema. Values arrive through a
+    // from_json map read, so scalars are quote-stripped — the same
+    // coerced regime as array elements, validated by the same
+    // [[elementOk]] (documented looseness: a numeric-looking string
+    // passes a number check here; the declared `properties` path keeps
+    // the strict raw-kind check). Non-object values parse to a null
+    // map → permissive skip (typeOk already enforces a declared type).
+    val patternSubs = (schema \ "patternProperties") match {
+      case JObject(fields) =>
+        fields.collect { case (re, sub: JObject) => (re, sub) }
+      case _ => Seq.empty
+    }
+    val patPropsOk =
+      if (patternSubs.isEmpty) lit(true)
+      else {
+        import org.apache.spark.sql.types.{MapType, StringType}
+        val entries = map_entries(
+          from_json(here, MapType(StringType, StringType)))
+        patternSubs.foldLeft(lit(true)) { case (acc, (re, sub)) =>
+          acc && coalesce(forall(entries, e =>
+            !e.getField("key").rlike(re) ||
+              coalesce(elementOk(sub, e.getField("value")), lit(false))),
+            lit(true))
+        }
+      }
+    // additionalProperties: false — a closed object: every key PRESENT
+    // must be declared in `properties` OR match a patternProperties
+    // regex (the JSON-Schema rule: pattern-matched keys are not
+    // "additional"). Non-object values yield a null key array →
+    // permissive skip (a declared object type is already enforced by
+    // typeOk). The schema-valued form (validate undeclared keys against
+    // a subschema) needs dynamic paths — out of scope, skipped
+    // permissively and documented.
     val addlOk = (schema \ "additionalProperties") match {
       case JBool(false) =>
         val declared = (schema \ "properties") match {
@@ -199,13 +275,16 @@ object JsonSchemaLite {
           case _ => Seq.empty[String]
         }
         val keys = json_object_keys(here)
-        coalesce(forall(keys, k =>
-          if (declared.isEmpty) lit(false) else k.isin(declared: _*)),
-          lit(true))
+        coalesce(forall(keys, k => {
+          val inProps =
+            if (declared.isEmpty) lit(false) else k.isin(declared: _*)
+          patternSubs.map(_._1)
+            .foldLeft(inProps)((ok, re) => ok || k.rlike(re))
+        }), lit(true))
       case _ => lit(true)
     }
     typeOk && itemsOk && requiredOk && propsOk && anyOfOk && oneOfOk &&
-      addlOk
+      patPropsOk && addlOk
   }
 
   private def propertyOk(schema: JObject, json: Column,

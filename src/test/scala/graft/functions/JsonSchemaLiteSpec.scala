@@ -319,6 +319,67 @@ class JsonSchemaLiteSpec extends SparkSpec {
       "object", "array"))
   }
 
+  test("patternProperties validates matching keys; others untouched") {
+    val schema =
+      """{"type":"object",
+        |"patternProperties":{"^x_":{"type":"number","minimum":0}}}"""
+        .stripMargin
+    assert(validCount(schema,
+      """{"x_a":1,"x_b":2.5,"note":"free"}""",   // both match, both ok
+      """{"x_a":-1}""",                          // matches, bound fails
+      """{"x_a":"text"}""",                      // matches, type fails
+      """{"note":"free"}""",                     // nothing matches
+      """{"y":"anything","x_ok":0}""") == 3)
+  }
+
+  test("patternProperties keys count as declared for closed objects") {
+    val schema =
+      """{"type":"object","additionalProperties":false,
+        |"properties":{"id":{"type":"number"}},
+        |"patternProperties":{"^meta_":{"type":"string"}}}""".stripMargin
+    assert(validCount(schema,
+      """{"id":1,"meta_src":"crawl"}""",  // declared + pattern-matched
+      """{"id":1,"other":"x"}""",         // undeclared key → closed fail
+      """{"meta_a":"x","meta_b":"y"}""") == 2)
+  }
+
+  test("$ref resolves local $defs, nested and inside combinators") {
+    val schema =
+      """{"type":"object","required":["score"],
+        |"properties":{
+        |  "score":{"$ref":"#/$defs/unit"},
+        |  "alt":{"anyOf":[{"$ref":"#/$defs/unit"},{"type":"string"}]}},
+        |"$defs":{"unit":{"type":"number","minimum":0,"maximum":1}}}"""
+        .stripMargin
+    assert(validCount(schema,
+      """{"score":0.4}""",
+      """{"score":2.0}""",              // ref'd bound fails
+      """{"score":0.4,"alt":"ok"}""",   // anyOf string branch
+      """{"score":0.4,"alt":0.9}""",    // anyOf ref'd branch
+      """{"score":0.4,"alt":false}""") == 3)
+  }
+
+  test("$ref chains resolve; circular $ref fails fast at compile") {
+    val chained =
+      """{"properties":{"v":{"$ref":"#/$defs/a"}},
+        |"$defs":{"a":{"$ref":"#/$defs/b"},
+        |          "b":{"type":"integer","minimum":2}}}""".stripMargin
+    assert(validCount(chained,
+      """{"v":3}""", """{"v":1}""", """{"v":2.5}""") == 1)
+    val circular =
+      """{"properties":{"v":{"$ref":"#/$defs/a"}},
+        |"$defs":{"a":{"$ref":"#/$defs/a"}}}""".stripMargin
+    val e = intercept[IllegalArgumentException] {
+      JsonSchemaLite.compile(circular)
+    }
+    assert(e.getMessage.contains("circular or too-deep"))
+    // and a non-local ref is rejected, not silently ignored
+    val remote = """{"properties":{"v":{"$ref":"http://x/schema"}}}"""
+    intercept[IllegalArgumentException] {
+      JsonSchemaLite.compile(remote)
+    }
+  }
+
   test("matches the flagship pipeline's hand-rolled validation") {
     // the q10 rule: category required, confidence in [0,1]
     val schema =

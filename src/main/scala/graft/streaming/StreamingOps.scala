@@ -479,6 +479,30 @@ object StreamingOps {
       .dropDuplicatesWithinWatermark(Seq("doc_id", "corpus_id"))
   }
 
+  /** L81 streaming: media cluster-MERGE alerts — the live signal that
+    * tonight's q180 maintenance will MERGE corpus clusters. Every
+    * arriving asset runs [[streamingMediaNearDups]]' probe (same
+    * dHash + band expressions, same inline bit_count verification
+    * against the persisted `media_bands` index), then each verified
+    * corpus neighbor maps to its persisted `media_cc` LABEL through a
+    * second stateless stream-static join, collapsing to distinct
+    * (asset, cluster label) rows. An asset carrying two or more
+    * distinct labels is a BRIDGE: q180's contracted star-CC will join
+    * those corpus clusters as single nodes — the alert a curation
+    * on-call reads hours before the nightly run rewrites the label
+    * table. State is only the watermark-bounded per-(asset, label)
+    * collapse; the corpus sides are the two slim index artifacts,
+    * scanned stream-static, never shuffled. Spec-pinned equal to the
+    * batch rule (q111 pairs → label join → distinct) on the same
+    * frames. */
+  def streamingMediaClusterAlerts(assets: Dataset[StreamAsset],
+      corpusBands: DataFrame, ccC: DataFrame): DataFrame =
+    streamingMediaNearDups(assets, corpusBands)
+      .join(ccC.select(col("doc_id").as("corpus_id"),
+        col("cluster_id")), Seq("corpus_id"))
+      .dropDuplicatesWithinWatermark(Seq("doc_id", "cluster_id"))
+      .select(col("doc_id"), col("cluster_id"))
+
   case class SourcedDoc(doc_id: Long, ts: Timestamp, text: String,
       lang: String, source: String)
 

@@ -199,6 +199,46 @@ class StreamingOpsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming media cluster alerts: pairs map to persisted labels, " +
+      "bridges carry two") {
+    val M = graft.multimodal.Multimodal
+    val base = "stream payload bytes for the perceptual hash".getBytes("UTF-8")
+    val bumped = base.clone(); bumped(0) = (bumped(0) + 1).toByte
+    val far = "completely different content with other byte structure zzz"
+      .getBytes("UTF-8")
+    val corpusBands = M.phashBands(
+      Seq((100L, M.FakeCodec.dHash(base)), (101L, M.FakeCodec.dHash(bumped)),
+        (200L, M.FakeCodec.dHash(far)))
+        .toDF("doc_id", "phash"))
+    // persisted media_cc labels: 100 and 101 sit in DIFFERENT clusters,
+    // so an arrival near both is a bridge — the q180 merge pre-signal
+    val ccC = Seq((100L, 100L), (101L, 101L), (200L, 200L))
+      .toDF("doc_id", "cluster_id")
+    val input = MemoryStream[StreamAsset]
+    val query = streamingMediaClusterAlerts(input.toDS(), corpusBands, ccC)
+      .writeStream.format("memory").queryName("mergealerts")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        StreamAsset(1L, ts(0), base), // pairs with 100 AND 101 → bridge
+        StreamAsset(2L, ts(1), far))  // pairs with 200 only
+      query.processAllAvailable()
+      val got = spark.table("mergealerts")
+        .as[(Long, Long)].collect().toSet
+      assert(got == Set((1L, 100L), (1L, 101L), (2L, 200L)))
+      // == the batch rule on the same frames (q111 pairs → label join)
+      val batchHashes =
+        Seq((1L, M.FakeCodec.dHash(base)), (2L, M.FakeCodec.dHash(far)))
+          .toDF("doc_id", "phash")
+      val want = M.incrementalMediaNearDups(corpusBands, batchHashes)
+        .join(ccC.select(col("doc_id").as("doc_b"), col("cluster_id")),
+          Seq("doc_b"))
+        .select(col("doc_a").as("doc_id"), col("cluster_id"))
+        .distinct().as[(Long, Long)].collect().toSet
+      assert(got == want)
+    } finally query.stop()
+  }
+
   test("streaming quality gate scores exactly like the batch classifier") {
     // calibrate cutoffs on a small batch corpus: srcA's worst tail must
     // fall below its own cutoff, srcB's below its own

@@ -1132,7 +1132,12 @@ object VectorQueries {
     * total; production swaps the seeds for per-subspace k-means
     * codebooks and nothing downstream changes. */
   private[operators] def pqCodebookOf(e: DataFrame): DataFrame =
-    microOf(e).orderBy(col("vec_id")).limit(PqCodes)
+    pqCodebookOfMicro(microOf(e))
+
+  /** The seed codebook over an explicit micro frame (vec_id, mv) —
+    * shared with the q181 residual domain. */
+  private[operators] def pqCodebookOfMicro(micro: DataFrame): DataFrame =
+    micro.orderBy(col("vec_id")).limit(PqCodes)
       .groupBy()
       .agg(sort_array(collect_list(struct(col("vec_id"), col("mv"))))
         .as("sa"))
@@ -1187,10 +1192,16 @@ object VectorQueries {
     * vectors per cell; past that, train on a sample (what production
     * PQ does anyway — the codebook needs distribution, not the
     * corpus). */
-  private[operators] def pqTrainedCodebookOf(e: DataFrame): DataFrame = {
-    val m = microOf(e).select(col("vec_id"), col("mv"))
-      .localCheckpoint(eager = false) // scanned once per round
-    var cb = pqCodebookOf(e)
+  private[operators] def pqTrainedCodebookOf(e: DataFrame): DataFrame =
+    pqTrainedCodebookOfMicro(microOf(e).select(col("vec_id"), col("mv")))
+
+  /** The trainer over an EXPLICIT micro-integer frame (vec_id, mv) —
+    * shared by q177 (mv = round(v·1e6)) and q181 (mv = the IVF cell
+    * RESIDUAL, already exact micro longs). */
+  private[operators] def pqTrainedCodebookOfMicro(
+      micro: DataFrame): DataFrame = {
+    val m = micro.localCheckpoint(eager = false) // scanned once per round
+    var cb = pqCodebookOfMicro(m)
     for (_ <- 1 to PqTrainRounds) {
       // per (s, code, j): exact component sum + count over assigned
       // sub-vectors, then the rounded mean back in micro integers
@@ -1265,6 +1276,24 @@ object VectorQueries {
     val e = vecs(spark, dir)
     val m = microOf(e).select(col("vec_id"), col("mv"))
       .localCheckpoint(eager = false) // scanned once per variant
+    // the q181 residual domain: ‖v − (cm + r̂)‖² = ‖rv − r̂‖², so the
+    // residual sub-distortion IS the full reconstruction error —
+    // directly comparable to the raw-domain rows at identical bytes
+    // (4 bits/subspace either way; the cell id is the IVF layout, not
+    // extra payload). Residuals concentrate near zero, so this row
+    // must sit far below both raw rows — the measured claim residual
+    // encoding makes.
+    val cents = centroids(spark, dir)
+      .localCheckpoint(eager = false) // feeds assignment + micro table
+    val centsM = cents.select(col("clabel").as("cell"),
+      expr("transform(c, x -> cast(round(x * 1e6) as bigint))").as("cm"))
+    val res = cellAssign(e, cents)
+      .join(broadcast(centsM), Seq("cell"))
+      .withColumn("mvr",
+        expr("transform(v, x -> cast(round(x * 1e6) as bigint))"))
+      .select(col("vec_id"),
+        expr("zip_with(mvr, cm, (a, b) -> a - b)").as("mv"))
+      .localCheckpoint(eager = false) // feeds the trainer AND the scan
     val dist =
       s"aggregate(sequence(0, ${PqSubDim - 1}), 0L," +
         s" (a, j) -> a + (mv[s * $PqSubDim + j] - cb[s][c][j])" +
@@ -1273,9 +1302,12 @@ object VectorQueries {
       s"aggregate(transform(sequence(0, ${PqSubspaces - 1}), s -> " +
         s"array_min(transform(sequence(0, ${PqCodes - 1}), c -> $dist))" +
         "), 0L, (a, x) -> a + x)")
-    Seq("seeded" -> pqCodebookOf(e), "trained" -> pqTrainedCodebookOf(e))
-      .map { case (name, cbRow) =>
-        m.crossJoin(broadcast(cbRow))
+    Seq(
+      ("residual_trained", res, pqTrainedCodebookOfMicro(res)),
+      ("seeded", m, pqCodebookOf(e)),
+      ("trained", m, pqTrainedCodebookOf(e)))
+      .map { case (name, micro, cbRow) =>
+        micro.crossJoin(broadcast(cbRow))
           .select(rowErr.as("sqe"))
           .agg(sum(col("sqe")).as("total_sqerr"),
             (count(lit(1)) * PqSubspaces).as("n_subvectors"))
@@ -1334,6 +1366,106 @@ object VectorQueries {
           .otherwise(round(col("dot").cast("double") /
             sqrt(col("nd").cast("double") * col("nqm").cast("double")), 6)))
     rankTopKPerQuery(scored, TopK)
+      .select(col("qid"), col("rk").cast("long").as("rk"),
+        col("vec_id").as("nid"), col("cos"))
+      .orderBy(col("qid"), col("rk"))
+  }
+
+  /** L82/q181: IVF-PQ with RESIDUAL encoding — the index shape
+    * production vector stores actually serve (the FAISS IVFPQ layout):
+    * the q69 coarse quantizer prunes the scan to the probed cell, and
+    * each vector stores only [[PqSubspaces]] 4-bit codes of its
+    * RESIDUAL against its cell centroid. Residuals concentrate near
+    * zero, so the shared codebook spends its 16 entries per subspace on
+    * a far tighter distribution than raw vectors — the reason this
+    * composition is the production default over flat PQ at equal
+    * bytes. The residual codebook is TRAINED with the q177 Lloyd
+    * rounds over the residual domain (ONE shared trainer,
+    * [[pqTrainedCodebookOfMicro]]).
+    *
+    * Exact-integer algebra end to end: micro centroids
+    * cm = round(c·1e6) per cell; residual rv = mv − cm (exact longs);
+    * reconstruction v̂ = cm + r̂, so
+    *   dot(q, v̂)  = dot(qm, cm) + Σ_s LUT_q[s, code]          and
+    *   ‖v̂‖²      = ‖cm‖² + 2·Σ_s dot(cm_s, cb[s][code])
+    *                + Σ_s nb[s][code],
+    * every term an exact long from two broadcastable tables (the
+    * ≤|cells|-row centroid/cross-term table and the 1-row codebook);
+    * one final rounded double division (the q117 rule). Scale shape:
+    * corpus assignment is the exchange-free [[cellAssign]], encode is
+    * one broadcast-codebook scan, search touches the probed cell only;
+    * reports into the q110 gate as variant `ivfpq`. */
+  def ivfPqTopkCosine(spark: SparkSession, dir: String): DataFrame =
+    ivfPqTopkCosineOf(Tables(spark, dir, "embeddings"))
+
+  private[operators] def ivfPqTopkCosineOf(emb: DataFrame): DataFrame = {
+    val e = vecsOf(emb)
+    val cents = centroidsOf(emb)
+      .localCheckpoint(eager = false) // feeds assignment + micro table
+    val centsM = cents.select(col("clabel").as("cell"),
+      expr("transform(c, x -> cast(round(x * 1e6) as bigint))").as("cm"))
+      .localCheckpoint(eager = false) // feeds residuals + cell table
+    val withRes = cellAssign(e, cents)
+      .join(broadcast(centsM), Seq("cell"))
+      .withColumn("mv",
+        expr("transform(v, x -> cast(round(x * 1e6) as bigint))"))
+      .withColumn("rv", expr("zip_with(mv, cm, (a, b) -> a - b)"))
+      .select(col("vec_id"), col("cell"), col("rv"))
+      .localCheckpoint(eager = false) // feeds the trainer AND the encode
+    val rcb = pqTrainedCodebookOfMicro(
+        withRes.select(col("vec_id"), col("rv").as("mv")))
+      .localCheckpoint(eager = false) // feeds encode, cell table, queries
+    // per-cell cross-term table: cn2 = ‖cm‖², cdots[s][c] = dot(cm_s,
+    // cb[s][c]) — ≤|cells| rows, the second broadcastable artifact
+    val cellTab = centsM.crossJoin(broadcast(rcb))
+      .select(col("cell"),
+        expr("aggregate(cm, 0L, (a, x) -> a + x * x)").as("cn2"),
+        expr(
+          s"transform(sequence(0, ${PqSubspaces - 1}), s -> " +
+            s"transform(sequence(0, ${PqCodes - 1}), c -> " +
+            s"aggregate(sequence(0, ${PqSubDim - 1}), 0L, " +
+            s"(a, j) -> a + cm[s * $PqSubDim + j] * cb[s][c][j])))")
+          .as("cdots"))
+    val coded = withRes.select(col("vec_id"), col("cell"),
+        col("rv").as("mv"))
+      .crossJoin(broadcast(rcb))
+      .withColumn("codes", pqCodesExpr)
+      .join(broadcast(cellTab), Seq("cell"))
+      .withColumn("nd", expr(
+        s"cn2 + aggregate(sequence(0, ${PqSubspaces - 1}), 0L, " +
+          "(a, s) -> a + 2 * cdots[s][codes[s]] + nb[s][codes[s]])"))
+      .select(col("vec_id"), col("cell"), col("codes"), col("nd"))
+    // query side: own-cell assignment (probes = 1, the q69/q112
+    // convention), dot(qm, cm) against the probed cell, and ONE shared
+    // residual-codebook LUT — cell-independent, the FAISS trick
+    val q = probeAssign(e.filter(col("vec_id") < NumQueries), cents, 1)
+      .withColumn("qm",
+        expr("transform(v, x -> cast(round(x * 1e6) as bigint))"))
+      .join(broadcast(centsM), Seq("cell"))
+      .crossJoin(broadcast(rcb))
+      .select(col("vec_id").as("qid"), col("cell"),
+        expr("aggregate(zip_with(qm, cm, (a, b) -> a * b), 0L," +
+          " (acc, x) -> acc + x)").as("qdotc"),
+        expr(
+          s"transform(sequence(0, ${PqSubspaces - 1}), s -> " +
+            s"transform(sequence(0, ${PqCodes - 1}), c -> " +
+            s"aggregate(sequence(0, ${PqSubDim - 1}), 0L, " +
+            s"(a, j) -> a + qm[s * $PqSubDim + j] * cb[s][c][j])))")
+          .as("qtab"),
+        expr("aggregate(qm, 0L, (a, x) -> a + x * x)").as("nqm"))
+    val scored = coded.join(broadcast(q), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("dot", expr(
+        s"qdotc + aggregate(sequence(0, ${PqSubspaces - 1}), 0L," +
+          " (a, s) -> a + qtab[s][codes[s]])"))
+      .withColumn("cos",
+        when(col("nd") === 0 || col("nqm") === 0, lit(0.0))
+          .otherwise(round(col("dot").cast("double") /
+            sqrt(col("nd").cast("double") * col("nqm").cast("double")), 6)))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= TopK)
       .select(col("qid"), col("rk").cast("long").as("rk"),
         col("vec_id").as("nid"), col("cos"))
       .orderBy(col("qid"), col("rk"))
@@ -1646,6 +1778,7 @@ object VectorQueries {
     "ivf" -> (ivfTopkCosine _),
     "ivf_incremental" -> (incrementalIvfTopkCosine _),
     "ivf_sq8" -> (ivfSq8TopkCosine _),
+    "ivfpq" -> (ivfPqTopkCosine _),
     "multiprobe" -> (ivfMultiprobeTopkCosine _),
     "pq" -> (pqTopkCosine _),
     "pq_trained" -> (pqTrainedTopkCosine _),
@@ -1704,7 +1837,8 @@ object VectorQueries {
     "q152_ivf_cell_balance" -> (ivfCellBalance _),
     "q160_quantizer_drift" -> (quantizerDrift _),
     "q177_pq_trained_topk" -> (pqTrainedTopkCosine _),
-    "q178_pq_distortion" -> (pqDistortion _))
+    "q178_pq_distortion" -> (pqDistortion _),
+    "q181_ivfpq_topk" -> (ivfPqTopkCosine _))
 
   /** Oracle-side mirror of the Spark assignment ordering: the SAME
     * quantity `round(l2Sq, 6)` — squared L2 summed left-to-right over the
@@ -2060,29 +2194,42 @@ object VectorQueries {
     // front (the kmeansCtes pattern) — encode/ADC tail shared verbatim
     // so the seeded and trained variants cannot drift.
     "q177_pq_trained_topk" -> pqOracleSql(PqTrainRounds),
-    // q178: both codebooks replayed from the SAME shared CTE chain;
+    // q181: the residual IVF-PQ composition — coarse assignment,
+    // residual-domain training and ADC algebra all nest the proven
+    // fragments (centroidCte/assigned + the pqOracleCtes builder).
+    "q181_ivfpq_topk" -> ivfPqOracleSql,
+    // q178: all three codebooks replayed; the raw rows share one CTE
+    // chain, the residual row carries its own chain in a nested WITH
+    // scope (the q110 composition trick — no CTE-name collisions);
     // distortion = min over codes of the exact integer sub-distance,
     // summed — no tie-break needed (min distance, not argmin code).
-    "q178_pq_distortion" ->
-      s"""WITH ${pqOracleCtes(PqTrainRounds)},
-         |ds AS (
-         |  SELECT vec_id, s, min(list_sum(list_transform(
-         |      range(1, ${PqSubDim + 1}),
-         |      j -> (sv[j] - cv[j]) * (sv[j] - cv[j])))) AS md
-         |  FROM sub JOIN cbn0 USING (s) GROUP BY vec_id, s),
-         |dt AS (
-         |  SELECT vec_id, s, min(list_sum(list_transform(
-         |      range(1, ${PqSubDim + 1}),
-         |      j -> (sv[j] - cv[j]) * (sv[j] - cv[j])))) AS md
-         |  FROM sub JOIN cbn$PqTrainRounds USING (s) GROUP BY vec_id, s)
-         |SELECT variant, total_sqerr, n_subvectors,
+    "q178_pq_distortion" -> {
+      def leg(cbName: String): String =
+        s"""SELECT vec_id, s, min(list_sum(list_transform(
+           |      range(1, ${PqSubDim + 1}),
+           |      j -> (sv[j] - cv[j]) * (sv[j] - cv[j])))) AS md
+           |  FROM sub JOIN $cbName USING (s) GROUP BY vec_id, s"""
+          .stripMargin
+      s"""SELECT variant, total_sqerr, n_subvectors,
          |  CAST(total_sqerr // n_subvectors AS BIGINT) AS mean_sqerr
          |FROM (
-         |  SELECT 'seeded' AS variant, CAST(sum(md) AS BIGINT)
-         |      AS total_sqerr, count(*) AS n_subvectors FROM ds
+         |  SELECT 'residual_trained' AS variant,
+         |    CAST(sum(md) AS BIGINT) AS total_sqerr,
+         |    count(*) AS n_subvectors
+         |  FROM (WITH $centroidCte,
+         |$pqCmicCte,
+         |${pqOracleCtes(PqTrainRounds, pqResidualEmBody)}
+         |  ${leg(s"cbn$PqTrainRounds")})
          |  UNION ALL
-         |  SELECT 'trained', CAST(sum(md) AS BIGINT), count(*) FROM dt)
-         |ORDER BY variant""".stripMargin,
+         |  SELECT 'seeded', CAST(sum(md) AS BIGINT), count(*)
+         |  FROM (WITH ${pqOracleCtes(0)}
+         |  ${leg("cbn0")})
+         |  UNION ALL
+         |  SELECT 'trained', CAST(sum(md) AS BIGINT), count(*)
+         |  FROM (WITH ${pqOracleCtes(PqTrainRounds)}
+         |  ${leg(s"cbn$PqTrainRounds")}))
+         |ORDER BY variant""".stripMargin
+    },
     // q121: the sign matrix regenerates from the same md5 rule (+1 iff
     // the first hex digit of md5('rp<j>_<d>') is even); projections are
     // exact integer sums in micro units, so only the final division is
@@ -2185,7 +2332,15 @@ object VectorQueries {
     * round, identical in both engines — empty cells keep their previous
     * centroid via LEFT JOIN + coalesce. The encode/ADC tail is shared
     * verbatim across both variants. */
-  private def pqOracleCtes(trainRounds: Int): String = {
+  /** The raw-vector micro frame — the default `em` body of
+    * [[pqOracleCtes]]; q181 swaps in the RESIDUAL rendering. */
+  private def PqRawEmBody: String =
+    s"""  SELECT vec_id, list_transform(embedding::DOUBLE[],
+       |    x -> CAST(round(x * 1e6) AS BIGINT)) AS mv
+       |  FROM embeddings""".stripMargin
+
+  private def pqOracleCtes(trainRounds: Int,
+      emBody: String = PqRawEmBody): String = {
     val rounds = (1 to trainRounds).map { r =>
       val prev = s"cbn${r - 1}"
       s"""cdr$r AS (
@@ -2215,9 +2370,7 @@ object VectorQueries {
     val trainingCtes =
       if (rounds.isEmpty) "" else ",\n" + rounds.mkString(",\n")
     s"""em AS (
-       |  SELECT vec_id, list_transform(embedding::DOUBLE[],
-       |    x -> CAST(round(x * 1e6) AS BIGINT)) AS mv
-       |  FROM embeddings),
+       |$emBody),
        |seeds0 AS (SELECT vec_id, mv FROM em ORDER BY vec_id LIMIT $PqCodes),
        |seeds AS (
        |  SELECT mv, row_number() OVER (ORDER BY vec_id) - 1 AS c
@@ -2281,6 +2434,103 @@ object VectorQueries {
        |WHERE rk <= $TopK ORDER BY qid, rk""".stripMargin
   }
 
+  /** q181's oracle: the proven coarse-assignment CTEs (centroidCte →
+    * `assigned`, shared with q68/q69), micro cell centroids, the PQ
+    * training chain over the RESIDUAL `em` rendering (the same
+    * [[pqOracleCtes]] builder as q117/q177 — one training definition),
+    * then the residual-ADC algebra: dot = dot(qm, cm) + Σ LUT, norm
+    * recomposed from ‖cm‖², cross-terms and residual norms — every
+    * quantity an exact integer until the final division. */
+  /** The RESIDUAL `em` rendering (q181/q178): every corpus vector's
+    * micro components minus its cell's micro centroid — requires the
+    * [[centroidCte]] `assigned` and [[pqCmicCte]] `cmic` in scope. */
+  private def pqResidualEmBody: String =
+    s"""  SELECT a.vec_id, list_transform(range(1, ${Dim + 1}), d ->
+       |      CAST(round(a.v[d] * 1e6) AS BIGINT) - cmic.cm[d]) AS mv
+       |  FROM assigned a JOIN cmic ON cmic.cell = a.pred_label"""
+      .stripMargin
+
+  /** Micro cell centroids CTE — shared by q181 and q178's residual leg. */
+  private def pqCmicCte: String =
+    """cmic AS (
+      |  SELECT clabel AS cell,
+      |    list_transform(c, x -> CAST(round(x * 1e6) AS BIGINT)) AS cm
+      |  FROM cent)""".stripMargin
+
+  private def ivfPqOracleSql: String = {
+    val cb = s"cbn$PqTrainRounds"
+    s"""WITH $centroidCte,
+       |$pqCmicCte,
+       |${pqOracleCtes(PqTrainRounds, pqResidualEmBody)},
+       |codes AS (
+       |  SELECT vec_id, s, c FROM (
+       |    SELECT sub.vec_id, s, $cb.c,
+       |      row_number() OVER (PARTITION BY sub.vec_id, s ORDER BY
+       |        list_sum(list_transform(range(1, ${PqSubDim + 1}),
+       |          j -> (sv[j] - cv[j]) * (sv[j] - cv[j]))), $cb.c) AS rn
+       |    FROM sub JOIN $cb USING (s))
+       |  WHERE rn = 1),
+       |cdt AS (
+       |  SELECT cmic.cell, b.s, b.c,
+       |    CAST(list_sum(list_transform(range(1, ${PqSubDim + 1}),
+       |      j -> cmic.cm[b.s * $PqSubDim + j] * b.cv[j])) AS BIGINT)
+       |      AS cd
+       |  FROM cmic, $cb b),
+       |cn2 AS (
+       |  SELECT cell, CAST(list_sum(list_transform(cm, x -> x * x))
+       |    AS BIGINT) AS cn2
+       |  FROM cmic),
+       |recon AS (
+       |  SELECT codes.vec_id,
+       |    CAST(any_value(cn2.cn2) + sum(2 * cdt.cd + b.n2) AS BIGINT)
+       |      AS nd
+       |  FROM codes
+       |  JOIN assigned a ON a.vec_id = codes.vec_id
+       |  JOIN cdt ON cdt.cell = a.pred_label
+       |    AND cdt.s = codes.s AND cdt.c = codes.c
+       |  JOIN $cb b ON b.s = codes.s AND b.c = codes.c
+       |  JOIN cn2 ON cn2.cell = a.pred_label
+       |  GROUP BY codes.vec_id),
+       |qm AS (
+       |  SELECT vec_id AS qid, list_transform(embedding::DOUBLE[],
+       |    x -> CAST(round(x * 1e6) AS BIGINT)) AS qmv
+       |  FROM embeddings WHERE vec_id < $NumQueries),
+       |qfull AS (
+       |  SELECT q.qid, qa.pred_label AS cell,
+       |    CAST(list_sum(list_transform(range(1, ${Dim + 1}),
+       |      d -> q.qmv[d] * cmic.cm[d])) AS BIGINT) AS qdotc,
+       |    CAST(list_sum(list_transform(q.qmv, x -> x * x)) AS BIGINT)
+       |      AS nqm
+       |  FROM qm q
+       |  JOIN assigned qa ON qa.vec_id = q.qid
+       |  JOIN cmic ON cmic.cell = qa.pred_label),
+       |qtab AS (
+       |  SELECT q.qid, b.s, b.c,
+       |    CAST(list_sum(list_transform(range(1, ${PqSubDim + 1}),
+       |      j -> q.qmv[b.s * $PqSubDim + j] * b.cv[j])) AS BIGINT) AS qd
+       |  FROM qm q, $cb b),
+       |scored AS (
+       |  SELECT f.qid, codes.vec_id,
+       |    CAST(any_value(f.qdotc) + sum(t.qd) AS BIGINT) AS dot,
+       |    any_value(f.nqm) AS nqm
+       |  FROM codes
+       |  JOIN assigned a ON a.vec_id = codes.vec_id
+       |  JOIN qfull f ON f.cell = a.pred_label
+       |  JOIN qtab t ON t.qid = f.qid AND t.s = codes.s AND t.c = codes.c
+       |  WHERE codes.vec_id <> f.qid
+       |  GROUP BY f.qid, codes.vec_id),
+       |cosd AS (
+       |  SELECT qid, scored.vec_id AS nid,
+       |    CASE WHEN nd = 0 OR nqm = 0 THEN 0.0
+       |      ELSE round(CAST(dot AS DOUBLE) /
+       |        sqrt(CAST(nd AS DOUBLE) * CAST(nqm AS DOUBLE)), 6) END AS cos
+       |  FROM scored JOIN recon ON recon.vec_id = scored.vec_id)
+       |SELECT qid, CAST(rk AS BIGINT) AS rk, nid, cos FROM (
+       |  SELECT qid, nid, cos, row_number() OVER (PARTITION BY qid
+       |    ORDER BY cos DESC, nid) AS rk FROM cosd)
+       |WHERE rk <= $TopK ORDER BY qid, rk""".stripMargin
+  }
+
   /** q110's oracle COMPOSES the existing variant oracles as nested
     * subqueries (each carries its own WITH scope), so the recall oracle
     * and the per-variant oracles can never drift apart. The LEFT join
@@ -2292,6 +2542,7 @@ object VectorQueries {
         case "ivf" => "q69_ivf_topk_cosine"
         case "ivf_incremental" => "q105_incremental_ivf_topk"
         case "ivf_sq8" => "q112_ivf_sq8_topk"
+        case "ivfpq" => "q181_ivfpq_topk"
         case "multiprobe" => "q87_ivf_multiprobe"
         case "pq" => "q117_pq_topk"
         case "pq_trained" => "q177_pq_trained_topk"

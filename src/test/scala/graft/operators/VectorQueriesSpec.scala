@@ -477,8 +477,8 @@ class VectorQueriesSpec extends SparkSpec {
       .as[(String, Long, Long, Long)].collect()
       .map(r => r._1 -> (r._2, r._3, r._4)).toMap
     assert(rows.keySet ==
-      Set("ivf", "ivf_incremental", "ivf_sq8", "multiprobe", "pq",
-        "pq_trained", "rp", "sq8"))
+      Set("ivf", "ivf_incremental", "ivf_sq8", "ivfpq", "multiprobe",
+        "pq", "pq_trained", "rp", "sq8"))
     rows.values.foreach { case (hits, nExact, micro) =>
       assert(nExact == 30L) // NumQueries × TopK
       assert(hits >= 0 && hits <= nExact)
@@ -491,17 +491,72 @@ class VectorQueriesSpec extends SparkSpec {
     assert(rows("multiprobe")._1 >= rows("ivf")._1)
   }
 
-  test("PQ training strictly reduces quantization distortion") {
-    // the q178 gate: total squared sub-vector↔centroid error is THE
-    // quantity the Lloyd rounds descend — recall@3 over 10 queries is
-    // 30 indicator draws and cannot rank codebooks (PLANS.md r11)
+  test("PQ training strictly reduces quantization distortion; " +
+      "residual encoding reduces it further") {
+    // the q178 gate: total squared reconstruction error is THE quantity
+    // the Lloyd rounds descend — recall@3 over 10 queries is 30
+    // indicator draws and cannot rank codebooks (PLANS.md r11). The
+    // residual row is q181's full reconstruction error at identical
+    // bytes, which must undercut both raw-domain codebooks.
     val d = VectorQueries.pqDistortion(spark, sfDir)
       .as[(String, Long, Long, Long)].collect()
       .map(r => r._1 -> r._2).toMap
-    assert(d.keySet == Set("seeded", "trained"))
+    assert(d.keySet == Set("residual_trained", "seeded", "trained"))
     assert(d("trained") < d("seeded"),
       s"training did not reduce distortion: ${d("trained")} vs " +
         s"${d("seeded")}")
+    assert(d("residual_trained") < d("trained"),
+      s"residual encoding did not reduce distortion: " +
+        s"${d("residual_trained")} vs ${d("trained")}")
+  }
+
+  test("IVF-PQ keeps neighbors in-cluster and residuals dominate on " +
+      "clustered data") {
+    // the q181 home turf: tight clusters → residuals are the tiny
+    // within-cluster noise, so the residual codebook reconstructs far
+    // better than any raw-domain codebook, and ADC over residuals must
+    // keep every neighbor in the query's cluster (the flat-PQ test's
+    // assertion, now through the composed index)
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 120).map { i =>
+      val c = i % 4
+      val base = Array.fill(64)(0.0f)
+      base(c * 16) = 1.0f
+      val v = base.map(x => x + (rnd.nextFloat() - 0.5f) * 0.05f)
+      (i.toLong, v, c)
+    }
+    val df = rows.toDF("vec_id", "embedding", "label")
+    // residual norms collapse vs raw norms on clustered data — the
+    // premise of residual encoding, checked on the exact frames q181
+    // builds
+    val e = VectorQueries.vecsOf(df)
+    val cents = VectorQueries.centroidsOf(df)
+    val centsM = cents.selectExpr("clabel AS cell",
+      "transform(c, x -> cast(round(x * 1e6) as bigint)) AS cm")
+    val res = VectorQueries.cellAssign(e, cents)
+      .join(org.apache.spark.sql.functions.broadcast(centsM), Seq("cell"))
+      .selectExpr("vec_id",
+        "zip_with(transform(v, x -> cast(round(x * 1e6) as bigint)), " +
+          "cm, (a, b) -> a - b) AS mv")
+    val resMass = res.selectExpr(
+      "sum(aggregate(mv, 0L, (a, x) -> a + x * x)) AS m")
+      .as[Long].head()
+    val rawMass = e.selectExpr(
+      "sum(aggregate(transform(v, x -> cast(round(x * 1e6) as bigint))," +
+        " 0L, (a, x) -> a + x * x)) AS m")
+      .as[Long].head()
+    assert(resMass * 10 < rawMass,
+      s"residual mass $resMass not ≪ raw mass $rawMass")
+    // and the composed search keeps every neighbor in-cluster
+    val out = VectorQueries.ivfPqTopkCosineOf(df)
+      .as[(Long, Long, Long, Double)].collect()
+    val cluster = rows.map(r => (r._1, r._3)).toMap
+    assert(out.groupBy(_._1).size == 10)
+    out.foreach { case (qid, _, nid, cos) =>
+      assert(cluster(nid) == cluster(qid.toInt),
+        s"neighbor $nid outside query $qid's cluster")
+      assert(cos > 0.5, s"in-cluster residual-ADC cosine $cos low")
+    }
   }
 
   test("trained PQ codebook keeps geometry and fills from assignments") {

@@ -200,6 +200,46 @@ object IndexStore {
       vecSplit(spark, dataDir)._1, cents)), dir, "ivf_cell_stats")
   }
 
+  /** The frozen IVFPQ index (q181/q182): the coarse centroids, the
+    * trained residual codebook (ONE nested-array row) and the corpus
+    * CODES — ~9 bytes of index payload per vector, the whole point of
+    * the tier. Rebuilt per snapshot (the ivf/bpe_vocab refresh class —
+    * freezing is the serving trade q105 documents, so no
+    * compaction==rebuild row; q160's drift report is the retrain
+    * trigger). */
+  def writeIvfPq(spark: SparkSession, dataDir: String,
+      dir: String): Unit = {
+    val corpusEmb = Tables(spark, dataDir, "embeddings")
+      .filter(col("vec_id") % VectorQueries.VecBatchMod =!= 0)
+    val cents = VectorQueries.centroidsOf(corpusEmb)
+      .localCheckpoint(eager = false) // feeds residuals + both writes
+    val res = VectorQueries.ivfPqResiduals(
+        VectorQueries.vecsOf(corpusEmb), cents)
+      .localCheckpoint(eager = false) // feeds the trainer + the encode
+    val rcb = VectorQueries.pqTrainedCodebookOfMicro(
+        res.select(col("vec_id"), col("rv").as("mv")))
+      .localCheckpoint(eager = false) // feeds the write + the encode
+    write(cents, dir, "ivfpq_centroids")
+    write(rcb, dir, "ivfpq_codebook")
+    write(VectorQueries.ivfPqEncode(res, cents, rcb), dir, "ivfpq_codes")
+  }
+
+  /** q182 twin: encode ONLY the batch against the frozen disk
+    * centroids + codebook, search the union with the disk codes. */
+  def dailyIvfPq(spark: SparkSession, indexDir: String,
+      dataDir: String): DataFrame = {
+    val emb = Tables(spark, dataDir, "embeddings")
+    val cents = read(spark, indexDir, "ivfpq_centroids")
+    val rcb = read(spark, indexDir, "ivfpq_codebook")
+    val batchRes = VectorQueries.ivfPqResiduals(
+      VectorQueries.vecsOf(emb.filter(
+        col("vec_id") % VectorQueries.VecBatchMod === 0)), cents)
+    VectorQueries.ivfPqSearch(
+      read(spark, indexDir, "ivfpq_codes")
+        .unionByName(VectorQueries.ivfPqEncode(batchRes, cents, rcb)),
+      VectorQueries.vecsOf(emb), cents, rcb)
+  }
+
   /** q160 twin: [[VectorQueries.quantizerDriftOf]] off the disk
     * centroids + cell stats — the daily leg assigns ONLY the batch. */
   def dailyQuantizerDrift(spark: SparkSession, indexDir: String,
@@ -788,6 +828,8 @@ object IndexStore {
       dailyIvf _),
     ("quantizer_drift", "q160_quantizer_drift",
       writeQuantizerStats _, dailyQuantizerDrift _),
+    ("ivfpq", "q182_incremental_ivfpq",
+      writeIvfPq _, dailyIvfPq _),
     ("media", "q111_incremental_media_phash",
       writeMediaBands _, dailyMedia _),
     ("bpe_vocab", "q113_bpe_tokenize",

@@ -1402,22 +1402,40 @@ object VectorQueries {
     val e = vecsOf(emb)
     val cents = centroidsOf(emb)
       .localCheckpoint(eager = false) // feeds assignment + micro table
-    val centsM = cents.select(col("clabel").as("cell"),
+    val res = ivfPqResiduals(e, cents)
+      .localCheckpoint(eager = false) // feeds the trainer AND the encode
+    val rcb = pqTrainedCodebookOfMicro(
+        res.select(col("vec_id"), col("rv").as("mv")))
+      .localCheckpoint(eager = false) // feeds encode, cell table, queries
+    ivfPqSearch(ivfPqEncode(res, cents, rcb), e, cents, rcb)
+  }
+
+  /** Micro cell-centroid table (cell, cm) of a (clabel, c) frame. */
+  private def microCents(cents: DataFrame): DataFrame =
+    cents.select(col("clabel").as("cell"),
       expr("transform(c, x -> cast(round(x * 1e6) as bigint))").as("cm"))
-      .localCheckpoint(eager = false) // feeds residuals + cell table
-    val withRes = cellAssign(e, cents)
-      .join(broadcast(centsM), Seq("cell"))
+
+  /** (vec_id, cell, rv): every vector's frozen-cell assignment and
+    * exact micro residual — the q181/q182 encode input and the q178
+    * residual-distortion domain. Pure per-row given `cents`, so a
+    * batch encodes identically to the corpus (the q105 freeze rule). */
+  private[operators] def ivfPqResiduals(e: DataFrame,
+      cents: DataFrame): DataFrame =
+    cellAssign(e, cents)
+      .join(broadcast(microCents(cents)), Seq("cell"))
       .withColumn("mv",
         expr("transform(v, x -> cast(round(x * 1e6) as bigint))"))
       .withColumn("rv", expr("zip_with(mv, cm, (a, b) -> a - b)"))
       .select(col("vec_id"), col("cell"), col("rv"))
-      .localCheckpoint(eager = false) // feeds the trainer AND the encode
-    val rcb = pqTrainedCodebookOfMicro(
-        withRes.select(col("vec_id"), col("rv").as("mv")))
-      .localCheckpoint(eager = false) // feeds encode, cell table, queries
-    // per-cell cross-term table: cn2 = ‖cm‖², cdots[s][c] = dot(cm_s,
-    // cb[s][c]) — ≤|cells| rows, the second broadcastable artifact
-    val cellTab = centsM.crossJoin(broadcast(rcb))
+
+  /** Residual-encode a residual frame against a FROZEN codebook:
+    * (vec_id, cell, codes, nd) — THE compressed index rows an IVFPQ
+    * store persists (4 bits × [[PqSubspaces]] + one norm long per
+    * vector). nd recomposes ‖cm + r̂‖² from the per-cell cross-term
+    * table — ≤|cells| rows, the second broadcastable artifact. */
+  private[operators] def ivfPqEncode(res: DataFrame, cents: DataFrame,
+      rcb: DataFrame): DataFrame = {
+    val cellTab = microCents(cents).crossJoin(broadcast(rcb))
       .select(col("cell"),
         expr("aggregate(cm, 0L, (a, x) -> a + x * x)").as("cn2"),
         expr(
@@ -1426,8 +1444,7 @@ object VectorQueries {
             s"aggregate(sequence(0, ${PqSubDim - 1}), 0L, " +
             s"(a, j) -> a + cm[s * $PqSubDim + j] * cb[s][c][j])))")
           .as("cdots"))
-    val coded = withRes.select(col("vec_id"), col("cell"),
-        col("rv").as("mv"))
+    res.select(col("vec_id"), col("cell"), col("rv").as("mv"))
       .crossJoin(broadcast(rcb))
       .withColumn("codes", pqCodesExpr)
       .join(broadcast(cellTab), Seq("cell"))
@@ -1435,13 +1452,20 @@ object VectorQueries {
         s"cn2 + aggregate(sequence(0, ${PqSubspaces - 1}), 0L, " +
           "(a, s) -> a + 2 * cdots[s][codes[s]] + nb[s][codes[s]])"))
       .select(col("vec_id"), col("cell"), col("codes"), col("nd"))
-    // query side: own-cell assignment (probes = 1, the q69/q112
-    // convention), dot(qm, cm) against the probed cell, and ONE shared
-    // residual-codebook LUT — cell-independent, the FAISS trick
+  }
+
+  /** ADC search over a coded IVFPQ index: query side assigns to its own
+    * cell (probes = 1, the q69/q112 convention), computes dot(qm, cm)
+    * against the probed cell and ONE shared residual-codebook LUT —
+    * cell-independent, the FAISS trick — then each coded row in the
+    * probed cell scores as [[PqSubspaces]] lookups plus the centroid
+    * dot. */
+  private[operators] def ivfPqSearch(coded: DataFrame, e: DataFrame,
+      cents: DataFrame, rcb: DataFrame): DataFrame = {
     val q = probeAssign(e.filter(col("vec_id") < NumQueries), cents, 1)
       .withColumn("qm",
         expr("transform(v, x -> cast(round(x * 1e6) as bigint))"))
-      .join(broadcast(centsM), Seq("cell"))
+      .join(broadcast(microCents(cents)), Seq("cell"))
       .crossJoin(broadcast(rcb))
       .select(col("vec_id").as("qid"), col("cell"),
         expr("aggregate(zip_with(qm, cm, (a, b) -> a * b), 0L," +
@@ -1469,6 +1493,33 @@ object VectorQueries {
       .select(col("qid"), col("rk").cast("long").as("rk"),
         col("vec_id").as("nid"), col("cos"))
       .orderBy(col("qid"), col("rk"))
+  }
+
+  /** L82b/q182: INCREMENTAL IVF-PQ serving — the daily leg that makes
+    * q181 a lifecycle (the q105 pattern at the PQ tier): the coarse
+    * centroids, the trained residual codebook and the corpus CODES are
+    * frozen per snapshot (IndexStore family `ivfpq` — codes are 8-byte
+    * rows, the whole point of the tier); an arriving batch assigns to
+    * the frozen cells, residual-encodes against the frozen codebook
+    * (pure per-row, so batch == corpus encoding by construction) and is
+    * immediately searchable alongside the corpus codes. Recall drifts
+    * as the batch skews from the frozen quantizer — q160's drift report
+    * is the retrain trigger, same trade as q105. */
+  def incrementalIvfPqTopk(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    val corpusEmb = emb.filter(col("vec_id") % VecBatchMod =!= 0)
+    val cents = centroidsOf(corpusEmb)
+      .localCheckpoint(eager = false) // frozen coarse quantizer
+    val corpusRes = ivfPqResiduals(vecsOf(corpusEmb), cents)
+      .localCheckpoint(eager = false) // feeds trainer + corpus encode
+    val rcb = pqTrainedCodebookOfMicro(
+        corpusRes.select(col("vec_id"), col("rv").as("mv")))
+      .localCheckpoint(eager = false) // frozen residual codebook
+    val batchRes = ivfPqResiduals(
+      vecsOf(emb.filter(col("vec_id") % VecBatchMod === 0)), cents)
+    val coded = ivfPqEncode(corpusRes, cents, rcb)
+      .unionByName(ivfPqEncode(batchRes, cents, rcb))
+    ivfPqSearch(coded, vecsOf(emb), cents, rcb)
   }
 
   /** Reduced dimensionality of the q121 sign random projection. */
@@ -1779,6 +1830,7 @@ object VectorQueries {
     "ivf_incremental" -> (incrementalIvfTopkCosine _),
     "ivf_sq8" -> (ivfSq8TopkCosine _),
     "ivfpq" -> (ivfPqTopkCosine _),
+    "ivfpq_incremental" -> (incrementalIvfPqTopk _),
     "multiprobe" -> (ivfMultiprobeTopkCosine _),
     "pq" -> (pqTopkCosine _),
     "pq_trained" -> (pqTrainedTopkCosine _),
@@ -1838,7 +1890,8 @@ object VectorQueries {
     "q160_quantizer_drift" -> (quantizerDrift _),
     "q177_pq_trained_topk" -> (pqTrainedTopkCosine _),
     "q178_pq_distortion" -> (pqDistortion _),
-    "q181_ivfpq_topk" -> (ivfPqTopkCosine _))
+    "q181_ivfpq_topk" -> (ivfPqTopkCosine _),
+    "q182_incremental_ivfpq" -> (incrementalIvfPqTopk _))
 
   /** Oracle-side mirror of the Spark assignment ordering: the SAME
     * quantity `round(l2Sq, 6)` — squared L2 summed left-to-right over the
@@ -2197,7 +2250,15 @@ object VectorQueries {
     // q181: the residual IVF-PQ composition — coarse assignment,
     // residual-domain training and ADC algebra all nest the proven
     // fragments (centroidCte/assigned + the pqOracleCtes builder).
-    "q181_ivfpq_topk" -> ivfPqOracleSql,
+    "q181_ivfpq_topk" -> ivfPqOracleSql(),
+    // q182: the same composition with the coarse centroids AND the
+    // residual codebook frozen on the corpus residues (the q105 rule);
+    // encode/search cover all vectors — per-row pure given the frozen
+    // tables, so the oracle's union rendering equals the engine's
+    // corpus-codes ∪ batch-codes path.
+    "q182_incremental_ivfpq" -> ivfPqOracleSql(
+      s"WHERE e.vec_id % $VecBatchMod <> 0",
+      s"WHERE vec_id % $VecBatchMod <> 0"),
     // q178: all three codebooks replayed; the raw rows share one CTE
     // chain, the residual row carries its own chain in a nested WITH
     // scope (the q110 composition trick — no CTE-name collisions);
@@ -2339,8 +2400,11 @@ object VectorQueries {
        |    x -> CAST(round(x * 1e6) AS BIGINT)) AS mv
        |  FROM embeddings""".stripMargin
 
+  /** `trainWhere` (e.g. "WHERE vec_id % 10 <> 0") restricts the SEED
+    * set and the Lloyd training iterations — q182's corpus-frozen
+    * codebook — while `sub`/encode stay over every vector. */
   private def pqOracleCtes(trainRounds: Int,
-      emBody: String = PqRawEmBody): String = {
+      emBody: String = PqRawEmBody, trainWhere: String = ""): String = {
     val rounds = (1 to trainRounds).map { r =>
       val prev = s"cbn${r - 1}"
       s"""cdr$r AS (
@@ -2349,7 +2413,7 @@ object VectorQueries {
          |      row_number() OVER (PARTITION BY sub.vec_id, s ORDER BY
          |        list_sum(list_transform(range(1, ${PqSubDim + 1}),
          |          j -> (sv[j] - cv[j]) * (sv[j] - cv[j]))), $prev.c) AS rn
-         |    FROM sub JOIN $prev USING (s))
+         |    FROM sub JOIN $prev USING (s) $trainWhere)
          |  WHERE rn = 1),
          |up$r AS (
          |  SELECT s, c, j,
@@ -2371,7 +2435,8 @@ object VectorQueries {
       if (rounds.isEmpty) "" else ",\n" + rounds.mkString(",\n")
     s"""em AS (
        |$emBody),
-       |seeds0 AS (SELECT vec_id, mv FROM em ORDER BY vec_id LIMIT $PqCodes),
+       |seeds0 AS (SELECT vec_id, mv FROM em $trainWhere
+       |           ORDER BY vec_id LIMIT $PqCodes),
        |seeds AS (
        |  SELECT mv, row_number() OVER (ORDER BY vec_id) - 1 AS c
        |  FROM seeds0),
@@ -2457,11 +2522,17 @@ object VectorQueries {
       |    list_transform(c, x -> CAST(round(x * 1e6) AS BIGINT)) AS cm
       |  FROM cent)""".stripMargin
 
-  private def ivfPqOracleSql: String = {
+  /** `sumsPred` restricts the coarse-centroid estimation (q182 freezes
+    * it on the corpus residues — the q105 rule); `trainPred` restricts
+    * the residual-codebook training set the same way. Encode/search
+    * stay over ALL vectors — per-row pure given the frozen tables, so
+    * the union rendering equals the incremental engine path. */
+  private def ivfPqOracleSql(sumsPred: String = "",
+      trainWhere: String = ""): String = {
     val cb = s"cbn$PqTrainRounds"
-    s"""WITH $centroidCte,
+    s"""WITH ${centroidCteFrom(sumsPred)},
        |$pqCmicCte,
-       |${pqOracleCtes(PqTrainRounds, pqResidualEmBody)},
+       |${pqOracleCtes(PqTrainRounds, pqResidualEmBody, trainWhere)},
        |codes AS (
        |  SELECT vec_id, s, c FROM (
        |    SELECT sub.vec_id, s, $cb.c,
@@ -2543,6 +2614,7 @@ object VectorQueries {
         case "ivf_incremental" => "q105_incremental_ivf_topk"
         case "ivf_sq8" => "q112_ivf_sq8_topk"
         case "ivfpq" => "q181_ivfpq_topk"
+        case "ivfpq_incremental" => "q182_incremental_ivfpq"
         case "multiprobe" => "q87_ivf_multiprobe"
         case "pq" => "q117_pq_topk"
         case "pq_trained" => "q177_pq_trained_topk"

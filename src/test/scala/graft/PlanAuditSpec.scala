@@ -173,7 +173,7 @@ class PlanAuditSpec extends SparkSpec {
   // vector, shuffle again.
   for (q <- Seq("q69_ivf_topk_cosine", "q87_ivf_multiprobe",
       "q105_incremental_ivf_topk", "q112_ivf_sq8_topk",
-      "q181_ivfpq_topk"))
+      "q181_ivfpq_topk", "q182_incremental_ivfpq"))
     test(s"$q: corpus cell assignment is exchange-free (single window)") {
       val plan = SparkEntry.queries(q)(spark, sfDir)
         .queryExecution.executedPlan.toString

@@ -477,8 +477,9 @@ class VectorQueriesSpec extends SparkSpec {
       .as[(String, Long, Long, Long)].collect()
       .map(r => r._1 -> (r._2, r._3, r._4)).toMap
     assert(rows.keySet ==
-      Set("ivf", "ivf_incremental", "ivf_sq8", "ivfpq", "multiprobe",
-        "pq", "pq_trained", "rp", "sq8"))
+      Set("ivf", "ivf_incremental", "ivf_sq8", "ivfpq",
+        "ivfpq_incremental", "multiprobe", "pq", "pq_trained", "rp",
+        "sq8"))
     rows.values.foreach { case (hits, nExact, micro) =>
       assert(nExact == 30L) // NumQueries × TopK
       assert(hits >= 0 && hits <= nExact)

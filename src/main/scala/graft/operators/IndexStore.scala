@@ -224,21 +224,30 @@ object IndexStore {
     write(VectorQueries.ivfPqEncode(res, cents, rcb), dir, "ivfpq_codes")
   }
 
-  /** q182 twin: encode ONLY the batch against the frozen disk
-    * centroids + codebook, search the union with the disk codes. */
-  def dailyIvfPq(spark: SparkSession, indexDir: String,
+  /** The coded frame [[dailyIvfPq]] searches — disk corpus codes ∪ the
+    * batch encoded against the frozen tables. Exposed so the streaming
+    * search twin probes the SAME static side the nightly rank runs
+    * over. */
+  def ivfPqUnionCodes(spark: SparkSession, indexDir: String,
       dataDir: String): DataFrame = {
-    val emb = Tables(spark, dataDir, "embeddings")
     val cents = read(spark, indexDir, "ivfpq_centroids")
     val rcb = read(spark, indexDir, "ivfpq_codebook")
     val batchRes = VectorQueries.ivfPqResiduals(
-      VectorQueries.vecsOf(emb.filter(
+      VectorQueries.vecsOf(Tables(spark, dataDir, "embeddings").filter(
         col("vec_id") % VectorQueries.VecBatchMod === 0)), cents)
-    VectorQueries.ivfPqSearch(
-      read(spark, indexDir, "ivfpq_codes")
-        .unionByName(VectorQueries.ivfPqEncode(batchRes, cents, rcb)),
-      VectorQueries.vecsOf(emb), cents, rcb)
+    read(spark, indexDir, "ivfpq_codes")
+      .unionByName(VectorQueries.ivfPqEncode(batchRes, cents, rcb))
   }
+
+  /** q182 twin: encode ONLY the batch against the frozen disk
+    * centroids + codebook, search the union with the disk codes. */
+  def dailyIvfPq(spark: SparkSession, indexDir: String,
+      dataDir: String): DataFrame =
+    VectorQueries.ivfPqSearch(
+      ivfPqUnionCodes(spark, indexDir, dataDir),
+      VectorQueries.vecsOf(Tables(spark, dataDir, "embeddings")),
+      read(spark, indexDir, "ivfpq_centroids"),
+      read(spark, indexDir, "ivfpq_codebook"))
 
   /** q160 twin: [[VectorQueries.quantizerDriftOf]] off the disk
     * centroids + cell stats — the daily leg assigns ONLY the batch. */

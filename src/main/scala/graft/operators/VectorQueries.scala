@@ -1460,9 +1460,13 @@ object VectorQueries {
     * cell-independent, the FAISS trick — then each coded row in the
     * probed cell scores as [[PqSubspaces]] lookups plus the centroid
     * dot. */
-  private[operators] def ivfPqSearch(coded: DataFrame, e: DataFrame,
-      cents: DataFrame, rcb: DataFrame): DataFrame = {
-    val q = probeAssign(e.filter(col("vec_id") < NumQueries), cents, 1)
+  /** The IVFPQ query-side frame (qid, cell, qdotc, qtab, nqm) over ANY
+    * (vec_id, v) query frame — shared by the batch search and the
+    * streaming twin (the arriving side of a stream-static join, so it
+    * must not assume broadcastability or a NumQueries filter). */
+  private[graft] def ivfPqQuerySide(queries: DataFrame, cents: DataFrame,
+      rcb: DataFrame): DataFrame =
+    probeAssign(queries, cents, 1)
       .withColumn("qm",
         expr("transform(v, x -> cast(round(x * 1e6) as bigint))"))
       .join(broadcast(microCents(cents)), Seq("cell"))
@@ -1477,15 +1481,25 @@ object VectorQueries {
             s"(a, j) -> a + qm[s * $PqSubDim + j] * cb[s][c][j])))")
           .as("qtab"),
         expr("aggregate(qm, 0L, (a, x) -> a + x * x)").as("nqm"))
+
+  /** The per-(query, coded row) ADC dot and cosine — shared by the
+    * batch rank tail and the streaming twin (ONE scoring definition). */
+  private[graft] def ivfPqAdcDot: Column = expr(
+    s"qdotc + aggregate(sequence(0, ${PqSubspaces - 1}), 0L," +
+      " (a, s) -> a + qtab[s][codes[s]])")
+  private[graft] def ivfPqAdcCos: Column =
+    when(col("nd") === 0 || col("nqm") === 0, lit(0.0))
+      .otherwise(round(col("dot").cast("double") /
+        sqrt(col("nd").cast("double") * col("nqm").cast("double")), 6))
+
+  private[operators] def ivfPqSearch(coded: DataFrame, e: DataFrame,
+      cents: DataFrame, rcb: DataFrame): DataFrame = {
+    val q = ivfPqQuerySide(
+      e.filter(col("vec_id") < NumQueries), cents, rcb)
     val scored = coded.join(broadcast(q), Seq("cell"))
       .filter(col("vec_id") =!= col("qid"))
-      .withColumn("dot", expr(
-        s"qdotc + aggregate(sequence(0, ${PqSubspaces - 1}), 0L," +
-          " (a, s) -> a + qtab[s][codes[s]])"))
-      .withColumn("cos",
-        when(col("nd") === 0 || col("nqm") === 0, lit(0.0))
-          .otherwise(round(col("dot").cast("double") /
-            sqrt(col("nd").cast("double") * col("nqm").cast("double")), 6)))
+      .withColumn("dot", ivfPqAdcDot)
+      .withColumn("cos", ivfPqAdcCos)
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rk", row_number().over(w))

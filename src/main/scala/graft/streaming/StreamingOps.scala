@@ -443,6 +443,33 @@ object StreamingOps {
           .otherwise(expr("s_b div n_batch - s_c div n_corpus"))
           .as("drift_micro"))
 
+  /** L82 streaming: IVFPQ vector SEARCH as a continuous query stream —
+    * the dense twin of [[streamingBm25Search]]: each arriving query
+    * vector assigns to its frozen cell (the exchange-free probeAssign
+    * lambda), builds its residual-codebook LUT and centroid dot
+    * per-row, and probes the PERSISTED code index (IndexStore `ivfpq`)
+    * through one stream-static join — emitting per-(query, candidate)
+    * ADC cosines via the SAME [[graft.operators.VectorQueries
+    * .ivfPqAdcDot]]/[[graft.operators.VectorQueries.ivfPqAdcCos]]
+    * expressions the q181/q182 batch tail ranks with (one scoring
+    * definition, zero drift). Completely STATELESS — scoring is a
+    * per-pair projection, so no watermark, no aggregation; top-k
+    * ranking stays with the consumer (the streamingBm25Search rule: a
+    * streaming rank would hold unbounded per-query state for no
+    * benefit). */
+  def streamingIvfPqSearch(queries: Dataset[StreamVec], cents: DataFrame,
+      rcb: DataFrame, codes: DataFrame): DataFrame =
+    graft.operators.VectorQueries.ivfPqQuerySide(
+        queries.toDF()
+          .withColumn("v",
+            expr("transform(embedding, x -> cast(x AS double))")),
+        cents, rcb)
+      .join(codes, Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("dot", graft.operators.VectorQueries.ivfPqAdcDot)
+      .withColumn("cos", graft.operators.VectorQueries.ivfPqAdcCos)
+      .select(col("qid"), col("vec_id").as("nid"), col("cos"))
+
   case class StreamAsset(doc_id: Long, ts: Timestamp, payload: Array[Byte])
 
   /** L27 streaming: perceptual near-dup DETECTION as a continuous

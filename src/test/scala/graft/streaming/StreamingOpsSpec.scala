@@ -169,6 +169,48 @@ class StreamingOpsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming IVFPQ search == the batch ADC ranking off the disk " +
+      "index") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_sivfpq").toFile.getAbsolutePath
+    graft.operators.IndexStore.writeIvfPq(spark, sfDir, dir)
+    val cents = spark.read.parquet(s"$dir/ivfpq_centroids.parquet")
+    val rcb = spark.read.parquet(s"$dir/ivfpq_codebook.parquet")
+    // the SAME static side the nightly q182 rank runs over
+    val codes = graft.operators.IndexStore
+      .ivfPqUnionCodes(spark, dir, sfDir).localCheckpoint()
+    val queries = graft.Tables(spark, sfDir, "embeddings")
+      .filter(col("vec_id") < 3)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect()
+    val input = MemoryStream[StreamVec]
+    val q = streamingIvfPqSearch(input.toDS(), cents, rcb, codes)
+      .writeStream.format("memory").queryName("sivfpq")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(queries.map { case (id, v) =>
+        StreamVec(id, ts(0), v) }: _*)
+      q.processAllAvailable()
+      val got = spark.table("sivfpq")
+        .as[(Long, Long, Double)].collect()
+      // consumer-side rank of the emitted scores: top-3 per query must
+      // equal the batch q182 tail off the SAME disk artifacts — pins
+      // the stateless stream path (no watermark, one stream-static
+      // join) against the full nightly ranking
+      val topk = got.groupBy(_._1).map { case (qid, rows) =>
+        qid -> rows.sortBy(r => (-r._3, r._2)).take(3)
+          .map(r => (r._2, r._3)).toSeq
+      }
+      val want = graft.operators.IndexStore.dailyIvfPq(spark, dir, sfDir)
+        .as[(Long, Long, Long, Double)].collect()
+        .filter(_._1 < 3).groupBy(_._1).map { case (qid, rows) =>
+          qid -> rows.sortBy(_._2).map(r => (r._3, r._4)).toSeq
+        }
+      assert(topk == want)
+      assert(topk.keySet == Set(0L, 1L, 2L))
+    } finally q.stop()
+  }
+
   test("streaming media near-dup probes the persisted band index") {
     val base = "stream payload bytes for the perceptual hash".getBytes("UTF-8")
     val bumped = base.clone(); bumped(0) = (bumped(0) + 1).toByte

@@ -1029,15 +1029,35 @@ object LLMQueries {
     val union = variants.map { case (name, df) =>
       df.select(lit(name).as("variant"), col("qid"), col("doc_id"))
     }.reduce(_.unionByName(_))
+      .localCheckpoint(eager = false) // feeds the hit join + truth mass
     val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+    // CONTINUOUS companion metric (VERDICT r11 "Next round" #4, the
+    // q110 truth-mass move): overlap@3 over 10 queries is 30 indicator
+    // draws; the exact micro-integer sum of the TRUE dense cosines of
+    // each variant's returned docs moves whenever the returned sets
+    // differ at all. Variant outputs are queries×k rows, so both
+    // vector joins are broadcast-sized.
+    val ev = VectorQueries.vecsOf(emb)
+    val truthMass = ev
+      .select(col("vec_id").as("doc_id"), col("v").as("nv"))
+      .join(broadcast(union), Seq("doc_id"))
+      .join(broadcast(ev.filter(col("vec_id") < Bm25NumQueries)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))), Seq("qid"))
+      .withColumn("cos_micro",
+        round(round(graft.functions.CosineSimilarity.cosineSim(
+          col("nv"), col("qv")), 6) * 1e6).cast("long"))
+      .groupBy(col("variant"))
+      .agg(sum(col("cos_micro")).as("truth_mass_micro"))
     union
       .join(truth.withColumn("hit", lit(1)), Seq("qid", "doc_id"), "left")
       .groupBy(col("variant"))
       .agg(count(col("hit")).as("hits"))
       .crossJoin(broadcast(nTruth))
+      .join(truthMass, Seq("variant"))
       .select(col("variant"), col("hits"), col("n_truth"),
         // both operands non-negative: Spark div ≡ DuckDB //
-        expr("hits * 1000000L div n_truth").as("overlap_micro"))
+        expr("hits * 1000000L div n_truth").as("overlap_micro"),
+        col("truth_mass_micro"))
       .orderBy(col("variant"))
   }
 
@@ -1805,11 +1825,22 @@ object LLMQueries {
        |  FROM v LEFT JOIN truth
        |    ON v.qid = truth.qid AND v.doc_id = truth.doc_id
        |  GROUP BY variant),
+       |ev AS (SELECT vec_id, embedding::DOUBLE[] AS vv FROM embeddings),
+       |mass AS (
+       |  SELECT variant,
+       |    CAST(sum(CAST(round(round(
+       |      list_cosine_similarity(ne.vv, qe.vv), 6) * 1e6) AS BIGINT))
+       |      AS BIGINT) AS truth_mass_micro
+       |  FROM v JOIN ev ne ON ne.vec_id = v.doc_id
+       |         JOIN ev qe ON qe.vec_id = v.qid
+       |  GROUP BY variant),
        |tot AS (SELECT count(*) AS n_truth FROM truth)
        |SELECT variant, CAST(hits AS BIGINT) AS hits,
        |  CAST(n_truth AS BIGINT) AS n_truth,
-       |  CAST(hits * 1000000 // n_truth AS BIGINT) AS overlap_micro
-       |FROM hits, tot ORDER BY variant""".stripMargin
+       |  CAST(hits * 1000000 // n_truth AS BIGINT) AS overlap_micro,
+       |  truth_mass_micro
+       |FROM hits JOIN mass USING (variant), tot
+       |ORDER BY variant""".stripMargin
   }
 
   val oracle: Map[String, String] = Map(

@@ -381,8 +381,7 @@ object VectorQueries {
     * ScalaTest.
     */
   def ivfTopkCosine(spark: SparkSession, dir: String): DataFrame =
-    ivfTopkCosineOf(vecs(spark, dir),
-      centroids(spark, dir))
+    annVariant("ivf")(spark, dir)
 
   /** Probe count for the multi-probe variant (q87). */
   private[operators] val NumProbes = 2
@@ -395,7 +394,7 @@ object VectorQueries {
     * just over `probes` partitions per query.
     */
   def ivfMultiprobeTopkCosine(spark: SparkSession, dir: String): DataFrame =
-    ivfTopkCosineOf(vecs(spark, dir), centroids(spark, dir), NumProbes)
+    annVariant("multiprobe")(spark, dir)
 
   /** Dense retrieval leg for the q170 hybrid fusion (LLMQueries): the
     * q87 multi-probe IVF tier under the RETRIEVAL family's contract —
@@ -506,10 +505,12 @@ object VectorQueries {
     val scored = assigned.join(broadcast(q), Seq("cell"))
       .filter(col("vec_id") =!= col("qid"))
       .withColumn("cos", round(cosineSim(col("v"), col("qv")), 6))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("cos").desc, col("vec_id"))
-    scored.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= TopK)
+    // Two-level rank: a qid partition here is a probed cell's FULL
+    // membership (~corpus/|cells| rows through one reducer per query at
+    // scale) — the same constant-cardinality-key funnel the brute-force
+    // tails already route through [[rankTopKPerQuery]]; identical
+    // (cos desc, vec_id) tie-break, so outputs are byte-equal.
+    rankTopKPerQuery(scored, TopK)
       .select(col("qid"), col("rk").cast("long").as("rk"),
         col("vec_id").as("nid"), col("cos"))
       .orderBy(col("qid"), col("rk"))
@@ -1043,8 +1044,11 @@ object VectorQueries {
     * asserted against the q67 baseline in VectorQueriesSpec. A zero
     * vector quantizes to zeros and scores 0 by convention (guarded in
     * both engines). */
-  def quantizedTopkCosine(spark: SparkSession, dir: String): DataFrame = {
-    val qz = sq8Of(vecs(spark, dir))
+  def quantizedTopkCosine(spark: SparkSession, dir: String): DataFrame =
+    annVariant("sq8")(spark, dir)
+
+  private[operators] def quantizedTopkCosineOf(e: DataFrame): DataFrame = {
+    val qz = sq8Of(e)
       .select(col("vec_id"), col("qv"), col("nq"))
     val queries = qz.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("qid"), col("qv").as("qq"),
@@ -1089,12 +1093,15 @@ object VectorQueries {
     * scoring restricted to the query's cell. Both composed pieces are
     * individually oracle-proven; the composition hash-checks end to end
     * and reports into the q110 recall gate as its own variant. */
-  def ivfSq8TopkCosine(spark: SparkSession, dir: String): DataFrame = {
-    val e = vecs(spark, dir)
+  def ivfSq8TopkCosine(spark: SparkSession, dir: String): DataFrame =
+    annVariant("ivf_sq8")(spark, dir)
+
+  private[operators] def ivfSq8TopkCosineOf(e: DataFrame,
+      cents: DataFrame): DataFrame = {
     // corpus cell assignment via the exchange-free [[cellAssign]]
     // lambda argmin — same rounded d2 + clabel tie-break the old
     // vec_id-keyed window computed, zero vector-carrying shuffle
-    val assigned = cellAssign(e, centroids(spark, dir))
+    val assigned = cellAssign(e, cents)
       .select(col("vec_id"), col("v"), col("cell"))
     val qz = sq8Of(assigned)
       .select(col("vec_id"), col("cell"), col("qv"), col("nq"))
@@ -1105,10 +1112,9 @@ object VectorQueries {
       .filter(col("vec_id") =!= col("qid"))
       .withColumn("dot", sq8Dot)
       .withColumn("cos", sq8Cos)
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("cos").desc, col("vec_id"))
-    scored.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= TopK)
+    // Two-level rank — the ivfTopkCosineOf rationale (a qid partition
+    // is a probed cell's full membership; one reducer per query).
+    rankTopKPerQuery(scored, TopK)
       .select(col("qid"), col("rk").cast("long").as("rk"),
         col("vec_id").as("nid"), col("cos"))
       .orderBy(col("qid"), col("rk"))
@@ -1150,10 +1156,21 @@ object VectorQueries {
           " cv -> aggregate(cv, 0L, (a, x) -> a + x * x)))"))
 
   /** Per-subspace argmin code assignment over (mv, cb): exact integer
-    * L2² in micro units, lowest-code tie-break — ONE expression shared
-    * by the encoder (q117/q177 scoring) and the q177 Lloyd trainer so
-    * assignment and training can never drift. */
-  private def pqCodesExpr: Column = {
+    * L2² in micro units, lowest-code tie-break — ONE definition shared
+    * by the encoder (q117/q177 scoring), the q177 Lloyd trainer and the
+    * q178 distortion scans so assignment, training and the gate can
+    * never drift. Production path is the native fused
+    * [[graft.functions.PqAssign]] (the subspaces×codes×subDim
+    * interpreted-lambda argmin was the PQ family's hottest expression);
+    * [[pqCodesExpr]] below is kept as the interpreted HOF reference it
+    * is parity-tested against (PqAssignSpec). */
+  private[operators] def pqAssignCol: Column =
+    graft.functions.PqAssign.pqAssign(
+      col("mv"), col("cb"), PqSubspaces, PqSubDim, PqCodes)
+
+  /** Interpreted HOF reference formulation of [[pqAssignCol]]'s `codes`
+    * field. */
+  private[operators] def pqCodesExpr: Column = {
     val dist =
       s"aggregate(sequence(0, ${PqSubDim - 1}), 0L," +
         s" (a, j) -> a + (mv[s * $PqSubDim + j] - cb[s][c][j])" +
@@ -1206,7 +1223,7 @@ object VectorQueries {
       // per (s, code, j): exact component sum + count over assigned
       // sub-vectors, then the rounded mean back in micro integers
       val means = m.crossJoin(broadcast(cb))
-        .withColumn("codes", pqCodesExpr)
+        .withColumn("codes", pqAssignCol.getField("codes"))
         .select(posexplode(expr(
           s"transform(sequence(0, ${PqSubspaces - 1}), s -> " +
             s"named_struct('code', codes[s]," +
@@ -1254,7 +1271,7 @@ object VectorQueries {
     * as variant `pq_trained` beside the seeded `pq`, so the training
     * benefit is a measured CORRECTNESS output. */
   def pqTrainedTopkCosine(spark: SparkSession, dir: String): DataFrame =
-    pqTopkCosineOf(vecs(spark, dir), pqTrainedCodebookOf)
+    annVariant("pq_trained")(spark, dir)
 
   /** q178: PQ codebook DISTORTION — the measured training gate beside
     * q110's recall row. recall@[[TopK]] over [[NumQueries]] queries is
@@ -1294,18 +1311,18 @@ object VectorQueries {
       .select(col("vec_id"),
         expr("zip_with(mvr, cm, (a, b) -> a - b)").as("mv"))
       .localCheckpoint(eager = false) // feeds the trainer AND the scan
-    val dist =
-      s"aggregate(sequence(0, ${PqSubDim - 1}), 0L," +
-        s" (a, j) -> a + (mv[s * $PqSubDim + j] - cb[s][c][j])" +
-        s" * (mv[s * $PqSubDim + j] - cb[s][c][j]))"
-    val rowErr = expr(
-      s"aggregate(transform(sequence(0, ${PqSubspaces - 1}), s -> " +
-        s"array_min(transform(sequence(0, ${PqCodes - 1}), c -> $dist))" +
-        "), 0L, (a, x) -> a + x)")
+    // per-row min total squared error via the native fused assignment
+    // (same exact-integer argmin as the encoder — ONE definition)
+    val rowErr = pqAssignCol.getField("sqerr")
+    // the two trained codebooks materialize EAGERLY (the AnnFrames seal
+    // rationale: concurrent broadcast builds over a lazy checkpoint
+    // re-run the trainer rounds — VERDICT r11 "What's wrong" #2)
     Seq(
-      ("residual_trained", res, pqTrainedCodebookOfMicro(res)),
+      ("residual_trained", res,
+        pqTrainedCodebookOfMicro(res).localCheckpoint(eager = true)),
       ("seeded", m, pqCodebookOf(e)),
-      ("trained", m, pqTrainedCodebookOf(e)))
+      ("trained", m,
+        pqTrainedCodebookOf(e).localCheckpoint(eager = true)))
       .map { case (name, micro, cbRow) =>
         micro.crossJoin(broadcast(cbRow))
           .select(rowErr.as("sqe"))
@@ -1335,14 +1352,14 @@ object VectorQueries {
     * reports into the q110 gate as variant `pq`.
     */
   def pqTopkCosine(spark: SparkSession, dir: String): DataFrame =
-    pqTopkCosineOf(vecs(spark, dir))
+    annVariant("pq")(spark, dir)
 
   private[operators] def pqTopkCosineOf(e: DataFrame,
       codebookOf: DataFrame => DataFrame = pqCodebookOf _): DataFrame = {
     val m = microOf(e)
     val cbRow = codebookOf(e)
     val coded = m.crossJoin(broadcast(cbRow))
-      .withColumn("codes", pqCodesExpr)
+      .withColumn("codes", pqAssignCol.getField("codes"))
       .withColumn("nd", expr(
         s"aggregate(sequence(0, ${PqSubspaces - 1}), 0L," +
           " (a, s) -> a + nb[s][codes[s]])"))
@@ -1396,19 +1413,10 @@ object VectorQueries {
     * one broadcast-codebook scan, search touches the probed cell only;
     * reports into the q110 gate as variant `ivfpq`. */
   def ivfPqTopkCosine(spark: SparkSession, dir: String): DataFrame =
-    ivfPqTopkCosineOf(Tables(spark, dir, "embeddings"))
+    annVariant("ivfpq")(spark, dir)
 
-  private[operators] def ivfPqTopkCosineOf(emb: DataFrame): DataFrame = {
-    val e = vecsOf(emb)
-    val cents = centroidsOf(emb)
-      .localCheckpoint(eager = false) // feeds assignment + micro table
-    val res = ivfPqResiduals(e, cents)
-      .localCheckpoint(eager = false) // feeds the trainer AND the encode
-    val rcb = pqTrainedCodebookOfMicro(
-        res.select(col("vec_id"), col("rv").as("mv")))
-      .localCheckpoint(eager = false) // feeds encode, cell table, queries
-    ivfPqSearch(ivfPqEncode(res, cents, rcb), e, cents, rcb)
-  }
+  private[operators] def ivfPqTopkCosineOf(emb: DataFrame): DataFrame =
+    annVariants.toMap.apply("ivfpq")(new AnnFrames(emb))
 
   /** Micro cell-centroid table (cell, cm) of a (clabel, c) frame. */
   private def microCents(cents: DataFrame): DataFrame =
@@ -1446,7 +1454,7 @@ object VectorQueries {
           .as("cdots"))
     res.select(col("vec_id"), col("cell"), col("rv").as("mv"))
       .crossJoin(broadcast(rcb))
-      .withColumn("codes", pqCodesExpr)
+      .withColumn("codes", pqAssignCol.getField("codes"))
       .join(broadcast(cellTab), Seq("cell"))
       .withColumn("nd", expr(
         s"cn2 + aggregate(sequence(0, ${PqSubspaces - 1}), 0L, " +
@@ -1500,10 +1508,9 @@ object VectorQueries {
       .filter(col("vec_id") =!= col("qid"))
       .withColumn("dot", ivfPqAdcDot)
       .withColumn("cos", ivfPqAdcCos)
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("cos").desc, col("vec_id"))
-    scored.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= TopK)
+    // Two-level rank — the ivfTopkCosineOf rationale: the probed cell's
+    // full code membership must not funnel through one reducer per qid.
+    rankTopKPerQuery(scored, TopK)
       .select(col("qid"), col("rk").cast("long").as("rk"),
         col("vec_id").as("nid"), col("cos"))
       .orderBy(col("qid"), col("rk"))
@@ -1519,22 +1526,8 @@ object VectorQueries {
     * immediately searchable alongside the corpus codes. Recall drifts
     * as the batch skews from the frozen quantizer — q160's drift report
     * is the retrain trigger, same trade as q105. */
-  def incrementalIvfPqTopk(spark: SparkSession, dir: String): DataFrame = {
-    val emb = Tables(spark, dir, "embeddings")
-    val corpusEmb = emb.filter(col("vec_id") % VecBatchMod =!= 0)
-    val cents = centroidsOf(corpusEmb)
-      .localCheckpoint(eager = false) // frozen coarse quantizer
-    val corpusRes = ivfPqResiduals(vecsOf(corpusEmb), cents)
-      .localCheckpoint(eager = false) // feeds trainer + corpus encode
-    val rcb = pqTrainedCodebookOfMicro(
-        corpusRes.select(col("vec_id"), col("rv").as("mv")))
-      .localCheckpoint(eager = false) // frozen residual codebook
-    val batchRes = ivfPqResiduals(
-      vecsOf(emb.filter(col("vec_id") % VecBatchMod === 0)), cents)
-    val coded = ivfPqEncode(corpusRes, cents, rcb)
-      .unionByName(ivfPqEncode(batchRes, cents, rcb))
-    ivfPqSearch(coded, vecsOf(emb), cents, rcb)
-  }
+  def incrementalIvfPqTopk(spark: SparkSession, dir: String): DataFrame =
+    annVariant("ivfpq_incremental")(spark, dir)
 
   /** Reduced dimensionality of the q121 sign random projection. */
   private val RpDim = 32
@@ -1573,7 +1566,7 @@ object VectorQueries {
     * codegen lambda against the literal sign matrix; scoring is q67's
     * broadcast-queries single scan over 16-long rows. */
   def rpTopkCosine(spark: SparkSession, dir: String): DataFrame =
-    rpTopkCosineOf(vecs(spark, dir))
+    annVariant("rp")(spark, dir)
 
   private[operators] def rpTopkCosineOf(e: DataFrame): DataFrame = {
     // mv binds ONCE per row via the array-wrap idiom (the LLMQueries
@@ -1685,12 +1678,8 @@ object VectorQueries {
     * frozen centroids — the standard trade every serving IVF index
     * makes between rebuilds. */
   def incrementalIvfTopkCosine(spark: SparkSession,
-      dir: String): DataFrame = {
-    val corpusCents = centroidsOf(
-      Tables(spark, dir, "embeddings")
-        .filter(col("vec_id") % VecBatchMod =!= 0))
-    ivfTopkCosineOf(vecs(spark, dir), corpusCents)
-  }
+      dir: String): DataFrame =
+    annVariant("ivf_incremental")(spark, dir)
 
   private[operators] val KmeansK = 8
   private[operators] val KmeansRounds = 2
@@ -1836,20 +1825,85 @@ object VectorQueries {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  /** Shared input frames for the ANN variant family — ONE definition of
+    * every derived artifact (coarse quantizers, residual frames, trained
+    * codebooks, the incremental code union), so the standalone variant
+    * queries and the q110 recall gate can never drift. Every member is
+    * lazy: a variant's plan touches only the frames it reads.
+    *
+    * `seal` post-processes the three Lloyd-trained codebooks. It
+    * defaults to an EAGER 1-row localCheckpoint because a lazily
+    * checkpointed trainer output feeding several broadcast exchanges can
+    * be recomputed CONCURRENTLY — broadcast builds run on parallel
+    * threads, and jobs racing over a not-yet-materialized checkpoint
+    * each re-run the trainer rounds (VERDICT r11 "What's wrong" #2: q110
+    * paid k× training). Materializing the 1-row frame once at plan
+    * construction makes every downstream broadcast a checkpoint read. */
+  private[operators] final class AnnFrames(emb: DataFrame,
+      seal: DataFrame => DataFrame = _.localCheckpoint(eager = true),
+      shareScan: Boolean = false) {
+    /** Corpus (vec_id, label, v) — q110 checkpoints it once for its
+      * twelve legs; a standalone variant keeps the pushdown-friendly
+      * parquet scan. */
+    lazy val e: DataFrame = {
+      val v = vecsOf(emb)
+      if (shareScan) v.localCheckpoint(eager = false) else v
+    }
+    lazy val corpusEmb: DataFrame =
+      emb.filter(col("vec_id") % VecBatchMod =!= 0)
+    lazy val centsFull: DataFrame =
+      centroidsOf(emb).localCheckpoint(eager = false)
+    lazy val centsCorpus: DataFrame = // the q105/q182 frozen quantizer
+      centroidsOf(corpusEmb).localCheckpoint(eager = false)
+    /** q177's raw-domain trained codebook. */
+    lazy val cbTrained: DataFrame = seal(pqTrainedCodebookOf(e))
+    /** q181's residual domain: full-corpus residuals vs [[centsFull]]. */
+    lazy val resFull: DataFrame =
+      ivfPqResiduals(e, centsFull).localCheckpoint(eager = false)
+    lazy val rcbFull: DataFrame = seal(pqTrainedCodebookOfMicro(
+      resFull.select(col("vec_id"), col("rv").as("mv"))))
+    /** q182's frozen residual domain: corpus-only rows vs the frozen
+      * [[centsCorpus]] quantizer. */
+    lazy val corpusRes: DataFrame =
+      ivfPqResiduals(vecsOf(corpusEmb), centsCorpus)
+        .localCheckpoint(eager = false)
+    lazy val rcbCorpus: DataFrame = seal(pqTrainedCodebookOfMicro(
+      corpusRes.select(col("vec_id"), col("rv").as("mv"))))
+    lazy val batchRes: DataFrame = ivfPqResiduals(
+      vecsOf(emb.filter(col("vec_id") % VecBatchMod === 0)), centsCorpus)
+    /** Frozen-corpus codes ∪ batch codes — q182's searchable index. */
+    lazy val codedIncr: DataFrame =
+      ivfPqEncode(corpusRes, centsCorpus, rcbCorpus)
+        .unionByName(ivfPqEncode(batchRes, centsCorpus, rcbCorpus))
+  }
+
   /** The ANN variants whose serving quality q110 tracks, with the exact
-    * q67 scan as ground truth. One place, so the recall query and its
-    * oracle can never cover different variants. */
-  private val annVariants: Seq[(String, graft.Q)] = Seq(
-    "ivf" -> (ivfTopkCosine _),
-    "ivf_incremental" -> (incrementalIvfTopkCosine _),
-    "ivf_sq8" -> (ivfSq8TopkCosine _),
-    "ivfpq" -> (ivfPqTopkCosine _),
-    "ivfpq_incremental" -> (incrementalIvfPqTopk _),
-    "multiprobe" -> (ivfMultiprobeTopkCosine _),
-    "pq" -> (pqTopkCosine _),
-    "pq_trained" -> (pqTrainedTopkCosine _),
-    "rp" -> (rpTopkCosine _),
-    "sq8" -> (quantizedTopkCosine _))
+    * q67 scan as ground truth. One place — each standalone query AND the
+    * q110 gate leg is this one lambda over an [[AnnFrames]] — so the
+    * recall query and its oracle can never cover different variants. */
+  private val annVariants: Seq[(String, AnnFrames => DataFrame)] = Seq(
+    "ivf" -> ((f: AnnFrames) => ivfTopkCosineOf(f.e, f.centsFull)),
+    "ivf_incremental" ->
+      ((f: AnnFrames) => ivfTopkCosineOf(f.e, f.centsCorpus)),
+    "ivf_sq8" -> ((f: AnnFrames) => ivfSq8TopkCosineOf(f.e, f.centsFull)),
+    "ivfpq" -> ((f: AnnFrames) => ivfPqSearch(
+      ivfPqEncode(f.resFull, f.centsFull, f.rcbFull),
+      f.e, f.centsFull, f.rcbFull)),
+    "ivfpq_incremental" -> ((f: AnnFrames) =>
+      ivfPqSearch(f.codedIncr, f.e, f.centsCorpus, f.rcbCorpus)),
+    "multiprobe" ->
+      ((f: AnnFrames) => ivfTopkCosineOf(f.e, f.centsFull, NumProbes)),
+    "pq" -> ((f: AnnFrames) => pqTopkCosineOf(f.e)),
+    "pq_trained" ->
+      ((f: AnnFrames) => pqTopkCosineOf(f.e, _ => f.cbTrained)),
+    "rp" -> ((f: AnnFrames) => rpTopkCosineOf(f.e)),
+    "sq8" -> ((f: AnnFrames) => quantizedTopkCosineOf(f.e)))
+
+  /** A standalone variant query: fresh [[AnnFrames]] per run. */
+  private def annVariant(name: String)(
+      spark: SparkSession, dir: String): DataFrame =
+    annVariants.toMap.apply(name)(
+      new AnnFrames(Tables(spark, dir, "embeddings")))
 
   /** q110: ANN serving quality as an ORACLE-GATED output (VERDICT r8
     * "Next round" #8) — recall@[[TopK]] of every ANN variant against the
@@ -1858,22 +1912,47 @@ object VectorQueries {
     * micro-unit recall (hits·1e6 div |exact|) keeps the output
     * hash-portable; both operands are non-negative so Spark `div` and
     * DuckDB `//` agree. Scale shape: the variants and the baseline are
-    * the existing scans; the recall join keys on (qid, nid) — queries ×
-    * k rows, broadcast-sized by construction. */
+    * the existing scans over ONE shared [[AnnFrames]] — the corpus scan
+    * checkpointed once, each trained codebook materialized once and
+    * threaded through its legs (VERDICT r11 #2) — and the recall join
+    * keys on (qid, nid): queries × k rows, broadcast-sized by
+    * construction. */
   def annRecallSummary(spark: SparkSession, dir: String): DataFrame = {
-    val exact = topkCosine(spark, dir).select(col("qid"), col("nid"))
+    val f = new AnnFrames(Tables(spark, dir, "embeddings"),
+      shareScan = true)
+    val exact = topkCosineOf(f.e).select(col("qid"), col("nid"))
       .localCheckpoint(eager = false) // feeds the join and the total
-    val union = annVariants.map { case (name, q) =>
-      q(spark, dir).select(lit(name).as("variant"), col("qid"), col("nid"))
+    val union = annVariants.map { case (name, mk) =>
+      mk(f).select(lit(name).as("variant"), col("qid"), col("nid"))
     }.reduce(_.unionByName(_))
+      .localCheckpoint(eager = false) // feeds the hit join + truth mass
     val nExact = exact.agg(count(lit(1)).as("n_exact"))
+    // CONTINUOUS companion metric (VERDICT r11 "Next round" #4):
+    // recall@3 over 10 queries is 30 indicator draws and cannot rank
+    // two close variants; the TRUE-cosine mass of each variant's
+    // returned set (exact micro-integer sum of the 6-dp ground-truth
+    // cosines, the quantity the scan *should* maximize) moves whenever
+    // the returned sets differ at all — the q178 distortion move
+    // applied to serving. Variant outputs are queries×k rows, so both
+    // vector joins are broadcast-sized.
+    val truthMass = f.e.select(col("vec_id").as("nid"), col("v").as("nv"))
+      .join(broadcast(union), Seq("nid"))
+      .join(broadcast(f.e.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))), Seq("qid"))
+      .withColumn("cos_micro",
+        round(round(cosineSim(col("nv"), col("qv")), 6) * 1e6)
+          .cast("long"))
+      .groupBy(col("variant"))
+      .agg(sum(col("cos_micro")).as("truth_mass_micro"))
     union
       .join(exact.withColumn("hit", lit(1)), Seq("qid", "nid"), "left")
       .groupBy(col("variant"))
       .agg(count(col("hit")).as("hits"))
       .crossJoin(broadcast(nExact))
+      .join(truthMass, Seq("variant"))
       .select(col("variant"), col("hits"), col("n_exact"),
-        expr("hits * 1000000L div n_exact").as("recall_micro"))
+        expr("hits * 1000000L div n_exact").as("recall_micro"),
+        col("truth_mass_micro"))
       .orderBy(col("variant"))
   }
 
@@ -2648,11 +2727,22 @@ object VectorQueries {
          |  FROM v LEFT JOIN exact
          |    ON v.qid = exact.qid AND v.nid = exact.nid
          |  GROUP BY variant),
+         |ev AS (SELECT vec_id, embedding::DOUBLE[] AS vv FROM embeddings),
+         |mass AS (
+         |  SELECT variant,
+         |    CAST(sum(CAST(round(round(
+         |      list_cosine_similarity(ne.vv, qe.vv), 6) * 1e6) AS BIGINT))
+         |      AS BIGINT) AS truth_mass_micro
+         |  FROM v JOIN ev ne ON ne.vec_id = v.nid
+         |         JOIN ev qe ON qe.vec_id = v.qid
+         |  GROUP BY variant),
          |tot AS (SELECT count(*) AS n_exact FROM exact)
          |SELECT variant, CAST(hits AS BIGINT) AS hits,
          |  CAST(n_exact AS BIGINT) AS n_exact,
-         |  CAST(hits * 1000000 // n_exact AS BIGINT) AS recall_micro
-         |FROM hits, tot ORDER BY variant""".stripMargin
+         |  CAST(hits * 1000000 // n_exact AS BIGINT) AS recall_micro,
+         |  truth_mass_micro
+         |FROM hits JOIN mass USING (variant), tot
+         |ORDER BY variant""".stripMargin
   }
 
   /** The full q91 oracle (raw-vector pair graph, recursive closure,

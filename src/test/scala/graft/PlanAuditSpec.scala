@@ -167,19 +167,26 @@ class PlanAuditSpec extends SparkSpec {
 
   // the in-query IVF corpus cell assignment must be the exchange-free
   // cellAssign/probeAssign lambda argmin (VERDICT r10 "What's wrong"
-  // #1) — the only Window these plans may contain is the final
-  // per-query rank. A second window means the vec_id-keyed assignment
-  // regressed and corpus × |cells| rows, each carrying the 64-double
-  // vector, shuffle again.
+  // #1) — the only Windows these plans may contain are the TWO levels
+  // of the final per-query rank (the (qid, tkshard) local rank + the
+  // survivor rank — VERDICT r11 "What's wrong" #1: a qid-only rank
+  // funnels a probed cell's full membership through one reducer per
+  // query). A third window means the vec_id-keyed assignment regressed
+  // and corpus × |cells| rows, each carrying the 64-double vector,
+  // shuffle again; a missing tkshard window means the rank tail
+  // regressed to single-level.
   for (q <- Seq("q69_ivf_topk_cosine", "q87_ivf_multiprobe",
       "q105_incremental_ivf_topk", "q112_ivf_sq8_topk",
       "q181_ivfpq_topk", "q182_incremental_ivfpq"))
-    test(s"$q: corpus cell assignment is exchange-free (single window)") {
+    test(s"$q: exchange-free assignment + two-level sharded rank") {
       val plan = SparkEntry.queries(q)(spark, sfDir)
         .queryExecution.executedPlan.toString
-      val windows = plan.linesIterator.count(_.contains("Window ["))
-      assert(windows == 1,
-        s"$q expected exactly the final per-query rank window, got $windows")
+      val windows = plan.linesIterator.filter(_.contains("Window [")).toSeq
+      assert(windows.size == 2,
+        s"$q expected exactly the two-level rank windows, got " +
+          s"${windows.size}:\n${windows.mkString("\n")}")
+      assert(windows.exists(_.contains("tkshard")),
+        s"$q's rank is not (qid, tkshard)-sharded")
     }
 
   test("q93: per-query BM25 rank is sharded (two-level)") {

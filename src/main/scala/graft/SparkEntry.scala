@@ -50,7 +50,14 @@ object SparkEntry {
         "q180_incremental_media_clusters" ->
           ((s, dir) =>
             graft.multimodal.Multimodal
-              .incrementalMediaClustersDaily(s, dir)))
+              .incrementalMediaClustersDaily(s, dir)),
+        "q183_incremental_frame_dups" ->
+          ((s, dir) =>
+            graft.multimodal.Multimodal
+              .incrementalFrameNearDupsDaily(s, dir)),
+        "q184_media_band_occupancy" ->
+          ((s, dir) =>
+            graft.multimodal.Multimodal.mediaBandOccupancy(s, dir)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

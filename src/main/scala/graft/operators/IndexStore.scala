@@ -321,6 +321,23 @@ object IndexStore {
       read(spark, indexDir, "audio_fps"),
       graft.multimodal.Multimodal.audioFpSplit(spark, dataDir)._2)
 
+  /** The corpus video-frame fingerprint index (q118/q183): DISTINCT
+    * (doc_id, fhash) longs — 16 bytes per row, payloads never
+    * re-decoded or re-frame-sampled. Closes the one modality that still
+    * paid O(corpus) decode per day (VERDICT r11 "Missing" #1). */
+  def writeFrameFps(spark: SparkSession, dataDir: String,
+      dir: String): Unit =
+    write(graft.multimodal.Multimodal.frameFpSplit(spark, dataDir)._1,
+      dir, "frame_fps")
+
+  /** q183 twin: [[graft.multimodal.Multimodal.incrementalFrameNearDups]]
+    * off the disk frame index. */
+  def dailyFrames(spark: SparkSession, indexDir: String,
+      dataDir: String): DataFrame =
+    graft.multimodal.Multimodal.incrementalFrameNearDups(
+      read(spark, indexDir, "frame_fps"),
+      graft.multimodal.Multimodal.frameFpSplit(spark, dataDir)._2)
+
   /** The corpus NORMALIZED-hash index (q136/q139): one distinct 32-hex
     * md5 per known normalized rendering. */
   def writeNormHash(spark: SparkSession, dataDir: String,
@@ -677,6 +694,13 @@ object IndexStore {
         graft.multimodal.Multimodal.audioFpSplit(spark, dataDir)._2),
       outDir, "audio_fps")
 
+  def compactFrameFps(spark: SparkSession, indexDir: String,
+      dataDir: String, outDir: String): Unit =
+    write(read(spark, indexDir, "frame_fps")
+      .unionByName(
+        graft.multimodal.Multimodal.frameFpSplit(spark, dataDir)._2),
+      outDir, "frame_fps")
+
   def compactNormHash(spark: SparkSession, indexDir: String,
       dataDir: String, outDir: String): Unit =
     write(read(spark, indexDir, "norm_hash")
@@ -770,6 +794,12 @@ object IndexStore {
         val (c, b) = graft.multimodal.Multimodal.audioFpSplit(s, dataDir)
         write(c.unionByName(b), dir, "audio_fps")
       }),
+    ("frame_fps", Seq("frame_fps"),
+      compactFrameFps _,
+      (s, dataDir, dir) => {
+        val (c, b) = graft.multimodal.Multimodal.frameFpSplit(s, dataDir)
+        write(c.unionByName(b), dir, "frame_fps")
+      }),
     ("norm_hash", Seq("norm_hash"),
       compactNormHash _,
       (s, dataDir, dir) => {
@@ -847,6 +877,8 @@ object IndexStore {
       writeDsirModel _, dailyDsir _),
     ("audio_fps", "q128_incremental_audio_fp",
       writeAudioFps _, dailyAudio _),
+    ("frame_fps", "q183_incremental_frame_dups",
+      writeFrameFps _, dailyFrames _),
     ("norm_hash", "q139_incremental_normalized_dedup",
       writeNormHash _, dailyNormHash _),
     ("bm25", "q144_incremental_bm25",

@@ -290,6 +290,38 @@ class MultimodalSpec extends SparkSpec {
     assert(inc.nonEmpty) // the mod-30 variant offset keeps batch pairs alive
   }
 
+  test("q184 band occupancy reconciles against the actual q109 join") {
+    import org.apache.spark.sql.functions.{col, sum}
+    val occ = Multimodal.mediaBandOccupancy(spark, sfDir)
+    // Σ_bands Σ_buckets n·(n−1)/2 IS the band self-join's candidate row
+    // count before Hamming filtering and pair dedup — recompute that
+    // join raw and require exact equality, so the report can never
+    // drift from the pair volume q109 actually pays.
+    val bands = Multimodal.phashBands(
+      Multimodal.assetHashes(spark, sfDir))
+    val raw = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .count()
+    val implied = occ.agg(sum(col("pairs_implied"))).head().getLong(0)
+    assert(implied == raw,
+      s"implied=$implied raw=$raw — occupancy report drifted from the join")
+    // and the hot columns are consistent with the raw bucket histogram
+    val hot = bands.groupBy(col("band"), col("key")).count()
+      .filter(col("count") > Multimodal.MediaBandHotOcc).count()
+    val hotReported = occ.agg(sum(col("hot_buckets"))).head().getLong(0)
+    assert(hotReported == hot)
+  }
+
+  test("incremental frame near-dups == full pass restricted to batch pairs") {
+    val full = Multimodal.frameNearDups(spark, sfDir)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val inc = Multimodal.incrementalFrameNearDupsDaily(spark, sfDir)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(inc == full.filter(p => p._1 % 10 == 0 || p._2 % 10 == 0))
+    assert(inc.nonEmpty) // the mod-10 variant offset keeps batch pairs alive
+  }
+
   test("incremental media clusters == full election on batch-touched " +
       "clusters") {
     import org.apache.spark.sql.functions.col

@@ -49,11 +49,36 @@ object LifecycleSoak {
         pendingDays = allDays)
       0L
     }
-    for (d <- 0 until nDays)
+    // Round-12 extension (VERDICT r11 "Next round" #6): the chain no
+    // longer exercises only the text gates. Every IndexStore family
+    // builds once against the replica corpus, and each family's DAILY
+    // leg then runs INSIDE every chain day — one shared session, so the
+    // soak prices all families' daily legs under each other's shuffle
+    // pressure, broadcast memory and GC instead of each family measured
+    // alone (IndexSoak's per-family view stays the clean-room number).
+    // The family batch is the fixed mod-10 split each day — the text
+    // chain supplies the day-varying component; the family lines are
+    // the STEADY-STATE daily bill, attributed per family per day.
+    val famIndex = s"$workDir/lc_index"
+    wipe(famIndex)
+    Timing.timedPasses(spark, cpuNs, "[lifecycle-soak] families-build",
+      passes = 1) {
+      operators.IndexStore.families.foreach { case (_, _, write, _) =>
+        write(spark, dataDir, famIndex)
+      }
+      0L
+    }
+    for (d <- 0 until nDays) {
       Timing.timedPasses(spark, cpuNs, s"[lifecycle-soak] day$d",
         passes = 1)(
         operators.DailyIngest.runDelta(spark, root, dataDir,
           s"$workDir/lc_out$d", day = d).count())
+      operators.IndexStore.families.foreach { case (name, _, _, daily) =>
+        Timing.timedPasses(spark, cpuNs,
+          s"[lifecycle-soak] day$d fam=$name", passes = 1)(
+          daily(spark, famIndex, dataDir).count())
+      }
+    }
     // the release universe: every day's survivors ∪ the eval holdout
     val ingested = (0 until nDays)
       .map(d => spark.read.parquet(s"$workDir/lc_out$d/kept_docs.parquet"))

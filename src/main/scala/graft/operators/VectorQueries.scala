@@ -1072,13 +1072,16 @@ object VectorQueries {
       .withColumn("s", expr("if(m = 0d, 1d, m)"))
       .withColumn("qv",
         expr("transform(v, x -> cast(round(x / s) as bigint))"))
-      .withColumn("nq", expr("aggregate(qv, 0L, (a, x) -> a + x * x)"))
+      .withColumn("nq",
+        graft.functions.DotLong.dotLong(col("qv"), col("qv")))
       .drop("m", "s")
 
   /** Exact integer dot of two SQ8 arrays, and the cosine it implies
-    * (zero-norm guarded, shared 6-dp rounding). */
+    * (zero-norm guarded, shared 6-dp rounding). Native fused loop — the
+    * interpreted zip_with lambda ran per (query, doc) PAIR and dominated
+    * the quantized scans (parity-pinned in PqAssignSpec). */
   private def sq8Dot =
-    expr("aggregate(zip_with(qv, qq, (a, b) -> a * b), 0L, (s, x) -> s + x)")
+    graft.functions.DotLong.dotLong(col("qv"), col("qq"))
   private def sq8Cos =
     when(col("nq") === 0 || col("nqq") === 0, lit(0.0))
       .otherwise(round(col("dot").cast("double") /
@@ -1371,7 +1374,8 @@ object VectorQueries {
           s"transform(sequence(0, ${PqCodes - 1}), c -> " +
           s"aggregate(sequence(0, ${PqSubDim - 1}), 0L," +
           s" (a, j) -> a + mv[s * $PqSubDim + j] * cb[s][c][j])))"))
-      .withColumn("nqm", expr("aggregate(mv, 0L, (a, x) -> a + x * x)"))
+      .withColumn("nqm",
+        graft.functions.DotLong.dotLong(col("mv"), col("mv")))
       .select(col("vec_id").as("qid"), col("qtab"), col("nqm"))
     val scored = coded.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("qid"))
@@ -1480,15 +1484,14 @@ object VectorQueries {
       .join(broadcast(microCents(cents)), Seq("cell"))
       .crossJoin(broadcast(rcb))
       .select(col("vec_id").as("qid"), col("cell"),
-        expr("aggregate(zip_with(qm, cm, (a, b) -> a * b), 0L," +
-          " (acc, x) -> acc + x)").as("qdotc"),
+        graft.functions.DotLong.dotLong(col("qm"), col("cm")).as("qdotc"),
         expr(
           s"transform(sequence(0, ${PqSubspaces - 1}), s -> " +
             s"transform(sequence(0, ${PqCodes - 1}), c -> " +
             s"aggregate(sequence(0, ${PqSubDim - 1}), 0L, " +
             s"(a, j) -> a + qm[s * $PqSubDim + j] * cb[s][c][j])))")
           .as("qtab"),
-        expr("aggregate(qm, 0L, (a, x) -> a + x * x)").as("nqm"))
+        graft.functions.DotLong.dotLong(col("qm"), col("qm")).as("nqm"))
 
   /** The per-(query, coded row) ADC dot and cosine — shared by the
     * batch rank tail and the streaming twin (ONE scoring definition). */
@@ -1580,15 +1583,16 @@ object VectorQueries {
           s" mv -> transform(sequence(0, ${RpDim - 1}), j -> " +
           s"aggregate(sequence(0, ${Dim - 1}), 0L," +
           " (a, d) -> a + mv[d] * S[j][d])))[0]"))
-      .withColumn("np", expr("aggregate(p, 0L, (a, x) -> a + x * x)"))
+      .withColumn("np",
+        graft.functions.DotLong.dotLong(col("p"), col("p")))
       .select(col("vec_id"), col("p"), col("np"))
     val q = proj.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("qid"), col("p").as("pq"),
         col("np").as("nq"))
     val scored = proj.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("qid"))
-      .withColumn("dot", expr(
-        "aggregate(zip_with(p, pq, (a, b) -> a * b), 0L, (s, x) -> s + x)"))
+      .withColumn("dot",
+        graft.functions.DotLong.dotLong(col("p"), col("pq")))
       .withColumn("cos",
         when(col("np") === 0 || col("nq") === 0, lit(0.0))
           .otherwise(round(col("dot").cast("double") /

@@ -91,6 +91,39 @@ class PqAssignSpec extends SparkSpec {
     assert(out.getLong(1) == expected)
   }
 
+  test("dot_long matches the HOF zip_with dot and the x*x norm") {
+    import graft.functions.DotLong.dotLong
+    val paired = micro.as("a")
+      .join(micro.as("b"), col("a.vec_id") + 1 === col("b.vec_id"))
+      .select(col("a.mv").as("x"), col("b.mv").as("y"))
+    val hofDot = expr(
+      "aggregate(zip_with(x, y, (p, q) -> p * q), 0L, (s, e) -> s + e)")
+    val hofNorm = expr("aggregate(x, 0L, (a, e) -> a + e * e)")
+    val diff = paired.select(
+        dotLong(col("x"), col("y")).as("nd"), hofDot.as("hd"),
+        dotLong(col("x"), col("x")).as("nn"), hofNorm.as("hn"))
+      .filter(col("nd") =!= col("hd") || col("nn") =!= col("hn"))
+    assert(diff.count() == 0)
+  }
+
+  test("dot_long interpreted mode agrees with codegen") {
+    import graft.functions.DotLong.dotLong
+    val before = spark.conf.getOption("spark.sql.codegen.wholeStage")
+    try {
+      val df = micro.select(col("vec_id"),
+        dotLong(col("mv"), col("mv")).as("n"))
+      val on = df.orderBy(col("vec_id")).as[(Long, Long)].collect().toSeq
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      val off = df.orderBy(col("vec_id")).as[(Long, Long)].collect().toSeq
+      assert(on == off)
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage",
+        before.getOrElse("true"))
+      spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+  }
+
   test("interpreted mode (codegen off) agrees with codegen") {
     val before = spark.conf.getOption("spark.sql.codegen.wholeStage")
     try {

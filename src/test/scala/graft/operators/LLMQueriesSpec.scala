@@ -572,7 +572,7 @@ class LLMQueriesSpec extends SparkSpec {
       (11L, Array(0.0f, 0.2f, 0.1f, 1.0f), 2)
     ).toDF("vec_id", "embedding", "label")
     val got = LLMQueries.retrievalQualityOf(docsDf, emb)
-      .as[(String, Long, Long, Long)].collect()
+      .as[(String, Long, Long, Long, Long)].collect()
       .map(r => r._1 -> r._4).toMap
     assert(got.keySet ==
       Set("bm25", "dense_ivf", "hybrid_dense", "ql", "rrf"))

@@ -474,17 +474,23 @@ class VectorQueriesSpec extends SparkSpec {
 
   test("ann recall summary: bounds hold, more probes never lose recall") {
     val rows = VectorQueries.annRecallSummary(spark, sfDir)
-      .as[(String, Long, Long, Long)].collect()
-      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
     assert(rows.keySet ==
       Set("ivf", "ivf_incremental", "ivf_sq8", "ivfpq",
         "ivfpq_incremental", "multiprobe", "pq", "pq_trained", "rp",
         "sq8"))
-    rows.values.foreach { case (hits, nExact, micro) =>
+    rows.values.foreach { case (hits, nExact, micro, mass) =>
       assert(nExact == 30L) // NumQueries × TopK
       assert(hits >= 0 && hits <= nExact)
       assert(micro == hits * 1000000L / nExact)
+      // truth mass is bounded by ±|returned| in full cosine units
+      assert(math.abs(mass) <= nExact * 1000000L)
     }
+    // the continuous companion must not tie where it matters: the exact
+    // scan's own returned set has the maximal possible truth mass, so
+    // sq8 (near-exact) must dominate the coarsest compressed tier
+    assert(rows("sq8")._4 > rows("ivfpq")._4)
     // multiprobe's candidate set is a superset of ivf's per query, and a
     // ground-truth member in the candidate set always ranks within the
     // variant's top-k (at most k-1 items beat it anywhere) — so hits are

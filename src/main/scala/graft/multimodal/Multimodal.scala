@@ -919,10 +919,14 @@ object Multimodal {
     * corpus side is exactly the `audio_fps` table IndexStore persists
     * (8+8 bytes per row; corpus payloads are never re-decoded). */
   def audioFpSplit(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val dist = audioFps(audioAssetTable(spark, dir)).toDF()
-      .select(col("doc_id"), col("fp")).distinct()
-    (dist.filter(col("doc_id") % 10 =!= 0),
-      dist.filter(col("doc_id") % 10 === 0))
+    // split BEFORE decode — the frameFpSplit rationale: the batch side
+    // must decode only batch payloads, never the corpus
+    val assets = audioAssetTable(spark, dir)
+    def fps(ds: Dataset[MediaRow]): DataFrame =
+      audioFps(ds).toDF()
+        .select(col("doc_id"), col("fp")).distinct()
+    (fps(assets.filter(col("doc_id") % 10 =!= 0)),
+      fps(assets.filter(col("doc_id") % 10 === 0)))
   }
 
   /** q128: the daily-ingest flavor of q126 — arriving audio assets are
@@ -989,10 +993,17 @@ object Multimodal {
     * O(corpus) decode (VERDICT r11 "Missing" #1). */
   def frameFpSplit(spark: SparkSession,
       dir: String): (DataFrame, DataFrame) = {
-    val dist = frameHashes(assetTable(spark, dir)).toDF()
-      .select(col("doc_id"), col("fhash")).distinct()
-    (dist.filter(col("doc_id") % 10 =!= 0),
-      dist.filter(col("doc_id") % 10 === 0))
+    // split the ASSET table before decode: a filter above the decode
+    // mapPartitions cannot push through it, so splitting the decoded
+    // frame table made the daily leg decode the whole corpus to extract
+    // batch fingerprints (measured at 100×: daily ≈ build CPU) — the
+    // exact O(corpus) rescan the family exists to avoid
+    val assets = assetTable(spark, dir)
+    def fps(ds: Dataset[MediaRow]): DataFrame =
+      frameHashes(ds).toDF()
+        .select(col("doc_id"), col("fhash")).distinct()
+    (fps(assets.filter(col("doc_id") % 10 =!= 0)),
+      fps(assets.filter(col("doc_id") % 10 === 0)))
   }
 
   /** q183: the daily-ingest flavor of q118 — arriving video assets are
@@ -1056,8 +1067,13 @@ object Multimodal {
     * ([[VariantIdOffset]] is a multiple of 10), so re-encodes arrive in
     * the same batch as their original, the realistic ingest shape. */
   def mediaSplit(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val h = assetHashes(spark, dir)
-    (h.filter(col("doc_id") % 10 =!= 0), h.filter(col("doc_id") % 10 === 0))
+    // split BEFORE decode — the frameFpSplit rationale: the batch side
+    // must decode only batch payloads, never the corpus
+    val assets = assetTable(spark, dir)
+      .repartition(spark.sessionState.conf.numShufflePartitions,
+        col("doc_id"))
+    (perceptualHashes(assets.filter(col("doc_id") % 10 =!= 0)).toDF(),
+      perceptualHashes(assets.filter(col("doc_id") % 10 === 0)).toDF())
   }
 
   /** q111: the daily-ingest media near-dup flow as an ORACLE query. */

@@ -1,0 +1,431 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.CentroidAggregator
+import graft.functions.CosineSimilarity.cosineSim
+import graft.functions.L2Distance.l2Sq
+
+/** Product-quantization family (L30/L79/L82): seeded + Lloyd-trained
+  * codebooks, the q178 distortion gate, ADC search, and IVF-PQ with
+  * residual encoding + its frozen-index incremental serving —
+  * q117/q177/q178/q181/q182.
+  *
+  * Split out of VectorQueries by family (round 12, pure moves) — see
+  * [[VectorAnnTiers]].
+  */
+private[operators] trait VectorPq {
+  this: VectorQueries.type =>
+
+  /** Product-quantization geometry: [[PqSubspaces]] subspaces of
+    * [[PqSubDim]] dims each, [[PqCodes]] codebook entries per subspace. */
+  private[operators] final val PqSubspaces = 8
+  private[operators] final val PqSubDim = Dim / PqSubspaces
+  private[operators] final val PqCodes = 16
+
+  /** Fixed-point micro components (round(x·1e6) longs) — PQ's portable
+    * integer domain, shared by codebook, encode, and ADC scoring. */
+  private def microOf(df: DataFrame): DataFrame =
+    df.withColumn("mv",
+      expr("transform(v, x -> cast(round(x * 1e6) as bigint))"))
+
+  /** PQ codebook as ONE broadcastable row: `cb[s][c]` = subspace-s
+    * sub-vector of the c-th seed ([[PqCodes]] lowest vec_ids — the q100
+    * seeding rule), `nb[s][c]` = its exact integer norm². 8×16×8 longs
+    * total; production swaps the seeds for per-subspace k-means
+    * codebooks and nothing downstream changes. */
+  private[operators] def pqCodebookOf(e: DataFrame): DataFrame =
+    pqCodebookOfMicro(microOf(e))
+
+  /** The seed codebook over an explicit micro frame (vec_id, mv) —
+    * shared with the q181 residual domain. */
+  private[operators] def pqCodebookOfMicro(micro: DataFrame): DataFrame =
+    micro.orderBy(col("vec_id")).limit(PqCodes)
+      .groupBy()
+      .agg(sort_array(collect_list(struct(col("vec_id"), col("mv"))))
+        .as("sa"))
+      .select(expr(
+        s"transform(sequence(0, ${PqSubspaces - 1}), s -> " +
+          s"transform(sa, p -> slice(p.mv, s * $PqSubDim + 1, $PqSubDim)))")
+        .as("cb"))
+      .withColumn("nb", expr(
+        "transform(cb, sub -> transform(sub," +
+          " cv -> aggregate(cv, 0L, (a, x) -> a + x * x)))"))
+
+  /** Per-subspace argmin code assignment over (mv, cb): exact integer
+    * L2² in micro units, lowest-code tie-break — ONE definition shared
+    * by the encoder (q117/q177 scoring), the q177 Lloyd trainer and the
+    * q178 distortion scans so assignment, training and the gate can
+    * never drift. Production path is the native fused
+    * [[graft.functions.PqAssign]] (the subspaces×codes×subDim
+    * interpreted-lambda argmin was the PQ family's hottest expression);
+    * [[pqCodesExpr]] below is kept as the interpreted HOF reference it
+    * is parity-tested against (PqAssignSpec). */
+  private[operators] def pqAssignCol: Column =
+    graft.functions.PqAssign.pqAssign(
+      col("mv"), col("cb"), PqSubspaces, PqSubDim, PqCodes)
+
+  /** Interpreted HOF reference formulation of [[pqAssignCol]]'s `codes`
+    * field. */
+  private[operators] def pqCodesExpr: Column = {
+    val dist =
+      s"aggregate(sequence(0, ${PqSubDim - 1}), 0L," +
+        s" (a, j) -> a + (mv[s * $PqSubDim + j] - cb[s][c][j])" +
+        s" * (mv[s * $PqSubDim + j] - cb[s][c][j]))"
+    expr(
+      s"transform(sequence(0, ${PqSubspaces - 1}), s -> " +
+        s"array_min(transform(sequence(0, ${PqCodes - 1}), c -> " +
+        s"named_struct('d', $dist, 'c', c))).c)")
+  }
+
+  /** Lloyd rounds for the TRAINED codebook (q177) — 2, the q100
+    * convention, so the oracle can replay the unrolled iteration. */
+  private[operators] val PqTrainRounds = 2
+
+  /** L30b/q177: TRAINED PQ codebook — the seeded [[pqCodebookOf]]
+    * refined by [[PqTrainRounds]] per-subspace Lloyd rounds (the q100
+    * loop at subspace granularity — VERDICT r10 "Next round" #1: seeded
+    * codebooks made the q110 `pq` recall an arbitrary floor, not what
+    * the published operator can do). Each round assigns every (vector,
+    * subspace) to its nearest codebook entry via the SAME
+    * [[pqCodesExpr]] the encoder uses, then each (subspace, code)
+    * centroid moves to the component-wise mean of its assigned
+    * sub-vectors. The mean is ONE IEEE-correctly-rounded double
+    * division of an exact long component sum, then a half-away-from-
+    * zero `round` back into the micro-integer domain — both engines
+    * derive bit-identical codebooks, and everything downstream (encode,
+    * reconstructed norms, ADC lookups) is the PROVEN q117 integer
+    * machinery verbatim. Empty cells keep their previous centroid (the
+    * standard Lloyd convention; LEFT-join + coalesce in the oracle).
+    *
+    * Scale shape, per round: one corpus scan against the broadcast
+    * 1-row codebook (exactly the encode plan), then the update
+    * aggregates corpus × [[Dim]] slim (s, code, j, component) longs —
+    * partial-aggregating to ≤ m·k·subdim groups map-side. Exactness
+    * bound: a component sum stays an exact long below 2^53/1e6 ≈ 9e9
+    * vectors per cell; past that, train on a sample (what production
+    * PQ does anyway — the codebook needs distribution, not the
+    * corpus). */
+  private[operators] def pqTrainedCodebookOf(e: DataFrame): DataFrame =
+    pqTrainedCodebookOfMicro(microOf(e).select(col("vec_id"), col("mv")))
+
+  /** The trainer over an EXPLICIT micro-integer frame (vec_id, mv) —
+    * shared by q177 (mv = round(v·1e6)) and q181 (mv = the IVF cell
+    * RESIDUAL, already exact micro longs). */
+  private[operators] def pqTrainedCodebookOfMicro(
+      micro: DataFrame): DataFrame = {
+    val m = micro.localCheckpoint(eager = false) // scanned once per round
+    var cb = pqCodebookOfMicro(m)
+    for (_ <- 1 to PqTrainRounds) {
+      // per (s, code, j): exact component sum + count over assigned
+      // sub-vectors, then the rounded mean back in micro integers
+      val means = m.crossJoin(broadcast(cb))
+        .withColumn("codes", pqAssignCol.getField("codes"))
+        .select(posexplode(expr(
+          s"transform(sequence(0, ${PqSubspaces - 1}), s -> " +
+            s"named_struct('code', codes[s]," +
+            s" 'sv', slice(mv, s * $PqSubDim + 1, $PqSubDim)))")))
+        .select(col("pos").as("s"), col("col.code").as("code"),
+          posexplode(col("col.sv")))
+        .groupBy(col("s"), col("code"), col("pos").as("j"))
+        .agg(sum(col("col")).as("sj"), count(lit(1)).as("n"))
+        .select(col("s"), col("code"), col("j"),
+          round(col("sj").cast("double") / col("n"))
+            .cast("bigint").as("x"))
+      val upd = means.groupBy(col("s"), col("code"))
+        .agg(array_sort(collect_list(struct(col("j"), col("x")))).as("jx"))
+        .select(col("s"), col("code"),
+          expr("transform(jx, p -> p.x)").as("cv"))
+      // complete (s, code) grid from the previous codebook, so an
+      // empty cell keeps its centroid; rebuild the nested cb row from
+      // the sorted 128-entry list (index ss·k + cc is always in range)
+      val grid = cb.select(posexplode(expr(
+          s"flatten(transform(sequence(0, ${PqSubspaces - 1}), ss -> " +
+            s"transform(sequence(0, ${PqCodes - 1}), cc -> " +
+            "named_struct('s', ss, 'code', cc, 'prev', cb[ss][cc]))))")))
+        .select(col("col.s").as("s"), col("col.code").as("code"),
+          col("col.prev").as("prev"))
+      cb = grid.join(upd, Seq("s", "code"), "left")
+        .select(col("s"), col("code"),
+          coalesce(col("cv"), col("prev")).as("cv"))
+        .groupBy()
+        .agg(array_sort(collect_list(
+          struct(col("s"), col("code"), col("cv")))).as("sa"))
+        .select(expr(
+          s"transform(sequence(0, ${PqSubspaces - 1}), ss -> " +
+            s"transform(sequence(0, ${PqCodes - 1}), cc -> " +
+            s"sa[ss * $PqCodes + cc].cv))").as("cb"))
+        .withColumn("nb", expr(
+          "transform(cb, sub -> transform(sub," +
+            " cv -> aggregate(cv, 0L, (a, x) -> a + x * x)))"))
+        .localCheckpoint(eager = false) // per-round lineage truncation
+    }
+    cb
+  }
+
+  /** q177: the q117 ADC search under the TRAINED codebook — one
+    * parameter swap, zero new scoring code; reports into the q110 gate
+    * as variant `pq_trained` beside the seeded `pq`, so the training
+    * benefit is a measured CORRECTNESS output. */
+  def pqTrainedTopkCosine(spark: SparkSession, dir: String): DataFrame =
+    annVariant("pq_trained")(spark, dir)
+
+  /** q178: PQ codebook DISTORTION — the measured training gate beside
+    * q110's recall row. recall@[[TopK]] over [[NumQueries]] queries is
+    * 30 indicator draws: one lucky neighbor moves it by 33 333 micro,
+    * so it cannot rank two codebooks whose true recall differs by a few
+    * percent (measured: seeded vs trained recall is a coin-flip across
+    * test SFs while total squared quantization error — THE quantity
+    * Lloyd descends, and the standard codebook-quality metric — drops
+    * ~24% at every SF). Per codebook variant: exact integer total
+    * squared sub-vector↔centroid error and its per-subvector mean.
+    * VectorQueriesSpec asserts trained < seeded strictly; the oracle
+    * replays both codebooks so drift lands in CORRECTNESS.
+    *
+    * Scale shape: one corpus scan per variant against the broadcast
+    * 1-row codebook, each a shuffle-free projection into a 1-row
+    * aggregate; the trained variant adds the q177 trainer's bounded
+    * update aggregations. */
+  def pqDistortion(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir)
+    val m = microOf(e).select(col("vec_id"), col("mv"))
+      .localCheckpoint(eager = false) // scanned once per variant
+    // the q181 residual domain: ‖v − (cm + r̂)‖² = ‖rv − r̂‖², so the
+    // residual sub-distortion IS the full reconstruction error —
+    // directly comparable to the raw-domain rows at identical bytes
+    // (4 bits/subspace either way; the cell id is the IVF layout, not
+    // extra payload). Residuals concentrate near zero, so this row
+    // must sit far below both raw rows — the measured claim residual
+    // encoding makes.
+    val cents = centroids(spark, dir)
+      .localCheckpoint(eager = false) // feeds assignment + micro table
+    val centsM = cents.select(col("clabel").as("cell"),
+      expr("transform(c, x -> cast(round(x * 1e6) as bigint))").as("cm"))
+    val res = cellAssign(e, cents)
+      .join(broadcast(centsM), Seq("cell"))
+      .withColumn("mvr",
+        expr("transform(v, x -> cast(round(x * 1e6) as bigint))"))
+      .select(col("vec_id"),
+        expr("zip_with(mvr, cm, (a, b) -> a - b)").as("mv"))
+      .localCheckpoint(eager = false) // feeds the trainer AND the scan
+    // per-row min total squared error via the native fused assignment
+    // (same exact-integer argmin as the encoder — ONE definition)
+    val rowErr = pqAssignCol.getField("sqerr")
+    // the two trained codebooks materialize EAGERLY (the AnnFrames seal
+    // rationale: concurrent broadcast builds over a lazy checkpoint
+    // re-run the trainer rounds — VERDICT r11 "What's wrong" #2)
+    Seq(
+      ("residual_trained", res,
+        pqTrainedCodebookOfMicro(res).localCheckpoint(eager = true)),
+      ("seeded", m, pqCodebookOf(e)),
+      ("trained", m,
+        pqTrainedCodebookOf(e).localCheckpoint(eager = true)))
+      .map { case (name, micro, cbRow) =>
+        micro.crossJoin(broadcast(cbRow))
+          .select(rowErr.as("sqe"))
+          .agg(sum(col("sqe")).as("total_sqerr"),
+            (count(lit(1)) * PqSubspaces).as("n_subvectors"))
+          .select(lit(name).as("variant"), col("total_sqerr"),
+            col("n_subvectors"),
+            // both operands non-negative: Spark div ≡ DuckDB //
+            expr("total_sqerr div n_subvectors").as("mean_sqerr"))
+      }.reduce(_.unionByName(_)).orderBy(col("variant"))
+  }
+
+  /** L30/q117: product-quantization ADC top-k cosine — THE memory-tier
+    * below SQ8: each vector is stored as [[PqSubspaces]] 4-bit codes
+    * (m log₂k = 4 bytes/vector vs SQ8's 64 — a 16× compression on top
+    * of SQ8's 4×), and queries never touch components at scan time.
+    * Encode assigns every subspace to its nearest codebook entry
+    * (exact integer L2² in micro units, lowest-code tie-break) via a
+    * pure lambda argmin against the single-row broadcast codebook —
+    * shuffle-free, the standard m·k distance cost per vector. Search is
+    * asymmetric (query stays unquantized): per query ONE m×k table of
+    * exact integer sub-dots, then each doc scores as m table lookups —
+    * dot(q, recon(d)) — normalized by the exact reconstructed norm.
+    * Every quantity is an exact long until the single final
+    * division+sqrt (each factor < 2⁵³, so the double product rounds
+    * identically in both engines); recall vs the exact q67 baseline
+    * reports into the q110 gate as variant `pq`.
+    */
+  def pqTopkCosine(spark: SparkSession, dir: String): DataFrame =
+    annVariant("pq")(spark, dir)
+
+  private[operators] def pqTopkCosineOf(e: DataFrame,
+      codebookOf: DataFrame => DataFrame = pqCodebookOf _): DataFrame = {
+    val m = microOf(e)
+    val cbRow = codebookOf(e)
+    val coded = m.crossJoin(broadcast(cbRow))
+      .withColumn("codes", pqAssignCol.getField("codes"))
+      .withColumn("nd", expr(
+        s"aggregate(sequence(0, ${PqSubspaces - 1}), 0L," +
+          " (a, s) -> a + nb[s][codes[s]])"))
+      .select(col("vec_id"), col("codes"), col("nd"))
+    val q = m.filter(col("vec_id") < NumQueries)
+      .crossJoin(broadcast(cbRow))
+      .withColumn("qtab", expr(
+        s"transform(sequence(0, ${PqSubspaces - 1}), s -> " +
+          s"transform(sequence(0, ${PqCodes - 1}), c -> " +
+          s"aggregate(sequence(0, ${PqSubDim - 1}), 0L," +
+          s" (a, j) -> a + mv[s * $PqSubDim + j] * cb[s][c][j])))"))
+      .withColumn("nqm",
+        graft.functions.DotLong.dotLong(col("mv"), col("mv")))
+      .select(col("vec_id").as("qid"), col("qtab"), col("nqm"))
+    val scored = coded.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("dot", expr(
+        s"aggregate(sequence(0, ${PqSubspaces - 1}), 0L," +
+          " (a, s) -> a + qtab[s][codes[s]])"))
+      .withColumn("cos",
+        when(col("nd") === 0 || col("nqm") === 0, lit(0.0))
+          .otherwise(round(col("dot").cast("double") /
+            sqrt(col("nd").cast("double") * col("nqm").cast("double")), 6)))
+    rankTopKPerQuery(scored, TopK)
+      .select(col("qid"), col("rk").cast("long").as("rk"),
+        col("vec_id").as("nid"), col("cos"))
+      .orderBy(col("qid"), col("rk"))
+  }
+
+  /** L82/q181: IVF-PQ with RESIDUAL encoding — the index shape
+    * production vector stores actually serve (the FAISS IVFPQ layout):
+    * the q69 coarse quantizer prunes the scan to the probed cell, and
+    * each vector stores only [[PqSubspaces]] 4-bit codes of its
+    * RESIDUAL against its cell centroid. Residuals concentrate near
+    * zero, so the shared codebook spends its 16 entries per subspace on
+    * a far tighter distribution than raw vectors — the reason this
+    * composition is the production default over flat PQ at equal
+    * bytes. The residual codebook is TRAINED with the q177 Lloyd
+    * rounds over the residual domain (ONE shared trainer,
+    * [[pqTrainedCodebookOfMicro]]).
+    *
+    * Exact-integer algebra end to end: micro centroids
+    * cm = round(c·1e6) per cell; residual rv = mv − cm (exact longs);
+    * reconstruction v̂ = cm + r̂, so
+    *   dot(q, v̂)  = dot(qm, cm) + Σ_s LUT_q[s, code]          and
+    *   ‖v̂‖²      = ‖cm‖² + 2·Σ_s dot(cm_s, cb[s][code])
+    *                + Σ_s nb[s][code],
+    * every term an exact long from two broadcastable tables (the
+    * ≤|cells|-row centroid/cross-term table and the 1-row codebook);
+    * one final rounded double division (the q117 rule). Scale shape:
+    * corpus assignment is the exchange-free [[cellAssign]], encode is
+    * one broadcast-codebook scan, search touches the probed cell only;
+    * reports into the q110 gate as variant `ivfpq`. */
+  def ivfPqTopkCosine(spark: SparkSession, dir: String): DataFrame =
+    annVariant("ivfpq")(spark, dir)
+
+  private[operators] def ivfPqTopkCosineOf(emb: DataFrame): DataFrame =
+    annVariants.toMap.apply("ivfpq")(new AnnFrames(emb))
+
+  /** Micro cell-centroid table (cell, cm) of a (clabel, c) frame. */
+  private def microCents(cents: DataFrame): DataFrame =
+    cents.select(col("clabel").as("cell"),
+      expr("transform(c, x -> cast(round(x * 1e6) as bigint))").as("cm"))
+
+  /** (vec_id, cell, rv): every vector's frozen-cell assignment and
+    * exact micro residual — the q181/q182 encode input and the q178
+    * residual-distortion domain. Pure per-row given `cents`, so a
+    * batch encodes identically to the corpus (the q105 freeze rule). */
+  private[operators] def ivfPqResiduals(e: DataFrame,
+      cents: DataFrame): DataFrame =
+    cellAssign(e, cents)
+      .join(broadcast(microCents(cents)), Seq("cell"))
+      .withColumn("mv",
+        expr("transform(v, x -> cast(round(x * 1e6) as bigint))"))
+      .withColumn("rv", expr("zip_with(mv, cm, (a, b) -> a - b)"))
+      .select(col("vec_id"), col("cell"), col("rv"))
+
+  /** Residual-encode a residual frame against a FROZEN codebook:
+    * (vec_id, cell, codes, nd) — THE compressed index rows an IVFPQ
+    * store persists (4 bits × [[PqSubspaces]] + one norm long per
+    * vector). nd recomposes ‖cm + r̂‖² from the per-cell cross-term
+    * table — ≤|cells| rows, the second broadcastable artifact. */
+  private[operators] def ivfPqEncode(res: DataFrame, cents: DataFrame,
+      rcb: DataFrame): DataFrame = {
+    val cellTab = microCents(cents).crossJoin(broadcast(rcb))
+      .select(col("cell"),
+        expr("aggregate(cm, 0L, (a, x) -> a + x * x)").as("cn2"),
+        expr(
+          s"transform(sequence(0, ${PqSubspaces - 1}), s -> " +
+            s"transform(sequence(0, ${PqCodes - 1}), c -> " +
+            s"aggregate(sequence(0, ${PqSubDim - 1}), 0L, " +
+            s"(a, j) -> a + cm[s * $PqSubDim + j] * cb[s][c][j])))")
+          .as("cdots"))
+    res.select(col("vec_id"), col("cell"), col("rv").as("mv"))
+      .crossJoin(broadcast(rcb))
+      .withColumn("codes", pqAssignCol.getField("codes"))
+      .join(broadcast(cellTab), Seq("cell"))
+      .withColumn("nd", expr(
+        s"cn2 + aggregate(sequence(0, ${PqSubspaces - 1}), 0L, " +
+          "(a, s) -> a + 2 * cdots[s][codes[s]] + nb[s][codes[s]])"))
+      .select(col("vec_id"), col("cell"), col("codes"), col("nd"))
+  }
+
+  /** ADC search over a coded IVFPQ index: query side assigns to its own
+    * cell (probes = 1, the q69/q112 convention), computes dot(qm, cm)
+    * against the probed cell and ONE shared residual-codebook LUT —
+    * cell-independent, the FAISS trick — then each coded row in the
+    * probed cell scores as [[PqSubspaces]] lookups plus the centroid
+    * dot. */
+  /** The IVFPQ query-side frame (qid, cell, qdotc, qtab, nqm) over ANY
+    * (vec_id, v) query frame — shared by the batch search and the
+    * streaming twin (the arriving side of a stream-static join, so it
+    * must not assume broadcastability or a NumQueries filter). */
+  private[graft] def ivfPqQuerySide(queries: DataFrame, cents: DataFrame,
+      rcb: DataFrame): DataFrame =
+    probeAssign(queries, cents, 1)
+      .withColumn("qm",
+        expr("transform(v, x -> cast(round(x * 1e6) as bigint))"))
+      .join(broadcast(microCents(cents)), Seq("cell"))
+      .crossJoin(broadcast(rcb))
+      .select(col("vec_id").as("qid"), col("cell"),
+        graft.functions.DotLong.dotLong(col("qm"), col("cm")).as("qdotc"),
+        expr(
+          s"transform(sequence(0, ${PqSubspaces - 1}), s -> " +
+            s"transform(sequence(0, ${PqCodes - 1}), c -> " +
+            s"aggregate(sequence(0, ${PqSubDim - 1}), 0L, " +
+            s"(a, j) -> a + qm[s * $PqSubDim + j] * cb[s][c][j])))")
+          .as("qtab"),
+        graft.functions.DotLong.dotLong(col("qm"), col("qm")).as("nqm"))
+
+  /** The per-(query, coded row) ADC dot and cosine — shared by the
+    * batch rank tail and the streaming twin (ONE scoring definition). */
+  private[graft] def ivfPqAdcDot: Column = expr(
+    s"qdotc + aggregate(sequence(0, ${PqSubspaces - 1}), 0L," +
+      " (a, s) -> a + qtab[s][codes[s]])")
+  private[graft] def ivfPqAdcCos: Column =
+    when(col("nd") === 0 || col("nqm") === 0, lit(0.0))
+      .otherwise(round(col("dot").cast("double") /
+        sqrt(col("nd").cast("double") * col("nqm").cast("double")), 6))
+
+  private[operators] def ivfPqSearch(coded: DataFrame, e: DataFrame,
+      cents: DataFrame, rcb: DataFrame): DataFrame = {
+    val q = ivfPqQuerySide(
+      e.filter(col("vec_id") < NumQueries), cents, rcb)
+    val scored = coded.join(broadcast(q), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("dot", ivfPqAdcDot)
+      .withColumn("cos", ivfPqAdcCos)
+    // Two-level rank — the ivfTopkCosineOf rationale: the probed cell's
+    // full code membership must not funnel through one reducer per qid.
+    rankTopKPerQuery(scored, TopK)
+      .select(col("qid"), col("rk").cast("long").as("rk"),
+        col("vec_id").as("nid"), col("cos"))
+      .orderBy(col("qid"), col("rk"))
+  }
+
+  /** L82b/q182: INCREMENTAL IVF-PQ serving — the daily leg that makes
+    * q181 a lifecycle (the q105 pattern at the PQ tier): the coarse
+    * centroids, the trained residual codebook and the corpus CODES are
+    * frozen per snapshot (IndexStore family `ivfpq` — codes are 8-byte
+    * rows, the whole point of the tier); an arriving batch assigns to
+    * the frozen cells, residual-encodes against the frozen codebook
+    * (pure per-row, so batch == corpus encoding by construction) and is
+    * immediately searchable alongside the corpus codes. Recall drifts
+    * as the batch skews from the frozen quantizer — q160's drift report
+    * is the retrain trigger, same trade as q105. */
+  def incrementalIvfPqTopk(spark: SparkSession, dir: String): DataFrame =
+    annVariant("ivfpq_incremental")(spark, dir)
+
+}

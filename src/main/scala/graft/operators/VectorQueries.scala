@@ -27,10 +27,14 @@ import scala.collection.immutable.ListMap
   * VectorQueriesSpec); the only other per-row JVM code is the centroid
   * UDAF, whose long[] buffer is exact and order-independent.
   */
-object VectorQueries {
+object VectorQueries extends VectorAnnTiers
+    with VectorDedup
+    with VectorPq
+    with VectorClusters
+    with VectorReports {
 
-  private val NumQueries = 10
-  private val TopK = 3
+  private[operators] final val NumQueries = 10
+  private[operators] final val TopK = 3
 
   /** vec_id, label, v (double), nrm — from any (vec_id, embedding, label)
     * frame. Repartitioned up front: the sf parquet is ONE file → a
@@ -46,7 +50,7 @@ object VectorQueries {
       .select(col("vec_id"), col("label"),
         expr("transform(embedding, x -> cast(x AS double))").as("v"))
 
-  private def vecs(spark: SparkSession, dir: String): DataFrame =
+  private[operators] def vecs(spark: SparkSession, dir: String): DataFrame =
     vecsOf(Tables(spark, dir, "embeddings"))
 
 
@@ -82,7 +86,7 @@ object VectorQueries {
     * q107 argument verbatim). Expects (qid, vec_id, <score>); returns
     * the frame with `rk` attached, ≤ k rows per query, all other
     * columns carried through. */
-  private def rankTopKPerQuery(scored: DataFrame, k: Int,
+  private[operators] def rankTopKPerQuery(scored: DataFrame, k: Int,
       score: Column = col("cos")): DataFrame = {
     val local = Window.partitionBy(col("qid"), col("tkshard"))
       .orderBy(score.desc, col("vec_id"))
@@ -97,69 +101,6 @@ object VectorQueries {
       .filter(col("rk") <= k)
   }
 
-  /** L42/q135: HARD-NEGATIVE mining — the contrastive-training step
-    * downstream of embedding generation: for every query vector, the
-    * most-similar vectors carrying a DIFFERENT label. Random negatives
-    * are trivially separable and carry no gradient; the negatives that
-    * teach an embedding model are exactly the near-misses (close in
-    * vector space, semantically distinct) this query surfaces — paired
-    * with in-class positives they form the training triples.
-    *
-    * Scale shape: q67's broadcast-queries single scan with one extra
-    * label predicate — no self-join, no new shuffle class; at serving
-    * scale the scan swaps for any of the ANN tiers (q69/q106/q117)
-    * with the same label filter applied post-candidate. */
-  def hardNegatives(spark: SparkSession, dir: String): DataFrame = {
-    val e = vecs(spark, dir)
-    val q = e.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("qid"), col("v").as("qv"),
-        col("label").as("qlabel"))
-    val scored = e.join(broadcast(q),
-        col("vec_id") =!= col("qid") && col("label") =!= col("qlabel"))
-      .withColumn("cos", round(cosineSim(col("v"), col("qv")), 6))
-    rankTopKPerQuery(scored, HardNegK)
-      .select(col("qid"), col("rk").cast("long").as("rk"),
-        col("vec_id").as("nid"), col("label").as("neg_label"), col("cos"))
-      .orderBy(col("qid"), col("rk"))
-  }
-
-  /** L44/q140: POSITIVE-pair mining — the other half of the q135
-    * contrastive triple: for every query vector, the most-similar
-    * vectors carrying the SAME label (self excluded). A (query,
-    * positive, hard-negative) row from q140×q135 is exactly the triplet
-    * a contrastive embedding loss consumes; mining positives by
-    * similarity (not at random from the class) keeps the pair
-    * semantically tight, which is what makes in-batch negatives work.
-    *
-    * Scale shape: identical to q135 — q67's broadcast-queries single
-    * scan with the label predicate flipped to equality, two-level
-    * ranked. No new shuffle class; at serving scale the scan swaps for
-    * an ANN tier with the same post-candidate filter. */
-  def positivePairs(spark: SparkSession, dir: String): DataFrame = {
-    val e = vecs(spark, dir)
-    val q = e.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("qid"), col("v").as("qv"),
-        col("label").as("qlabel"))
-    val scored = e.join(broadcast(q),
-        col("vec_id") =!= col("qid") && col("label") === col("qlabel"))
-      .withColumn("cos", round(cosineSim(col("v"), col("qv")), 6))
-    rankTopKPerQuery(scored, HardNegK)
-      .select(col("qid"), col("rk").cast("long").as("rk"),
-        col("vec_id").as("pid"), col("label").as("pos_label"), col("cos"))
-      .orderBy(col("qid"), col("rk"))
-  }
-
-  private[operators] def topkCosineOf(e: DataFrame): DataFrame = {
-    val q = e.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("qid"), col("v").as("qv"))
-    val scored = e.join(broadcast(q), col("vec_id") =!= col("qid"))
-      .withColumn("cos", round(cosineSim(col("v"), col("qv")), 6))
-    rankTopKPerQuery(scored, TopK)
-      .select(col("qid"), col("rk").cast("long").as("rk"),
-        col("vec_id").as("nid"), col("cos"))
-      .orderBy(col("qid"), col("rk"))
-  }
-
   /** Per-label centroids via the A9 `Aggregator` (fixed-point long sums →
     * exact, order-independent double means).
     */
@@ -169,55 +110,8 @@ object VectorQueries {
       .agg(centroid(col("embedding")).as("c"))
   }
 
-  private def centroids(spark: SparkSession, dir: String): DataFrame =
+  private[operators] def centroids(spark: SparkSession, dir: String): DataFrame =
     centroidsOf(Tables(spark, dir, "embeddings"))
-
-  /** L4 + A9: nearest-centroid classification — every vector is assigned
-    * the label of its closest centroid (squared L2, label tie-break), and
-    * the result is reported as a confusion matrix. Centroids are a
-    * |labels|-row broadcast; the scan is a single pass.
-    */
-  def centroidClassify(spark: SparkSession, dir: String): DataFrame =
-    assignedToCentroid(spark, dir)
-      .groupBy(col("label"), col("clabel").as("pred_label"))
-      .agg(count(lit(1)).as("n"))
-      .orderBy(col("label"), col("pred_label"))
-
-  /** Every vector with its nearest q68 centroid attached — shared by
-    * the classifier (q68) and the cell-balance report (q152) so they
-    * can never disagree about the quantizer's Voronoi layout. */
-  private def assignedToCentroid(spark: SparkSession,
-      dir: String): DataFrame = {
-    val scored = vecs(spark, dir)
-      .crossJoin(broadcast(centroids(spark, dir)))
-      // native fused loop; 6-dp rounded so a near-tie collapses
-      // identically in every engine and the portable clabel tie-break
-      // decides (ADVICE r6 #4 — sqrt/summation-order parity)
-      .withColumn("d2", round(l2Sq(col("v"), col("c")), 6))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("d2"), col("clabel"))
-    scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-  }
-
-  /** L55/q152: IVF CELL-BALANCE report — ANN index health for the
-    * q68/q69 coarse quantizer: per Voronoi cell, population and corpus
-    * share. IVF probe latency is bounded by the hottest cell a query
-    * lands in, so a skewed layout (one cell holding half the corpus)
-    * is a serving regression even at held recall — the number to watch
-    * when deciding a quantizer retrain (q105 documents the frozen-
-    * quantizer trade this report polices). Same assignment as q68,
-    * one definition. */
-  def ivfCellBalance(spark: SparkSession, dir: String): DataFrame = {
-    val counts = assignedToCentroid(spark, dir)
-      .groupBy(col("clabel").as("cell"))
-      .agg(count(lit(1)).as("n"))
-    val tot = counts.agg(sum(col("n")).as("n_total"))
-    counts.crossJoin(broadcast(tot))
-      .select(col("cell"), col("n"),
-        expr("n * 1000000L div n_total").as("share_micro"))
-      .orderBy(col("cell"))
-  }
 
   /** Per-vector nearest-cell assignment against a SUPPLIED frozen
     * quantizer, exchange-free: the ≤|labels|-row centroid table
@@ -271,1563 +165,6 @@ object VectorQueries {
   private[graft] def cellStatsOf(assigned: DataFrame): DataFrame =
     assigned.groupBy(col("cell"))
       .agg(count(lit(1)).as("n"), sum(col("d2micro")).as("s"))
-
-  /** L63/q160: QUANTIZER-DRIFT report — the RETRAIN TRIGGER for the
-    * frozen coarse quantizer the ANN tiers serve off (q105/q112 freeze
-    * it per corpus snapshot; q152 reports its balance). A frozen
-    * quantizer degrades silently as the data distribution shifts: new
-    * mass lands ever further from the nearest centroid, cell residuals
-    * grow, and recall@probes decays even though the index "works". Per
-    * cell this reports resident vs arriving mass side by side —
-    * `n_corpus`/`n_batch` population, `growth_micro` (batch arrivals per
-    * million residents — a cell growing far above its corpus share is a
-    * distribution shift), and the mean squared distance to the frozen
-    * centroid of residents (`corpus_d2_micro`) vs arrivals
-    * (`batch_d2_micro`), with `drift_micro` their gap: positive drift =
-    * arriving vectors fit the frozen cells worse = quantization error
-    * creep, the number that schedules a retrain.
-    *
-    * Scale shape: the corpus side is a PERSISTED ≤|cells|-row artifact
-    * (IndexStore `ivf_cell_stats`, written once per snapshot beside the
-    * centroids); the daily leg assigns ONLY the batch — one broadcast-
-    * centroid scan with the exchange-free [[cellAssign]] lambda argmin —
-    * then joins two ≤|cells|-row frames. All distances are exact
-    * micro-unit longs; means are integer divisions (the q149 rule), so
-    * the report is bit-portable and order-independent. */
-  def quantizerDriftOf(cents: DataFrame, corpusStats: DataFrame,
-      batch: DataFrame): DataFrame = {
-    val b = cellStatsOf(cellAssign(batch, cents))
-      .select(col("cell"), col("n").as("n_batch"), col("s").as("s_b"))
-    corpusStats
-      .select(col("cell"), col("n").as("n_corpus"), col("s").as("s_c"))
-      .join(b, Seq("cell"), "full_outer")
-      .na.fill(0L, Seq("n_corpus", "n_batch"))
-      .select(col("cell"), col("n_corpus"), col("n_batch"),
-        when(col("n_corpus") === 0, lit(null).cast("bigint"))
-          .otherwise(expr("n_batch * 1000000L div n_corpus"))
-          .as("growth_micro"),
-        when(col("n_corpus") === 0, lit(null).cast("bigint"))
-          .otherwise(expr("s_c div n_corpus")).as("corpus_d2_micro"),
-        when(col("n_batch") === 0, lit(null).cast("bigint"))
-          .otherwise(expr("s_b div n_batch")).as("batch_d2_micro"),
-        when(col("n_batch") === 0 || col("n_corpus") === 0,
-            lit(null).cast("bigint"))
-          .otherwise(expr("s_b div n_batch - s_c div n_corpus"))
-          .as("drift_micro"))
-      .orderBy(col("cell"))
-  }
-
-  /** q160 as an oracle query: quantizer frozen on the corpus residue
-    * (the q105 rule), corpus stats computed in-query (the production
-    * pipeline reads them persisted — IndexStore `quantizer_drift`
-    * family, disk==memory spec-pinned). */
-  def quantizerDrift(spark: SparkSession, dir: String): DataFrame = {
-    val e = vecs(spark, dir)
-    val corpus = e.filter(col("vec_id") % VecBatchMod =!= 0)
-    val batch = e.filter(col("vec_id") % VecBatchMod === 0)
-      .select(col("vec_id"), col("v"))
-    val cents = centroidsOf(
-        Tables(spark, dir, "embeddings")
-          .filter(col("vec_id") % VecBatchMod =!= 0))
-      .localCheckpoint(eager = false) // feeds corpus AND batch assignment
-    quantizerDriftOf(cents, cellStatsOf(cellAssign(corpus, cents)), batch)
-  }
-
-  /** L52/q149: embedding-space HEALTH report — the per-label diagnostic
-    * read before trusting an embedding table for ANN serving or
-    * hard-negative mining: population, COMPACTNESS (exact integer mean
-    * of squared distance to the label's own centroid — the cluster
-    * radius), and SEPARATION (the nearest other centroid and its gap).
-    * Embedding collapse shows as every gap → 0; label bleed shows as
-    * gap ≪ radius. Same A9 fixed-point centroids as q68, so the report
-    * and the classifier can never disagree about where a label sits.
-    *
-    * Scale shape: one broadcast-centroids scan for compactness (the q68
-    * plan without the argmin) + a |labels|² broadcast self-join for
-    * gaps — bounded by the label vocabulary, never the corpus. */
-  def embeddingReport(spark: SparkSession, dir: String): DataFrame = {
-    val e = vecs(spark, dir)
-    val cents = centroids(spark, dir)
-    // double-rounding is engine-identical: l2Sq is 6-dp rounded first,
-    // then the micro cast is exact (the q138 qmicro argument)
-    val compact = e.join(broadcast(cents), col("label") === col("clabel"))
-      .withColumn("d2micro",
-        round(round(l2Sq(col("v"), col("c")), 6) * 1e6).cast("bigint"))
-      .groupBy(col("label"))
-      .agg(count(lit(1)).as("n"),
-        expr("sum(d2micro) div count(*)").as("mean_d2_micro"))
-    val gaps = cents.as("a")
-      .crossJoin(broadcast(cents.select(col("clabel").as("blabel"),
-        col("c").as("bc"))))
-      .filter(col("clabel") =!= col("blabel"))
-      .withColumn("g", round(l2Sq(col("c"), col("bc")), 6))
-    val nearest = gaps.groupBy(col("clabel").as("label"))
-      .agg(min(struct(col("g"), col("blabel"))).as("best"))
-      .select(col("label"), col("best.blabel").as("nearest_label"),
-        col("best.g").as("centroid_gap"))
-    compact.join(nearest, Seq("label"))
-      .select(col("label"), col("n"), col("mean_d2_micro"),
-        col("nearest_label"), col("centroid_gap"))
-      .orderBy(col("label"))
-  }
-
-  /** IVF-style ANN (scale path for L3): vectors are bucketed by nearest
-    * centroid (the coarse quantizer); each query probes ONLY its own cell,
-    * so the per-query work is ~1/|cells| of the brute-force scan. At
-    * 100 TB the cells become partition keys and the probe is a partition-
-    * pruned scan. Fully oracle-checked: the fixed-point centroids make the
-    * quantizer reproducible in DuckDB, so even the ANN path hash-compares;
-    * recall vs the brute-force baseline is additionally asserted in
-    * ScalaTest.
-    */
-  def ivfTopkCosine(spark: SparkSession, dir: String): DataFrame =
-    annVariant("ivf")(spark, dir)
-
-  /** Probe count for the multi-probe variant (q87). */
-  private[operators] val NumProbes = 2
-
-  /** Multi-probe IVF: each query searches its [[NumProbes]] nearest
-    * cells instead of one — the standard recall fix for queries near a
-    * Voronoi boundary, at a probes× scan cost that is still a tiny
-    * fraction of the corpus. Data-side layout is unchanged (one cell
-    * per vector), so at 100 TB this is the same partition-pruned scan,
-    * just over `probes` partitions per query.
-    */
-  def ivfMultiprobeTopkCosine(spark: SparkSession, dir: String): DataFrame =
-    annVariant("multiprobe")(spark, dir)
-
-  /** Dense retrieval leg for the q170 hybrid fusion (LLMQueries): the
-    * q87 multi-probe IVF tier under the RETRIEVAL family's contract —
-    * queries are vec_id < nQueries, the corpus is vec_id ≥ nQueries
-    * (documents and embeddings share the id space, so this mirrors
-    * BM25's query/corpus split exactly) — ranked to depth k with the
-    * two-level [[rankTopKPerQuery]] shape. Returns (qid, doc_id, rk):
-    * rank-only, which is all RRF consumes — the reason hybrid search
-    * standardized on rank fusion is precisely that the dense leg's
-    * cosine and the lexical leg's BM25 micro-units never need a shared
-    * scale. */
-  private[operators] def denseRankedLeg(emb: DataFrame, nQueries: Int,
-      k: Int): DataFrame = {
-    val e = vecsOf(emb)
-    val cents = centroidsOf(emb)
-    // corpus side: the exchange-free [[cellAssign]] lambda argmin —
-    // same rounded d2 + cell tie-break as the old vec_id window, zero
-    // shuffle of vector-carrying rows (VERDICT r10 "What's wrong" #1)
-    val assigned = cellAssign(e.filter(col("vec_id") >= nQueries), cents)
-      .select(col("vec_id"), col("v"), col("cell"))
-    // only the bounded query side needs top-`probes` cells
-    val q = probeAssign(e.filter(col("vec_id") < nQueries), cents, NumProbes)
-      .select(col("vec_id").as("qid"), col("v").as("qv"), col("cell"))
-    val scored = assigned.join(broadcast(q), Seq("cell"))
-      .withColumn("cos", round(cosineSim(col("v"), col("qv")), 6))
-    rankTopKPerQuery(scored, k)
-      .select(col("qid"), col("vec_id").as("doc_id"),
-        col("rk").cast("long").as("rk"))
-  }
-
-  /** The [[denseRankedLeg]] as oracle CTEs for the q170 hybrid — the
-    * shared centroid/assignment CTEs (e, cent, assigned: the q68/q69
-    * fixed-point quantizer, one definition) plus the multi-probe query
-    * assignment and the ranked dense leg, ending in
-    * `drank(qid, doc_id, rk)`. Exported to LLMQueries so the hybrid
-    * oracle NESTS the proven IVF fragments (the q115 composition
-    * rule). */
-  private[operators] def denseLegOracleCtes(nQueries: Int): String =
-    s"$centroidCte," +
-      s"""dqm AS (SELECT qid, qv, cell FROM (
-         |    SELECT e.vec_id AS qid, e.v AS qv, cent.clabel AS cell,
-         |      row_number() OVER (PARTITION BY e.vec_id
-         |        ORDER BY ${oracleL2Sq("e.v", "cent.c")}, cent.clabel) AS rn
-         |    FROM e, cent WHERE e.vec_id < $nQueries)
-         |  WHERE rn <= $NumProbes),
-         |dscored AS (
-         |  SELECT dqm.qid, a.vec_id AS doc_id,
-         |    round(list_cosine_similarity(a.v, dqm.qv), 6) AS cos
-         |  FROM assigned a JOIN dqm
-         |    ON a.pred_label = dqm.cell AND a.vec_id >= $nQueries),
-         |drank AS (
-         |  SELECT qid, doc_id, row_number() OVER (PARTITION BY qid
-         |    ORDER BY cos DESC, doc_id) AS rk FROM dscored)""".stripMargin
-
-  /** Exact dense GROUND TRUTH for the q179 retrieval-quality gate:
-    * brute-force cosine under the RETRIEVAL family's query/corpus split
-    * (queries = vec_id < nQueries, corpus = everything else — exactly
-    * the q93/q163/q170 contract, where q67's own split ranks other
-    * queries too). Returns (qid, doc_id, rk) to depth k. One broadcast-
-    * queries scan, two-level ranked — the q67 plan. */
-  private[operators] def denseExactLeg(emb: DataFrame, nQueries: Int,
-      k: Int): DataFrame = {
-    val e = vecsOf(emb)
-    val q = e.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("qid"), col("v").as("qv"))
-    val scored = e.filter(col("vec_id") >= nQueries)
-      .crossJoin(broadcast(q))
-      .withColumn("cos", round(cosineSim(col("v"), col("qv")), 6))
-    rankTopKPerQuery(scored, k)
-      .select(col("qid"), col("vec_id").as("doc_id"),
-        col("rk").cast("long").as("rk"))
-  }
-
-  /** [[denseExactLeg]] as a standalone oracle SELECT (the q67 scoring
-    * form verbatim, restricted to the retrieval split) — exported to
-    * LLMQueries so the q179 gate's ground truth nests the proven
-    * fragment. */
-  private[operators] def denseExactOracleSql(nQueries: Int,
-      k: Int): String =
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-       |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < $nQueries),
-       |scored AS (
-       |  SELECT qid, e.vec_id AS doc_id,
-       |    round(list_cosine_similarity(e.v, q.qv), 6) AS cos
-       |  FROM e, q WHERE e.vec_id >= $nQueries)
-       |SELECT qid, doc_id, CAST(rk AS BIGINT) AS rk FROM (
-       |  SELECT qid, doc_id, row_number() OVER
-       |    (PARTITION BY qid ORDER BY cos DESC, doc_id) AS rk
-       |  FROM scored)
-       |WHERE rk <= $k""".stripMargin
-
-  private[operators] def ivfTopkCosineOf(
-      e: DataFrame, cents: DataFrame, probes: Int = 1): DataFrame = {
-    // data vectors live in exactly ONE cell; queries may probe several
-    // (multi-probe trades a probes× larger scan for recall on vectors
-    // that fall near a Voronoi boundary). Corpus assignment is the
-    // exchange-free [[cellAssign]] lambda argmin — the old
-    // `row_number() over (partition by vec_id)` on e × cents shuffled
-    // corpus × |cells| rows each carrying the 64-float vector (VERDICT
-    // r10 "What's wrong" #1); only the broadcast-sized query side needs
-    // a top-`probes` ranking, and [[probeAssign]] does even that with a
-    // pure sorted-array slice, no window.
-    val assigned = cellAssign(e, cents)
-      .select(col("vec_id"), col("v"), col("cell"))
-    val q = probeAssign(e.filter(col("vec_id") < NumQueries), cents, probes)
-      .select(col("vec_id").as("qid"), col("v").as("qv"),
-        col("cell"))
-    val scored = assigned.join(broadcast(q), Seq("cell"))
-      .filter(col("vec_id") =!= col("qid"))
-      .withColumn("cos", round(cosineSim(col("v"), col("qv")), 6))
-    // Two-level rank: a qid partition here is a probed cell's FULL
-    // membership (~corpus/|cells| rows through one reducer per query at
-    // scale) — the same constant-cardinality-key funnel the brute-force
-    // tails already route through [[rankTopKPerQuery]]; identical
-    // (cos desc, vec_id) tie-break, so outputs are byte-equal.
-    rankTopKPerQuery(scored, TopK)
-      .select(col("qid"), col("rk").cast("long").as("rk"),
-        col("vec_id").as("nid"), col("cos"))
-      .orderBy(col("qid"), col("rk"))
-  }
-
-  // ---- sign-LSH near-dup ---------------------------------------------
-
-  // 4 bands × 6 bits: 64 distinct keys per band, so random data spreads
-  // into buckets of ~n/64 and candidate volume is Σ bucket² ≈ n²/64 per
-  // band — with 4-bit bands (16 keys) buckets held n/16 and the "pruned"
-  // search was only a 4× reduction. Recall stays the sign-LSH curve:
-  // ≈86% for true near-dups (cos 0.9), deliberately low at the 0.4
-  // boundary where similarity is semantically weak anyway.
-  private[operators] val NumPlanes = 24
-  private[operators] val PlanesPerBand = 6
-  private val Dim = 64
-  private val NearDupThreshold = 0.4
-
-  /** Deterministic ±1 random hyperplanes, shared verbatim with the oracle
-    * SQL (seeded PRNG, generated once at class init). */
-  private[operators] val planes: Seq[Seq[Int]] = {
-    val rnd = new scala.util.Random(7)
-    Seq.fill(NumPlanes)(Seq.fill(Dim)(if (rnd.nextBoolean()) 1 else -1))
-  }
-
-  /** Sign of ⟨v, w_p⟩ in exact fixed-point (round(x*1e9) longs), so both
-    * engines compute identical bits — a double dot product could flip a
-    * boundary sign between engines. This HOF formulation is kept as the
-    * in-engine reference the native [[graft.functions.SignLshKeys]]
-    * expression is parity-tested against (VectorQueriesSpec). */
-  private[operators] def signBitSql(w: Seq[Int]): String =
-    s"aggregate(zip_with(v, array(${w.mkString(",")}), " +
-      "(x, wd) -> cast(round(x * 1e9) as bigint) * wd), 0L, (s, e) -> s + e) >= 0L"
-
-  /** L2 (embedding flavor): cosine near-dup pairs via sign-LSH banding —
-    * vectors agreeing on all 6 bits of any band become candidates; exact
-    * cosine (native expression) then keeps pairs ≥ 0.4. Candidate volume
-    * is O(Σ bucket²), never the O(n²) cross join; recall is the standard
-    * sign-LSH curve (≈1 for true near-dups, ~50% at the 0.4 boundary).
-    *
-    * All 24 sign bits come from ONE native
-    * [[graft.functions.SignLshKeys]] evaluation per row (fused
-    * multiply-accumulate, components rounded once) instead of 24
-    * interpreted `aggregate(zip_with(...))` expressions.
-    */
-  def cosineNearDups(spark: SparkSession, dir: String): DataFrame =
-    cosineNearDupsOf(vecs(spark, dir))
-
-  /** Sign-LSH band keys of a (vec_id, v) frame — the q65 projection,
-    * shared by the full self-join pair flow and the incremental
-    * (daily-ingest) probe flow so the two can never drift apart. */
-  private[operators] def lshBandsOf(e: DataFrame): DataFrame =
-    e.select(col("vec_id"), posexplode(
-        graft.functions.SignLshKeys.signLshKeys(
-          col("v"), planes, PlanesPerBand)))
-      .toDF("vec_id", "band", "key")
-
-  private[operators] def cosineNearDupsOf(e: DataFrame): DataFrame = {
-    val spark = e.sparkSession
-    // repartition on the join key: both self-join legs then read ONE
-    // materialized exchange (ReusedExchange), so the fixed-point
-    // sign-bit dot products run once per query instead of once per leg
-    // (without it AQE broadcasts one leg, and a broadcast exchange can
-    // never reuse a shuffle exchange — same lesson as q64)
-    val bands = lshBandsOf(e)
-      .repartition(spark.sessionState.conf.numShufflePartitions,
-        col("band"), col("key"))
-    val cands = bands.as("a")
-      .join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
-      .distinct()
-    cands
-      .join(e.select(col("vec_id").as("vec_a"), col("v").as("va")), Seq("vec_a"))
-      .join(e.select(col("vec_id").as("vec_b"), col("v").as("vb")), Seq("vec_b"))
-      .withColumn("cos", round(cosineSim(col("va"), col("vb")), 6))
-      .filter(col("cos") >= NearDupThreshold)
-      .select(col("vec_a"), col("vec_b"), col("cos"))
-      .orderBy(col("vec_a"), col("vec_b"))
-  }
-
-  /** Exact fixed-point squared norm — the election key for semantic
-    * dedup. round(x·1e6)² longs sum exactly (64 dims × 1e12 ≪ 2⁶³) and
-    * identically in both engines, where a double Σx² could differ in the
-    * last ulp between summation orders. */
-  private val norm2Expr = expr(
-    "aggregate(v, 0L, (s, x) -> s + cast(round(x * 1e6) as bigint)" +
-      " * cast(round(x * 1e6) as bigint))")
-
-  /** SemDeDup-style semantic dedup, end to end, with the q95
-    * exact-duplicate PRE-PASS composed in (SemDeDup's own recipe;
-    * VERDICT r4 "What's wrong" #1): byte-identical vectors first
-    * collapse to one canonical per family (min vec_id, q95's fixed-point
-    * md5 key), the q65 sign-LSH pair graph + q85 star connected
-    * components then run on CANONICALS ONLY, and family sizes are
-    * expanded back into the cluster accounting at the end. An
-    * N-member identical-vector family costs N hash rows instead of
-    * N²/2 LSH pairs — the 30× soak's ~210 s collapses to seconds.
-    *
-    * Output is oracle-identical to the raw-vector formulation because a
-    * family is fully connected in the raw pair graph (identical
-    * fixed-point components ⇒ identical band keys and cosine 1) and
-    * shares one norm, so: the component min over canonicals equals the
-    * min over members (canonical = family min); cluster size equals
-    * Σ family sizes; and the (norm² desc, vec_id asc) election over
-    * members is won by a canonical. Families with ≥2 members whose
-    * canonical joins no LSH cluster re-enter as their own cluster.
-    *
-    * Scale: pair volume is q65's O(Σ bucket²) LSH bound over canonicals;
-    * CC is large-star/small-star (O(log n) rounds); election + sizing is
-    * one partial-aggregating groupBy over cluster_id (`max(struct(norm2,
-    * -vec_id))`), not a cluster-keyed window — a mega-cluster
-    * map-side-combines instead of funneling through one reducer.
-    */
-  def semanticDedup(spark: SparkSession, dir: String): DataFrame =
-    semanticDedupOf(vecs(spark, dir))
-
-  /** q95's portable exact-vector key over the double-array column `v`
-    * (same fixed-point rule as [[vecKeyExpr]], which reads the raw
-    * float `embedding`). */
-  private val vKeyExpr = expr(
-    "md5(concat_ws(',', transform(v," +
-      " x -> cast(cast(round(x * 1e9) as bigint) as string))))")
-
-  private[operators] def semanticDedupOf(e: DataFrame): DataFrame = {
-    // q95 pre-pass: one canonical (min vec_id) + member count per
-    // byte-identical family; the 32-hex key shuffles, never the vector
-    val fams = e.select(col("vec_id"), vKeyExpr.as("vkey"))
-      .groupBy(col("vkey"))
-      .agg(min(col("vec_id")).as("vec_id"), count(lit(1)).as("fam_size"))
-      .select(col("vec_id"), col("fam_size"))
-    // materialized lazily: canon feeds the LSH band leg, both cosine-
-    // verify legs, the fam-only residual, and the norm projection —
-    // without the checkpoint each consumer re-runs the family
-    // aggregation join. eager=false so plan construction/audit is free
-    // (the q70 lesson, uniformly — VERDICT r8 "What's wrong" #1); the
-    // CC loop downstream executes immediately anyway.
-    val canon = fams.join(e.select(col("vec_id"), col("v")), Seq("vec_id"))
-      .localCheckpoint(eager = false)
-    val pairs = cosineNearDupsOf(canon)
-      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
-    val cc = CurationQueries.connectedComponentsStar(pairs)._1
-      .select(col("doc_id").as("vec_id"), col("cluster_id"))
-    // exact families of ≥2 whose canonical joined no LSH cluster are
-    // clusters of their own (in the raw graph the family is a component)
-    val famOnly = canon.filter(col("fam_size") > 1)
-      .join(cc, Seq("vec_id"), "left_anti")
-      .select(col("vec_id"), col("vec_id").as("cluster_id"))
-    val members = cc.unionByName(famOnly)
-    val norms = canon.select(col("vec_id"), col("fam_size"),
-      norm2Expr.as("norm2"))
-    members.join(norms, Seq("vec_id"))
-      .groupBy(col("cluster_id"))
-      .agg(max(struct(col("norm2"), (-col("vec_id")).as("nid"))).as("best"),
-        sum(col("fam_size")).as("cluster_size"))
-      .select(col("cluster_id"), (-col("best.nid")).as("kept_id"),
-        col("cluster_size").cast("long").as("cluster_size"),
-        (col("cluster_size") - 1).cast("long").as("n_dropped"))
-      .orderBy(col("cluster_id"))
-  }
-
-  /** Portable exact-vector key: md5 over the comma-joined fixed-point
-    * components — identical strings (and so identical keys) in Spark and
-    * DuckDB, where hashing raw doubles would not be portable. Shared
-    * with the streaming twin (StreamingOps) so batch and stream dedup
-    * key identically. */
-  private[graft] val vecKeyExpr = expr(
-    "md5(concat_ws(',', transform(embedding," +
-      " x -> cast(cast(round(cast(x as double) * 1e9) as bigint) as string))))")
-
-  /** Exact embedding dedup — the mandatory PRE-PASS before semantic
-    * dedup on real corpora (SemDeDup's own recipe): byte-identical
-    * vectors collapse to one canonical (min vec_id) through a single
-    * hash-keyed aggregation, so identical-vector mega-families never
-    * reach the quadratic LSH pair stage. The 30× soak makes the cost
-    * concrete: q91 alone on a corpus of 30-member identical families is
-    * ~210 s; this pass collapses those families at a q60-like ~2 s, and
-    * semantic dedup then runs on canonicals at 1× cost. At 100 TB the
-    * shuffle carries a 32-hex key per vector, never the vector itself.
-    */
-  def vectorExactDedup(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "embeddings")
-      .repartition(spark.sessionState.conf.numShufflePartitions,
-        col("vec_id"))
-      .groupBy(vecKeyExpr.as("vkey"))
-      .agg(min(col("vec_id")).as("keep_id"),
-        count(lit(1)).as("n_copies"))
-      .select(col("keep_id"), col("n_copies"))
-      .orderBy(col("keep_id"))
-
-  // ---- incremental (daily-ingest) vector dedup ------------------------
-
-  /** Batch-id residue selecting the "today's batch" leg: vectors with
-    * vec_id ≡ 0 (mod 10) arrive today, the rest are the signed corpus —
-    * the q96/q97 split, embedding flavor (VERDICT r6/r7 gap: the
-    * daily-ingest pattern had no vector-side counterpart). */
-  private[operators] val VecBatchMod = 10
-
-  /** The persisted corpus-side key index a daily pipeline writes once:
-    * one distinct q95 canonical key per known vector (32-hex md5 of the
-    * fixed-point components — never the vector itself). */
-  def vectorHashIndex(corpus: DataFrame): DataFrame =
-    corpus.select(vKeyExpr.as("vkey")).distinct()
-
-  /** Incremental exact vector dedup: survivors of an incoming batch
-    * against the persisted [[vectorHashIndex]]. Batch vectors whose
-    * canonical key exists in the corpus are dups; within the batch the
-    * min vec_id wins, as in the full q95 pass. The anti-join shuffles
-    * 32-hex keys only: daily cost is O(batch), not O(corpus). */
-  def incrementalVectorExactDedup(corpusKeys: DataFrame,
-      newVecs: DataFrame): DataFrame =
-    newVecs
-      .select(col("vec_id"), vKeyExpr.as("vkey"))
-      .groupBy(col("vkey"))
-      .agg(min(col("vec_id")).as("keep_id"), count(lit(1)).as("n_copies"))
-      .join(corpusKeys, Seq("vkey"), "left_anti")
-      .select(col("keep_id"), col("n_copies"))
-      .orderBy(col("keep_id"))
-
-  /** Incremental near-dup: cosine pairs of an incoming batch against an
-    * already-banded corpus (plus batch-internal pairs) WITHOUT re-pairing
-    * the corpus with itself — [[graft.operators.LLMQueries
-    * .incrementalNearDups]]'s probe shape, embedding flavor. Corpus band
-    * keys are the petabyte-scale table a real pipeline persists once;
-    * each day's candidate join probes (corpus ∪ batch) bands with BATCH
-    * bands only, so a corpus-only bucket has no matching probe key and
-    * never enumerates its pairs. Band keys and cosine are pure
-    * per-vector/per-pair functions, so the result equals the FULL q65
-    * pair pass restricted to pairs touching ≥1 batch vector — the
-    * invariant the oracle hash-checks. */
-  def incrementalVectorNearDups(corpusBands: DataFrame, corpusVecs: DataFrame,
-      newVecs: DataFrame): DataFrame = {
-    val spark = newVecs.sparkSession
-    // materialized lazily: newBands feeds BOTH the union leg and the
-    // probe leg — without the checkpoint each consumer re-runs the
-    // fixed-point sign-bit projection (2× the band math per daily run).
-    // The batch is the small side by definition, so this is cheap;
-    // eager=false keeps plan construction/audit free (the q70 lesson).
-    val newBands = lshBandsOf(newVecs).localCheckpoint(eager = false)
-    // cands feeds the verify joins AND the endpoint filter — the lazy
-    // checkpoint keeps the band-probe join from running twice
-    val cands = corpusBands.unionByName(newBands).as("a")
-      .join(newBands.as("n"),
-        col("a.band") === col("n.band") && col("a.key") === col("n.key") &&
-          col("a.vec_id") =!= col("n.vec_id"))
-      .select(least(col("a.vec_id"), col("n.vec_id")).as("vec_a"),
-        greatest(col("a.vec_id"), col("n.vec_id")).as("vec_b"))
-      .distinct()
-      .localCheckpoint(eager = false)
-    // cosine verification only needs the vectors of candidate ENDPOINTS
-    // (batch-bounded — every pair has a batch side): the semi-join
-    // filter keeps the daily pass from shuffling every corpus VECTOR
-    // for a handful of pairs (q96's endpoint lesson, vector flavor —
-    // vectors are 64 doubles each, the most expensive rows in the
-    // pipeline to move). The endpoint set broadcasts under AQE.
-    val ends = cands
-      .select(explode(array(col("vec_a"), col("vec_b"))).as("vec_id"))
-      .distinct()
-    // one explicit vec_id exchange for the union of verify vectors, for
-    // the same reason as q96's sets union: identically-partitioned union
-    // children otherwise let Spark 4.1 zip a 2N-partition union leg
-    // against an N-partition candidates leg; post-filter it moves
-    // candidate-sized rows, not the corpus
-    val all = corpusVecs.unionByName(newVecs)
-      .join(broadcast(ends), Seq("vec_id"), "left_semi")
-      .repartition(spark.sessionState.conf.numShufflePartitions,
-        col("vec_id"))
-    cands
-      .join(all.select(col("vec_id").as("vec_a"), col("v").as("va")),
-        Seq("vec_a"))
-      .join(all.select(col("vec_id").as("vec_b"), col("v").as("vb")),
-        Seq("vec_b"))
-      .withColumn("cos", round(cosineSim(col("va"), col("vb")), 6))
-      .filter(col("cos") >= NearDupThreshold)
-      .select(col("vec_a"), col("vec_b"), col("cos"))
-      .orderBy(col("vec_a"), col("vec_b"))
-  }
-
-  /** q102: the daily-ingest exact vector dedup as an ORACLE query. */
-  def incrementalVectorExactDedupDaily(spark: SparkSession,
-      dir: String): DataFrame = {
-    val e = vecs(spark, dir)
-    incrementalVectorExactDedup(
-      vectorHashIndex(e.filter(col("vec_id") % VecBatchMod =!= 0)),
-      e.filter(col("vec_id") % VecBatchMod === 0))
-  }
-
-  /** q103: the daily-ingest vector near-dup flow as an ORACLE query —
-    * corpus leg banded via the persisted-table path, batch leg probed
-    * against it. */
-  def incrementalVectorNearDupsDaily(spark: SparkSession,
-      dir: String): DataFrame = {
-    val e = vecs(spark, dir)
-    val corpus = e.filter(col("vec_id") % VecBatchMod =!= 0)
-    val batch = e.filter(col("vec_id") % VecBatchMod === 0)
-    incrementalVectorNearDups(lshBandsOf(corpus), corpus, batch)
-  }
-
-  /** The persisted corpus-side semantic-dedup index — what a daily
-    * pipeline writes ONCE after each full q91 pass, so the next day's
-    * batch never re-pairs or re-clusters the corpus:
-    *  - `fams(vkey, canon, fam_size)`: one row per distinct corpus vkey
-    *    (q95 canonical-key table with member counts);
-    *  - `vecC(canon, vkey, fam_size, v)`: the canonical vectors;
-    *  - `bandsC`: q65 sign-LSH band keys of the canonicals;
-    *  - `ccC(canon, label)`: the corpus LSH-pair components over
-    *    canonicals (label = min member canonical);
-    *  - `statsC(label, size_sum, best)`: per corpus cluster, the raw
-    *    member count (Σ fam_size) and the election max(norm2, -canon).
-    */
-  def semanticIndexTables(corpus: DataFrame)
-      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
-    val fams = corpus.select(col("vec_id"), vKeyExpr.as("vkey"))
-      .groupBy(col("vkey"))
-      .agg(min(col("vec_id")).as("canon"), count(lit(1)).as("fam_size"))
-    val vecC = fams
-      .join(corpus.select(col("vec_id").as("canon"), col("v")), Seq("canon"))
-      .localCheckpoint(eager = false)
-    val canonVecs = vecC.select(col("canon").as("vec_id"), col("v"))
-    val bandsC = lshBandsOf(canonVecs)
-    val pairsC = cosineNearDupsOf(canonVecs)
-      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
-    val ccC = CurationQueries.connectedComponentsStar(pairsC)._1
-      .select(col("doc_id").as("canon"), col("cluster_id").as("label"))
-    val statsC = ccC.join(vecC, Seq("canon"))
-      .select(col("label"), col("canon"), col("fam_size"),
-        norm2Expr.as("norm2"))
-      .groupBy(col("label"))
-      .agg(sum(col("fam_size")).as("size_sum"),
-        max(struct(col("norm2"), (-col("canon")).as("nid"))).as("best"))
-    (fams, vecC, bandsC, ccC, statsC)
-  }
-
-  /** Incremental SEMANTIC dedup — the cluster-merge flow: given the
-    * persisted [[semanticIndexTables]] and an incoming batch, emit the
-    * rows the FULL q91 pass over corpus ∪ batch would emit for every
-    * cluster containing ≥ 1 batch vector, WITHOUT re-pairing or
-    * re-clustering the corpus. Daily cost is O(batch + candidate pairs).
-    *
-    * Mechanics (each step batch-sized):
-    *  1. batch families merge into corpus families by vkey — a shared
-    *     vkey adds `size_b` members and may SHIFT the family's canonical
-    *     to a smaller batch id; a new vkey introduces a new canonical.
-    *  2. only NEW canonicals probe the corpus band table (an existing
-    *     family's canonical vector is already banded — identical vector,
-    *     identical keys, no new edges), yielding new-new and new-corpus
-    *     verified cosine pairs.
-    *  3. corpus endpoints CONTRACT to their persisted cluster label (or
-    *     themselves if unclustered); connected components over this
-    *     contracted batch-sized graph merge whole corpus clusters
-    *     through batch vectors without touching corpus-corpus pairs.
-    *  4. per merged component, sizes add (persisted Σ + batch
-    *     additions), the election max combines the persisted best with
-    *     shifted-canonical candidates, and the cluster id is the min
-    *     merged canonical (label adjusted for shifts).
-    *  5. clusters untouched by new pairs but gaining batch family
-    *     members re-emit with updated stats; merged families of ≥ 2
-    *     outside any pair component emit as their own cluster (the
-    *     famOnly rule).
-    *
-    * Correctness rests on the same argument as q91's canonical
-    * formulation: identical vectors form cliques in the raw pair graph,
-    * so family merge + contracted CC reproduces the raw components
-    * restricted to batch-reachable clusters. The oracle hash-checks this
-    * against DuckDB's full recursive closure, restricted to clusters
-    * with a batch member.
-    */
-  def incrementalSemanticDedup(famsC: DataFrame, vecC: DataFrame,
-      bandsC: DataFrame, ccC: DataFrame, statsC: DataFrame,
-      batch: DataFrame): DataFrame = {
-    val spark = batch.sparkSession
-    val n = spark.sessionState.conf.numShufflePartitions
-    // 1. family merge (batch-touched vkeys only)
-    val famsB = batch.select(col("vec_id"), vKeyExpr.as("vkey"))
-      .groupBy(col("vkey"))
-      .agg(min(col("vec_id")).as("canon_b"), count(lit(1)).as("size_b"))
-      .join(batch.select(col("vec_id").as("canon_b"), col("v")),
-        Seq("canon_b"))
-      .join(famsC.select(col("vkey"), col("canon").as("canon_c"),
-        col("fam_size").as("size_c")), Seq("vkey"), "left")
-      .withColumn("merged_canon",
-        least(col("canon_b"), coalesce(col("canon_c"), col("canon_b"))))
-      .withColumn("merged_size",
-        col("size_b") + coalesce(col("size_c"), lit(0L)))
-      .withColumn("norm2", norm2Expr)
-      .localCheckpoint(eager = false) // feeds probe + 5 accounting legs
-    val newFams = famsB.filter(col("canon_c").isNull)
-    val sharedFams = famsB.filter(col("canon_c").isNotNull)
-    // 2. probe with new canonicals only
-    val newCanonVecs = newFams.select(col("canon_b").as("vec_id"), col("v"))
-    val newBands = lshBandsOf(newCanonVecs).localCheckpoint(eager = false)
-    val cands = bandsC.unionByName(newBands).as("a")
-      .join(newBands.as("n"),
-        col("a.band") === col("n.band") && col("a.key") === col("n.key") &&
-          col("a.vec_id") =!= col("n.vec_id"))
-      .select(least(col("a.vec_id"), col("n.vec_id")).as("vec_a"),
-        greatest(col("a.vec_id"), col("n.vec_id")).as("vec_b"))
-      .distinct()
-      .localCheckpoint(eager = false) // feeds verify joins + endpoint filter
-    // verify only needs candidate-endpoint canonicals (batch-bounded):
-    // the semi-join keeps the daily merge from shuffling every corpus
-    // canonical vector — q96's endpoint lesson, semantic flavor
-    val ends = cands
-      .select(explode(array(col("vec_a"), col("vec_b"))).as("vec_id"))
-      .distinct()
-    val allCanonVecs = vecC.select(col("canon").as("vec_id"), col("v"))
-      .unionByName(newCanonVecs)
-      .join(broadcast(ends), Seq("vec_id"), "left_semi")
-      .repartition(n, col("vec_id"))
-    val pairs = cands
-      .join(allCanonVecs.select(col("vec_id").as("vec_a"), col("v").as("va")),
-        Seq("vec_a"))
-      .join(allCanonVecs.select(col("vec_id").as("vec_b"), col("v").as("vb")),
-        Seq("vec_b"))
-      .filter(round(cosineSim(col("va"), col("vb")), 6) >= NearDupThreshold)
-      .select(col("vec_a"), col("vec_b"))
-    // 3. contract corpus endpoints to their cluster label and merge
-    val edges = pairs
-      .join(ccC.select(col("canon").as("vec_a"), col("label").as("la")),
-        Seq("vec_a"), "left")
-      .join(ccC.select(col("canon").as("vec_b"), col("label").as("lb")),
-        Seq("vec_b"), "left")
-      .select(coalesce(col("la"), col("vec_a")).as("doc_a"),
-        coalesce(col("lb"), col("vec_b")).as("doc_b"))
-    val comps = CurationQueries.connectedComponentsStar(edges)._1
-      .select(col("doc_id").as("node"), col("cluster_id").as("tmp"))
-      .localCheckpoint(eager = false) // feeds 3 contribution legs + antis
-    // 4. per-cluster batch effects: size additions from all shared
-    // families; id/election adjustments from SHIFTED canonicals only
-    // (an unshifted family's canonical and norm are already in statsC)
-    val shifted = col("merged_canon") < col("canon_c")
-    val clusterAdj = sharedFams
-      .join(ccC.select(col("canon").as("canon_c"), col("label")),
-        Seq("canon_c"))
-      .groupBy(col("label"))
-      .agg(sum(col("size_b")).as("add_size"),
-        min(when(shifted, col("merged_canon"))).as("min_shift"),
-        max(when(shifted,
-          struct(col("norm2"), (-col("merged_canon")).as("nid"))))
-          .as("add_best"))
-    val updatedClusters = statsC.join(clusterAdj, Seq("label"), "left")
-      .select(col("label"),
-        (col("size_sum") + coalesce(col("add_size"), lit(0L))).as("size"),
-        greatest(col("best"), col("add_best")).as("best"),
-        least(col("label"), coalesce(col("min_shift"), col("label")))
-          .as("adj_id"),
-        col("add_size").isNotNull.as("touched"))
-    // component contributions: corpus clusters, new families, and
-    // corpus singleton canonicals (pair endpoints outside any cluster)
-    val contribCluster = comps
-      .join(updatedClusters.withColumnRenamed("label", "node"), Seq("node"))
-      .select(col("tmp"), col("size"), col("best"), col("adj_id"))
-    val contribNew = comps
-      .join(newFams.select(col("canon_b").as("node"),
-        col("merged_size").as("size"),
-        struct(col("norm2"), (-col("canon_b")).as("nid")).as("best"),
-        col("canon_b").as("adj_id")), Seq("node"))
-      .select(col("tmp"), col("size"), col("best"), col("adj_id"))
-    val contribSingleton = comps
-      .join(updatedClusters.select(col("label").as("node")),
-        Seq("node"), "left_anti")
-      .join(newFams.select(col("canon_b").as("node")), Seq("node"),
-        "left_anti")
-      .join(sharedFams.select(col("canon_c").as("node"),
-        col("merged_size"), col("merged_canon"), col("norm2").as("n2b")),
-        Seq("node"), "left")
-      .join(vecC.select(col("canon").as("node"), col("fam_size"),
-        norm2Expr.as("n2c")), Seq("node"))
-      .select(col("tmp"),
-        coalesce(col("merged_size"), col("fam_size")).as("size"),
-        struct(
-          when(col("merged_canon") < col("node"), col("n2b"))
-            .otherwise(col("n2c")).as("norm2"),
-          (-coalesce(col("merged_canon"), col("node"))).as("nid"))
-          .as("best"),
-        coalesce(col("merged_canon"), col("node")).as("adj_id"))
-    val legA = contribCluster.unionByName(contribNew)
-      .unionByName(contribSingleton)
-      .groupBy(col("tmp"))
-      .agg(min(col("adj_id")).as("cluster_id"),
-        sum(col("size")).as("cluster_size"),
-        max(col("best")).as("best"))
-      .select(col("cluster_id"), (-col("best.nid")).as("kept_id"),
-        col("cluster_size"))
-    // 5. batch-touched clusters with no new pairs; merged families of
-    // >= 2 outside any component (famOnly)
-    val legB = updatedClusters.filter(col("touched"))
-      .join(comps.select(col("node").as("label")), Seq("label"), "left_anti")
-      .select(col("adj_id").as("cluster_id"), (-col("best.nid")).as("kept_id"),
-        col("size").as("cluster_size"))
-    val legC = sharedFams
-      .join(ccC.select(col("canon").as("canon_c")), Seq("canon_c"),
-        "left_anti")
-      .join(comps.select(col("node").as("canon_c")), Seq("canon_c"),
-        "left_anti")
-      .select(col("merged_canon").as("cluster_id"),
-        col("merged_canon").as("kept_id"),
-        col("merged_size").as("cluster_size"))
-    val legD = newFams.filter(col("size_b") >= 2)
-      .join(comps.select(col("node").as("canon_b")), Seq("canon_b"),
-        "left_anti")
-      .select(col("canon_b").as("cluster_id"), col("canon_b").as("kept_id"),
-        col("merged_size").as("cluster_size"))
-    legA.unionByName(legB).unionByName(legC).unionByName(legD)
-      .select(col("cluster_id"), col("kept_id"),
-        col("cluster_size").cast("long").as("cluster_size"),
-        (col("cluster_size") - 1).cast("long").as("n_dropped"))
-      .orderBy(col("cluster_id"))
-  }
-
-  /** q104: the daily-ingest SEMANTIC dedup as an ORACLE query — the
-    * corpus index built once via [[semanticIndexTables]], the batch
-    * merged through [[incrementalSemanticDedup]]. */
-  def incrementalSemanticDedupDaily(spark: SparkSession,
-      dir: String): DataFrame = {
-    val e = vecs(spark, dir).select(col("vec_id"), col("v"))
-    val corpus = e.filter(col("vec_id") % VecBatchMod =!= 0)
-    val batch = e.filter(col("vec_id") % VecBatchMod === 0)
-    val (famsC, vecC, bandsC, ccC, statsC) = semanticIndexTables(corpus)
-    incrementalSemanticDedup(famsC, vecC, bandsC, ccC, statsC, batch)
-  }
-
-  /** q106: int8 scalar-quantized cosine top-k — the memory-bandwidth
-    * scale technique (SQ8): a 100 TB float32 embedding corpus scans 4×
-    * faster as int8, and the per-vector max-abs scale CANCELS in cosine,
-    * so the quantized score is pure integer arithmetic (dot and norms
-    * are exact longs; 64 dims × 127² ≪ 2⁶³) — bit-portable to the
-    * oracle. Search shape is q67's broadcast-queries single scan; the
-    * recall loss vs exact float cosine is the standard SQ8 trade,
-    * asserted against the q67 baseline in VectorQueriesSpec. A zero
-    * vector quantizes to zeros and scores 0 by convention (guarded in
-    * both engines). */
-  def quantizedTopkCosine(spark: SparkSession, dir: String): DataFrame =
-    annVariant("sq8")(spark, dir)
-
-  private[operators] def quantizedTopkCosineOf(e: DataFrame): DataFrame = {
-    val qz = sq8Of(e)
-      .select(col("vec_id"), col("qv"), col("nq"))
-    val queries = qz.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("qid"), col("qv").as("qq"),
-        col("nq").as("nqq"))
-    val scored = qz.crossJoin(broadcast(queries))
-      .filter(col("vec_id") =!= col("qid"))
-      .withColumn("dot", sq8Dot)
-      .withColumn("cos", sq8Cos)
-    rankTopKPerQuery(scored, TopK)
-      .select(col("qid"), col("rk").cast("long").as("rk"),
-        col("vec_id").as("nid"), col("cos"))
-      .orderBy(col("qid"), col("rk"))
-  }
-
-  /** SQ8 per-vector quantization of a (…, v) frame: adds the int8
-    * component array `qv` and its exact long norm `nq` (q106's rule —
-    * ONE definition shared with q112's cell-restricted scan, so the two
-    * can never quantize differently). */
-  private def sq8Of(df: DataFrame): DataFrame =
-    df.withColumn("m", expr("array_max(transform(v, x -> abs(x))) / 127"))
-      .withColumn("s", expr("if(m = 0d, 1d, m)"))
-      .withColumn("qv",
-        expr("transform(v, x -> cast(round(x / s) as bigint))"))
-      .withColumn("nq",
-        graft.functions.DotLong.dotLong(col("qv"), col("qv")))
-      .drop("m", "s")
-
-  /** Exact integer dot of two SQ8 arrays, and the cosine it implies
-    * (zero-norm guarded, shared 6-dp rounding). Native fused loop — the
-    * interpreted zip_with lambda ran per (query, doc) PAIR and dominated
-    * the quantized scans (parity-pinned in PqAssignSpec). */
-  private def sq8Dot =
-    graft.functions.DotLong.dotLong(col("qv"), col("qq"))
-  private def sq8Cos =
-    when(col("nq") === 0 || col("nqq") === 0, lit(0.0))
-      .otherwise(round(col("dot").cast("double") /
-        sqrt((col("nq") * col("nqq")).cast("double")), 6))
-
-  /** q112: IVF + SQ8 — the two ANN scale techniques COMPOSED, the shape
-    * a production vector store actually serves (coarse cells bound the
-    * scan to ~1/|cells| of the corpus; int8 components quarter its
-    * bandwidth): the coarse quantizer is q69's float centroid
-    * assignment (shared — an index stores ONE cell layout for its float
-    * and quantized replicas), the fine scan is q106's exact-integer SQ8
-    * scoring restricted to the query's cell. Both composed pieces are
-    * individually oracle-proven; the composition hash-checks end to end
-    * and reports into the q110 recall gate as its own variant. */
-  def ivfSq8TopkCosine(spark: SparkSession, dir: String): DataFrame =
-    annVariant("ivf_sq8")(spark, dir)
-
-  private[operators] def ivfSq8TopkCosineOf(e: DataFrame,
-      cents: DataFrame): DataFrame = {
-    // corpus cell assignment via the exchange-free [[cellAssign]]
-    // lambda argmin — same rounded d2 + clabel tie-break the old
-    // vec_id-keyed window computed, zero vector-carrying shuffle
-    val assigned = cellAssign(e, cents)
-      .select(col("vec_id"), col("v"), col("cell"))
-    val qz = sq8Of(assigned)
-      .select(col("vec_id"), col("cell"), col("qv"), col("nq"))
-    val q = qz.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("qid"), col("cell"),
-        col("qv").as("qq"), col("nq").as("nqq"))
-    val scored = qz.join(broadcast(q), Seq("cell"))
-      .filter(col("vec_id") =!= col("qid"))
-      .withColumn("dot", sq8Dot)
-      .withColumn("cos", sq8Cos)
-    // Two-level rank — the ivfTopkCosineOf rationale (a qid partition
-    // is a probed cell's full membership; one reducer per query).
-    rankTopKPerQuery(scored, TopK)
-      .select(col("qid"), col("rk").cast("long").as("rk"),
-        col("vec_id").as("nid"), col("cos"))
-      .orderBy(col("qid"), col("rk"))
-  }
-
-  /** Product-quantization geometry: [[PqSubspaces]] subspaces of
-    * [[PqSubDim]] dims each, [[PqCodes]] codebook entries per subspace. */
-  private[operators] val PqSubspaces = 8
-  private[operators] val PqSubDim = Dim / PqSubspaces
-  private[operators] val PqCodes = 16
-
-  /** Fixed-point micro components (round(x·1e6) longs) — PQ's portable
-    * integer domain, shared by codebook, encode, and ADC scoring. */
-  private def microOf(df: DataFrame): DataFrame =
-    df.withColumn("mv",
-      expr("transform(v, x -> cast(round(x * 1e6) as bigint))"))
-
-  /** PQ codebook as ONE broadcastable row: `cb[s][c]` = subspace-s
-    * sub-vector of the c-th seed ([[PqCodes]] lowest vec_ids — the q100
-    * seeding rule), `nb[s][c]` = its exact integer norm². 8×16×8 longs
-    * total; production swaps the seeds for per-subspace k-means
-    * codebooks and nothing downstream changes. */
-  private[operators] def pqCodebookOf(e: DataFrame): DataFrame =
-    pqCodebookOfMicro(microOf(e))
-
-  /** The seed codebook over an explicit micro frame (vec_id, mv) —
-    * shared with the q181 residual domain. */
-  private[operators] def pqCodebookOfMicro(micro: DataFrame): DataFrame =
-    micro.orderBy(col("vec_id")).limit(PqCodes)
-      .groupBy()
-      .agg(sort_array(collect_list(struct(col("vec_id"), col("mv"))))
-        .as("sa"))
-      .select(expr(
-        s"transform(sequence(0, ${PqSubspaces - 1}), s -> " +
-          s"transform(sa, p -> slice(p.mv, s * $PqSubDim + 1, $PqSubDim)))")
-        .as("cb"))
-      .withColumn("nb", expr(
-        "transform(cb, sub -> transform(sub," +
-          " cv -> aggregate(cv, 0L, (a, x) -> a + x * x)))"))
-
-  /** Per-subspace argmin code assignment over (mv, cb): exact integer
-    * L2² in micro units, lowest-code tie-break — ONE definition shared
-    * by the encoder (q117/q177 scoring), the q177 Lloyd trainer and the
-    * q178 distortion scans so assignment, training and the gate can
-    * never drift. Production path is the native fused
-    * [[graft.functions.PqAssign]] (the subspaces×codes×subDim
-    * interpreted-lambda argmin was the PQ family's hottest expression);
-    * [[pqCodesExpr]] below is kept as the interpreted HOF reference it
-    * is parity-tested against (PqAssignSpec). */
-  private[operators] def pqAssignCol: Column =
-    graft.functions.PqAssign.pqAssign(
-      col("mv"), col("cb"), PqSubspaces, PqSubDim, PqCodes)
-
-  /** Interpreted HOF reference formulation of [[pqAssignCol]]'s `codes`
-    * field. */
-  private[operators] def pqCodesExpr: Column = {
-    val dist =
-      s"aggregate(sequence(0, ${PqSubDim - 1}), 0L," +
-        s" (a, j) -> a + (mv[s * $PqSubDim + j] - cb[s][c][j])" +
-        s" * (mv[s * $PqSubDim + j] - cb[s][c][j]))"
-    expr(
-      s"transform(sequence(0, ${PqSubspaces - 1}), s -> " +
-        s"array_min(transform(sequence(0, ${PqCodes - 1}), c -> " +
-        s"named_struct('d', $dist, 'c', c))).c)")
-  }
-
-  /** Lloyd rounds for the TRAINED codebook (q177) — 2, the q100
-    * convention, so the oracle can replay the unrolled iteration. */
-  private[operators] val PqTrainRounds = 2
-
-  /** L30b/q177: TRAINED PQ codebook — the seeded [[pqCodebookOf]]
-    * refined by [[PqTrainRounds]] per-subspace Lloyd rounds (the q100
-    * loop at subspace granularity — VERDICT r10 "Next round" #1: seeded
-    * codebooks made the q110 `pq` recall an arbitrary floor, not what
-    * the published operator can do). Each round assigns every (vector,
-    * subspace) to its nearest codebook entry via the SAME
-    * [[pqCodesExpr]] the encoder uses, then each (subspace, code)
-    * centroid moves to the component-wise mean of its assigned
-    * sub-vectors. The mean is ONE IEEE-correctly-rounded double
-    * division of an exact long component sum, then a half-away-from-
-    * zero `round` back into the micro-integer domain — both engines
-    * derive bit-identical codebooks, and everything downstream (encode,
-    * reconstructed norms, ADC lookups) is the PROVEN q117 integer
-    * machinery verbatim. Empty cells keep their previous centroid (the
-    * standard Lloyd convention; LEFT-join + coalesce in the oracle).
-    *
-    * Scale shape, per round: one corpus scan against the broadcast
-    * 1-row codebook (exactly the encode plan), then the update
-    * aggregates corpus × [[Dim]] slim (s, code, j, component) longs —
-    * partial-aggregating to ≤ m·k·subdim groups map-side. Exactness
-    * bound: a component sum stays an exact long below 2^53/1e6 ≈ 9e9
-    * vectors per cell; past that, train on a sample (what production
-    * PQ does anyway — the codebook needs distribution, not the
-    * corpus). */
-  private[operators] def pqTrainedCodebookOf(e: DataFrame): DataFrame =
-    pqTrainedCodebookOfMicro(microOf(e).select(col("vec_id"), col("mv")))
-
-  /** The trainer over an EXPLICIT micro-integer frame (vec_id, mv) —
-    * shared by q177 (mv = round(v·1e6)) and q181 (mv = the IVF cell
-    * RESIDUAL, already exact micro longs). */
-  private[operators] def pqTrainedCodebookOfMicro(
-      micro: DataFrame): DataFrame = {
-    val m = micro.localCheckpoint(eager = false) // scanned once per round
-    var cb = pqCodebookOfMicro(m)
-    for (_ <- 1 to PqTrainRounds) {
-      // per (s, code, j): exact component sum + count over assigned
-      // sub-vectors, then the rounded mean back in micro integers
-      val means = m.crossJoin(broadcast(cb))
-        .withColumn("codes", pqAssignCol.getField("codes"))
-        .select(posexplode(expr(
-          s"transform(sequence(0, ${PqSubspaces - 1}), s -> " +
-            s"named_struct('code', codes[s]," +
-            s" 'sv', slice(mv, s * $PqSubDim + 1, $PqSubDim)))")))
-        .select(col("pos").as("s"), col("col.code").as("code"),
-          posexplode(col("col.sv")))
-        .groupBy(col("s"), col("code"), col("pos").as("j"))
-        .agg(sum(col("col")).as("sj"), count(lit(1)).as("n"))
-        .select(col("s"), col("code"), col("j"),
-          round(col("sj").cast("double") / col("n"))
-            .cast("bigint").as("x"))
-      val upd = means.groupBy(col("s"), col("code"))
-        .agg(array_sort(collect_list(struct(col("j"), col("x")))).as("jx"))
-        .select(col("s"), col("code"),
-          expr("transform(jx, p -> p.x)").as("cv"))
-      // complete (s, code) grid from the previous codebook, so an
-      // empty cell keeps its centroid; rebuild the nested cb row from
-      // the sorted 128-entry list (index ss·k + cc is always in range)
-      val grid = cb.select(posexplode(expr(
-          s"flatten(transform(sequence(0, ${PqSubspaces - 1}), ss -> " +
-            s"transform(sequence(0, ${PqCodes - 1}), cc -> " +
-            "named_struct('s', ss, 'code', cc, 'prev', cb[ss][cc]))))")))
-        .select(col("col.s").as("s"), col("col.code").as("code"),
-          col("col.prev").as("prev"))
-      cb = grid.join(upd, Seq("s", "code"), "left")
-        .select(col("s"), col("code"),
-          coalesce(col("cv"), col("prev")).as("cv"))
-        .groupBy()
-        .agg(array_sort(collect_list(
-          struct(col("s"), col("code"), col("cv")))).as("sa"))
-        .select(expr(
-          s"transform(sequence(0, ${PqSubspaces - 1}), ss -> " +
-            s"transform(sequence(0, ${PqCodes - 1}), cc -> " +
-            s"sa[ss * $PqCodes + cc].cv))").as("cb"))
-        .withColumn("nb", expr(
-          "transform(cb, sub -> transform(sub," +
-            " cv -> aggregate(cv, 0L, (a, x) -> a + x * x)))"))
-        .localCheckpoint(eager = false) // per-round lineage truncation
-    }
-    cb
-  }
-
-  /** q177: the q117 ADC search under the TRAINED codebook — one
-    * parameter swap, zero new scoring code; reports into the q110 gate
-    * as variant `pq_trained` beside the seeded `pq`, so the training
-    * benefit is a measured CORRECTNESS output. */
-  def pqTrainedTopkCosine(spark: SparkSession, dir: String): DataFrame =
-    annVariant("pq_trained")(spark, dir)
-
-  /** q178: PQ codebook DISTORTION — the measured training gate beside
-    * q110's recall row. recall@[[TopK]] over [[NumQueries]] queries is
-    * 30 indicator draws: one lucky neighbor moves it by 33 333 micro,
-    * so it cannot rank two codebooks whose true recall differs by a few
-    * percent (measured: seeded vs trained recall is a coin-flip across
-    * test SFs while total squared quantization error — THE quantity
-    * Lloyd descends, and the standard codebook-quality metric — drops
-    * ~24% at every SF). Per codebook variant: exact integer total
-    * squared sub-vector↔centroid error and its per-subvector mean.
-    * VectorQueriesSpec asserts trained < seeded strictly; the oracle
-    * replays both codebooks so drift lands in CORRECTNESS.
-    *
-    * Scale shape: one corpus scan per variant against the broadcast
-    * 1-row codebook, each a shuffle-free projection into a 1-row
-    * aggregate; the trained variant adds the q177 trainer's bounded
-    * update aggregations. */
-  def pqDistortion(spark: SparkSession, dir: String): DataFrame = {
-    val e = vecs(spark, dir)
-    val m = microOf(e).select(col("vec_id"), col("mv"))
-      .localCheckpoint(eager = false) // scanned once per variant
-    // the q181 residual domain: ‖v − (cm + r̂)‖² = ‖rv − r̂‖², so the
-    // residual sub-distortion IS the full reconstruction error —
-    // directly comparable to the raw-domain rows at identical bytes
-    // (4 bits/subspace either way; the cell id is the IVF layout, not
-    // extra payload). Residuals concentrate near zero, so this row
-    // must sit far below both raw rows — the measured claim residual
-    // encoding makes.
-    val cents = centroids(spark, dir)
-      .localCheckpoint(eager = false) // feeds assignment + micro table
-    val centsM = cents.select(col("clabel").as("cell"),
-      expr("transform(c, x -> cast(round(x * 1e6) as bigint))").as("cm"))
-    val res = cellAssign(e, cents)
-      .join(broadcast(centsM), Seq("cell"))
-      .withColumn("mvr",
-        expr("transform(v, x -> cast(round(x * 1e6) as bigint))"))
-      .select(col("vec_id"),
-        expr("zip_with(mvr, cm, (a, b) -> a - b)").as("mv"))
-      .localCheckpoint(eager = false) // feeds the trainer AND the scan
-    // per-row min total squared error via the native fused assignment
-    // (same exact-integer argmin as the encoder — ONE definition)
-    val rowErr = pqAssignCol.getField("sqerr")
-    // the two trained codebooks materialize EAGERLY (the AnnFrames seal
-    // rationale: concurrent broadcast builds over a lazy checkpoint
-    // re-run the trainer rounds — VERDICT r11 "What's wrong" #2)
-    Seq(
-      ("residual_trained", res,
-        pqTrainedCodebookOfMicro(res).localCheckpoint(eager = true)),
-      ("seeded", m, pqCodebookOf(e)),
-      ("trained", m,
-        pqTrainedCodebookOf(e).localCheckpoint(eager = true)))
-      .map { case (name, micro, cbRow) =>
-        micro.crossJoin(broadcast(cbRow))
-          .select(rowErr.as("sqe"))
-          .agg(sum(col("sqe")).as("total_sqerr"),
-            (count(lit(1)) * PqSubspaces).as("n_subvectors"))
-          .select(lit(name).as("variant"), col("total_sqerr"),
-            col("n_subvectors"),
-            // both operands non-negative: Spark div ≡ DuckDB //
-            expr("total_sqerr div n_subvectors").as("mean_sqerr"))
-      }.reduce(_.unionByName(_)).orderBy(col("variant"))
-  }
-
-  /** L30/q117: product-quantization ADC top-k cosine — THE memory-tier
-    * below SQ8: each vector is stored as [[PqSubspaces]] 4-bit codes
-    * (m log₂k = 4 bytes/vector vs SQ8's 64 — a 16× compression on top
-    * of SQ8's 4×), and queries never touch components at scan time.
-    * Encode assigns every subspace to its nearest codebook entry
-    * (exact integer L2² in micro units, lowest-code tie-break) via a
-    * pure lambda argmin against the single-row broadcast codebook —
-    * shuffle-free, the standard m·k distance cost per vector. Search is
-    * asymmetric (query stays unquantized): per query ONE m×k table of
-    * exact integer sub-dots, then each doc scores as m table lookups —
-    * dot(q, recon(d)) — normalized by the exact reconstructed norm.
-    * Every quantity is an exact long until the single final
-    * division+sqrt (each factor < 2⁵³, so the double product rounds
-    * identically in both engines); recall vs the exact q67 baseline
-    * reports into the q110 gate as variant `pq`.
-    */
-  def pqTopkCosine(spark: SparkSession, dir: String): DataFrame =
-    annVariant("pq")(spark, dir)
-
-  private[operators] def pqTopkCosineOf(e: DataFrame,
-      codebookOf: DataFrame => DataFrame = pqCodebookOf _): DataFrame = {
-    val m = microOf(e)
-    val cbRow = codebookOf(e)
-    val coded = m.crossJoin(broadcast(cbRow))
-      .withColumn("codes", pqAssignCol.getField("codes"))
-      .withColumn("nd", expr(
-        s"aggregate(sequence(0, ${PqSubspaces - 1}), 0L," +
-          " (a, s) -> a + nb[s][codes[s]])"))
-      .select(col("vec_id"), col("codes"), col("nd"))
-    val q = m.filter(col("vec_id") < NumQueries)
-      .crossJoin(broadcast(cbRow))
-      .withColumn("qtab", expr(
-        s"transform(sequence(0, ${PqSubspaces - 1}), s -> " +
-          s"transform(sequence(0, ${PqCodes - 1}), c -> " +
-          s"aggregate(sequence(0, ${PqSubDim - 1}), 0L," +
-          s" (a, j) -> a + mv[s * $PqSubDim + j] * cb[s][c][j])))"))
-      .withColumn("nqm",
-        graft.functions.DotLong.dotLong(col("mv"), col("mv")))
-      .select(col("vec_id").as("qid"), col("qtab"), col("nqm"))
-    val scored = coded.crossJoin(broadcast(q))
-      .filter(col("vec_id") =!= col("qid"))
-      .withColumn("dot", expr(
-        s"aggregate(sequence(0, ${PqSubspaces - 1}), 0L," +
-          " (a, s) -> a + qtab[s][codes[s]])"))
-      .withColumn("cos",
-        when(col("nd") === 0 || col("nqm") === 0, lit(0.0))
-          .otherwise(round(col("dot").cast("double") /
-            sqrt(col("nd").cast("double") * col("nqm").cast("double")), 6)))
-    rankTopKPerQuery(scored, TopK)
-      .select(col("qid"), col("rk").cast("long").as("rk"),
-        col("vec_id").as("nid"), col("cos"))
-      .orderBy(col("qid"), col("rk"))
-  }
-
-  /** L82/q181: IVF-PQ with RESIDUAL encoding — the index shape
-    * production vector stores actually serve (the FAISS IVFPQ layout):
-    * the q69 coarse quantizer prunes the scan to the probed cell, and
-    * each vector stores only [[PqSubspaces]] 4-bit codes of its
-    * RESIDUAL against its cell centroid. Residuals concentrate near
-    * zero, so the shared codebook spends its 16 entries per subspace on
-    * a far tighter distribution than raw vectors — the reason this
-    * composition is the production default over flat PQ at equal
-    * bytes. The residual codebook is TRAINED with the q177 Lloyd
-    * rounds over the residual domain (ONE shared trainer,
-    * [[pqTrainedCodebookOfMicro]]).
-    *
-    * Exact-integer algebra end to end: micro centroids
-    * cm = round(c·1e6) per cell; residual rv = mv − cm (exact longs);
-    * reconstruction v̂ = cm + r̂, so
-    *   dot(q, v̂)  = dot(qm, cm) + Σ_s LUT_q[s, code]          and
-    *   ‖v̂‖²      = ‖cm‖² + 2·Σ_s dot(cm_s, cb[s][code])
-    *                + Σ_s nb[s][code],
-    * every term an exact long from two broadcastable tables (the
-    * ≤|cells|-row centroid/cross-term table and the 1-row codebook);
-    * one final rounded double division (the q117 rule). Scale shape:
-    * corpus assignment is the exchange-free [[cellAssign]], encode is
-    * one broadcast-codebook scan, search touches the probed cell only;
-    * reports into the q110 gate as variant `ivfpq`. */
-  def ivfPqTopkCosine(spark: SparkSession, dir: String): DataFrame =
-    annVariant("ivfpq")(spark, dir)
-
-  private[operators] def ivfPqTopkCosineOf(emb: DataFrame): DataFrame =
-    annVariants.toMap.apply("ivfpq")(new AnnFrames(emb))
-
-  /** Micro cell-centroid table (cell, cm) of a (clabel, c) frame. */
-  private def microCents(cents: DataFrame): DataFrame =
-    cents.select(col("clabel").as("cell"),
-      expr("transform(c, x -> cast(round(x * 1e6) as bigint))").as("cm"))
-
-  /** (vec_id, cell, rv): every vector's frozen-cell assignment and
-    * exact micro residual — the q181/q182 encode input and the q178
-    * residual-distortion domain. Pure per-row given `cents`, so a
-    * batch encodes identically to the corpus (the q105 freeze rule). */
-  private[operators] def ivfPqResiduals(e: DataFrame,
-      cents: DataFrame): DataFrame =
-    cellAssign(e, cents)
-      .join(broadcast(microCents(cents)), Seq("cell"))
-      .withColumn("mv",
-        expr("transform(v, x -> cast(round(x * 1e6) as bigint))"))
-      .withColumn("rv", expr("zip_with(mv, cm, (a, b) -> a - b)"))
-      .select(col("vec_id"), col("cell"), col("rv"))
-
-  /** Residual-encode a residual frame against a FROZEN codebook:
-    * (vec_id, cell, codes, nd) — THE compressed index rows an IVFPQ
-    * store persists (4 bits × [[PqSubspaces]] + one norm long per
-    * vector). nd recomposes ‖cm + r̂‖² from the per-cell cross-term
-    * table — ≤|cells| rows, the second broadcastable artifact. */
-  private[operators] def ivfPqEncode(res: DataFrame, cents: DataFrame,
-      rcb: DataFrame): DataFrame = {
-    val cellTab = microCents(cents).crossJoin(broadcast(rcb))
-      .select(col("cell"),
-        expr("aggregate(cm, 0L, (a, x) -> a + x * x)").as("cn2"),
-        expr(
-          s"transform(sequence(0, ${PqSubspaces - 1}), s -> " +
-            s"transform(sequence(0, ${PqCodes - 1}), c -> " +
-            s"aggregate(sequence(0, ${PqSubDim - 1}), 0L, " +
-            s"(a, j) -> a + cm[s * $PqSubDim + j] * cb[s][c][j])))")
-          .as("cdots"))
-    res.select(col("vec_id"), col("cell"), col("rv").as("mv"))
-      .crossJoin(broadcast(rcb))
-      .withColumn("codes", pqAssignCol.getField("codes"))
-      .join(broadcast(cellTab), Seq("cell"))
-      .withColumn("nd", expr(
-        s"cn2 + aggregate(sequence(0, ${PqSubspaces - 1}), 0L, " +
-          "(a, s) -> a + 2 * cdots[s][codes[s]] + nb[s][codes[s]])"))
-      .select(col("vec_id"), col("cell"), col("codes"), col("nd"))
-  }
-
-  /** ADC search over a coded IVFPQ index: query side assigns to its own
-    * cell (probes = 1, the q69/q112 convention), computes dot(qm, cm)
-    * against the probed cell and ONE shared residual-codebook LUT —
-    * cell-independent, the FAISS trick — then each coded row in the
-    * probed cell scores as [[PqSubspaces]] lookups plus the centroid
-    * dot. */
-  /** The IVFPQ query-side frame (qid, cell, qdotc, qtab, nqm) over ANY
-    * (vec_id, v) query frame — shared by the batch search and the
-    * streaming twin (the arriving side of a stream-static join, so it
-    * must not assume broadcastability or a NumQueries filter). */
-  private[graft] def ivfPqQuerySide(queries: DataFrame, cents: DataFrame,
-      rcb: DataFrame): DataFrame =
-    probeAssign(queries, cents, 1)
-      .withColumn("qm",
-        expr("transform(v, x -> cast(round(x * 1e6) as bigint))"))
-      .join(broadcast(microCents(cents)), Seq("cell"))
-      .crossJoin(broadcast(rcb))
-      .select(col("vec_id").as("qid"), col("cell"),
-        graft.functions.DotLong.dotLong(col("qm"), col("cm")).as("qdotc"),
-        expr(
-          s"transform(sequence(0, ${PqSubspaces - 1}), s -> " +
-            s"transform(sequence(0, ${PqCodes - 1}), c -> " +
-            s"aggregate(sequence(0, ${PqSubDim - 1}), 0L, " +
-            s"(a, j) -> a + qm[s * $PqSubDim + j] * cb[s][c][j])))")
-          .as("qtab"),
-        graft.functions.DotLong.dotLong(col("qm"), col("qm")).as("nqm"))
-
-  /** The per-(query, coded row) ADC dot and cosine — shared by the
-    * batch rank tail and the streaming twin (ONE scoring definition). */
-  private[graft] def ivfPqAdcDot: Column = expr(
-    s"qdotc + aggregate(sequence(0, ${PqSubspaces - 1}), 0L," +
-      " (a, s) -> a + qtab[s][codes[s]])")
-  private[graft] def ivfPqAdcCos: Column =
-    when(col("nd") === 0 || col("nqm") === 0, lit(0.0))
-      .otherwise(round(col("dot").cast("double") /
-        sqrt(col("nd").cast("double") * col("nqm").cast("double")), 6))
-
-  private[operators] def ivfPqSearch(coded: DataFrame, e: DataFrame,
-      cents: DataFrame, rcb: DataFrame): DataFrame = {
-    val q = ivfPqQuerySide(
-      e.filter(col("vec_id") < NumQueries), cents, rcb)
-    val scored = coded.join(broadcast(q), Seq("cell"))
-      .filter(col("vec_id") =!= col("qid"))
-      .withColumn("dot", ivfPqAdcDot)
-      .withColumn("cos", ivfPqAdcCos)
-    // Two-level rank — the ivfTopkCosineOf rationale: the probed cell's
-    // full code membership must not funnel through one reducer per qid.
-    rankTopKPerQuery(scored, TopK)
-      .select(col("qid"), col("rk").cast("long").as("rk"),
-        col("vec_id").as("nid"), col("cos"))
-      .orderBy(col("qid"), col("rk"))
-  }
-
-  /** L82b/q182: INCREMENTAL IVF-PQ serving — the daily leg that makes
-    * q181 a lifecycle (the q105 pattern at the PQ tier): the coarse
-    * centroids, the trained residual codebook and the corpus CODES are
-    * frozen per snapshot (IndexStore family `ivfpq` — codes are 8-byte
-    * rows, the whole point of the tier); an arriving batch assigns to
-    * the frozen cells, residual-encodes against the frozen codebook
-    * (pure per-row, so batch == corpus encoding by construction) and is
-    * immediately searchable alongside the corpus codes. Recall drifts
-    * as the batch skews from the frozen quantizer — q160's drift report
-    * is the retrain trigger, same trade as q105. */
-  def incrementalIvfPqTopk(spark: SparkSession, dir: String): DataFrame =
-    annVariant("ivfpq_incremental")(spark, dir)
-
-  /** Reduced dimensionality of the q121 sign random projection. */
-  private val RpDim = 32
-
-  /** The ±1 sign matrix S[j][d] for [[rpTopkCosine]], derived from md5
-    * so the DuckDB oracle regenerates the IDENTICAL matrix: S[j][d] is
-    * +1 iff the first hex digit of md5("rp<j>_<d>") is even. Rendered
-    * once as a literal [[RpDim]]×[[Dim]] constant array — the projection
-    * is then a pure codegen lambda, no join and no per-row hashing. */
-  private def rpSignsLiteral: String = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val rows = (0 until RpDim).map { j =>
-      val r = (0 until Dim).map { d =>
-        val h = md.digest(s"rp${j}_${d}".getBytes("UTF-8"))
-        if (((h(0) >> 4) & 0xf) % 2 == 0) "1L" else "-1L"
-      }
-      s"array(${r.mkString(",")})"
-    }
-    s"array(${rows.mkString(",")})"
-  }
-
-  /** L33/q121: sign random-projection top-k cosine — the
-    * DIMENSION-REDUCTION ANN tier (Achlioptas 2001 database-friendly
-    * JL): every vector is projected once to [[RpDim]] integer
-    * components (p[j] = Σ_d S[j][d]·mv[d], exact longs in micro
-    * fixed-point), and search ranks by cosine in the reduced space —
-    * a 64→[[RpDim]] projection halves scanned data with zero codebook
-    * state, the trade being JL distortion ~1/√[[RpDim]] (cluster
-    * preservation asserted in VectorQueriesSpec; measured recall
-    * reports into the q110 gate as variant `rp` — on the ISOTROPIC
-    * random testdata neighbor margins are sub-distortion, so reduced
-    * recall sits near IVF's, the honest worst case; structured corpora
-    * fare far better, see the clustered-data spec). Orthogonal to IVF
-    * (which prunes rows) and SQ8/PQ (which shrink components): a
-    * production store composes them. The projection is a shuffle-free
-    * codegen lambda against the literal sign matrix; scoring is q67's
-    * broadcast-queries single scan over 16-long rows. */
-  def rpTopkCosine(spark: SparkSession, dir: String): DataFrame =
-    annVariant("rp")(spark, dir)
-
-  private[operators] def rpTopkCosineOf(e: DataFrame): DataFrame = {
-    // mv binds ONCE per row via the array-wrap idiom (the LLMQueries
-    // PERF lesson): inlining it as a lambda operand re-evaluates the
-    // 64-element micro transform per (j, d) access — a measured 128×
-    // CPU blowup (Explain'd before/after at sf0.1)
-    val proj = e
-      .withColumn("S", expr(rpSignsLiteral))
-      .withColumn("p", expr(
-        "transform(array(transform(v, x -> cast(round(x * 1e6) as bigint)))," +
-          s" mv -> transform(sequence(0, ${RpDim - 1}), j -> " +
-          s"aggregate(sequence(0, ${Dim - 1}), 0L," +
-          " (a, d) -> a + mv[d] * S[j][d])))[0]"))
-      .withColumn("np",
-        graft.functions.DotLong.dotLong(col("p"), col("p")))
-      .select(col("vec_id"), col("p"), col("np"))
-    val q = proj.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("qid"), col("p").as("pq"),
-        col("np").as("nq"))
-    val scored = proj.crossJoin(broadcast(q))
-      .filter(col("vec_id") =!= col("qid"))
-      .withColumn("dot",
-        graft.functions.DotLong.dotLong(col("p"), col("pq")))
-      .withColumn("cos",
-        when(col("np") === 0 || col("nq") === 0, lit(0.0))
-          .otherwise(round(col("dot").cast("double") /
-            sqrt(col("np").cast("double") * col("nq").cast("double")), 6)))
-    rankTopKPerQuery(scored, TopK)
-      .select(col("qid"), col("rk").cast("long").as("rk"),
-        col("vec_id").as("nid"), col("cos"))
-      .orderBy(col("qid"), col("rk"))
-  }
-
-  /** MMR shortlist width and selection depth for q124. */
-  private val MmrCands = 8
-  private val MmrK = 3
-
-  /** L36/q124: MMR (maximal-marginal-relevance) DIVERSIFIED top-k
-    * (Carbonell & Goldstein 1998) — the re-rank between retrieval and
-    * consumption: plain top-k returns near-duplicate neighbors, MMR
-    * greedily picks argmax λ·rel(q,d) − (1−λ)·max_{s∈S} sim(d,s) so
-    * each pick adds relevance AND novelty (λ = 0.5, where the ordering
-    * equals rel − redundancy). Production shape: rerank a bounded
-    * [[MmrCands]]-item shortlist per query — the shortlist can come
-    * from ANY ANN variant (q69/q106/q117/q121), the rerank cost is
-    * C² per query regardless of corpus size, and the [[MmrK]]
-    * selection rounds are driver-side plan iterations over
-    * broadcast-sized frames (the q108/q100 loop pattern).
-    *
-    * Determinism: rel and pairwise sims are the shared 6-dp-rounded
-    * cosine; per-round scores re-round identical doubles, ties break
-    * by vec_id — both engines pick identical chains (unrolled-CTE
-    * oracle, the kmeans pattern). */
-  def mmrTopk(spark: SparkSession, dir: String): DataFrame =
-    mmrTopkOf(vecs(spark, dir))
-
-  private[operators] def mmrTopkOf(e: DataFrame): DataFrame = {
-    val q = e.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("qid"), col("v").as("qv"))
-    // shortlist via the two-level rank — the only corpus-sized op here
-    val cands = rankTopKPerQuery(
-        e.join(broadcast(q), col("vec_id") =!= col("qid"))
-          .withColumn("rel", round(cosineSim(col("v"), col("qv")), 6)),
-        MmrCands, col("rel"))
-      .select(col("qid"), col("vec_id"), col("v"), col("rel"))
-      .localCheckpoint(eager = false) // feeds cc + every selection round
-    val cc = cands.select(col("qid"), col("vec_id").as("d"), col("v"))
-      .join(cands.select(col("qid"), col("vec_id").as("s"),
-        col("v").as("vs")), Seq("qid"))
-      .filter(col("d") =!= col("s"))
-      .select(col("qid"), col("d"), col("s"),
-        round(cosineSim(col("v"), col("vs")), 6).as("sim"))
-      .localCheckpoint(eager = false)
-    val ws = Window.partitionBy(col("qid"))
-      .orderBy(col("score").desc, col("vec_id"))
-    var sel = cands
-      .withColumn("score", col("rel"))
-      .withColumn("rn", row_number().over(ws))
-      .filter(col("rn") === 1)
-      .select(col("qid"), col("vec_id"), lit(1L).as("rk"), col("score"))
-    for (t <- 2 to MmrK) {
-      val red = cc
-        .join(broadcast(sel.select(col("qid"), col("vec_id").as("s"))),
-          Seq("qid", "s"))
-        .groupBy(col("qid"), col("d"))
-        .agg(max(col("sim")).as("red"))
-      val pick = cands
-        .join(broadcast(sel.select(col("qid"), col("vec_id"))),
-          Seq("qid", "vec_id"), "left_anti")
-        .join(red.withColumnRenamed("d", "vec_id"), Seq("qid", "vec_id"))
-        .withColumn("score", round(col("rel") - col("red"), 6))
-        .withColumn("rn", row_number().over(ws))
-        .filter(col("rn") === 1)
-        .select(col("qid"), col("vec_id"), lit(t.toLong).as("rk"),
-          col("score"))
-      sel = sel.unionByName(pick)
-    }
-    sel.select(col("qid"), col("rk"), col("vec_id").as("nid"), col("score"))
-      .orderBy(col("qid"), col("rk"))
-  }
-
-  /** q105: IVF index APPEND — the daily-ingest pattern for the ANN
-    * serving path (L3b). The coarse quantizer (per-label fixed-point
-    * centroids) is computed from the CORPUS only — the persisted index
-    * a pipeline rebuilds on a schedule, never per batch; the incoming
-    * batch is assigned to its nearest existing cell (one batch-sized
-    * scan against the broadcast centroid table) and is immediately
-    * searchable alongside the corpus. Queries probe the merged cells
-    * exactly as q69. Recall drifts as the batch skews away from the
-    * frozen centroids — the standard trade every serving IVF index
-    * makes between rebuilds. */
-  def incrementalIvfTopkCosine(spark: SparkSession,
-      dir: String): DataFrame =
-    annVariant("ivf_incremental")(spark, dir)
-
-  private[operators] val KmeansK = 8
-  private[operators] val KmeansRounds = 2
-
-  /** L23: k-means Lloyd clustering over the embedding corpus — the
-    * clustering stage real SemDeDup runs before within-cluster pairing
-    * (our q91 uses LSH for that stage; k-means is the other standard
-    * route and the general-purpose corpus-organization primitive).
-    * Seeds = the [[KmeansK]] lowest vec_ids; each round assigns every
-    * vector to its nearest centroid (squared L2 via the native fused
-    * expression, centroid-id tie-break) and recomputes centroids with
-    * the A9 fixed-point Aggregator — exact long sums make every
-    * centroid, and so the whole iteration, reproducible in DuckDB.
-    *
-    * Scale shape, per round: ONE corpus scan against a broadcast k-row
-    * centroid table; the assignment window partitions by the UNIQUE
-    * vec_id over rows already hash-partitioned on vec_id (no extra
-    * exchange, no hot key); centroid recomputation map-side-combines to
-    * k×dim longs per task. Rounds are driver-side iterations exactly
-    * like star-CC — at 100 TB each round is a linear pass, nothing
-    * quadratic anywhere. Output is exact-integer accounting (member
-    * count + fixed-point coordinate checksum per cluster), so the
-    * 2-round iteration hash-compares against the unrolled oracle.
-    */
-  def kmeansClusters(spark: SparkSession, dir: String): DataFrame =
-    kmeansOf(Tables(spark, dir, "embeddings"), KmeansK, KmeansRounds)
-
-  /** The Lloyd iteration itself: final assignment frame
-    * (vec_id, embedding, v, cid) after `rounds` assignment passes with
-    * `rounds - 1` centroid updates between them. */
-  /** Low bits of the packed argmin key reserved for the centroid id.
-    * Seeds are the k LOWEST vec_ids of the corpus (k ≤ 64 here), so for
-    * any 0-based id space cid ≪ 2^20; an id scheme violating that would
-    * need a dense k-row remap before packing. */
-  private val KmeansCidBits = 20
-
-  private[operators] def kmeansAssignOf(
-      emb: DataFrame, k: Int, rounds: Int): DataFrame = {
-    val e = emb.repartition(
-        emb.sparkSession.sessionState.conf.numShufflePartitions,
-        col("vec_id"))
-      .select(col("vec_id"), col("embedding"),
-        expr("transform(embedding, x -> cast(x AS double))").as("v"))
-      // pre-sorted within partitions so every round's assignment
-      // join-back reads e with its ordering already satisfied (the SMJ
-      // elides the array-laden side's sort; only the slim leg sorts)
-      .sortWithinPartitions(col("vec_id"))
-    val centroid = udaf(CentroidAggregator)
-    var cents = e.orderBy(col("vec_id")).limit(k)
-      .select(col("vec_id").as("cid"), col("v").as("c"))
-    var assigned = e.withColumn("cid", lit(0L))
-    for (r <- 1 to rounds) {
-      // assignment = argmin over ONE packed long — round(d2·1e6) in the
-      // high bits, cid in the low KmeansCidBits — so `min(akey)` is a
-      // genuine HASH aggregate (primitive buffer) on the vec_id-
-      // partitioned rows: no exchange, no window, and no SortAggregate
-      // dragging the two 64-double arrays through a n·k-row sort (the
-      // previous min(struct(d2, cid, embedding, v)) shape — ADVICE r7
-      // #2). Lexicographic long order ≡ (rounded d2, cid) order, the
-      // same quantity the ORACLE sorts by (kmeansCtes), so near-ties
-      // collapse identically in both engines and the cid tie-break
-      // decides. Arrays are re-attached by a co-partitioned join-back
-      // (no exchange; e's side is pre-sorted).
-      // fail-fast packing guard (ADVICE r8 #2): a sparse id space
-      // (seed vec_id ≥ 2^KmeansCidBits) or a distance too large for the
-      // high bits would OVERFLOW the packed long into wrong-but-
-      // plausible cluster ids; the comparisons are two long compares on
-      // an already-computed value inside codegen — effectively free.
-      // the range check runs in DOUBLE space so the long cast itself only
-      // executes on the already-validated branch (ANSI cast overflow
-      // would otherwise fire before the guard and mask its message)
-      val d2Rounded = round(l2Sq(col("v"), col("c")) * 1e6, 0)
-      val packable =
-        col("cid") >= 0 && col("cid") < (1L << KmeansCidBits) &&
-          d2Rounded >= 0 &&
-          d2Rounded < lit((Long.MaxValue >> KmeansCidBits).toDouble)
-      val slim = e.select(col("vec_id"), col("v"))
-        .crossJoin(broadcast(cents))
-        .withColumn("akey",
-          when(packable,
-            d2Rounded.cast("long") * (1L << KmeansCidBits) + col("cid"))
-            .otherwise(raise_error(format_string(
-              "kmeans packed argmin out of packing range: cid=%d, " +
-                "d2_micro=%s (need cid < 2^" + KmeansCidBits +
-                ", d2_micro < 2^" + (63 - KmeansCidBits) + ")",
-              col("cid"), d2Rounded)).cast("long")))
-        .groupBy(col("vec_id"))
-        .agg(min(col("akey")).as("akey"))
-        .select(col("vec_id"),
-          (col("akey") % (1L << KmeansCidBits)).as("cid"))
-      assigned = slim.join(e, Seq("vec_id"))
-        .select(col("vec_id"), col("embedding"), col("v"), col("cid"))
-      if (r < rounds)
-        cents = assigned.groupBy(col("cid"))
-          .agg(centroid(col("embedding")).as("c"))
-    }
-    assigned
-  }
-
-  private[operators] def kmeansOf(
-      emb: DataFrame, k: Int, rounds: Int): DataFrame =
-    kmeansAssignOf(emb, k, rounds)
-      .select(col("cid"), expr(
-        "aggregate(transform(v, x -> cast(round(x * 1e9) AS bigint)), " +
-          "cast(0 AS bigint), (a, x) -> a + x)").as("rowsum_nano"))
-      .groupBy(col("cid").as("cluster_id"))
-      .agg(count(lit(1)).as("n"), sum(col("rowsum_nano")).as("checksum_nano"))
-      .orderBy(col("cluster_id"))
-
-  /** Cell granularity for q101 — much finer than [[KmeansK]], because the
-    * cells exist to BOUND the quadratic pair search (SemDeDup sizes k so
-    * cells stay small; pair cost is Σ cell², so finer cells = linear-ish
-    * total). */
-  private[operators] val CellK = 64
-
-  /** L23b: SemDeDup as the paper actually runs it — k-means cells bound
-    * the pairwise cosine search, replacing q65's sign-LSH banding as the
-    * candidate generator. Every pair inside a cell is scored; pairs
-    * crossing cells are never enumerated. Scale shape: both self-join
-    * legs read ONE cid-keyed exchange (ReusedExchange via the explicit
-    * repartition), cells are the parallelism unit, and per-cell work is
-    * cell² — bounded by choosing [[CellK]] ∝ corpus size, the paper's
-    * own knob. Recall tradeoff vs LSH is real (near-dups straddling a
-    * Voronoi boundary are missed — same boundary effect q87's
-    * multi-probe addresses for search); the q65/q91 LSH path remains the
-    * recall-favoring alternative.
-    */
-  def kmeansCellNearDups(spark: SparkSession, dir: String): DataFrame =
-    kmeansCellNearDupsOf(Tables(spark, dir, "embeddings"))
-
-  private[operators] def kmeansCellNearDupsOf(emb: DataFrame): DataFrame = {
-    val byCell = kmeansAssignOf(emb, CellK, KmeansRounds)
-      .select(col("cid"), col("vec_id"), col("v"))
-      .repartition(emb.sparkSession.sessionState.conf.numShufflePartitions,
-        col("cid"))
-    byCell.as("x")
-      .join(byCell.as("y"),
-        col("x.cid") === col("y.cid") && col("x.vec_id") < col("y.vec_id"))
-      .withColumn("cos", round(cosineSim(col("x.v"), col("y.v")), 6))
-      .filter(col("cos") >= NearDupThreshold)
-      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
-        col("cos"))
-      .orderBy(col("vec_a"), col("vec_b"))
-  }
 
   /** Shared input frames for the ANN variant family — ONE definition of
     * every derived artifact (coarse quantizers, residual frames, trained
@@ -1885,7 +222,7 @@ object VectorQueries {
     * q67 scan as ground truth. One place — each standalone query AND the
     * q110 gate leg is this one lambda over an [[AnnFrames]] — so the
     * recall query and its oracle can never cover different variants. */
-  private val annVariants: Seq[(String, AnnFrames => DataFrame)] = Seq(
+  private[operators] val annVariants: Seq[(String, AnnFrames => DataFrame)] = Seq(
     "ivf" -> ((f: AnnFrames) => ivfTopkCosineOf(f.e, f.centsFull)),
     "ivf_incremental" ->
       ((f: AnnFrames) => ivfTopkCosineOf(f.e, f.centsCorpus)),
@@ -1904,7 +241,7 @@ object VectorQueries {
     "sq8" -> ((f: AnnFrames) => quantizedTopkCosineOf(f.e)))
 
   /** A standalone variant query: fresh [[AnnFrames]] per run. */
-  private def annVariant(name: String)(
+  private[operators] def annVariant(name: String)(
       spark: SparkSession, dir: String): DataFrame =
     annVariants.toMap.apply(name)(
       new AnnFrames(Tables(spark, dir, "embeddings")))
@@ -1996,7 +333,7 @@ object VectorQueries {
     * BOTH engines and the portable cid/label tie-break decides identically
     * (ADVICE r7 #1: ordering by unrounded `list_distance` let the oracle
     * split ties Spark had collapsed). */
-  private def oracleL2Sq(v: String, c: String): String =
+  private[operators] def oracleL2Sq(v: String, c: String): String =
     s"round(list_sum(list_transform(range(1, ${Dim + 1}), " +
       s"d -> ($v[d] - $c[d]) * ($v[d] - $c[d]))), 6)"
 
@@ -2024,7 +361,7 @@ object VectorQueries {
       |    FROM e, cent) WHERE rn = 1)
       |""".stripMargin
 
-  private val centroidCte = centroidCteFrom("")
+  private[operators] val centroidCte = centroidCteFrom("")
 
   private def oracleSignBit(w: Seq[Int]): String =
     s"list_sum(list_transform(range(1, ${Dim + 1}), " +

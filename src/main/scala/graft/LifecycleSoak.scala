@@ -68,16 +68,22 @@ object LifecycleSoak {
       }
       0L
     }
+    // SPARK_GRAFT_LC_FAMEVERY=N runs the family legs every Nth day
+    // (default every day): the family batch is the same mod-10 split
+    // each day, so at large factors one family day per chain prices the
+    // steady state without 7× redundant re-measurement.
+    val famEvery = sys.env.getOrElse("SPARK_GRAFT_LC_FAMEVERY", "1").toInt
     for (d <- 0 until nDays) {
       Timing.timedPasses(spark, cpuNs, s"[lifecycle-soak] day$d",
         passes = 1)(
         operators.DailyIngest.runDelta(spark, root, dataDir,
           s"$workDir/lc_out$d", day = d).count())
-      operators.IndexStore.families.foreach { case (name, _, _, daily) =>
-        Timing.timedPasses(spark, cpuNs,
-          s"[lifecycle-soak] day$d fam=$name", passes = 1)(
-          daily(spark, famIndex, dataDir).count())
-      }
+      if (d % famEvery == 0)
+        operators.IndexStore.families.foreach { case (name, _, _, daily) =>
+          Timing.timedPasses(spark, cpuNs,
+            s"[lifecycle-soak] day$d fam=$name", passes = 1)(
+            daily(spark, famIndex, dataDir).count())
+        }
     }
     // the release universe: every day's survivors ∪ the eval holdout
     val ingested = (0 until nDays)

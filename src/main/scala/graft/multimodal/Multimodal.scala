@@ -527,18 +527,20 @@ object Multimodal {
     bandOccupancyOf(phashBands(assetHashes(spark, dir)))
 
   /** The occupancy rollup over ANY (band, key) table — shared by q184's
-    * in-query rendering and any disk-band audit so the two can never
-    * aggregate differently. */
-  def bandOccupancyOf(bands: DataFrame): DataFrame =
+    * in-query rendering, q185's vector-band flavor (which reuses the
+    * same hot-occupancy policy) and any disk-band audit so they can
+    * never aggregate differently. */
+  def bandOccupancyOf(bands: DataFrame,
+      hotOcc: Int = MediaBandHotOcc): DataFrame =
     bands.groupBy(col("band"), col("key"))
       .agg(count(lit(1)).as("n"))
       .groupBy(col("band"))
       .agg(count(lit(1)).as("n_keys"),
         max(col("n")).as("max_occ"),
         sum(expr("n * (n - 1) div 2")).as("pairs_implied"),
-        sum(when(col("n") > MediaBandHotOcc, 1L).otherwise(0L))
+        sum(when(col("n") > hotOcc, 1L).otherwise(0L))
           .as("hot_buckets"),
-        sum(when(col("n") > MediaBandHotOcc, expr("n * (n - 1) div 2"))
+        sum(when(col("n") > hotOcc, expr("n * (n - 1) div 2"))
           .otherwise(0L)).as("hot_pairs_implied"))
       .orderBy(col("band"))
 

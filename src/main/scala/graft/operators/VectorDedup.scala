@@ -65,6 +65,23 @@ private[operators] trait VectorDedup {
   /** Sign-LSH band keys of a (vec_id, v) frame — the q65 projection,
     * shared by the full self-join pair flow and the incremental
     * (daily-ingest) probe flow so the two can never drift apart. */
+  /** L86/q185: VECTOR band-occupancy audit — the q184 report over the
+    * q65/q103 sign-LSH bands, prompted by a measurement: the round-12
+    * 100× composed-lifecycle soak showed `vec_near_dup`'s daily leg at
+    * 558 s wall / 8,577 s CPU (1.5M verified pairs) on the
+    * adversarially replica-dense corpus — pair volume quadratic per
+    * bucket, exactly the hot-bucket failure mode the media audit
+    * watches for, and the vector bands (4 bands × 64 keys) likewise
+    * carry no occupancy cap because capping trades recall. Per band:
+    * populated keys, max occupancy, implied candidate-pair volume
+    * Σ n·(n−1)/2 (spec-reconciled EXACTLY against the band self-join's
+    * pre-dedup row count), and the bucket/pair mass above the shared
+    * hot threshold. One scan of the persisted `vec_bands` table in the
+    * daily flavor; this oracle rendering recomputes bands in-query. */
+  def vecBandOccupancy(spark: SparkSession, dir: String): DataFrame =
+    graft.multimodal.Multimodal.bandOccupancyOf(
+      lshBandsOf(vecs(spark, dir)))
+
   private[operators] def lshBandsOf(e: DataFrame): DataFrame =
     e.select(col("vec_id"), posexplode(
         graft.functions.SignLshKeys.signLshKeys(

@@ -325,7 +325,8 @@ object VectorQueries extends VectorAnnTiers
     "q177_pq_trained_topk" -> (pqTrainedTopkCosine _),
     "q178_pq_distortion" -> (pqDistortion _),
     "q181_ivfpq_topk" -> (ivfPqTopkCosine _),
-    "q182_incremental_ivfpq" -> (incrementalIvfPqTopk _))
+    "q182_incremental_ivfpq" -> (incrementalIvfPqTopk _),
+    "q185_vec_band_occupancy" -> (vecBandOccupancy _))
 
   /** Oracle-side mirror of the Spark assignment ordering: the SAME
     * quantity `round(l2Sq, 6)` — squared L2 summed left-to-right over the
@@ -408,6 +409,23 @@ object VectorQueries extends VectorAnnTiers
       s"""WITH $cosinePairsCtes
          |SELECT vec_a, vec_b, cos FROM vpairs
          |ORDER BY vec_a, vec_b""".stripMargin,
+    // q185: the q65 band CTEs, then the q184 occupancy rollup (same
+    // hot threshold — one policy constant across both band audits)
+    "q185_vec_band_occupancy" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |bands AS (
+         |  $oracleBands),
+         |occ AS (
+         |  SELECT band, key, count(*) AS n FROM bands GROUP BY 1, 2)
+         |SELECT band, CAST(count(*) AS BIGINT) AS n_keys,
+         |  CAST(max(n) AS BIGINT) AS max_occ,
+         |  CAST(sum(n * (n - 1) // 2) AS BIGINT) AS pairs_implied,
+         |  CAST(sum(CASE WHEN n > ${graft.multimodal.Multimodal.MediaBandHotOcc}
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS hot_buckets,
+         |  CAST(sum(CASE WHEN n > ${graft.multimodal.Multimodal.MediaBandHotOcc}
+         |    THEN n * (n - 1) // 2 ELSE 0 END) AS BIGINT)
+         |    AS hot_pairs_implied
+         |FROM occ GROUP BY band ORDER BY band""".stripMargin,
     "q91_semantic_dedup" -> semanticDedupOracleSql(""),
     // q104: the same full closure, restricted to clusters containing a
     // batch (vec_id % 10 = 0) member — exactly what the incremental

@@ -472,6 +472,26 @@ class VectorQueriesSpec extends SparkSpec {
     assert(out(1)._4 > 0.2 && out(2)._4 < 0.0)
   }
 
+  test("q185 band occupancy reconciles against the actual q65 band join") {
+    import org.apache.spark.sql.functions.{col, sum}
+    val occ = VectorQueries.vecBandOccupancy(spark, sfDir)
+    // Σ_bands Σ_buckets n·(n−1)/2 IS the sign-LSH band self-join's
+    // candidate row count before cosine verification and pair dedup —
+    // the q184 reconciliation, vector flavor.
+    val e = graft.Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"),
+        org.apache.spark.sql.functions.expr(
+          "transform(embedding, x -> cast(x as double))").as("v"))
+    val bands = VectorQueries.lshBandsOf(e)
+    val raw = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .count()
+    val implied = occ.agg(sum(col("pairs_implied"))).head().getLong(0)
+    assert(implied == raw,
+      s"implied=$implied raw=$raw — occupancy report drifted from the join")
+  }
+
   test("ann recall summary: bounds hold, more probes never lose recall") {
     val rows = VectorQueries.annRecallSummary(spark, sfDir)
       .as[(String, Long, Long, Long, Long)].collect()

@@ -24,7 +24,7 @@ import graft.Tables
   *   text_hash.parquet                              # q97  (hashIndex)
   *   segments.parquet                               # q98  (segmentIndex)
   *   vec_hash.parquet                               # q102 (vectorHashIndex)
-  *   vec_bands.parquet                              # q103 (lshBandsOf)
+  *   vec_fams/members/bands_c.parquet               # q103/q186 (vecNearDupIndexTables)
   *   sem_fams/vecc/bandsc/ccc/statsc.parquet        # q104 (semanticIndexTables)
   *   ivf_centroids.parquet                          # q105 (centroidsOf)
   *   ivf_cell_stats.parquet                         # q160 (cellStatsOf)
@@ -84,8 +84,17 @@ object IndexStore {
   def writeVecExact(corpusVecs: DataFrame, dir: String): Unit =
     write(VectorQueries.vectorHashIndex(corpusVecs), dir, "vec_hash")
 
-  def writeVecNearDup(corpusVecs: DataFrame, dir: String): Unit =
-    write(VectorQueries.lshBandsOf(corpusVecs), dir, "vec_bands")
+  /** The canonical vec_near_dup trio (round 12 — the q95 pre-pass
+    * applied to the near-dup family): family keys, member map, and
+    * CANONICAL band rows, so bucket occupancy counts families, never
+    * replicas. */
+  def writeVecNearDup(corpusVecs: DataFrame, dir: String): Unit = {
+    val (fams, members, bandsC) =
+      VectorQueries.vecNearDupIndexTables(corpusVecs)
+    write(fams, dir, "vec_fams")
+    write(members, dir, "vec_members")
+    write(bandsC, dir, "vec_bands_c")
+  }
 
   def writeSemantic(corpusVecs: DataFrame, dir: String): Unit = {
     val (fams, vecC, bandsC, ccC, statsC) =
@@ -155,14 +164,30 @@ object IndexStore {
       read(spark, indexDir, "vec_hash"),
       vecSplit(spark, dataDir)._2)
 
-  /** q103 twin: [[VectorQueries.incrementalVectorNearDups]] off disk.
-    * The corpus VECTORS still come from the data lake (cosine
-    * verification needs them); the index saves the re-banding. */
+  /** q103 twin: [[VectorQueries.incrementalVectorNearDupsCanonical]]
+    * off the disk trio. The corpus vectors still come from the data
+    * lake (verification fetches candidate-endpoint CANONICALS by id);
+    * the index saves the re-keying, re-banding, and — the round-12
+    * point — the per-member candidate quadratics. */
   def dailyVecNearDup(spark: SparkSession, indexDir: String,
       dataDir: String): DataFrame = {
     val (corpusVecs, batch) = vecSplit(spark, dataDir)
-    VectorQueries.incrementalVectorNearDups(
-      read(spark, indexDir, "vec_bands"), corpusVecs, batch)
+    VectorQueries.incrementalVectorNearDupsCanonical(
+      read(spark, indexDir, "vec_fams"),
+      read(spark, indexDir, "vec_members"),
+      read(spark, indexDir, "vec_bands_c"),
+      corpusVecs, batch)
+  }
+
+  /** q186 twin: the collapsed family-pair table off the same trio. */
+  def dailyVecNearDupPairs(spark: SparkSession, indexDir: String,
+      dataDir: String): DataFrame = {
+    val (corpusVecs, batch) = vecSplit(spark, dataDir)
+    VectorQueries.canonicalNearDupPairs(
+      read(spark, indexDir, "vec_fams"),
+      read(spark, indexDir, "vec_members"),
+      read(spark, indexDir, "vec_bands_c"),
+      corpusVecs, batch)
   }
 
   /** q104 twin: [[VectorQueries.incrementalSemanticDedup]] off disk. */
@@ -674,11 +699,20 @@ object IndexStore {
         VectorQueries.vectorHashIndex(vecSplit(spark, dataDir)._2))
       .distinct(), outDir, "vec_hash")
 
+  /** vec_near_dup compaction: the canonical-shift merge
+    * ([[VectorQueries.compactVecNearDupTables]]) — equals a rebuild of
+    * the trio over (corpus ∪ batch), spec-pinned. */
   def compactVecNearDup(spark: SparkSession, indexDir: String,
-      dataDir: String, outDir: String): Unit =
-    write(read(spark, indexDir, "vec_bands")
-      .unionByName(VectorQueries.lshBandsOf(vecSplit(spark, dataDir)._2)),
-      outDir, "vec_bands")
+      dataDir: String, outDir: String): Unit = {
+    val (fams, members, bandsC) = VectorQueries.compactVecNearDupTables(
+      read(spark, indexDir, "vec_fams"),
+      read(spark, indexDir, "vec_members"),
+      read(spark, indexDir, "vec_bands_c"),
+      vecSplit(spark, dataDir)._2)
+    write(fams, outDir, "vec_fams")
+    write(members, outDir, "vec_members")
+    write(bandsC, outDir, "vec_bands_c")
+  }
 
   def compactMediaBands(spark: SparkSession, indexDir: String,
       dataDir: String, outDir: String): Unit =
@@ -757,7 +791,7 @@ object IndexStore {
         val (c, b) = vecSplit(s, dataDir)
         writeVecExact(c.unionByName(b), dir)
       }),
-    ("vec_near_dup", Seq("vec_bands"),
+    ("vec_near_dup", Seq("vec_fams", "vec_members", "vec_bands_c"),
       compactVecNearDup _,
       (s, dataDir, dir) => {
         val (c, b) = vecSplit(s, dataDir)
@@ -857,6 +891,9 @@ object IndexStore {
     ("vec_near_dup", "q103_incremental_vector_near_dups",
       (s, dataDir, dir) => writeVecNearDup(vecSplit(s, dataDir)._1, dir),
       dailyVecNearDup _),
+    ("vec_near_dup_pairs", "q186_canonical_near_dup_pairs",
+      (s, dataDir, dir) => writeVecNearDup(vecSplit(s, dataDir)._1, dir),
+      dailyVecNearDupPairs _),
     ("semantic", "q104_incremental_semantic_dedup",
       (s, dataDir, dir) => writeSemantic(vecSplit(s, dataDir)._1, dir),
       dailySemantic _),

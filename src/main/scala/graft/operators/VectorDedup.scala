@@ -76,8 +76,11 @@ private[operators] trait VectorDedup {
     * populated keys, max occupancy, implied candidate-pair volume
     * Σ n·(n−1)/2 (spec-reconciled EXACTLY against the band self-join's
     * pre-dedup row count), and the bucket/pair mass above the shared
-    * hot threshold. One scan of the persisted `vec_bands` table in the
-    * daily flavor; this oracle rendering recomputes bands in-query. */
+    * hot threshold. Audits the RAW per-vector banding — the hazard
+    * measure that motivated the canonical fix
+    * ([[vecNearDupIndexTables]]/q186), which collapses replica-driven
+    * hot buckets by construction; residual occupancy here is
+    * genuinely-similar distinct vectors. */
   def vecBandOccupancy(spark: SparkSession, dir: String): DataFrame =
     graft.multimodal.Multimodal.bandOccupancyOf(
       lshBandsOf(vecs(spark, dir)))
@@ -251,17 +254,21 @@ private[operators] trait VectorDedup {
       .select(col("keep_id"), col("n_copies"))
       .orderBy(col("keep_id"))
 
-  /** Incremental near-dup: cosine pairs of an incoming batch against an
-    * already-banded corpus (plus batch-internal pairs) WITHOUT re-pairing
-    * the corpus with itself — [[graft.operators.LLMQueries
-    * .incrementalNearDups]]'s probe shape, embedding flavor. Corpus band
-    * keys are the petabyte-scale table a real pipeline persists once;
-    * each day's candidate join probes (corpus ∪ batch) bands with BATCH
-    * bands only, so a corpus-only bucket has no matching probe key and
-    * never enumerates its pairs. Band keys and cosine are pure
-    * per-vector/per-pair functions, so the result equals the FULL q65
-    * pair pass restricted to pairs touching ≥1 batch vector — the
-    * invariant the oracle hash-checks. */
+  /** Incremental near-dup, MEMBER-LEVEL reference formulation: cosine
+    * pairs of an incoming batch against an already-banded corpus (plus
+    * batch-internal pairs) WITHOUT re-pairing the corpus with itself —
+    * [[graft.operators.LLMQueries.incrementalNearDups]]'s probe shape,
+    * embedding flavor. Band keys and cosine are pure per-vector/per-pair
+    * functions, so the result equals the FULL q65 pair pass restricted
+    * to pairs touching ≥1 batch vector.
+    *
+    * Kept as the formulation the CANONICAL flow
+    * ([[incrementalVectorNearDupsCanonical]]) is parity-pinned against:
+    * this version bands and verifies per MEMBER, so a replica-dense
+    * corpus pays O(Σ bucket-members²) candidates and one cosine per
+    * member pair — the round-12 100× soak measured it at 558 s wall /
+    * 8,577 s CPU; the canonical flow is what q103 and the persisted
+    * family run. */
   def incrementalVectorNearDups(corpusBands: DataFrame, corpusVecs: DataFrame,
       newVecs: DataFrame): DataFrame = {
     val spark = newVecs.sparkSession
@@ -310,6 +317,284 @@ private[operators] trait VectorDedup {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  // ---- canonical (family-collapsed) incremental near-dup ---------------
+
+  /** The canonical vec_near_dup index trio a daily pipeline persists —
+    * the q95/SemDeDup exact pre-pass applied to the NEAR-DUP family
+    * (round 12), after the 100× composed-lifecycle soak measured the
+    * member-level daily leg at 558 s wall / 8,577 s CPU on the
+    * replica-dense corpus (PLANS.md): with bands keyed per VECTOR, a
+    * 100-replica family makes every one of its buckets 100 deep and the
+    * candidate join quadratic per bucket; with bands keyed per FAMILY
+    * the same corpus bands once per distinct rendering and candidate
+    * volume falls from O(Σ members²) to O(Σ families²).
+    *
+    *  - `fams(vkey, canon)`: one row per distinct fixed-point vector
+    *    rendering, canon = min member vec_id (the q95 canonical);
+    *  - `members(vec_id, canon)`: every corpus vector's family — 16
+    *    bytes/row, what the pair EXPANSION reads (semi-joined to the
+    *    families a day actually touches, never shuffled whole);
+    *  - `bandsC(vec_id, band, key)`: sign-LSH band keys of CANONICAL
+    *    vectors only.
+    */
+  def vecNearDupIndexTables(corpus: DataFrame)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val keyed = corpus.select(col("vec_id"), col("v"), vKeyExpr.as("vkey"))
+    val fams = keyed.groupBy(col("vkey"))
+      .agg(min(col("vec_id")).as("canon"))
+      .localCheckpoint(eager = false) // feeds members join + canon vecs
+    val members = keyed.select(col("vec_id"), col("vkey"))
+      .join(fams, Seq("vkey"))
+      .select(col("vec_id"), col("canon"))
+    val bandsC = lshBandsOf(
+      fams.join(corpus.select(col("vec_id").as("canon"), col("v")),
+          Seq("canon"))
+        .select(col("canon").as("vec_id"), col("v")))
+    (fams, members, bandsC)
+  }
+
+  /** Family-level candidate generation + cosine verification — the core
+    * shared by the member-exact expansion (q103's canonical rendering)
+    * and the collapsed pair table (q186), so the two can never drift.
+    * Returns (famPairs(fid_a, fid_b, cos), reps(vkey, fid, v, is_new,
+    * nb), batchMembers(vec_id, fid), corpusMembers(vec_id, fid) —
+    * corpus member rows restricted to pair-endpoint ∪ batch-touched
+    * families).
+    *
+    * A family is identified by `fid`: its persisted corpus canonical if
+    * known, else the min batch member id (corpus and batch ids are
+    * disjoint by the residue rule, so fids never collide). Probe-side
+    * band keys are computed on BATCH representatives — identical
+    * vectors produce identical fixed-point sign bits, so an existing
+    * touched family's probe rows equal its persisted canonical band
+    * rows and the corpus is never re-banded. Every candidate has a
+    * batch-touched side, so corpus-only family buckets never enumerate
+    * (the q96 probe contract, family granularity); cosine verification
+    * runs ONCE per family pair instead of once per member pair — on a
+    * replica-dense corpus the 100× soak's 1.5M verified member pairs
+    * collapse to the few thousand distinct family pairs beneath them.
+    */
+  private def canonNearDupCore(famsC: DataFrame, membersC: DataFrame,
+      bandsC: DataFrame, corpusVecs: DataFrame, newVecs: DataFrame)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val spark = newVecs.sparkSession
+    val n = spark.sessionState.conf.numShufflePartitions
+    val batchK = newVecs.select(col("vec_id"), col("v"), vKeyExpr.as("vkey"))
+      .localCheckpoint(eager = false) // feeds reps + batch members
+    // one representative per batch-touched family: the min batch row
+    val reps = batchK.groupBy(col("vkey"))
+      .agg(min(struct(col("vec_id"), col("v"))).as("m"),
+        count(lit(1)).as("nb"))
+      .join(famsC, Seq("vkey"), "left")
+      .select(col("vkey"),
+        coalesce(col("canon"), col("m.vec_id")).as("fid"),
+        col("m.v").as("v"), col("canon").isNull.as("is_new"), col("nb"))
+      .localCheckpoint(eager = false) // bands + vecs + members + within
+    val repBands = reps.select(col("fid"), col("is_new"),
+        posexplode(graft.functions.SignLshKeys.signLshKeys(
+          col("v"), planes, PlanesPerBand)))
+      .toDF("fid", "is_new", "band", "key")
+      .localCheckpoint(eager = false) // probe leg + new-family union leg
+    val probe = repBands
+      .select(col("fid").as("vec_id"), col("band"), col("key"))
+    val full = bandsC.unionByName(repBands.filter(col("is_new"))
+      .select(col("fid").as("vec_id"), col("band"), col("key")))
+    val cands = full.as("a")
+      .join(probe.as("n"),
+        col("a.band") === col("n.band") && col("a.key") === col("n.key") &&
+          col("a.vec_id") =!= col("n.vec_id"))
+      .select(least(col("a.vec_id"), col("n.vec_id")).as("fid_a"),
+        greatest(col("a.vec_id"), col("n.vec_id")).as("fid_b"))
+      .distinct()
+      .localCheckpoint(eager = false) // verify joins + endpoint filter
+    val ends = cands
+      .select(explode(array(col("fid_a"), col("fid_b"))).as("vec_id"))
+      .distinct()
+    // canonical vectors of candidate endpoints only: corpus canonicals
+    // come off the lake by vec_id, new-family reps off the batch — the
+    // broadcast semi keeps the verify legs from shuffling every corpus
+    // vector (the q96 endpoint lesson, family flavor)
+    val repVecs = corpusVecs.select(col("vec_id"), col("v"))
+      .unionByName(reps.filter(col("is_new"))
+        .select(col("fid").as("vec_id"), col("v")))
+      .join(broadcast(ends), Seq("vec_id"), "left_semi")
+      .repartition(n, col("vec_id"))
+    val famPairs = cands
+      .join(repVecs.select(col("vec_id").as("fid_a"), col("v").as("va")),
+        Seq("fid_a"))
+      .join(repVecs.select(col("vec_id").as("fid_b"), col("v").as("vb")),
+        Seq("fid_b"))
+      .withColumn("cos", round(cosineSim(col("va"), col("vb")), 6))
+      .filter(col("cos") >= NearDupThreshold)
+      .select(col("fid_a"), col("fid_b"), col("cos"))
+      .localCheckpoint(eager = false) // expansion/count legs + fid set
+    val batchMembers = batchK
+      .join(reps.select(col("vkey"), col("fid")), Seq("vkey"))
+      .select(col("vec_id"), col("fid"))
+    // member rows are needed only for pair-endpoint and batch-touched
+    // families — the broadcast semi keeps the corpus-sized member
+    // table from shuffling for a handful of pairs
+    val needFids = famPairs
+      .select(explode(array(col("fid_a"), col("fid_b"))).as("canon"))
+      .unionByName(reps.select(col("fid").as("canon")))
+      .distinct()
+    val corpusMembers = membersC
+      .join(broadcast(needFids), Seq("canon"), "left_semi")
+      .select(col("vec_id"), col("canon").as("fid"))
+    (famPairs, reps, batchMembers, corpusMembers)
+  }
+
+  /** Member-exact canonical rendering of the incremental near-dup
+    * output — row-identical to [[incrementalVectorNearDups]] (the
+    * member-level reference formulation, kept for the parity spec)
+    * because: identical fixed-point vectors share every band key, so a
+    * member pair is an LSH candidate iff its FAMILY pair is; both
+    * engines verify with the same vectors (a member's vector is its
+    * canonical's, byte for byte), so the 6-dp cosine is the same
+    * number; and the expansion emits exactly the member pairs with a
+    * batch endpoint — within-family via batch×members (batch-corpus
+    * once by construction, batch-batch once via the id order), cross-
+    * family via the batch-endpoint filter. The q103 oracle (full q65
+    * pass restricted to batch-touching pairs) hash-checks all of it. */
+  def incrementalVectorNearDupsCanonical(famsC: DataFrame,
+      membersC: DataFrame, bandsC: DataFrame, corpusVecs: DataFrame,
+      newVecs: DataFrame): DataFrame = {
+    val (famPairs, reps, batchMembers, corpusMembers) =
+      canonNearDupCore(famsC, membersC, bandsC, corpusVecs, newVecs)
+    val membersAll = corpusMembers.withColumn("is_b", lit(false))
+      .unionByName(batchMembers.withColumn("is_b", lit(true)))
+      .localCheckpoint(eager = false) // two cross legs + within leg
+    val cross = famPairs
+      .join(membersAll.select(col("fid").as("fid_a"),
+        col("vec_id").as("a_id"), col("is_b").as("a_b")), Seq("fid_a"))
+      .join(membersAll.select(col("fid").as("fid_b"),
+        col("vec_id").as("b_id"), col("is_b").as("b_b")), Seq("fid_b"))
+      .filter(col("a_b") || col("b_b"))
+      .select(least(col("a_id"), col("b_id")).as("vec_a"),
+        greatest(col("a_id"), col("b_id")).as("vec_b"), col("cos"))
+    // self-cosine through the SAME expression the member-level flow
+    // would run on the identical member vectors (a zero vector's NaN
+    // self-cosine must drop here exactly as it does there)
+    val selfCos = reps
+      .withColumn("cos", round(cosineSim(col("v"), col("v")), 6))
+      .filter(col("cos") >= NearDupThreshold)
+      .select(col("fid"), col("cos"))
+    val within = batchMembers.select(col("fid"), col("vec_id").as("a_id"))
+      .join(membersAll.select(col("fid"), col("vec_id").as("b_id"),
+        col("is_b").as("b_b")), Seq("fid"))
+      .filter((!col("b_b") && col("a_id") =!= col("b_id")) ||
+        (col("b_b") && col("a_id") < col("b_id")))
+      .join(selfCos, Seq("fid"))
+      .select(least(col("a_id"), col("b_id")).as("vec_a"),
+        greatest(col("a_id"), col("b_id")).as("vec_b"), col("cos"))
+    cross.unionByName(within)
+      .select(col("vec_a"), col("vec_b"), col("cos"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  /** L87/q186: the COLLAPSED near-dup pair table — what a 100 TB
+    * pipeline persists instead of materializing the member expansion:
+    * one row per verified FAMILY pair (fid_a, fid_b, cos) with
+    * `n_pairs`, the exact count of batch-touching member pairs the row
+    * implies (cross: tbA·(tbB+tcB) + tcA·tbB over batch/corpus member
+    * counts; within: tb·(tb−1)/2 + tb·tc). On the round-12 100× soak
+    * corpus the 1.5M expanded member pairs collapse to the distinct
+    * family pairs beneath them — the expansion is recoverable exactly
+    * (Σ n_pairs equals the q103 row count, spec-pinned) but never has
+    * to be shuffled, verified, or stored pairwise. */
+  def canonicalNearDupPairs(famsC: DataFrame, membersC: DataFrame,
+      bandsC: DataFrame, corpusVecs: DataFrame,
+      newVecs: DataFrame): DataFrame = {
+    val (famPairs, reps, _, corpusMembers) =
+      canonNearDupCore(famsC, membersC, bandsC, corpusVecs, newVecs)
+    val tcs = corpusMembers.groupBy(col("fid"))
+      .agg(count(lit(1)).as("tc"))
+    val counts = tcs
+      .join(reps.select(col("fid"), col("nb").as("tb")), Seq("fid"), "full")
+      .select(col("fid"), coalesce(col("tb"), lit(0L)).as("tb"),
+        coalesce(col("tc"), lit(0L)).as("tc"))
+      .localCheckpoint(eager = false) // both cross legs + within leg
+    val cross = famPairs
+      .join(counts.select(col("fid").as("fid_a"), col("tb").as("tba"),
+        col("tc").as("tca")), Seq("fid_a"))
+      .join(counts.select(col("fid").as("fid_b"), col("tb").as("tbb"),
+        col("tc").as("tcb")), Seq("fid_b"))
+      .select(col("fid_a"), col("fid_b"), col("cos"),
+        (col("tba") * (col("tbb") + col("tcb")) +
+          col("tca") * col("tbb")).as("n_pairs"))
+    val within = reps
+      .withColumn("cos", round(cosineSim(col("v"), col("v")), 6))
+      .filter(col("cos") >= NearDupThreshold)
+      .join(counts, Seq("fid"))
+      .withColumn("n_pairs", expr("tb * (tb - 1) div 2 + tb * tc"))
+      .filter(col("n_pairs") > 0)
+      .select(col("fid").as("fid_a"), col("fid").as("fid_b"),
+        col("cos"), col("n_pairs"))
+    cross.unionByName(within)
+      .select(col("fid_a"), col("fid_b"), col("cos"),
+        col("n_pairs").cast("long").as("n_pairs"))
+      .orderBy(col("fid_a"), col("fid_b"))
+  }
+
+  /** q186: the daily-ingest collapsed pair table as an ORACLE query —
+    * index tables built in-query over the corpus residue (the q103
+    * convention; the real daily path reads the persisted trio through
+    * [[graft.operators.IndexStore.dailyVecNearDup]]). */
+  def canonicalNearDupPairsDaily(spark: SparkSession,
+      dir: String): DataFrame = {
+    val e = vecs(spark, dir).select(col("vec_id"), col("v"))
+    val corpus = e.filter(col("vec_id") % VecBatchMod =!= 0)
+    val batch = e.filter(col("vec_id") % VecBatchMod === 0)
+    val (famsC, membersC, bandsC) = vecNearDupIndexTables(corpus)
+    canonicalNearDupPairs(famsC, membersC, bandsC, corpus, batch)
+  }
+
+  /** Compacted canonical trio over (persisted index, batch) — equals
+    * [[vecNearDupIndexTables]] over corpus ∪ batch (IndexStoreSpec pins
+    * it). The one non-pointwise effect is the CANONICAL SHIFT: a batch
+    * member with a smaller id than its family's corpus canonical
+    * becomes the new canonical (rebuild semantics: canon = min member),
+    * relabeling the family's member and band rows — band KEYS never
+    * change (identical vectors ⇒ identical fixed-point sign bits), so
+    * shifted bands relabel in place and only NEW families band anew. */
+  def compactVecNearDupTables(famsC: DataFrame, membersC: DataFrame,
+      bandsC: DataFrame, batch: DataFrame)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val batchK = batch.select(col("vec_id"), col("v"), vKeyExpr.as("vkey"))
+      .localCheckpoint(eager = false) // feeds fams + member append
+    val batchFams = batchK.groupBy(col("vkey"))
+      .agg(min(struct(col("vec_id"), col("v"))).as("m"))
+      .select(col("vkey"), col("m.vec_id").as("bmin"), col("m.v").as("v"))
+      .join(famsC, Seq("vkey"), "left")
+      .withColumn("new_canon",
+        least(coalesce(col("canon"), col("bmin")), col("bmin")))
+      .localCheckpoint(eager = false) // fams/members/bands legs
+    val famsOut = famsC
+      .join(batchFams.select(col("vkey")), Seq("vkey"), "left_anti")
+      .unionByName(
+        batchFams.select(col("vkey"), col("new_canon").as("canon")))
+    val shifts = batchFams
+      .filter(col("canon").isNotNull && col("new_canon") =!= col("canon"))
+      .select(col("canon"), col("new_canon"))
+    val membersOut = membersC
+      .join(broadcast(shifts), Seq("canon"), "left")
+      .select(col("vec_id"),
+        coalesce(col("new_canon"), col("canon")).as("canon"))
+      .unionByName(batchK
+        .join(batchFams.select(col("vkey"),
+          col("new_canon").as("canon")), Seq("vkey"))
+        .select(col("vec_id"), col("canon")))
+    val newFamBands = lshBandsOf(batchFams.filter(col("canon").isNull)
+      .select(col("new_canon").as("vec_id"), col("v")))
+    val bandsOut = bandsC
+      .join(broadcast(shifts.withColumnRenamed("canon", "vec_id")),
+        Seq("vec_id"), "left")
+      .select(coalesce(col("new_canon"), col("vec_id")).as("vec_id"),
+        col("band"), col("key"))
+      .unionByName(newFamBands)
+    (famsOut, membersOut, bandsOut)
+  }
+
   /** q102: the daily-ingest exact vector dedup as an ORACLE query. */
   def incrementalVectorExactDedupDaily(spark: SparkSession,
       dir: String): DataFrame = {
@@ -320,14 +605,20 @@ private[operators] trait VectorDedup {
   }
 
   /** q103: the daily-ingest vector near-dup flow as an ORACLE query —
-    * corpus leg banded via the persisted-table path, batch leg probed
-    * against it. */
+    * the CANONICAL index trio built in-query over the corpus residue,
+    * the batch merged through the family-collapsed core + member
+    * expansion (round 12; output byte-identical to the member-level
+    * [[incrementalVectorNearDups]] reference formulation, parity-pinned
+    * in VectorQueriesSpec, and the unchanged q103 oracle hash-checks
+    * the restricted-full invariant end to end). */
   def incrementalVectorNearDupsDaily(spark: SparkSession,
       dir: String): DataFrame = {
-    val e = vecs(spark, dir)
+    val e = vecs(spark, dir).select(col("vec_id"), col("v"))
     val corpus = e.filter(col("vec_id") % VecBatchMod =!= 0)
     val batch = e.filter(col("vec_id") % VecBatchMod === 0)
-    incrementalVectorNearDups(lshBandsOf(corpus), corpus, batch)
+    val (famsC, membersC, bandsC) = vecNearDupIndexTables(corpus)
+    incrementalVectorNearDupsCanonical(famsC, membersC, bandsC,
+      corpus, batch)
   }
 
   /** The persisted corpus-side semantic-dedup index — what a daily

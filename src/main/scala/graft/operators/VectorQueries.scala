@@ -326,7 +326,8 @@ object VectorQueries extends VectorAnnTiers
     "q178_pq_distortion" -> (pqDistortion _),
     "q181_ivfpq_topk" -> (ivfPqTopkCosine _),
     "q182_incremental_ivfpq" -> (incrementalIvfPqTopk _),
-    "q185_vec_band_occupancy" -> (vecBandOccupancy _))
+    "q185_vec_band_occupancy" -> (vecBandOccupancy _),
+    "q186_canonical_near_dup_pairs" -> (canonicalNearDupPairsDaily _))
 
   /** Oracle-side mirror of the Spark assignment ordering: the SAME
     * quantity `round(l2Sq, 6)` — squared L2 summed left-to-right over the
@@ -426,6 +427,63 @@ object VectorQueries extends VectorAnnTiers
          |    THEN n * (n - 1) // 2 ELSE 0 END) AS BIGINT)
          |    AS hot_pairs_implied
          |FROM occ GROUP BY band ORDER BY band""".stripMargin,
+    // q186: the family-collapsed pair table. Families group by the q95
+    // fixed-point key; the canonical id is the min CORPUS member when
+    // one exists, else the min batch member (the engine's fid rule);
+    // `e` is SHADOWED with one representative row per family so the
+    // shared band CTEs run verbatim at family granularity; candidate
+    // family pairs need a batch-touched (tb > 0) probe side; n_pairs is
+    // exact integer arithmetic over per-family batch/corpus counts.
+    "q186_canonical_near_dup_pairs" ->
+      s"""WITH raw AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |k AS (SELECT vec_id, v,
+         |        md5(array_to_string(list_transform(v,
+         |          x -> CAST(CAST(round(x * 1e9) AS BIGINT) AS VARCHAR)),
+         |          ',')) AS vkey
+         |      FROM raw),
+         |fam AS (
+         |  SELECT vkey, min(vec_id) AS rep_id,
+         |    coalesce(min(vec_id) FILTER (WHERE vec_id % $VecBatchMod <> 0),
+         |             min(vec_id)) AS fid,
+         |    count(*) FILTER (WHERE vec_id % $VecBatchMod = 0) AS tb,
+         |    count(*) FILTER (WHERE vec_id % $VecBatchMod <> 0) AS tc
+         |  FROM k GROUP BY vkey),
+         |frep AS (SELECT f.fid, f.tb, f.tc, k.v
+         |         FROM fam f JOIN k ON k.vec_id = f.rep_id),
+         |e AS (SELECT fid AS vec_id, v FROM frep),
+         |bands AS (
+         |  $oracleBands),
+         |cands AS (
+         |  SELECT DISTINCT least(a.vec_id, b.vec_id) AS fid_a,
+         |    greatest(a.vec_id, b.vec_id) AS fid_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.key = b.key AND a.vec_id <> b.vec_id
+         |  JOIN frep t ON t.fid = b.vec_id AND t.tb > 0),
+         |fpairs AS (
+         |  SELECT fid_a, fid_b,
+         |    round(list_cosine_similarity(ea.v, eb.v), 6) AS cos
+         |  FROM cands
+         |  JOIN e ea ON ea.vec_id = fid_a
+         |  JOIN e eb ON eb.vec_id = fid_b
+         |  WHERE round(list_cosine_similarity(ea.v, eb.v), 6)
+         |        >= $NearDupThreshold),
+         |cross_rows AS (
+         |  SELECT fid_a, fid_b, cos,
+         |    fa.tb * (fb.tb + fb.tc) + fa.tc * fb.tb AS n_pairs
+         |  FROM fpairs
+         |  JOIN frep fa ON fa.fid = fid_a
+         |  JOIN frep fb ON fb.fid = fid_b),
+         |within_rows AS (
+         |  SELECT fid AS fid_a, fid AS fid_b,
+         |    round(list_cosine_similarity(v, v), 6) AS cos,
+         |    tb * (tb - 1) // 2 + tb * tc AS n_pairs
+         |  FROM frep
+         |  WHERE tb > 0 AND tb * (tb - 1) // 2 + tb * tc > 0
+         |    AND round(list_cosine_similarity(v, v), 6)
+         |        >= $NearDupThreshold)
+         |SELECT fid_a, fid_b, cos, CAST(n_pairs AS BIGINT) AS n_pairs
+         |FROM (SELECT * FROM cross_rows UNION ALL SELECT * FROM within_rows)
+         |ORDER BY fid_a, fid_b""".stripMargin,
     "q91_semantic_dedup" -> semanticDedupOracleSql(""),
     // q104: the same full closure, restricted to clusters containing a
     // batch (vec_id % 10 = 0) member — exactly what the incremental

@@ -215,6 +215,113 @@ class VectorQueriesSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("canonical near-dup flow == member-level reference on the sf tables") {
+    // q103 renders through the family-collapsed core + expansion; the
+    // member-level formulation is the reference it must equal byte for
+    // byte (same band-key fixed point, same cosine expression on the
+    // same vectors, same batch-endpoint restriction)
+    val e = VectorQueries.vecs(spark, sfDir).select(col("vec_id"), col("v"))
+    val corpus = e.filter(col("vec_id") % VectorQueries.VecBatchMod =!= 0)
+    val batch = e.filter(col("vec_id") % VectorQueries.VecBatchMod === 0)
+    val old = VectorQueries
+      .incrementalVectorNearDups(VectorQueries.lshBandsOf(corpus),
+        corpus, batch)
+      .as[(Long, Long, Double)].collect().toSeq
+    val canon = VectorQueries.incrementalVectorNearDupsDaily(spark, sfDir)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(canon.nonEmpty)
+    assert(canon == old)
+  }
+
+  test("q186 collapsed pairs: Σ n_pairs == the q103 member-pair count") {
+    val collapsed = VectorQueries.canonicalNearDupPairsDaily(spark, sfDir)
+      .as[(Long, Long, Double, Long)].collect()
+    val members = VectorQueries
+      .incrementalVectorNearDupsDaily(spark, sfDir).count()
+    assert(collapsed.nonEmpty)
+    assert(collapsed.map(_._4).sum == members,
+      "collapsed table does not account for every expanded member pair")
+    // family pairs are unique and normalized; within rows are self-keyed
+    val keys = collapsed.map(r => (r._1, r._2))
+    assert(keys.distinct.length == keys.length)
+    assert(collapsed.forall(r => r._1 <= r._2))
+    assert(collapsed.filter(r => r._1 == r._2).forall(_._3 == 1.0))
+  }
+
+  // The adversarial shape the round-12 100× soak measured: every vector
+  // in a replica family, some spanning the corpus/batch split, one
+  // family whose batch member has a SMALLER id than the corpus
+  // canonical (the shift case), one new batch-only family, one corpus
+  // family reachable only through a cross-family near-dup pair.
+  private def replicaFixture = {
+    val u = (0 until 64).map(i => math.sin(i + 1.0))
+    val u2 = u.map(_ * 1.5) // cos(u, u2) = 1 exactly? no — colinear, = 1
+    val w = (0 until 64).map(i => math.sin(i + 1.0) + 0.05 * math.cos(2.0 * i))
+    val z = (0 until 64).map(i => math.cos(3.0 * i + 2.0))
+    Seq(
+      // family A (u): corpus 1, 2, 11; batch 20, 30 — touched-existing
+      (1L, u), (2L, u), (11L, u), (20L, u), (30L, u),
+      // family B (w, near-dup of u): corpus-only 3, 13 — reached via A
+      (3L, w), (13L, w),
+      // family C (z): batch-only 40, 50 — new family, within pairs
+      (40L, z), (50L, z),
+      // family D (u2): corpus 61, 71; batch 60 — canonical SHIFT
+      (60L, u2), (61L, u2), (71L, u2),
+      // corpus singleton family untouched by anything near it
+      (5L, z.map(_ + 10.0)))
+      .toDF("vec_id", "v")
+  }
+
+  test("canonical flow == member-level reference on the replica fixture") {
+    val e = replicaFixture
+    val corpus = e.filter(col("vec_id") % VectorQueries.VecBatchMod =!= 0)
+    val batch = e.filter(col("vec_id") % VectorQueries.VecBatchMod === 0)
+    val old = VectorQueries
+      .incrementalVectorNearDups(VectorQueries.lshBandsOf(corpus),
+        corpus, batch)
+      .as[(Long, Long, Double)].collect().toSeq
+    val (fams, members, bandsC) = VectorQueries.vecNearDupIndexTables(corpus)
+    val canon = VectorQueries
+      .incrementalVectorNearDupsCanonical(fams, members, bandsC,
+        corpus, batch)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(canon == old)
+    // the fixture exercises all three pair classes
+    val set = canon.map(p => (p._1, p._2)).toSet
+    assert(set.contains((2L, 20L)), "within-family batch-corpus pair")
+    assert(set.contains((20L, 30L)), "within-family batch-batch pair")
+    assert(set.contains((13L, 20L)), "cross-family pair to an " +
+      "untouched corpus family")
+    assert(set.contains((40L, 50L)), "new-family within pair")
+    assert(set.contains((60L, 61L)), "shift-family pair")
+    assert(!set.exists(p => p._1 % 10 != 0 && p._2 % 10 != 0),
+      "corpus-corpus pair leaked into the incremental output")
+    // collapsed table accounts for exactly the expanded pairs
+    val collapsed = VectorQueries
+      .canonicalNearDupPairs(fams, members, bandsC, corpus, batch)
+      .as[(Long, Long, Double, Long)].collect()
+    assert(collapsed.map(_._4).sum == old.length.toLong)
+  }
+
+  test("vec_near_dup compaction handles the canonical shift") {
+    val e = replicaFixture
+    val corpus = e.filter(col("vec_id") % VectorQueries.VecBatchMod =!= 0)
+    val batch = e.filter(col("vec_id") % VectorQueries.VecBatchMod === 0)
+    val (fams, members, bandsC) = VectorQueries.vecNearDupIndexTables(corpus)
+    val (gf, gm, gb) = VectorQueries.compactVecNearDupTables(
+      fams, members, bandsC, batch)
+    val (wf, wm, wb) =
+      VectorQueries.vecNearDupIndexTables(e) // rebuild over corpus ∪ batch
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    assert(rows(gf) == rows(wf))
+    assert(rows(gm) == rows(wm))
+    assert(rows(gb) == rows(wb))
+    // family D's canonical really shifted: 60 (batch) replaced 61
+    assert(gm.filter(col("canon") === 60L).count() == 3L)
+    assert(gm.filter(col("canon") === 61L).count() == 0L)
+  }
+
   test("incremental vector exact dedup drops corpus-known keys") {
     // batch survivors + corpus-known batch vectors account for the whole
     // batch; survivors' keys are disjoint from the corpus index

@@ -33,7 +33,7 @@ import graft.Tables
   *   dsir_model.parquet                             # q116 (dsirModelOf)
   *   audio_fps.parquet                              # q128 (audioFpSplit)
   *   norm_hash.parquet                              # q139 (normHashIndex)
-  *   bm25_tf/bm25_dl.parquet                        # q144 (bm25Index)
+  *   bm25_tf/dl/df/stats.parquet                    # q144 (bm25Index + stats)
   *   kn_bigrams.parquet                             # q167 (knBigramTable)
   *   pps_prio.parquet                               # q161 (ppsPriorityTable)
   * }}}
@@ -380,20 +380,34 @@ object IndexStore {
 
   /** The corpus BM25 postings index (q93/q144): postings (doc_id, t,
     * tf) + doc lengths (doc_id, dl) — the text-touching tokenize runs
-    * once per corpus snapshot; df/N/avgdl derive per run because every
-    * batch shifts them anyway. */
+    * once per corpus snapshot — plus (round 12) the vocabulary-sized
+    * df table and the 1-row collection stats, so the daily leg MERGES
+    * the statistics a batch shifts instead of re-counting them over
+    * the corpus-sized postings union every run (the "df/N re-derive"
+    * term the lifecycle soaks priced as the family's dominant
+    * recurring cost). */
   def writeBm25(spark: SparkSession, dataDir: String, dir: String): Unit = {
-    val (tf, dl) = LLMQueries.bm25Index(docSplit(spark, dataDir)._1)
+    val (tf0, dl0) = LLMQueries.bm25Index(docSplit(spark, dataDir)._1)
+    val tf = tf0.localCheckpoint(eager = false) // write + df derivation
+    val dl = dl0.localCheckpoint(eager = false) // write + stats
+    val (df, stats) = LLMQueries.bm25StatsTables(tf, dl)
     write(tf, dir, "bm25_tf")
     write(dl, dir, "bm25_dl")
+    write(df, dir, "bm25_df")
+    write(stats, dir, "bm25_stats")
   }
 
-  /** q144 twin: [[LLMQueries.incrementalBm25]] off the disk postings. */
+  /** q144 twin: [[LLMQueries.incrementalBm25With]] off the disk
+    * postings + persisted df/stats — the family pin (daily == the q144
+    * twin, which derives df/stats from the union) is the proof the
+    * merged statistics equal the derived ones. */
   def dailyBm25(spark: SparkSession, indexDir: String,
       dataDir: String): DataFrame =
-    LLMQueries.incrementalBm25(
+    LLMQueries.incrementalBm25With(
       read(spark, indexDir, "bm25_tf"),
       read(spark, indexDir, "bm25_dl"),
+      read(spark, indexDir, "bm25_df"),
+      read(spark, indexDir, "bm25_stats"),
       docSplit(spark, dataDir)._2)
 
   /** The corpus KN bigram-count table (q165/q167): the additive
@@ -753,11 +767,23 @@ object IndexStore {
 
   def compactBm25(spark: SparkSession, indexDir: String,
       dataDir: String, outDir: String): Unit = {
-    val (btf, bdl) = LLMQueries.bm25Index(docSplit(spark, dataDir)._2)
+    val (btf0, bdl0) = LLMQueries.bm25Index(docSplit(spark, dataDir)._2)
+    val btf = btf0.localCheckpoint(eager = false) // union write + df leg
+    val bdl = bdl0.localCheckpoint(eager = false) // union write + stats
+    val (bdf, bstats) = LLMQueries.bm25StatsTables(btf, bdl)
     write(read(spark, indexDir, "bm25_tf").unionByName(btf),
       outDir, "bm25_tf")
     write(read(spark, indexDir, "bm25_dl").unionByName(bdl),
       outDir, "bm25_dl")
+    // df/stats are additive over disjoint doc sets — the compactor
+    // merges the slim tables, never re-counting the postings union
+    write(read(spark, indexDir, "bm25_df").unionByName(bdf)
+      .groupBy(col("t")).agg(sum(col("df")).as("df")),
+      outDir, "bm25_df")
+    write(read(spark, indexDir, "bm25_stats").unionByName(bstats)
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("sum_dl")).as("sum_dl")),
+      outDir, "bm25_stats")
   }
 
   /** (family, table names, compact, rebuild-over-union) — the table
@@ -840,13 +866,18 @@ object IndexStore {
         val (c, b) = LLMQueries.normSplit(s, dataDir)
         write(LLMQueries.normHashIndex(c.unionByName(b)), dir, "norm_hash")
       }),
-    ("bm25", Seq("bm25_tf", "bm25_dl"),
+    ("bm25", Seq("bm25_tf", "bm25_dl", "bm25_df", "bm25_stats"),
       compactBm25 _,
       (s, dataDir, dir) => {
         val (c, b) = docSplit(s, dataDir)
-        val (tf, dl) = LLMQueries.bm25Index(c.unionByName(b))
+        val (tf0, dl0) = LLMQueries.bm25Index(c.unionByName(b))
+        val tf = tf0.localCheckpoint(eager = false)
+        val dl = dl0.localCheckpoint(eager = false)
+        val (df, stats) = LLMQueries.bm25StatsTables(tf, dl)
         write(tf, dir, "bm25_tf")
         write(dl, dir, "bm25_dl")
+        write(df, dir, "bm25_df")
+        write(stats, dir, "bm25_stats")
       }),
     ("substr_windows", Seq("substr_windows"),
       compactSubstrWindows _,

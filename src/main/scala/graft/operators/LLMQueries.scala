@@ -751,11 +751,11 @@ object LLMQueries {
 
   /** The corpus-side BM25 INDEX tables (IndexStore family `bm25`):
     * postings (doc_id, t, tf) and doc lengths (doc_id, dl) — the two
-    * artifacts a lexical search engine persists. Everything else BM25
-    * needs (df, N, avgdl) is a slim aggregation OVER the postings, so
-    * it derives per run — df must merge with every batch anyway. The
-    * expensive, text-touching step (tokenize + tf) happens exactly
-    * once per document here. */
+    * artifacts a lexical search engine persists (plus, since round 12,
+    * the [[bm25StatsTables]] df/stats pair, so the daily leg merges
+    * vocabulary-sized statistics instead of re-counting df over the
+    * postings union). The expensive, text-touching step (tokenize +
+    * tf) happens exactly once per document here. */
   def bm25Index(docsDf: DataFrame): (DataFrame, DataFrame) = {
     val tf = docsDf
       .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("t"))
@@ -778,6 +778,48 @@ object LLMQueries {
     bm25Rank(corpusTf.unionByName(btf), corpusDl.unionByName(bdl))
   }
 
+  /** The slim corpus-side BM25 STATISTICS tables (round 12 — the
+    * "df/N re-derive per batch" term the 10×/100× lifecycle soaks
+    * priced as the family's dominant recurring cost): document
+    * frequencies (t, df) — vocabulary-sized — and the 1-row collection
+    * stats (n_docs, sum_dl). Both are ADDITIVE over disjoint doc sets
+    * (postings hold one row per (doc, t), and corpus/batch doc ids are
+    * disjoint by the residue rule), so a daily batch merges them with
+    * a vocabulary-sized aggregation instead of re-counting df over the
+    * corpus-sized postings union every run. `sum_dl` is an exact long;
+    * avgdl derives as sum_dl/n_docs — bit-identical to `avg(dl)`
+    * because both are one exact integer sum (≪ 2⁵³) under one IEEE
+    * division. */
+  def bm25StatsTables(corpusTf: DataFrame,
+      corpusDl: DataFrame): (DataFrame, DataFrame) =
+    (corpusTf.groupBy(col("t")).agg(count(lit(1)).as("df")),
+      corpusDl.agg(count(lit(1)).as("n_docs"),
+        sum(col("dl")).as("sum_dl")))
+
+  /** Incremental BM25 off the FULL persisted family (postings, doc
+    * lengths, df, stats): batch tokenizes once, df/stats merge at
+    * vocabulary/1-row size, and the ranking tail scores exactly as
+    * [[bm25Rank]] would over the union — the IndexStoreSpec family pin
+    * (daily == the q144 twin, which derives df/stats from the postings
+    * union) is the equality proof that the merged statistics are the
+    * derived ones. */
+  def incrementalBm25With(corpusTf: DataFrame, corpusDl: DataFrame,
+      corpusDf: DataFrame, corpusStats: DataFrame,
+      newDocs: DataFrame): DataFrame = {
+    val (btf, bdl) = bm25Index(newDocs)
+    val btfc = btf.localCheckpoint(eager = false) // union leg + df leg
+    val (bdf, bstats) = bm25StatsTables(btfc, bdl)
+    val dfMerged = corpusDf.unionByName(bdf)
+      .groupBy(col("t")).agg(sum(col("df")).as("df"))
+    val statsMerged = corpusStats.unionByName(bstats)
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
+      .select(col("n_docs"),
+        (col("sum_dl").cast("double") / col("n_docs").cast("double"))
+          .as("avgdl"))
+    bm25RankWith(corpusTf.unionByName(btfc), corpusDl.unionByName(bdl),
+      dfMerged, statsMerged)
+  }
+
   /** q144 as an oracle query: corpus index built in-query (as the
     * oracle must), batch merged against it. The union is the whole
     * documents table, so the result IS q93's — one shared oracle. */
@@ -793,10 +835,17 @@ object LLMQueries {
     * aggregation — every doc has ≥ 1 posting, so counting dl rows IS
     * counting docs, saving the second corpus scan q93 first carried). */
   private[operators] def bm25Rank(tf: DataFrame, dl: DataFrame,
-      k: Int = Bm25TopK): DataFrame = {
-    val df = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
-    val stats = dl.agg(count(lit(1)).as("n_docs"),
-      avg(col("dl")).as("avgdl"))
+      k: Int = Bm25TopK): DataFrame =
+    bm25RankWith(tf, dl,
+      tf.groupBy(col("t")).agg(count(lit(1)).as("df")),
+      dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl")), k)
+
+  /** The scoring/ranking tail with df and collection stats SUPPLIED —
+    * [[bm25Rank]] derives them from the postings (the oracle/full-pass
+    * path); the incremental daily leg passes the persisted, merged
+    * tables instead (round 12). One scoring definition either way. */
+  private[operators] def bm25RankWith(tf: DataFrame, dl: DataFrame,
+      df: DataFrame, stats: DataFrame, k: Int = Bm25TopK): DataFrame = {
     val qterms = tf.filter(col("doc_id") < Bm25NumQueries)
       .select(col("doc_id").as("qid"), col("t"))
     val termScores = tf.filter(col("doc_id") >= Bm25NumQueries)

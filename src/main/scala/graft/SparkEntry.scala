@@ -57,7 +57,10 @@ object SparkEntry {
               .incrementalFrameNearDupsDaily(s, dir)),
         "q184_media_band_occupancy" ->
           ((s, dir) =>
-            graft.multimodal.Multimodal.mediaBandOccupancy(s, dir)))
+            graft.multimodal.Multimodal.mediaBandOccupancy(s, dir)),
+        "q187_media_band_cap_curve" ->
+          ((s, dir) =>
+            graft.multimodal.Multimodal.mediaBandCapCurve(s, dir)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -544,6 +544,74 @@ object Multimodal {
           .otherwise(0L)).as("hot_pairs_implied"))
       .orderBy(col("band"))
 
+  /** Bucket caps priced by the q187/q188 operating curves — includes
+    * [[MediaBandHotOcc]] itself, so the audits' hot threshold has a
+    * measured recall number attached. */
+  val BandCapSweep: Seq[Int] = Seq(2, 8, MediaBandHotOcc, 64)
+
+  /** q187/q188 core: the CAP OPERATING CURVE over ANY (id, band, key)
+    * table + its verified truth pairs — the follow-through on the
+    * q184/q185 audits, which report hot-bucket pair mass but not what a
+    * cap would actually COST. For every candidate pair, `need` = the
+    * smallest per-bucket occupancy cap that still admits it (the min,
+    * over shared buckets, of the larger of the two members' bucket
+    * ranks — rank by id, engine-portable), so ONE band self-join prices
+    * EVERY cap at once: a pair survives cap C iff need ≤ C. Per cap:
+    * candidate pairs admitted, truth pairs kept (truth ⊆ candidates —
+    * media truth by the pigeonhole guarantee, vector truth is
+    * banded-verified by construction), and exact-integer recall.
+    *
+    * Scale shape: the self-join is the SAME O(Σ bucket²) band join the
+    * audit reconciles against (this is an audit-tier query, run beside
+    * q184/q185, not in the daily path); the curve tail is one groupBy
+    * over `need` buckets against a broadcast ≤4-row cap table. */
+  def bandCapCurveOf(bands: DataFrame, idCol: String, truth: DataFrame,
+      caps: Seq[Int] = BandCapSweep): DataFrame = {
+    val spark = bands.sparkSession
+    import spark.implicits._
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val ranked = bands
+      .select(col(idCol).as("id"), col("band"), col("key"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("key")).orderBy(col("id"))))
+      .repartition(parts, col("band"), col("key"))
+    val pairNeed = ranked.as("a")
+      .join(ranked.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("ida"), col("b.id").as("idb"))
+      .agg(min(greatest(col("a.rk"), col("b.rk"))).as("need"))
+    val flagged = pairNeed
+      .join(truth.toDF("ida", "idb").withColumn("hit", lit(1L)),
+        Seq("ida", "idb"), "left")
+      .localCheckpoint(eager = false) // one scan per cap bucket join
+    val tn = truth.agg(count(lit(1)).as("truth_pairs"))
+    caps.toDF("cap")
+      .join(flagged, col("need") <= col("cap"), "left")
+      .groupBy(col("cap"))
+      .agg(count(col("ida")).as("cand_pairs"),
+        sum(coalesce(col("hit"), lit(0L))).as("kept_pairs"))
+      .crossJoin(broadcast(tn))
+      .select(col("cap"), col("cand_pairs"), col("kept_pairs"),
+        col("truth_pairs"),
+        expr("kept_pairs * 1000000 div truth_pairs").as("recall_micro"))
+      .orderBy(col("cap"))
+  }
+
+  /** L88/q187: the media band-cap operating curve — q184 says how much
+    * pair mass sits above the hot threshold; this says what a cap at
+    * each occupancy would TRADE: capless banding is pigeonhole-EXACT
+    * (recall 1000000 at cap ≥ max occupancy), and every smaller cap's
+    * recall against the true q109 pair set is an exact integer output.
+    * The number that decides the q184 trade, measured instead of
+    * argued. */
+  def mediaBandCapCurve(spark: SparkSession, dir: String): DataFrame = {
+    val h = assetHashes(spark, dir).localCheckpoint(eager = false)
+    bandCapCurveOf(phashBands(h), "doc_id",
+      pairFrameOf(h).select(col("doc_a"), col("doc_b")))
+  }
+
   /** Hashes of the full q109 asset universe, CPU spread before decode. */
   private[multimodal] def assetHashes(spark: SparkSession,
       dir: String): DataFrame =
@@ -1355,6 +1423,45 @@ object Multimodal {
          |FROM occ GROUP BY band ORDER BY band""".stripMargin,
     "q111_incremental_media_phash" -> mediaPhashPairsSql(
       "  AND (doc_a % 10 = 0 OR doc_b % 10 = 0)\n"),
+    // q187: the q184 band CTEs with per-bucket ranks; a pair's `need` =
+    // min over shared buckets of the larger rank, so one join prices
+    // every cap; truth = the quadratic Hamming scan (pigeonhole-exact
+    // equal to capless banding, which is the point being measured)
+    "q187_media_band_cap_curve" ->
+      s"""WITH $mediaHashCtes,
+         |bands AS (
+         |  SELECT doc_id, CAST(b AS INT) AS band,
+         |    (phash // (CAST(1 AS BIGINT) << (b * $BandBits)))
+         |      % (CAST(1 AS BIGINT) << $BandBits) AS key
+         |  FROM h, LATERAL unnest(range(0, $NumBands)) AS u(b)),
+         |ranked AS (
+         |  SELECT doc_id, band, key, row_number() OVER
+         |    (PARTITION BY band, key ORDER BY doc_id) AS rk
+         |  FROM bands),
+         |pneed AS (
+         |  SELECT a.doc_id AS ida, b.doc_id AS idb,
+         |    min(greatest(a.rk, b.rk)) AS need
+         |  FROM ranked a JOIN ranked b
+         |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |truth AS (
+         |  SELECT a.doc_id AS ida, b.doc_id AS idb
+         |  FROM h a, h b WHERE a.doc_id < b.doc_id
+         |    AND bit_count(xor(a.phash, b.phash)) <= $MediaHammingMax),
+         |tn AS (SELECT count(*) AS truth_pairs FROM truth),
+         |flagged AS (
+         |  SELECT p.ida, p.need,
+         |    CASE WHEN t.ida IS NULL THEN 0 ELSE 1 END AS hit
+         |  FROM pneed p LEFT JOIN truth t
+         |    ON t.ida = p.ida AND t.idb = p.idb),
+         |caps AS (SELECT unnest([${BandCapSweep.mkString(", ")}]) AS cap)
+         |SELECT cap, CAST(count(f.ida) AS BIGINT) AS cand_pairs,
+         |  CAST(coalesce(sum(f.hit), 0) AS BIGINT) AS kept_pairs,
+         |  CAST(tn.truth_pairs AS BIGINT) AS truth_pairs,
+         |  CAST(coalesce(sum(f.hit), 0) * 1000000 // tn.truth_pairs
+         |    AS BIGINT) AS recall_micro
+         |FROM caps LEFT JOIN flagged f ON f.need <= caps.cap, tn
+         |GROUP BY cap, tn.truth_pairs ORDER BY cap""".stripMargin,
     // q180: the SAME recursive closure + election restricted to clusters
     // holding a batch member — the contracted merge must reproduce it
     "q180_incremental_media_clusters" -> mediaClusterSurvivorsSqlOf(

@@ -549,6 +549,26 @@ private[operators] trait VectorDedup {
     canonicalNearDupPairs(famsC, membersC, bandsC, corpus, batch)
   }
 
+  /** L88/q188: the vector band-cap operating curve — the q187 report
+    * over the CANONICAL sign-LSH bands: after the q186 fix the
+    * persisted band table holds one row per distinct vector rendering,
+    * so any residual hot bucket is genuinely-similar DISTINCT vectors
+    * and capping it trades real recall; this measures exactly how much,
+    * per cap, against the verified canonical pair set (the full-corpus
+    * q65 pass over family representatives). Shares
+    * [[graft.multimodal.Multimodal.bandCapCurveOf]] and the cap sweep
+    * with the media flavor so the two curves can never price caps
+    * differently. */
+  def vecBandCapCurve(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir).select(col("vec_id"), col("v"))
+    val (fams, _, bandsC) = vecNearDupIndexTables(e)
+    val canonVecs = fams
+      .join(e.select(col("vec_id").as("canon"), col("v")), Seq("canon"))
+      .select(col("canon").as("vec_id"), col("v"))
+    graft.multimodal.Multimodal.bandCapCurveOf(bandsC, "vec_id",
+      cosineNearDupsOf(canonVecs).select(col("vec_a"), col("vec_b")))
+  }
+
   /** Compacted canonical trio over (persisted index, batch) — equals
     * [[vecNearDupIndexTables]] over corpus ∪ batch (IndexStoreSpec pins
     * it). The one non-pointwise effect is the CANONICAL SHIFT: a batch

@@ -327,7 +327,8 @@ object VectorQueries extends VectorAnnTiers
     "q181_ivfpq_topk" -> (ivfPqTopkCosine _),
     "q182_incremental_ivfpq" -> (incrementalIvfPqTopk _),
     "q185_vec_band_occupancy" -> (vecBandOccupancy _),
-    "q186_canonical_near_dup_pairs" -> (canonicalNearDupPairsDaily _))
+    "q186_canonical_near_dup_pairs" -> (canonicalNearDupPairsDaily _),
+    "q188_vec_band_cap_curve" -> (vecBandCapCurve _))
 
   /** Oracle-side mirror of the Spark assignment ordering: the SAME
     * quantity `round(l2Sq, 6)` — squared L2 summed left-to-right over the
@@ -484,6 +485,59 @@ object VectorQueries extends VectorAnnTiers
          |SELECT fid_a, fid_b, cos, CAST(n_pairs AS BIGINT) AS n_pairs
          |FROM (SELECT * FROM cross_rows UNION ALL SELECT * FROM within_rows)
          |ORDER BY fid_a, fid_b""".stripMargin,
+    // q188: canonical families (full-corpus flavor — fid = min member
+    // over ALL vectors), the shared band CTEs at family granularity
+    // with per-bucket ranks, `need` = min-over-buckets of the larger
+    // rank, truth = the verified canonical pair set; same tail as q187
+    "q188_vec_band_cap_curve" ->
+      s"""WITH raw AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |k AS (SELECT vec_id, v,
+         |        md5(array_to_string(list_transform(v,
+         |          x -> CAST(CAST(round(x * 1e9) AS BIGINT) AS VARCHAR)),
+         |          ',')) AS vkey
+         |      FROM raw),
+         |fam AS (SELECT vkey, min(vec_id) AS fid FROM k GROUP BY vkey),
+         |frep AS (SELECT f.fid, k.v FROM fam f JOIN k ON k.vec_id = f.fid),
+         |e AS (SELECT fid AS vec_id, v FROM frep),
+         |bands AS (
+         |  $oracleBands),
+         |ranked AS (
+         |  SELECT vec_id, band, key, row_number() OVER
+         |    (PARTITION BY band, key ORDER BY vec_id) AS rk
+         |  FROM bands),
+         |pneed AS (
+         |  SELECT a.vec_id AS ida, b.vec_id AS idb,
+         |    min(greatest(a.rk, b.rk)) AS need
+         |  FROM ranked a JOIN ranked b
+         |    ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
+         |  GROUP BY 1, 2),
+         |truth AS (
+         |  SELECT ida, idb FROM (
+         |    SELECT c.ida, c.idb,
+         |      round(list_cosine_similarity(ea.v, eb.v), 6) AS cos
+         |    FROM (SELECT DISTINCT least(a.vec_id, b.vec_id) AS ida,
+         |            greatest(a.vec_id, b.vec_id) AS idb
+         |          FROM bands a JOIN bands b
+         |            ON a.band = b.band AND a.key = b.key
+         |              AND a.vec_id <> b.vec_id) c
+         |    JOIN e ea ON ea.vec_id = c.ida
+         |    JOIN e eb ON eb.vec_id = c.idb)
+         |  WHERE cos >= $NearDupThreshold),
+         |tn AS (SELECT count(*) AS truth_pairs FROM truth),
+         |flagged AS (
+         |  SELECT p.ida, p.need,
+         |    CASE WHEN t.ida IS NULL THEN 0 ELSE 1 END AS hit
+         |  FROM pneed p LEFT JOIN truth t
+         |    ON t.ida = p.ida AND t.idb = p.idb),
+         |caps AS (SELECT unnest([${
+           graft.multimodal.Multimodal.BandCapSweep.mkString(", ")}]) AS cap)
+         |SELECT cap, CAST(count(f.ida) AS BIGINT) AS cand_pairs,
+         |  CAST(coalesce(sum(f.hit), 0) AS BIGINT) AS kept_pairs,
+         |  CAST(tn.truth_pairs AS BIGINT) AS truth_pairs,
+         |  CAST(coalesce(sum(f.hit), 0) * 1000000 // tn.truth_pairs
+         |    AS BIGINT) AS recall_micro
+         |FROM caps LEFT JOIN flagged f ON f.need <= caps.cap, tn
+         |GROUP BY cap, tn.truth_pairs ORDER BY cap""".stripMargin,
     "q91_semantic_dedup" -> semanticDedupOracleSql(""),
     // q104: the same full closure, restricted to clusters containing a
     // batch (vec_id % 10 = 0) member — exactly what the incremental

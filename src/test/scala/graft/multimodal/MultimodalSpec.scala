@@ -313,6 +313,39 @@ class MultimodalSpec extends SparkSpec {
     assert(hotReported == hot)
   }
 
+  test("q187 cap curve: monotone, bounded, exact at an uncapped sweep point") {
+    import org.apache.spark.sql.functions.{col, max => smax}
+    val curve = Multimodal.mediaBandCapCurve(spark, sfDir)
+      .as[(Int, Long, Long, Long, Long)].collect()
+    assert(curve.map(_._1).toSeq == Multimodal.BandCapSweep)
+    val truthN = curve.head._4
+    assert(truthN > 0)
+    curve.foreach { case (_, cand, kept, tn, micro) =>
+      assert(tn == truthN)
+      assert(kept <= cand && kept <= tn)
+      assert(micro == kept * 1000000L / tn && micro <= 1000000L)
+    }
+    // a larger cap never admits fewer candidates or loses truth pairs
+    curve.sliding(2).foreach { case Array(lo, hi) =>
+      assert(hi._2 >= lo._2 && hi._3 >= lo._3)
+    }
+    // at a cap >= the largest bucket, banding is uncapped: recall must
+    // be exactly pigeonhole recall == 1000000 and the admitted pairs
+    // must equal the full band join's distinct pair set
+    val bands = Multimodal.phashBands(Multimodal.assetHashes(spark, sfDir))
+    val maxOcc = bands.groupBy(col("band"), col("key")).count()
+      .agg(smax(col("count"))).head().getLong(0)
+    val top = curve.last
+    if (maxOcc <= top._1) {
+      assert(top._5 == 1000000L, s"uncapped sweep point lost recall: $top")
+      val full = bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id"), col("b.doc_id")).distinct().count()
+      assert(top._2 == full)
+    }
+  }
+
   test("incremental frame near-dups == full pass restricted to batch pairs") {
     val full = Multimodal.frameNearDups(spark, sfDir)
       .as[(Long, Long, Long, Long)].collect().toSet

@@ -303,6 +303,23 @@ class VectorQueriesSpec extends SparkSpec {
     assert(collapsed.map(_._4).sum == old.length.toLong)
   }
 
+  test("q188 vec cap curve: monotone, bounded, shares the media sweep") {
+    val curve = VectorQueries.vecBandCapCurve(spark, sfDir)
+      .as[(Int, Long, Long, Long, Long)].collect()
+    assert(curve.map(_._1).toSeq ==
+      graft.multimodal.Multimodal.BandCapSweep)
+    val truthN = curve.head._4
+    assert(truthN > 0)
+    curve.foreach { case (_, cand, kept, tn, micro) =>
+      assert(tn == truthN)
+      assert(kept <= cand && kept <= tn)
+      assert(micro == kept * 1000000L / tn && micro <= 1000000L)
+    }
+    curve.sliding(2).foreach { case Array(lo, hi) =>
+      assert(hi._2 >= lo._2 && hi._3 >= lo._3)
+    }
+  }
+
   test("vec_near_dup compaction handles the canonical shift") {
     val e = replicaFixture
     val corpus = e.filter(col("vec_id") % VectorQueries.VecBatchMod =!= 0)

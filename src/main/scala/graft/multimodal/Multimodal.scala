@@ -544,6 +544,23 @@ object Multimodal {
           .otherwise(0L)).as("hot_pairs_implied"))
       .orderBy(col("band"))
 
+  /** The occupancy-rollup oracle tail over a CTE prefix ending in
+    * `bands(id, band, key)` — ONE SQL text for the q184/q185/q189 band
+    * audits, as [[bandOccupancyOf]] is one engine definition. */
+  def bandOccupancySql(bandsCtePrefix: String): String =
+    s"""WITH $bandsCtePrefix,
+       |occ AS (
+       |  SELECT band, key, count(*) AS n FROM bands GROUP BY 1, 2)
+       |SELECT band, CAST(count(*) AS BIGINT) AS n_keys,
+       |  CAST(max(n) AS BIGINT) AS max_occ,
+       |  CAST(sum(n * (n - 1) // 2) AS BIGINT) AS pairs_implied,
+       |  CAST(sum(CASE WHEN n > $MediaBandHotOcc THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS hot_buckets,
+       |  CAST(sum(CASE WHEN n > $MediaBandHotOcc
+       |    THEN n * (n - 1) // 2 ELSE 0 END) AS BIGINT)
+       |    AS hot_pairs_implied
+       |FROM occ GROUP BY band ORDER BY band""".stripMargin
+
   /** Bucket caps priced by the q187/q188 operating curves — includes
     * [[MediaBandHotOcc]] itself, so the audits' hot threshold has a
     * measured recall number attached. */
@@ -1403,24 +1420,13 @@ object Multimodal {
     // q184: band keys recomputed from the q109 hash CTEs (phash ≥ 0 —
     // dHash sets bits 0..62 — so DuckDB // and % equal Spark div/%),
     // then the same two-level occupancy rollup
-    "q184_media_band_occupancy" ->
-      s"""WITH $mediaHashCtes,
+    "q184_media_band_occupancy" -> bandOccupancySql(
+      s"""$mediaHashCtes,
          |bands AS (
          |  SELECT doc_id, CAST(b AS INT) AS band,
          |    (phash // (CAST(1 AS BIGINT) << (b * $BandBits)))
          |      % (CAST(1 AS BIGINT) << $BandBits) AS key
-         |  FROM h, LATERAL unnest(range(0, $NumBands)) AS u(b)),
-         |occ AS (
-         |  SELECT band, key, count(*) AS n FROM bands GROUP BY 1, 2)
-         |SELECT band, CAST(count(*) AS BIGINT) AS n_keys,
-         |  CAST(max(n) AS BIGINT) AS max_occ,
-         |  CAST(sum(n * (n - 1) // 2) AS BIGINT) AS pairs_implied,
-         |  CAST(sum(CASE WHEN n > $MediaBandHotOcc THEN 1 ELSE 0 END)
-         |    AS BIGINT) AS hot_buckets,
-         |  CAST(sum(CASE WHEN n > $MediaBandHotOcc
-         |    THEN n * (n - 1) // 2 ELSE 0 END) AS BIGINT)
-         |    AS hot_pairs_implied
-         |FROM occ GROUP BY band ORDER BY band""".stripMargin,
+         |  FROM h, LATERAL unnest(range(0, $NumBands)) AS u(b))""".stripMargin),
     "q111_incremental_media_phash" -> mediaPhashPairsSql(
       "  AND (doc_a % 10 = 0 OR doc_b % 10 = 0)\n"),
     // q187: the q184 band CTEs with per-bucket ranks; a pair's `need` =

@@ -124,6 +124,24 @@ object LLMQueries {
           (col("na") + col("nb") - col("n_inter")), 6).as("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
 
+  /** L89/q189: TEXT band-occupancy audit — the q184/q185 report over
+    * the q64 MinHash bands, completing the hot-bucket watch across all
+    * three banded modalities (media q184, vector q185, text here): per
+    * band, populated keys, max bucket occupancy, implied candidate-pair
+    * volume Σ n·(n−1)/2 (exactly the band join's pre-dedup row count —
+    * LLMQueriesSpec reconciles it) and the bucket/pair mass above the
+    * shared hot threshold. The 100× soak's text_near_dup daily leg
+    * (3.73M verified pairs, pair-volume-bound) is the load this audit
+    * watches; unlike vectors, the soak's text replicas are perturbed
+    * (` rep<r>`), so they are REAL near-dups — no exact pre-pass can
+    * collapse them, which makes the occupancy watch the text family's
+    * only early-warning knob. One [[graft.multimodal.Multimodal
+    * .bandOccupancyOf]] definition and one hot-occupancy policy across
+    * the three audits. */
+  def textBandOccupancy(spark: SparkSession, dir: String): DataFrame =
+    graft.multimodal.Multimodal.bandOccupancyOf(
+      signatureTables(docs(spark, dir))._1)
+
   /** Incremental near-dup: pairs of an incoming batch against an already
     * signed corpus (plus batch-internal pairs) WITHOUT re-pairing the
     * corpus with itself — the daily-ingest flow at 100 TB, where corpus
@@ -1576,6 +1594,7 @@ object LLMQueries {
     "q134_tokenizer_fertility" -> (tokenizerFertility _),
     "q123_chunk_docs" -> (chunkDocs _),
     "q64_minhash_pairs" -> (minhashPairs _),
+    "q189_text_band_occupancy" -> (textBandOccupancy _),
     "q166_edit_verified_dups" -> (editVerifiedDups _),
     "q125_minhash_recall" -> (minhashRecall _),
     "q127_minhash_precision" -> (minhashPrecision _),
@@ -1647,7 +1666,11 @@ object LLMQueries {
   /** The full q64 pipeline as composable CTEs ending in `pairs_all`
     * (doc_a, doc_b, n_inter, jaccard) — shared with q77's cluster
     * formation so the two oracles can't drift apart. */
-  private[operators] def minhashPairsCtesOf(where: String): String =
+  /** The shingle → signature → band-key CTE prefix (ends in
+    * `bands(doc_id, band, key)`) — shared by the pair CTEs below and
+    * the q189 band-occupancy oracle so the audited banding is exactly
+    * the pair join's. */
+  private[operators] def minhashBandCtesOf(where: String): String =
     (s"${shingleCteOf(where)}," +
     s"""sigs AS (
        |  SELECT doc_id,
@@ -1657,7 +1680,11 @@ object LLMQueries {
        |bands AS (
        |  ${(0 until NumHashes / RowsPerBand).map(b =>
             s"SELECT doc_id, $b AS band, h${2 * b} || h${2 * b + 1} AS key FROM sigs")
-            .mkString("\n  UNION ALL ")}),
+            .mkString("\n  UNION ALL ")})""".stripMargin)
+
+  private[operators] def minhashPairsCtesOf(where: String): String =
+    (s"${minhashBandCtesOf(where)}," +
+    s"""
        |cands AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bands a JOIN bands b
@@ -2083,6 +2110,10 @@ object LLMQueries {
          |    ELSE n_verified * 1000000 // n_cands END AS BIGINT)
          |    AS precision_micro
          |FROM nc, nv""".stripMargin),
+    // q189: the shared minhash band CTE prefix, the shared occupancy
+    // rollup tail — the audited banding IS the q64 pair join's
+    "q189_text_band_occupancy" -> graft.multimodal.Multimodal
+      .bandOccupancySql(minhashBandCtesOf("")),
     "q64_minhash_pairs" -> (s"WITH $minhashPairsCtes " +
       """SELECT doc_a, doc_b, n_inter, jaccard FROM pairs_all
         |ORDER BY doc_a, doc_b""".stripMargin),

@@ -413,21 +413,11 @@ object VectorQueries extends VectorAnnTiers
          |ORDER BY vec_a, vec_b""".stripMargin,
     // q185: the q65 band CTEs, then the q184 occupancy rollup (same
     // hot threshold — one policy constant across both band audits)
-    "q185_vec_band_occupancy" ->
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |bands AS (
-         |  $oracleBands),
-         |occ AS (
-         |  SELECT band, key, count(*) AS n FROM bands GROUP BY 1, 2)
-         |SELECT band, CAST(count(*) AS BIGINT) AS n_keys,
-         |  CAST(max(n) AS BIGINT) AS max_occ,
-         |  CAST(sum(n * (n - 1) // 2) AS BIGINT) AS pairs_implied,
-         |  CAST(sum(CASE WHEN n > ${graft.multimodal.Multimodal.MediaBandHotOcc}
-         |    THEN 1 ELSE 0 END) AS BIGINT) AS hot_buckets,
-         |  CAST(sum(CASE WHEN n > ${graft.multimodal.Multimodal.MediaBandHotOcc}
-         |    THEN n * (n - 1) // 2 ELSE 0 END) AS BIGINT)
-         |    AS hot_pairs_implied
-         |FROM occ GROUP BY band ORDER BY band""".stripMargin,
+    "q185_vec_band_occupancy" -> graft.multimodal.Multimodal
+      .bandOccupancySql(
+        s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |bands AS (
+           |  $oracleBands)""".stripMargin),
     // q186: the family-collapsed pair table. Families group by the q95
     // fixed-point key; the canonical id is the min CORPUS member when
     // one exists, else the min batch member (the engine's fid rule);

@@ -194,6 +194,22 @@ class LLMQueriesSpec extends SparkSpec {
     assert(full.exists(p => !isNew(p._1) && !isNew(p._2)))
   }
 
+  test("q189 band occupancy reconciles against the actual q64 band join") {
+    // Σ pairs_implied IS the MinHash band self-join's candidate row
+    // count before dedup/verification — the q184/q185 reconciliation,
+    // text flavor
+    val occ = LLMQueries.textBandOccupancy(spark, sfDir)
+    val bands = LLMQueries
+      .signatureTables(graft.Tables(spark, sfDir, "documents"))._1
+    val raw = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .count()
+    val implied = occ.agg(sum(col("pairs_implied"))).head().getLong(0)
+    assert(implied == raw,
+      s"implied=$implied raw=$raw — occupancy report drifted from the join")
+  }
+
   test("bpe pair counts weight pairs by word frequency, in-word repeats count") {
     // "ab" ×3 → pair ab=3; "aaa" ×2 → pair aa twice per word = 4;
     // one-char words contribute nothing

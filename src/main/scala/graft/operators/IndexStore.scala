@@ -24,7 +24,7 @@ import graft.Tables
   *   text_hash.parquet                              # q97  (hashIndex)
   *   segments.parquet                               # q98  (segmentIndex)
   *   vec_hash.parquet                               # q102 (vectorHashIndex)
-  *   vec_fams/members/bands_c.parquet               # q103/q186 (vecNearDupIndexTables)
+  *   vec_fams/members/bands_c/canon.parquet         # q103/q186 (vecNearDupIndexTables)
   *   sem_fams/vecc/bandsc/ccc/statsc.parquet        # q104 (semanticIndexTables)
   *   ivf_centroids.parquet                          # q105 (centroidsOf)
   *   ivf_cell_stats.parquet                         # q160 (cellStatsOf)
@@ -89,11 +89,12 @@ object IndexStore {
     * CANONICAL band rows, so bucket occupancy counts families, never
     * replicas. */
   def writeVecNearDup(corpusVecs: DataFrame, dir: String): Unit = {
-    val (fams, members, bandsC) =
+    val (fams, members, bandsC, canonVecs) =
       VectorQueries.vecNearDupIndexTables(corpusVecs)
     write(fams, dir, "vec_fams")
     write(members, dir, "vec_members")
     write(bandsC, dir, "vec_bands_c")
+    write(canonVecs, dir, "vec_canon")
   }
 
   def writeSemantic(corpusVecs: DataFrame, dir: String): Unit = {
@@ -165,30 +166,29 @@ object IndexStore {
       vecSplit(spark, dataDir)._2)
 
   /** q103 twin: [[VectorQueries.incrementalVectorNearDupsCanonical]]
-    * off the disk trio. The corpus vectors still come from the data
-    * lake (verification fetches candidate-endpoint CANONICALS by id);
-    * the index saves the re-keying, re-banding, and — the round-12
-    * point — the per-member candidate quadratics. */
+    * off the disk tables — the family is SELF-CONTAINED: cosine
+    * verification fetches candidate-endpoint canonical vectors from
+    * the persisted `vec_canon` table (replica-factor smaller than the
+    * lake), so the daily leg never scans the data-lake embeddings at
+    * all; only the batch is read from the lake. */
   def dailyVecNearDup(spark: SparkSession, indexDir: String,
-      dataDir: String): DataFrame = {
-    val (corpusVecs, batch) = vecSplit(spark, dataDir)
+      dataDir: String): DataFrame =
     VectorQueries.incrementalVectorNearDupsCanonical(
       read(spark, indexDir, "vec_fams"),
       read(spark, indexDir, "vec_members"),
       read(spark, indexDir, "vec_bands_c"),
-      corpusVecs, batch)
-  }
+      read(spark, indexDir, "vec_canon"),
+      vecSplit(spark, dataDir)._2)
 
-  /** q186 twin: the collapsed family-pair table off the same trio. */
+  /** q186 twin: the collapsed family-pair table off the same tables. */
   def dailyVecNearDupPairs(spark: SparkSession, indexDir: String,
-      dataDir: String): DataFrame = {
-    val (corpusVecs, batch) = vecSplit(spark, dataDir)
+      dataDir: String): DataFrame =
     VectorQueries.canonicalNearDupPairs(
       read(spark, indexDir, "vec_fams"),
       read(spark, indexDir, "vec_members"),
       read(spark, indexDir, "vec_bands_c"),
-      corpusVecs, batch)
-  }
+      read(spark, indexDir, "vec_canon"),
+      vecSplit(spark, dataDir)._2)
 
   /** q104 twin: [[VectorQueries.incrementalSemanticDedup]] off disk. */
   def dailySemantic(spark: SparkSession, indexDir: String,
@@ -718,14 +718,17 @@ object IndexStore {
     * the trio over (corpus ∪ batch), spec-pinned. */
   def compactVecNearDup(spark: SparkSession, indexDir: String,
       dataDir: String, outDir: String): Unit = {
-    val (fams, members, bandsC) = VectorQueries.compactVecNearDupTables(
-      read(spark, indexDir, "vec_fams"),
-      read(spark, indexDir, "vec_members"),
-      read(spark, indexDir, "vec_bands_c"),
-      vecSplit(spark, dataDir)._2)
+    val (fams, members, bandsC, canonVecs) =
+      VectorQueries.compactVecNearDupTables(
+        read(spark, indexDir, "vec_fams"),
+        read(spark, indexDir, "vec_members"),
+        read(spark, indexDir, "vec_bands_c"),
+        read(spark, indexDir, "vec_canon"),
+        vecSplit(spark, dataDir)._2)
     write(fams, outDir, "vec_fams")
     write(members, outDir, "vec_members")
     write(bandsC, outDir, "vec_bands_c")
+    write(canonVecs, outDir, "vec_canon")
   }
 
   def compactMediaBands(spark: SparkSession, indexDir: String,
@@ -817,7 +820,8 @@ object IndexStore {
         val (c, b) = vecSplit(s, dataDir)
         writeVecExact(c.unionByName(b), dir)
       }),
-    ("vec_near_dup", Seq("vec_fams", "vec_members", "vec_bands_c"),
+    ("vec_near_dup",
+      Seq("vec_fams", "vec_members", "vec_bands_c", "vec_canon"),
       compactVecNearDup _,
       (s, dataDir, dir) => {
         val (c, b) = vecSplit(s, dataDir)

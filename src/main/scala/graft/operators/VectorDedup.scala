@@ -30,7 +30,7 @@ private[operators] trait VectorDedup {
   private[operators] val NumPlanes = 24
   private[operators] val PlanesPerBand = 6
   private[operators] final val Dim = 64
-  private[operators] final val NearDupThreshold = 0.4
+  private[graft] final val NearDupThreshold = 0.4
 
   /** Deterministic ±1 random hyperplanes, shared verbatim with the oracle
     * SQL (seeded PRNG, generated once at class init). */
@@ -90,6 +90,17 @@ private[operators] trait VectorDedup {
         graft.functions.SignLshKeys.signLshKeys(
           col("v"), planes, PlanesPerBand)))
       .toDF("vec_id", "band", "key")
+
+  /** [[lshBandsOf]] retaining every input column — the streaming twin
+    * carries (ts, v) through the band explode for the stream-static
+    * probe + inline verification. Same native expression, same planes:
+    * one banding definition across batch and stream. */
+  private[graft] def lshBandsKeeping(e: DataFrame): DataFrame =
+    e.select(e.columns.map(col) :+ posexplode(
+        graft.functions.SignLshKeys.signLshKeys(
+          col("v"), planes, PlanesPerBand)): _*)
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "key")
 
   private[operators] def cosineNearDupsOf(e: DataFrame): DataFrame = {
     val spark = e.sparkSession
@@ -335,10 +346,15 @@ private[operators] trait VectorDedup {
     *    bytes/row, what the pair EXPANSION reads (semi-joined to the
     *    families a day actually touches, never shuffled whole);
     *  - `bandsC(vec_id, band, key)`: sign-LSH band keys of CANONICAL
-    *    vectors only.
+    *    vectors only;
+    *  - `canonVecs(vec_id, v)`: the canonical vectors themselves — one
+    *    64-double row per distinct rendering, so the daily leg's cosine
+    *    verification reads the (replica-factor-smaller) index instead
+    *    of scanning the data-lake embeddings, and the family is
+    *    self-contained (the text_cc convention).
     */
   def vecNearDupIndexTables(corpus: DataFrame)
-      : (DataFrame, DataFrame, DataFrame) = {
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val keyed = corpus.select(col("vec_id"), col("v"), vKeyExpr.as("vkey"))
     val fams = keyed.groupBy(col("vkey"))
       .agg(min(col("vec_id")).as("canon"))
@@ -346,11 +362,12 @@ private[operators] trait VectorDedup {
     val members = keyed.select(col("vec_id"), col("vkey"))
       .join(fams, Seq("vkey"))
       .select(col("vec_id"), col("canon"))
-    val bandsC = lshBandsOf(
-      fams.join(corpus.select(col("vec_id").as("canon"), col("v")),
-          Seq("canon"))
-        .select(col("canon").as("vec_id"), col("v")))
-    (fams, members, bandsC)
+    val canonVecs = fams
+      .join(corpus.select(col("vec_id").as("canon"), col("v")),
+        Seq("canon"))
+      .select(col("canon").as("vec_id"), col("v"))
+      .localCheckpoint(eager = false) // feeds the band leg + its write
+    (fams, members, lshBandsOf(canonVecs), canonVecs)
   }
 
   /** Family-level candidate generation + cosine verification — the core
@@ -375,7 +392,7 @@ private[operators] trait VectorDedup {
     * collapse to the few thousand distinct family pairs beneath them.
     */
   private def canonNearDupCore(famsC: DataFrame, membersC: DataFrame,
-      bandsC: DataFrame, corpusVecs: DataFrame, newVecs: DataFrame)
+      bandsC: DataFrame, canonVecsC: DataFrame, newVecs: DataFrame)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val spark = newVecs.sparkSession
     val n = spark.sessionState.conf.numShufflePartitions
@@ -411,10 +428,11 @@ private[operators] trait VectorDedup {
       .select(explode(array(col("fid_a"), col("fid_b"))).as("vec_id"))
       .distinct()
     // canonical vectors of candidate endpoints only: corpus canonicals
-    // come off the lake by vec_id, new-family reps off the batch — the
-    // broadcast semi keeps the verify legs from shuffling every corpus
-    // vector (the q96 endpoint lesson, family flavor)
-    val repVecs = corpusVecs.select(col("vec_id"), col("v"))
+    // come off the persisted canonical-vector table (replica-factor
+    // smaller than the lake), new-family reps off the batch — the
+    // broadcast semi keeps the verify legs from shuffling every
+    // canonical (the q96 endpoint lesson, family flavor)
+    val repVecs = canonVecsC.select(col("vec_id"), col("v"))
       .unionByName(reps.filter(col("is_new"))
         .select(col("fid").as("vec_id"), col("v")))
       .join(broadcast(ends), Seq("vec_id"), "left_semi")
@@ -457,10 +475,10 @@ private[operators] trait VectorDedup {
     * family via the batch-endpoint filter. The q103 oracle (full q65
     * pass restricted to batch-touching pairs) hash-checks all of it. */
   def incrementalVectorNearDupsCanonical(famsC: DataFrame,
-      membersC: DataFrame, bandsC: DataFrame, corpusVecs: DataFrame,
+      membersC: DataFrame, bandsC: DataFrame, canonVecsC: DataFrame,
       newVecs: DataFrame): DataFrame = {
     val (famPairs, reps, batchMembers, corpusMembers) =
-      canonNearDupCore(famsC, membersC, bandsC, corpusVecs, newVecs)
+      canonNearDupCore(famsC, membersC, bandsC, canonVecsC, newVecs)
     val membersAll = corpusMembers.withColumn("is_b", lit(false))
       .unionByName(batchMembers.withColumn("is_b", lit(true)))
       .localCheckpoint(eager = false) // two cross legs + within leg
@@ -503,10 +521,10 @@ private[operators] trait VectorDedup {
     * (Σ n_pairs equals the q103 row count, spec-pinned) but never has
     * to be shuffled, verified, or stored pairwise. */
   def canonicalNearDupPairs(famsC: DataFrame, membersC: DataFrame,
-      bandsC: DataFrame, corpusVecs: DataFrame,
+      bandsC: DataFrame, canonVecsC: DataFrame,
       newVecs: DataFrame): DataFrame = {
     val (famPairs, reps, _, corpusMembers) =
-      canonNearDupCore(famsC, membersC, bandsC, corpusVecs, newVecs)
+      canonNearDupCore(famsC, membersC, bandsC, canonVecsC, newVecs)
     val tcs = corpusMembers.groupBy(col("fid"))
       .agg(count(lit(1)).as("tc"))
     val counts = tcs
@@ -545,8 +563,9 @@ private[operators] trait VectorDedup {
     val e = vecs(spark, dir).select(col("vec_id"), col("v"))
     val corpus = e.filter(col("vec_id") % VecBatchMod =!= 0)
     val batch = e.filter(col("vec_id") % VecBatchMod === 0)
-    val (famsC, membersC, bandsC) = vecNearDupIndexTables(corpus)
-    canonicalNearDupPairs(famsC, membersC, bandsC, corpus, batch)
+    val (famsC, membersC, bandsC, canonVecs) =
+      vecNearDupIndexTables(corpus)
+    canonicalNearDupPairs(famsC, membersC, bandsC, canonVecs, batch)
   }
 
   /** L88/q188: the vector band-cap operating curve — the q187 report
@@ -561,10 +580,7 @@ private[operators] trait VectorDedup {
     * differently. */
   def vecBandCapCurve(spark: SparkSession, dir: String): DataFrame = {
     val e = vecs(spark, dir).select(col("vec_id"), col("v"))
-    val (fams, _, bandsC) = vecNearDupIndexTables(e)
-    val canonVecs = fams
-      .join(e.select(col("vec_id").as("canon"), col("v")), Seq("canon"))
-      .select(col("canon").as("vec_id"), col("v"))
+    val (_, _, bandsC, canonVecs) = vecNearDupIndexTables(e)
     graft.multimodal.Multimodal.bandCapCurveOf(bandsC, "vec_id",
       cosineNearDupsOf(canonVecs).select(col("vec_a"), col("vec_b")))
   }
@@ -578,8 +594,8 @@ private[operators] trait VectorDedup {
     * change (identical vectors ⇒ identical fixed-point sign bits), so
     * shifted bands relabel in place and only NEW families band anew. */
   def compactVecNearDupTables(famsC: DataFrame, membersC: DataFrame,
-      bandsC: DataFrame, batch: DataFrame)
-      : (DataFrame, DataFrame, DataFrame) = {
+      bandsC: DataFrame, canonVecsC: DataFrame, batch: DataFrame)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val batchK = batch.select(col("vec_id"), col("v"), vKeyExpr.as("vkey"))
       .localCheckpoint(eager = false) // feeds fams + member append
     val batchFams = batchK.groupBy(col("vkey"))
@@ -612,7 +628,18 @@ private[operators] trait VectorDedup {
       .select(coalesce(col("new_canon"), col("vec_id")).as("vec_id"),
         col("band"), col("key"))
       .unionByName(newFamBands)
-    (famsOut, membersOut, bandsOut)
+    // canonical vectors: untouched/unshifted rows carry through; a
+    // shifted family's row is REPLACED by the batch representative
+    // (rebuild semantics — the new canonical IS the batch row); new
+    // families append theirs
+    val canonVecsOut = canonVecsC
+      .join(broadcast(shifts.select(col("canon").as("vec_id"))),
+        Seq("vec_id"), "left_anti")
+      .unionByName(batchFams
+        .filter(col("canon").isNull ||
+          col("new_canon") =!= col("canon"))
+        .select(col("new_canon").as("vec_id"), col("v")))
+    (famsOut, membersOut, bandsOut, canonVecsOut)
   }
 
   /** q102: the daily-ingest exact vector dedup as an ORACLE query. */
@@ -636,9 +663,10 @@ private[operators] trait VectorDedup {
     val e = vecs(spark, dir).select(col("vec_id"), col("v"))
     val corpus = e.filter(col("vec_id") % VecBatchMod =!= 0)
     val batch = e.filter(col("vec_id") % VecBatchMod === 0)
-    val (famsC, membersC, bandsC) = vecNearDupIndexTables(corpus)
+    val (famsC, membersC, bandsC, canonVecs) =
+      vecNearDupIndexTables(corpus)
     incrementalVectorNearDupsCanonical(famsC, membersC, bandsC,
-      corpus, batch)
+      canonVecs, batch)
   }
 
   /** The persisted corpus-side semantic-dedup index — what a daily

@@ -411,6 +411,46 @@ object StreamingOps {
       .join(corpusKeys, Seq("vkey"), "left_anti")
       .select(col("vec_id"), col("ts"), col("embedding"))
 
+  /** L87 streaming: vector NEAR-DUP alerts off the canonical index —
+    * the live companion of the q103/q186 family, the
+    * [[streamingMediaNearDups]] quarantine-queue shape for embeddings:
+    * every arriving vector computes its sign-LSH band keys with the
+    * SAME native expression and planes as the batch flow
+    * ([[graft.operators.VectorQueries.lshBandsKeeping]]), probes the
+    * persisted CANONICAL band table (stream-static, stateless — buckets
+    * count families, never replicas: the q186 property carried into the
+    * stream, so a viral replica family cannot blow up the probe), then
+    * fetches matched canonical vectors from the persisted `vec_canon`
+    * table (the family is self-contained; the data lake is never read)
+    * and verifies inline with the shared cosine expression. Emits
+    * (vec_id, ts, corpus family canonical, cos) match rows; in-stream
+    * pairs are the nightly q103 batch pass's job — keeping the stream
+    * leg corpus-only keeps it stateless. State is only the
+    * watermark-bounded (vec, family) collapse (a pair agreeing on two
+    * bands arrives twice). Spec-pinned equal to the batch rule (band
+    * intersection ∧ verified cosine) on the same frames. */
+  def streamingVectorNearDups(vecs: Dataset[StreamVec],
+      corpusBandsC: DataFrame, canonVecs: DataFrame): DataFrame =
+    graft.operators.VectorQueries.lshBandsKeeping(
+        vecs.toDF()
+          .withColumn("v",
+            expr("transform(embedding, x -> cast(x AS double))"))
+          .drop("embedding")
+          .withWatermark("ts", "1 hour"))
+      .join(corpusBandsC
+        .select(col("vec_id").as("fid"), col("band"), col("key")),
+        Seq("band", "key"))
+      .filter(col("vec_id") =!= col("fid"))
+      .join(canonVecs
+        .select(col("vec_id").as("fid"), col("v").as("cv")), Seq("fid"))
+      .withColumn("cos",
+        round(graft.functions.CosineSimilarity.cosineSim(
+          col("v"), col("cv")), 6))
+      .filter(col("cos") >=
+        graft.operators.VectorQueries.NearDupThreshold)
+      .select(col("vec_id"), col("ts"), col("fid"), col("cos"))
+      .dropDuplicatesWithinWatermark(Seq("vec_id", "fid"))
+
   /** L63 streaming: QUANTIZER-DRIFT as a continuous stream — arriving
     * vectors assign to the frozen disk centroids with the SAME
     * exchange-free array-lambda argmin as q160

@@ -280,10 +280,11 @@ class VectorQueriesSpec extends SparkSpec {
       .incrementalVectorNearDups(VectorQueries.lshBandsOf(corpus),
         corpus, batch)
       .as[(Long, Long, Double)].collect().toSeq
-    val (fams, members, bandsC) = VectorQueries.vecNearDupIndexTables(corpus)
+    val (fams, members, bandsC, canonVecs) =
+      VectorQueries.vecNearDupIndexTables(corpus)
     val canon = VectorQueries
       .incrementalVectorNearDupsCanonical(fams, members, bandsC,
-        corpus, batch)
+        canonVecs, batch)
       .as[(Long, Long, Double)].collect().toSeq
     assert(canon == old)
     // the fixture exercises all three pair classes
@@ -298,7 +299,7 @@ class VectorQueriesSpec extends SparkSpec {
       "corpus-corpus pair leaked into the incremental output")
     // collapsed table accounts for exactly the expanded pairs
     val collapsed = VectorQueries
-      .canonicalNearDupPairs(fams, members, bandsC, corpus, batch)
+      .canonicalNearDupPairs(fams, members, bandsC, canonVecs, batch)
       .as[(Long, Long, Double, Long)].collect()
     assert(collapsed.map(_._4).sum == old.length.toLong)
   }
@@ -324,16 +325,18 @@ class VectorQueriesSpec extends SparkSpec {
     val e = replicaFixture
     val corpus = e.filter(col("vec_id") % VectorQueries.VecBatchMod =!= 0)
     val batch = e.filter(col("vec_id") % VectorQueries.VecBatchMod === 0)
-    val (fams, members, bandsC) = VectorQueries.vecNearDupIndexTables(corpus)
-    val (gf, gm, gb) = VectorQueries.compactVecNearDupTables(
-      fams, members, bandsC, batch)
-    val (wf, wm, wb) =
+    val (fams, members, bandsC, canonVecs) =
+      VectorQueries.vecNearDupIndexTables(corpus)
+    val (gf, gm, gb, gv) = VectorQueries.compactVecNearDupTables(
+      fams, members, bandsC, canonVecs, batch)
+    val (wf, wm, wb, wv) =
       VectorQueries.vecNearDupIndexTables(e) // rebuild over corpus ∪ batch
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(_.toString).sorted.toSeq
     assert(rows(gf) == rows(wf))
     assert(rows(gm) == rows(wm))
     assert(rows(gb) == rows(wb))
+    assert(rows(gv) == rows(wv))
     // family D's canonical really shifted: 60 (batch) replaced 61
     assert(gm.filter(col("canon") === 60L).count() == 3L)
     assert(gm.filter(col("canon") === 61L).count() == 0L)

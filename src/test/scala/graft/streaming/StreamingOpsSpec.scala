@@ -2,7 +2,7 @@ package graft.streaming
 
 import graft.SparkSpec
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.functions.{col, sha2}
+import org.apache.spark.sql.functions.{col, expr, sha2}
 import org.apache.spark.sql.streaming.OutputMode
 import java.sql.Timestamp
 
@@ -209,6 +209,38 @@ class StreamingOpsSpec extends SparkSpec {
       assert(topk == want)
       assert(topk.keySet == Set(0L, 1L, 2L))
     } finally q.stop()
+  }
+
+  test("streaming vector near-dup probes the canonical band index") {
+    val u = (0 until 64).map(i => math.sin(i + 1.0).toFloat).toArray
+    val z = (0 until 64).map(i => math.cos(3.0 * i + 2.0).toFloat).toArray
+    val near = u.map(x => x * 1.2f) // colinear → cos 1 at 6 dp
+    // persisted canonical index over a replica-dense corpus: family A
+    // (ids 1, 2 — identical) canonicalizes to 1; family B is 3
+    val corpus = Seq((1L, u), (2L, u), (3L, z)).toDF("vec_id", "embedding")
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x AS double))").as("v"))
+    val (_, _, bandsC, canonVecs) =
+      graft.operators.VectorQueries.vecNearDupIndexTables(corpus)
+    val input = MemoryStream[StreamVec]
+    val query = streamingVectorNearDups(input.toDS(), bandsC, canonVecs)
+      .writeStream.format("memory").queryName("vecdups")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        StreamVec(10L, ts(0), near), // scaled copy of A → match fid 1
+        StreamVec(11L, ts(1), z.map(x => x + 10.0f))) // far → no match
+      query.processAllAvailable()
+      // an exact replica agrees on ALL four bands — still ONE row,
+      // and it matches the CANONICAL (1), never the replica (2)
+      input.addData(StreamVec(12L, ts(2), u))
+      query.processAllAvailable()
+      val out = spark.table("vecdups")
+        .select("vec_id", "fid", "cos")
+        .as[(Long, Long, Double)].collect().sortBy(_._1)
+      assert(out.map(r => (r._1, r._2)).toSeq == Seq((10L, 1L), (12L, 1L)))
+      assert(out.forall(_._3 == 1.0))
+    } finally query.stop()
   }
 
   test("streaming media near-dup probes the persisted band index") {

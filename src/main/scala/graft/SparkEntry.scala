@@ -60,7 +60,10 @@ object SparkEntry {
             graft.multimodal.Multimodal.mediaBandOccupancy(s, dir)),
         "q187_media_band_cap_curve" ->
           ((s, dir) =>
-            graft.multimodal.Multimodal.mediaBandCapCurve(s, dir)))
+            graft.multimodal.Multimodal.mediaBandCapCurve(s, dir)),
+        "q190_canonical_media_pairs" ->
+          ((s, dir) =>
+            graft.multimodal.Multimodal.canonicalMediaPairsDaily(s, dir)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -574,15 +574,20 @@ object Multimodal {
     * over shared buckets, of the larger of the two members' bucket
     * ranks — rank by id, engine-portable), so ONE band self-join prices
     * EVERY cap at once: a pair survives cap C iff need ≤ C. Per cap:
-    * candidate pairs admitted, truth pairs kept (truth ⊆ candidates —
-    * media truth by the pigeonhole guarantee, vector truth is
-    * banded-verified by construction), and exact-integer recall.
+    * candidate pairs admitted, truth pairs kept, and exact-integer
+    * recall. `verify` maps the candidate (ida, idb) pairs to the
+    * verified subset (Hamming for media, cosine for vectors) — truth
+    * is computed ON the curve's own candidate set, so the band
+    * self-join runs ONCE (for media the banded-verified set equals the
+    * quadratic scan by the pigeonhole guarantee, which the
+    * independent-formulation DuckDB oracle re-derives).
     *
     * Scale shape: the self-join is the SAME O(Σ bucket²) band join the
     * audit reconciles against (this is an audit-tier query, run beside
     * q184/q185, not in the daily path); the curve tail is one groupBy
     * over `need` buckets against a broadcast ≤4-row cap table. */
-  def bandCapCurveOf(bands: DataFrame, idCol: String, truth: DataFrame,
+  def bandCapCurveOf(bands: DataFrame, idCol: String,
+      verify: DataFrame => DataFrame,
       caps: Seq[Int] = BandCapSweep): DataFrame = {
     val spark = bands.sparkSession
     import spark.implicits._
@@ -599,6 +604,9 @@ object Multimodal {
           col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("ida"), col("b.id").as("idb"))
       .agg(min(greatest(col("a.rk"), col("b.rk"))).as("need"))
+      .localCheckpoint(eager = false) // verify leg + flag join
+    val truth = verify(pairNeed.select(col("ida"), col("idb")))
+      .localCheckpoint(eager = false) // flag join + count
     val flagged = pairNeed
       .join(truth.toDF("ida", "idb").withColumn("hit", lit(1L)),
         Seq("ida", "idb"), "left")
@@ -625,8 +633,14 @@ object Multimodal {
     * argued. */
   def mediaBandCapCurve(spark: SparkSession, dir: String): DataFrame = {
     val h = assetHashes(spark, dir).localCheckpoint(eager = false)
-    bandCapCurveOf(phashBands(h), "doc_id",
-      pairFrameOf(h).select(col("doc_a"), col("doc_b")))
+    bandCapCurveOf(phashBands(h), "doc_id", pairs => pairs
+      .join(h.select(col("doc_id").as("ida"), col("phash").as("ha")),
+        Seq("ida"))
+      .join(h.select(col("doc_id").as("idb"), col("phash").as("hb")),
+        Seq("idb"))
+      .filter(bit_count(col("ha").bitwiseXOR(col("hb"))) <=
+        MediaHammingMax)
+      .select(col("ida"), col("idb")))
   }
 
   /** Hashes of the full q109 asset universe, CPU spread before decode. */
@@ -681,6 +695,209 @@ object Multimodal {
           .cast("long").as("hamming"))
       .filter(col("hamming") <= MediaHammingMax)
       .distinct()
+  }
+
+  // ---- canonical (hash-family-collapsed) incremental media near-dup ---
+
+  /** Canonical media near-dup index tables — the q186 move, media
+    * flavor: a FAMILY is an identical-phash group (the exact-dup
+    * pre-pass the q109 scaladoc promises at 100 TB, now a persisted
+    * artifact rather than a remark):
+    *  - `fams(phash, canon)`: one row per distinct 63-bit hash,
+    *    canon = min member doc_id;
+    *  - `members(doc_id, canon)`: every corpus asset's family;
+    *  - `bandsC`: band rows of CANONICAL hashes only — a canonical's
+    *    bands equal every member's (same hash, same keys), so
+    *    pigeonhole EXACTNESS survives canonicalization and bucket
+    *    occupancy counts families, never re-encode replicas (what the
+    *    q184 audit flags as hot is exactly what collapses here).
+    */
+  def mediaNearDupIndexTables(corpusHashes: DataFrame)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val fams = corpusHashes.groupBy(col("phash"))
+      .agg(min(col("doc_id")).as("canon"))
+      .localCheckpoint(eager = false) // members join + canonical bands
+    val members = corpusHashes.join(fams, Seq("phash"))
+      .select(col("doc_id"), col("canon"))
+    val bandsC = phashBands(
+      fams.select(col("canon").as("doc_id"), col("phash")))
+    (fams, members, bandsC)
+  }
+
+  /** Family-level candidate generation + inline Hamming verification —
+    * shared by the member-exact expansion (the q111 disk leg) and the
+    * collapsed pair table (q190). Returns (famPairs(fid_a, fid_b,
+    * hamming), reps(fid, is_new, nb), batchMembers(doc_id, fid),
+    * corpusMembers(doc_id, fid) restricted to endpoint ∪ touched
+    * families). Verification stays INLINE (hashes ride the band rows,
+    * the q109 contract) — the win over the member-level flow is pure
+    * candidate volume: O(Σ bucket-families²), not O(Σ bucket-members²).
+    */
+  private def canonMediaCore(famsC: DataFrame, membersC: DataFrame,
+      bandsC: DataFrame, newHashes: DataFrame)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val batchK = newHashes.select(col("doc_id"), col("phash"))
+      .localCheckpoint(eager = false) // reps + batch members
+    val reps = batchK.groupBy(col("phash"))
+      .agg(min(col("doc_id")).as("bmin"), count(lit(1)).as("nb"))
+      .join(famsC, Seq("phash"), "left")
+      .select(col("phash"),
+        coalesce(col("canon"), col("bmin")).as("fid"),
+        col("canon").isNull.as("is_new"), col("nb"))
+      .localCheckpoint(eager = false) // bands + members + within legs
+    val repBands = phashBands(reps
+        .select(col("fid").as("doc_id"), col("phash"), col("is_new")))
+      .localCheckpoint(eager = false) // probe leg + new-family union leg
+    val probe = repBands.drop("is_new")
+    val full = bandsC.unionByName(repBands.filter(col("is_new"))
+      .drop("is_new"))
+    val famPairs = full.as("a")
+      .join(probe.as("n"),
+        col("a.band") === col("n.band") && col("a.key") === col("n.key") &&
+          col("a.doc_id") =!= col("n.doc_id"))
+      .select(least(col("a.doc_id"), col("n.doc_id")).as("fid_a"),
+        greatest(col("a.doc_id"), col("n.doc_id")).as("fid_b"),
+        bit_count(col("a.phash").bitwiseXOR(col("n.phash")))
+          .cast("long").as("hamming"))
+      .filter(col("hamming") <= MediaHammingMax)
+      .distinct()
+      .localCheckpoint(eager = false) // expansion/count legs + fid set
+    val batchMembers = batchK
+      .join(reps.select(col("phash"), col("fid")), Seq("phash"))
+      .select(col("doc_id"), col("fid"))
+    val needFids = famPairs
+      .select(explode(array(col("fid_a"), col("fid_b"))).as("canon"))
+      .unionByName(reps.select(col("fid").as("canon")))
+      .distinct()
+    val corpusMembers = membersC
+      .join(broadcast(needFids), Seq("canon"), "left_semi")
+      .select(col("doc_id"), col("canon").as("fid"))
+    (famPairs, reps, batchMembers, corpusMembers)
+  }
+
+  /** Member-exact canonical rendering of the incremental media
+    * near-dup output — row-identical to [[incrementalMediaNearDups]]
+    * (identical hashes share every band key, so a member pair is a
+    * candidate iff its family pair is; the Hamming distance is a pure
+    * function of the two hashes, so every cross-family member pair
+    * carries its family pair's distance and every within-family pair
+    * carries 0). The q111 oracle hash-checks the equality end to end;
+    * [[graft.operators.IndexStore.dailyMedia]] runs THIS flow off the
+    * persisted canonical tables. */
+  def incrementalMediaNearDupsCanonical(famsC: DataFrame,
+      membersC: DataFrame, bandsC: DataFrame,
+      newHashes: DataFrame): DataFrame = {
+    val (famPairs, _, batchMembers, corpusMembers) =
+      canonMediaCore(famsC, membersC, bandsC, newHashes)
+    val membersAll = corpusMembers.withColumn("is_b", lit(false))
+      .unionByName(batchMembers.withColumn("is_b", lit(true)))
+      .localCheckpoint(eager = false) // two cross legs + within leg
+    val cross = famPairs.filter(col("fid_a") =!= col("fid_b"))
+      .join(membersAll.select(col("fid").as("fid_a"),
+        col("doc_id").as("a_id"), col("is_b").as("a_b")), Seq("fid_a"))
+      .join(membersAll.select(col("fid").as("fid_b"),
+        col("doc_id").as("b_id"), col("is_b").as("b_b")), Seq("fid_b"))
+      .filter(col("a_b") || col("b_b"))
+      .select(least(col("a_id"), col("b_id")).as("doc_a"),
+        greatest(col("a_id"), col("b_id")).as("doc_b"), col("hamming"))
+    val within = batchMembers.select(col("fid"), col("doc_id").as("a_id"))
+      .join(membersAll.select(col("fid"), col("doc_id").as("b_id"),
+        col("is_b").as("b_b")), Seq("fid"))
+      .filter((!col("b_b") && col("a_id") =!= col("b_id")) ||
+        (col("b_b") && col("a_id") < col("b_id")))
+      .select(least(col("a_id"), col("b_id")).as("doc_a"),
+        greatest(col("a_id"), col("b_id")).as("doc_b"),
+        lit(0L).as("hamming"))
+    cross.unionByName(within)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** L90/q190: the COLLAPSED media near-dup pair table — one row per
+    * verified hash-FAMILY pair with the exact count of batch-touching
+    * member pairs it implies (the q186 artifact, media flavor): what a
+    * pipeline persists instead of materializing the expansion, whose
+    * row count on a re-encode-heavy corpus is the 100× soak's 8.19M
+    * daily rows. Within-family rows are the identical-hash re-encode
+    * families themselves (hamming 0). Σ n_pairs == the q111 row count,
+    * spec-pinned. */
+  def canonicalMediaPairs(famsC: DataFrame, membersC: DataFrame,
+      bandsC: DataFrame, newHashes: DataFrame): DataFrame = {
+    val (famPairs, reps, _, corpusMembers) =
+      canonMediaCore(famsC, membersC, bandsC, newHashes)
+    val tcs = corpusMembers.groupBy(col("fid"))
+      .agg(count(lit(1)).as("tc"))
+    val counts = tcs
+      .join(reps.select(col("fid"), col("nb").as("tb")), Seq("fid"), "full")
+      .select(col("fid"), coalesce(col("tb"), lit(0L)).as("tb"),
+        coalesce(col("tc"), lit(0L)).as("tc"))
+      .localCheckpoint(eager = false) // both cross legs + within leg
+    val cross = famPairs
+      .join(counts.select(col("fid").as("fid_a"), col("tb").as("tba"),
+        col("tc").as("tca")), Seq("fid_a"))
+      .join(counts.select(col("fid").as("fid_b"), col("tb").as("tbb"),
+        col("tc").as("tcb")), Seq("fid_b"))
+      .select(col("fid_a"), col("fid_b"), col("hamming"),
+        (col("tba") * (col("tbb") + col("tcb")) +
+          col("tca") * col("tbb")).as("n_pairs"))
+    val within = reps.join(counts, Seq("fid"))
+      .withColumn("n_pairs", expr("tb * (tb - 1) div 2 + tb * tc"))
+      .filter(col("n_pairs") > 0)
+      .select(col("fid").as("fid_a"), col("fid").as("fid_b"),
+        lit(0L).as("hamming"), col("n_pairs"))
+    cross.unionByName(within)
+      .select(col("fid_a"), col("fid_b"), col("hamming"),
+        col("n_pairs").cast("long").as("n_pairs"))
+      .orderBy(col("fid_a"), col("fid_b"))
+  }
+
+  /** q190 as an ORACLE query: canonical tables built in-query over the
+    * corpus residue (the q111 convention; the real daily path reads
+    * the persisted tables through IndexStore). */
+  def canonicalMediaPairsDaily(spark: SparkSession,
+      dir: String): DataFrame = {
+    val (corpus, batch) = mediaSplit(spark, dir)
+    val (famsC, membersC, bandsC) = mediaNearDupIndexTables(corpus)
+    canonicalMediaPairs(famsC, membersC, bandsC, batch)
+  }
+
+  /** Compacted canonical tables over (persisted index, batch) — equals
+    * [[mediaNearDupIndexTables]] over corpus ∪ batch, spec-pinned; the
+    * canonical SHIFT (a batch member with a smaller id) relabels the
+    * family's member and band rows, band keys unchanged (same hash). */
+  def compactMediaNearDupTables(famsC: DataFrame, membersC: DataFrame,
+      bandsC: DataFrame, batch: DataFrame)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val batchFams = batch.groupBy(col("phash"))
+      .agg(min(col("doc_id")).as("bmin"))
+      .join(famsC, Seq("phash"), "left")
+      .withColumn("new_canon",
+        least(coalesce(col("canon"), col("bmin")), col("bmin")))
+      .localCheckpoint(eager = false) // fams/members/bands legs
+    val famsOut = famsC
+      .join(batchFams.select(col("phash")), Seq("phash"), "left_anti")
+      .unionByName(
+        batchFams.select(col("phash"), col("new_canon").as("canon")))
+    val shifts = batchFams
+      .filter(col("canon").isNotNull && col("new_canon") =!= col("canon"))
+      .select(col("canon"), col("new_canon"))
+    val membersOut = membersC
+      .join(broadcast(shifts), Seq("canon"), "left")
+      .select(col("doc_id"),
+        coalesce(col("new_canon"), col("canon")).as("canon"))
+      .unionByName(batch
+        .join(batchFams.select(col("phash"),
+          col("new_canon").as("canon")), Seq("phash"))
+        .select(col("doc_id"), col("canon")))
+    val newFamBands = phashBands(batchFams.filter(col("canon").isNull)
+      .select(col("new_canon").as("doc_id"), col("phash")))
+    val bandsOut = bandsC
+      .join(broadcast(shifts.withColumnRenamed("canon", "doc_id")),
+        Seq("doc_id"), "left")
+      .select(coalesce(col("new_canon"), col("doc_id")).as("doc_id"),
+        col("phash"), col("band"), col("key"))
+      .unionByName(newFamBands)
+    (famsOut, membersOut, bandsOut)
   }
 
   /** The media cluster LABEL+QUALITY table — IndexStore family
@@ -1429,6 +1646,47 @@ object Multimodal {
          |  FROM h, LATERAL unnest(range(0, $NumBands)) AS u(b))""".stripMargin),
     "q111_incremental_media_phash" -> mediaPhashPairsSql(
       "  AND (doc_a % 10 = 0 OR doc_b % 10 = 0)\n"),
+    // q190: identical-phash families (fid = min corpus member, else min
+    // batch member), q184's band expressions over CANONICAL hashes
+    // only, candidates need a batch-touched probe side, inline Hamming;
+    // n_pairs is exact integer arithmetic over batch/corpus counts
+    "q190_canonical_media_pairs" ->
+      s"""WITH $mediaHashCtes,
+         |fam AS (
+         |  SELECT phash,
+         |    coalesce(min(doc_id) FILTER (WHERE doc_id % 10 <> 0),
+         |             min(doc_id)) AS fid,
+         |    count(*) FILTER (WHERE doc_id % 10 = 0) AS tb,
+         |    count(*) FILTER (WHERE doc_id % 10 <> 0) AS tc
+         |  FROM h GROUP BY phash),
+         |cb AS (SELECT fid AS doc_id, phash FROM fam),
+         |bands AS (
+         |  SELECT doc_id, phash, CAST(b AS INT) AS band,
+         |    (phash // (CAST(1 AS BIGINT) << (b * $BandBits)))
+         |      % (CAST(1 AS BIGINT) << $BandBits) AS key
+         |  FROM cb, LATERAL unnest(range(0, $NumBands)) AS u(b)),
+         |cands AS (
+         |  SELECT DISTINCT least(a.doc_id, b.doc_id) AS fid_a,
+         |    greatest(a.doc_id, b.doc_id) AS fid_b,
+         |    CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.key = b.key AND a.doc_id <> b.doc_id
+         |  JOIN fam t ON t.fid = b.doc_id AND t.tb > 0
+         |  WHERE bit_count(xor(a.phash, b.phash)) <= $MediaHammingMax),
+         |cross_rows AS (
+         |  SELECT fid_a, fid_b, hamming,
+         |    fa.tb * (fb.tb + fb.tc) + fa.tc * fb.tb AS n_pairs
+         |  FROM cands
+         |  JOIN fam fa ON fa.fid = fid_a
+         |  JOIN fam fb ON fb.fid = fid_b),
+         |within_rows AS (
+         |  SELECT fid AS fid_a, fid AS fid_b, CAST(0 AS BIGINT) AS hamming,
+         |    tb * (tb - 1) // 2 + tb * tc AS n_pairs
+         |  FROM fam
+         |  WHERE tb > 0 AND tb * (tb - 1) // 2 + tb * tc > 0)
+         |SELECT fid_a, fid_b, hamming, CAST(n_pairs AS BIGINT) AS n_pairs
+         |FROM (SELECT * FROM cross_rows UNION ALL SELECT * FROM within_rows)
+         |ORDER BY fid_a, fid_b""".stripMargin,
     // q187: the q184 band CTEs with per-bucket ranks; a pair's `need` =
     // min over shared buckets of the larger rank, so one join prices
     // every cap; truth = the quadratic Hamming scan (pigeonhole-exact

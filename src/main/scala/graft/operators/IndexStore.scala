@@ -28,7 +28,8 @@ import graft.Tables
   *   sem_fams/vecc/bandsc/ccc/statsc.parquet        # q104 (semanticIndexTables)
   *   ivf_centroids.parquet                          # q105 (centroidsOf)
   *   ivf_cell_stats.parquet                         # q160 (cellStatsOf)
-  *   media_bands.parquet                            # q111 (phashBands)
+  *   media_fams/members/bands_c.parquet             # q111/q190 (mediaNearDupIndexTables)
+  *   media_bands.parquet                            # q180 (phashBands, per-asset)
   *   bpe_vocab.parquet                              # q113 (bpeVocabOf)
   *   dsir_model.parquet                             # q116 (dsirModelOf)
   *   audio_fps.parquet                              # q128 (audioFpSplit)
@@ -124,6 +125,7 @@ object IndexStore {
     writeSemantic(corpusVecs, dir)
     writeQuantizerStats(spark, dataDir, dir) // centroids + cell stats
     writeMediaBands(spark, dataDir, dir)
+    writeMediaNearDup(spark, dataDir, dir)
     writeBpeVocab(spark, dataDir, dir)
     writeDsirModel(spark, dataDir, dir)
     writeAudioFps(spark, dataDir, dir)
@@ -289,13 +291,57 @@ object IndexStore {
       graft.multimodal.Multimodal.mediaSplit(spark, dataDir)._1),
       dir, "media_bands")
 
-  /** q111 twin: [[graft.multimodal.Multimodal.incrementalMediaNearDups]]
-    * off the disk band index — the daily leg's only corpus-sized work. */
+  /** The canonical media near-dup tables (round 12 — the q186 move,
+    * media flavor): hash-family keys, member map, and CANONICAL band
+    * rows, so bucket occupancy counts families, never re-encode
+    * replicas. The member-level `media_bands` table stays with the
+    * `media_cc` family (its contracted merge probes per-asset bands). */
+  def writeMediaNearDup(spark: SparkSession, dataDir: String,
+      dir: String): Unit = {
+    val (fams, members, bandsC) =
+      graft.multimodal.Multimodal.mediaNearDupIndexTables(
+        graft.multimodal.Multimodal.mediaSplit(spark, dataDir)._1)
+    write(fams, dir, "media_fams")
+    write(members, dir, "media_members")
+    write(bandsC, dir, "media_bands_c")
+  }
+
+  /** q111 twin: the canonical member-exact flow off the disk tables —
+    * candidate volume counts hash families, never replicas; byte-equal
+    * to the member-level formulation (the q111 in-query rendering this
+    * pin compares against). */
   def dailyMedia(spark: SparkSession, indexDir: String,
       dataDir: String): DataFrame =
-    graft.multimodal.Multimodal.incrementalMediaNearDups(
-      read(spark, indexDir, "media_bands"),
+    graft.multimodal.Multimodal.incrementalMediaNearDupsCanonical(
+      read(spark, indexDir, "media_fams"),
+      read(spark, indexDir, "media_members"),
+      read(spark, indexDir, "media_bands_c"),
       graft.multimodal.Multimodal.mediaSplit(spark, dataDir)._2)
+
+  /** q190 twin: the collapsed hash-family pair table off the same
+    * tables. */
+  def dailyMediaPairs(spark: SparkSession, indexDir: String,
+      dataDir: String): DataFrame =
+    graft.multimodal.Multimodal.canonicalMediaPairs(
+      read(spark, indexDir, "media_fams"),
+      read(spark, indexDir, "media_members"),
+      read(spark, indexDir, "media_bands_c"),
+      graft.multimodal.Multimodal.mediaSplit(spark, dataDir)._2)
+
+  /** `media` (canonical) compaction: the shift-aware merge — equals a
+    * rebuild over (corpus ∪ batch), spec-pinned. */
+  def compactMediaNearDup(spark: SparkSession, indexDir: String,
+      dataDir: String, outDir: String): Unit = {
+    val (fams, members, bandsC) =
+      graft.multimodal.Multimodal.compactMediaNearDupTables(
+        read(spark, indexDir, "media_fams"),
+        read(spark, indexDir, "media_members"),
+        read(spark, indexDir, "media_bands_c"),
+        graft.multimodal.Multimodal.mediaSplit(spark, dataDir)._2)
+    write(fams, outDir, "media_fams")
+    write(members, outDir, "media_members")
+    write(bandsC, outDir, "media_bands_c")
+  }
 
   // ---- model artifacts (train once per snapshot, apply daily) ----------
 
@@ -837,19 +883,31 @@ object IndexStore {
               .select(col("doc_a"), col("doc_b")))._1
           .select(col("doc_id"), col("cluster_id")), dir, "text_cc")
       }),
-    ("media", Seq("media_bands"),
-      compactMediaBands _,
-      (s, dataDir, dir) => {
-        val (c, b) = graft.multimodal.Multimodal.mediaSplit(s, dataDir)
-        write(graft.multimodal.Multimodal.phashBands(c.unionByName(b)),
-          dir, "media_bands")
-      }),
-    ("media_cc", Seq("media_cc"),
-      compactMediaCc _,
+    ("media", Seq("media_fams", "media_members", "media_bands_c"),
+      compactMediaNearDup _,
       (s, dataDir, dir) => {
         val m = graft.multimodal.Multimodal
         val (c, b) = m.mediaSplit(s, dataDir)
-        write(m.mediaCcOf(c.unionByName(b), m.scoredAssets(s, dataDir)),
+        val (fams, members, bandsC) =
+          m.mediaNearDupIndexTables(c.unionByName(b))
+        write(fams, dir, "media_fams")
+        write(members, dir, "media_members")
+        write(bandsC, dir, "media_bands_c")
+      }),
+    // the member-level band table lives with media_cc (its contracted
+    // merge probes per-asset bands), so its compaction is pinned here
+    ("media_cc", Seq("media_bands", "media_cc"),
+      (s: SparkSession, indexDir: String, dataDir: String,
+          outDir: String) => {
+        compactMediaBands(s, indexDir, dataDir, outDir)
+        compactMediaCc(s, indexDir, dataDir, outDir)
+      },
+      (s, dataDir, dir) => {
+        val m = graft.multimodal.Multimodal
+        val (c, b) = m.mediaSplit(s, dataDir)
+        val all = c.unionByName(b).localCheckpoint(eager = false)
+        write(m.phashBands(all), dir, "media_bands")
+        write(m.mediaCcOf(all, m.scoredAssets(s, dataDir)),
           dir, "media_cc")
       }),
     ("audio_fps", Seq("audio_fps"),
@@ -942,7 +1000,9 @@ object IndexStore {
     ("ivfpq", "q182_incremental_ivfpq",
       writeIvfPq _, dailyIvfPq _),
     ("media", "q111_incremental_media_phash",
-      writeMediaBands _, dailyMedia _),
+      writeMediaNearDup _, dailyMedia _),
+    ("media_near_dup_pairs", "q190_canonical_media_pairs",
+      writeMediaNearDup _, dailyMediaPairs _),
     ("bpe_vocab", "q113_bpe_tokenize",
       writeBpeVocab _, dailyBpeTokenize _),
     ("dsir_model", "q116_dsir_importance",

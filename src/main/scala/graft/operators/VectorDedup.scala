@@ -580,9 +580,17 @@ private[operators] trait VectorDedup {
     * differently. */
   def vecBandCapCurve(spark: SparkSession, dir: String): DataFrame = {
     val e = vecs(spark, dir).select(col("vec_id"), col("v"))
-    val (_, _, bandsC, canonVecs) = vecNearDupIndexTables(e)
+    val (_, _, bandsC, canonVecs0) = vecNearDupIndexTables(e)
+    val canonVecs = canonVecs0.localCheckpoint(eager = false) // 2 legs
     graft.multimodal.Multimodal.bandCapCurveOf(bandsC, "vec_id",
-      cosineNearDupsOf(canonVecs).select(col("vec_a"), col("vec_b")))
+      pairs => pairs
+        .join(canonVecs.select(col("vec_id").as("ida"),
+          col("v").as("va")), Seq("ida"))
+        .join(canonVecs.select(col("vec_id").as("idb"),
+          col("v").as("vb")), Seq("idb"))
+        .filter(round(cosineSim(col("va"), col("vb")), 6) >=
+          NearDupThreshold)
+        .select(col("ida"), col("idb")))
   }
 
   /** Compacted canonical trio over (persisted index, batch) — equals

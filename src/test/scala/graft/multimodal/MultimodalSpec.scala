@@ -346,6 +346,47 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("canonical media flow == member-level reference on the sf tables") {
+    val (corpus, batch) = Multimodal.mediaSplit(spark, sfDir)
+    val old = Multimodal
+      .incrementalMediaNearDups(Multimodal.phashBands(corpus), batch)
+      .as[(Long, Long, Long)].collect().toSeq
+    val (fams, members, bandsC) = Multimodal.mediaNearDupIndexTables(corpus)
+    val canon = Multimodal
+      .incrementalMediaNearDupsCanonical(fams, members, bandsC, batch)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(canon.nonEmpty)
+    assert(canon == old)
+    // the collapsed table accounts for exactly the expanded pairs
+    val collapsed = Multimodal
+      .canonicalMediaPairs(fams, members, bandsC, batch)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(collapsed.map(_._4).sum == old.length.toLong)
+    assert(collapsed.filter(r => r._1 == r._2).forall(_._3 == 0L))
+    val keys = collapsed.map(r => (r._1, r._2))
+    assert(keys.distinct.length == keys.length)
+  }
+
+  test("canonical media compaction handles the hash-family shift") {
+    import org.apache.spark.sql.functions.col
+    // family A spans the split with the batch member carrying the
+    // SMALLEST id (doc 10 < corpus 11, 21) → the canonical shifts
+    val h = Seq((10L, 77L), (11L, 77L), (21L, 77L),
+      (12L, 900L), (30L, 4000L)).toDF("doc_id", "phash")
+    val corpus = h.filter(col("doc_id") % 10 =!= 0)
+    val batch = h.filter(col("doc_id") % 10 === 0)
+    val (fams, members, bandsC) = Multimodal.mediaNearDupIndexTables(corpus)
+    val (gf, gm, gb) = Multimodal.compactMediaNearDupTables(
+      fams, members, bandsC, batch)
+    val (wf, wm, wb) = Multimodal.mediaNearDupIndexTables(h)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    assert(rows(gf) == rows(wf))
+    assert(rows(gm) == rows(wm))
+    assert(rows(gb) == rows(wb))
+    assert(gm.filter(col("canon") === 10L).count() == 3L) // shifted
+  }
+
   test("incremental frame near-dups == full pass restricted to batch pairs") {
     val full = Multimodal.frameNearDups(spark, sfDir)
       .as[(Long, Long, Long, Long)].collect().toSet

@@ -733,9 +733,9 @@ object Multimodal {
     * the q109 contract) — the win over the member-level flow is pure
     * candidate volume: O(Σ bucket-families²), not O(Σ bucket-members²).
     */
-  private def canonMediaCore(famsC: DataFrame, membersC: DataFrame,
-      bandsC: DataFrame, newHashes: DataFrame)
-      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+  private def canonMediaCore(famsC: DataFrame, bandsC: DataFrame,
+      newHashes: DataFrame)
+      : (DataFrame, DataFrame, DataFrame) = {
     val batchK = newHashes.select(col("doc_id"), col("phash"))
       .localCheckpoint(eager = false) // reps + batch members
     val reps = batchK.groupBy(col("phash"))
@@ -765,14 +765,22 @@ object Multimodal {
     val batchMembers = batchK
       .join(reps.select(col("phash"), col("fid")), Seq("phash"))
       .select(col("doc_id"), col("fid"))
+    (famPairs, reps, batchMembers)
+  }
+
+  /** Corpus member rows restricted to pair-endpoint ∪ batch-touched
+    * families — the expansion input (separate from [[canonMediaCore]]
+    * because the q180 contracted merge needs NO member table at all:
+    * its corpus nodes are the canonicals themselves). */
+  private def canonCorpusMembersOf(membersC: DataFrame,
+      famPairs: DataFrame, reps: DataFrame): DataFrame = {
     val needFids = famPairs
       .select(explode(array(col("fid_a"), col("fid_b"))).as("canon"))
       .unionByName(reps.select(col("fid").as("canon")))
       .distinct()
-    val corpusMembers = membersC
+    membersC
       .join(broadcast(needFids), Seq("canon"), "left_semi")
       .select(col("doc_id"), col("canon").as("fid"))
-    (famPairs, reps, batchMembers, corpusMembers)
   }
 
   /** Member-exact canonical rendering of the incremental media
@@ -787,8 +795,9 @@ object Multimodal {
   def incrementalMediaNearDupsCanonical(famsC: DataFrame,
       membersC: DataFrame, bandsC: DataFrame,
       newHashes: DataFrame): DataFrame = {
-    val (famPairs, _, batchMembers, corpusMembers) =
-      canonMediaCore(famsC, membersC, bandsC, newHashes)
+    val (famPairs, reps, batchMembers) =
+      canonMediaCore(famsC, bandsC, newHashes)
+    val corpusMembers = canonCorpusMembersOf(membersC, famPairs, reps)
     val membersAll = corpusMembers.withColumn("is_b", lit(false))
       .unionByName(batchMembers.withColumn("is_b", lit(true)))
       .localCheckpoint(eager = false) // two cross legs + within leg
@@ -823,8 +832,9 @@ object Multimodal {
     * spec-pinned. */
   def canonicalMediaPairs(famsC: DataFrame, membersC: DataFrame,
       bandsC: DataFrame, newHashes: DataFrame): DataFrame = {
-    val (famPairs, reps, _, corpusMembers) =
-      canonMediaCore(famsC, membersC, bandsC, newHashes)
+    val (famPairs, reps, _) =
+      canonMediaCore(famsC, bandsC, newHashes)
+    val corpusMembers = canonCorpusMembersOf(membersC, famPairs, reps)
     val tcs = corpusMembers.groupBy(col("fid"))
       .agg(count(lit(1)).as("tc"))
     val counts = tcs
@@ -945,10 +955,47 @@ object Multimodal {
     * spec-pinned); (4) members re-enumerate only for touched clusters,
     * via one broadcast-probed label scan. Daily cost O(batch +
     * candidate pairs + touched members). */
-  def incrementalMediaClusterMembers(ccC: DataFrame, bandsC: DataFrame,
-      newHashes: DataFrame, newScored: DataFrame): DataFrame = {
-    val pairs = incrementalMediaPairFrame(bandsC, newHashes)
-      .select(col("doc_a"), col("doc_b"))
+  def incrementalMediaClusterMembers(ccC: DataFrame, famsC: DataFrame,
+      bandsC: DataFrame, newHashes: DataFrame,
+      newScored: DataFrame): DataFrame = {
+    // Edges come from the CANONICAL pair graph (round 12): identical
+    // hashes always pair at Hamming 0, so a hash family is
+    // intra-cluster in media_cc and ONE canonical node stands in for
+    // every corpus member under the label contraction — the
+    // member-level expansion the previous formulation enumerated
+    // contracted to the same (batch, label) edges family-size times
+    // over. Batch members stay individual nodes (each is new to the
+    // graph); a family's batch members interconnect via their
+    // Hamming-0 within edges exactly as the member-level pairs did.
+    val (famPairs, reps, batchFamMembers) =
+      canonMediaCore(famsC, bandsC, newHashes)
+    val bm = batchFamMembers.localCheckpoint(eager = false) // nodes+within
+    val newFids = reps.filter(col("is_new")).select(col("fid"))
+    // corpus-canonical node universe: every family a pair touches PLUS
+    // every batch-touched existing family (its batch members connect
+    // to the family's corpus part even when no cross pair exists)
+    val corpusFids = famPairs
+      .select(explode(array(col("fid_a"), col("fid_b"))).as("fid"))
+      .unionByName(reps.filter(!col("is_new")).select(col("fid")))
+      .distinct()
+      .join(broadcast(newFids), Seq("fid"), "left_anti")
+    val nodes = corpusFids
+      .select(col("fid").as("node"), col("fid"), lit(false).as("isb"))
+      .unionByName(bm
+        .select(col("doc_id").as("node"), col("fid"), lit(true).as("isb")))
+      .localCheckpoint(eager = false) // two cross legs + within leg
+    val cross = famPairs.select(col("fid_a"), col("fid_b"))
+      .join(nodes.select(col("fid").as("fid_a"), col("node").as("na"),
+        col("isb").as("ba")), Seq("fid_a"))
+      .join(nodes.select(col("fid").as("fid_b"), col("node").as("nb"),
+        col("isb").as("bb")), Seq("fid_b"))
+      .filter(col("ba") || col("bb"))
+      .select(col("na").as("doc_a"), col("nb").as("doc_b"))
+    val within = bm.select(col("fid"), col("doc_id").as("a"))
+      .join(nodes.select(col("fid"), col("node").as("b")), Seq("fid"))
+      .filter(col("a") =!= col("b"))
+      .select(col("a").as("doc_a"), col("b").as("doc_b"))
+    val pairs = cross.unionByName(within)
       .localCheckpoint(eager = false) // feeds endpoint ids + contraction
     val endpointIds = pairs.select(col("doc_a").as("doc_id"))
       .unionByName(pairs.select(col("doc_b").as("doc_id")))
@@ -1012,9 +1059,11 @@ object Multimodal {
     * full q130 pass over corpus ∪ batch restricted to clusters holding
     * ≥ 1 batch asset — exactly what the oracle checks via the recursive
     * closure. */
-  def incrementalMediaClusters(ccC: DataFrame, bandsC: DataFrame,
-      newHashes: DataFrame, newScored: DataFrame): DataFrame =
-    incrementalMediaClusterMembers(ccC, bandsC, newHashes, newScored)
+  def incrementalMediaClusters(ccC: DataFrame, famsC: DataFrame,
+      bandsC: DataFrame, newHashes: DataFrame,
+      newScored: DataFrame): DataFrame =
+    incrementalMediaClusterMembers(ccC, famsC, bandsC, newHashes,
+      newScored)
       .groupBy(col("cluster_id"))
       .agg(max(struct(col("quality"), (-col("doc_id")).as("nid")))
         .as("best"),
@@ -1033,7 +1082,8 @@ object Multimodal {
     val scored = scoredAssets(spark, dir)
       .localCheckpoint(eager = false) // feeds corpus AND batch scoring
     val ccC = mediaCcOf(corpusH, scored.filter(col("doc_id") % 10 =!= 0))
-    incrementalMediaClusters(ccC, phashBands(corpusH), batchH,
+    val (famsC, _, bandsC) = mediaNearDupIndexTables(corpusH)
+    incrementalMediaClusters(ccC, famsC, bandsC, batchH,
       scored.filter(col("doc_id") % 10 === 0))
   }
 

@@ -28,8 +28,7 @@ import graft.Tables
   *   sem_fams/vecc/bandsc/ccc/statsc.parquet        # q104 (semanticIndexTables)
   *   ivf_centroids.parquet                          # q105 (centroidsOf)
   *   ivf_cell_stats.parquet                         # q160 (cellStatsOf)
-  *   media_fams/members/bands_c.parquet             # q111/q190 (mediaNearDupIndexTables)
-  *   media_bands.parquet                            # q180 (phashBands, per-asset)
+  *   media_fams/members/bands_c.parquet             # q111/q180/q190 (mediaNearDupIndexTables)
   *   bpe_vocab.parquet                              # q113 (bpeVocabOf)
   *   dsir_model.parquet                             # q116 (dsirModelOf)
   *   audio_fps.parquet                              # q128 (audioFpSplit)
@@ -124,7 +123,6 @@ object IndexStore {
     writeVecNearDup(corpusVecs, dir)
     writeSemantic(corpusVecs, dir)
     writeQuantizerStats(spark, dataDir, dir) // centroids + cell stats
-    writeMediaBands(spark, dataDir, dir)
     writeMediaNearDup(spark, dataDir, dir)
     writeBpeVocab(spark, dataDir, dir)
     writeDsirModel(spark, dataDir, dir)
@@ -284,12 +282,6 @@ object IndexStore {
       read(spark, indexDir, "ivf_centroids"),
       read(spark, indexDir, "ivf_cell_stats"),
       vecSplit(spark, dataDir)._2)
-
-  def writeMediaBands(spark: SparkSession, dataDir: String,
-      dir: String): Unit =
-    write(graft.multimodal.Multimodal.phashBands(
-      graft.multimodal.Multimodal.mediaSplit(spark, dataDir)._1),
-      dir, "media_bands")
 
   /** The canonical media near-dup tables (round 12 — the q186 move,
     * media flavor): hash-family keys, member map, and CANONICAL band
@@ -595,12 +587,15 @@ object IndexStore {
     * corpus q109 pair graph with caption quality riding along — every
     * corpus asset labeled (singletons their own id), so the daily
     * election never re-reads or re-scores corpus captions. Written with
-    * `media_bands` so the family is self-contained (the text_cc
-    * convention: the daily leg reads the band index too). */
+    * the canonical near-dup tables (round 12) so the family is
+    * self-contained: the daily contracted merge probes CANONICAL bands
+    * — one node per identical-hash family (every member provably
+    * shares the family's label: identical hashes pair at Hamming 0, so
+    * a family is intra-cluster by construction). */
   def writeMediaCc(spark: SparkSession, dataDir: String,
       dir: String): Unit = {
     val m = graft.multimodal.Multimodal
-    writeMediaBands(spark, dataDir, dir)
+    writeMediaNearDup(spark, dataDir, dir)
     write(m.mediaCcOf(m.mediaSplit(spark, dataDir)._1,
         m.scoredAssets(spark, dataDir).filter(col("doc_id") % 10 =!= 0)),
       dir, "media_cc")
@@ -613,7 +608,8 @@ object IndexStore {
     val m = graft.multimodal.Multimodal
     m.incrementalMediaClusters(
       read(spark, indexDir, "media_cc"),
-      read(spark, indexDir, "media_bands"),
+      read(spark, indexDir, "media_fams"),
+      read(spark, indexDir, "media_bands_c"),
       m.mediaSplit(spark, dataDir)._2,
       m.scoredAssets(spark, dataDir).filter(col("doc_id") % 10 === 0))
   }
@@ -631,7 +627,8 @@ object IndexStore {
       .filter(col("doc_id") % 10 === 0)
       .localCheckpoint(eager = false) // feeds members + singleton legs
     val updated = m.incrementalMediaClusterMembers(ccC,
-        read(spark, indexDir, "media_bands"),
+        read(spark, indexDir, "media_fams"),
+        read(spark, indexDir, "media_bands_c"),
         m.mediaSplit(spark, dataDir)._2, batchScored)
       .localCheckpoint(eager = false) // feeds the anti legs + the union
     val untouched = ccC
@@ -777,13 +774,6 @@ object IndexStore {
     write(canonVecs, outDir, "vec_canon")
   }
 
-  def compactMediaBands(spark: SparkSession, indexDir: String,
-      dataDir: String, outDir: String): Unit =
-    write(read(spark, indexDir, "media_bands")
-      .unionByName(graft.multimodal.Multimodal.phashBands(
-        graft.multimodal.Multimodal.mediaSplit(spark, dataDir)._2)),
-      outDir, "media_bands")
-
   def compactAudioFps(spark: SparkSession, indexDir: String,
       dataDir: String, outDir: String): Unit =
     write(read(spark, indexDir, "audio_fps")
@@ -894,20 +884,19 @@ object IndexStore {
         write(members, dir, "media_members")
         write(bandsC, dir, "media_bands_c")
       }),
-    // the member-level band table lives with media_cc (its contracted
-    // merge probes per-asset bands), so its compaction is pinned here
-    ("media_cc", Seq("media_bands", "media_cc"),
+    // the canonical trio's compaction is pinned under "media"; here
+    // the compactor carries it into outDir (self-contained family) and
+    // the pin covers the label table
+    ("media_cc", Seq("media_cc"),
       (s: SparkSession, indexDir: String, dataDir: String,
           outDir: String) => {
-        compactMediaBands(s, indexDir, dataDir, outDir)
+        compactMediaNearDup(s, indexDir, dataDir, outDir)
         compactMediaCc(s, indexDir, dataDir, outDir)
       },
       (s, dataDir, dir) => {
         val m = graft.multimodal.Multimodal
         val (c, b) = m.mediaSplit(s, dataDir)
-        val all = c.unionByName(b).localCheckpoint(eager = false)
-        write(m.phashBands(all), dir, "media_bands")
-        write(m.mediaCcOf(all, m.scoredAssets(s, dataDir)),
+        write(m.mediaCcOf(c.unionByName(b), m.scoredAssets(s, dataDir)),
           dir, "media_cc")
       }),
     ("audio_fps", Seq("audio_fps"),

@@ -516,7 +516,7 @@ object StreamingOps {
     * stream — each arriving asset hashes ([[graft.multimodal.Multimodal
     * .FakeCodec.dHash]], same 63-bit function as q109), emits its band
     * keys, and probes the PERSISTED corpus band index (stream-static
-    * inner join — stateless, the `media_bands` table IndexStore
+    * inner join — stateless, the canonical band table IndexStore
     * maintains); matches verify inline via bit_count exactly like the
     * batch flow. Emits (new asset, corpus near-dup, hamming) match rows
     * — the shape a quarantine/review queue consumes. In-stream pairs are
@@ -550,7 +550,7 @@ object StreamingOps {
     * tonight's q180 maintenance will MERGE corpus clusters. Every
     * arriving asset runs [[streamingMediaNearDups]]' probe (same
     * dHash + band expressions, same inline bit_count verification
-    * against the persisted `media_bands` index), then each verified
+    * against the persisted canonical band index — one probe row per identical-hash family), then each verified
     * corpus neighbor maps to its persisted `media_cc` LABEL through a
     * second stateless stream-static join, collapsing to distinct
     * (asset, cluster label) rows. An asset carrying two or more

@@ -445,9 +445,10 @@ class MultimodalSpec extends SparkSpec {
       (3L, 3L, 0.7), (4L, 3L, 0.2)))
     val batchH = Seq((10L, "image", 0x0FL)).toDF("doc_id", "kind", "phash")
     val batchScored = Seq((10L, 0.5)).toDF("doc_id", "quality")
+    val (famsC, _, bandsC) = Multimodal.mediaNearDupIndexTables(corpusH)
     val got = Multimodal.incrementalMediaClusters(
         Multimodal.mediaCcOf(corpusH, corpusScored),
-        Multimodal.phashBands(corpusH), batchH, batchScored)
+        famsC, bandsC, batchH, batchScored)
       .as[(Long, Long, Double, Long)].collect().toSeq
     // ONE merged cluster: id = min member (1), kept = max quality
     // (doc 2 at 0.9), size = all five members — whole corpus clusters

@@ -712,8 +712,12 @@ object Multimodal {
     *    occupancy counts families, never re-encode replicas (what the
     *    q184 audit flags as hot is exactly what collapses here).
     */
-  def mediaNearDupIndexTables(corpusHashes: DataFrame)
+  def mediaNearDupIndexTables(corpusHashes0: DataFrame)
       : (DataFrame, DataFrame, DataFrame) = {
+    // the hash frame sits above the DECODE mapPartitions and feeds the
+    // family aggregation AND the member join — checkpoint or every
+    // consumer re-decodes the corpus
+    val corpusHashes = corpusHashes0.localCheckpoint(eager = false)
     val fams = corpusHashes.groupBy(col("phash"))
       .agg(min(col("doc_id")).as("canon"))
       .localCheckpoint(eager = false) // members join + canonical bands
@@ -1078,7 +1082,10 @@ object Multimodal {
     * IndexStore `media_cc`, disk==memory spec-pinned). */
   def incrementalMediaClustersDaily(spark: SparkSession,
       dir: String): DataFrame = {
-    val (corpusH, batchH) = mediaSplit(spark, dir)
+    val (corpusH0, batchH) = mediaSplit(spark, dir)
+    // the in-query rendering builds BOTH the label table and the
+    // canonical tables from the corpus hashes — decode once
+    val corpusH = corpusH0.localCheckpoint(eager = false)
     val scored = scoredAssets(spark, dir)
       .localCheckpoint(eager = false) // feeds corpus AND batch scoring
     val ccC = mediaCcOf(corpusH, scored.filter(col("doc_id") % 10 =!= 0))

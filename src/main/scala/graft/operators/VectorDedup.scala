@@ -355,7 +355,10 @@ private[operators] trait VectorDedup {
     */
   def vecNearDupIndexTables(corpus: DataFrame)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    // the fixed-point md5 projection feeds the family aggregation AND
+    // the member join — checkpoint or both legs re-key every vector
     val keyed = corpus.select(col("vec_id"), col("v"), vKeyExpr.as("vkey"))
+      .localCheckpoint(eager = false)
     val fams = keyed.groupBy(col("vkey"))
       .agg(min(col("vec_id")).as("canon"))
       .localCheckpoint(eager = false) // feeds members join + canon vecs

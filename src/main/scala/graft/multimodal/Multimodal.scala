@@ -620,9 +620,51 @@ object Multimodal {
       .crossJoin(broadcast(tn))
       .select(col("cap"), col("cand_pairs"), col("kept_pairs"),
         col("truth_pairs"),
-        expr("kept_pairs * 1000000 div truth_pairs").as("recall_micro"))
+        // zero-guarded symmetrically with the oracle tail: a corpus with
+        // no verified pairs reads recall 0 in both engines instead of
+        // NULL here vs a division-by-zero error in DuckDB
+        expr("CASE WHEN truth_pairs = 0 THEN 0" +
+          " ELSE kept_pairs * 1000000 div truth_pairs END")
+          .as("recall_micro"))
       .orderBy(col("cap"))
   }
+
+  /** The shared curve-oracle CTE pair over a prefix ending in
+    * `bands(<idCol>, band, key)`: per-bucket id ranks, then `need` =
+    * min-over-shared-buckets of the larger rank — ONE SQL text for the
+    * q187/q188/q191 cap curves, as [[bandCapCurveOf]] is one engine
+    * definition. */
+  def bandCapRankSql(idCol: String): String =
+    s"""ranked AS (
+       |  SELECT $idCol, band, key, row_number() OVER
+       |    (PARTITION BY band, key ORDER BY $idCol) AS rk
+       |  FROM bands),
+       |pneed AS (
+       |  SELECT a.$idCol AS ida, b.$idCol AS idb,
+       |    min(greatest(a.rk, b.rk)) AS need
+       |  FROM ranked a JOIN ranked b
+       |    ON a.band = b.band AND a.key = b.key AND a.$idCol < b.$idCol
+       |  GROUP BY 1, 2)""".stripMargin
+
+  /** The shared curve-oracle tail over CTEs `pneed(ida, idb, need)` and
+    * `truth(ida, idb)` — flags, the cap sweep, and the zero-guarded
+    * exact-integer recall, one text for every modality's curve. */
+  def bandCapCurveSqlTail: String =
+    s"""tn AS (SELECT count(*) AS truth_pairs FROM truth),
+       |flagged AS (
+       |  SELECT p.ida, p.need,
+       |    CASE WHEN t.ida IS NULL THEN 0 ELSE 1 END AS hit
+       |  FROM pneed p LEFT JOIN truth t
+       |    ON t.ida = p.ida AND t.idb = p.idb),
+       |caps AS (SELECT unnest([${BandCapSweep.mkString(", ")}]) AS cap)
+       |SELECT cap, CAST(count(f.ida) AS BIGINT) AS cand_pairs,
+       |  CAST(coalesce(sum(f.hit), 0) AS BIGINT) AS kept_pairs,
+       |  CAST(tn.truth_pairs AS BIGINT) AS truth_pairs,
+       |  CAST(CASE WHEN tn.truth_pairs = 0 THEN 0
+       |    ELSE coalesce(sum(f.hit), 0) * 1000000 // tn.truth_pairs END
+       |    AS BIGINT) AS recall_micro
+       |FROM caps LEFT JOIN flagged f ON f.need <= caps.cap, tn
+       |GROUP BY cap, tn.truth_pairs ORDER BY cap""".stripMargin
 
   /** L88/q187: the media band-cap operating curve — q184 says how much
     * pair mass sits above the hot threshold; this says what a cap at
@@ -1755,34 +1797,12 @@ object Multimodal {
          |    (phash // (CAST(1 AS BIGINT) << (b * $BandBits)))
          |      % (CAST(1 AS BIGINT) << $BandBits) AS key
          |  FROM h, LATERAL unnest(range(0, $NumBands)) AS u(b)),
-         |ranked AS (
-         |  SELECT doc_id, band, key, row_number() OVER
-         |    (PARTITION BY band, key ORDER BY doc_id) AS rk
-         |  FROM bands),
-         |pneed AS (
-         |  SELECT a.doc_id AS ida, b.doc_id AS idb,
-         |    min(greatest(a.rk, b.rk)) AS need
-         |  FROM ranked a JOIN ranked b
-         |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2),
+         |${bandCapRankSql("doc_id")},
          |truth AS (
          |  SELECT a.doc_id AS ida, b.doc_id AS idb
          |  FROM h a, h b WHERE a.doc_id < b.doc_id
          |    AND bit_count(xor(a.phash, b.phash)) <= $MediaHammingMax),
-         |tn AS (SELECT count(*) AS truth_pairs FROM truth),
-         |flagged AS (
-         |  SELECT p.ida, p.need,
-         |    CASE WHEN t.ida IS NULL THEN 0 ELSE 1 END AS hit
-         |  FROM pneed p LEFT JOIN truth t
-         |    ON t.ida = p.ida AND t.idb = p.idb),
-         |caps AS (SELECT unnest([${BandCapSweep.mkString(", ")}]) AS cap)
-         |SELECT cap, CAST(count(f.ida) AS BIGINT) AS cand_pairs,
-         |  CAST(coalesce(sum(f.hit), 0) AS BIGINT) AS kept_pairs,
-         |  CAST(tn.truth_pairs AS BIGINT) AS truth_pairs,
-         |  CAST(coalesce(sum(f.hit), 0) * 1000000 // tn.truth_pairs
-         |    AS BIGINT) AS recall_micro
-         |FROM caps LEFT JOIN flagged f ON f.need <= caps.cap, tn
-         |GROUP BY cap, tn.truth_pairs ORDER BY cap""".stripMargin,
+         |$bandCapCurveSqlTail""".stripMargin,
     // q180: the SAME recursive closure + election restricted to clusters
     // holding a batch member — the contracted merge must reproduce it
     "q180_incremental_media_clusters" -> mediaClusterSurvivorsSqlOf(

@@ -142,6 +142,37 @@ object LLMQueries {
     graft.multimodal.Multimodal.bandOccupancyOf(
       signatureTables(docs(spark, dir))._1)
 
+  /** L91/q191: the TEXT band-cap operating curve — the q187/q188 report
+    * over the q64 MinHash bands, completing the cap pricing across all
+    * three banded modalities (VERDICT r12 "Next round" #2). Text is the
+    * one modality where a per-bucket occupancy cap is the ONLY
+    * pair-volume knob: the 100× soak's replicas are PERTURBED
+    * (` rep<r>` suffixes), i.e. real near-dups with distinct shingle
+    * sets, so no exact canonical pre-pass (the q186/q190 move) can
+    * collapse them — when the q189 audit flags a hot bucket, capping is
+    * the only response, and until this query that response was
+    * unpriced. Truth = the q64-verified Jaccard pair set (band
+    * candidates with ≥1 shared shingle — exactly what capless banding
+    * emits and q77's clusters consume), so per cap the exact-integer
+    * recall reads how much of today's q64 output a capped band join
+    * would keep. Shares [[graft.multimodal.Multimodal.bandCapCurveOf]]
+    * and [[graft.multimodal.Multimodal.BandCapSweep]] with the media
+    * and vector flavors so the three curves can never price caps
+    * differently.
+    *
+    * Scale shape: same audit tier as q187/q188 — ONE band self-join
+    * (the q64 candidate join with per-bucket ranks riding along)
+    * prices every cap at once; the verification legs only touch
+    * candidate endpoints' shingle sets; the curve tail is a ≤4-row
+    * broadcast join. */
+  def textBandCapCurve(spark: SparkSession, dir: String): DataFrame = {
+    val base = shingledOf(Tables(spark, dir, "documents"))
+    val sets = setsOf(base)
+    graft.multimodal.Multimodal.bandCapCurveOf(bandsOf(base), "doc_id",
+      pairs => verifyPairs(pairs.toDF("doc_a", "doc_b"), sets)
+        .select(col("doc_a"), col("doc_b")))
+  }
+
   /** Incremental near-dup: pairs of an incoming batch against an already
     * signed corpus (plus batch-internal pairs) WITHOUT re-pairing the
     * corpus with itself — the daily-ingest flow at 100 TB, where corpus
@@ -1595,6 +1626,7 @@ object LLMQueries {
     "q123_chunk_docs" -> (chunkDocs _),
     "q64_minhash_pairs" -> (minhashPairs _),
     "q189_text_band_occupancy" -> (textBandOccupancy _),
+    "q191_text_band_cap_curve" -> (textBandCapCurve _),
     "q166_edit_verified_dups" -> (editVerifiedDups _),
     "q125_minhash_recall" -> (minhashRecall _),
     "q127_minhash_precision" -> (minhashPrecision _),
@@ -1663,9 +1695,6 @@ object LLMQueries {
 
   private val shingleCte = shingleCteOf("")
 
-  /** The full q64 pipeline as composable CTEs ending in `pairs_all`
-    * (doc_a, doc_b, n_inter, jaccard) — shared with q77's cluster
-    * formation so the two oracles can't drift apart. */
   /** The shingle → signature → band-key CTE prefix (ends in
     * `bands(doc_id, band, key)`) — shared by the pair CTEs below and
     * the q189 band-occupancy oracle so the audited banding is exactly
@@ -1682,6 +1711,9 @@ object LLMQueries {
             s"SELECT doc_id, $b AS band, h${2 * b} || h${2 * b + 1} AS key FROM sigs")
             .mkString("\n  UNION ALL ")})""".stripMargin)
 
+  /** The full q64 pipeline as composable CTEs ending in `pairs_all`
+    * (doc_a, doc_b, n_inter, jaccard) — shared with q77's cluster
+    * formation so the two oracles can't drift apart. */
   private[operators] def minhashPairsCtesOf(where: String): String =
     (s"${minhashBandCtesOf(where)}," +
     s"""
@@ -2114,6 +2146,16 @@ object LLMQueries {
     // rollup tail — the audited banding IS the q64 pair join's
     "q189_text_band_occupancy" -> graft.multimodal.Multimodal
       .bandOccupancySql(minhashBandCtesOf("")),
+    // q191: the q64 pair CTEs (bands + verified pairs_all) with the
+    // shared per-bucket rank CTEs and curve tail — truth is exactly
+    // the q64 output, so the priced recall is against what capless
+    // banding emits today
+    "q191_text_band_cap_curve" ->
+      (s"WITH ${minhashPairsCtesOf("")}," +
+      s"""
+         |${graft.multimodal.Multimodal.bandCapRankSql("doc_id")},
+         |truth AS (SELECT doc_a AS ida, doc_b AS idb FROM pairs_all),
+         |${graft.multimodal.Multimodal.bandCapCurveSqlTail}""".stripMargin),
     "q64_minhash_pairs" -> (s"WITH $minhashPairsCtes " +
       """SELECT doc_a, doc_b, n_inter, jaccard FROM pairs_all
         |ORDER BY doc_a, doc_b""".stripMargin),

@@ -384,10 +384,16 @@ private[operators] trait VectorDedup {
     * A family is identified by `fid`: its persisted corpus canonical if
     * known, else the min batch member id (corpus and batch ids are
     * disjoint by the residue rule, so fids never collide). Probe-side
-    * band keys are computed on BATCH representatives — identical
-    * vectors produce identical fixed-point sign bits, so an existing
-    * touched family's probe rows equal its persisted canonical band
-    * rows and the corpus is never re-banded. Every candidate has a
+    * band keys are computed on BATCH representatives — safe even when
+    * same-vkey members are NOT byte-identical doubles, because
+    * [[graft.functions.SignLshKeys]] computes its bits from the
+    * round(v·1e9) fixed-point rendering, i.e. exactly the quantity
+    * vkey keys the family by: equal vkey ⟹ equal fixed-point vector ⟹
+    * equal band keys, so an existing touched family's probe rows equal
+    * its persisted canonical band rows and the corpus is never
+    * re-banded. (Cosine VERIFICATION, by contrast, runs on raw doubles
+    * — which is why it always reads the canonical member's vector, in
+    * both the engine and the q186 oracle.) Every candidate has a
     * batch-touched side, so corpus-only family buckets never enumerate
     * (the q96 probe contract, family granularity); cosine verification
     * runs ONCE per family pair instead of once per member pair — on a

@@ -421,10 +421,14 @@ object VectorQueries extends VectorAnnTiers
     // q186: the family-collapsed pair table. Families group by the q95
     // fixed-point key; the canonical id is the min CORPUS member when
     // one exists, else the min batch member (the engine's fid rule);
-    // `e` is SHADOWED with one representative row per family so the
-    // shared band CTEs run verbatim at family granularity; candidate
-    // family pairs need a batch-touched (tb > 0) probe side; n_pairs is
-    // exact integer arithmetic over per-family batch/corpus counts.
+    // frep verifies with the CANONICAL member's vector — the same row
+    // the engine's persisted canonVecs table holds — so the oracle
+    // never depends on same-vkey replicas being byte-identical at the
+    // threshold boundary; `e` is SHADOWED with one representative row
+    // per family so the shared band CTEs run verbatim at family
+    // granularity; candidate family pairs need a batch-touched (tb > 0)
+    // probe side; n_pairs is exact integer arithmetic over per-family
+    // batch/corpus counts.
     "q186_canonical_near_dup_pairs" ->
       s"""WITH raw AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |k AS (SELECT vec_id, v,
@@ -433,14 +437,14 @@ object VectorQueries extends VectorAnnTiers
          |          ',')) AS vkey
          |      FROM raw),
          |fam AS (
-         |  SELECT vkey, min(vec_id) AS rep_id,
+         |  SELECT vkey,
          |    coalesce(min(vec_id) FILTER (WHERE vec_id % $VecBatchMod <> 0),
          |             min(vec_id)) AS fid,
          |    count(*) FILTER (WHERE vec_id % $VecBatchMod = 0) AS tb,
          |    count(*) FILTER (WHERE vec_id % $VecBatchMod <> 0) AS tc
          |  FROM k GROUP BY vkey),
          |frep AS (SELECT f.fid, f.tb, f.tc, k.v
-         |         FROM fam f JOIN k ON k.vec_id = f.rep_id),
+         |         FROM fam f JOIN k ON k.vec_id = f.fid),
          |e AS (SELECT fid AS vec_id, v FROM frep),
          |bands AS (
          |  $oracleBands),
@@ -491,16 +495,7 @@ object VectorQueries extends VectorAnnTiers
          |e AS (SELECT fid AS vec_id, v FROM frep),
          |bands AS (
          |  $oracleBands),
-         |ranked AS (
-         |  SELECT vec_id, band, key, row_number() OVER
-         |    (PARTITION BY band, key ORDER BY vec_id) AS rk
-         |  FROM bands),
-         |pneed AS (
-         |  SELECT a.vec_id AS ida, b.vec_id AS idb,
-         |    min(greatest(a.rk, b.rk)) AS need
-         |  FROM ranked a JOIN ranked b
-         |    ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
-         |  GROUP BY 1, 2),
+         |${graft.multimodal.Multimodal.bandCapRankSql("vec_id")},
          |truth AS (
          |  SELECT ida, idb FROM (
          |    SELECT c.ida, c.idb,
@@ -513,21 +508,7 @@ object VectorQueries extends VectorAnnTiers
          |    JOIN e ea ON ea.vec_id = c.ida
          |    JOIN e eb ON eb.vec_id = c.idb)
          |  WHERE cos >= $NearDupThreshold),
-         |tn AS (SELECT count(*) AS truth_pairs FROM truth),
-         |flagged AS (
-         |  SELECT p.ida, p.need,
-         |    CASE WHEN t.ida IS NULL THEN 0 ELSE 1 END AS hit
-         |  FROM pneed p LEFT JOIN truth t
-         |    ON t.ida = p.ida AND t.idb = p.idb),
-         |caps AS (SELECT unnest([${
-           graft.multimodal.Multimodal.BandCapSweep.mkString(", ")}]) AS cap)
-         |SELECT cap, CAST(count(f.ida) AS BIGINT) AS cand_pairs,
-         |  CAST(coalesce(sum(f.hit), 0) AS BIGINT) AS kept_pairs,
-         |  CAST(tn.truth_pairs AS BIGINT) AS truth_pairs,
-         |  CAST(coalesce(sum(f.hit), 0) * 1000000 // tn.truth_pairs
-         |    AS BIGINT) AS recall_micro
-         |FROM caps LEFT JOIN flagged f ON f.need <= caps.cap, tn
-         |GROUP BY cap, tn.truth_pairs ORDER BY cap""".stripMargin,
+         |${graft.multimodal.Multimodal.bandCapCurveSqlTail}""".stripMargin,
     "q91_semantic_dedup" -> semanticDedupOracleSql(""),
     // q104: the same full closure, restricted to clusters containing a
     // batch (vec_id % 10 = 0) member — exactly what the incremental

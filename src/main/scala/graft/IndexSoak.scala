@@ -48,6 +48,16 @@ object IndexSoak {
       }
       Timing.timedPasses(spark, cpuNs, s"[index-soak] $name daily")(
         daily(spark, indexDir, dataDir).count())
+      // opt-in: time the CAPPED daily leg beside the exact one (the
+      // q187/q188/q191 admission rule applied) — the capped-vs-exact
+      // policy measurement on the same corpus + same disk index
+      sys.env.get("SPARK_GRAFT_BAND_CAP").map(_.toInt).foreach { c =>
+        operators.IndexStore.cappedDailies.get(name).foreach { capped =>
+          Timing.timedPasses(spark, cpuNs,
+            s"[index-soak] $name daily cap=$c")(
+            capped(spark, indexDir, dataDir, c).count())
+        }
+      }
       // the third lifecycle leg: nightly compaction (batch → next
       // snapshot's index) — must beat the O(corpus) rebuild `build`
       // just measured, or the compactor has regressed to corpus work

@@ -435,21 +435,29 @@ object Multimodal {
     * bit_count(xor) — no join-back. At 100 TB the standard exact-dedup
     * pre-pass (q60/q95 shape, here trivially phash-equality) bounds
     * identical-asset families before the quadratic stage. */
-  def mediaNearDups(spark: SparkSession, dir: String): DataFrame =
-    mediaPairFrame(spark, dir).orderBy(col("doc_a"), col("doc_b"))
+  def mediaNearDups(spark: SparkSession, dir: String,
+      cap: Option[Int] = None): DataFrame =
+    mediaPairFrame(spark, dir, cap).orderBy(col("doc_a"), col("doc_b"))
 
   /** The q109 pair set WITHOUT the presentation sort — the edge input
     * q130's cluster formation consumes (a global order would cost a
     * range exchange the CC immediately re-shuffles away). */
-  private def mediaPairFrame(spark: SparkSession, dir: String): DataFrame =
-    pairFrameOf(assetHashes(spark, dir))
+  private def mediaPairFrame(spark: SparkSession, dir: String,
+      cap: Option[Int] = None): DataFrame =
+    pairFrameOf(assetHashes(spark, dir), cap)
 
   /** The banded Hamming pair query over ANY hash frame — shared by the
-    * full pass (q109/q130) and the corpus-side media_cc build (q180). */
-  private def pairFrameOf(h: DataFrame): DataFrame = {
+    * full pass (q109/q130) and the corpus-side media_cc build (q180).
+    * `cap` applies the per-bucket occupancy cap (the q187 admission
+    * rule — BandCapSpec pins each swept cap equal to the curve's
+    * kept/admitted sets); None = today's pigeonhole-exact join,
+    * byte-identical plan. */
+  private[multimodal] def pairFrameOf(h: DataFrame,
+      cap: Option[Int] = None): DataFrame = {
     val parts = h.sparkSession.sessionState.conf.numShufflePartitions
-    val bands = phashBands(h)
+    val bands0 = phashBands(h)
       .repartition(parts, col("band"), col("key"))
+    val bands = cap.fold(bands0)(capBands(bands0, "doc_id", _))
     bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
@@ -586,17 +594,64 @@ object Multimodal {
     * audit reconciles against (this is an audit-tier query, run beside
     * q184/q185, not in the daily path); the curve tail is one groupBy
     * over `need` buckets against a broadcast ≤4-row cap table. */
+  /** Per-bucket id ranks over any (…, band, key) table — THE rank the
+    * operating curves price and the capped joins admit by, one
+    * definition so the two can never order a bucket differently. */
+  private def withBucketRank(bands: DataFrame, idCol: String): DataFrame =
+    bands.withColumn("rk", row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .partitionBy(col("band"), col("key")).orderBy(col(idCol))))
+
+  /** The q187/q188/q191 admission rule made APPLIABLE (VERDICT r12
+    * "Next round" #1): keep only a bucket's first `cap` members by id
+    * rank. A pair survives the capped band join iff some shared bucket
+    * ranks BOTH its ends ≤ cap — i.e. iff the operating curve's `need`
+    * ≤ cap — so the curve IS the capped join's parity oracle
+    * (BandCapSpec pins capped joins equal to the curve's admitted set
+    * at every swept cap, per modality).
+    *
+    * Scale shape: the window partitions by the same (band, key) the
+    * candidate join shuffles on, so on a join-keyed layout capping
+    * adds a per-bucket sort and no new exchange — and the join it
+    * feeds enumerates O(cap·occ) per bucket instead of O(occ²), which
+    * is the entire point when the q184/q185/q189 audits flag a viral
+    * bucket. */
+  def capBands(bands: DataFrame, idCol: String, cap: Int): DataFrame =
+    withBucketRank(bands, idCol).filter(col("rk") <= cap).drop("rk")
+
+  /** The (scan side, probe side) of a CAPPED probe-shaped band join —
+    * the incremental daily legs' flavor of [[capBands]]. Ranks are
+    * computed over each probed bucket's FULL membership (corpus ∪
+    * batch — the same ranks the full curve assigns that bucket), but
+    * only buckets the probe touches are ranked at all: corpus-only
+    * buckets never sort, never enumerate, so the capped daily leg
+    * stays O(touched-bucket mass), and after the rank filter the
+    * candidate expansion is O(cap · probe rows) per bucket. Both
+    * returned sides carry `full`'s full column set (hashes riding band
+    * rows ride through). Requires probe's rows ⊆ full's rows set-wise
+    * — true at every call site (probe = the batch/rep band rows, which
+    * the scan side unions in). */
+  def cappedProbeSides(full: DataFrame, probe: DataFrame, idCol: String,
+      cap: Int): (DataFrame, DataFrame) = {
+    val touched = full.join(
+      broadcast(probe.select(col("band"), col("key")).distinct()),
+      Seq("band", "key"), "left_semi")
+    val capped = capBands(touched, idCol, cap)
+      .localCheckpoint(eager = false) // scan leg + probe restriction
+    val cappedProbe = capped.join(
+      broadcast(probe.select(col(idCol)).distinct()), Seq(idCol),
+      "left_semi")
+    (capped, cappedProbe)
+  }
+
   def bandCapCurveOf(bands: DataFrame, idCol: String,
       verify: DataFrame => DataFrame,
       caps: Seq[Int] = BandCapSweep): DataFrame = {
     val spark = bands.sparkSession
     import spark.implicits._
     val parts = spark.sessionState.conf.numShufflePartitions
-    val ranked = bands
-      .select(col(idCol).as("id"), col("band"), col("key"))
-      .withColumn("rk", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(col("band"), col("key")).orderBy(col("id"))))
+    val ranked = withBucketRank(
+      bands.select(col(idCol).as("id"), col("band"), col("key")), "id")
       .repartition(parts, col("band"), col("key"))
     val pairNeed = ranked.as("a")
       .join(ranked.as("b"),
@@ -717,18 +772,27 @@ object Multimodal {
     * provably equals the full q109 pass restricted to pairs touching
     * ≥ 1 batch asset, which is what the oracle checks. */
   def incrementalMediaNearDups(corpusBands: DataFrame,
-      newHashes: DataFrame): DataFrame =
-    incrementalMediaPairFrame(corpusBands, newHashes)
+      newHashes: DataFrame, cap: Option[Int] = None): DataFrame =
+    incrementalMediaPairFrame(corpusBands, newHashes, cap)
       .orderBy(col("doc_a"), col("doc_b"))
 
   /** The q111 pair set WITHOUT the presentation sort — the edge input
-    * the q180 contracted merge consumes. */
+    * the q180 contracted merge consumes. `cap` = the opt-in per-bucket
+    * occupancy cap via [[cappedProbeSides]] (ranks over the probed
+    * buckets' full corpus∪batch membership, so admission equals the
+    * capped FULL join restricted to batch-touching pairs —
+    * BandCapSpec); None = today's exact probe join, byte-identical. */
   private[multimodal] def incrementalMediaPairFrame(corpusBands: DataFrame,
-      newHashes: DataFrame): DataFrame = {
+      newHashes: DataFrame, cap: Option[Int] = None): DataFrame = {
     // lazy-materialized: feeds both the union leg and the probe leg
     val newBands = phashBands(newHashes).localCheckpoint(eager = false)
-    corpusBands.unionByName(newBands).as("a")
-      .join(newBands.as("n"),
+    val (aSide, nSide) = cap match {
+      case None => (corpusBands.unionByName(newBands), newBands)
+      case Some(c) => cappedProbeSides(
+        corpusBands.unionByName(newBands), newBands, "doc_id", c)
+    }
+    aSide.as("a")
+      .join(nSide.as("n"),
         col("a.band") === col("n.band") && col("a.key") === col("n.key") &&
           col("a.doc_id") =!= col("n.doc_id"))
       .select(least(col("a.doc_id"), col("n.doc_id")).as("doc_a"),
@@ -780,7 +844,7 @@ object Multimodal {
     * candidate volume: O(Σ bucket-families²), not O(Σ bucket-members²).
     */
   private def canonMediaCore(famsC: DataFrame, bandsC: DataFrame,
-      newHashes: DataFrame)
+      newHashes: DataFrame, cap: Option[Int] = None)
       : (DataFrame, DataFrame, DataFrame) = {
     val batchK = newHashes.select(col("doc_id"), col("phash"))
       .localCheckpoint(eager = false) // reps + batch members
@@ -794,9 +858,18 @@ object Multimodal {
     val repBands = phashBands(reps
         .select(col("fid").as("doc_id"), col("phash"), col("is_new")))
       .localCheckpoint(eager = false) // probe leg + new-family union leg
-    val probe = repBands.drop("is_new")
-    val full = bandsC.unionByName(repBands.filter(col("is_new"))
+    val probe0 = repBands.drop("is_new")
+    val full0 = bandsC.unionByName(repBands.filter(col("is_new"))
       .drop("is_new"))
+    // capped: occupancy counts FAMILIES (post-canonicalization), so a
+    // hot bucket here is genuinely-similar distinct hashes — exactly
+    // the mass the q184 audit flags and the q187 curve prices. An
+    // existing touched family's probe rows equal its bandsC rows
+    // (identical hash ⟹ identical band keys), so probe ⊆ full holds.
+    val (full, probe) = cap match {
+      case None => (full0, probe0)
+      case Some(c) => cappedProbeSides(full0, probe0, "doc_id", c)
+    }
     val famPairs = full.as("a")
       .join(probe.as("n"),
         col("a.band") === col("n.band") && col("a.key") === col("n.key") &&
@@ -840,9 +913,9 @@ object Multimodal {
     * persisted canonical tables. */
   def incrementalMediaNearDupsCanonical(famsC: DataFrame,
       membersC: DataFrame, bandsC: DataFrame,
-      newHashes: DataFrame): DataFrame = {
+      newHashes: DataFrame, cap: Option[Int] = None): DataFrame = {
     val (famPairs, reps, batchMembers) =
-      canonMediaCore(famsC, bandsC, newHashes)
+      canonMediaCore(famsC, bandsC, newHashes, cap)
     val corpusMembers = canonCorpusMembersOf(membersC, famPairs, reps)
     val membersAll = corpusMembers.withColumn("is_b", lit(false))
       .unionByName(batchMembers.withColumn("is_b", lit(true)))
@@ -877,9 +950,10 @@ object Multimodal {
     * families themselves (hamming 0). Σ n_pairs == the q111 row count,
     * spec-pinned. */
   def canonicalMediaPairs(famsC: DataFrame, membersC: DataFrame,
-      bandsC: DataFrame, newHashes: DataFrame): DataFrame = {
+      bandsC: DataFrame, newHashes: DataFrame,
+      cap: Option[Int] = None): DataFrame = {
     val (famPairs, reps, _) =
-      canonMediaCore(famsC, bandsC, newHashes)
+      canonMediaCore(famsC, bandsC, newHashes, cap)
     val corpusMembers = canonCorpusMembersOf(membersC, famPairs, reps)
     val tcs = corpusMembers.groupBy(col("fid"))
       .agg(count(lit(1)).as("tc"))

@@ -182,7 +182,7 @@ object LLMQueries {
     * only buckets never join.
     */
   def incrementalNearDups(corpusBands: DataFrame, corpusSets: DataFrame,
-      newDocs: DataFrame): DataFrame = {
+      newDocs: DataFrame, cap: Option[Int] = None): DataFrame = {
     val shingledNew = shingledOf(newDocs)
     // materialized lazily: newBands feeds BOTH the union leg and the
     // probe leg, and the MinHashBandKeys projection sits downstream of
@@ -193,7 +193,7 @@ object LLMQueries {
     // free (the q70 lesson, uniformly — VERDICT r8 "What's wrong" #1).
     incrementalNearDupsFrom(corpusBands, corpusSets,
       bandsOf(shingledNew).localCheckpoint(eager = false),
-      setsOf(shingledNew))
+      setsOf(shingledNew), cap)
   }
 
   /** [[incrementalNearDups]] with the batch's signature tables supplied
@@ -205,7 +205,7 @@ object LLMQueries {
     * once. */
   def incrementalNearDupsFrom(corpusBands: DataFrame,
       corpusSets: DataFrame, newBands: DataFrame,
-      newSets: DataFrame): DataFrame = {
+      newSets: DataFrame, cap: Option[Int] = None): DataFrame = {
     // probe shape: (corpus ∪ new) bands join against NEW bands only — a
     // corpus-only bucket has no matching probe key and never enumerates
     // its pairs (a full self-join with an is-new residual predicate
@@ -214,10 +214,19 @@ object LLMQueries {
     // table is a pure scan; new×new pairs arrive from both directions
     // and collapse under least/greatest + distinct.
     val allBands = corpusBands.unionByName(newBands)
+    // capped: ranks over the probed buckets' full corpus∪batch
+    // membership, so the admitted set equals the capped FULL q64 join
+    // restricted to batch-touching pairs (BandCapSpec); None keeps
+    // today's exact probe join byte-identical
+    val (aSide, nSide) = cap match {
+      case None => (allBands, newBands)
+      case Some(c) => graft.multimodal.Multimodal
+        .cappedProbeSides(allBands, newBands, "doc_id", c)
+    }
     // cands feeds the verify joins AND the endpoint filter below — the
     // lazy checkpoint keeps the band-probe join from running twice
-    val cands = allBands.as("a")
-      .join(newBands.as("n"),
+    val cands = aSide.as("a")
+      .join(nSide.as("n"),
         col("a.band") === col("n.band") && col("a.key") === col("n.key") &&
           col("a.doc_id") =!= col("n.doc_id"))
       .select(least(col("a.doc_id"), col("n.doc_id")).as("doc_a"),
@@ -443,23 +452,31 @@ object LLMQueries {
   def minhashPairs(spark: SparkSession, dir: String): DataFrame =
     minhashPairsOf(Tables(spark, dir, "documents"))
 
-  private[operators] def minhashPairsOf(docsDf: DataFrame): DataFrame = {
+  private[operators] def minhashPairsOf(docsDf: DataFrame,
+      cap: Option[Int] = None): DataFrame = {
     val base = shingledOf(docsDf)
     // the shared-shingle filter inside verifyPairs keeps the exploded
     // formulation's contract (pairs must share ≥1 shingle)
-    verifyPairs(minhashCandidatesOf(base), setsOf(base))
+    verifyPairs(minhashCandidatesOf(base, cap), setsOf(base))
   }
 
   /** MinHash-banded candidate pairs (doc_a < doc_b, distinct) over a
     * [[shingledOf]] frame — the shared candidate-generation stage of
-    * q64 (Jaccard verification) and q166 (edit-distance verification). */
-  private[operators] def minhashCandidatesOf(base: DataFrame): DataFrame = {
+    * q64 (Jaccard verification) and q166 (edit-distance verification).
+    * `cap` applies the q191 per-bucket occupancy cap (the admission
+    * rule the curve prices — BandCapSpec pins each swept cap's
+    * candidate set equal to the curve's admitted set); None = today's
+    * exact join, byte-identical plan. */
+  private[operators] def minhashCandidatesOf(base: DataFrame,
+      cap: Option[Int] = None): DataFrame = {
     // repartition on the join key: both self-join legs then read ONE
     // materialized exchange (ReusedExchange), so the 8-hash signature
     // computation runs once per query instead of once per leg
-    val bands = bandsOf(base)
+    val bands0 = bandsOf(base)
       .repartition(base.sparkSession.sessionState.conf.numShufflePartitions,
         col("band"), col("key"))
+    val bands = cap.fold(bands0)(
+      graft.multimodal.Multimodal.capBands(bands0, "doc_id", _))
 
     // Pair generation stays a self-join (not groupBy+collect_list pair
     // expansion): a pathological mega-bucket — e.g. thousands of copies of

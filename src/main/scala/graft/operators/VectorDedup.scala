@@ -102,16 +102,22 @@ private[operators] trait VectorDedup {
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "key")
 
-  private[operators] def cosineNearDupsOf(e: DataFrame): DataFrame = {
+  private[operators] def cosineNearDupsOf(e: DataFrame,
+      cap: Option[Int] = None): DataFrame = {
     val spark = e.sparkSession
     // repartition on the join key: both self-join legs then read ONE
     // materialized exchange (ReusedExchange), so the fixed-point
     // sign-bit dot products run once per query instead of once per leg
     // (without it AQE broadcasts one leg, and a broadcast exchange can
     // never reuse a shuffle exchange — same lesson as q64)
-    val bands = lshBandsOf(e)
+    val bands0 = lshBandsOf(e)
       .repartition(spark.sessionState.conf.numShufflePartitions,
         col("band"), col("key"))
+    // cap: the q188 admission rule applied (BandCapSpec pins the capped
+    // output equal to the curve's kept set per swept cap); None =
+    // today's exact join, byte-identical plan
+    val bands = cap.fold(bands0)(
+      graft.multimodal.Multimodal.capBands(bands0, "vec_id", _))
     val cands = bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
@@ -401,7 +407,8 @@ private[operators] trait VectorDedup {
     * collapse to the few thousand distinct family pairs beneath them.
     */
   private def canonNearDupCore(famsC: DataFrame, membersC: DataFrame,
-      bandsC: DataFrame, canonVecsC: DataFrame, newVecs: DataFrame)
+      bandsC: DataFrame, canonVecsC: DataFrame, newVecs: DataFrame,
+      cap: Option[Int] = None)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val spark = newVecs.sparkSession
     val n = spark.sessionState.conf.numShufflePartitions
@@ -421,10 +428,20 @@ private[operators] trait VectorDedup {
           col("v"), planes, PlanesPerBand)))
       .toDF("fid", "is_new", "band", "key")
       .localCheckpoint(eager = false) // probe leg + new-family union leg
-    val probe = repBands
+    val probe0 = repBands
       .select(col("fid").as("vec_id"), col("band"), col("key"))
-    val full = bandsC.unionByName(repBands.filter(col("is_new"))
+    val full0 = bandsC.unionByName(repBands.filter(col("is_new"))
       .select(col("fid").as("vec_id"), col("band"), col("key")))
+    // capped: occupancy counts FAMILIES (the q186 property), so a hot
+    // bucket here is genuinely-similar distinct renderings and the cap
+    // trades exactly what the q188 curve prices. Probe ⊆ full holds:
+    // an existing family's probe rows equal its bandsC rows (same
+    // fixed-point rendering ⟹ same sign bits, the vkey argument).
+    val (full, probe) = cap match {
+      case None => (full0, probe0)
+      case Some(c) => graft.multimodal.Multimodal
+        .cappedProbeSides(full0, probe0, "vec_id", c)
+    }
     val cands = full.as("a")
       .join(probe.as("n"),
         col("a.band") === col("n.band") && col("a.key") === col("n.key") &&
@@ -485,9 +502,9 @@ private[operators] trait VectorDedup {
     * pass restricted to batch-touching pairs) hash-checks all of it. */
   def incrementalVectorNearDupsCanonical(famsC: DataFrame,
       membersC: DataFrame, bandsC: DataFrame, canonVecsC: DataFrame,
-      newVecs: DataFrame): DataFrame = {
+      newVecs: DataFrame, cap: Option[Int] = None): DataFrame = {
     val (famPairs, reps, batchMembers, corpusMembers) =
-      canonNearDupCore(famsC, membersC, bandsC, canonVecsC, newVecs)
+      canonNearDupCore(famsC, membersC, bandsC, canonVecsC, newVecs, cap)
     val membersAll = corpusMembers.withColumn("is_b", lit(false))
       .unionByName(batchMembers.withColumn("is_b", lit(true)))
       .localCheckpoint(eager = false) // two cross legs + within leg
@@ -531,9 +548,9 @@ private[operators] trait VectorDedup {
     * to be shuffled, verified, or stored pairwise. */
   def canonicalNearDupPairs(famsC: DataFrame, membersC: DataFrame,
       bandsC: DataFrame, canonVecsC: DataFrame,
-      newVecs: DataFrame): DataFrame = {
+      newVecs: DataFrame, cap: Option[Int] = None): DataFrame = {
     val (famPairs, reps, _, corpusMembers) =
-      canonNearDupCore(famsC, membersC, bandsC, canonVecsC, newVecs)
+      canonNearDupCore(famsC, membersC, bandsC, canonVecsC, newVecs, cap)
     val tcs = corpusMembers.groupBy(col("fid"))
       .agg(count(lit(1)).as("tc"))
     val counts = tcs

@@ -269,8 +269,23 @@ private[operators] trait CurationClusters {
   /** The (doc_id, cluster_id) membership rows of batch-touched clusters
     * — shared by the q175 report and the `text_cc` compaction. */
   private[operators] def incrementalClusterMembers(bandsC: DataFrame,
-      setsC: DataFrame, ccC: DataFrame, newDocs: DataFrame): DataFrame = {
-    val pairs = LLMQueries.incrementalNearDups(bandsC, setsC, newDocs)
+      setsC: DataFrame, ccC: DataFrame, newDocs: DataFrame): DataFrame =
+    incrementalClusterMembersFromPairs(
+      LLMQueries.incrementalNearDups(bandsC, setsC, newDocs), ccC)
+
+  /** The contracted merge CONSUMING precomputed verified daily pairs
+    * (the q96 increment: batch-touching pairs with exact `jaccard`) —
+    * the q186 move's Jaccard flavor (VERDICT r12 "Next round" #3): the
+    * expensive stage of the nightly text_cc merge is per-pair Jaccard
+    * verification over the candidate graph, and with the pair table
+    * persisted as an IndexStore family (`text_near_dup_pairs`) a
+    * composed pipeline verifies tonight's candidates ONCE and feeds
+    * the increment to the pair-table compaction AND this merge —
+    * corpus-corpus pairs were verified the night they entered and are
+    * never re-verified. */
+  private[operators] def incrementalClusterMembersFromPairs(
+      dailyPairs: DataFrame, ccC: DataFrame): DataFrame = {
+    val pairs = dailyPairs
       .filter(col("jaccard") >= ClusterThreshold)
       .select(col("doc_a"), col("doc_b"))
       .localCheckpoint(eager = false) // feeds endpoint ids + contraction

@@ -554,17 +554,69 @@ object IndexStore {
       .select(col("doc_id"), col("cluster_id")), dir, "text_cc")
   }
 
+  /** The verified text near-dup PAIR table — the q186 collapsed-pair
+    * move, Jaccard flavor (VERDICT r12 "Next round" #3): persist every
+    * q64-verified pair (doc_a, doc_b, n_inter, jaccard) beside the
+    * signature tables, so pair-graph consumers (cluster formation,
+    * threshold sweeps, dup histograms, release rebuilds) read verified
+    * pairs instead of re-running the band join + per-pair Jaccard over
+    * the corpus — corpus-corpus pairs are verified the night they
+    * enter, ever. Unlike vectors/media the text replicas are PERTURBED
+    * (real near-dups, no exact canonical collapse), so the persisted
+    * artifact is the member-level pair set itself. */
+  def writeTextPairs(docsDf: org.apache.spark.sql.DataFrame,
+      dir: String): Unit = {
+    writeTextNearDup(docsDf, dir)
+    write(LLMQueries.minhashPairsOf(docsDf), dir, "text_pairs")
+  }
+
+  /** Tonight's pair-table increment (the q96 flow off the disk index)
+    * — ONE definition consumed by the q192 daily view, the text_cc
+    * merge, and both families' compactions, so a composed pipeline
+    * verifies tonight's candidates once and every consumer reads the
+    * same rows. */
+  private def textPairIncrement(spark: SparkSession, indexDir: String,
+      dataDir: String): org.apache.spark.sql.DataFrame =
+    LLMQueries.incrementalNearDups(
+      read(spark, indexDir, "text_bands"),
+      read(spark, indexDir, "text_sets"),
+      docSplit(spark, dataDir)._2)
+
+  /** q192 twin: the pair table AS OF tonight — persisted corpus pairs
+    * (read, never re-verified) ∪ today's increment. Additivity makes
+    * this equal the full q64 pass over corpus ∪ batch: signatures are
+    * pure per-doc functions, corpus-corpus pairs come only from the
+    * persisted side, batch-touching pairs only from the increment. */
+  def dailyTextPairs(spark: SparkSession, indexDir: String,
+      dataDir: String): org.apache.spark.sql.DataFrame =
+    read(spark, indexDir, "text_pairs")
+      .unionByName(textPairIncrement(spark, indexDir, dataDir))
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** `text_near_dup_pairs` compaction: signature tables append (the
+    * text_near_dup compactor) and the pair table gains exactly the
+    * increment — no corpus pair is ever re-verified. */
+  def compactTextPairs(spark: SparkSession, indexDir: String,
+      dataDir: String, outDir: String): Unit = {
+    compactTextNearDup(spark, indexDir, dataDir, outDir)
+    write(read(spark, indexDir, "text_pairs")
+      .unionByName(textPairIncrement(spark, indexDir, dataDir)),
+      outDir, "text_pairs")
+  }
+
   /** q175 twin: [[CurationQueries.incrementalDedupClusters]] off the
     * disk label table + the text_near_dup signature tables (one index
     * pair, three consumers: q96 pairs, q175 clusters, q173's eval probe
-    * pattern). */
+    * pattern). The merge consumes the pair INCREMENT through the same
+    * definition the q192 pair family persists ([[textPairIncrement]] →
+    * [[CurationQueries.incrementalClusterMembersFromPairs]]), so the
+    * nightly verification is one computation feeding both families. */
   def dailyDedupClusters(spark: SparkSession, indexDir: String,
       dataDir: String): DataFrame =
-    CurationQueries.incrementalDedupClusters(
-      read(spark, indexDir, "text_bands"),
-      read(spark, indexDir, "text_sets"),
-      read(spark, indexDir, "text_cc"),
-      docSplit(spark, dataDir)._2)
+    CurationQueries.withClusterSizes(
+      CurationQueries.incrementalClusterMembersFromPairs(
+        textPairIncrement(spark, indexDir, dataDir),
+        read(spark, indexDir, "text_cc")))
 
   /** `text_cc` compaction: touched clusters relabel and gain members
     * through the SAME contracted merge as the daily leg; untouched
@@ -573,10 +625,8 @@ object IndexStore {
   def compactTextCc(spark: SparkSession, indexDir: String,
       dataDir: String, outDir: String): Unit = {
     val ccC = read(spark, indexDir, "text_cc")
-    val updated = CurationQueries.incrementalClusterMembers(
-      read(spark, indexDir, "text_bands"),
-      read(spark, indexDir, "text_sets"),
-      ccC, docSplit(spark, dataDir)._2)
+    val updated = CurationQueries.incrementalClusterMembersFromPairs(
+      textPairIncrement(spark, indexDir, dataDir), ccC)
       .localCheckpoint(eager = false) // feeds the anti leg + the union
     write(ccC
       .join(updated.select(col("doc_id")), Seq("doc_id"), "left_anti")
@@ -838,6 +888,12 @@ object IndexStore {
         val (c, b) = docSplit(s, dataDir)
         writeTextNearDup(c.unionByName(b), dir)
       }),
+    ("text_near_dup_pairs", Seq("text_bands", "text_sets", "text_pairs"),
+      compactTextPairs _,
+      (s, dataDir, dir) => {
+        val (c, b) = docSplit(s, dataDir)
+        writeTextPairs(c.unionByName(b), dir)
+      }),
     ("text_exact", Seq("text_hash"),
       compactTextExact _,
       (s, dataDir, dir) => {
@@ -961,6 +1017,9 @@ object IndexStore {
     ("text_near_dup", "q96_incremental_near_dups",
       (s, dataDir, dir) => writeTextNearDup(docSplit(s, dataDir)._1, dir),
       dailyTextNearDup _),
+    ("text_near_dup_pairs", "q192_incremental_text_pairs",
+      (s, dataDir, dir) => writeTextPairs(docSplit(s, dataDir)._1, dir),
+      dailyTextPairs _),
     ("text_exact", "q97_incremental_exact_dedup",
       (s, dataDir, dir) => writeTextExact(docSplit(s, dataDir)._1, dir),
       dailyTextExact _),

@@ -288,6 +288,33 @@ object LLMQueries {
     incrementalNearDups(corpusBands, corpusSets, batch)
   }
 
+  /** L92/q192: the persisted verified text PAIR-TABLE lifecycle as an
+    * ORACLE query — the q186 collapsed-pair move in Jaccard flavor
+    * (VERDICT r12 "Next round" #3): a 100 TB pipeline persists every
+    * q64-verified pair the night it appears (IndexStore family
+    * `text_near_dup_pairs`) and serves the pair graph from the table,
+    * so corpus-corpus pairs are verified once, ever — text is the one
+    * modality whose replicas are perturbed real near-dups (no exact
+    * canonical collapse), so the persisted artifact is the member-level
+    * pair set itself. Rendered here by the oracle-rebuild convention
+    * (q103/q104): corpus pairs built in-query, unioned with the q96
+    * increment; the real daily path reads the persisted table through
+    * [[graft.operators.IndexStore.dailyTextPairs]]. Additivity — pure
+    * per-doc signatures make corpus-corpus pairs come only from the
+    * persisted side and batch-touching pairs only from the increment —
+    * means the union EQUALS the full q64 pass over corpus ∪ batch,
+    * which is exactly what the oracle hash-checks. */
+  def incrementalTextPairsDaily(spark: SparkSession,
+      dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    val corpus = d.filter(col("doc_id") % BatchMod =!= 0)
+    val batch = d.filter(col("doc_id") % BatchMod === 0)
+    val (corpusBands, corpusSets) = signatureTables(corpus)
+    minhashPairsOf(corpus)
+      .unionByName(incrementalNearDups(corpusBands, corpusSets, batch))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** q97: the daily-ingest exact-dedup flow as an ORACLE query — same
     * corpus/batch split as q96. The corpus leg persists only its
     * [[hashIndex]] (one distinct 64-hex sha2 per known text); the batch
@@ -1648,6 +1675,7 @@ object LLMQueries {
     "q125_minhash_recall" -> (minhashRecall _),
     "q127_minhash_precision" -> (minhashPrecision _),
     "q96_incremental_near_dups" -> (incrementalNearDupsDaily _),
+    "q192_incremental_text_pairs" -> (incrementalTextPairsDaily _),
     "q97_incremental_exact_dedup" -> (incrementalExactDedupDaily _),
     "q66_simhash_signatures" -> (simhashSignatures _),
     "q70_doc_fingerprints" -> (docFingerprints _))
@@ -2174,6 +2202,12 @@ object LLMQueries {
          |truth AS (SELECT doc_a AS ida, doc_b AS idb FROM pairs_all),
          |${graft.multimodal.Multimodal.bandCapCurveSqlTail}""".stripMargin),
     "q64_minhash_pairs" -> (s"WITH $minhashPairsCtes " +
+      """SELECT doc_a, doc_b, n_inter, jaccard FROM pairs_all
+        |ORDER BY doc_a, doc_b""".stripMargin),
+    // q192: the compacted pair table must equal the full q64 pass over
+    // corpus ∪ batch — the additivity invariant IS the oracle, so the
+    // SQL is q64's own pair pipeline verbatim
+    "q192_incremental_text_pairs" -> (s"WITH $minhashPairsCtes " +
       """SELECT doc_a, doc_b, n_inter, jaccard FROM pairs_all
         |ORDER BY doc_a, doc_b""".stripMargin),
     // q166 shares q64's banding CTEs but verifies by edit distance over

@@ -63,7 +63,10 @@ object SparkEntry {
             graft.multimodal.Multimodal.mediaBandCapCurve(s, dir)),
         "q190_canonical_media_pairs" ->
           ((s, dir) =>
-            graft.multimodal.Multimodal.canonicalMediaPairsDaily(s, dir)))
+            graft.multimodal.Multimodal.canonicalMediaPairsDaily(s, dir)),
+        "q193_asset_ingest_disposition" ->
+          ((s, dir) =>
+            graft.multimodal.Multimodal.assetIngestDisposition(s, dir)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

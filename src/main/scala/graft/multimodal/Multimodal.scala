@@ -389,8 +389,13 @@ object Multimodal {
     * source, n_chars) — originals plus the first-byte-bumped re-encode
     * variants. [[assetTable]] wraps it in media metadata; q130 scores
     * caption quality straight off the text. */
-  private[graft] def assetDocs(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables(spark, dir, "documents")
+  private[graft] def assetDocs(spark: SparkSession, dir: String): DataFrame =
+    assetDocsOf(Tables(spark, dir, "documents"))
+
+  /** [[assetDocs]] over an EXPLICIT document universe — the release
+    * flow's entry (ReleaseBuild derives the asset universe from its own
+    * train-side docs, the kept_docs convention). */
+  private[graft] def assetDocsOf(d: DataFrame): DataFrame = {
     val variants = d.filter(col("doc_id") % 5 === 0)
       .select((col("doc_id") + VariantIdOffset).as("doc_id"),
         concat(expr("char(ascii(substring(text, 1, 1)) + 1)"),
@@ -1539,6 +1544,94 @@ object Multimodal {
     incrementalFrameNearDups(corpus, batch)
   }
 
+  /** Per-batch-ASSET ingest disposition given the three modality pair
+    * verdicts — ONE definition for the pipeline (disk-read index frames
+    * through [[graft.operators.DailyIngest.runAssets]]) and the q193
+    * oracle rendering, the q159 `dispositionOf` convention at ASSET
+    * granularity (VERDICT r12 "Next round" #4: media assets deduped
+    * through their families but produced no first-failing-gate
+    * provenance row). Gate order (first failing, the q157 rule):
+    *   1. exact dup — an identical-phash asset with a smaller id
+    *      exists (the hamming-0 rows of the q111 verdict; the q60
+    *      keep-min election, asset flavor);
+    *   2. perceptual near-dup — a verified Hamming ≤ [[MediaHammingMax]]
+    *      pair against a smaller id (hamming ≥ 1 — kind-blind, as q109
+    *      itself is);
+    *   3. frame containment (video assets) — a q183 pair against a
+    *      smaller id;
+    *   4. audio-fingerprint containment (audio assets) — a q128 pair
+    *      against a smaller id;
+    *   5. kept.
+    * Every verdict frame is the proven incremental operator's output —
+    * this composes, it never re-decides. Losing requires a SMALLER id
+    * (pairs are (doc_a < doc_b); only doc_b drops), so originals win
+    * over late re-encodes, the q88 rule. */
+  def assetDispositionOf(batchAssets: DataFrame, mediaPairs: DataFrame,
+      framePairs: DataFrame, audioPairs: DataFrame): DataFrame = {
+    def losers(pairs: DataFrame, flag: String): DataFrame =
+      pairs.select(col("doc_b").as("doc_id")).distinct()
+        .withColumn(flag, lit(true))
+    batchAssets.select(col("doc_id"), col("kind"))
+      .join(losers(mediaPairs.filter(col("hamming") === 0), "f_exact"),
+        Seq("doc_id"), "left")
+      .join(losers(mediaPairs.filter(col("hamming") >= 1), "f_near"),
+        Seq("doc_id"), "left")
+      .join(losers(framePairs, "f_frame"), Seq("doc_id"), "left")
+      .join(losers(audioPairs, "f_audio"), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("kind"),
+        when(col("f_exact").isNotNull, "dropped_exact_dup")
+          .when(col("f_near").isNotNull, "dropped_near_dup")
+          .when(col("kind") === "video" && col("f_frame").isNotNull,
+            "dropped_frame_dup")
+          .when(col("kind") === "audio" && col("f_audio").isNotNull,
+            "dropped_audio_dup")
+          .otherwise("kept").as("disposition"))
+  }
+
+  /** L93/q193: the per-asset ingest disposition as an ORACLE query —
+    * index frames built in-query (the q159 convention; the pipeline
+    * reads the same frames from parquet, parity spec-pinned in
+    * DailyIngestSpec). The batch is the media convention's daily slice
+    * (asset id ≡ 0 mod 10, variants arriving with their originals). */
+  def assetIngestDisposition(spark: SparkSession, dir: String): DataFrame = {
+    val (corpusH, batchH0) = mediaSplit(spark, dir)
+    val batchH = batchH0.localCheckpoint(eager = false) // 2 gates + frame
+    val (famsC, membersC, bandsC) = mediaNearDupIndexTables(corpusH)
+    val (corpusFh, batchFh) = frameFpSplit(spark, dir)
+    val (corpusAf, batchAf) = audioFpSplit(spark, dir)
+    assetDispositionOf(batchH.select(col("doc_id"), col("kind")),
+      incrementalMediaNearDupsCanonical(famsC, membersC, bandsC, batchH),
+      incrementalFrameNearDups(corpusFh, batchFh),
+      incrementalAudioNearDups(corpusAf, batchAf))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Release-side KEPT-ASSETS keep-list — q130's election applied over
+    * an explicit asset-document universe: every unclustered asset
+    * survives, every perceptual-hash cluster keeps exactly its elected
+    * member (max caption quality, min-id tie-break). The artifact
+    * ReleaseBuild ships beside kept_docs (VERDICT r12 "Next round" #4:
+    * the q157/q159 convention stopped at text). */
+  def keptAssetsOf(spark: SparkSession, assetDocsDf: DataFrame): DataFrame = {
+    val docsDf = assetDocsDf.localCheckpoint(eager = false) // hash + score
+    val h = perceptualHashes(mediaTableOf(spark, docsDf)).toDF()
+      .localCheckpoint(eager = false) // pair join + both output legs
+    val (clusters, _) = graft.operators.CurationQueries
+      .connectedComponentsStar(
+        pairFrameOf(h).select(col("doc_a"), col("doc_b")))
+    val clusters1 = clusters.localCheckpoint(eager = false) // elect+anti
+    val survivors = graft.operators.CurationQueries
+      .electSurvivors(clusters1,
+        docsDf.select(col("doc_id"),
+          graft.operators.LLMQueries.qualityExpr.as("quality")))
+      .select(col("kept_id").as("doc_id"))
+    val unclustered = h.select(col("doc_id"))
+      .join(clusters1.select(col("doc_id")), Seq("doc_id"), "left_anti")
+    h.select(col("doc_id"), col("kind"), col("phash"))
+      .join(unclustered.unionByName(survivors), Seq("doc_id"), "left_semi")
+      .orderBy(col("doc_id"))
+  }
+
   /** The asset universe split for the daily flow: batch = assets whose
     * id ≡ 0 (mod 10) — a VARIANT inherits its original's residue
     * ([[VariantIdOffset]] is a multiple of 10), so re-encodes arrive in
@@ -1819,6 +1912,37 @@ object Multimodal {
          |  FROM h, LATERAL unnest(range(0, $NumBands)) AS u(b))""".stripMargin),
     "q111_incremental_media_phash" -> mediaPhashPairsSql(
       "  AND (doc_a % 10 = 0 OR doc_b % 10 = 0)\n"),
+    // q193: the three modality pair oracles NESTED verbatim (restricted
+    // to batch losers — only doc_b drops), the asset universe with its
+    // kind rule, and the first-failing CASE in the engine's gate order
+    "q193_asset_ingest_disposition" ->
+      s"""WITH mp AS (SELECT * FROM (
+         |${mediaPhashPairsSql("  AND doc_b % 10 = 0\n")})),
+         |fp AS (SELECT * FROM (
+         |${frameNearDupsSqlOf("  AND doc_b % 10 = 0\n")})),
+         |ap AS (SELECT * FROM (
+         |${audioNearDupsSqlOf("  AND doc_b % 10 = 0\n")})),
+         |assets AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 3 = 0 THEN 'image'
+         |         WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind
+         |  FROM (SELECT doc_id FROM documents
+         |        UNION ALL
+         |        SELECT doc_id + $VariantIdOffset FROM documents
+         |        WHERE doc_id % 5 = 0)
+         |  WHERE doc_id % 10 = 0)
+         |SELECT doc_id, kind,
+         |  CASE
+         |    WHEN doc_id IN (SELECT doc_b FROM mp WHERE hamming = 0)
+         |      THEN 'dropped_exact_dup'
+         |    WHEN doc_id IN (SELECT doc_b FROM mp WHERE hamming >= 1)
+         |      THEN 'dropped_near_dup'
+         |    WHEN kind = 'video' AND doc_id IN (SELECT doc_b FROM fp)
+         |      THEN 'dropped_frame_dup'
+         |    WHEN kind = 'audio' AND doc_id IN (SELECT doc_b FROM ap)
+         |      THEN 'dropped_audio_dup'
+         |    ELSE 'kept' END AS disposition
+         |FROM assets ORDER BY doc_id""".stripMargin,
     // q190: identical-phash families (fid = min corpus member, else min
     // batch member), q184's band expressions over CANONICAL hashes
     // only, candidates need a batch-touched probe side, inline Hamming;

@@ -87,6 +87,90 @@ object DailyIngest {
     w(eSets, "eval_sets")
   }
 
+  /** Writes the corpus-side ASSET indexes [[runAssets]] reads — the
+    * media convention's split (asset id ≡ 0 mod 10 is today's batch;
+    * variants arrive with their originals), distinct from the text
+    * layout's DeconBatchMod residues because assets have no benchmark
+    * holdout. Tables: the canonical media trio (q111/q190's families,
+    * members, canonical bands) + the frame and audio fingerprint
+    * indexes — after this write, no corpus payload is ever re-decoded
+    * by a daily run. */
+  def writeAssetIndexes(spark: SparkSession, dataDir: String,
+      dir: String): Unit = {
+    val m = graft.multimodal.Multimodal
+    def w(df: DataFrame, name: String): Unit =
+      df.write.mode("overwrite").parquet(s"$dir/$name.parquet")
+    val (fams, members, bandsC) =
+      m.mediaNearDupIndexTables(m.mediaSplit(spark, dataDir)._1)
+    w(fams, "media_fams")
+    w(members, "media_members")
+    w(bandsC, "media_bands_c")
+    w(m.frameFpSplit(spark, dataDir)._1, "frame_fps")
+    w(m.audioFpSplit(spark, dataDir)._1, "audio_fps")
+  }
+
+  /** The per-ASSET daily ingest (VERDICT r12 "Next round" #4 — the
+    * q157/q159 provenance convention extended past text): today's
+    * batch assets run the three modality dedup verdicts off the
+    * PERSISTED asset indexes — the q111 canonical-family flow, the
+    * q183 frame-containment flow, the q128 audio-fingerprint flow;
+    * only batch payloads decode — and land `kept_assets.parquet` +
+    * `asset_disposition.parquet` beside the text artifacts, with the
+    * same ledger/log bookkeeping and the compacted next-snapshot asset
+    * indexes under `index_next/`. Disposition is
+    * [[graft.multimodal.Multimodal.assetDispositionOf]] — ONE
+    * definition with the q193 oracle, parity spec-pinned. Returns the
+    * summary (step, n_docs). */
+  def runAssets(spark: SparkSession, indexDir: String, dataDir: String,
+      outDir: String, ts: String = "1970-01-01T00:00:00Z"): DataFrame = {
+    val m = graft.multimodal.Multimodal
+    def idx(name: String): DataFrame =
+      spark.read.parquet(s"$indexDir/$name.parquet")
+    val batchH = m.mediaSplit(spark, dataDir)._2
+      .localCheckpoint(eager = false) // media gate + universe + kept join
+    val disposition = m.assetDispositionOf(
+      batchH.select(col("doc_id"), col("kind")),
+      m.incrementalMediaNearDupsCanonical(idx("media_fams"),
+        idx("media_members"), idx("media_bands_c"), batchH),
+      m.incrementalFrameNearDups(idx("frame_fps"),
+        m.frameFpSplit(spark, dataDir)._2),
+      m.incrementalAudioNearDups(idx("audio_fps"),
+        m.audioFpSplit(spark, dataDir)._2))
+      .localCheckpoint(eager = false) // kept join + summary + write
+    val kept = batchH.select(col("doc_id"), col("kind"), col("phash"))
+      .join(disposition.filter(col("disposition") === "kept")
+        .select(col("doc_id")), Seq("doc_id"), "left_semi")
+    kept.orderBy(col("doc_id")).write.mode("overwrite")
+      .parquet(s"$outDir/kept_assets.parquet")
+    disposition.orderBy(col("doc_id")).write.mode("overwrite")
+      .parquet(s"$outDir/asset_disposition.parquet")
+    // next-snapshot asset indexes: the IndexStore compactors on the
+    // same layout — shift-aware canonical merge, fingerprint appends
+    IndexStore.compactMediaNearDup(spark, indexDir, dataDir,
+      s"$outDir/index_next")
+    IndexStore.compactFrameFps(spark, indexDir, dataDir,
+      s"$outDir/index_next")
+    IndexStore.compactAudioFps(spark, indexDir, dataDir,
+      s"$outDir/index_next")
+    val summary = disposition.groupBy(col("disposition").as("step"))
+      .agg(count(lit(1)).as("n_docs"))
+      .unionByName(batchH.agg(count(lit(1)).as("n_docs"))
+        .select(lit("assets_in").as("step"), col("n_docs")))
+      .orderBy(col("step"))
+      .localCheckpoint(eager = false) // feeds ledger, logs AND return
+    Sinks.appendLedger(summary
+      .select(xxhash64(lit(ts), lit("asset"), col("step")).as("job_id"),
+        concat(lit("asset_"), col("step")).as("step"),
+        col("n_docs"), lit(ts).as("ts"), lit("completed").as("status")),
+      s"$outDir/ledger")
+    Sinks.writeLogs(summary
+      .select(lit(ts).as("ts"), lit("INFO").as("level"),
+        lit("daily_asset_step").as("event"),
+        concat_ws(" ", col("step"), col("n_docs")).as("message")),
+      s"$outDir/logs")
+    summary
+  }
+
   /** The per-batch-doc disposition given the corpus-side index frames —
     * ONE definition for the pipeline (disk-read frames) and the q159
     * oracle query (in-query frames), so the shipped flow and the

@@ -80,6 +80,12 @@ object ReleaseBuild {
     val counts = Seq(
       "disposition" -> w(disposition.orderBy(col("doc_id")), "disposition"),
       "kept_docs" -> w(keptDocs, "kept_docs"),
+      // the asset keep-list (VERDICT r12 "Next round" #4): q130's
+      // election over the release universe's assets — unclustered
+      // assets ship, each perceptual-hash cluster ships exactly its
+      // elected member (max caption quality, min-id tie-break)
+      "kept_assets" -> w(graft.multimodal.Multimodal.keptAssetsOf(spark,
+        graft.multimodal.Multimodal.assetDocsOf(d)), "kept_assets"),
       "packing" -> w(CurationQueries.packSequencesDocs(keptDocs),
         "packing"),
       "manifest" -> w(CurationQueries.shardManifestDocs(keptDocs),

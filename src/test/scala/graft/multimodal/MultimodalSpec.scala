@@ -494,4 +494,35 @@ class MultimodalSpec extends SparkSpec {
         assert(got.exists(s => s._1 == a && s._2 == a))
     }
   }
+
+  test("kept assets = every unclustered asset + one elected per cluster") {
+    import org.apache.spark.sql.functions.col
+    val docsDf = Multimodal.assetDocs(spark, sfDir)
+    val keptIds = Multimodal.keptAssetsOf(spark, docsDf)
+      .select(col("doc_id")).as[Long].collect().toSet
+    // independent cluster structure: driver union-find over the
+    // proven-exact q109 pair set (the survivor test's construction)
+    val pairs = Multimodal.mediaNearDups(spark, sfDir)
+      .select(col("doc_a"), col("doc_b")).as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val clustered = parent.keys.toSet
+    val universe = docsDf.select(col("doc_id")).as[Long].collect().toSet
+    // every unclustered asset ships
+    assert((universe -- clustered).subsetOf(keptIds))
+    // exactly one shipped member per cluster
+    parent.keys.toSeq.groupBy(find).values.foreach { ms =>
+      assert(ms.count(keptIds.contains) == 1,
+        s"cluster ${ms.min} shipped ${ms.count(keptIds.contains)}")
+    }
+    assert(keptIds.size ==
+      (universe -- clustered).size + parent.keys.toSeq.groupBy(find).size)
+  }
 }

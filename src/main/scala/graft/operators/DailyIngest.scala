@@ -96,18 +96,8 @@ object DailyIngest {
     * indexes — after this write, no corpus payload is ever re-decoded
     * by a daily run. */
   def writeAssetIndexes(spark: SparkSession, dataDir: String,
-      dir: String): Unit = {
-    val m = graft.multimodal.Multimodal
-    def w(df: DataFrame, name: String): Unit =
-      df.write.mode("overwrite").parquet(s"$dir/$name.parquet")
-    val (fams, members, bandsC) =
-      m.mediaNearDupIndexTables(m.mediaSplit(spark, dataDir)._1)
-    w(fams, "media_fams")
-    w(members, "media_members")
-    w(bandsC, "media_bands_c")
-    w(m.frameFpSplit(spark, dataDir)._1, "frame_fps")
-    w(m.audioFpSplit(spark, dataDir)._1, "audio_fps")
-  }
+      dir: String): Unit =
+    IndexStore.writeAssetIndexes(spark, dataDir, dir) // one layout (ADVICE r13)
 
   /** The per-ASSET daily ingest (VERDICT r12 "Next round" #4 — the
     * q157/q159 provenance convention extended past text): today's
@@ -126,16 +116,21 @@ object DailyIngest {
     val m = graft.multimodal.Multimodal
     def idx(name: String): DataFrame =
       spark.read.parquet(s"$indexDir/$name.parquet")
+    // ONE batch decode per modality per daily run: each checkpointed
+    // frame feeds its gate AND its compactor (ADVICE r13 — the
+    // compactors previously re-decoded the batch payloads)
     val batchH = m.mediaSplit(spark, dataDir)._2
-      .localCheckpoint(eager = false) // media gate + universe + kept join
+      .localCheckpoint(eager = false) // media gate + kept join + compact
+    val batchFh = m.frameFpSplit(spark, dataDir)._2
+      .localCheckpoint(eager = false) // frame gate + compaction
+    val batchAf = m.audioFpSplit(spark, dataDir)._2
+      .localCheckpoint(eager = false) // audio gate + compaction
     val disposition = m.assetDispositionOf(
       batchH.select(col("doc_id"), col("kind")),
       m.incrementalMediaNearDupsCanonical(idx("media_fams"),
         idx("media_members"), idx("media_bands_c"), batchH),
-      m.incrementalFrameNearDups(idx("frame_fps"),
-        m.frameFpSplit(spark, dataDir)._2),
-      m.incrementalAudioNearDups(idx("audio_fps"),
-        m.audioFpSplit(spark, dataDir)._2))
+      m.incrementalFrameNearDups(idx("frame_fps"), batchFh),
+      m.incrementalAudioNearDups(idx("audio_fps"), batchAf))
       .localCheckpoint(eager = false) // kept join + summary + write
     val kept = batchH.select(col("doc_id"), col("kind"), col("phash"))
       .join(disposition.filter(col("disposition") === "kept")
@@ -145,12 +140,13 @@ object DailyIngest {
     disposition.orderBy(col("doc_id")).write.mode("overwrite")
       .parquet(s"$outDir/asset_disposition.parquet")
     // next-snapshot asset indexes: the IndexStore compactors on the
-    // same layout — shift-aware canonical merge, fingerprint appends
-    IndexStore.compactMediaNearDup(spark, indexDir, dataDir,
+    // same layout — shift-aware canonical merge, fingerprint appends —
+    // fed the already-checkpointed batch frames (no second decode)
+    IndexStore.compactMediaNearDupFrom(spark, indexDir, batchH,
       s"$outDir/index_next")
-    IndexStore.compactFrameFps(spark, indexDir, dataDir,
+    IndexStore.compactFrameFpsFrom(spark, indexDir, batchFh,
       s"$outDir/index_next")
-    IndexStore.compactAudioFps(spark, indexDir, dataDir,
+    IndexStore.compactAudioFpsFrom(spark, indexDir, batchAf,
       s"$outDir/index_next")
     val summary = disposition.groupBy(col("disposition").as("step"))
       .agg(count(lit(1)).as("n_docs"))

@@ -323,16 +323,38 @@ object IndexStore {
   /** `media` (canonical) compaction: the shift-aware merge — equals a
     * rebuild over (corpus ∪ batch), spec-pinned. */
   def compactMediaNearDup(spark: SparkSession, indexDir: String,
-      dataDir: String, outDir: String): Unit = {
+      dataDir: String, outDir: String): Unit =
+    compactMediaNearDupFrom(spark, indexDir,
+      graft.multimodal.Multimodal.mediaSplit(spark, dataDir)._2, outDir)
+
+  /** [[compactMediaNearDup]] with the batch HASH frame supplied — the
+    * daily orchestration decodes the batch once and threads the
+    * checkpointed frame into every consumer instead of re-decoding per
+    * compactor (ADVICE r13; the dispositionOf-overload rationale). */
+  def compactMediaNearDupFrom(spark: SparkSession, indexDir: String,
+      batchHashes: DataFrame, outDir: String): Unit = {
     val (fams, members, bandsC) =
       graft.multimodal.Multimodal.compactMediaNearDupTables(
         read(spark, indexDir, "media_fams"),
         read(spark, indexDir, "media_members"),
         read(spark, indexDir, "media_bands_c"),
-        graft.multimodal.Multimodal.mediaSplit(spark, dataDir)._2)
+        batchHashes)
     write(fams, outDir, "media_fams")
     write(members, outDir, "media_members")
     write(bandsC, outDir, "media_bands_c")
+  }
+
+  /** Every asset-side family [[DailyIngest.runAssets]] reads, written
+    * in one pass under IndexStore's one layout convention (ADVICE r13:
+    * the layout was previously re-implemented in DailyIngest): the
+    * canonical media trio + the frame and audio fingerprint indexes.
+    * After this write, no corpus payload is ever re-decoded by a daily
+    * run. */
+  def writeAssetIndexes(spark: SparkSession, dataDir: String,
+      dir: String): Unit = {
+    writeMediaNearDup(spark, dataDir, dir)
+    writeFrameFps(spark, dataDir, dir)
+    writeAudioFps(spark, dataDir, dir)
   }
 
   // ---- model artifacts (train once per snapshot, apply daily) ----------
@@ -826,16 +848,26 @@ object IndexStore {
 
   def compactAudioFps(spark: SparkSession, indexDir: String,
       dataDir: String, outDir: String): Unit =
-    write(read(spark, indexDir, "audio_fps")
-      .unionByName(
-        graft.multimodal.Multimodal.audioFpSplit(spark, dataDir)._2),
+    compactAudioFpsFrom(spark, indexDir,
+      graft.multimodal.Multimodal.audioFpSplit(spark, dataDir)._2, outDir)
+
+  /** [[compactAudioFps]] with the batch fingerprints supplied — see
+    * [[compactMediaNearDupFrom]] (one batch decode per daily run). */
+  def compactAudioFpsFrom(spark: SparkSession, indexDir: String,
+      batchFps: DataFrame, outDir: String): Unit =
+    write(read(spark, indexDir, "audio_fps").unionByName(batchFps),
       outDir, "audio_fps")
 
   def compactFrameFps(spark: SparkSession, indexDir: String,
       dataDir: String, outDir: String): Unit =
-    write(read(spark, indexDir, "frame_fps")
-      .unionByName(
-        graft.multimodal.Multimodal.frameFpSplit(spark, dataDir)._2),
+    compactFrameFpsFrom(spark, indexDir,
+      graft.multimodal.Multimodal.frameFpSplit(spark, dataDir)._2, outDir)
+
+  /** [[compactFrameFps]] with the batch frame hashes supplied — see
+    * [[compactMediaNearDupFrom]] (one batch decode per daily run). */
+  def compactFrameFpsFrom(spark: SparkSession, indexDir: String,
+      batchFhs: DataFrame, outDir: String): Unit =
+    write(read(spark, indexDir, "frame_fps").unionByName(batchFhs),
       outDir, "frame_fps")
 
   def compactNormHash(spark: SparkSession, indexDir: String,

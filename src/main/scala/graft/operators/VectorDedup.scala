@@ -137,7 +137,7 @@ private[operators] trait VectorDedup {
     * dedup. round(x·1e6)² longs sum exactly (64 dims × 1e12 ≪ 2⁶³) and
     * identically in both engines, where a double Σx² could differ in the
     * last ulp between summation orders. */
-  private val norm2Expr = expr(
+  private[operators] val norm2Expr = expr(
     "aggregate(v, 0L, (s, x) -> s + cast(round(x * 1e6) as bigint)" +
       " * cast(round(x * 1e6) as bigint))")
 
@@ -172,24 +172,35 @@ private[operators] trait VectorDedup {
   /** q95's portable exact-vector key over the double-array column `v`
     * (same fixed-point rule as [[vecKeyExpr]], which reads the raw
     * float `embedding`). */
-  private val vKeyExpr = expr(
+  private[operators] val vKeyExpr = expr(
     "md5(concat_ws(',', transform(v," +
       " x -> cast(cast(round(x * 1e9) as bigint) as string))))")
 
-  private[operators] def semanticDedupOf(e: DataFrame): DataFrame = {
+  /** The canonical-formulation core of the full semantic pass:
+    * (famsK(vkey, vec_id=canon, fam_size), canon(vec_id, fam_size, v),
+    * members(vec_id=canon, cluster_id)) — membership is the LSH
+    * components ∪ ≥2-member exact families (famOnly). Shared by
+    * [[semanticDedupOf]] and the release keep-list
+    * ([[keptVectorsOf]]) so the full pass and the shipped kept set can
+    * never disagree about what is clustered. */
+  private[operators] def semanticCanonCore(e: DataFrame)
+      : (DataFrame, DataFrame, DataFrame) = {
     // q95 pre-pass: one canonical (min vec_id) + member count per
-    // byte-identical family; the 32-hex key shuffles, never the vector
-    val fams = e.select(col("vec_id"), vKeyExpr.as("vkey"))
+    // byte-identical family; the 32-hex key shuffles, never the vector.
+    // Lazily materialized: feeds canon here AND the member expansion in
+    // keptVectorsOf (one family aggregation per consumer graph).
+    val famsK = e.select(col("vec_id"), vKeyExpr.as("vkey"))
       .groupBy(col("vkey"))
       .agg(min(col("vec_id")).as("vec_id"), count(lit(1)).as("fam_size"))
-      .select(col("vec_id"), col("fam_size"))
+      .localCheckpoint(eager = false)
     // materialized lazily: canon feeds the LSH band leg, both cosine-
     // verify legs, the fam-only residual, and the norm projection —
     // without the checkpoint each consumer re-runs the family
     // aggregation join. eager=false so plan construction/audit is free
     // (the q70 lesson, uniformly — VERDICT r8 "What's wrong" #1); the
     // CC loop downstream executes immediately anyway.
-    val canon = fams.join(e.select(col("vec_id"), col("v")), Seq("vec_id"))
+    val canon = famsK.select(col("vec_id"), col("fam_size"))
+      .join(e.select(col("vec_id"), col("v")), Seq("vec_id"))
       .localCheckpoint(eager = false)
     val pairs = cosineNearDupsOf(canon)
       .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
@@ -200,7 +211,11 @@ private[operators] trait VectorDedup {
     val famOnly = canon.filter(col("fam_size") > 1)
       .join(cc, Seq("vec_id"), "left_anti")
       .select(col("vec_id"), col("vec_id").as("cluster_id"))
-    val members = cc.unionByName(famOnly)
+    (famsK, canon, cc.unionByName(famOnly))
+  }
+
+  private[operators] def semanticDedupOf(e: DataFrame): DataFrame = {
+    val (_, canon, members) = semanticCanonCore(e)
     val norms = canon.select(col("vec_id"), col("fam_size"),
       norm2Expr.as("norm2"))
     members.join(norms, Seq("vec_id"))
@@ -771,10 +786,17 @@ private[operators] trait VectorDedup {
     * restricted to batch-reachable clusters. The oracle hash-checks this
     * against DuckDB's full recursive closure, restricted to clusters
     * with a batch member.
-    */
-  def incrementalSemanticDedup(famsC: DataFrame, vecC: DataFrame,
+    *
+    * Factored as [[semanticMergeLegs]] (round 14) so the per-cluster
+    * accounting here and the per-batch-member election map
+    * ([[incrementalSemanticMembers]] — the q194 disposition's third
+    * gate) derive from ONE set of merge legs: legA keeps its component
+    * key `tmp`, legB–legD keep the contracted `node` they are keyed by,
+    * and each rendering projects them away. */
+  private def semanticMergeLegs(famsC: DataFrame, vecC: DataFrame,
       bandsC: DataFrame, ccC: DataFrame, statsC: DataFrame,
-      batch: DataFrame): DataFrame = {
+      batch: DataFrame): (DataFrame, DataFrame, DataFrame, DataFrame,
+      DataFrame, DataFrame) = {
     val spark = batch.sparkSession
     val n = spark.sessionState.conf.numShufflePartitions
     // 1. family merge (batch-touched vkeys only)
@@ -887,32 +909,83 @@ private[operators] trait VectorDedup {
       .agg(min(col("adj_id")).as("cluster_id"),
         sum(col("size")).as("cluster_size"),
         max(col("best")).as("best"))
-      .select(col("cluster_id"), (-col("best.nid")).as("kept_id"),
-        col("cluster_size"))
+      .select(col("tmp"), col("cluster_id"),
+        (-col("best.nid")).as("kept_id"), col("cluster_size"))
     // 5. batch-touched clusters with no new pairs; merged families of
     // >= 2 outside any component (famOnly)
     val legB = updatedClusters.filter(col("touched"))
       .join(comps.select(col("node").as("label")), Seq("label"), "left_anti")
-      .select(col("adj_id").as("cluster_id"), (-col("best.nid")).as("kept_id"),
-        col("size").as("cluster_size"))
+      .select(col("label").as("node"), col("adj_id").as("cluster_id"),
+        (-col("best.nid")).as("kept_id"), col("size").as("cluster_size"))
     val legC = sharedFams
       .join(ccC.select(col("canon").as("canon_c")), Seq("canon_c"),
         "left_anti")
       .join(comps.select(col("node").as("canon_c")), Seq("canon_c"),
         "left_anti")
-      .select(col("merged_canon").as("cluster_id"),
+      .select(col("canon_c").as("node"),
+        col("merged_canon").as("cluster_id"),
         col("merged_canon").as("kept_id"),
         col("merged_size").as("cluster_size"))
     val legD = newFams.filter(col("size_b") >= 2)
       .join(comps.select(col("node").as("canon_b")), Seq("canon_b"),
         "left_anti")
-      .select(col("canon_b").as("cluster_id"), col("canon_b").as("kept_id"),
+      .select(col("canon_b").as("node"), col("canon_b").as("cluster_id"),
+        col("canon_b").as("kept_id"),
         col("merged_size").as("cluster_size"))
-    legA.unionByName(legB).unionByName(legC).unionByName(legD)
+    (famsB, comps, legA, legB, legC, legD)
+  }
+
+  /** q104's per-cluster accounting over the shared merge legs — output
+    * unchanged (the q104 oracle hash-checks it). */
+  def incrementalSemanticDedup(famsC: DataFrame, vecC: DataFrame,
+      bandsC: DataFrame, ccC: DataFrame, statsC: DataFrame,
+      batch: DataFrame): DataFrame = {
+    val (_, _, legA, legB, legC, legD) =
+      semanticMergeLegs(famsC, vecC, bandsC, ccC, statsC, batch)
+    legA.drop("tmp").unionByName(legB.drop("node"))
+      .unionByName(legC.drop("node")).unionByName(legD.drop("node"))
       .select(col("cluster_id"), col("kept_id"),
         col("cluster_size").cast("long").as("cluster_size"),
         (col("cluster_size") - 1).cast("long").as("n_dropped"))
       .orderBy(col("cluster_id"))
+  }
+
+  /** Per-BATCH-VECTOR semantic election map — (vec_id, cluster_id,
+    * kept_id) for every batch vector, the third gate of the q194
+    * vector-ingest disposition. Derived from the SAME merge legs as
+    * [[incrementalSemanticDedup]]: a batch vector's family contracts to
+    * its node (the corpus cluster label when the family's corpus
+    * canonical is clustered, the unclustered corpus canonical itself —
+    * the contribSingleton case — or the new family's canonical), the
+    * node maps through the pair components (legA via `tmp`) or directly
+    * (legB/legC/legD are node-keyed), and a vector outside every
+    * cluster maps to itself (its own elected survivor). Batch-sized
+    * end to end: famsB/nodeCluster rows are one per batch-touched
+    * family / merged cluster. */
+  def incrementalSemanticMembers(famsC: DataFrame, vecC: DataFrame,
+      bandsC: DataFrame, ccC: DataFrame, statsC: DataFrame,
+      batch: DataFrame): DataFrame = {
+    val (famsB, comps, legA, legB, legC, legD) =
+      semanticMergeLegs(famsC, vecC, bandsC, ccC, statsC, batch)
+    val famNode = famsB
+      .join(ccC.select(col("canon").as("canon_c"), col("label")),
+        Seq("canon_c"), "left")
+      .select(col("vkey"),
+        coalesce(col("label"), col("canon_c"), col("canon_b")).as("node"))
+    val nodeCluster = comps.join(legA, Seq("tmp"))
+      .select(col("node"), col("cluster_id"), col("kept_id"))
+      .unionByName(
+        legB.select(col("node"), col("cluster_id"), col("kept_id")))
+      .unionByName(
+        legC.select(col("node"), col("cluster_id"), col("kept_id")))
+      .unionByName(
+        legD.select(col("node"), col("cluster_id"), col("kept_id")))
+    batch.select(col("vec_id"), vKeyExpr.as("vkey"))
+      .join(famNode, Seq("vkey"))
+      .join(nodeCluster, Seq("node"), "left")
+      .select(col("vec_id"),
+        coalesce(col("cluster_id"), col("vec_id")).as("cluster_id"),
+        coalesce(col("kept_id"), col("vec_id")).as("kept_id"))
   }
 
   /** q104: the daily-ingest SEMANTIC dedup as an ORACLE query — the

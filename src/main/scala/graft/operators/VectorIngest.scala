@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Vector-ingest composition (L95/L96): the per-batch-vector
+  * first-failing-gate disposition (q194) composing the three proven
+  * vector dedup verdicts, and the release kept-vectors keep-list — the
+  * q157/q159/q193 provenance convention extended to the third data
+  * type (VERDICT r13 "Next round" #1: embeddings were the one data
+  * type without a disposition or kept_* artifact).
+  */
+private[operators] trait VectorIngest {
+  this: VectorQueries.type =>
+
+  /** Per-batch-VECTOR ingest disposition given the three verdict
+    * frames — ONE definition for the pipeline (disk-read index frames
+    * through [[graft.operators.DailyIngest.runVectors]]) and the q194
+    * oracle rendering. Gate order (first failing, the q157 rule):
+    *   1. exact dup — the vector's fixed-point rendering is corpus-
+    *      known, or a batch twin with a smaller id exists (it is not a
+    *      keep row of the q102 flow);
+    *   2. near dup — a VERIFIED cosine ≥ [[NearDupThreshold]] pair
+    *      against a smaller id (q103 pairs are (vec_a < vec_b); only
+    *      vec_b drops — the q88 rule);
+    *   3. cluster election — its merged semantic cluster elects a
+    *      different survivor (max norm², min-id tie-break — the q104
+    *      election). NOT subsumed by gates 1–2: the election key is
+    *      norm-first, so a higher-norm LARGER id can outrank a batch
+    *      vector that survived both dedup gates;
+    *   4. kept.
+    * Every verdict frame is the proven incremental operator's output —
+    * this composes, it never re-decides. */
+  def vectorDispositionOf(batch: DataFrame, exactKeep: DataFrame,
+      nearPairs: DataFrame, members: DataFrame): DataFrame = {
+    val fExact = exactKeep
+      .select(col("keep_id").as("vec_id"), lit(true).as("f_exact"))
+    val fNear = nearPairs.select(col("vec_b").as("vec_id")).distinct()
+      .withColumn("f_near", lit(true))
+    val fElect = members.filter(col("kept_id") =!= col("vec_id"))
+      .select(col("vec_id"), lit(true).as("f_elect"))
+    batch.select(col("vec_id"))
+      .join(fExact, Seq("vec_id"), "left")
+      .join(fNear, Seq("vec_id"), "left")
+      .join(fElect, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        when(col("f_exact").isNull, "dropped_exact_dup")
+          .when(col("f_near").isNotNull, "dropped_near_dup")
+          .when(col("f_elect").isNotNull, "dropped_cluster_election")
+          .otherwise("kept").as("disposition"))
+  }
+
+  /** L95/q194: the per-vector ingest disposition as an ORACLE query —
+    * index frames built in-query over the corpus residue (the
+    * q159/q193 convention; the pipeline reads the same frames from
+    * parquet, parity spec-pinned in DailyIngestSpec). */
+  def vectorIngestDisposition(spark: SparkSession,
+      dir: String): DataFrame = {
+    val e = vecs(spark, dir).select(col("vec_id"), col("v"))
+    val corpus = e.filter(col("vec_id") % VecBatchMod =!= 0)
+      .localCheckpoint(eager = false) // hash index + trio + sem tables
+    val batch = e.filter(col("vec_id") % VecBatchMod === 0)
+      .localCheckpoint(eager = false) // 3 gates + the batch universe
+    val (famsC, membersC, bandsC, canonVecs) =
+      vecNearDupIndexTables(corpus)
+    val (sFams, sVecC, sBandsC, sCcC, sStatsC) =
+      semanticIndexTables(corpus)
+    vectorDispositionOf(batch,
+      incrementalVectorExactDedup(vectorHashIndex(corpus), batch),
+      incrementalVectorNearDupsCanonical(famsC, membersC, bandsC,
+        canonVecs, batch),
+      incrementalSemanticMembers(sFams, sVecC, sBandsC, sCcC, sStatsC,
+        batch))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Release-side KEPT-VECTORS keep-list — the q91/q104 election
+    * applied over an explicit embeddings universe: every unclustered
+    * vector ships, every semantic cluster ships exactly its elected
+    * survivor (max norm², min-id tie-break). Clusters are connected
+    * components of the VERIFIED pair graph, so no two shipped vectors
+    * carry a verified cosine ≥ [[NearDupThreshold]] pair — the
+    * kept_assets pin, vector flavor (ReleaseBuildSpec asserts it).
+    * Shares [[semanticCanonCore]] with the full q91 pass, so the
+    * keep-list and the cluster accounting can never disagree about
+    * membership; a member is clustered iff its family canonical is
+    * (identical fixed-point vectors are cliques — the whole family
+    * rides its canonical's component). */
+  def keptVectorsOf(emb: DataFrame): DataFrame = {
+    val e = vecsOf(emb).select(col("vec_id"), col("v"))
+      .localCheckpoint(eager = false) // core + member expansion
+    val (famsK, canon, canonMembers0) = semanticCanonCore(e)
+    val canonMembers = canonMembers0
+      .localCheckpoint(eager = false) // election leg + clustered semi
+    val elected = canonMembers
+      .join(canon.select(col("vec_id"), norm2Expr.as("norm2")),
+        Seq("vec_id"))
+      .groupBy(col("cluster_id"))
+      .agg(max(struct(col("norm2"), (-col("vec_id")).as("nid"))).as("best"))
+      .select((-col("best.nid")).as("vec_id"))
+    val clustered = e.select(col("vec_id"), vKeyExpr.as("vkey"))
+      .join(famsK.select(col("vkey"), col("vec_id").as("canon")),
+        Seq("vkey"))
+      .join(canonMembers.select(col("vec_id").as("canon")),
+        Seq("canon"), "left_semi")
+      .select(col("vec_id"))
+    val keptIds = e.select(col("vec_id"))
+      .join(clustered, Seq("vec_id"), "left_anti")
+      .unionByName(elected)
+    emb.join(keptIds, Seq("vec_id"), "left_semi").orderBy(col("vec_id"))
+  }
+}

@@ -29,6 +29,7 @@ import scala.collection.immutable.ListMap
   */
 object VectorQueries extends VectorAnnTiers
     with VectorDedup
+    with VectorIngest
     with VectorPq
     with VectorClusters
     with VectorReports {
@@ -328,7 +329,8 @@ object VectorQueries extends VectorAnnTiers
     "q182_incremental_ivfpq" -> (incrementalIvfPqTopk _),
     "q185_vec_band_occupancy" -> (vecBandOccupancy _),
     "q186_canonical_near_dup_pairs" -> (canonicalNearDupPairsDaily _),
-    "q188_vec_band_cap_curve" -> (vecBandCapCurve _))
+    "q188_vec_band_cap_curve" -> (vecBandCapCurve _),
+    "q194_vector_ingest_disposition" -> (vectorIngestDisposition _))
 
   /** Oracle-side mirror of the Spark assignment ordering: the SAME
     * quantity `round(l2Sq, 6)` — squared L2 summed left-to-right over the
@@ -1185,7 +1187,8 @@ object VectorQueries extends VectorAnnTiers
          |  truth_mass_micro
          |FROM hits JOIN mass USING (variant), tot
          |ORDER BY variant""".stripMargin
-  }
+  } + ("q194_vector_ingest_disposition" ->
+    vectorIngestDispositionOracleSql)
 
   /** The full q91 oracle (raw-vector pair graph, recursive closure,
     * norm-desc election) with an optional extra predicate on the final
@@ -1194,8 +1197,12 @@ object VectorQueries extends VectorAnnTiers
     * — identical vectors share band keys and cosine 1, so families are
     * cliques in vpairs and the canonical-based engine formulation is
     * provably output-identical (see semanticDedupOf). */
-  private def semanticDedupOracleSql(restrict: String): String =
-    s"""WITH RECURSIVE $cosinePairsCtes,
+  /** The closure CHAIN of the q91 oracle (pair graph → recursive reach
+    * → comp → member norms → ranked election) as composable CTEs —
+    * shared by q91/q104's cluster accounting and the q194 disposition's
+    * election gate so the three oracles price one closure. */
+  private def semanticClosureCtes: String =
+    s"""$cosinePairsCtes,
        |edges AS (
        |  SELECT vec_a AS src, vec_b AS dst FROM vpairs
        |  UNION ALL SELECT vec_b, vec_a FROM vpairs),
@@ -1216,12 +1223,47 @@ object VectorQueries extends VectorAnnTiers
        |    row_number() OVER (PARTITION BY cluster_id
        |      ORDER BY norm2 DESC, vec_id) AS rn,
        |    count(*) OVER (PARTITION BY cluster_id) AS cluster_size
-       |  FROM comp JOIN norms USING (vec_id))
+       |  FROM comp JOIN norms USING (vec_id))""".stripMargin
+
+  private def semanticDedupOracleSql(restrict: String): String =
+    s"""WITH RECURSIVE $semanticClosureCtes
        |SELECT cluster_id, vec_id AS kept_id,
        |  CAST(cluster_size AS BIGINT) AS cluster_size,
        |  CAST(cluster_size - 1 AS BIGINT) AS n_dropped
        |FROM ranked WHERE rn = 1
        |$restrict ORDER BY cluster_id""".stripMargin
+
+  /** q194's oracle: the first-failing CASE in the engine's gate order
+    * over the batch residue (the q193 nested-oracle rule) — exact =
+    * NOT a q102 keep row (that oracle nested verbatim), near = a
+    * batch-side vec_b of the shared `vpairs` CTE (q103's oracle IS
+    * vpairs restricted to batch-touching pairs, and only vec_b — the
+    * larger id — drops), election = the closure chain's ranked rn=1
+    * survivor differs (restricting comp to batch members is implicit:
+    * any cluster holding one is batch-touched, the q104 rule). */
+  private def vectorIngestDispositionOracleSql: String =
+    s"""WITH RECURSIVE $semanticClosureCtes,
+       |exact_keep AS (SELECT keep_id AS vec_id FROM (
+       |${oracleMain("q102_incremental_vector_exact_dedup")})),
+       |near_loser AS (
+       |  SELECT DISTINCT vec_b AS vec_id FROM vpairs
+       |  WHERE vec_b % $VecBatchMod = 0),
+       |kept_of AS (
+       |  SELECT cluster_id, vec_id AS kept_id FROM ranked WHERE rn = 1),
+       |elect_loser AS (
+       |  SELECT c.vec_id FROM comp c JOIN kept_of k USING (cluster_id)
+       |  WHERE k.kept_id <> c.vec_id)
+       |SELECT vec_id,
+       |  CASE
+       |    WHEN vec_id NOT IN (SELECT vec_id FROM exact_keep)
+       |      THEN 'dropped_exact_dup'
+       |    WHEN vec_id IN (SELECT vec_id FROM near_loser)
+       |      THEN 'dropped_near_dup'
+       |    WHEN vec_id IN (SELECT vec_id FROM elect_loser)
+       |      THEN 'dropped_cluster_election'
+       |    ELSE 'kept' END AS disposition
+       |FROM embeddings WHERE vec_id % $VecBatchMod = 0
+       |ORDER BY vec_id""".stripMargin
 
   /** Oracle mirror of the kmeans packed argmin ordering: CAST(round(
     * d2·1e6) AS BIGINT) then cid — the identical doubles (same

@@ -167,6 +167,84 @@ object DailyIngest {
     summary
   }
 
+  /** The corpus-side VECTOR indexes [[runVectors]] reads — the q102
+    * key index, the q103/q186 canonical trio, and the q104 semantic
+    * tables, under IndexStore's one layout (the writeAssetIndexes
+    * convention). */
+  def writeVectorIndexes(spark: SparkSession, dataDir: String,
+      dir: String): Unit =
+    IndexStore.writeVectorIndexes(spark, dataDir, dir)
+
+  /** The per-VECTOR daily ingest (VERDICT r13 "Next round" #1 — the
+    * q157/q159/q193 provenance convention extended to the third data
+    * type): today's batch vectors run the three dedup verdicts off the
+    * PERSISTED vector indexes — the q102 key index, the q103/q186
+    * canonical trio (self-contained: cosine verification reads
+    * `vec_canon`; the lake is scanned only for the batch), the q104
+    * semantic tables — and land `kept_vectors.parquet` +
+    * `vector_disposition.parquet` beside the text/asset artifacts,
+    * with the same ledger/log bookkeeping and the next-snapshot vector
+    * indexes under `index_next/`. Disposition is
+    * [[VectorQueries.vectorDispositionOf]] — ONE definition with the
+    * q194 oracle, parity spec-pinned.
+    *
+    * The semantic tables are REBUILD-CLASS (the q105 freeze trade —
+    * IndexStore's compaction table deliberately excludes sem_*): they
+    * carry through to `index_next` unchanged and refresh by scheduled
+    * rebuild, so day N+1's election gate runs against the same frozen
+    * clusters while its exact/near gates see day N's batch. Returns
+    * the summary (step, n_docs). */
+  def runVectors(spark: SparkSession, indexDir: String, dataDir: String,
+      outDir: String, ts: String = "1970-01-01T00:00:00Z"): DataFrame = {
+    val v = VectorQueries
+    def idx(name: String): DataFrame =
+      spark.read.parquet(s"$indexDir/$name.parquet")
+    val batch = IndexStore.vecSplit(spark, dataDir)._2
+      .localCheckpoint(eager = false) // 3 gates + universe + kept join
+    val disposition = v.vectorDispositionOf(batch,
+      v.incrementalVectorExactDedup(idx("vec_hash"), batch),
+      v.incrementalVectorNearDupsCanonical(idx("vec_fams"),
+        idx("vec_members"), idx("vec_bands_c"), idx("vec_canon"), batch),
+      v.incrementalSemanticMembers(idx("sem_fams"), idx("sem_vecc"),
+        idx("sem_bandsc"), idx("sem_ccc"), idx("sem_statsc"), batch))
+      .localCheckpoint(eager = false) // kept join + summary + write
+    val kept = batch
+      .join(disposition.filter(col("disposition") === "kept")
+        .select(col("vec_id")), Seq("vec_id"), "left_semi")
+    kept.orderBy(col("vec_id")).write.mode("overwrite")
+      .parquet(s"$outDir/kept_vectors.parquet")
+    disposition.orderBy(col("vec_id")).write.mode("overwrite")
+      .parquet(s"$outDir/vector_disposition.parquet")
+    // next-snapshot vector indexes: the compactable families merge the
+    // batch (IndexStore compactors, spec-pinned == rebuild); the
+    // rebuild-class sem_* tables carry through unchanged (the
+    // eval_grams convention)
+    IndexStore.compactVecExact(spark, indexDir, dataDir,
+      s"$outDir/index_next")
+    IndexStore.compactVecNearDup(spark, indexDir, dataDir,
+      s"$outDir/index_next")
+    Seq("sem_fams", "sem_vecc", "sem_bandsc", "sem_ccc", "sem_statsc")
+      .foreach(n => idx(n).write.mode("overwrite")
+        .parquet(s"$outDir/index_next/$n.parquet"))
+    val summary = disposition.groupBy(col("disposition").as("step"))
+      .agg(count(lit(1)).as("n_docs"))
+      .unionByName(batch.agg(count(lit(1)).as("n_docs"))
+        .select(lit("vectors_in").as("step"), col("n_docs")))
+      .orderBy(col("step"))
+      .localCheckpoint(eager = false) // feeds ledger, logs AND return
+    Sinks.appendLedger(summary
+      .select(xxhash64(lit(ts), lit("vector"), col("step")).as("job_id"),
+        concat(lit("vector_"), col("step")).as("step"),
+        col("n_docs"), lit(ts).as("ts"), lit("completed").as("status")),
+      s"$outDir/ledger")
+    Sinks.writeLogs(summary
+      .select(lit(ts).as("ts"), lit("INFO").as("level"),
+        lit("daily_vector_step").as("event"),
+        concat_ws(" ", col("step"), col("n_docs")).as("message")),
+      s"$outDir/logs")
+    summary
+  }
+
   /** The per-batch-doc disposition given the corpus-side index frames —
     * ONE definition for the pipeline (disk-read frames) and the q159
     * oracle query (in-query frames), so the shipped flow and the

@@ -357,6 +357,18 @@ object IndexStore {
     writeAudioFps(spark, dataDir, dir)
   }
 
+  /** Every vector-side family [[DailyIngest.runVectors]] reads, in one
+    * pass: the q102 key index, the q103/q186 canonical trio, and the
+    * q104 semantic tables. After this write, the daily vector run
+    * scans the lake only for the batch (the q186 self-containment). */
+  def writeVectorIndexes(spark: SparkSession, dataDir: String,
+      dir: String): Unit = {
+    val (corpusVecs, _) = vecSplit(spark, dataDir)
+    writeVecExact(corpusVecs, dir)
+    writeVecNearDup(corpusVecs, dir)
+    writeSemantic(corpusVecs, dir)
+  }
+
   // ---- model artifacts (train once per snapshot, apply daily) ----------
 
   /** The trained BPE vocabulary (q108's loop output, q113's input) as a

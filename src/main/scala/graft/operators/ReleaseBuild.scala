@@ -46,7 +46,8 @@ object ReleaseBuild {
 
   def run(spark: SparkSession, dataDir: String, outDir: String,
       ts: String = "1970-01-01T00:00:00Z"): DataFrame =
-    runOn(spark, Tables(spark, dataDir, "documents"), outDir, ts)
+    runOn(spark, Tables(spark, dataDir, "documents"), outDir, ts,
+      Some(Tables(spark, dataDir, "embeddings")))
 
   /** The same flow over an EXPLICIT document universe — the composed
     * lifecycle's entry point (VERDICT r10 "Next round" #5): the caller
@@ -57,7 +58,8 @@ object ReleaseBuild {
     * chain-fed release byte-identical to one fed by per-day
     * from-scratch ingests. */
   def runOn(spark: SparkSession, docsUniverse: DataFrame, outDir: String,
-      ts: String = "1970-01-01T00:00:00Z"): DataFrame = {
+      ts: String = "1970-01-01T00:00:00Z",
+      vecsUniverse: Option[DataFrame] = None): DataFrame = {
     // eval docs (doc_id % 10 == 0) are the BENCHMARK holdout — they
     // gate the funnel's decontamination stages but must never ship in
     // a training release (the q151 rule); the release universe is the
@@ -87,7 +89,15 @@ object ReleaseBuild {
       "kept_assets" -> w(graft.multimodal.Multimodal.keptAssetsOf(spark,
         graft.multimodal.Multimodal.assetDocsOf(d)), "kept_assets"),
       "packing" -> w(CurationQueries.packSequencesDocs(keptDocs),
-        "packing"),
+        "packing")) ++ vecsUniverse.map(e =>
+      // the vector keep-list (VERDICT r13 "Next round" #1): the q91
+      // election over the release's embeddings universe — unclustered
+      // vectors ship, each semantic cluster ships exactly its elected
+      // survivor; no shipped pair within NearDupThreshold
+      // (ReleaseBuildSpec asserts the kept_assets pin, vector flavor).
+      // None = a text-only release universe (the chain-equality specs).
+      "kept_vectors" -> w(VectorQueries.keptVectorsOf(e),
+        "kept_vectors")) ++ Seq(
       "manifest" -> w(CurationQueries.shardManifestDocs(keptDocs),
         "manifest"),
       "mixture" -> w(CurationQueries.mixtureRecipeDocs(keptDocs),

@@ -139,6 +139,57 @@ class DailyIngestSpec extends SparkSpec {
     assert(gotFams == fFams.collect().map(_.toString).sorted.toSeq)
   }
 
+  test("vector day: disposition parity, reconciliation, kept_vectors") {
+    val idxDir = tmp("vidx")
+    val outDir = tmp("vout")
+    DailyIngest.writeVectorIndexes(spark, sfDir, idxDir)
+    val summary = DailyIngest.runVectors(spark, idxDir, sfDir, outDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    // the disk-read disposition artifact == the q194 in-query rendering
+    val disp = spark.read.parquet(s"$outDir/vector_disposition.parquet")
+      .orderBy($"vec_id").as[(Long, String)].collect().toSeq
+    val oracle = graft.SparkEntry
+      .queries("q194_vector_ingest_disposition")(spark, sfDir)
+      .as[(Long, String)].collect().toSeq
+    assert(disp == oracle)
+
+    // the summary is the disposition's rollup and partitions the batch
+    assert(summary("vectors_in") == disp.size.toLong)
+    val byStep = disp.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    byStep.foreach { case (step, n) => assert(summary(step) == n) }
+    assert(summary.filterNot(_._1 == "vectors_in").values.sum ==
+      disp.size.toLong)
+    assert(byStep.keySet.contains("kept") && byStep.keySet.size >= 2,
+      s"gate coverage: $byStep")
+
+    // kept_vectors == the disposition's kept rows
+    val keptIds = spark.read.parquet(s"$outDir/kept_vectors.parquet")
+      .select($"vec_id").as[Long].collect().toSet
+    assert(keptIds.nonEmpty &&
+      keptIds == disp.filter(_._2 == "kept").map(_._1).toSet)
+
+    // bookkeeping landed
+    val ledger = spark.read.parquet(s"$outDir/ledger")
+    assert(ledger.count() == summary.size.toLong)
+    assert(spark.read.json(s"$outDir/logs").count() == summary.size.toLong)
+
+    // the compacted next-snapshot key index == a rebuild over
+    // corpus ∪ batch (the trio's compaction is pinned in IndexStoreSpec)
+    val (c, b) = IndexStore.vecSplit(spark, sfDir)
+    val got = spark.read.parquet(s"$outDir/index_next/vec_hash.parquet")
+      .collect().map(_.toString).sorted.toSeq
+    val want = VectorQueries.vectorHashIndex(c.unionByName(b))
+      .collect().map(_.toString).sorted.toSeq
+    assert(got == want)
+    // the rebuild-class sem_* tables carry through unchanged
+    val semGot = spark.read.parquet(s"$outDir/index_next/sem_ccc.parquet")
+      .collect().map(_.toString).sorted.toSeq
+    val semWant = spark.read.parquet(s"$idxDir/sem_ccc.parquet")
+      .collect().map(_.toString).sorted.toSeq
+    assert(semGot == semWant)
+  }
+
   test("q159 in-query disposition == the disk-read pipeline artifact") {
     val idxDir = tmp("q159_idx")
     val outDir = tmp("q159_out")

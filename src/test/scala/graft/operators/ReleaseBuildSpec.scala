@@ -69,6 +69,19 @@ class ReleaseBuildSpec extends SparkSpec {
         Tables(spark, sfDir, "documents").filter($"doc_id" % 10 =!= 0)))
     assert(rows(keptAssets) == rows(wantAssets))
 
+    // kept_vectors: the vector keep-list (VERDICT r13 #1) — operator
+    // parity, and the kept_assets pin in vector flavor: no two shipped
+    // vectors carry a VERIFIED cosine ≥ NearDupThreshold pair (one
+    // elected survivor per semantic cluster is exactly that property)
+    val keptVecs = spark.read.parquet(s"$outDir/kept_vectors.parquet")
+    assert(summary("kept_vectors") == keptVecs.count())
+    assert(keptVecs.count() > 0)
+    assert(rows(keptVecs) == rows(VectorQueries.keptVectorsOf(
+      Tables(spark, sfDir, "embeddings"))))
+    assert(VectorQueries.cosineNearDupsOf(
+        VectorQueries.vecsOf(keptVecs).select($"vec_id", $"v"))
+      .count() == 0, "verified near-dup vector pair shipped")
+
     // bookkeeping landed: one ledger row + one log line per artifact
     val ledger = spark.read.parquet(s"$outDir/ledger")
     assert(ledger.count() == summary.size.toLong)

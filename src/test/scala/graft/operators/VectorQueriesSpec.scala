@@ -34,6 +34,47 @@ class VectorQueriesSpec extends SparkSpec {
     assert(run(a) == run(b)) // exact equality, not approximate
   }
 
+  test("incrementalSemanticMembers agrees with the cluster accounting") {
+    val e = VectorQueries.vecsOf(graft.Tables(spark, sfDir, "embeddings"))
+      .select(col("vec_id"), col("v"))
+    val corpus = e.filter(col("vec_id") % 10 =!= 0)
+    val batch = e.filter(col("vec_id") % 10 === 0)
+    val (f, v, b, c, s) = VectorQueries.semanticIndexTables(corpus)
+    val clusters = VectorQueries
+      .incrementalSemanticDedup(f, v, b, c, s, batch)
+      .select(col("cluster_id"), col("kept_id"))
+      .as[(Long, Long)].collect().toMap
+    val members = VectorQueries
+      .incrementalSemanticMembers(f, v, b, c, s, batch)
+      .as[(Long, Long, Long)].collect()
+    // every batch vector gets exactly one row
+    val batchIds = batch.select(col("vec_id")).as[Long].collect().toSet
+    assert(members.map(_._1).toSet == batchIds)
+    assert(members.length == batchIds.size)
+    // a member's (cluster, kept) is the accounting's row for that
+    // cluster; a vector outside every cluster maps to itself
+    members.foreach { case (vid, cid, kid) =>
+      clusters.get(cid) match {
+        case Some(k) => assert(k == kid, s"vec $vid: kept $kid != $k")
+        case None => assert(cid == vid && kid == vid,
+          s"vec $vid points at unknown cluster $cid")
+      }
+    }
+    // liveness on a crafted frame (sf0.001 has no election losers): a
+    // batch vector that survives BOTH dedup gates — new rendering, and
+    // its verified pair is against a LARGER id — still loses the
+    // norm-first election to the higher-norm corpus vector
+    val dim = 64
+    val corpus2 = Seq((15L, Array.fill(dim)(2.0))).toDF("vec_id", "v")
+    val batch2 = Seq((10L, Array.fill(dim)(1.0))).toDF("vec_id", "v")
+    val t2 = VectorQueries.semanticIndexTables(corpus2)
+    val m2 = VectorQueries
+      .incrementalSemanticMembers(t2._1, t2._2, t2._3, t2._4, t2._5,
+        batch2)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(m2 == Seq((10L, 10L, 15L))) // cluster min-id 10, kept 15
+  }
+
   test("top-k cosine returns k neighbors per query with cos in [-1,1]") {
     val rows = VectorQueries.topkCosine(spark, sfDir)
       .as[(Long, Long, Long, Double)].collect()

@@ -66,7 +66,10 @@ object SparkEntry {
             graft.multimodal.Multimodal.canonicalMediaPairsDaily(s, dir)),
         "q193_asset_ingest_disposition" ->
           ((s, dir) =>
-            graft.multimodal.Multimodal.assetIngestDisposition(s, dir)))
+            graft.multimodal.Multimodal.assetIngestDisposition(s, dir)),
+        "q195_cross_modal_disposition" ->
+          ((s, dir) =>
+            graft.multimodal.Multimodal.crossModalDisposition(s, dir)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

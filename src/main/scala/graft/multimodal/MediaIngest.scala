@@ -102,6 +102,47 @@ private[multimodal] trait MediaIngest {
       .orderBy(col("doc_id"))
   }
 
+  /** L96/q195: the cross-modal PAIRED-CURATION classification — the
+    * caption↔asset consistency view a multimodal release needs before
+    * shipping `kept_docs` and `kept_assets` side by side (VERDICT r13
+    * "Next round" #4: the two dispositions never joined, so a caption
+    * dropped by the text funnel whose image ships — or vice versa —
+    * was invisible). ONE definition for the q195 oracle rendering and
+    * the ReleaseBuild `paired_curation` artifact: per document, its
+    * text funnel disposition (q157's first-failing gate), its asset's
+    * keep status under the q130 election, and the 4-way pair status
+    * (kept_kept / asset_dropped_text_kept / text_dropped_asset_kept /
+    * both_dropped). Variant asset ids (+1e9) never join the doc side —
+    * the pair space is the original caption↔asset ids. */
+  def pairedCurationOf(textDisp: DataFrame,
+      keptAssets: DataFrame): DataFrame =
+    textDisp.select(col("doc_id"),
+        when(col("doc_id") % 3 === 0, "image")
+          .when(col("doc_id") % 3 === 1, "audio")
+          .otherwise("video").as("kind"),
+        col("disposition").as("text_disposition"))
+      .join(keptAssets.select(col("doc_id"), lit(true).as("ak")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), col("kind"), col("text_disposition"),
+        when(col("ak").isNotNull, "kept").otherwise("dropped")
+          .as("asset_status"),
+        when(col("text_disposition") === "kept" && col("ak").isNotNull,
+          "kept_kept")
+          .when(col("text_disposition") === "kept",
+            "asset_dropped_text_kept")
+          .when(col("ak").isNotNull, "text_dropped_asset_kept")
+          .otherwise("both_dropped").as("pair_status"))
+      .orderBy(col("doc_id"))
+
+  /** q195 as an ORACLE query: the q157 disposition over every document
+    * joined to the full-universe asset keep-list (the pipeline runs the
+    * same [[pairedCurationOf]] over the release funnel's frames —
+    * ReleaseBuildSpec pins the reconciliation). */
+  def crossModalDisposition(spark: SparkSession, dir: String): DataFrame =
+    pairedCurationOf(
+      graft.operators.CurationQueries.funnelDisposition(spark, dir),
+      keptAssetsOf(spark, assetDocs(spark, dir)))
+
   /** The asset universe split for the daily flow: batch = assets whose
     * id ≡ 0 (mod 10) — a VARIANT inherits its original's residue
     * ([[VariantIdOffset]] is a multiple of 10), so re-encodes arrive in

@@ -507,12 +507,13 @@ object Multimodal extends MediaBands
   private def mediaClusterSurvivorsSql: String =
     mediaClusterSurvivorsSqlOf("")
 
-  /** The q130 recursive-closure election with an optional restriction on
-    * the final SELECT — shared by q130 (no restriction) and q180
-    * (clusters holding a batch member) so the full pass and the
-    * incremental maintenance oracle can never drift apart. */
-  private def mediaClusterSurvivorsSqlOf(restrict: String): String =
-    s"""WITH RECURSIVE $mediaHashCtes,
+  /** The q130 closure CHAIN (hash CTEs → pair graph → recursive reach
+    * → comp → labels → caption quality → ranked election) as
+    * composable CTEs — shared by q130/q180's survivor election and the
+    * q195 paired-curation report's asset keep-list so all three price
+    * one closure. */
+  private def mediaClusterCtes: String =
+    s"""$mediaHashCtes,
        |pairs AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM h a, h b WHERE a.doc_id < b.doc_id
@@ -542,10 +543,27 @@ object Multimodal extends MediaBands
        |  SELECT cluster_id, doc_id, quality, cluster_size,
        |    row_number() OVER (PARTITION BY cluster_id
        |      ORDER BY quality DESC, doc_id) AS rn
-       |  FROM labels JOIN quality USING (doc_id))
+       |  FROM labels JOIN quality USING (doc_id))""".stripMargin
+
+  /** The q130 recursive-closure election with an optional restriction on
+    * the final SELECT — shared by q130 (no restriction) and q180
+    * (clusters holding a batch member) so the full pass and the
+    * incremental maintenance oracle can never drift apart. */
+  private def mediaClusterSurvivorsSqlOf(restrict: String): String =
+    s"""WITH RECURSIVE $mediaClusterCtes
        |SELECT cluster_id, doc_id AS kept_id, quality, cluster_size
        |FROM ranked WHERE rn = 1
        |$restrict ORDER BY kept_id""".stripMargin
+
+  /** The asset keep-list as SQL — [[keptAssetsOf]]'s rule over the
+    * same closure chain: unclustered assets ∪ each cluster's elected
+    * survivor. Nested by the q195 oracle. */
+  private def keptAssetsSql: String =
+    s"""WITH RECURSIVE $mediaClusterCtes
+       |SELECT h.doc_id FROM h
+       |WHERE h.doc_id NOT IN (SELECT doc_id FROM comp)
+       |   OR h.doc_id IN (SELECT doc_id FROM ranked WHERE rn = 1)"""
+      .stripMargin
 
   /** q118 oracle: recompute the frame slices and per-frame window dHash
     * from the ASCII text (frame k = [[FrameLen]] chars at offset
@@ -668,7 +686,38 @@ object Multimodal extends MediaBands
        |FROM o WHERE overlap_micro >= $AudioOverlapMicro
        |$restrict ORDER BY doc_a, doc_b""".stripMargin
 
-  val oracle: Map[String, String] = Map(
+  // LAZY: CurationQueries' own init reaches this object (its q189/q191
+  // oracles call bandOccupancySql), so eagerly nesting
+  // CurationQueries.oracle("q157...") here would deadlock the two
+  // <clinit>s into a mid-init null (observed as an
+  // ExceptionInInitializerError from ReleaseBuild). Deferring the map
+  // breaks the cycle: by first force, CurationQueries has finished.
+  lazy val oracle: Map[String, String] = Map(
+    // q195: the q157 funnel oracle and the q130-chain keep-list nested
+    // verbatim (the q115/q193 composition rule), classified by the
+    // engine's 4-way pair rule over the original-doc id space
+    "q195_cross_modal_disposition" ->
+      s"""WITH dd AS (SELECT * FROM (
+         |${graft.operators.CurationQueries.oracle(
+              "q157_funnel_disposition")})),
+         |ka AS (SELECT * FROM (
+         |$keptAssetsSql))
+         |SELECT d.doc_id,
+         |  CASE WHEN d.doc_id % 3 = 0 THEN 'image'
+         |       WHEN d.doc_id % 3 = 1 THEN 'audio'
+         |       ELSE 'video' END AS kind,
+         |  dd.disposition AS text_disposition,
+         |  CASE WHEN d.doc_id IN (SELECT doc_id FROM ka)
+         |       THEN 'kept' ELSE 'dropped' END AS asset_status,
+         |  CASE
+         |    WHEN dd.disposition = 'kept'
+         |     AND d.doc_id IN (SELECT doc_id FROM ka) THEN 'kept_kept'
+         |    WHEN dd.disposition = 'kept' THEN 'asset_dropped_text_kept'
+         |    WHEN d.doc_id IN (SELECT doc_id FROM ka)
+         |      THEN 'text_dropped_asset_kept'
+         |    ELSE 'both_dropped' END AS pair_status
+         |FROM documents d JOIN dd ON dd.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
     "q109_media_phash_dups" -> mediaPhashPairsSql(""),
     "q130_media_cluster_survivors" -> mediaClusterSurvivorsSql,
     "q118_frame_near_dups" -> frameNearDupsSql,

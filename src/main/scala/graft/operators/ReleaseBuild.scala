@@ -79,15 +79,23 @@ object ReleaseBuild {
       df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
       spark.read.parquet(s"$outDir/$name.parquet").count()
     }
+    // the asset keep-list (VERDICT r12 "Next round" #4): q130's
+    // election over the release universe's assets — unclustered
+    // assets ship, each perceptual-hash cluster ships exactly its
+    // elected member (max caption quality, min-id tie-break)
+    val keptAssetsDf = graft.multimodal.Multimodal.keptAssetsOf(spark,
+        graft.multimodal.Multimodal.assetDocsOf(d))
+      .localCheckpoint(eager = false) // artifact + paired report
     val counts = Seq(
       "disposition" -> w(disposition.orderBy(col("doc_id")), "disposition"),
       "kept_docs" -> w(keptDocs, "kept_docs"),
-      // the asset keep-list (VERDICT r12 "Next round" #4): q130's
-      // election over the release universe's assets — unclustered
-      // assets ship, each perceptual-hash cluster ships exactly its
-      // elected member (max caption quality, min-id tie-break)
-      "kept_assets" -> w(graft.multimodal.Multimodal.keptAssetsOf(spark,
-        graft.multimodal.Multimodal.assetDocsOf(d)), "kept_assets"),
+      "kept_assets" -> w(keptAssetsDf, "kept_assets"),
+      // the caption↔asset consistency record (VERDICT r13 "Next round"
+      // #4): ships beside the two keep-lists so a pair inconsistency
+      // (text dropped, asset kept, or vice versa) is visible in the
+      // release itself — ONE classification definition with q195
+      "paired_curation" -> w(graft.multimodal.Multimodal
+        .pairedCurationOf(disposition, keptAssetsDf), "paired_curation"),
       "packing" -> w(CurationQueries.packSequencesDocs(keptDocs),
         "packing")) ++ vecsUniverse.map(e =>
       // the vector keep-list (VERDICT r13 "Next round" #1): the q91

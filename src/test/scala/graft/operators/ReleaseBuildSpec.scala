@@ -69,6 +69,33 @@ class ReleaseBuildSpec extends SparkSpec {
         Tables(spark, sfDir, "documents").filter($"doc_id" % 10 =!= 0)))
     assert(rows(keptAssets) == rows(wantAssets))
 
+    // paired_curation: the caption↔asset consistency record reconciles
+    // EXACTLY with the two shipped keep-lists — text-kept ids are
+    // kept_docs, asset-kept ids are the kept_assets originals, and
+    // every inconsistent pair (kept asset whose caption dropped, or
+    // vice versa) is named by its 4-way status
+    val paired = spark.read.parquet(s"$outDir/paired_curation.parquet")
+      .select($"doc_id", $"text_disposition", $"asset_status",
+        $"pair_status")
+      .as[(Long, String, String, String)].collect().toSeq
+    assert(paired.nonEmpty &&
+      summary("paired_curation") == paired.size.toLong)
+    assert(paired.map(_._1).toSet ==
+      disp.select($"doc_id").as[Long].collect().toSet)
+    assert(paired.filter(_._2 == "kept").map(_._1).toSet == keptIds)
+    val pairedIds = paired.map(_._1).toSet
+    assert(paired.filter(_._3 == "kept").map(_._1).toSet ==
+      ka.map(_._1).toSet.intersect(pairedIds)) // variants never join
+    paired.foreach { case (id, td, as_, ps) =>
+      val want = (td == "kept", as_ == "kept") match {
+        case (true, true) => "kept_kept"
+        case (true, false) => "asset_dropped_text_kept"
+        case (false, true) => "text_dropped_asset_kept"
+        case _ => "both_dropped"
+      }
+      assert(ps == want, s"doc $id pair status $ps != $want")
+    }
+
     // kept_vectors: the vector keep-list (VERDICT r13 #1) — operator
     // parity, and the kept_assets pin in vector flavor: no two shipped
     // vectors carry a VERIFIED cosine ≥ NearDupThreshold pair (one

@@ -106,7 +106,7 @@ private[multimodal] trait MediaFingerprints {
     * VariantIdOffset is ≡ 1 (mod 3) and would flip kinds) and its
     * daily-batch residue (mod 10 — re-encodes arrive in the same batch
     * as their original, the q111 ingest shape). */
-  private[multimodal] val AudioVariantIdOffset = 999999990L
+  private[graft] val AudioVariantIdOffset = 999999990L
 
   /** An audio fingerprint appearing in more than this many assets is a
     * stop-fingerprint (silence/jingle analogue) and never pairs. */

@@ -114,16 +114,33 @@ object DailyIngest {
   def runAssets(spark: SparkSession, indexDir: String, dataDir: String,
       outDir: String, ts: String = "1970-01-01T00:00:00Z"): DataFrame = {
     val m = graft.multimodal.Multimodal
+    runAssetsFrom(spark, indexDir,
+      m.mediaSplit(spark, dataDir)._2,
+      m.frameFpSplit(spark, dataDir)._2,
+      m.audioFpSplit(spark, dataDir)._2,
+      outDir, s"$outDir/index_next", ts)
+  }
+
+  /** The asset day's core given the three BATCH frames — shared by
+    * [[runAssets]] (nightly, frames from the daily universe splits)
+    * and [[graft.streaming.StreamingOps.continuousAssetIngest]] (per
+    * micro-batch, frames decoded from arriving payloads), so the two
+    * cadences gate, elect, and compact identically. `nextDir` receives
+    * the complete next asset-index snapshot. */
+  def runAssetsFrom(spark: SparkSession, indexDir: String,
+      batchH0: DataFrame, batchFh0: DataFrame, batchAf0: DataFrame,
+      outDir: String, nextDir: String, ts: String): DataFrame = {
+    val m = graft.multimodal.Multimodal
     def idx(name: String): DataFrame =
       spark.read.parquet(s"$indexDir/$name.parquet")
     // ONE batch decode per modality per daily run: each checkpointed
     // frame feeds its gate AND its compactor (ADVICE r13 — the
     // compactors previously re-decoded the batch payloads)
-    val batchH = m.mediaSplit(spark, dataDir)._2
+    val batchH = batchH0
       .localCheckpoint(eager = false) // media gate + kept join + compact
-    val batchFh = m.frameFpSplit(spark, dataDir)._2
+    val batchFh = batchFh0
       .localCheckpoint(eager = false) // frame gate + compaction
-    val batchAf = m.audioFpSplit(spark, dataDir)._2
+    val batchAf = batchAf0
       .localCheckpoint(eager = false) // audio gate + compaction
     val disposition = m.assetDispositionOf(
       batchH.select(col("doc_id"), col("kind")),
@@ -142,12 +159,9 @@ object DailyIngest {
     // next-snapshot asset indexes: the IndexStore compactors on the
     // same layout — shift-aware canonical merge, fingerprint appends —
     // fed the already-checkpointed batch frames (no second decode)
-    IndexStore.compactMediaNearDupFrom(spark, indexDir, batchH,
-      s"$outDir/index_next")
-    IndexStore.compactFrameFpsFrom(spark, indexDir, batchFh,
-      s"$outDir/index_next")
-    IndexStore.compactAudioFpsFrom(spark, indexDir, batchAf,
-      s"$outDir/index_next")
+    IndexStore.compactMediaNearDupFrom(spark, indexDir, batchH, nextDir)
+    IndexStore.compactFrameFpsFrom(spark, indexDir, batchFh, nextDir)
+    IndexStore.compactAudioFpsFrom(spark, indexDir, batchAf, nextDir)
     val summary = disposition.groupBy(col("disposition").as("step"))
       .agg(count(lit(1)).as("n_docs"))
       .unionByName(batchH.agg(count(lit(1)).as("n_docs"))

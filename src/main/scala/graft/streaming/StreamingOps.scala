@@ -700,6 +700,74 @@ object StreamingOps {
               .parquet(s"$workDir/index_gen_${batchId + 1}/$name.parquet"))
     }
 
+  /** An arriving media asset with its catalog memberships: the ASSET
+    * catalog (perceptual-hash/frame gates + the disposition universe)
+    * and the AUDIO-FINGERPRINT catalog (the q126 universe, which also
+    * carries fingerprint-only alternate encodes that register in the
+    * fingerprint store but never ship as assets — exactly the two
+    * universes the nightly splits derive from the lake). */
+  case class StreamMediaAsset(doc_id: Long, ts: Timestamp, kind: String,
+      payload: Array[Byte], in_asset_catalog: Boolean,
+      in_audio_catalog: Boolean)
+
+  /** L97 streaming: the ASSET gate chain as a CONTINUOUS flow — the
+    * [[continuousIngest]] (T8) pattern at asset granularity, closing
+    * the third cadence for assets (q193 oracle / nightly
+    * [[graft.operators.DailyIngest.runAssets]] / this stream — VERDICT
+    * r13 "Next round" #3). Every micro-batch of arriving assets
+    * decodes once per modality (perceptual hash, frame hashes, audio
+    * sub-fingerprints — the same partition-wise decode boundary as the
+    * batch flows, payloads die inside it), then runs the SAME
+    * [[graft.operators.DailyIngest.runAssetsFrom]] core against the
+    * newest on-disk asset-index generation: the three incremental
+    * probe flows, the first-failing `assetDispositionOf`, the
+    * kept_assets + asset_disposition artifacts under `out/batch_N`,
+    * ledger/log bookkeeping, and compaction into generation N+1 — so
+    * micro-batch N+1 sees micro-batch N's assets. One gate definition,
+    * three cadences, zero drift by construction; StreamingOpsSpec pins
+    * the micro-batch disposition byte-equal to the nightly run off the
+    * same disk artifacts.
+    *
+    * Seed `workDir/index_gen_0` with the
+    * [[graft.operators.IndexStore.writeAssetIndexes]] layout. State
+    * lives entirely in the generation dirs (the continuousIngest
+    * rule): a replayed uncommitted batch overwrites its own outputs
+    * and generation, so the flow is idempotent under the foreachBatch
+    * at-least-once contract. */
+  def continuousAssetIngest(assets: Dataset[StreamMediaAsset],
+      workDir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[StreamMediaAsset] =
+    assets.writeStream.foreachBatch {
+      (batch: Dataset[StreamMediaAsset], batchId: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        val gens = Option(new java.io.File(workDir).listFiles())
+          .getOrElse(Array.empty)
+          .flatMap(f => f.getName match {
+            case s if s.startsWith("index_gen_") =>
+              scala.util.Try(s.stripPrefix("index_gen_").toLong).toOption
+            case _ => None
+          })
+          .filter(_ <= batchId)
+        require(gens.nonEmpty, s"seed $workDir/index_gen_0 first " +
+          "(IndexStore.writeAssetIndexes layout)")
+        val genDir = s"$workDir/index_gen_${gens.max}"
+        val m = graft.multimodal.Multimodal
+        val b = batch.localCheckpoint(eager = false)
+        def mediaOf(ds: Dataset[StreamMediaAsset]): Dataset[m.MediaRow] =
+          ds.map(a => m.MediaRow(a.doc_id, a.kind, a.payload, 0, 0, ""))
+        graft.operators.DailyIngest.runAssetsFrom(spark, genDir,
+          m.perceptualHashes(mediaOf(b.filter(_.in_asset_catalog))).toDF(),
+          m.frameHashes(mediaOf(b.filter(_.in_asset_catalog))).toDF()
+            .select(col("doc_id"), col("fhash")).distinct(),
+          m.audioFps(mediaOf(b.filter(_.in_audio_catalog))).toDF()
+            .select(col("doc_id"), col("fp")).distinct(),
+          s"$workDir/out/batch_$batchId",
+          s"$workDir/index_gen_${batchId + 1}",
+          ts = s"batch_$batchId")
+        ()
+    }
+
   /** The spec's latest-status-wins polling update as a stream
     * (README.md:85): keep the max-timestamp event per key in state, emit
     * the current winner on every update (Update mode downstream).

@@ -624,6 +624,71 @@ class StreamingOpsSpec extends SparkSpec {
     assert(state() == want)
   }
 
+  test("continuous asset ingest == the nightly asset day off the same artifacts") {
+    import graft.operators.DailyIngest
+    import org.apache.spark.sql.functions.{concat, encode, lit, when}
+    val root = java.nio.file.Files.createTempDirectory("graft-cai")
+      .toFile.getAbsolutePath
+    DailyIngest.writeAssetIndexes(spark, sfDir, s"$root/index_gen_0")
+
+    // arriving rows = the two catalog universes' daily batches, each
+    // row declaring its memberships: the q109 asset-catalog batch
+    // (audio-catalog membership for audio-kind ORIGINALS — q109
+    // variants flip kind and are not in the q126 universe) plus the
+    // audio catalog's fingerprint-only variant rows
+    val m = graft.multimodal.Multimodal
+    val docs = graft.Tables(spark, sfDir, "documents")
+    val assetBatch = m.assetDocs(spark, sfDir)
+      .filter(col("doc_id") % 10 === 0)
+      .join(docs.select(col("doc_id"), lit(true).as("orig")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("doc_id") % 3 === 0, "image")
+          .when(col("doc_id") % 3 === 1, "audio")
+          .otherwise("video").as("kind"),
+        encode(col("text"), "UTF-8").as("payload"),
+        lit(true).as("in_asset"),
+        (col("orig").isNotNull && col("doc_id") % 3 === 1).as("in_audio"))
+    val audioVariants = docs
+      .filter(col("doc_id") % 5 === 0 && col("doc_id") % 3 === 1 &&
+        col("doc_id") % 10 === 0)
+      .select((col("doc_id") + m.AudioVariantIdOffset).as("doc_id"),
+        lit("audio").as("kind"),
+        encode(concat(expr("char(ascii(substring(text, 1, 1)) + 1)"),
+          expr("substring(text, 2)")), "UTF-8").as("payload"),
+        lit(false).as("in_asset"), lit(true).as("in_audio"))
+    val arriving = assetBatch.unionByName(audioVariants).collect()
+      .map(r => StreamMediaAsset(r.getLong(0), ts(0), r.getString(1),
+        r.getAs[Array[Byte]](2), r.getBoolean(3), r.getBoolean(4)))
+      .toSeq
+
+    val input = MemoryStream[StreamMediaAsset]
+    val query = continuousAssetIngest(input.toDS(), root)
+      .option("checkpointLocation", s"$root/ckpt").start()
+    try {
+      input.addData(arriving: _*)
+      query.processAllAvailable()
+    } finally query.stop()
+
+    // the nightly asset day off the SAME disk artifacts
+    val outN = java.nio.file.Files.createTempDirectory("graft-cai-n")
+      .toFile.getAbsolutePath
+    DailyIngest.runAssets(spark, s"$root/index_gen_0", sfDir, outN)
+    def rowsOf(p: String): Seq[String] =
+      spark.read.parquet(p).collect().map(_.toString).sorted.toSeq
+    val streamed = rowsOf(s"$root/out/batch_0/asset_disposition.parquet")
+    assert(streamed.nonEmpty &&
+      streamed == rowsOf(s"$outN/asset_disposition.parquet"))
+    assert(rowsOf(s"$root/out/batch_0/kept_assets.parquet") ==
+      rowsOf(s"$outN/kept_assets.parquet"))
+    // generation 1 is a complete next snapshot == the nightly
+    // index_next, family by family
+    for (fam <- Seq("media_fams", "media_members", "media_bands_c",
+        "frame_fps", "audio_fps"))
+      assert(rowsOf(s"$root/index_gen_1/$fam.parquet") ==
+        rowsOf(s"$outN/index_next/$fam.parquet"), fam)
+  }
+
   test("continuous ingest: micro-batches chain generations like nightly days") {
     import graft.operators.DailyIngest
     val root = java.nio.file.Files.createTempDirectory("graft-ci")

@@ -103,13 +103,18 @@ object Bench {
     val total = times.values.sum
     // round-1 comparable subtotal: the original six queries, so
     // round-over-round bench comparison is like for like even as the
-    // query count grows
-    val headline = Seq("q01_pricing_summary", "q02_revenue_by_nation",
+    // query count grows. Both units ride the summary (VERDICT r13
+    // "Next round" #5): wall inflates 2-10x under co-tenant bursts
+    // while executor CPU stays flat (PLANS.md round-13 A/B), so the
+    // 2x gate reads in BOTH units before calling a regression.
+    val headlineQs = Seq("q01_pricing_summary", "q02_revenue_by_nation",
       "q03_top_customers", "q04_customer_order_counts",
       "q05_urgent_customers", "q06_customers_without_orders")
-      .flatMap(times.get).sum
+    val headline = headlineQs.flatMap(times.get).sum
+    val headlineCpu = headlineQs.flatMap(cpuSecs.get).sum
+    val cpuTotal = cpuSecs.values.sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","headline6":$headline,"queries":$qs,"queries_cpu":$qcpu$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","cpu_total":$cpuTotal,"headline6":$headline,"headline6_cpu":$headlineCpu,"queries":$qs,"queries_cpu":$qcpu$errJson,"sf":"$sfDir"}"""
     println(line)
     // The driver archives only the 2000-char TAIL of stdout, which
     // truncates the per-query maps out of BENCH_r{N}.json and loses the
@@ -141,7 +146,7 @@ object Bench {
     // distinct metric name so a consumer keying on "total" never
     // double-counts or picks this truncation-guard line (VERDICT r7 #4)
     println(
-      s"""{"metric":"total_summary","value":${f3(total)},"unit":"sec","cpu_total":${f3(cpuSecs.values.sum)},"headline6":${f3(headline)},"n_queries":${times.size},"n_errors":${errors.size},"sf":"$sfDir"}""")
+      s"""{"metric":"total_summary","value":${f3(total)},"unit":"sec","cpu_total":${f3(cpuTotal)},"headline6":${f3(headline)},"headline6_cpu":${f3(headlineCpu)},"n_queries":${times.size},"n_errors":${errors.size},"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

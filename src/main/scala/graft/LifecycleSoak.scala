@@ -78,12 +78,28 @@ object LifecycleSoak {
         passes = 1)(
         operators.DailyIngest.runDelta(spark, root, dataDir,
           s"$workDir/lc_out$d", day = d).count())
-      if (d % famEvery == 0)
+      if (d % famEvery == 0) {
         operators.IndexStore.families.foreach { case (name, _, _, daily) =>
           Timing.timedPasses(spark, cpuNs,
             s"[lifecycle-soak] day$d fam=$name", passes = 1)(
             daily(spark, famIndex, dataDir).count())
         }
+        // Round-14 (VERDICT r13 "Next round" #2): the composed ASSET
+        // and VECTOR days — disposition + kept_* artifacts + ledger +
+        // next-snapshot compaction, the whole runAssets/runVectors
+        // orchestration — run inside the chain off the same family
+        // indexes, so their steady-state daily bill is measured under
+        // the chain's shuffle/broadcast/GC load like every other
+        // orchestration claim in this repo.
+        Timing.timedPasses(spark, cpuNs,
+          s"[lifecycle-soak] day$d assets", passes = 1)(
+          operators.DailyIngest.runAssets(spark, famIndex, dataDir,
+            s"$workDir/lc_assets$d").count())
+        Timing.timedPasses(spark, cpuNs,
+          s"[lifecycle-soak] day$d vectors", passes = 1)(
+          operators.DailyIngest.runVectors(spark, famIndex, dataDir,
+            s"$workDir/lc_vec$d").count())
+      }
     }
     // the release universe: every day's survivors ∪ the eval holdout
     val ingested = (0 until nDays)
@@ -94,7 +110,10 @@ object LifecycleSoak {
     Timing.timedPasses(spark, cpuNs, "[lifecycle-soak] release",
       passes = 1)(
       operators.ReleaseBuild.runOn(spark, universe,
-        s"$workDir/lc_release").count())
+        s"$workDir/lc_release",
+        // the release now also ships kept_vectors + paired_curation —
+        // priced inside the same release line
+        vecsUniverse = Some(Tables(spark, dataDir, "embeddings"))).count())
     spark.stop()
   }
 }

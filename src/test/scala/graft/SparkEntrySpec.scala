@@ -15,9 +15,10 @@ class SparkEntrySpec extends SparkSpec {
     FunctionQueries.queries.size, LLMQueries.queries.size,
     CurationQueries.queries.size,
     VectorQueries.queries.size, EventQueries.queries.size,
-    13) // q72 + q109/q111/q130 phash + q118/q183 frames + q126/q128
+    14) // q72 + q109/q111/q130 phash + q118/q183 frames + q126/q128
   //    audio + q180 media clusters + q184 band occupancy + q187 cap
-  //    curve + q190 canonical media pairs + q193 asset disposition
+  //    curve + q190 canonical media pairs + q193 asset disposition +
+  //    q195 cross-modal paired curation
   // (q133-q135 live inside Curation/LLM/Vector module maps)
 
   test("no query name collides across modules") {

@@ -805,4 +805,328 @@ private[operators] trait CurationClusters {
         col("weight_micro"))
       .orderBy(col("doc_id"))
   }
+
+  /** Oracle SQL of the cluster/segment/substring dedup family — merged into
+    * [[CurationQueries.oracleMain]] (pure move, round 14). */
+  private[operators] def clustersOracleMain: Map[String, String] = Map(
+    "q114_substring_dup_stats" ->
+      s"""WITH wins AS (
+         |  SELECT doc_id, unnest(CASE WHEN len(wa) >= $DupWinWords
+         |    THEN list_transform(range(0, len(wa) - $DupWinWords + 1),
+         |      i -> array_to_string(
+         |        list_slice(wa, i + 1, i + $DupWinWords), ' '))
+         |    ELSE []::VARCHAR[] END) AS w
+         |  FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS wa
+         |        FROM documents)),
+         |dup AS (
+         |  SELECT w FROM (
+         |    SELECT w, count(DISTINCT doc_id) AS nd FROM wins GROUP BY w)
+         |  WHERE nd >= 2),
+         |per AS (
+         |  SELECT wins.doc_id, count(*) AS n_win,
+         |    sum(CASE WHEN d.w IS NULL THEN 0 ELSE 1 END) AS n_dup
+         |  FROM wins LEFT JOIN dup d ON wins.w = d.w
+         |  GROUP BY wins.doc_id)
+         |SELECT doc_id, CAST(coalesce(n_win, 0) AS BIGINT) AS n_win,
+         |  CAST(coalesce(n_dup, 0) AS BIGINT) AS n_dup,
+         |  CAST(CASE WHEN coalesce(n_win, 0) = 0 THEN 0
+         |    ELSE coalesce(n_dup, 0) * 1000000 // n_win END AS BIGINT)
+         |    AS dup_micro
+         |FROM documents LEFT JOIN per USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+    "q89_segment_dedup" ->
+      s"""WITH segarr AS (
+         |  SELECT doc_id, list_transform(
+         |    range(0, CAST(ceil(len(w) / ${SegWords}.0) AS INT)),
+         |    i -> {'pos': i, 'seg': array_to_string(
+         |      list_slice(w, i*$SegWords + 1, i*$SegWords + $SegWords), ' ')}) AS sl
+         |  FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS w
+         |        FROM documents)),
+         |segs AS (SELECT doc_id, len(sl) AS n_segs,
+         |         unnest(sl, recursive := true) FROM segarr),
+         |ranked AS (
+         |  SELECT doc_id, n_segs, pos, seg,
+         |    row_number() OVER (PARTITION BY seg ORDER BY doc_id, pos) AS rn
+         |  FROM segs)
+         |SELECT doc_id, CAST(any_value(n_segs) AS BIGINT) AS n_segs,
+         |  CAST(count(*) FILTER (rn = 1) AS BIGINT) AS n_kept,
+         |  coalesce(string_agg(seg, ' ' ORDER BY pos) FILTER (rn = 1), '')
+         |    AS cleaned_text
+         |FROM ranked GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // incremental semantics direct: batch-first occurrence AND segment
+    // unseen in the corpus index (left join, null = unseen)
+    "q98_incremental_segment_dedup" ->
+      s"""WITH segarr AS (
+         |  SELECT doc_id, list_transform(
+         |    range(0, CAST(ceil(len(w) / ${SegWords}.0) AS INT)),
+         |    i -> {'pos': i, 'seg': array_to_string(
+         |      list_slice(w, i*$SegWords + 1, i*$SegWords + $SegWords), ' ')}) AS sl
+         |  FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS w
+         |        FROM documents)),
+         |segs AS (SELECT doc_id, len(sl) AS n_segs,
+         |         unnest(sl, recursive := true) FROM segarr),
+         |corpus AS (SELECT DISTINCT seg FROM segs WHERE doc_id % 10 <> 0),
+         |ranked AS (
+         |  SELECT doc_id, n_segs, pos, seg,
+         |    row_number() OVER (PARTITION BY seg ORDER BY doc_id, pos) AS rn
+         |  FROM segs WHERE doc_id % 10 = 0),
+         |marked AS (
+         |  SELECT r.doc_id, r.n_segs, r.pos, r.seg,
+         |    (r.rn = 1 AND c.seg IS NULL) AS kept
+         |  FROM ranked r LEFT JOIN corpus c ON r.seg = c.seg)
+         |SELECT doc_id, CAST(any_value(n_segs) AS BIGINT) AS n_segs,
+         |  CAST(count(*) FILTER (kept) AS BIGINT) AS n_kept,
+         |  coalesce(string_agg(seg, ' ' ORDER BY pos) FILTER (kept), '')
+         |    AS cleaned_text
+         |FROM marked GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q77_dedup_clusters" -> clustersOracle,
+    "q85_dedup_clusters_star" -> clustersOracle,
+    // q175: the SAME recursive closure restricted to clusters holding a
+    // batch member — the incremental merge must reproduce it exactly
+    "q175_incremental_dedup_clusters" ->
+      s"""$clustersCtes,
+         |csize AS (SELECT cluster_id, count(*) AS cluster_size
+         |          FROM comp GROUP BY cluster_id),
+         |touched AS (SELECT DISTINCT cluster_id FROM comp
+         |            WHERE doc_id % 10 = 0)
+         |SELECT comp.doc_id, comp.cluster_id,
+         |  CAST(cluster_size AS BIGINT) AS cluster_size
+         |FROM comp JOIN csize USING (cluster_id)
+         |JOIN touched USING (cluster_id)
+         |ORDER BY doc_id""".stripMargin,
+    // q143 NESTS the cluster closure (singletons default to their own
+    // id, the q129 rule) so the histogram partitions the whole corpus
+    "q143_dup_size_histogram" ->
+      s"""$clustersCtes,
+         |allc AS (
+         |  SELECT d.doc_id, coalesce(comp.cluster_id, d.doc_id)
+         |    AS cluster_id
+         |  FROM documents d LEFT JOIN comp ON comp.doc_id = d.doc_id),
+         |famsz AS (
+         |  SELECT cluster_id, count(*) AS fam_size
+         |  FROM allc GROUP BY cluster_id)
+         |SELECT fam_size, count(*) AS n_families,
+         |  CAST(fam_size * count(*) AS BIGINT) AS n_docs
+         |FROM famsz GROUP BY fam_size ORDER BY fam_size""".stripMargin,
+    // q168 nests the same whole-corpus family partition as q143 and
+    // projects per doc instead of histogramming
+    "q168_soft_dedup_weights" ->
+      s"""$clustersCtes,
+         |allc AS (
+         |  SELECT d.doc_id, coalesce(comp.cluster_id, d.doc_id) AS fam
+         |  FROM documents d LEFT JOIN comp ON comp.doc_id = d.doc_id),
+         |famsz AS (
+         |  SELECT fam, count(*) AS n_members FROM allc GROUP BY fam)
+         |SELECT doc_id, fam, n_members,
+         |  1000000 // n_members AS weight_micro
+         |FROM allc JOIN famsz USING (fam)
+         |ORDER BY doc_id""".stripMargin,
+    "q88_cluster_survivors" ->
+      s"""$clustersCtes,
+         |labels AS (
+         |  SELECT doc_id, cluster_id,
+         |    count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+         |  FROM comp),
+         |quality AS (
+         |  SELECT doc_id,
+         |    round(least(1.0, CAST(len(w) AS DOUBLE) / 120.0) *
+         |          (CAST(len(list_distinct(w)) AS DOUBLE) / len(w)), 6)
+         |      AS quality
+         |  FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS w
+         |        FROM documents)),
+         |ranked AS (
+         |  SELECT cluster_id, doc_id, quality, cluster_size,
+         |    row_number() OVER (PARTITION BY cluster_id
+         |      ORDER BY quality DESC, doc_id) AS rn
+         |  FROM labels JOIN quality USING (doc_id))
+         |SELECT cluster_id, doc_id AS kept_id, quality, cluster_size
+         |FROM ranked WHERE rn = 1 ORDER BY kept_id""".stripMargin,
+    "q129_cluster_split" -> clusterSplitOracle,
+    // q148 NESTS the cluster closure + q88's quality CTE: top-M per
+    // family where q88 elects only M = 1
+    "q148_cluster_caps" ->
+      s"""$clustersCtes,
+         |labels AS (
+         |  SELECT doc_id, cluster_id,
+         |    count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+         |  FROM comp),
+         |quality AS (
+         |  SELECT doc_id,
+         |    round(least(1.0, CAST(len(w) AS DOUBLE) / 120.0) *
+         |          (CAST(len(list_distinct(w)) AS DOUBLE) / len(w)), 6)
+         |      AS quality
+         |  FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS w
+         |        FROM documents)),
+         |ranked AS (
+         |  SELECT cluster_id, doc_id, quality, cluster_size,
+         |    row_number() OVER (PARTITION BY cluster_id
+         |      ORDER BY quality DESC, doc_id) AS rn
+         |  FROM labels JOIN quality USING (doc_id))
+         |SELECT cluster_id, CAST(rn AS BIGINT) AS rk, doc_id, quality,
+         |  cluster_size
+         |FROM ranked WHERE rn <= $ClusterCap
+         |ORDER BY cluster_id, rk""".stripMargin,
+    // q156: the q114 window CTE split corpus/total; known = corpus-side
+    // count ≥ 2, newly = batch arrival completed the collision
+    "q156_incremental_substring_report" ->
+      s"""WITH wins AS (
+         |  SELECT doc_id, unnest(CASE WHEN len(wa) >= $DupWinWords
+         |    THEN list_transform(range(0, len(wa) - $DupWinWords + 1),
+         |      i -> array_to_string(
+         |        list_slice(wa, i + 1, i + $DupWinWords), ' '))
+         |    ELSE []::VARCHAR[] END) AS w
+         |  FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS wa
+         |        FROM documents)),
+         |cnd AS (SELECT w, count(DISTINCT doc_id) AS cnd FROM wins
+         |        WHERE doc_id % 10 <> 0 GROUP BY w),
+         |tnd AS (SELECT w, count(DISTINCT doc_id) AS tnd FROM wins
+         |        GROUP BY w),
+         |st AS (SELECT tnd.w, coalesce(cnd.cnd, 0) AS cnd, tnd
+         |       FROM tnd LEFT JOIN cnd ON tnd.w = cnd.w),
+         |per AS (
+         |  SELECT wins.doc_id, count(*) AS n_win,
+         |    sum(CASE WHEN st.cnd >= 2 THEN 1 ELSE 0 END) AS nk,
+         |    sum(CASE WHEN st.cnd < 2 AND st.tnd >= 2 THEN 1 ELSE 0 END)
+         |      AS nn
+         |  FROM wins JOIN st ON wins.w = st.w
+         |  WHERE wins.doc_id % 10 = 0
+         |  GROUP BY wins.doc_id)
+         |SELECT doc_id, CAST(coalesce(n_win, 0) AS BIGINT) AS n_win,
+         |  CAST(coalesce(nk, 0) AS BIGINT) AS n_known_dup,
+         |  CAST(coalesce(nn, 0) AS BIGINT) AS n_newly_dup,
+         |  CAST(CASE WHEN coalesce(n_win, 0) = 0 THEN 0
+         |    ELSE (coalesce(nk, 0) + coalesce(nn, 0)) * 1000000 // n_win
+         |    END AS BIGINT) AS dup_micro
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) b
+         |LEFT JOIN per USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+    // q158: distinct batch windows probed against the corpus-side
+    // distinct window set; zero-window docs are fully novel
+    "q158_novelty_report" ->
+      s"""WITH wins AS (
+         |  SELECT doc_id, unnest(CASE WHEN len(wa) >= $DupWinWords
+         |    THEN list_transform(range(0, len(wa) - $DupWinWords + 1),
+         |      i -> array_to_string(
+         |        list_slice(wa, i + 1, i + $DupWinWords), ' '))
+         |    ELSE []::VARCHAR[] END) AS w
+         |  FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS wa
+         |        FROM documents)),
+         |cw AS (SELECT DISTINCT w FROM wins WHERE doc_id % 10 <> 0),
+         |bw AS (SELECT DISTINCT doc_id, w FROM wins
+         |       WHERE doc_id % 10 = 0),
+         |per AS (
+         |  SELECT bw.doc_id, count(*) AS n_win,
+         |    sum(CASE WHEN cw.w IS NOT NULL THEN 1 ELSE 0 END) AS n_seen
+         |  FROM bw LEFT JOIN cw ON bw.w = cw.w
+         |  GROUP BY bw.doc_id)
+         |SELECT doc_id, CAST(coalesce(n_win, 0) AS BIGINT) AS n_win,
+         |  CAST(coalesce(n_seen, 0) AS BIGINT) AS n_seen,
+         |  CAST(CASE WHEN coalesce(n_win, 0) = 0 THEN 1000000
+         |    ELSE (n_win - n_seen) * 1000000 // n_win
+         |    END AS BIGINT) AS novelty_micro
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) b
+         |LEFT JOIN per USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+    "q119_substring_dup_remove" ->
+      s"""WITH wa AS (
+         |  SELECT doc_id, string_split_regex(text, '\\s+') AS w
+         |  FROM documents),
+         |wins AS (
+         |  SELECT doc_id, i AS pos,
+         |    array_to_string(list_slice(w, i + 1, i + $DupWinWords), ' ')
+         |      AS g
+         |  FROM wa, LATERAL unnest(range(0, len(w) - $DupWinWords + 1))
+         |    AS t(i)
+         |  WHERE len(w) >= $DupWinWords),
+         |dup AS (
+         |  SELECT g FROM (
+         |    SELECT g, count(DISTINCT doc_id) AS nd FROM wins GROUP BY g)
+         |  WHERE nd >= 2),
+         |cov AS (
+         |  SELECT DISTINCT doc_id, pos + j AS wp
+         |  FROM wins JOIN dup USING (g),
+         |    LATERAL unnest(range(0, $DupWinWords)) AS u(j)),
+         |wordpos AS (
+         |  SELECT doc_id, i AS wp, w[i + 1] AS word
+         |  FROM wa, LATERAL unnest(range(0, len(w))) AS t(i)),
+         |m AS (
+         |  SELECT wordpos.doc_id, wordpos.wp, word,
+         |    cov.wp IS NOT NULL AS covered
+         |  FROM wordpos LEFT JOIN cov
+         |    ON cov.doc_id = wordpos.doc_id AND cov.wp = wordpos.wp)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(count(*) FILTER (covered) AS BIGINT) AS n_removed,
+         |  coalesce(string_agg(word, ' ' ORDER BY wp) FILTER (NOT covered),
+         |    '') AS cleaned_text
+         |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // q120: q89's segment CTEs with the source riding along; the
+    // boilerplate set is the DF-thresholded (source, seg) pairs and the
+    // cut applies to EVERY occurrence (no keeper rank)
+    "q120_boilerplate_remove" ->
+      s"""WITH segarr AS (
+         |  SELECT doc_id, source, list_transform(
+         |    range(0, CAST(ceil(len(w) / ${SegWords}.0) AS INT)),
+         |    i -> {'pos': i, 'seg': array_to_string(
+         |      list_slice(w, i*$SegWords + 1, i*$SegWords + $SegWords), ' ')}) AS sl
+         |  FROM (SELECT doc_id, source, string_split_regex(text, '\\s+') AS w
+         |        FROM documents)),
+         |segs AS (SELECT doc_id, source, len(sl) AS n_segs,
+         |         unnest(sl, recursive := true) FROM segarr),
+         |bp AS (
+         |  SELECT source, seg FROM (
+         |    SELECT source, seg, count(DISTINCT doc_id) AS nd
+         |    FROM segs GROUP BY source, seg)
+         |  WHERE nd >= $BoilerplateMinDocs),
+         |marked AS (
+         |  SELECT s.doc_id, s.n_segs, s.pos, s.seg, bp.seg IS NULL AS kept
+         |  FROM segs s LEFT JOIN bp
+         |    ON s.source = bp.source AND s.seg = bp.seg)
+         |SELECT doc_id, CAST(any_value(n_segs) AS BIGINT) AS n_segs,
+         |  CAST(count(*) FILTER (kept) AS BIGINT) AS n_kept,
+         |  coalesce(string_agg(seg, ' ' ORDER BY pos) FILTER (kept), '')
+         |    AS cleaned_text
+         |FROM marked GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+
+  /** Shared CTE prefix for q77/q85/q88: the recursive-CTE transitive
+    * closure over the q64 pair graph, ending in `comp(doc_id,
+    * cluster_id)`. */
+  private[operators] def clustersCtes: String =
+    s"WITH RECURSIVE ${LLMQueries.minhashPairsCtes}," +
+      s"""pairs AS (
+         |  SELECT doc_a, doc_b FROM pairs_all
+         |  WHERE jaccard >= $ClusterThreshold),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |comp AS (
+         |  SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+         |  FROM reach GROUP BY src)""".stripMargin
+
+  /** Shared by q77 and q85: both cluster formations must agree with the
+    * same recursive-CTE transitive closure over the q64 pair graph. */
+  private[operators] def clustersOracle: String =
+    s"""$clustersCtes
+       |SELECT doc_id, cluster_id,
+       |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+       |FROM comp ORDER BY doc_id""".stripMargin
+
+  /** q129 oracle: the q77/q85 recursive closure for the cluster map,
+    * singletons defaulting to their own id, q75's threshold rule keyed
+    * by the cluster id. */
+  private[operators] def clusterSplitOracle: String =
+    s"""$clustersCtes,
+       |wc AS (
+       |  SELECT d.doc_id, coalesce(comp.cluster_id, d.doc_id) AS cluster_id
+       |  FROM documents d LEFT JOIN comp ON comp.doc_id = d.doc_id)
+       |SELECT doc_id, cluster_id,
+       |  CASE WHEN substr(md5('graft-csplit:' || cluster_id), 1, 8)
+       |         < 'cccccccc' THEN 'train'
+       |       WHEN substr(md5('graft-csplit:' || cluster_id), 1, 8)
+       |         < 'e6666666' THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM wc ORDER BY doc_id""".stripMargin
 }

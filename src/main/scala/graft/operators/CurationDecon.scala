@@ -275,4 +275,101 @@ private[operators] trait CurationDecon {
 
   def contaminationReport(spark: SparkSession, dir: String): DataFrame =
     contaminationReportDocs(docs(spark, dir))
+
+  /** Oracle SQL of the decontamination family — merged into
+    * [[CurationQueries.oracleMain]] (pure move, round 14). */
+  private[operators] def deconOracleMain: Map[String, String] = Map(
+    "q74_decontaminate" -> (s"WITH $gramsCte," +
+      """ev AS (SELECT DISTINCT g FROM grams WHERE doc_id % 10 = 0)
+        |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+        |  count(*) AS n_contaminated,
+        |  round(CAST(count(*) AS DOUBLE) / n_grams, 6)
+        |    AS contamination_ratio
+        |FROM grams JOIN ev USING (g)
+        |WHERE doc_id % 10 <> 0
+        |GROUP BY doc_id, n_grams
+        |ORDER BY doc_id""".stripMargin),
+    // q150: q74's oracle restricted to today's train batch — the
+    // per-doc check is independent, so restriction == the daily flow
+    "q150_incremental_decontaminate" -> (s"WITH $gramsCte," +
+      s"""ev AS (SELECT DISTINCT g FROM grams WHERE doc_id % 10 = 0)
+         |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+         |  count(*) AS n_contaminated,
+         |  round(CAST(count(*) AS DOUBLE) / n_grams, 6)
+         |    AS contamination_ratio
+         |FROM grams JOIN ev USING (g)
+         |WHERE doc_id % 10 <> 0 AND doc_id % $DeconBatchMod = 0
+         |GROUP BY doc_id, n_grams
+         |ORDER BY doc_id""".stripMargin),
+    // q172: the near-dup verdict across the train/eval boundary — the
+    // shared pairs_all CTEs over ALL docs, cross pairs verified at the
+    // same ClusterThreshold, rolled up per train endpoint
+    "q172_fuzzy_decontaminate" ->
+      (s"WITH ${LLMQueries.minhashPairsCtesOf("")}," +
+      s"""cross_pairs AS (
+         |  SELECT CASE WHEN doc_a % 10 <> 0 THEN doc_a ELSE doc_b END
+         |      AS tid,
+         |    CASE WHEN doc_a % 10 = 0 THEN doc_a ELSE doc_b END
+         |      AS eval_id,
+         |    jaccard
+         |  FROM pairs_all
+         |  WHERE ((doc_a % 10 = 0) <> (doc_b % 10 = 0))
+         |    AND jaccard >= $ClusterThreshold)
+         |SELECT tid AS doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_eval_matches,
+         |  CAST(min(eval_id) AS BIGINT) AS top_eval_id,
+         |  max(jaccard) AS max_jaccard
+         |FROM cross_pairs GROUP BY tid ORDER BY doc_id""".stripMargin),
+    // q173: the q172 rule on the (eval ∪ batch) universe — per-pair
+    // functions make the restriction equal the full pass on the batch
+    "q173_incremental_fuzzy_decontaminate" ->
+      (s"WITH ${LLMQueries.minhashPairsCtesOf(
+          s"WHERE doc_id % 10 = 0 OR doc_id % $DeconBatchMod = 0")}," +
+      s"""cross_pairs AS (
+         |  SELECT CASE WHEN doc_a % 10 <> 0 THEN doc_a ELSE doc_b END
+         |      AS tid,
+         |    CASE WHEN doc_a % 10 = 0 THEN doc_a ELSE doc_b END
+         |      AS eval_id,
+         |    jaccard
+         |  FROM pairs_all
+         |  WHERE ((doc_a % 10 = 0) <> (doc_b % 10 = 0))
+         |    AND jaccard >= $ClusterThreshold)
+         |SELECT tid AS doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_eval_matches,
+         |  CAST(min(eval_id) AS BIGINT) AS top_eval_id,
+         |  max(jaccard) AS max_jaccard
+         |FROM cross_pairs GROUP BY tid ORDER BY doc_id""".stripMargin),
+    "q137_contamination_report" -> (s"WITH $gramsCte," +
+      """ev AS (SELECT doc_id AS eval_id, n_grams AS n_eval_grams, g
+        |       FROM grams WHERE doc_id % 10 = 0),
+        |tr AS (SELECT doc_id, g FROM grams WHERE doc_id % 10 <> 0),
+        |hits AS (
+        |  SELECT eval_id,
+        |    CAST(count(DISTINCT tr.doc_id) AS BIGINT) AS n_train_docs,
+        |    CAST(count(DISTINCT ev.g) AS BIGINT) AS n_hit_grams
+        |  FROM ev JOIN tr USING (g) GROUP BY eval_id),
+        |evdocs AS (
+        |  SELECT doc_id AS eval_id, CAST(len(gs) AS BIGINT)
+        |    AS n_eval_grams
+        |  FROM garr WHERE doc_id % 10 = 0)
+        |SELECT eval_id, n_eval_grams,
+        |  coalesce(n_train_docs, 0) AS n_train_docs,
+        |  coalesce(n_hit_grams, 0) AS n_hit_grams,
+        |  round(CAST(coalesce(n_hit_grams, 0) AS DOUBLE) / n_eval_grams,
+        |    6) AS hit_ratio
+        |FROM evdocs LEFT JOIN hits USING (eval_id)
+        |ORDER BY eval_id""".stripMargin))
+
+  private[operators] def gramsCte =
+    """garr AS (
+      |  SELECT doc_id, list_distinct(CASE WHEN len(w) >= 5
+      |    THEN list_transform(range(1, len(w)-3),
+      |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+      |           w[i+3] || ' ' || w[i+4])
+      |    ELSE [text] END) AS gs
+      |  FROM (SELECT doc_id, text, string_split_regex(text, '\s+') AS w
+      |        FROM documents)),
+      |grams AS (SELECT doc_id, len(gs) AS n_grams, unnest(gs) AS g
+      |          FROM garr)
+      |""".stripMargin
 }

@@ -269,4 +269,100 @@ private[operators] trait CurationLm {
 
   def nllBuckets(spark: SparkSession, dir: String): DataFrame =
     nllBucketsDocs(docs(spark, dir))
+
+  /** Oracle SQL of the language-model family — merged into
+    * [[CurationQueries.oracleMain]] (pure move, round 14). */
+  private[operators] def lmOracleMain: Map[String, String] = Map(
+    "q165_kn_bigram" -> knOracle,
+    // q167: the (corpus ∪ batch) bigram-count merge covers the whole
+    // documents table and counts are additive, so the incremental
+    // answer IS the full q165 answer — one shared oracle, zero drift
+    "q167_incremental_kn" -> knOracle,
+    // q169: the q92 oracle shape with the KN model CTEs; the prob
+    // formula text is knProbSql modulo the double-literal suffix
+    "q169_kn_fluency" ->
+      s"""WITH wordsarr AS (
+         |  SELECT doc_id, string_split_regex(text, '\\s+') AS w
+         |  FROM documents),
+         |refbi AS (
+         |  SELECT w[i] AS w1, w[i+1] AS w2, count(*) AS cb
+         |  FROM wordsarr, LATERAL unnest(range(1, len(w))) AS t(i)
+         |  WHERE doc_id % 10 = 0 GROUP BY 1, 2),
+         |ctx AS (SELECT w1, CAST(sum(cb) AS BIGINT) AS cu, count(*) AS n1f
+         |        FROM refbi GROUP BY w1),
+         |fanin AS (SELECT w2, count(*) AS n1b FROM refbi GROUP BY w2),
+         |scalars AS (
+         |  SELECT (SELECT count(*) FROM refbi) AS bt,
+         |         (SELECT count(*) FROM (
+         |            SELECT DISTINCT unnest(w) FROM wordsarr
+         |            WHERE doc_id % 10 = 0)) AS v),
+         |docbi AS (
+         |  SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+         |  FROM wordsarr, LATERAL unnest(range(1, len(w))) AS t(i)
+         |  WHERE doc_id % 10 <> 0),
+         |scored AS (
+         |  SELECT doc_id,
+         |    CAST(round(-ln(${knProbSql("")}) * 1e6) AS BIGINT) AS nll
+         |  FROM docbi
+         |  LEFT JOIN refbi USING (w1, w2)
+         |  LEFT JOIN ctx USING (w1)
+         |  LEFT JOIN fanin USING (w2)
+         |  CROSS JOIN scalars)
+         |SELECT doc_id, count(*) AS n_bigrams,
+         |  CAST(sum(nll) // count(*) AS BIGINT) AS avg_nll_micro,
+         |  (CAST(sum(nll) // count(*) AS BIGINT)) <= $KnFluencyNllMicro
+         |    AS is_fluent
+         |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q92_lm_fluency" ->
+      s"""WITH wordsarr AS (
+         |  SELECT doc_id, string_split_regex(text, '\\s+') AS w
+         |  FROM documents),
+         |refbi AS (
+         |  SELECT w[i] AS w1, w[i+1] AS w2, count(*) AS cb
+         |  FROM wordsarr, LATERAL unnest(range(1, len(w))) AS t(i)
+         |  WHERE doc_id % 10 = 0 GROUP BY 1, 2),
+         |refuni AS (
+         |  SELECT w1, CAST(sum(cb) AS BIGINT) AS cu FROM refbi GROUP BY w1),
+         |vocab AS (
+         |  SELECT count(*) AS v FROM (
+         |    SELECT DISTINCT unnest(w) FROM wordsarr WHERE doc_id % 10 = 0)),
+         |docbi AS (
+         |  SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+         |  FROM wordsarr, LATERAL unnest(range(1, len(w))) AS t(i)
+         |  WHERE doc_id % 10 <> 0),
+         |scored AS (
+         |  SELECT doc_id,
+         |    CAST(round(-ln(CAST(coalesce(cb, 0) + 1 AS DOUBLE) /
+         |                   (coalesce(cu, 0) + v)) * 1e6) AS BIGINT) AS nll
+         |  FROM docbi
+         |  LEFT JOIN refbi USING (w1, w2)
+         |  LEFT JOIN refuni USING (w1)
+         |  CROSS JOIN vocab)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |  CAST(sum(nll) // count(*) AS BIGINT) AS avg_nll_micro,
+         |  (CAST(sum(nll) // count(*) AS BIGINT)) <= $FluencyNllMicro
+         |    AS is_fluent
+         |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+
+  /** Shared by q165 (full pass) and q167 (incremental merge): bigram
+    * counts are additive over disjoint doc sets, so both must produce
+    * exactly this answer. Formula text matches [[KnScoreSql]]. */
+  private[operators] def knOracle: String =
+    s"""WITH wordsarr AS (
+       |  SELECT doc_id, string_split_regex(text, '\\s+') AS w
+       |  FROM documents),
+       |bi AS (
+       |  SELECT w[i] AS w1, w[i+1] AS w2, count(*) AS cb
+       |  FROM wordsarr, LATERAL unnest(range(1, len(w))) AS t(i)
+       |  GROUP BY 1, 2),
+       |ctx AS (SELECT w1, CAST(sum(cb) AS BIGINT) AS cu, count(*) AS n1f
+       |        FROM bi GROUP BY w1),
+       |fanin AS (SELECT w2, count(*) AS n1b FROM bi GROUP BY w2),
+       |types AS (SELECT count(*) AS bt FROM bi)
+       |SELECT w1, w2, cb, cu, n1f, n1b,
+       |  CAST(round((greatest(cb - $KnDiscount, 0.0) / cu
+       |    + $KnDiscount * n1f / cu * n1b / bt) * 1e6) AS BIGINT)
+       |    AS pkn_micro
+       |FROM bi JOIN ctx USING (w1) JOIN fanin USING (w2) CROSS JOIN types
+       |ORDER BY cb DESC, w1, w2 LIMIT $KnTopBigrams""".stripMargin
 }

@@ -436,4 +436,198 @@ private[operators] trait CurationReports {
 
   def snapshotDedupTrend(spark: SparkSession, dir: String): DataFrame =
     snapshotDedupTrendDocs(docs(spark, dir))
+
+  /** Oracle SQL of the report family — merged into
+    * [[CurationQueries.oracleMain]] (pure move, round 14). */
+  private[operators] def reportsOracleMain: Map[String, String] = Map(
+    // q151 NESTS the q60 keep-min and q74 flag fragments (the q115
+    // composition rule): funnel and stages cannot drift apart
+    "q151_release_funnel" -> (s"WITH $gramsCte," +
+      """tr AS (
+        |  SELECT doc_id, source, sha256(text) AS hh,
+        |    CAST(len(string_split_regex(text, '\s+')) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents WHERE doc_id % 10 <> 0),
+        |keep AS (SELECT min(doc_id) AS doc_id FROM tr GROUP BY hh),
+        |evg AS (SELECT DISTINCT g FROM grams WHERE doc_id % 10 = 0),
+        |flagged AS (
+        |  SELECT DISTINCT grams.doc_id FROM grams JOIN evg USING (g)
+        |  WHERE grams.doc_id % 10 <> 0),
+        |stages AS (
+        |  SELECT source, n_tokens, 0 AS st FROM tr
+        |  UNION ALL
+        |  SELECT source, n_tokens, 1 FROM tr
+        |  WHERE doc_id IN (SELECT doc_id FROM keep)
+        |  UNION ALL
+        |  SELECT source, n_tokens, 2 FROM tr
+        |  WHERE doc_id IN (SELECT doc_id FROM keep)
+        |    AND doc_id NOT IN (SELECT doc_id FROM flagged))
+        |SELECT source,
+        |  count(*) FILTER (st = 0) AS n_docs,
+        |  count(*) FILTER (st = 1) AS n_after_dedup,
+        |  count(*) FILTER (st = 2) AS n_final,
+        |  CAST(coalesce(sum(n_tokens) FILTER (st = 2), 0) AS BIGINT)
+        |    AS tokens_final
+        |FROM stages GROUP BY source ORDER BY source""".stripMargin),
+    "q138_source_report" ->
+      """WITH h AS (
+        |  SELECT doc_id, source, n_chars, sha256(text) AS hh,
+        |    CAST(len(string_split_regex(text, '\s+')) AS BIGINT)
+        |      AS n_tokens,
+        |    CAST(round(
+        |      round(least(1.0, CAST(len(string_split_regex(text, '\s+'))
+        |              AS DOUBLE) / 120.0) *
+        |            (CAST(len(list_distinct(string_split_regex(text,
+        |              '\s+'))) AS DOUBLE) /
+        |             len(string_split_regex(text, '\s+'))), 6)
+        |      * 1e6) AS BIGINT) AS qmicro
+        |  FROM documents),
+        |fam AS (SELECT hh, count(*) AS fam FROM h GROUP BY hh)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+        |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |  count(CASE WHEN fam >= 2 THEN 1 END) AS n_dup_docs,
+        |  CAST(sum(qmicro) // count(*) AS BIGINT) AS mean_quality_micro
+        |FROM h JOIN fam USING (hh)
+        |GROUP BY source ORDER BY source""".stripMargin,
+    "q132_snapshot_diff" ->
+      """WITH olds AS (
+        |  SELECT doc_id,
+        |    md5(CASE WHEN doc_id % 13 = 0 THEN text || ' v0'
+        |             ELSE text END) AS old_hash
+        |  FROM documents WHERE doc_id % 11 <> 0),
+        |news AS (
+        |  SELECT doc_id, md5(text) AS new_hash
+        |  FROM documents WHERE doc_id % 17 <> 0)
+        |SELECT doc_id,
+        |  CASE WHEN old_hash IS NULL THEN 'added'
+        |       WHEN new_hash IS NULL THEN 'removed'
+        |       WHEN old_hash <> new_hash THEN 'changed'
+        |       ELSE 'unchanged' END AS status,
+        |  old_hash, new_hash
+        |FROM olds FULL OUTER JOIN news USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    "q142_snapshot_drift" ->
+      """WITH olds AS (
+        |  SELECT source, least(9, CAST(len(string_split_regex(
+        |      CASE WHEN doc_id % 13 = 0 THEN text || ' v0' ELSE text END,
+        |      '\s+')) AS BIGINT) // 32) AS bucket
+        |  FROM documents WHERE doc_id % 11 <> 0),
+        |news AS (
+        |  SELECT source, least(9, CAST(len(string_split_regex(text,
+        |      '\s+')) AS BIGINT) // 32) AS bucket
+        |  FROM documents WHERE doc_id % 17 <> 0),
+        |hist AS (
+        |  SELECT source, bucket, CAST(sum(c_old) AS BIGINT) AS c_old,
+        |    CAST(sum(c_new) AS BIGINT) AS c_new
+        |  FROM (
+        |    SELECT source, bucket, 1 AS c_old, 0 AS c_new FROM olds
+        |    UNION ALL
+        |    SELECT source, bucket, 0, 1 FROM news)
+        |  GROUP BY source, bucket),
+        |tot AS (
+        |  SELECT source, CAST(sum(c_old) AS BIGINT) AS n_old,
+        |    CAST(sum(c_new) AS BIGINT) AS n_new
+        |  FROM hist GROUP BY source)
+        |SELECT source, n_old, n_new,
+        |  CAST(sum(abs(c_old * 1000000 // greatest(n_old, 1)
+        |             - c_new * 1000000 // greatest(n_new, 1))) // 2
+        |    AS BIGINT) AS tv_micro
+        |FROM hist JOIN tot USING (source)
+        |GROUP BY source, n_old, n_new ORDER BY source""".stripMargin,
+    "q147_source_overlap" ->
+      s"""WITH segarr AS (
+         |  SELECT source, list_transform(
+         |    range(0, CAST(ceil(len(w) / ${SegWords}.0) AS INT)),
+         |    i -> array_to_string(
+         |      list_slice(w, i*$SegWords + 1, i*$SegWords + $SegWords), ' '))
+         |    AS sl
+         |  FROM (SELECT source, string_split_regex(text, '\\s+') AS w
+         |        FROM documents)),
+         |segs AS (SELECT DISTINCT source, md5(unnest(sl)) AS sh
+         |         FROM segarr),
+         |vol AS (SELECT source, count(*) AS n_segs FROM segs
+         |        GROUP BY source),
+         |p AS (SELECT a.source AS src_a, b.source AS src_b,
+         |        count(*) AS n_shared
+         |      FROM segs a JOIN segs b
+         |        ON a.sh = b.sh AND a.source < b.source
+         |      GROUP BY 1, 2)
+         |SELECT src_a, src_b, n_shared, va.n_segs AS segs_a,
+         |  vb.n_segs AS segs_b,
+         |  CAST(n_shared * 1000000 // least(va.n_segs, vb.n_segs)
+         |    AS BIGINT) AS overlap_micro
+         |FROM p JOIN vol va ON va.source = p.src_a
+         |       JOIN vol vb ON vb.source = p.src_b
+         |ORDER BY src_a, src_b""".stripMargin,
+    // q154: both snapshots' dup rates from the q132 fixtures; FULL
+    // JOIN + coalesce so a source absent from one side still reports
+    "q154_snapshot_dedup_trend" ->
+      """WITH olds AS (
+        |  SELECT source,
+        |    md5(CASE WHEN doc_id % 13 = 0 THEN text || ' v0'
+        |             ELSE text END) AS hh
+        |  FROM documents WHERE doc_id % 11 <> 0),
+        |news AS (
+        |  SELECT source, md5(text) AS hh
+        |  FROM documents WHERE doc_id % 17 <> 0
+        |  UNION ALL
+        |  SELECT source, md5(text) AS hh
+        |  FROM documents WHERE doc_id % 19 = 0),
+        |so AS (
+        |  SELECT source, count(*) AS n,
+        |    count(*) FILTER (fam >= 2) AS dups
+        |  FROM (SELECT source, count(*) OVER (PARTITION BY hh) AS fam
+        |        FROM olds)
+        |  GROUP BY source),
+        |sn AS (
+        |  SELECT source, count(*) AS n,
+        |    count(*) FILTER (fam >= 2) AS dups
+        |  FROM (SELECT source, count(*) OVER (PARTITION BY hh) AS fam
+        |        FROM news)
+        |  GROUP BY source)
+        |SELECT source,
+        |  coalesce(so.n, 0) AS n_old,
+        |  CAST(coalesce(so.dups, 0) * 1000000
+        |    // greatest(coalesce(so.n, 0), 1) AS BIGINT)
+        |    AS dup_old_micro,
+        |  coalesce(sn.n, 0) AS n_new,
+        |  CAST(coalesce(sn.dups, 0) * 1000000
+        |    // greatest(coalesce(sn.n, 0), 1) AS BIGINT)
+        |    AS dup_new_micro,
+        |  CAST(coalesce(sn.dups, 0) * 1000000
+        |    // greatest(coalesce(sn.n, 0), 1)
+        |    - coalesce(so.dups, 0) * 1000000
+        |    // greatest(coalesce(so.n, 0), 1) AS BIGINT) AS delta_micro
+        |FROM so FULL OUTER JOIN sn USING (source)
+        |ORDER BY source""".stripMargin,
+    // q155: the q145 rank rule on both snapshot universes, overlap by
+    // conditional aggregation; stable fraction over the fixed K
+    "q155_eval_sample_churn" ->
+      s"""WITH o AS (
+         |  SELECT lang, doc_id FROM (
+         |    SELECT lang, doc_id, row_number() OVER (PARTITION BY lang
+         |      ORDER BY md5('graft-eval:' || doc_id), doc_id) AS rk
+         |    FROM documents WHERE doc_id % 11 <> 0)
+         |  WHERE rk <= $EvalSampleK),
+         |n AS (
+         |  SELECT lang, doc_id FROM (
+         |    SELECT lang, doc_id, row_number() OVER (PARTITION BY lang
+         |      ORDER BY md5('graft-eval:' || doc_id), doc_id) AS rk
+         |    FROM documents WHERE doc_id % 17 <> 0)
+         |  WHERE rk <= $EvalSampleK),
+         |m AS (
+         |  SELECT lang, doc_id, max(in_old) AS in_old, max(in_new) AS in_new
+         |  FROM (
+         |    SELECT lang, doc_id, 1 AS in_old, 0 AS in_new FROM o
+         |    UNION ALL
+         |    SELECT lang, doc_id, 0, 1 FROM n)
+         |  GROUP BY lang, doc_id)
+         |SELECT lang,
+         |  CAST(sum(in_old * in_new) AS BIGINT) AS n_stable,
+         |  CAST(sum(in_new * (1 - in_old)) AS BIGINT) AS n_added,
+         |  CAST(sum(in_old * (1 - in_new)) AS BIGINT) AS n_dropped,
+         |  CAST(sum(in_old * in_new) * 1000000 // $EvalSampleK AS BIGINT)
+         |    AS stable_micro
+         |FROM m GROUP BY lang ORDER BY lang""".stripMargin)
 }

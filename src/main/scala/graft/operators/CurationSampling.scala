@@ -541,4 +541,227 @@ private[operators] trait CurationSampling {
   def incrementalPpsSample(corpusPrio: DataFrame,
       newDocs: DataFrame): DataFrame =
     ppsFinish(corpusPrio.unionByName(ppsPriorityTable(newDocs)))
+
+  /** Oracle SQL of the sampling/packing/mixture family — merged into
+    * [[CurationQueries.oracleMain]] (pure move, round 14). */
+  private[operators] def samplingOracleMain: Map[String, String] = Map(
+    // q153: q76's exact shard/chunk constants — the report covers the
+    // REAL packing layout; ceil in exact integers ((n + k-1) // k)
+    "q153_packing_efficiency" ->
+      s"""WITH pershard AS (
+         |  SELECT lang, doc_id // $PackShardDocs AS shard,
+         |    CAST(sum(len(string_split_regex(text, '\\s+'))) AS BIGINT)
+         |      AS stok
+         |  FROM documents GROUP BY lang, shard),
+         |ch AS (SELECT lang, stok,
+         |         (stok + ${PackTokens - 1}) // $PackTokens AS chunks
+         |       FROM pershard)
+         |SELECT lang, count(*) AS n_shards,
+         |  CAST(sum(stok) AS BIGINT) AS n_tokens,
+         |  CAST(sum(chunks) AS BIGINT) AS n_chunks,
+         |  CAST(sum(chunks) * $PackTokens - sum(stok) AS BIGINT)
+         |    AS pad_tokens,
+         |  CAST(sum(stok) * 1000000 // (sum(chunks) * $PackTokens)
+         |    AS BIGINT) AS fill_micro
+         |FROM ch GROUP BY lang ORDER BY lang""".stripMargin,
+    "q75_hash_split" -> {
+      val rateCase = SampleRates.map { case (lang, hex) =>
+        s"WHEN lang = '$lang' THEN '$hex'"
+      }.mkString("CASE ", " ", s" ELSE '$DefaultRate' END")
+      s"""WITH kept AS (
+         |  SELECT lang,
+         |    CASE WHEN substr(md5('graft-split:' || CAST(doc_id AS VARCHAR)), 1, 8)
+         |           < 'cccccccc' THEN 'train'
+         |         WHEN substr(md5('graft-split:' || CAST(doc_id AS VARCHAR)), 1, 8)
+         |           < 'e6666666' THEN 'val'
+         |         ELSE 'test' END AS split,
+         |    len(string_split_regex(text, '\\s+')) AS n_tokens
+         |  FROM documents
+         |  WHERE substr(md5('graft-sample:' || CAST(doc_id AS VARCHAR)), 1, 8)
+         |        < $rateCase)
+         |SELECT lang, split, count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+         |FROM kept GROUP BY lang, split ORDER BY lang, split""".stripMargin
+    },
+    // q107: the oracle IS the direct one-window rank — the engine's
+    // two-level (source, shard) formulation must be indistinguishable.
+    "q107_source_caps" ->
+      s"""WITH q AS (
+         |  SELECT doc_id, source,
+         |    round(least(1.0, CAST(len(w) AS DOUBLE) / 120.0) *
+         |          (CAST(len(list_distinct(w)) AS DOUBLE) / len(w)), 6)
+         |      AS quality
+         |  FROM (SELECT doc_id, source,
+         |          string_split_regex(text, '\\s+') AS w FROM documents))
+         |SELECT source, CAST(rk AS BIGINT) AS rk, doc_id, quality FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY source
+         |    ORDER BY quality DESC, doc_id) AS rk
+         |  FROM q)
+         |WHERE rk <= $SourceCap ORDER BY source, rk""".stripMargin,
+    "q90_source_mixture" ->
+      s"""WITH rep AS (
+         |  SELECT doc_id, source,
+         |    CAST(floor(0.5 + ((CASE WHEN regexp_extract(source, '(\\d+)', 1) = ''
+         |        THEN 0 ELSE CAST(regexp_extract(source, '(\\d+)', 1) AS INT)
+         |        END) % 3))
+         |      AS INT) +
+         |    CASE WHEN substr(md5('$MixSalt' || CAST(doc_id AS VARCHAR)), 1, 8)
+         |           < '80000000' THEN 1 ELSE 0 END AS n_rep
+         |  FROM documents)
+         |SELECT doc_id, source, CAST(unnest(range(1, n_rep + 1)) AS BIGINT)
+         |  AS copy_id
+         |FROM rep ORDER BY doc_id, copy_id""".stripMargin,
+    "q131_shard_manifest" ->
+      s"""WITH k AS (
+         |  SELECT doc_id, md5('graft-epoch0:' || doc_id) AS h
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST((strpos('0123456789abcdef', substr(h, 1, 1)) - 1)
+         |    // ${16 / EpochShards} AS BIGINT) AS shard_id,
+         |  CAST(row_number() OVER (
+         |    PARTITION BY (strpos('0123456789abcdef', substr(h, 1, 1)) - 1)
+         |      // ${16 / EpochShards}
+         |    ORDER BY h, doc_id) - 1 AS BIGINT) AS pos
+         |FROM k ORDER BY shard_id, pos""".stripMargin,
+    "q141_mixture_recipe" ->
+      s"""WITH s AS (
+         |  SELECT source, count(*) AS n_docs,
+         |    CAST(sum(len(string_split_regex(text, '\\s+'))) AS BIGINT)
+         |      AS n_tokens
+         |  FROM documents GROUP BY source),
+         |w AS (
+         |  SELECT *, CAST(round(sqrt(CAST(n_tokens AS DOUBLE)) * 1e6)
+         |    AS BIGINT) AS weight_micro FROM s),
+         |t AS (SELECT CAST(sum(weight_micro) AS BIGINT) AS w_tot FROM w)
+         |SELECT source, n_docs, n_tokens, weight_micro,
+         |  CAST(weight_micro * 1000000 // w_tot AS BIGINT) AS share_micro,
+         |  CAST($RecipeTokenBudget * weight_micro // w_tot AS BIGINT)
+         |    AS target_tokens,
+         |  CAST(($RecipeTokenBudget * weight_micro // w_tot) * 1000000
+         |    // n_tokens AS BIGINT) AS repeat_micro
+         |FROM w, t ORDER BY source""".stripMargin,
+    // q146: the oracle runs the DIRECT per-source running-sum window —
+    // the Spark side's block-partitioned prefix sum is provably the
+    // same order (div is monotone in the sort key)
+    "q146_budget_select" ->
+      """WITH s AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split_regex(text, '\s+')) AS BIGINT)
+        |      AS n_tokens,
+        |    CAST(round(round(least(1.0,
+        |        CAST(len(string_split_regex(text, '\s+')) AS DOUBLE)
+        |          / 120.0) *
+        |      (CAST(len(list_distinct(string_split_regex(text, '\s+')))
+        |          AS DOUBLE) / len(string_split_regex(text, '\s+'))), 6)
+        |      * 1e6) AS BIGINT) AS qmicro
+        |  FROM documents),
+        |agg AS (SELECT source, CAST(sum(n_tokens) AS BIGINT)
+        |          AS src_tokens FROM s GROUP BY source),
+        |w AS (SELECT source, src_tokens,
+        |        CAST(round(sqrt(CAST(src_tokens AS DOUBLE)) * 1e6)
+        |          AS BIGINT) AS wm FROM agg),
+        |t AS (SELECT CAST(sum(wm) AS BIGINT) AS w_tot,
+        |        CAST(sum(src_tokens) AS BIGINT) AS tok_tot FROM w),
+        |tgt AS (SELECT source,
+        |          CAST((tok_tot // 2) * (wm * 1000000 // w_tot)
+        |            // 1000000 AS BIGINT) AS target_tokens
+        |        FROM w, t),
+        |r AS (SELECT doc_id, source, n_tokens,
+        |        coalesce(CAST(sum(n_tokens) OVER (PARTITION BY source
+        |          ORDER BY qmicro DESC, doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |          AS BIGINT), 0) AS bfr
+        |      FROM s)
+        |SELECT source, count(*) AS n_kept,
+        |  CAST(sum(n_tokens) AS BIGINT) AS tokens_kept, target_tokens,
+        |  CAST(sum(n_tokens) * 1000000 // greatest(target_tokens, 1)
+        |    AS BIGINT) AS fill_micro
+        |FROM r JOIN tgt USING (source)
+        |WHERE bfr < target_tokens
+        |GROUP BY source, target_tokens ORDER BY source""".stripMargin,
+    // q161: the hex32 fragment is the SAME text Spark parses; u is an
+    // exact dyadic rational and the priority one IEEE division, so both
+    // engines rank the identical top-(K+1) set.
+    "q161_pps_sample" ->
+      s"""WITH w AS (
+         |  SELECT doc_id,
+         |    CAST(len(string_split_regex(text, '\\s+')) AS BIGINT)
+         |      AS n_tokens,
+         |    md5('graft-pps:' || CAST(doc_id AS VARCHAR)) AS h
+         |  FROM documents),
+         |p AS (
+         |  SELECT doc_id, n_tokens,
+         |    CAST(n_tokens AS DOUBLE) * 4294967296.0 /
+         |      CAST(($ppsHex32) + 1 AS DOUBLE) AS prio
+         |  FROM w),
+         |top AS (SELECT * FROM p ORDER BY prio DESC, doc_id
+         |        LIMIT ${PpsK + 1}),
+         |tau AS (SELECT doc_id AS tid, prio AS t FROM top
+         |        ORDER BY prio ASC, doc_id DESC LIMIT 1)
+         |SELECT top.doc_id, top.n_tokens,
+         |  round(greatest(CAST(top.n_tokens AS DOUBLE), tau.t), 6)
+         |    AS est_tokens
+         |FROM top, tau WHERE top.doc_id <> tau.tid
+         |ORDER BY top.doc_id""".stripMargin,
+    // q145: the oracle ranks directly per language — the Spark side's
+    // two-level shard rank is provably the same selection
+    "q145_eval_sample" ->
+      s"""SELECT lang, rk, doc_id FROM (
+         |  SELECT lang, doc_id, row_number() OVER (PARTITION BY lang
+         |    ORDER BY md5('graft-eval:' || doc_id), doc_id) AS rk
+         |  FROM documents)
+         |WHERE rk <= $EvalSampleK ORDER BY lang, rk""".stripMargin,
+    "q116_dsir_importance" -> {
+      def hexAt(i: Int) =
+        s"(instr('0123456789abcdef', substring(h, $i, 1)) - 1)"
+      s"""WITH wordsarr AS (
+         |  SELECT doc_id, w FROM (
+         |    SELECT doc_id, string_split_regex(text, '\\s+') AS w
+         |    FROM documents) WHERE len(w) >= 2),
+         |feats0 AS (
+         |  SELECT doc_id, md5('$DsirSalt' || w[i] || ' ' || w[i+1]) AS h
+         |  FROM wordsarr, LATERAL unnest(range(1, len(w))) AS t(i)),
+         |feats AS (
+         |  SELECT doc_id,
+         |    ${hexAt(1)} * 256 + ${hexAt(2)} * 16 + ${hexAt(3)} AS b
+         |  FROM feats0),
+         |counts AS (
+         |  SELECT b,
+         |    sum(CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END) AS ct,
+         |    sum(CASE WHEN doc_id % 10 <> 0 THEN 1 ELSE 0 END) AS cr
+         |  FROM feats GROUP BY b),
+         |tot AS (SELECT sum(ct) AS nt, sum(cr) AS nr FROM counts),
+         |lr AS (
+         |  SELECT b,
+         |    CAST(round((ln(CAST(ct + 1 AS DOUBLE) / (nt + $DsirBuckets))
+         |      - ln(CAST(cr + 1 AS DOUBLE) / (nr + $DsirBuckets))) * 1e6)
+         |      AS BIGINT) AS lr
+         |  FROM counts, tot),
+         |scored AS (
+         |  SELECT doc_id, count(*) AS n_bigrams, sum(lr) AS weight_micro
+         |  FROM feats JOIN lr USING (b)
+         |  WHERE doc_id % 10 <> 0
+         |  GROUP BY doc_id)
+         |SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+         |  CAST(weight_micro AS BIGINT) AS weight_micro,
+         |  round(CAST(weight_micro AS DOUBLE) / n_bigrams, 6) AS avg_weight,
+         |  weight_micro >= 0 AS selected
+         |FROM scored ORDER BY doc_id""".stripMargin
+    },
+    "q76_pack_sequences" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, lang, doc_id // $PackShardDocs AS shard,
+         |    CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |cums AS (
+         |  SELECT doc_id, lang, shard, n_tokens,
+         |    sum(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM toks)
+         |SELECT doc_id, lang, CAST(shard AS BIGINT) AS shard, n_tokens,
+         |  CAST(shard * 4294967296 + (cum - n_tokens) // $PackTokens AS BIGINT)
+         |    AS seq_start,
+         |  CAST(shard * 4294967296 + (cum - 1) // $PackTokens AS BIGINT)
+         |    AS seq_end
+         |FROM cums ORDER BY doc_id""".stripMargin)
 }

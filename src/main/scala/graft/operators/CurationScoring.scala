@@ -291,4 +291,147 @@ private[operators] trait CurationScoring {
 
   def qualityCalibration(spark: SparkSession, dir: String): DataFrame =
     qualityCalibrationDocs(docs(spark, dir))
+
+  /** Oracle SQL of the scoring/classifier family — merged into
+    * [[CurationQueries.oracleMain]] (pure move, round 14). */
+  private[operators] def scoringOracleMain: Map[String, String] = Map(
+    "q78_repetition_stats" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS w
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    len(w) AS n_words,
+        |    len(list_distinct(w)) AS n_distinct,
+        |    list_max(list_transform(list_distinct(w),
+        |      d -> len(list_filter(w, x -> x = d)))) AS top_freq,
+        |    CASE WHEN len(w) >= 2 THEN len(w) - 1 ELSE 0 END AS n_bi,
+        |    CASE WHEN len(w) >= 2 THEN
+        |      len(list_distinct(list_transform(range(1, len(w)),
+        |        i -> w[i] || ' ' || w[i+1])))
+        |    ELSE 0 END AS n_bi_distinct
+        |  FROM w),
+        |r AS (
+        |  SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+        |    round(CAST(n_distinct AS DOUBLE) / n_words, 6)
+        |      AS type_token_ratio,
+        |    round(CAST(top_freq AS DOUBLE) / n_words, 6)
+        |      AS top_word_ratio,
+        |    CASE WHEN n_bi > 0 THEN
+        |      round(1 - CAST(n_bi_distinct AS DOUBLE) / n_bi, 6)
+        |    ELSE 0.0 END AS dup_bigram_ratio
+        |  FROM m)
+        |SELECT doc_id, n_words, type_token_ratio, top_word_ratio,
+        |  dup_bigram_ratio,
+        |  CASE WHEN top_word_ratio > 0.2 OR dup_bigram_ratio > 0.4
+        |    THEN 'repetitive' ELSE 'ok' END AS quality_flag
+        |FROM r ORDER BY doc_id""".stripMargin,
+    "q79_pii_scrub" ->
+      s"""WITH seeded AS (
+         |  SELECT doc_id, text ||
+         |    CASE WHEN doc_id % 7 = 0 THEN
+         |      ' contact user' || CAST(doc_id AS VARCHAR) ||
+         |      '@example.com now' ELSE '' END ||
+         |    CASE WHEN doc_id % 11 = 0 THEN
+         |      ' call 555-' ||
+         |      lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' ||
+         |      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         |    ELSE '' END AS text
+         |  FROM documents),
+         |scanned AS (
+         |  SELECT doc_id,
+         |    len(regexp_extract_all(text, '$EmailRe')) AS n_emails,
+         |    len(regexp_extract_all(text, '$PhoneRe')) AS n_phones,
+         |    regexp_replace(regexp_replace(text, '$EmailRe', '<EMAIL>', 'g'),
+         |      '$PhoneRe', '<PHONE>', 'g') AS redacted
+         |  FROM seeded)
+         |SELECT doc_id, CAST(n_emails AS BIGINT) AS n_emails,
+         |  CAST(n_phones AS BIGINT) AS n_phones,
+         |  CAST(length(redacted) AS BIGINT) AS redacted_chars,
+         |  CAST(len(regexp_extract_all(redacted, '$EmailRe')) +
+         |       len(regexp_extract_all(redacted, '$PhoneRe')) AS BIGINT)
+         |    AS residual_pii
+         |FROM scanned WHERE n_emails + n_phones > 0
+         |ORDER BY doc_id""".stripMargin,
+    "q84_quality_classifier" -> {
+      def hexAt(i: Int) =
+        s"(instr('0123456789abcdef', substring(md5('graft-w:' || t), $i, 1)) - 1)"
+      s"""WITH w AS (
+         |  SELECT doc_id, lang, string_split_regex(text, '\\s+') AS w
+         |  FROM documents),
+         |s AS (
+         |  SELECT doc_id, lang, len(w) AS n_tokens,
+         |    CAST(list_sum(list_transform(w, t ->
+         |      ${hexAt(1)} * 256 + ${hexAt(2)} * 16 + ${hexAt(3)} - 2048))
+         |      AS BIGINT) AS score
+         |  FROM w),
+         |r AS (
+         |  SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens, score,
+         |    round(CAST(score AS DOUBLE) / (n_tokens * 2048.0), 6)
+         |      AS mean_weight
+         |  FROM s)
+         |SELECT doc_id, lang, n_tokens, score, mean_weight,
+         |  CASE WHEN mean_weight >= $QualityThreshold THEN 'keep'
+         |       ELSE 'drop' END AS decision
+         |FROM r ORDER BY doc_id""".stripMargin
+    },
+    // q171: the q84 scoring CTEs under the independent toxicity salt,
+    // thresholded on the HIGH tail (safety flags outliers, quality
+    // drops the bottom half)
+    "q171_toxicity_classifier" -> {
+      def hexAt(i: Int) =
+        s"(instr('0123456789abcdef', substring(md5('$ToxSalt' || t), $i, 1)) - 1)"
+      s"""WITH w AS (
+         |  SELECT doc_id, lang, string_split_regex(text, '\\s+') AS w
+         |  FROM documents),
+         |s AS (
+         |  SELECT doc_id, lang, len(w) AS n_tokens,
+         |    CAST(list_sum(list_transform(w, t ->
+         |      ${hexAt(1)} * 256 + ${hexAt(2)} * 16 + ${hexAt(3)} - 2048))
+         |      AS BIGINT) AS score
+         |  FROM w),
+         |r AS (
+         |  SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens, score,
+         |    round(CAST(score AS DOUBLE) / (n_tokens * 2048.0), 6)
+         |      AS mean_weight
+         |  FROM s)
+         |SELECT doc_id, lang, n_tokens, score, mean_weight,
+         |  CASE WHEN mean_weight >= $ToxicityThreshold THEN 'toxic'
+         |       ELSE 'clean' END AS decision
+         |FROM r ORDER BY doc_id""".stripMargin
+    },
+    // q122: the q84 scoring CTEs with source riding along; the cutoff
+    // is quantile_cont at the same (n-1)p rule as Spark percentile
+    // (q35 precedent), rounded 6 dp BEFORE the pass comparison so both
+    // engines count identical survivors
+    "q122_quality_calibration" -> {
+      def hexAt(i: Int) =
+        s"(instr('0123456789abcdef', substring(md5('graft-w:' || t), $i, 1)) - 1)"
+      s"""WITH w AS (
+         |  SELECT doc_id, source, string_split_regex(text, '\\s+') AS w
+         |  FROM documents),
+         |s AS (
+         |  SELECT doc_id, source, len(w) AS n_tokens,
+         |    CAST(list_sum(list_transform(w, t ->
+         |      ${hexAt(1)} * 256 + ${hexAt(2)} * 16 + ${hexAt(3)} - 2048))
+         |      AS BIGINT) AS score
+         |  FROM w),
+         |r AS (
+         |  SELECT doc_id, source,
+         |    round(CAST(score AS DOUBLE) / (n_tokens * 2048.0), 6)
+         |      AS mean_weight
+         |  FROM s),
+         |cut AS (
+         |  SELECT source, count(*) AS n_docs,
+         |    round(quantile_cont(mean_weight, $CalibPct), 6) AS cutoff
+         |  FROM r GROUP BY source)
+         |SELECT r.source, CAST(any_value(n_docs) AS BIGINT) AS n_docs,
+         |  any_value(cutoff) AS cutoff,
+         |  CAST(count(*) FILTER (mean_weight >= cutoff) AS BIGINT)
+         |    AS n_pass,
+         |  CAST(count(*) FILTER (mean_weight >= cutoff) * 1000000 //
+         |    any_value(n_docs) AS BIGINT) AS pass_micro
+         |FROM r JOIN cut USING (source)
+         |GROUP BY r.source ORDER BY r.source""".stripMargin
+    })
 }

@@ -209,12 +209,27 @@ object DailyIngest {
     * clusters while its exact/near gates see day N's batch. Returns
     * the summary (step, n_docs). */
   def runVectors(spark: SparkSession, indexDir: String, dataDir: String,
-      outDir: String, ts: String = "1970-01-01T00:00:00Z"): DataFrame = {
+      outDir: String, ts: String = "1970-01-01T00:00:00Z"): DataFrame =
+    runVectorsFrom(spark, indexDir,
+      IndexStore.vecSplit(spark, dataDir)._2,
+      outDir, s"$outDir/index_next", ts)
+
+  /** The vector day's core given the BATCH frame — shared by
+    * [[runVectors]] (nightly, batch from the daily universe split) and
+    * [[graft.streaming.StreamingOps.continuousVectorIngest]] (per
+    * micro-batch, batch from arriving rows), so the two cadences gate,
+    * elect, and compact identically. `nextDir` receives the complete
+    * next vector-index snapshot. The batch is checkpointed ONCE and
+    * feeds the three gates AND both compactors (the ADVICE r13 asset
+    * rule — the lake is never re-scanned by compaction). */
+  def runVectorsFrom(spark: SparkSession, indexDir: String,
+      batch0: DataFrame, outDir: String, nextDir: String,
+      ts: String): DataFrame = {
     val v = VectorQueries
     def idx(name: String): DataFrame =
       spark.read.parquet(s"$indexDir/$name.parquet")
-    val batch = IndexStore.vecSplit(spark, dataDir)._2
-      .localCheckpoint(eager = false) // 3 gates + universe + kept join
+    val batch = batch0
+      .localCheckpoint(eager = false) // 3 gates + kept join + compactors
     val disposition = v.vectorDispositionOf(batch,
       v.incrementalVectorExactDedup(idx("vec_hash"), batch),
       v.incrementalVectorNearDupsCanonical(idx("vec_fams"),
@@ -230,16 +245,14 @@ object DailyIngest {
     disposition.orderBy(col("vec_id")).write.mode("overwrite")
       .parquet(s"$outDir/vector_disposition.parquet")
     // next-snapshot vector indexes: the compactable families merge the
-    // batch (IndexStore compactors, spec-pinned == rebuild); the
-    // rebuild-class sem_* tables carry through unchanged (the
-    // eval_grams convention)
-    IndexStore.compactVecExact(spark, indexDir, dataDir,
-      s"$outDir/index_next")
-    IndexStore.compactVecNearDup(spark, indexDir, dataDir,
-      s"$outDir/index_next")
+    // batch (IndexStore compactors, spec-pinned == rebuild) off the
+    // already-checkpointed frame; the rebuild-class sem_* tables carry
+    // through unchanged (the eval_grams convention)
+    IndexStore.compactVecExactFrom(spark, indexDir, batch, nextDir)
+    IndexStore.compactVecNearDupFrom(spark, indexDir, batch, nextDir)
     Seq("sem_fams", "sem_vecc", "sem_bandsc", "sem_ccc", "sem_statsc")
       .foreach(n => idx(n).write.mode("overwrite")
-        .parquet(s"$outDir/index_next/$n.parquet"))
+        .parquet(s"$nextDir/$n.parquet"))
     val summary = disposition.groupBy(col("disposition").as("step"))
       .agg(count(lit(1)).as("n_docs"))
       .unionByName(batch.agg(count(lit(1)).as("n_docs"))

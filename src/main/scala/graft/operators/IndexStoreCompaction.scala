@@ -146,23 +146,36 @@ private[operators] trait IndexStoreCompaction {
 
   def compactVecExact(spark: SparkSession, indexDir: String,
       dataDir: String, outDir: String): Unit =
+    compactVecExactFrom(spark, indexDir, vecSplit(spark, dataDir)._2,
+      outDir)
+
+  /** [[compactVecExact]] fed an already-materialized batch frame —
+    * the `*From` convention (ADVICE r13): [[DailyIngest.runVectorsFrom]]
+    * checkpoints the batch once and reuses it for gates AND compaction,
+    * so the lake is never re-scanned by the compactors. */
+  def compactVecExactFrom(spark: SparkSession, indexDir: String,
+      batch: DataFrame, outDir: String): Unit =
     write(read(spark, indexDir, "vec_hash")
-      .unionByName(
-        VectorQueries.vectorHashIndex(vecSplit(spark, dataDir)._2))
+      .unionByName(VectorQueries.vectorHashIndex(batch))
       .distinct(), outDir, "vec_hash")
 
   /** vec_near_dup compaction: the canonical-shift merge
     * ([[VectorQueries.compactVecNearDupTables]]) — equals a rebuild of
     * the trio over (corpus ∪ batch), spec-pinned. */
   def compactVecNearDup(spark: SparkSession, indexDir: String,
-      dataDir: String, outDir: String): Unit = {
+      dataDir: String, outDir: String): Unit =
+    compactVecNearDupFrom(spark, indexDir, vecSplit(spark, dataDir)._2,
+      outDir)
+
+  def compactVecNearDupFrom(spark: SparkSession, indexDir: String,
+      batch: DataFrame, outDir: String): Unit = {
     val (fams, members, bandsC, canonVecs) =
       VectorQueries.compactVecNearDupTables(
         read(spark, indexDir, "vec_fams"),
         read(spark, indexDir, "vec_members"),
         read(spark, indexDir, "vec_bands_c"),
         read(spark, indexDir, "vec_canon"),
-        vecSplit(spark, dataDir)._2)
+        batch)
     write(fams, outDir, "vec_fams")
     write(members, outDir, "vec_members")
     write(bandsC, outDir, "vec_bands_c")

@@ -768,6 +768,59 @@ object StreamingOps {
         ()
     }
 
+  /** An arriving embedding row: the vector id and its double-rendered
+    * embedding, the exact frame shape [[graft.operators.IndexStore
+    * .vecSplit]] derives from the lake (vec_id, v). */
+  case class StreamVector(vec_id: Long, ts: Timestamp, v: Array[Double])
+
+  /** L98 streaming: the VECTOR gate chain as a CONTINUOUS flow —
+    * closing the third cadence for embeddings, the last data type with
+    * only two (q194 oracle / nightly
+    * [[graft.operators.DailyIngest.runVectors]] / this stream; text
+    * and assets got theirs in T8 and L97). Each micro-batch of
+    * arriving vectors runs the SAME
+    * [[graft.operators.DailyIngest.runVectorsFrom]] core against the
+    * newest on-disk vector-index generation: the three dedup verdicts
+    * (q102 exact key / q103-q186 verified near-dup off the canonical
+    * trio / q104 cluster election off the frozen sem_* tables), the
+    * first-failing `vectorDispositionOf`, the kept_vectors +
+    * vector_disposition artifacts under `out/batch_N`, ledger/log
+    * bookkeeping, and compaction into generation N+1 — so micro-batch
+    * N+1's exact/near gates see micro-batch N's vectors while the
+    * election gate keeps running against the frozen clusters (the
+    * q105 rebuild-class trade, identical across cadences).
+    *
+    * Seed `workDir/index_gen_0` with the
+    * [[graft.operators.IndexStore.writeVectorIndexes]] layout. State
+    * lives entirely in the generation dirs (the continuousIngest
+    * rule): a replayed uncommitted batch overwrites its own outputs
+    * and generation, so the flow is idempotent under the foreachBatch
+    * at-least-once contract. */
+  def continuousVectorIngest(vectors: Dataset[StreamVector],
+      workDir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[StreamVector] =
+    vectors.writeStream.foreachBatch {
+      (batch: Dataset[StreamVector], batchId: Long) =>
+        val spark = batch.sparkSession
+        val gens = Option(new java.io.File(workDir).listFiles())
+          .getOrElse(Array.empty)
+          .flatMap(f => f.getName match {
+            case s if s.startsWith("index_gen_") =>
+              scala.util.Try(s.stripPrefix("index_gen_").toLong).toOption
+            case _ => None
+          })
+          .filter(_ <= batchId)
+        require(gens.nonEmpty, s"seed $workDir/index_gen_0 first " +
+          "(IndexStore.writeVectorIndexes layout)")
+        val genDir = s"$workDir/index_gen_${gens.max}"
+        graft.operators.DailyIngest.runVectorsFrom(spark, genDir,
+          batch.toDF().select(col("vec_id"), col("v")),
+          s"$workDir/out/batch_$batchId",
+          s"$workDir/index_gen_${batchId + 1}",
+          ts = s"batch_$batchId")
+        ()
+    }
+
   /** The spec's latest-status-wins polling update as a stream
     * (README.md:85): keep the max-timestamp event per key in state, emit
     * the current winner on every update (Update mode downstream).

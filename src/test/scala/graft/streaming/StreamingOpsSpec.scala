@@ -689,6 +689,48 @@ class StreamingOpsSpec extends SparkSpec {
         rowsOf(s"$outN/index_next/$fam.parquet"), fam)
   }
 
+  test("continuous vector ingest == the nightly vector day off the same artifacts") {
+    import graft.operators.{DailyIngest, IndexStore}
+    val root = java.nio.file.Files.createTempDirectory("graft-cvi")
+      .toFile.getAbsolutePath
+    DailyIngest.writeVectorIndexes(spark, sfDir, s"$root/index_gen_0")
+
+    // arriving rows = the q194 daily batch universe, in the exact
+    // (vec_id, v) frame shape vecSplit derives from the lake
+    val arriving = IndexStore.vecSplit(spark, sfDir)._2.collect()
+      .map(r => StreamVector(r.getLong(0), ts(0),
+        r.getAs[scala.collection.Seq[Double]](1).toArray))
+      .toSeq
+
+    val input = MemoryStream[StreamVector]
+    val query = continuousVectorIngest(input.toDS(), root)
+      .option("checkpointLocation", s"$root/ckpt").start()
+    try {
+      input.addData(arriving: _*)
+      query.processAllAvailable()
+    } finally query.stop()
+
+    // the nightly vector day off the SAME disk artifacts
+    val outN = java.nio.file.Files.createTempDirectory("graft-cvi-n")
+      .toFile.getAbsolutePath
+    DailyIngest.runVectors(spark, s"$root/index_gen_0", sfDir, outN)
+    def rowsOf(p: String): Seq[String] =
+      spark.read.parquet(p).collect().map(_.toString).sorted.toSeq
+    val streamed = rowsOf(s"$root/out/batch_0/vector_disposition.parquet")
+    assert(streamed.nonEmpty &&
+      streamed == rowsOf(s"$outN/vector_disposition.parquet"))
+    assert(rowsOf(s"$root/out/batch_0/kept_vectors.parquet") ==
+      rowsOf(s"$outN/kept_vectors.parquet"))
+    // generation 1 is a complete next snapshot == the nightly
+    // index_next: compacted exact/near families AND the carried
+    // rebuild-class sem_* tables, family by family
+    for (fam <- Seq("vec_hash", "vec_fams", "vec_members", "vec_bands_c",
+        "vec_canon", "sem_fams", "sem_vecc", "sem_bandsc", "sem_ccc",
+        "sem_statsc"))
+      assert(rowsOf(s"$root/index_gen_1/$fam.parquet") ==
+        rowsOf(s"$outN/index_next/$fam.parquet"), fam)
+  }
+
   test("continuous ingest: micro-batches chain generations like nightly days") {
     import graft.operators.DailyIngest
     val root = java.nio.file.Files.createTempDirectory("graft-ci")

@@ -471,4 +471,244 @@ private[operators] trait VectorAnnTiers {
       dir: String): DataFrame =
     annVariant("ivf_incremental")(spark, dir)
 
+
+  /** Oracle SQL of this family — merged into
+    * [[VectorQueries.oracleMain]] (pure move, round 14). */
+  private[operators] def annVecOracleMain: Map[String, String] = Map(
+    "q67_topk_cosine" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < $NumQueries),
+         |scored AS (
+         |  SELECT qid, e.vec_id AS nid,
+         |    round(list_cosine_similarity(e.v, q.qv), 6) AS cos
+         |  FROM e, q WHERE e.vec_id <> q.qid)
+         |SELECT qid, rk, nid, cos FROM (
+         |  SELECT *, row_number() OVER
+         |    (PARTITION BY qid ORDER BY cos DESC, nid) AS rk
+         |  FROM scored)
+         |WHERE rk <= $TopK ORDER BY qid, rk""".stripMargin,
+    "q135_hard_negatives" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+         |           FROM embeddings),
+         |q AS (SELECT vec_id AS qid, label AS qlabel, v AS qv
+         |      FROM e WHERE vec_id < $NumQueries),
+         |scored AS (
+         |  SELECT qid, e.vec_id AS nid, e.label AS neg_label,
+         |    round(list_cosine_similarity(e.v, q.qv), 6) AS cos
+         |  FROM e, q WHERE e.vec_id <> q.qid AND e.label <> q.qlabel)
+         |SELECT qid, rk, nid, neg_label, cos FROM (
+         |  SELECT *, row_number() OVER
+         |    (PARTITION BY qid ORDER BY cos DESC, nid) AS rk
+         |  FROM scored)
+         |WHERE rk <= $HardNegK ORDER BY qid, rk""".stripMargin,
+    "q140_positive_pairs" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+         |           FROM embeddings),
+         |q AS (SELECT vec_id AS qid, label AS qlabel, v AS qv
+         |      FROM e WHERE vec_id < $NumQueries),
+         |scored AS (
+         |  SELECT qid, e.vec_id AS pid, e.label AS pos_label,
+         |    round(list_cosine_similarity(e.v, q.qv), 6) AS cos
+         |  FROM e, q WHERE e.vec_id <> q.qid AND e.label = q.qlabel)
+         |SELECT qid, rk, pid, pos_label, cos FROM (
+         |  SELECT *, row_number() OVER
+         |    (PARTITION BY qid ORDER BY cos DESC, pid) AS rk
+         |  FROM scored)
+         |WHERE rk <= $HardNegK ORDER BY qid, rk""".stripMargin,
+    "q69_ivf_topk_cosine" -> (s"WITH $centroidCte," +
+      s"""q AS (SELECT vec_id AS qid, v AS qv, pred_label AS cell
+         |      FROM assigned WHERE vec_id < $NumQueries),
+         |scored AS (
+         |  SELECT q.qid, a.vec_id AS nid,
+         |    round(list_cosine_similarity(a.v, q.qv), 6) AS cos
+         |  FROM assigned a JOIN q
+         |    ON a.pred_label = q.cell AND a.vec_id <> q.qid)
+         |SELECT qid, rk, nid, cos FROM (
+         |  SELECT *, row_number() OVER
+         |    (PARTITION BY qid ORDER BY cos DESC, nid) AS rk
+         |  FROM scored)
+         |WHERE rk <= $TopK ORDER BY qid, rk""".stripMargin),
+    // q106: the scale cancels in cosine, so the quantized score is
+    // exact integer arithmetic — identical longs in both engines, one
+    // double division + sqrt at the end, rounded the shared 6 dp.
+    "q106_sq8_topk_cosine" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |qz AS (
+         |  SELECT vec_id,
+         |    list_transform(v, x -> CAST(round(x /
+         |      (CASE WHEN m = 0 THEN 1 ELSE m END)) AS BIGINT)) AS qv
+         |  FROM (SELECT vec_id, v,
+         |          list_max(list_transform(v, x -> abs(x))) / 127 AS m
+         |        FROM e)),
+         |n AS (SELECT vec_id, qv,
+         |        CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS nq
+         |      FROM qz),
+         |qs AS (SELECT vec_id AS qid, qv AS qq, nq AS nqq FROM n
+         |       WHERE vec_id < $NumQueries),
+         |scored AS (
+         |  SELECT qs.qid, n.vec_id AS nid,
+         |    CASE WHEN n.nq = 0 OR qs.nqq = 0 THEN 0.0
+         |         ELSE round(CAST(list_sum(list_transform(range(1, ${Dim + 1}),
+         |                d -> n.qv[d] * qs.qq[d])) AS DOUBLE)
+         |           / sqrt(CAST(n.nq * qs.nqq AS DOUBLE)), 6) END AS cos
+         |  FROM n, qs WHERE n.vec_id <> qs.qid)
+         |SELECT qid, rk, nid, cos FROM (
+         |  SELECT *, row_number() OVER
+         |    (PARTITION BY qid ORDER BY cos DESC, nid) AS rk
+         |  FROM scored)
+         |WHERE rk <= $TopK ORDER BY qid, rk""".stripMargin,
+    // q105: the q69 search over a quantizer FROZEN to corpus rows —
+    // batch vectors are assigned and searched, never clustered.
+    "q105_incremental_ivf_topk" ->
+      (s"WITH ${centroidCteFrom(s"WHERE e.vec_id % $VecBatchMod <> 0")}," +
+      s"""q AS (SELECT vec_id AS qid, v AS qv, pred_label AS cell
+         |      FROM assigned WHERE vec_id < $NumQueries),
+         |scored AS (
+         |  SELECT q.qid, a.vec_id AS nid,
+         |    round(list_cosine_similarity(a.v, q.qv), 6) AS cos
+         |  FROM assigned a JOIN q
+         |    ON a.pred_label = q.cell AND a.vec_id <> q.qid)
+         |SELECT qid, rk, nid, cos FROM (
+         |  SELECT *, row_number() OVER
+         |    (PARTITION BY qid ORDER BY cos DESC, nid) AS rk
+         |  FROM scored)
+         |WHERE rk <= $TopK ORDER BY qid, rk""".stripMargin),
+    "q87_ivf_multiprobe" -> (s"WITH $centroidCte," +
+      s"""qm AS (SELECT qid, qv, cell FROM (
+         |    SELECT e.vec_id AS qid, e.v AS qv, cent.clabel AS cell,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${oracleL2Sq("e.v", "cent.c")}, cent.clabel) AS rn
+         |    FROM e, cent WHERE e.vec_id < $NumQueries)
+         |  WHERE rn <= $NumProbes),
+         |scored AS (
+         |  SELECT qm.qid, a.vec_id AS nid,
+         |    round(list_cosine_similarity(a.v, qm.qv), 6) AS cos
+         |  FROM assigned a JOIN qm
+         |    ON a.pred_label = qm.cell AND a.vec_id <> qm.qid)
+         |SELECT qid, rk, nid, cos FROM (
+         |  SELECT *, row_number() OVER
+         |    (PARTITION BY qid ORDER BY cos DESC, nid) AS rk
+         |  FROM scored)
+         |WHERE rk <= $TopK ORDER BY qid, rk""".stripMargin),
+    // q112: the q69 coarse quantizer (shared centroid/assignment CTEs)
+    // composed with the q106 SQ8 integer scoring, restricted to the
+    // query's cell — both pieces individually proven, the composition
+    // hash-checked here.
+    "q112_ivf_sq8_topk" -> (s"WITH $centroidCte," +
+      s"""qz AS (
+         |  SELECT vec_id, pred_label AS cell,
+         |    list_transform(v, x -> CAST(round(x /
+         |      (CASE WHEN m = 0 THEN 1 ELSE m END)) AS BIGINT)) AS qv
+         |  FROM (SELECT vec_id, pred_label, v,
+         |          list_max(list_transform(v, x -> abs(x))) / 127 AS m
+         |        FROM assigned)),
+         |n AS (SELECT vec_id, cell, qv,
+         |        CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS nq
+         |      FROM qz),
+         |qs AS (SELECT vec_id AS qid, cell, qv AS qq, nq AS nqq FROM n
+         |       WHERE vec_id < $NumQueries),
+         |scored AS (
+         |  SELECT qs.qid, n.vec_id AS nid,
+         |    CASE WHEN n.nq = 0 OR qs.nqq = 0 THEN 0.0
+         |         ELSE round(CAST(list_sum(list_transform(range(1, ${Dim + 1}),
+         |                d -> n.qv[d] * qs.qq[d])) AS DOUBLE)
+         |           / sqrt(CAST(n.nq * qs.nqq AS DOUBLE)), 6) END AS cos
+         |  FROM n JOIN qs ON n.cell = qs.cell AND n.vec_id <> qs.qid)
+         |SELECT qid, rk, nid, cos FROM (
+         |  SELECT *, row_number() OVER
+         |    (PARTITION BY qid ORDER BY cos DESC, nid) AS rk
+         |  FROM scored)
+         |WHERE rk <= $TopK ORDER BY qid, rk""".stripMargin),
+    // q121: the sign matrix regenerates from the same md5 rule (+1 iff
+    // the first hex digit of md5('rp<j>_<d>') is even); projections are
+    // exact integer sums in micro units, so only the final division is
+    // floating — over the identical longs in both engines.
+    "q121_rp_topk" ->
+      s"""WITH m AS (
+         |  SELECT vec_id, list_transform(embedding::DOUBLE[],
+         |    x -> CAST(round(x * 1e6) AS BIGINT)) AS mv
+         |  FROM embeddings),
+         |signs AS (
+         |  SELECT j, d, CASE WHEN strpos('02468ace',
+         |      substr(md5('rp' || j || '_' || d), 1, 1)) > 0
+         |    THEN 1 ELSE -1 END AS s
+         |  FROM range(0, $RpDim) t1(j), range(0, $Dim) t2(d)),
+         |proj AS (
+         |  SELECT vec_id, j, CAST(sum(s * mv[d + 1]) AS BIGINT) AS p
+         |  FROM m, signs GROUP BY vec_id, j),
+         |np AS (
+         |  SELECT vec_id, CAST(sum(p * p) AS BIGINT) AS np
+         |  FROM proj GROUP BY vec_id),
+         |dots AS (
+         |  SELECT dv.vec_id AS nid, qv.vec_id AS qid,
+         |    CAST(sum(dv.p * qv.p) AS BIGINT) AS dot
+         |  FROM proj dv JOIN proj qv
+         |    ON dv.j = qv.j AND qv.vec_id < $NumQueries
+         |      AND dv.vec_id <> qv.vec_id
+         |  GROUP BY dv.vec_id, qv.vec_id),
+         |cosd AS (
+         |  SELECT qid, nid,
+         |    CASE WHEN dn.np = 0 OR qn.np = 0 THEN 0.0
+         |      ELSE round(CAST(dot AS DOUBLE) /
+         |        sqrt(CAST(dn.np AS DOUBLE) * CAST(qn.np AS DOUBLE)), 6)
+         |      END AS cos
+         |  FROM dots JOIN np dn ON dn.vec_id = dots.nid
+         |    JOIN np qn ON qn.vec_id = dots.qid)
+         |SELECT qid, CAST(rk AS BIGINT) AS rk, nid, cos FROM (
+         |  SELECT qid, nid, cos, row_number() OVER (PARTITION BY qid
+         |    ORDER BY cos DESC, nid) AS rk FROM cosd)
+         |WHERE rk <= $TopK ORDER BY qid, rk""".stripMargin,
+    // q124: the MMR greedy chain unrolled per selection round (the
+    // kmeans pattern) — identical rounded cosines, identical rel − red
+    // scores, vec_id tie-breaks, so both engines pick identical chains
+    "q124_mmr_topk" -> {
+      val rounds = (2 to MmrK).map { t =>
+        s"""r$t AS (
+           |  SELECT c.qid, c.vec_id, c.rel,
+           |    round(c.rel - max(cc.sim), 6) AS score
+           |  FROM cands c
+           |  JOIN cc ON cc.qid = c.qid AND cc.d = c.vec_id
+           |  JOIN sel${t - 1} ON sel${t - 1}.qid = cc.qid
+           |    AND sel${t - 1}.vec_id = cc.s
+           |  WHERE NOT EXISTS (SELECT 1 FROM sel${t - 1} x
+           |    WHERE x.qid = c.qid AND x.vec_id = c.vec_id)
+           |  GROUP BY c.qid, c.vec_id, c.rel),
+           |s$t AS (
+           |  SELECT qid, vec_id, score FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY qid
+           |      ORDER BY score DESC, vec_id) AS rn FROM r$t)
+           |  WHERE rn = 1),
+           |sel$t AS (SELECT qid, vec_id FROM sel${t - 1}
+           |  UNION ALL SELECT qid, vec_id FROM s$t)""".stripMargin
+      }.mkString(",\n")
+      val selects = (1 to MmrK).map(t =>
+        s"SELECT qid, CAST($t AS BIGINT) AS rk, vec_id AS nid, score FROM s$t")
+        .mkString("\n  UNION ALL ")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT vec_id AS qid, v AS qv FROM e
+         |      WHERE vec_id < $NumQueries),
+         |rel AS (
+         |  SELECT q.qid, e.vec_id, e.v,
+         |    round(list_cosine_similarity(e.v, q.qv), 6) AS rel
+         |  FROM e, q WHERE e.vec_id <> q.qid),
+         |cands AS (
+         |  SELECT qid, vec_id, v, rel FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY qid
+         |      ORDER BY rel DESC, vec_id) AS rn FROM rel)
+         |  WHERE rn <= $MmrCands),
+         |cc AS (
+         |  SELECT a.qid, a.vec_id AS d, b.vec_id AS s,
+         |    round(list_cosine_similarity(a.v, b.v), 6) AS sim
+         |  FROM cands a JOIN cands b
+         |    ON a.qid = b.qid AND a.vec_id <> b.vec_id),
+         |s1 AS (
+         |  SELECT qid, vec_id, rel AS score FROM (
+         |    SELECT qid, vec_id, rel, row_number() OVER (PARTITION BY qid
+         |      ORDER BY rel DESC, vec_id) AS rn FROM cands)
+         |  WHERE rn = 1),
+         |sel1 AS (SELECT qid, vec_id FROM s1),
+         |$rounds
+         |SELECT qid, rk, nid, score FROM (
+         |  $selects) ORDER BY qid, rk""".stripMargin
+    })
 }

@@ -162,4 +162,88 @@ private[operators] trait VectorClusters {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+
+  /** Oracle SQL of this family — merged into
+    * [[VectorQueries.oracleMain]] (pure move, round 14). */
+  private[operators] def clustersVecOracleMain: Map[String, String] = Map(
+    // q100: the 2-round Lloyd iteration unrolled — seeds c0, assignment
+    // a1, fixed-point means c1 (the centroidCte rule), assignment a2;
+    // output is exact-integer accounting of a2. list_sum over BIGINTs
+    // widens to HUGEINT → cast back (verify-skill gotcha).
+    "q100_kmeans" ->
+      s"""WITH ${kmeansCtes(KmeansK)}
+         |SELECT cid AS cluster_id, count(*) AS n,
+         |  CAST(sum(list_sum(list_transform(v,
+         |    x -> CAST(round(x * 1e9) AS BIGINT)))) AS BIGINT) AS checksum_nano
+         |FROM a2 GROUP BY cid ORDER BY cluster_id""".stripMargin,
+    // q101: same unrolled iteration at cell granularity, then every
+    // within-cell pair scored — the SemDeDup candidate structure.
+    "q101_cell_near_dups" ->
+      s"""WITH ${kmeansCtes(CellK)}
+         |SELECT vec_a, vec_b, cos FROM (
+         |  SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+         |    round(list_cosine_similarity(x.v, y.v), 6) AS cos
+         |  FROM a2 x JOIN a2 y
+         |    ON x.cid = y.cid AND x.vec_id < y.vec_id)
+         |WHERE cos >= $NearDupThreshold
+         |ORDER BY vec_a, vec_b""".stripMargin)
+
+  /** Shared oracle fragment: per-label centroids with the same fixed-point
+    * rule as the Aggregator (sum of round(x*1e9) longs / 1e9 / n).
+    * `sumsPred` restricts the rows the centroids are computed FROM
+    * (q105 freezes the quantizer to corpus rows); assignment always
+    * covers every vector. */
+  private[operators] def centroidCteFrom(sumsPred: String): String =
+    s"""e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+      |dims AS (SELECT unnest(range(1, 65)) AS i),
+      |sums AS (
+      |  SELECT label, i, sum(CAST(round(v[i] * 1e9) AS BIGINT)) AS s,
+      |         count(*) AS n
+      |  FROM e, dims $sumsPred GROUP BY label, i),
+      |cent AS (
+      |  SELECT label AS clabel,
+      |         array_agg(CAST(s AS DOUBLE) / 1e9 / n ORDER BY i) AS c
+      |  FROM sums GROUP BY label),
+      |assigned AS (
+      |  SELECT vec_id, label, v, pred_label FROM (
+      |    SELECT e.vec_id, e.label, e.v, cent.clabel AS pred_label,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY ${oracleL2Sq("e.v", "cent.c")}, cent.clabel) AS rn
+      |    FROM e, cent) WHERE rn = 1)
+      |""".stripMargin
+
+  private[operators] val centroidCte = centroidCteFrom("")
+
+  /** Oracle mirror of the kmeans packed argmin ordering: CAST(round(
+    * d2·1e6) AS BIGINT) then cid — the identical doubles (same
+    * left-to-right squared-diff sum), the identical half-up rounding at
+    * the identical scale, so the assignment argmin agrees with Spark's
+    * packed-long min bit for bit. */
+  private[operators] def oracleL2SqMicro(v: String, c: String): String =
+    s"CAST(round(list_sum(list_transform(range(1, ${Dim + 1}), " +
+      s"d -> ($v[d] - $c[d]) * ($v[d] - $c[d]))) * 1e6) AS BIGINT)"
+
+  /** The 2-round Lloyd iteration as DuckDB CTEs, parameterized by k —
+    * shared by q100 (cluster accounting) and q101 (within-cell pairs) so
+    * the two oracles cannot drift apart (the minhashPairsCtes pattern).
+    * Ends in `a2(vec_id, v, cid)`, the final assignment. */
+  private[operators] def kmeansCtes(k: Int): String =
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |dims AS (SELECT unnest(range(1, ${Dim + 1})) AS i),
+       |c0 AS (SELECT vec_id AS cid, v AS c FROM e ORDER BY vec_id LIMIT $k),
+       |a1 AS (SELECT vec_id, v, cid FROM (
+       |    SELECT e.vec_id, e.v, c0.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${oracleL2SqMicro("e.v", "c0.c")}, c0.cid) AS rn
+       |    FROM e, c0) WHERE rn = 1),
+       |s1 AS (SELECT cid, i, sum(CAST(round(v[i] * 1e9) AS BIGINT)) AS s,
+       |         count(*) AS n
+       |  FROM a1, dims GROUP BY cid, i),
+       |c1 AS (SELECT cid, array_agg(CAST(s AS DOUBLE) / 1e9 / n ORDER BY i) AS c
+       |  FROM s1 GROUP BY cid),
+       |a2 AS (SELECT vec_id, v, cid FROM (
+       |    SELECT e.vec_id, e.v, c1.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${oracleL2SqMicro("e.v", "c1.c")}, c1.cid) AS rn
+       |    FROM e, c1) WHERE rn = 1)""".stripMargin
 }

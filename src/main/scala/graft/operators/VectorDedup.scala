@@ -1000,4 +1000,234 @@ private[operators] trait VectorDedup {
     incrementalSemanticDedup(famsC, vecC, bandsC, ccC, statsC, batch)
   }
 
+
+  /** Oracle SQL of this family — merged into
+    * [[VectorQueries.oracleMain]] (pure move, round 14). */
+  private[operators] def dedupVecOracleMain: Map[String, String] = Map(
+    "q95_vector_exact_dedup" ->
+      """SELECT min(vec_id) AS keep_id, count(*) AS n_copies
+        |FROM (SELECT vec_id,
+        |        md5(array_to_string(list_transform(embedding::DOUBLE[],
+        |          x -> CAST(CAST(round(x * 1e9) AS BIGINT) AS VARCHAR)),
+        |          ',')) AS vkey
+        |      FROM embeddings)
+        |GROUP BY vkey ORDER BY keep_id""".stripMargin,
+    "q65_cosine_near_dups" ->
+      s"""WITH $cosinePairsCtes
+         |SELECT vec_a, vec_b, cos FROM vpairs
+         |ORDER BY vec_a, vec_b""".stripMargin,
+    // q185: the q65 band CTEs, then the q184 occupancy rollup (same
+    // hot threshold — one policy constant across both band audits)
+    "q185_vec_band_occupancy" -> graft.multimodal.Multimodal
+      .bandOccupancySql(
+        s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |bands AS (
+           |  $oracleBands)""".stripMargin),
+    // q186: the family-collapsed pair table. Families group by the q95
+    // fixed-point key; the canonical id is the min CORPUS member when
+    // one exists, else the min batch member (the engine's fid rule);
+    // frep verifies with the CANONICAL member's vector — the same row
+    // the engine's persisted canonVecs table holds — so the oracle
+    // never depends on same-vkey replicas being byte-identical at the
+    // threshold boundary; `e` is SHADOWED with one representative row
+    // per family so the shared band CTEs run verbatim at family
+    // granularity; candidate family pairs need a batch-touched (tb > 0)
+    // probe side; n_pairs is exact integer arithmetic over per-family
+    // batch/corpus counts.
+    "q186_canonical_near_dup_pairs" ->
+      s"""WITH raw AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |k AS (SELECT vec_id, v,
+         |        md5(array_to_string(list_transform(v,
+         |          x -> CAST(CAST(round(x * 1e9) AS BIGINT) AS VARCHAR)),
+         |          ',')) AS vkey
+         |      FROM raw),
+         |fam AS (
+         |  SELECT vkey,
+         |    coalesce(min(vec_id) FILTER (WHERE vec_id % $VecBatchMod <> 0),
+         |             min(vec_id)) AS fid,
+         |    count(*) FILTER (WHERE vec_id % $VecBatchMod = 0) AS tb,
+         |    count(*) FILTER (WHERE vec_id % $VecBatchMod <> 0) AS tc
+         |  FROM k GROUP BY vkey),
+         |frep AS (SELECT f.fid, f.tb, f.tc, k.v
+         |         FROM fam f JOIN k ON k.vec_id = f.fid),
+         |e AS (SELECT fid AS vec_id, v FROM frep),
+         |bands AS (
+         |  $oracleBands),
+         |cands AS (
+         |  SELECT DISTINCT least(a.vec_id, b.vec_id) AS fid_a,
+         |    greatest(a.vec_id, b.vec_id) AS fid_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.key = b.key AND a.vec_id <> b.vec_id
+         |  JOIN frep t ON t.fid = b.vec_id AND t.tb > 0),
+         |fpairs AS (
+         |  SELECT fid_a, fid_b,
+         |    round(list_cosine_similarity(ea.v, eb.v), 6) AS cos
+         |  FROM cands
+         |  JOIN e ea ON ea.vec_id = fid_a
+         |  JOIN e eb ON eb.vec_id = fid_b
+         |  WHERE round(list_cosine_similarity(ea.v, eb.v), 6)
+         |        >= $NearDupThreshold),
+         |cross_rows AS (
+         |  SELECT fid_a, fid_b, cos,
+         |    fa.tb * (fb.tb + fb.tc) + fa.tc * fb.tb AS n_pairs
+         |  FROM fpairs
+         |  JOIN frep fa ON fa.fid = fid_a
+         |  JOIN frep fb ON fb.fid = fid_b),
+         |within_rows AS (
+         |  SELECT fid AS fid_a, fid AS fid_b,
+         |    round(list_cosine_similarity(v, v), 6) AS cos,
+         |    tb * (tb - 1) // 2 + tb * tc AS n_pairs
+         |  FROM frep
+         |  WHERE tb > 0 AND tb * (tb - 1) // 2 + tb * tc > 0
+         |    AND round(list_cosine_similarity(v, v), 6)
+         |        >= $NearDupThreshold)
+         |SELECT fid_a, fid_b, cos, CAST(n_pairs AS BIGINT) AS n_pairs
+         |FROM (SELECT * FROM cross_rows UNION ALL SELECT * FROM within_rows)
+         |ORDER BY fid_a, fid_b""".stripMargin,
+    // q188: canonical families (full-corpus flavor — fid = min member
+    // over ALL vectors), the shared band CTEs at family granularity
+    // with per-bucket ranks, `need` = min-over-buckets of the larger
+    // rank, truth = the verified canonical pair set; same tail as q187
+    "q188_vec_band_cap_curve" ->
+      s"""WITH raw AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |k AS (SELECT vec_id, v,
+         |        md5(array_to_string(list_transform(v,
+         |          x -> CAST(CAST(round(x * 1e9) AS BIGINT) AS VARCHAR)),
+         |          ',')) AS vkey
+         |      FROM raw),
+         |fam AS (SELECT vkey, min(vec_id) AS fid FROM k GROUP BY vkey),
+         |frep AS (SELECT f.fid, k.v FROM fam f JOIN k ON k.vec_id = f.fid),
+         |e AS (SELECT fid AS vec_id, v FROM frep),
+         |bands AS (
+         |  $oracleBands),
+         |${graft.multimodal.Multimodal.bandCapRankSql("vec_id")},
+         |truth AS (
+         |  SELECT ida, idb FROM (
+         |    SELECT c.ida, c.idb,
+         |      round(list_cosine_similarity(ea.v, eb.v), 6) AS cos
+         |    FROM (SELECT DISTINCT least(a.vec_id, b.vec_id) AS ida,
+         |            greatest(a.vec_id, b.vec_id) AS idb
+         |          FROM bands a JOIN bands b
+         |            ON a.band = b.band AND a.key = b.key
+         |              AND a.vec_id <> b.vec_id) c
+         |    JOIN e ea ON ea.vec_id = c.ida
+         |    JOIN e eb ON eb.vec_id = c.idb)
+         |  WHERE cos >= $NearDupThreshold),
+         |${graft.multimodal.Multimodal.bandCapCurveSqlTail}""".stripMargin,
+    "q91_semantic_dedup" -> semanticDedupOracleSql(""),
+    // q104: the same full closure, restricted to clusters containing a
+    // batch (vec_id % 10 = 0) member — exactly what the incremental
+    // cluster-merge flow must reproduce from the persisted index.
+    "q104_incremental_semantic_dedup" -> semanticDedupOracleSql(
+      s"  AND cluster_id IN (SELECT cluster_id FROM comp" +
+        s" WHERE vec_id % $VecBatchMod = 0)\n"),
+    // q102: batch-internal exact-dup winners whose canonical key is
+    // unseen in the corpus — the q97 oracle shape, embedding flavor.
+    "q102_incremental_vector_exact_dedup" ->
+      s"""WITH e AS (
+         |  SELECT vec_id,
+         |    md5(array_to_string(list_transform(embedding::DOUBLE[],
+         |      x -> CAST(CAST(round(x * 1e9) AS BIGINT) AS VARCHAR)),
+         |      ',')) AS vkey
+         |  FROM embeddings),
+         |corpus AS (SELECT DISTINCT vkey FROM e WHERE vec_id % $VecBatchMod <> 0),
+         |batch AS (
+         |  SELECT vkey, min(vec_id) AS keep_id, count(*) AS n_copies
+         |  FROM e WHERE vec_id % $VecBatchMod = 0 GROUP BY vkey)
+         |SELECT keep_id, n_copies FROM batch
+         |WHERE vkey NOT IN (SELECT vkey FROM corpus)
+         |ORDER BY keep_id""".stripMargin,
+    // q103: band keys and cosine are pure per-vector functions, so the
+    // incremental flow equals the FULL q65 pair pass restricted to pairs
+    // touching >= 1 batch vector — the q96 oracle invariant.
+    "q103_incremental_vector_near_dups" ->
+      s"""WITH $cosinePairsCtes
+         |SELECT vec_a, vec_b, cos FROM vpairs
+         |WHERE vec_a % $VecBatchMod = 0 OR vec_b % $VecBatchMod = 0
+         |ORDER BY vec_a, vec_b""".stripMargin)
+
+  /** Oracle-side mirror of the Spark assignment ordering: the SAME
+    * quantity `round(l2Sq, 6)` — squared L2 summed left-to-right over the
+    * dims, rounded to 6 dp — so a near-equidistant boundary vector ties in
+    * BOTH engines and the portable cid/label tie-break decides identically
+    * (ADVICE r7 #1: ordering by unrounded `list_distance` let the oracle
+    * split ties Spark had collapsed). */
+  private[operators] def oracleL2Sq(v: String, c: String): String =
+    s"round(list_sum(list_transform(range(1, ${Dim + 1}), " +
+      s"d -> ($v[d] - $c[d]) * ($v[d] - $c[d]))), 6)"
+
+  private[operators] def oracleSignBit(w: Seq[Int]): String =
+    s"list_sum(list_transform(range(1, ${Dim + 1}), " +
+      s"d -> CAST(round(v[d] * 1e9) AS BIGINT) * ([${w.mkString(",")}])[d])) >= 0"
+
+  private[operators] def oracleBands = (0 until NumPlanes / PlanesPerBand).map { b =>
+    val bits = (0 until PlanesPerBand).map { i =>
+      s"CASE WHEN ${oracleSignBit(planes(b * PlanesPerBand + i))} " +
+        "THEN '1' ELSE '0' END"
+    }
+    s"SELECT vec_id, $b AS band, concat(${bits.mkString(", ")}) AS key FROM e"
+  }.mkString("\n  UNION ALL ")
+
+  /** The full q65 pipeline as composable CTEs ending in `vpairs(vec_a,
+    * vec_b, cos)` — shared with q91's semantic dedup so the two oracles
+    * can't drift apart (same pattern as LLMQueries.minhashPairsCtes). */
+  private[operators] def cosinePairsCtes: String =
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |bands AS (
+       |  $oracleBands),
+       |cands AS (
+       |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id),
+       |vpairs AS (
+       |  SELECT vec_a, vec_b,
+       |    round(list_cosine_similarity(ea.v, eb.v), 6) AS cos
+       |  FROM cands
+       |  JOIN e ea ON ea.vec_id = vec_a
+       |  JOIN e eb ON eb.vec_id = vec_b
+       |  WHERE round(list_cosine_similarity(ea.v, eb.v), 6)
+       |        >= $NearDupThreshold)""".stripMargin
+
+  /** The full q91 oracle (raw-vector pair graph, recursive closure,
+    * norm-desc election) with an optional extra predicate on the final
+    * SELECT — shared by q91 (no restriction) and q104 (clusters with a
+    * batch member) so the two cannot drift apart. Works over RAW vectors
+    * — identical vectors share band keys and cosine 1, so families are
+    * cliques in vpairs and the canonical-based engine formulation is
+    * provably output-identical (see semanticDedupOf). */
+  /** The closure CHAIN of the q91 oracle (pair graph → recursive reach
+    * → comp → member norms → ranked election) as composable CTEs —
+    * shared by q91/q104's cluster accounting and the q194 disposition's
+    * election gate so the three oracles price one closure. */
+  private[operators] def semanticClosureCtes: String =
+    s"""$cosinePairsCtes,
+       |edges AS (
+       |  SELECT vec_a AS src, vec_b AS dst FROM vpairs
+       |  UNION ALL SELECT vec_b, vec_a FROM vpairs),
+       |reach AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, g.dst FROM reach r JOIN edges g ON r.dst = g.src),
+       |comp AS (
+       |  SELECT src AS vec_id, least(src, min(dst)) AS cluster_id
+       |  FROM reach GROUP BY src),
+       |norms AS (
+       |  SELECT vec_id, CAST(list_sum(list_transform(v,
+       |    x -> CAST(round(x * 1e6) AS BIGINT) *
+       |         CAST(round(x * 1e6) AS BIGINT))) AS BIGINT) AS norm2
+       |  FROM e),
+       |ranked AS (
+       |  SELECT cluster_id, vec_id, norm2,
+       |    row_number() OVER (PARTITION BY cluster_id
+       |      ORDER BY norm2 DESC, vec_id) AS rn,
+       |    count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+       |  FROM comp JOIN norms USING (vec_id))""".stripMargin
+
+  private[operators] def semanticDedupOracleSql(restrict: String): String =
+    s"""WITH RECURSIVE $semanticClosureCtes
+       |SELECT cluster_id, vec_id AS kept_id,
+       |  CAST(cluster_size AS BIGINT) AS cluster_size,
+       |  CAST(cluster_size - 1 AS BIGINT) AS n_dropped
+       |FROM ranked WHERE rn = 1
+       |$restrict ORDER BY cluster_id""".stripMargin
 }

@@ -109,4 +109,36 @@ private[operators] trait VectorIngest {
       .unionByName(elected)
     emb.join(keptIds, Seq("vec_id"), "left_semi").orderBy(col("vec_id"))
   }
+
+  /** q194's oracle: the first-failing CASE in the engine's gate order
+    * over the batch residue (the q193 nested-oracle rule) — exact =
+    * NOT a q102 keep row (that oracle nested verbatim), near = a
+    * batch-side vec_b of the shared `vpairs` CTE (q103's oracle IS
+    * vpairs restricted to batch-touching pairs, and only vec_b — the
+    * larger id — drops), election = the closure chain's ranked rn=1
+    * survivor differs (restricting comp to batch members is implicit:
+    * any cluster holding one is batch-touched, the q104 rule). */
+  private[operators] def vectorIngestDispositionOracleSql: String =
+    s"""WITH RECURSIVE $semanticClosureCtes,
+       |exact_keep AS (SELECT keep_id AS vec_id FROM (
+       |${oracleMain("q102_incremental_vector_exact_dedup")})),
+       |near_loser AS (
+       |  SELECT DISTINCT vec_b AS vec_id FROM vpairs
+       |  WHERE vec_b % $VecBatchMod = 0),
+       |kept_of AS (
+       |  SELECT cluster_id, vec_id AS kept_id FROM ranked WHERE rn = 1),
+       |elect_loser AS (
+       |  SELECT c.vec_id FROM comp c JOIN kept_of k USING (cluster_id)
+       |  WHERE k.kept_id <> c.vec_id)
+       |SELECT vec_id,
+       |  CASE
+       |    WHEN vec_id NOT IN (SELECT vec_id FROM exact_keep)
+       |      THEN 'dropped_exact_dup'
+       |    WHEN vec_id IN (SELECT vec_id FROM near_loser)
+       |      THEN 'dropped_near_dup'
+       |    WHEN vec_id IN (SELECT vec_id FROM elect_loser)
+       |      THEN 'dropped_cluster_election'
+       |    ELSE 'kept' END AS disposition
+       |FROM embeddings WHERE vec_id % $VecBatchMod = 0
+       |ORDER BY vec_id""".stripMargin
 }

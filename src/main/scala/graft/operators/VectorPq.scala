@@ -428,4 +428,279 @@ private[operators] trait VectorPq {
   def incrementalIvfPqTopk(spark: SparkSession, dir: String): DataFrame =
     annVariant("ivfpq_incremental")(spark, dir)
 
+
+  /** Oracle SQL of this family — merged into
+    * [[VectorQueries.oracleMain]] (pure move, round 14). */
+  private[operators] def pqVecOracleMain: Map[String, String] = Map(
+    // q117: PQ mirror — same micro fixed-point domain, seed codebook
+    // (row_number ≡ Spark's sort_array position), integer argmin with
+    // lowest-code tie-break, and ADC table lookups; only the final
+    // division is floating, over exactly-representable factors.
+    "q117_pq_topk" -> pqOracleSql(0),
+    // q177: the SAME oracle with the Lloyd training rounds unrolled in
+    // front (the kmeansCtes pattern) — encode/ADC tail shared verbatim
+    // so the seeded and trained variants cannot drift.
+    "q177_pq_trained_topk" -> pqOracleSql(PqTrainRounds),
+    // q181: the residual IVF-PQ composition — coarse assignment,
+    // residual-domain training and ADC algebra all nest the proven
+    // fragments (centroidCte/assigned + the pqOracleCtes builder).
+    "q181_ivfpq_topk" -> ivfPqOracleSql(),
+    // q182: the same composition with the coarse centroids AND the
+    // residual codebook frozen on the corpus residues (the q105 rule);
+    // encode/search cover all vectors — per-row pure given the frozen
+    // tables, so the oracle's union rendering equals the engine's
+    // corpus-codes ∪ batch-codes path.
+    "q182_incremental_ivfpq" -> ivfPqOracleSql(
+      s"WHERE e.vec_id % $VecBatchMod <> 0",
+      s"WHERE vec_id % $VecBatchMod <> 0"),
+    // q178: all three codebooks replayed; the raw rows share one CTE
+    // chain, the residual row carries its own chain in a nested WITH
+    // scope (the q110 composition trick — no CTE-name collisions);
+    // distortion = min over codes of the exact integer sub-distance,
+    // summed — no tie-break needed (min distance, not argmin code).
+    "q178_pq_distortion" -> {
+      def leg(cbName: String): String =
+        s"""SELECT vec_id, s, min(list_sum(list_transform(
+           |      range(1, ${PqSubDim + 1}),
+           |      j -> (sv[j] - cv[j]) * (sv[j] - cv[j])))) AS md
+           |  FROM sub JOIN $cbName USING (s) GROUP BY vec_id, s"""
+          .stripMargin
+      s"""SELECT variant, total_sqerr, n_subvectors,
+         |  CAST(total_sqerr // n_subvectors AS BIGINT) AS mean_sqerr
+         |FROM (
+         |  SELECT 'residual_trained' AS variant,
+         |    CAST(sum(md) AS BIGINT) AS total_sqerr,
+         |    count(*) AS n_subvectors
+         |  FROM (WITH $centroidCte,
+         |$pqCmicCte,
+         |${pqOracleCtes(PqTrainRounds, pqResidualEmBody)}
+         |  ${leg(s"cbn$PqTrainRounds")})
+         |  UNION ALL
+         |  SELECT 'seeded', CAST(sum(md) AS BIGINT), count(*)
+         |  FROM (WITH ${pqOracleCtes(0)}
+         |  ${leg("cbn0")})
+         |  UNION ALL
+         |  SELECT 'trained', CAST(sum(md) AS BIGINT), count(*)
+         |  FROM (WITH ${pqOracleCtes(PqTrainRounds)}
+         |  ${leg(s"cbn$PqTrainRounds")}))
+         |ORDER BY variant""".stripMargin
+    })
+
+  /** The PQ oracle parameterized by Lloyd training rounds: 0 = the
+    * seeded codebook (q117), [[PqTrainRounds]] = the trained variant
+    * (q177). Training rounds unroll as CTEs exactly mirroring
+    * [[pqTrainedCodebookOf]]: integer argmin assignment (lowest-code
+    * tie-break), component mean = CAST(round(sum/count) AS BIGINT) —
+    * one correctly-rounded double division then half-away-from-zero
+    * round, identical in both engines — empty cells keep their previous
+    * centroid via LEFT JOIN + coalesce. The encode/ADC tail is shared
+    * verbatim across both variants. */
+  /** The raw-vector micro frame — the default `em` body of
+    * [[pqOracleCtes]]; q181 swaps in the RESIDUAL rendering. */
+  private[operators] def PqRawEmBody: String =
+    s"""  SELECT vec_id, list_transform(embedding::DOUBLE[],
+       |    x -> CAST(round(x * 1e6) AS BIGINT)) AS mv
+       |  FROM embeddings""".stripMargin
+
+  /** `trainWhere` (e.g. "WHERE vec_id % 10 <> 0") restricts the SEED
+    * set and the Lloyd training iterations — q182's corpus-frozen
+    * codebook — while `sub`/encode stay over every vector. */
+  private[operators] def pqOracleCtes(trainRounds: Int,
+      emBody: String = PqRawEmBody, trainWhere: String = ""): String = {
+    val rounds = (1 to trainRounds).map { r =>
+      val prev = s"cbn${r - 1}"
+      s"""cdr$r AS (
+         |  SELECT vec_id, s, c, sv FROM (
+         |    SELECT sub.vec_id, s, $prev.c, sub.sv,
+         |      row_number() OVER (PARTITION BY sub.vec_id, s ORDER BY
+         |        list_sum(list_transform(range(1, ${PqSubDim + 1}),
+         |          j -> (sv[j] - cv[j]) * (sv[j] - cv[j]))), $prev.c) AS rn
+         |    FROM sub JOIN $prev USING (s) $trainWhere)
+         |  WHERE rn = 1),
+         |up$r AS (
+         |  SELECT s, c, j,
+         |    CAST(round(CAST(sum(sv[j]) AS DOUBLE) / count(*)) AS BIGINT)
+         |      AS x
+         |  FROM cdr$r, range(1, ${PqSubDim + 1}) t(j)
+         |  GROUP BY s, c, j),
+         |nv$r AS (
+         |  SELECT s, c, array_agg(x ORDER BY j) AS cv
+         |  FROM up$r GROUP BY s, c),
+         |cbn$r AS (
+         |  SELECT $prev.s, $prev.c, coalesce(nv$r.cv, $prev.cv) AS cv,
+         |    CAST(list_sum(list_transform(coalesce(nv$r.cv, $prev.cv),
+         |      x -> x * x)) AS BIGINT) AS n2
+         |  FROM $prev LEFT JOIN nv$r
+         |    ON nv$r.s = $prev.s AND nv$r.c = $prev.c)""".stripMargin
+    }
+    val trainingCtes =
+      if (rounds.isEmpty) "" else ",\n" + rounds.mkString(",\n")
+    s"""em AS (
+       |$emBody),
+       |seeds0 AS (SELECT vec_id, mv FROM em $trainWhere
+       |           ORDER BY vec_id LIMIT $PqCodes),
+       |seeds AS (
+       |  SELECT mv, row_number() OVER (ORDER BY vec_id) - 1 AS c
+       |  FROM seeds0),
+       |ss AS (SELECT unnest(range(0, $PqSubspaces)) AS s),
+       |cbn0 AS (
+       |  SELECT ss.s, seeds.c,
+       |    list_slice(seeds.mv, ss.s * $PqSubDim + 1,
+       |      ss.s * $PqSubDim + $PqSubDim) AS cv,
+       |    CAST(list_sum(list_transform(list_slice(seeds.mv,
+       |      ss.s * $PqSubDim + 1, ss.s * $PqSubDim + $PqSubDim),
+       |      x -> x * x)) AS BIGINT) AS n2
+       |  FROM seeds, ss),
+       |sub AS (
+       |  SELECT vec_id, ss.s,
+       |    list_slice(mv, ss.s * $PqSubDim + 1,
+       |      ss.s * $PqSubDim + $PqSubDim) AS sv
+       |  FROM em, ss)$trainingCtes""".stripMargin
+  }
+
+  private[operators] def pqOracleSql(trainRounds: Int): String = {
+    val cb = s"cbn$trainRounds"
+    s"""WITH ${pqOracleCtes(trainRounds)},
+       |codes AS (
+       |  SELECT vec_id, s, c FROM (
+       |    SELECT sub.vec_id, s, $cb.c,
+       |      row_number() OVER (PARTITION BY sub.vec_id, s ORDER BY
+       |        list_sum(list_transform(range(1, ${PqSubDim + 1}),
+       |          j -> (sv[j] - cv[j]) * (sv[j] - cv[j]))), $cb.c) AS rn
+       |    FROM sub JOIN $cb USING (s))
+       |  WHERE rn = 1),
+       |recon AS (
+       |  SELECT codes.vec_id, CAST(sum($cb.n2) AS BIGINT) AS nd
+       |  FROM codes JOIN $cb USING (s, c) GROUP BY codes.vec_id),
+       |qsub AS (
+       |  SELECT vec_id AS qid, ss.s,
+       |    list_slice(mv, ss.s * $PqSubDim + 1,
+       |      ss.s * $PqSubDim + $PqSubDim) AS qv,
+       |    CAST(list_sum(list_transform(mv, x -> x * x)) AS BIGINT) AS nqm
+       |  FROM em, ss WHERE vec_id < $NumQueries),
+       |qtab AS (
+       |  SELECT qid, s, c,
+       |    CAST(list_sum(list_transform(range(1, ${PqSubDim + 1}),
+       |      j -> qv[j] * cv[j])) AS BIGINT) AS qd, nqm
+       |  FROM qsub JOIN $cb USING (s)),
+       |scored AS (
+       |  SELECT q.qid, codes.vec_id, CAST(sum(q.qd) AS BIGINT) AS dot,
+       |    any_value(q.nqm) AS nqm
+       |  FROM codes JOIN qtab q USING (s, c)
+       |  WHERE codes.vec_id <> q.qid
+       |  GROUP BY q.qid, codes.vec_id),
+       |cosd AS (
+       |  SELECT qid, scored.vec_id AS nid,
+       |    CASE WHEN nd = 0 OR nqm = 0 THEN 0.0
+       |      ELSE round(CAST(dot AS DOUBLE) /
+       |        sqrt(CAST(nd AS DOUBLE) * CAST(nqm AS DOUBLE)), 6) END AS cos
+       |  FROM scored JOIN recon ON recon.vec_id = scored.vec_id)
+       |SELECT qid, CAST(rk AS BIGINT) AS rk, nid, cos FROM (
+       |  SELECT qid, nid, cos, row_number() OVER (PARTITION BY qid
+       |    ORDER BY cos DESC, nid) AS rk FROM cosd)
+       |WHERE rk <= $TopK ORDER BY qid, rk""".stripMargin
+  }
+
+  /** q181's oracle: the proven coarse-assignment CTEs (centroidCte →
+    * `assigned`, shared with q68/q69), micro cell centroids, the PQ
+    * training chain over the RESIDUAL `em` rendering (the same
+    * [[pqOracleCtes]] builder as q117/q177 — one training definition),
+    * then the residual-ADC algebra: dot = dot(qm, cm) + Σ LUT, norm
+    * recomposed from ‖cm‖², cross-terms and residual norms — every
+    * quantity an exact integer until the final division. */
+  /** The RESIDUAL `em` rendering (q181/q178): every corpus vector's
+    * micro components minus its cell's micro centroid — requires the
+    * [[centroidCte]] `assigned` and [[pqCmicCte]] `cmic` in scope. */
+  private[operators] def pqResidualEmBody: String =
+    s"""  SELECT a.vec_id, list_transform(range(1, ${Dim + 1}), d ->
+       |      CAST(round(a.v[d] * 1e6) AS BIGINT) - cmic.cm[d]) AS mv
+       |  FROM assigned a JOIN cmic ON cmic.cell = a.pred_label"""
+      .stripMargin
+
+  /** Micro cell centroids CTE — shared by q181 and q178's residual leg. */
+  private[operators] def pqCmicCte: String =
+    """cmic AS (
+      |  SELECT clabel AS cell,
+      |    list_transform(c, x -> CAST(round(x * 1e6) AS BIGINT)) AS cm
+      |  FROM cent)""".stripMargin
+
+  /** `sumsPred` restricts the coarse-centroid estimation (q182 freezes
+    * it on the corpus residues — the q105 rule); `trainPred` restricts
+    * the residual-codebook training set the same way. Encode/search
+    * stay over ALL vectors — per-row pure given the frozen tables, so
+    * the union rendering equals the incremental engine path. */
+  private[operators] def ivfPqOracleSql(sumsPred: String = "",
+      trainWhere: String = ""): String = {
+    val cb = s"cbn$PqTrainRounds"
+    s"""WITH ${centroidCteFrom(sumsPred)},
+       |$pqCmicCte,
+       |${pqOracleCtes(PqTrainRounds, pqResidualEmBody, trainWhere)},
+       |codes AS (
+       |  SELECT vec_id, s, c FROM (
+       |    SELECT sub.vec_id, s, $cb.c,
+       |      row_number() OVER (PARTITION BY sub.vec_id, s ORDER BY
+       |        list_sum(list_transform(range(1, ${PqSubDim + 1}),
+       |          j -> (sv[j] - cv[j]) * (sv[j] - cv[j]))), $cb.c) AS rn
+       |    FROM sub JOIN $cb USING (s))
+       |  WHERE rn = 1),
+       |cdt AS (
+       |  SELECT cmic.cell, b.s, b.c,
+       |    CAST(list_sum(list_transform(range(1, ${PqSubDim + 1}),
+       |      j -> cmic.cm[b.s * $PqSubDim + j] * b.cv[j])) AS BIGINT)
+       |      AS cd
+       |  FROM cmic, $cb b),
+       |cn2 AS (
+       |  SELECT cell, CAST(list_sum(list_transform(cm, x -> x * x))
+       |    AS BIGINT) AS cn2
+       |  FROM cmic),
+       |recon AS (
+       |  SELECT codes.vec_id,
+       |    CAST(any_value(cn2.cn2) + sum(2 * cdt.cd + b.n2) AS BIGINT)
+       |      AS nd
+       |  FROM codes
+       |  JOIN assigned a ON a.vec_id = codes.vec_id
+       |  JOIN cdt ON cdt.cell = a.pred_label
+       |    AND cdt.s = codes.s AND cdt.c = codes.c
+       |  JOIN $cb b ON b.s = codes.s AND b.c = codes.c
+       |  JOIN cn2 ON cn2.cell = a.pred_label
+       |  GROUP BY codes.vec_id),
+       |qm AS (
+       |  SELECT vec_id AS qid, list_transform(embedding::DOUBLE[],
+       |    x -> CAST(round(x * 1e6) AS BIGINT)) AS qmv
+       |  FROM embeddings WHERE vec_id < $NumQueries),
+       |qfull AS (
+       |  SELECT q.qid, qa.pred_label AS cell,
+       |    CAST(list_sum(list_transform(range(1, ${Dim + 1}),
+       |      d -> q.qmv[d] * cmic.cm[d])) AS BIGINT) AS qdotc,
+       |    CAST(list_sum(list_transform(q.qmv, x -> x * x)) AS BIGINT)
+       |      AS nqm
+       |  FROM qm q
+       |  JOIN assigned qa ON qa.vec_id = q.qid
+       |  JOIN cmic ON cmic.cell = qa.pred_label),
+       |qtab AS (
+       |  SELECT q.qid, b.s, b.c,
+       |    CAST(list_sum(list_transform(range(1, ${PqSubDim + 1}),
+       |      j -> q.qmv[b.s * $PqSubDim + j] * b.cv[j])) AS BIGINT) AS qd
+       |  FROM qm q, $cb b),
+       |scored AS (
+       |  SELECT f.qid, codes.vec_id,
+       |    CAST(any_value(f.qdotc) + sum(t.qd) AS BIGINT) AS dot,
+       |    any_value(f.nqm) AS nqm
+       |  FROM codes
+       |  JOIN assigned a ON a.vec_id = codes.vec_id
+       |  JOIN qfull f ON f.cell = a.pred_label
+       |  JOIN qtab t ON t.qid = f.qid AND t.s = codes.s AND t.c = codes.c
+       |  WHERE codes.vec_id <> f.qid
+       |  GROUP BY f.qid, codes.vec_id),
+       |cosd AS (
+       |  SELECT qid, scored.vec_id AS nid,
+       |    CASE WHEN nd = 0 OR nqm = 0 THEN 0.0
+       |      ELSE round(CAST(dot AS DOUBLE) /
+       |        sqrt(CAST(nd AS DOUBLE) * CAST(nqm AS DOUBLE)), 6) END AS cos
+       |  FROM scored JOIN recon ON recon.vec_id = scored.vec_id)
+       |SELECT qid, CAST(rk AS BIGINT) AS rk, nid, cos FROM (
+       |  SELECT qid, nid, cos, row_number() OVER (PARTITION BY qid
+       |    ORDER BY cos DESC, nid) AS rk FROM cosd)
+       |WHERE rk <= $TopK ORDER BY qid, rk""".stripMargin
+  }
 }

@@ -332,812 +332,12 @@ object VectorQueries extends VectorAnnTiers
     "q188_vec_band_cap_curve" -> (vecBandCapCurve _),
     "q194_vector_ingest_disposition" -> (vectorIngestDisposition _))
 
-  /** Oracle-side mirror of the Spark assignment ordering: the SAME
-    * quantity `round(l2Sq, 6)` — squared L2 summed left-to-right over the
-    * dims, rounded to 6 dp — so a near-equidistant boundary vector ties in
-    * BOTH engines and the portable cid/label tie-break decides identically
-    * (ADVICE r7 #1: ordering by unrounded `list_distance` let the oracle
-    * split ties Spark had collapsed). */
-  private[operators] def oracleL2Sq(v: String, c: String): String =
-    s"round(list_sum(list_transform(range(1, ${Dim + 1}), " +
-      s"d -> ($v[d] - $c[d]) * ($v[d] - $c[d]))), 6)"
-
-  /** Shared oracle fragment: per-label centroids with the same fixed-point
-    * rule as the Aggregator (sum of round(x*1e9) longs / 1e9 / n).
-    * `sumsPred` restricts the rows the centroids are computed FROM
-    * (q105 freezes the quantizer to corpus rows); assignment always
-    * covers every vector. */
-  private def centroidCteFrom(sumsPred: String): String =
-    s"""e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
-      |dims AS (SELECT unnest(range(1, 65)) AS i),
-      |sums AS (
-      |  SELECT label, i, sum(CAST(round(v[i] * 1e9) AS BIGINT)) AS s,
-      |         count(*) AS n
-      |  FROM e, dims $sumsPred GROUP BY label, i),
-      |cent AS (
-      |  SELECT label AS clabel,
-      |         array_agg(CAST(s AS DOUBLE) / 1e9 / n ORDER BY i) AS c
-      |  FROM sums GROUP BY label),
-      |assigned AS (
-      |  SELECT vec_id, label, v, pred_label FROM (
-      |    SELECT e.vec_id, e.label, e.v, cent.clabel AS pred_label,
-      |      row_number() OVER (PARTITION BY e.vec_id
-      |        ORDER BY ${oracleL2Sq("e.v", "cent.c")}, cent.clabel) AS rn
-      |    FROM e, cent) WHERE rn = 1)
-      |""".stripMargin
-
-  private[operators] val centroidCte = centroidCteFrom("")
-
-  private def oracleSignBit(w: Seq[Int]): String =
-    s"list_sum(list_transform(range(1, ${Dim + 1}), " +
-      s"d -> CAST(round(v[d] * 1e9) AS BIGINT) * ([${w.mkString(",")}])[d])) >= 0"
-
-  private val oracleBands = (0 until NumPlanes / PlanesPerBand).map { b =>
-    val bits = (0 until PlanesPerBand).map { i =>
-      s"CASE WHEN ${oracleSignBit(planes(b * PlanesPerBand + i))} " +
-        "THEN '1' ELSE '0' END"
-    }
-    s"SELECT vec_id, $b AS band, concat(${bits.mkString(", ")}) AS key FROM e"
-  }.mkString("\n  UNION ALL ")
-
-  /** The full q65 pipeline as composable CTEs ending in `vpairs(vec_a,
-    * vec_b, cos)` — shared with q91's semantic dedup so the two oracles
-    * can't drift apart (same pattern as LLMQueries.minhashPairsCtes). */
-  private val cosinePairsCtes: String =
-    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-       |bands AS (
-       |  $oracleBands),
-       |cands AS (
-       |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-       |  FROM bands a JOIN bands b
-       |    ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id),
-       |vpairs AS (
-       |  SELECT vec_a, vec_b,
-       |    round(list_cosine_similarity(ea.v, eb.v), 6) AS cos
-       |  FROM cands
-       |  JOIN e ea ON ea.vec_id = vec_a
-       |  JOIN e eb ON eb.vec_id = vec_b
-       |  WHERE round(list_cosine_similarity(ea.v, eb.v), 6)
-       |        >= $NearDupThreshold)""".stripMargin
-
-  private val oracleMain: Map[String, String] = Map(
-    "q95_vector_exact_dedup" ->
-      """SELECT min(vec_id) AS keep_id, count(*) AS n_copies
-        |FROM (SELECT vec_id,
-        |        md5(array_to_string(list_transform(embedding::DOUBLE[],
-        |          x -> CAST(CAST(round(x * 1e9) AS BIGINT) AS VARCHAR)),
-        |          ',')) AS vkey
-        |      FROM embeddings)
-        |GROUP BY vkey ORDER BY keep_id""".stripMargin,
-    "q65_cosine_near_dups" ->
-      s"""WITH $cosinePairsCtes
-         |SELECT vec_a, vec_b, cos FROM vpairs
-         |ORDER BY vec_a, vec_b""".stripMargin,
-    // q185: the q65 band CTEs, then the q184 occupancy rollup (same
-    // hot threshold — one policy constant across both band audits)
-    "q185_vec_band_occupancy" -> graft.multimodal.Multimodal
-      .bandOccupancySql(
-        s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-           |bands AS (
-           |  $oracleBands)""".stripMargin),
-    // q186: the family-collapsed pair table. Families group by the q95
-    // fixed-point key; the canonical id is the min CORPUS member when
-    // one exists, else the min batch member (the engine's fid rule);
-    // frep verifies with the CANONICAL member's vector — the same row
-    // the engine's persisted canonVecs table holds — so the oracle
-    // never depends on same-vkey replicas being byte-identical at the
-    // threshold boundary; `e` is SHADOWED with one representative row
-    // per family so the shared band CTEs run verbatim at family
-    // granularity; candidate family pairs need a batch-touched (tb > 0)
-    // probe side; n_pairs is exact integer arithmetic over per-family
-    // batch/corpus counts.
-    "q186_canonical_near_dup_pairs" ->
-      s"""WITH raw AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |k AS (SELECT vec_id, v,
-         |        md5(array_to_string(list_transform(v,
-         |          x -> CAST(CAST(round(x * 1e9) AS BIGINT) AS VARCHAR)),
-         |          ',')) AS vkey
-         |      FROM raw),
-         |fam AS (
-         |  SELECT vkey,
-         |    coalesce(min(vec_id) FILTER (WHERE vec_id % $VecBatchMod <> 0),
-         |             min(vec_id)) AS fid,
-         |    count(*) FILTER (WHERE vec_id % $VecBatchMod = 0) AS tb,
-         |    count(*) FILTER (WHERE vec_id % $VecBatchMod <> 0) AS tc
-         |  FROM k GROUP BY vkey),
-         |frep AS (SELECT f.fid, f.tb, f.tc, k.v
-         |         FROM fam f JOIN k ON k.vec_id = f.fid),
-         |e AS (SELECT fid AS vec_id, v FROM frep),
-         |bands AS (
-         |  $oracleBands),
-         |cands AS (
-         |  SELECT DISTINCT least(a.vec_id, b.vec_id) AS fid_a,
-         |    greatest(a.vec_id, b.vec_id) AS fid_b
-         |  FROM bands a JOIN bands b
-         |    ON a.band = b.band AND a.key = b.key AND a.vec_id <> b.vec_id
-         |  JOIN frep t ON t.fid = b.vec_id AND t.tb > 0),
-         |fpairs AS (
-         |  SELECT fid_a, fid_b,
-         |    round(list_cosine_similarity(ea.v, eb.v), 6) AS cos
-         |  FROM cands
-         |  JOIN e ea ON ea.vec_id = fid_a
-         |  JOIN e eb ON eb.vec_id = fid_b
-         |  WHERE round(list_cosine_similarity(ea.v, eb.v), 6)
-         |        >= $NearDupThreshold),
-         |cross_rows AS (
-         |  SELECT fid_a, fid_b, cos,
-         |    fa.tb * (fb.tb + fb.tc) + fa.tc * fb.tb AS n_pairs
-         |  FROM fpairs
-         |  JOIN frep fa ON fa.fid = fid_a
-         |  JOIN frep fb ON fb.fid = fid_b),
-         |within_rows AS (
-         |  SELECT fid AS fid_a, fid AS fid_b,
-         |    round(list_cosine_similarity(v, v), 6) AS cos,
-         |    tb * (tb - 1) // 2 + tb * tc AS n_pairs
-         |  FROM frep
-         |  WHERE tb > 0 AND tb * (tb - 1) // 2 + tb * tc > 0
-         |    AND round(list_cosine_similarity(v, v), 6)
-         |        >= $NearDupThreshold)
-         |SELECT fid_a, fid_b, cos, CAST(n_pairs AS BIGINT) AS n_pairs
-         |FROM (SELECT * FROM cross_rows UNION ALL SELECT * FROM within_rows)
-         |ORDER BY fid_a, fid_b""".stripMargin,
-    // q188: canonical families (full-corpus flavor — fid = min member
-    // over ALL vectors), the shared band CTEs at family granularity
-    // with per-bucket ranks, `need` = min-over-buckets of the larger
-    // rank, truth = the verified canonical pair set; same tail as q187
-    "q188_vec_band_cap_curve" ->
-      s"""WITH raw AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |k AS (SELECT vec_id, v,
-         |        md5(array_to_string(list_transform(v,
-         |          x -> CAST(CAST(round(x * 1e9) AS BIGINT) AS VARCHAR)),
-         |          ',')) AS vkey
-         |      FROM raw),
-         |fam AS (SELECT vkey, min(vec_id) AS fid FROM k GROUP BY vkey),
-         |frep AS (SELECT f.fid, k.v FROM fam f JOIN k ON k.vec_id = f.fid),
-         |e AS (SELECT fid AS vec_id, v FROM frep),
-         |bands AS (
-         |  $oracleBands),
-         |${graft.multimodal.Multimodal.bandCapRankSql("vec_id")},
-         |truth AS (
-         |  SELECT ida, idb FROM (
-         |    SELECT c.ida, c.idb,
-         |      round(list_cosine_similarity(ea.v, eb.v), 6) AS cos
-         |    FROM (SELECT DISTINCT least(a.vec_id, b.vec_id) AS ida,
-         |            greatest(a.vec_id, b.vec_id) AS idb
-         |          FROM bands a JOIN bands b
-         |            ON a.band = b.band AND a.key = b.key
-         |              AND a.vec_id <> b.vec_id) c
-         |    JOIN e ea ON ea.vec_id = c.ida
-         |    JOIN e eb ON eb.vec_id = c.idb)
-         |  WHERE cos >= $NearDupThreshold),
-         |${graft.multimodal.Multimodal.bandCapCurveSqlTail}""".stripMargin,
-    "q91_semantic_dedup" -> semanticDedupOracleSql(""),
-    // q104: the same full closure, restricted to clusters containing a
-    // batch (vec_id % 10 = 0) member — exactly what the incremental
-    // cluster-merge flow must reproduce from the persisted index.
-    "q104_incremental_semantic_dedup" -> semanticDedupOracleSql(
-      s"  AND cluster_id IN (SELECT cluster_id FROM comp" +
-        s" WHERE vec_id % $VecBatchMod = 0)\n"),
-    "q67_topk_cosine" ->
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < $NumQueries),
-         |scored AS (
-         |  SELECT qid, e.vec_id AS nid,
-         |    round(list_cosine_similarity(e.v, q.qv), 6) AS cos
-         |  FROM e, q WHERE e.vec_id <> q.qid)
-         |SELECT qid, rk, nid, cos FROM (
-         |  SELECT *, row_number() OVER
-         |    (PARTITION BY qid ORDER BY cos DESC, nid) AS rk
-         |  FROM scored)
-         |WHERE rk <= $TopK ORDER BY qid, rk""".stripMargin,
-    "q135_hard_negatives" ->
-      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
-         |           FROM embeddings),
-         |q AS (SELECT vec_id AS qid, label AS qlabel, v AS qv
-         |      FROM e WHERE vec_id < $NumQueries),
-         |scored AS (
-         |  SELECT qid, e.vec_id AS nid, e.label AS neg_label,
-         |    round(list_cosine_similarity(e.v, q.qv), 6) AS cos
-         |  FROM e, q WHERE e.vec_id <> q.qid AND e.label <> q.qlabel)
-         |SELECT qid, rk, nid, neg_label, cos FROM (
-         |  SELECT *, row_number() OVER
-         |    (PARTITION BY qid ORDER BY cos DESC, nid) AS rk
-         |  FROM scored)
-         |WHERE rk <= $HardNegK ORDER BY qid, rk""".stripMargin,
-    "q140_positive_pairs" ->
-      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
-         |           FROM embeddings),
-         |q AS (SELECT vec_id AS qid, label AS qlabel, v AS qv
-         |      FROM e WHERE vec_id < $NumQueries),
-         |scored AS (
-         |  SELECT qid, e.vec_id AS pid, e.label AS pos_label,
-         |    round(list_cosine_similarity(e.v, q.qv), 6) AS cos
-         |  FROM e, q WHERE e.vec_id <> q.qid AND e.label = q.qlabel)
-         |SELECT qid, rk, pid, pos_label, cos FROM (
-         |  SELECT *, row_number() OVER
-         |    (PARTITION BY qid ORDER BY cos DESC, pid) AS rk
-         |  FROM scored)
-         |WHERE rk <= $HardNegK ORDER BY qid, rk""".stripMargin,
-    // q160 NESTS q105's frozen-quantizer CTE (centroids from the corpus
-    // residue, assignment over every vector) and re-derives the winning
-    // distance exactly as Spark does: round(l2sq, 6) then micro cast.
-    // The corpus stats are in-query here; the pipeline reads them
-    // persisted (IndexStore quantizer_drift family, spec-pinned equal).
-    "q160_quantizer_drift" ->
-      (s"WITH ${centroidCteFrom(s"WHERE e.vec_id % $VecBatchMod <> 0")}," +
-      s"""d AS (
-         |  SELECT a.vec_id, a.pred_label AS cell,
-         |    CAST(round(${oracleL2Sq("a.v", "cent.c")} * 1e6) AS BIGINT)
-         |      AS d2micro,
-         |    a.vec_id % $VecBatchMod = 0 AS is_batch
-         |  FROM assigned a JOIN cent ON cent.clabel = a.pred_label),
-         |stats AS (
-         |  SELECT cell,
-         |    count(*) FILTER (WHERE NOT is_batch) AS n_corpus,
-         |    count(*) FILTER (WHERE is_batch) AS n_batch,
-         |    sum(d2micro) FILTER (WHERE NOT is_batch) AS s_c,
-         |    sum(d2micro) FILTER (WHERE is_batch) AS s_b
-         |  FROM d GROUP BY cell)
-         |SELECT cell, n_corpus, n_batch,
-         |  CASE WHEN n_corpus = 0 THEN NULL
-         |    ELSE CAST(n_batch * 1000000 // n_corpus AS BIGINT)
-         |  END AS growth_micro,
-         |  CASE WHEN n_corpus = 0 THEN NULL
-         |    ELSE CAST(s_c // n_corpus AS BIGINT) END AS corpus_d2_micro,
-         |  CASE WHEN n_batch = 0 THEN NULL
-         |    ELSE CAST(s_b // n_batch AS BIGINT) END AS batch_d2_micro,
-         |  CASE WHEN n_batch = 0 OR n_corpus = 0 THEN NULL
-         |    ELSE CAST(s_b // n_batch - s_c // n_corpus AS BIGINT)
-         |  END AS drift_micro
-         |FROM stats ORDER BY cell""".stripMargin),
-    "q68_centroid_classify" -> (s"WITH $centroidCte" +
-      """SELECT label, pred_label, count(*) AS n
-        |FROM assigned GROUP BY label, pred_label
-        |ORDER BY label, pred_label""".stripMargin),
-    // q152 NESTS the q68 assigned CTE: cell balance IS the quantizer's
-    // real layout, not a re-derivation
-    "q152_ivf_cell_balance" -> (s"WITH $centroidCte," +
-      """cells AS (
-        |  SELECT pred_label AS cell, count(*) AS n
-        |  FROM assigned GROUP BY pred_label),
-        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM cells)
-        |SELECT cell, n, CAST(n * 1000000 // n_total AS BIGINT)
-        |  AS share_micro
-        |FROM cells, tot ORDER BY cell""".stripMargin),
-    // q149 NESTS the q68 centroid CTE (same fixed-point rule) — the
-    // report and the classifier cannot disagree about label geometry
-    "q149_embedding_report" -> (s"WITH $centroidCte," +
-      s"""own AS (
-         |  SELECT e.label,
-         |    CAST(round(${oracleL2Sq("e.v", "cent.c")} * 1e6) AS BIGINT)
-         |      AS d2micro
-         |  FROM e JOIN cent ON cent.clabel = e.label),
-         |comp AS (
-         |  SELECT label, count(*) AS n,
-         |    CAST(sum(d2micro) // count(*) AS BIGINT) AS mean_d2_micro
-         |  FROM own GROUP BY label),
-         |gaps AS (
-         |  SELECT a.clabel AS label, b.clabel AS nl,
-         |    ${oracleL2Sq("a.c", "b.c")} AS g
-         |  FROM cent a JOIN cent b ON a.clabel <> b.clabel),
-         |near AS (
-         |  SELECT label, nl AS nearest_label, g AS centroid_gap FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY label
-         |      ORDER BY g, nl) AS rn FROM gaps) WHERE rn = 1)
-         |SELECT label, n, mean_d2_micro, nearest_label, centroid_gap
-         |FROM comp JOIN near USING (label) ORDER BY label""".stripMargin),
-    "q69_ivf_topk_cosine" -> (s"WITH $centroidCte," +
-      s"""q AS (SELECT vec_id AS qid, v AS qv, pred_label AS cell
-         |      FROM assigned WHERE vec_id < $NumQueries),
-         |scored AS (
-         |  SELECT q.qid, a.vec_id AS nid,
-         |    round(list_cosine_similarity(a.v, q.qv), 6) AS cos
-         |  FROM assigned a JOIN q
-         |    ON a.pred_label = q.cell AND a.vec_id <> q.qid)
-         |SELECT qid, rk, nid, cos FROM (
-         |  SELECT *, row_number() OVER
-         |    (PARTITION BY qid ORDER BY cos DESC, nid) AS rk
-         |  FROM scored)
-         |WHERE rk <= $TopK ORDER BY qid, rk""".stripMargin),
-    // q106: the scale cancels in cosine, so the quantized score is
-    // exact integer arithmetic — identical longs in both engines, one
-    // double division + sqrt at the end, rounded the shared 6 dp.
-    "q106_sq8_topk_cosine" ->
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |qz AS (
-         |  SELECT vec_id,
-         |    list_transform(v, x -> CAST(round(x /
-         |      (CASE WHEN m = 0 THEN 1 ELSE m END)) AS BIGINT)) AS qv
-         |  FROM (SELECT vec_id, v,
-         |          list_max(list_transform(v, x -> abs(x))) / 127 AS m
-         |        FROM e)),
-         |n AS (SELECT vec_id, qv,
-         |        CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS nq
-         |      FROM qz),
-         |qs AS (SELECT vec_id AS qid, qv AS qq, nq AS nqq FROM n
-         |       WHERE vec_id < $NumQueries),
-         |scored AS (
-         |  SELECT qs.qid, n.vec_id AS nid,
-         |    CASE WHEN n.nq = 0 OR qs.nqq = 0 THEN 0.0
-         |         ELSE round(CAST(list_sum(list_transform(range(1, ${Dim + 1}),
-         |                d -> n.qv[d] * qs.qq[d])) AS DOUBLE)
-         |           / sqrt(CAST(n.nq * qs.nqq AS DOUBLE)), 6) END AS cos
-         |  FROM n, qs WHERE n.vec_id <> qs.qid)
-         |SELECT qid, rk, nid, cos FROM (
-         |  SELECT *, row_number() OVER
-         |    (PARTITION BY qid ORDER BY cos DESC, nid) AS rk
-         |  FROM scored)
-         |WHERE rk <= $TopK ORDER BY qid, rk""".stripMargin,
-    // q105: the q69 search over a quantizer FROZEN to corpus rows —
-    // batch vectors are assigned and searched, never clustered.
-    "q105_incremental_ivf_topk" ->
-      (s"WITH ${centroidCteFrom(s"WHERE e.vec_id % $VecBatchMod <> 0")}," +
-      s"""q AS (SELECT vec_id AS qid, v AS qv, pred_label AS cell
-         |      FROM assigned WHERE vec_id < $NumQueries),
-         |scored AS (
-         |  SELECT q.qid, a.vec_id AS nid,
-         |    round(list_cosine_similarity(a.v, q.qv), 6) AS cos
-         |  FROM assigned a JOIN q
-         |    ON a.pred_label = q.cell AND a.vec_id <> q.qid)
-         |SELECT qid, rk, nid, cos FROM (
-         |  SELECT *, row_number() OVER
-         |    (PARTITION BY qid ORDER BY cos DESC, nid) AS rk
-         |  FROM scored)
-         |WHERE rk <= $TopK ORDER BY qid, rk""".stripMargin),
-    "q87_ivf_multiprobe" -> (s"WITH $centroidCte," +
-      s"""qm AS (SELECT qid, qv, cell FROM (
-         |    SELECT e.vec_id AS qid, e.v AS qv, cent.clabel AS cell,
-         |      row_number() OVER (PARTITION BY e.vec_id
-         |        ORDER BY ${oracleL2Sq("e.v", "cent.c")}, cent.clabel) AS rn
-         |    FROM e, cent WHERE e.vec_id < $NumQueries)
-         |  WHERE rn <= $NumProbes),
-         |scored AS (
-         |  SELECT qm.qid, a.vec_id AS nid,
-         |    round(list_cosine_similarity(a.v, qm.qv), 6) AS cos
-         |  FROM assigned a JOIN qm
-         |    ON a.pred_label = qm.cell AND a.vec_id <> qm.qid)
-         |SELECT qid, rk, nid, cos FROM (
-         |  SELECT *, row_number() OVER
-         |    (PARTITION BY qid ORDER BY cos DESC, nid) AS rk
-         |  FROM scored)
-         |WHERE rk <= $TopK ORDER BY qid, rk""".stripMargin),
-    // q100: the 2-round Lloyd iteration unrolled — seeds c0, assignment
-    // a1, fixed-point means c1 (the centroidCte rule), assignment a2;
-    // output is exact-integer accounting of a2. list_sum over BIGINTs
-    // widens to HUGEINT → cast back (verify-skill gotcha).
-    "q100_kmeans" ->
-      s"""WITH ${kmeansCtes(KmeansK)}
-         |SELECT cid AS cluster_id, count(*) AS n,
-         |  CAST(sum(list_sum(list_transform(v,
-         |    x -> CAST(round(x * 1e9) AS BIGINT)))) AS BIGINT) AS checksum_nano
-         |FROM a2 GROUP BY cid ORDER BY cluster_id""".stripMargin,
-    // q102: batch-internal exact-dup winners whose canonical key is
-    // unseen in the corpus — the q97 oracle shape, embedding flavor.
-    "q102_incremental_vector_exact_dedup" ->
-      s"""WITH e AS (
-         |  SELECT vec_id,
-         |    md5(array_to_string(list_transform(embedding::DOUBLE[],
-         |      x -> CAST(CAST(round(x * 1e9) AS BIGINT) AS VARCHAR)),
-         |      ',')) AS vkey
-         |  FROM embeddings),
-         |corpus AS (SELECT DISTINCT vkey FROM e WHERE vec_id % $VecBatchMod <> 0),
-         |batch AS (
-         |  SELECT vkey, min(vec_id) AS keep_id, count(*) AS n_copies
-         |  FROM e WHERE vec_id % $VecBatchMod = 0 GROUP BY vkey)
-         |SELECT keep_id, n_copies FROM batch
-         |WHERE vkey NOT IN (SELECT vkey FROM corpus)
-         |ORDER BY keep_id""".stripMargin,
-    // q103: band keys and cosine are pure per-vector functions, so the
-    // incremental flow equals the FULL q65 pair pass restricted to pairs
-    // touching >= 1 batch vector — the q96 oracle invariant.
-    "q103_incremental_vector_near_dups" ->
-      s"""WITH $cosinePairsCtes
-         |SELECT vec_a, vec_b, cos FROM vpairs
-         |WHERE vec_a % $VecBatchMod = 0 OR vec_b % $VecBatchMod = 0
-         |ORDER BY vec_a, vec_b""".stripMargin,
-    // q112: the q69 coarse quantizer (shared centroid/assignment CTEs)
-    // composed with the q106 SQ8 integer scoring, restricted to the
-    // query's cell — both pieces individually proven, the composition
-    // hash-checked here.
-    "q112_ivf_sq8_topk" -> (s"WITH $centroidCte," +
-      s"""qz AS (
-         |  SELECT vec_id, pred_label AS cell,
-         |    list_transform(v, x -> CAST(round(x /
-         |      (CASE WHEN m = 0 THEN 1 ELSE m END)) AS BIGINT)) AS qv
-         |  FROM (SELECT vec_id, pred_label, v,
-         |          list_max(list_transform(v, x -> abs(x))) / 127 AS m
-         |        FROM assigned)),
-         |n AS (SELECT vec_id, cell, qv,
-         |        CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS nq
-         |      FROM qz),
-         |qs AS (SELECT vec_id AS qid, cell, qv AS qq, nq AS nqq FROM n
-         |       WHERE vec_id < $NumQueries),
-         |scored AS (
-         |  SELECT qs.qid, n.vec_id AS nid,
-         |    CASE WHEN n.nq = 0 OR qs.nqq = 0 THEN 0.0
-         |         ELSE round(CAST(list_sum(list_transform(range(1, ${Dim + 1}),
-         |                d -> n.qv[d] * qs.qq[d])) AS DOUBLE)
-         |           / sqrt(CAST(n.nq * qs.nqq AS DOUBLE)), 6) END AS cos
-         |  FROM n JOIN qs ON n.cell = qs.cell AND n.vec_id <> qs.qid)
-         |SELECT qid, rk, nid, cos FROM (
-         |  SELECT *, row_number() OVER
-         |    (PARTITION BY qid ORDER BY cos DESC, nid) AS rk
-         |  FROM scored)
-         |WHERE rk <= $TopK ORDER BY qid, rk""".stripMargin),
-    // q101: same unrolled iteration at cell granularity, then every
-    // within-cell pair scored — the SemDeDup candidate structure.
-    "q101_cell_near_dups" ->
-      s"""WITH ${kmeansCtes(CellK)}
-         |SELECT vec_a, vec_b, cos FROM (
-         |  SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
-         |    round(list_cosine_similarity(x.v, y.v), 6) AS cos
-         |  FROM a2 x JOIN a2 y
-         |    ON x.cid = y.cid AND x.vec_id < y.vec_id)
-         |WHERE cos >= $NearDupThreshold
-         |ORDER BY vec_a, vec_b""".stripMargin,
-    // q117: PQ mirror — same micro fixed-point domain, seed codebook
-    // (row_number ≡ Spark's sort_array position), integer argmin with
-    // lowest-code tie-break, and ADC table lookups; only the final
-    // division is floating, over exactly-representable factors.
-    "q117_pq_topk" -> pqOracleSql(0),
-    // q177: the SAME oracle with the Lloyd training rounds unrolled in
-    // front (the kmeansCtes pattern) — encode/ADC tail shared verbatim
-    // so the seeded and trained variants cannot drift.
-    "q177_pq_trained_topk" -> pqOracleSql(PqTrainRounds),
-    // q181: the residual IVF-PQ composition — coarse assignment,
-    // residual-domain training and ADC algebra all nest the proven
-    // fragments (centroidCte/assigned + the pqOracleCtes builder).
-    "q181_ivfpq_topk" -> ivfPqOracleSql(),
-    // q182: the same composition with the coarse centroids AND the
-    // residual codebook frozen on the corpus residues (the q105 rule);
-    // encode/search cover all vectors — per-row pure given the frozen
-    // tables, so the oracle's union rendering equals the engine's
-    // corpus-codes ∪ batch-codes path.
-    "q182_incremental_ivfpq" -> ivfPqOracleSql(
-      s"WHERE e.vec_id % $VecBatchMod <> 0",
-      s"WHERE vec_id % $VecBatchMod <> 0"),
-    // q178: all three codebooks replayed; the raw rows share one CTE
-    // chain, the residual row carries its own chain in a nested WITH
-    // scope (the q110 composition trick — no CTE-name collisions);
-    // distortion = min over codes of the exact integer sub-distance,
-    // summed — no tie-break needed (min distance, not argmin code).
-    "q178_pq_distortion" -> {
-      def leg(cbName: String): String =
-        s"""SELECT vec_id, s, min(list_sum(list_transform(
-           |      range(1, ${PqSubDim + 1}),
-           |      j -> (sv[j] - cv[j]) * (sv[j] - cv[j])))) AS md
-           |  FROM sub JOIN $cbName USING (s) GROUP BY vec_id, s"""
-          .stripMargin
-      s"""SELECT variant, total_sqerr, n_subvectors,
-         |  CAST(total_sqerr // n_subvectors AS BIGINT) AS mean_sqerr
-         |FROM (
-         |  SELECT 'residual_trained' AS variant,
-         |    CAST(sum(md) AS BIGINT) AS total_sqerr,
-         |    count(*) AS n_subvectors
-         |  FROM (WITH $centroidCte,
-         |$pqCmicCte,
-         |${pqOracleCtes(PqTrainRounds, pqResidualEmBody)}
-         |  ${leg(s"cbn$PqTrainRounds")})
-         |  UNION ALL
-         |  SELECT 'seeded', CAST(sum(md) AS BIGINT), count(*)
-         |  FROM (WITH ${pqOracleCtes(0)}
-         |  ${leg("cbn0")})
-         |  UNION ALL
-         |  SELECT 'trained', CAST(sum(md) AS BIGINT), count(*)
-         |  FROM (WITH ${pqOracleCtes(PqTrainRounds)}
-         |  ${leg(s"cbn$PqTrainRounds")}))
-         |ORDER BY variant""".stripMargin
-    },
-    // q121: the sign matrix regenerates from the same md5 rule (+1 iff
-    // the first hex digit of md5('rp<j>_<d>') is even); projections are
-    // exact integer sums in micro units, so only the final division is
-    // floating — over the identical longs in both engines.
-    "q121_rp_topk" ->
-      s"""WITH m AS (
-         |  SELECT vec_id, list_transform(embedding::DOUBLE[],
-         |    x -> CAST(round(x * 1e6) AS BIGINT)) AS mv
-         |  FROM embeddings),
-         |signs AS (
-         |  SELECT j, d, CASE WHEN strpos('02468ace',
-         |      substr(md5('rp' || j || '_' || d), 1, 1)) > 0
-         |    THEN 1 ELSE -1 END AS s
-         |  FROM range(0, $RpDim) t1(j), range(0, $Dim) t2(d)),
-         |proj AS (
-         |  SELECT vec_id, j, CAST(sum(s * mv[d + 1]) AS BIGINT) AS p
-         |  FROM m, signs GROUP BY vec_id, j),
-         |np AS (
-         |  SELECT vec_id, CAST(sum(p * p) AS BIGINT) AS np
-         |  FROM proj GROUP BY vec_id),
-         |dots AS (
-         |  SELECT dv.vec_id AS nid, qv.vec_id AS qid,
-         |    CAST(sum(dv.p * qv.p) AS BIGINT) AS dot
-         |  FROM proj dv JOIN proj qv
-         |    ON dv.j = qv.j AND qv.vec_id < $NumQueries
-         |      AND dv.vec_id <> qv.vec_id
-         |  GROUP BY dv.vec_id, qv.vec_id),
-         |cosd AS (
-         |  SELECT qid, nid,
-         |    CASE WHEN dn.np = 0 OR qn.np = 0 THEN 0.0
-         |      ELSE round(CAST(dot AS DOUBLE) /
-         |        sqrt(CAST(dn.np AS DOUBLE) * CAST(qn.np AS DOUBLE)), 6)
-         |      END AS cos
-         |  FROM dots JOIN np dn ON dn.vec_id = dots.nid
-         |    JOIN np qn ON qn.vec_id = dots.qid)
-         |SELECT qid, CAST(rk AS BIGINT) AS rk, nid, cos FROM (
-         |  SELECT qid, nid, cos, row_number() OVER (PARTITION BY qid
-         |    ORDER BY cos DESC, nid) AS rk FROM cosd)
-         |WHERE rk <= $TopK ORDER BY qid, rk""".stripMargin,
-    // q124: the MMR greedy chain unrolled per selection round (the
-    // kmeans pattern) — identical rounded cosines, identical rel − red
-    // scores, vec_id tie-breaks, so both engines pick identical chains
-    "q124_mmr_topk" -> {
-      val rounds = (2 to MmrK).map { t =>
-        s"""r$t AS (
-           |  SELECT c.qid, c.vec_id, c.rel,
-           |    round(c.rel - max(cc.sim), 6) AS score
-           |  FROM cands c
-           |  JOIN cc ON cc.qid = c.qid AND cc.d = c.vec_id
-           |  JOIN sel${t - 1} ON sel${t - 1}.qid = cc.qid
-           |    AND sel${t - 1}.vec_id = cc.s
-           |  WHERE NOT EXISTS (SELECT 1 FROM sel${t - 1} x
-           |    WHERE x.qid = c.qid AND x.vec_id = c.vec_id)
-           |  GROUP BY c.qid, c.vec_id, c.rel),
-           |s$t AS (
-           |  SELECT qid, vec_id, score FROM (
-           |    SELECT *, row_number() OVER (PARTITION BY qid
-           |      ORDER BY score DESC, vec_id) AS rn FROM r$t)
-           |  WHERE rn = 1),
-           |sel$t AS (SELECT qid, vec_id FROM sel${t - 1}
-           |  UNION ALL SELECT qid, vec_id FROM s$t)""".stripMargin
-      }.mkString(",\n")
-      val selects = (1 to MmrK).map(t =>
-        s"SELECT qid, CAST($t AS BIGINT) AS rk, vec_id AS nid, score FROM s$t")
-        .mkString("\n  UNION ALL ")
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |q AS (SELECT vec_id AS qid, v AS qv FROM e
-         |      WHERE vec_id < $NumQueries),
-         |rel AS (
-         |  SELECT q.qid, e.vec_id, e.v,
-         |    round(list_cosine_similarity(e.v, q.qv), 6) AS rel
-         |  FROM e, q WHERE e.vec_id <> q.qid),
-         |cands AS (
-         |  SELECT qid, vec_id, v, rel FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY qid
-         |      ORDER BY rel DESC, vec_id) AS rn FROM rel)
-         |  WHERE rn <= $MmrCands),
-         |cc AS (
-         |  SELECT a.qid, a.vec_id AS d, b.vec_id AS s,
-         |    round(list_cosine_similarity(a.v, b.v), 6) AS sim
-         |  FROM cands a JOIN cands b
-         |    ON a.qid = b.qid AND a.vec_id <> b.vec_id),
-         |s1 AS (
-         |  SELECT qid, vec_id, rel AS score FROM (
-         |    SELECT qid, vec_id, rel, row_number() OVER (PARTITION BY qid
-         |      ORDER BY rel DESC, vec_id) AS rn FROM cands)
-         |  WHERE rn = 1),
-         |sel1 AS (SELECT qid, vec_id FROM s1),
-         |$rounds
-         |SELECT qid, rk, nid, score FROM (
-         |  $selects) ORDER BY qid, rk""".stripMargin
-    })
-
-  /** The PQ oracle parameterized by Lloyd training rounds: 0 = the
-    * seeded codebook (q117), [[PqTrainRounds]] = the trained variant
-    * (q177). Training rounds unroll as CTEs exactly mirroring
-    * [[pqTrainedCodebookOf]]: integer argmin assignment (lowest-code
-    * tie-break), component mean = CAST(round(sum/count) AS BIGINT) —
-    * one correctly-rounded double division then half-away-from-zero
-    * round, identical in both engines — empty cells keep their previous
-    * centroid via LEFT JOIN + coalesce. The encode/ADC tail is shared
-    * verbatim across both variants. */
-  /** The raw-vector micro frame — the default `em` body of
-    * [[pqOracleCtes]]; q181 swaps in the RESIDUAL rendering. */
-  private def PqRawEmBody: String =
-    s"""  SELECT vec_id, list_transform(embedding::DOUBLE[],
-       |    x -> CAST(round(x * 1e6) AS BIGINT)) AS mv
-       |  FROM embeddings""".stripMargin
-
-  /** `trainWhere` (e.g. "WHERE vec_id % 10 <> 0") restricts the SEED
-    * set and the Lloyd training iterations — q182's corpus-frozen
-    * codebook — while `sub`/encode stay over every vector. */
-  private def pqOracleCtes(trainRounds: Int,
-      emBody: String = PqRawEmBody, trainWhere: String = ""): String = {
-    val rounds = (1 to trainRounds).map { r =>
-      val prev = s"cbn${r - 1}"
-      s"""cdr$r AS (
-         |  SELECT vec_id, s, c, sv FROM (
-         |    SELECT sub.vec_id, s, $prev.c, sub.sv,
-         |      row_number() OVER (PARTITION BY sub.vec_id, s ORDER BY
-         |        list_sum(list_transform(range(1, ${PqSubDim + 1}),
-         |          j -> (sv[j] - cv[j]) * (sv[j] - cv[j]))), $prev.c) AS rn
-         |    FROM sub JOIN $prev USING (s) $trainWhere)
-         |  WHERE rn = 1),
-         |up$r AS (
-         |  SELECT s, c, j,
-         |    CAST(round(CAST(sum(sv[j]) AS DOUBLE) / count(*)) AS BIGINT)
-         |      AS x
-         |  FROM cdr$r, range(1, ${PqSubDim + 1}) t(j)
-         |  GROUP BY s, c, j),
-         |nv$r AS (
-         |  SELECT s, c, array_agg(x ORDER BY j) AS cv
-         |  FROM up$r GROUP BY s, c),
-         |cbn$r AS (
-         |  SELECT $prev.s, $prev.c, coalesce(nv$r.cv, $prev.cv) AS cv,
-         |    CAST(list_sum(list_transform(coalesce(nv$r.cv, $prev.cv),
-         |      x -> x * x)) AS BIGINT) AS n2
-         |  FROM $prev LEFT JOIN nv$r
-         |    ON nv$r.s = $prev.s AND nv$r.c = $prev.c)""".stripMargin
-    }
-    val trainingCtes =
-      if (rounds.isEmpty) "" else ",\n" + rounds.mkString(",\n")
-    s"""em AS (
-       |$emBody),
-       |seeds0 AS (SELECT vec_id, mv FROM em $trainWhere
-       |           ORDER BY vec_id LIMIT $PqCodes),
-       |seeds AS (
-       |  SELECT mv, row_number() OVER (ORDER BY vec_id) - 1 AS c
-       |  FROM seeds0),
-       |ss AS (SELECT unnest(range(0, $PqSubspaces)) AS s),
-       |cbn0 AS (
-       |  SELECT ss.s, seeds.c,
-       |    list_slice(seeds.mv, ss.s * $PqSubDim + 1,
-       |      ss.s * $PqSubDim + $PqSubDim) AS cv,
-       |    CAST(list_sum(list_transform(list_slice(seeds.mv,
-       |      ss.s * $PqSubDim + 1, ss.s * $PqSubDim + $PqSubDim),
-       |      x -> x * x)) AS BIGINT) AS n2
-       |  FROM seeds, ss),
-       |sub AS (
-       |  SELECT vec_id, ss.s,
-       |    list_slice(mv, ss.s * $PqSubDim + 1,
-       |      ss.s * $PqSubDim + $PqSubDim) AS sv
-       |  FROM em, ss)$trainingCtes""".stripMargin
-  }
-
-  private def pqOracleSql(trainRounds: Int): String = {
-    val cb = s"cbn$trainRounds"
-    s"""WITH ${pqOracleCtes(trainRounds)},
-       |codes AS (
-       |  SELECT vec_id, s, c FROM (
-       |    SELECT sub.vec_id, s, $cb.c,
-       |      row_number() OVER (PARTITION BY sub.vec_id, s ORDER BY
-       |        list_sum(list_transform(range(1, ${PqSubDim + 1}),
-       |          j -> (sv[j] - cv[j]) * (sv[j] - cv[j]))), $cb.c) AS rn
-       |    FROM sub JOIN $cb USING (s))
-       |  WHERE rn = 1),
-       |recon AS (
-       |  SELECT codes.vec_id, CAST(sum($cb.n2) AS BIGINT) AS nd
-       |  FROM codes JOIN $cb USING (s, c) GROUP BY codes.vec_id),
-       |qsub AS (
-       |  SELECT vec_id AS qid, ss.s,
-       |    list_slice(mv, ss.s * $PqSubDim + 1,
-       |      ss.s * $PqSubDim + $PqSubDim) AS qv,
-       |    CAST(list_sum(list_transform(mv, x -> x * x)) AS BIGINT) AS nqm
-       |  FROM em, ss WHERE vec_id < $NumQueries),
-       |qtab AS (
-       |  SELECT qid, s, c,
-       |    CAST(list_sum(list_transform(range(1, ${PqSubDim + 1}),
-       |      j -> qv[j] * cv[j])) AS BIGINT) AS qd, nqm
-       |  FROM qsub JOIN $cb USING (s)),
-       |scored AS (
-       |  SELECT q.qid, codes.vec_id, CAST(sum(q.qd) AS BIGINT) AS dot,
-       |    any_value(q.nqm) AS nqm
-       |  FROM codes JOIN qtab q USING (s, c)
-       |  WHERE codes.vec_id <> q.qid
-       |  GROUP BY q.qid, codes.vec_id),
-       |cosd AS (
-       |  SELECT qid, scored.vec_id AS nid,
-       |    CASE WHEN nd = 0 OR nqm = 0 THEN 0.0
-       |      ELSE round(CAST(dot AS DOUBLE) /
-       |        sqrt(CAST(nd AS DOUBLE) * CAST(nqm AS DOUBLE)), 6) END AS cos
-       |  FROM scored JOIN recon ON recon.vec_id = scored.vec_id)
-       |SELECT qid, CAST(rk AS BIGINT) AS rk, nid, cos FROM (
-       |  SELECT qid, nid, cos, row_number() OVER (PARTITION BY qid
-       |    ORDER BY cos DESC, nid) AS rk FROM cosd)
-       |WHERE rk <= $TopK ORDER BY qid, rk""".stripMargin
-  }
-
-  /** q181's oracle: the proven coarse-assignment CTEs (centroidCte →
-    * `assigned`, shared with q68/q69), micro cell centroids, the PQ
-    * training chain over the RESIDUAL `em` rendering (the same
-    * [[pqOracleCtes]] builder as q117/q177 — one training definition),
-    * then the residual-ADC algebra: dot = dot(qm, cm) + Σ LUT, norm
-    * recomposed from ‖cm‖², cross-terms and residual norms — every
-    * quantity an exact integer until the final division. */
-  /** The RESIDUAL `em` rendering (q181/q178): every corpus vector's
-    * micro components minus its cell's micro centroid — requires the
-    * [[centroidCte]] `assigned` and [[pqCmicCte]] `cmic` in scope. */
-  private def pqResidualEmBody: String =
-    s"""  SELECT a.vec_id, list_transform(range(1, ${Dim + 1}), d ->
-       |      CAST(round(a.v[d] * 1e6) AS BIGINT) - cmic.cm[d]) AS mv
-       |  FROM assigned a JOIN cmic ON cmic.cell = a.pred_label"""
-      .stripMargin
-
-  /** Micro cell centroids CTE — shared by q181 and q178's residual leg. */
-  private def pqCmicCte: String =
-    """cmic AS (
-      |  SELECT clabel AS cell,
-      |    list_transform(c, x -> CAST(round(x * 1e6) AS BIGINT)) AS cm
-      |  FROM cent)""".stripMargin
-
-  /** `sumsPred` restricts the coarse-centroid estimation (q182 freezes
-    * it on the corpus residues — the q105 rule); `trainPred` restricts
-    * the residual-codebook training set the same way. Encode/search
-    * stay over ALL vectors — per-row pure given the frozen tables, so
-    * the union rendering equals the incremental engine path. */
-  private def ivfPqOracleSql(sumsPred: String = "",
-      trainWhere: String = ""): String = {
-    val cb = s"cbn$PqTrainRounds"
-    s"""WITH ${centroidCteFrom(sumsPred)},
-       |$pqCmicCte,
-       |${pqOracleCtes(PqTrainRounds, pqResidualEmBody, trainWhere)},
-       |codes AS (
-       |  SELECT vec_id, s, c FROM (
-       |    SELECT sub.vec_id, s, $cb.c,
-       |      row_number() OVER (PARTITION BY sub.vec_id, s ORDER BY
-       |        list_sum(list_transform(range(1, ${PqSubDim + 1}),
-       |          j -> (sv[j] - cv[j]) * (sv[j] - cv[j]))), $cb.c) AS rn
-       |    FROM sub JOIN $cb USING (s))
-       |  WHERE rn = 1),
-       |cdt AS (
-       |  SELECT cmic.cell, b.s, b.c,
-       |    CAST(list_sum(list_transform(range(1, ${PqSubDim + 1}),
-       |      j -> cmic.cm[b.s * $PqSubDim + j] * b.cv[j])) AS BIGINT)
-       |      AS cd
-       |  FROM cmic, $cb b),
-       |cn2 AS (
-       |  SELECT cell, CAST(list_sum(list_transform(cm, x -> x * x))
-       |    AS BIGINT) AS cn2
-       |  FROM cmic),
-       |recon AS (
-       |  SELECT codes.vec_id,
-       |    CAST(any_value(cn2.cn2) + sum(2 * cdt.cd + b.n2) AS BIGINT)
-       |      AS nd
-       |  FROM codes
-       |  JOIN assigned a ON a.vec_id = codes.vec_id
-       |  JOIN cdt ON cdt.cell = a.pred_label
-       |    AND cdt.s = codes.s AND cdt.c = codes.c
-       |  JOIN $cb b ON b.s = codes.s AND b.c = codes.c
-       |  JOIN cn2 ON cn2.cell = a.pred_label
-       |  GROUP BY codes.vec_id),
-       |qm AS (
-       |  SELECT vec_id AS qid, list_transform(embedding::DOUBLE[],
-       |    x -> CAST(round(x * 1e6) AS BIGINT)) AS qmv
-       |  FROM embeddings WHERE vec_id < $NumQueries),
-       |qfull AS (
-       |  SELECT q.qid, qa.pred_label AS cell,
-       |    CAST(list_sum(list_transform(range(1, ${Dim + 1}),
-       |      d -> q.qmv[d] * cmic.cm[d])) AS BIGINT) AS qdotc,
-       |    CAST(list_sum(list_transform(q.qmv, x -> x * x)) AS BIGINT)
-       |      AS nqm
-       |  FROM qm q
-       |  JOIN assigned qa ON qa.vec_id = q.qid
-       |  JOIN cmic ON cmic.cell = qa.pred_label),
-       |qtab AS (
-       |  SELECT q.qid, b.s, b.c,
-       |    CAST(list_sum(list_transform(range(1, ${PqSubDim + 1}),
-       |      j -> q.qmv[b.s * $PqSubDim + j] * b.cv[j])) AS BIGINT) AS qd
-       |  FROM qm q, $cb b),
-       |scored AS (
-       |  SELECT f.qid, codes.vec_id,
-       |    CAST(any_value(f.qdotc) + sum(t.qd) AS BIGINT) AS dot,
-       |    any_value(f.nqm) AS nqm
-       |  FROM codes
-       |  JOIN assigned a ON a.vec_id = codes.vec_id
-       |  JOIN qfull f ON f.cell = a.pred_label
-       |  JOIN qtab t ON t.qid = f.qid AND t.s = codes.s AND t.c = codes.c
-       |  WHERE codes.vec_id <> f.qid
-       |  GROUP BY f.qid, codes.vec_id),
-       |cosd AS (
-       |  SELECT qid, scored.vec_id AS nid,
-       |    CASE WHEN nd = 0 OR nqm = 0 THEN 0.0
-       |      ELSE round(CAST(dot AS DOUBLE) /
-       |        sqrt(CAST(nd AS DOUBLE) * CAST(nqm AS DOUBLE)), 6) END AS cos
-       |  FROM scored JOIN recon ON recon.vec_id = scored.vec_id)
-       |SELECT qid, CAST(rk AS BIGINT) AS rk, nid, cos FROM (
-       |  SELECT qid, nid, cos, row_number() OVER (PARTITION BY qid
-       |    ORDER BY cos DESC, nid) AS rk FROM cosd)
-       |WHERE rk <= $TopK ORDER BY qid, rk""".stripMargin
-  }
+  /** Assembled from the family traits so each oracle lives beside the
+    * operator it checks (the LLMQueries/CurationQueries convention;
+    * pure moves, round 14 — entries byte-identical). */
+  private[operators] val oracleMain: Map[String, String] =
+    dedupVecOracleMain ++ annVecOracleMain ++ reportsVecOracleMain ++
+      clustersVecOracleMain ++ pqVecOracleMain
 
   /** q110's oracle COMPOSES the existing variant oracles as nested
     * subqueries (each carries its own WITH scope), so the recall oracle
@@ -1190,111 +390,4 @@ object VectorQueries extends VectorAnnTiers
   } + ("q194_vector_ingest_disposition" ->
     vectorIngestDispositionOracleSql)
 
-  /** The full q91 oracle (raw-vector pair graph, recursive closure,
-    * norm-desc election) with an optional extra predicate on the final
-    * SELECT — shared by q91 (no restriction) and q104 (clusters with a
-    * batch member) so the two cannot drift apart. Works over RAW vectors
-    * — identical vectors share band keys and cosine 1, so families are
-    * cliques in vpairs and the canonical-based engine formulation is
-    * provably output-identical (see semanticDedupOf). */
-  /** The closure CHAIN of the q91 oracle (pair graph → recursive reach
-    * → comp → member norms → ranked election) as composable CTEs —
-    * shared by q91/q104's cluster accounting and the q194 disposition's
-    * election gate so the three oracles price one closure. */
-  private def semanticClosureCtes: String =
-    s"""$cosinePairsCtes,
-       |edges AS (
-       |  SELECT vec_a AS src, vec_b AS dst FROM vpairs
-       |  UNION ALL SELECT vec_b, vec_a FROM vpairs),
-       |reach AS (
-       |  SELECT src, dst FROM edges
-       |  UNION
-       |  SELECT r.src, g.dst FROM reach r JOIN edges g ON r.dst = g.src),
-       |comp AS (
-       |  SELECT src AS vec_id, least(src, min(dst)) AS cluster_id
-       |  FROM reach GROUP BY src),
-       |norms AS (
-       |  SELECT vec_id, CAST(list_sum(list_transform(v,
-       |    x -> CAST(round(x * 1e6) AS BIGINT) *
-       |         CAST(round(x * 1e6) AS BIGINT))) AS BIGINT) AS norm2
-       |  FROM e),
-       |ranked AS (
-       |  SELECT cluster_id, vec_id, norm2,
-       |    row_number() OVER (PARTITION BY cluster_id
-       |      ORDER BY norm2 DESC, vec_id) AS rn,
-       |    count(*) OVER (PARTITION BY cluster_id) AS cluster_size
-       |  FROM comp JOIN norms USING (vec_id))""".stripMargin
-
-  private def semanticDedupOracleSql(restrict: String): String =
-    s"""WITH RECURSIVE $semanticClosureCtes
-       |SELECT cluster_id, vec_id AS kept_id,
-       |  CAST(cluster_size AS BIGINT) AS cluster_size,
-       |  CAST(cluster_size - 1 AS BIGINT) AS n_dropped
-       |FROM ranked WHERE rn = 1
-       |$restrict ORDER BY cluster_id""".stripMargin
-
-  /** q194's oracle: the first-failing CASE in the engine's gate order
-    * over the batch residue (the q193 nested-oracle rule) — exact =
-    * NOT a q102 keep row (that oracle nested verbatim), near = a
-    * batch-side vec_b of the shared `vpairs` CTE (q103's oracle IS
-    * vpairs restricted to batch-touching pairs, and only vec_b — the
-    * larger id — drops), election = the closure chain's ranked rn=1
-    * survivor differs (restricting comp to batch members is implicit:
-    * any cluster holding one is batch-touched, the q104 rule). */
-  private def vectorIngestDispositionOracleSql: String =
-    s"""WITH RECURSIVE $semanticClosureCtes,
-       |exact_keep AS (SELECT keep_id AS vec_id FROM (
-       |${oracleMain("q102_incremental_vector_exact_dedup")})),
-       |near_loser AS (
-       |  SELECT DISTINCT vec_b AS vec_id FROM vpairs
-       |  WHERE vec_b % $VecBatchMod = 0),
-       |kept_of AS (
-       |  SELECT cluster_id, vec_id AS kept_id FROM ranked WHERE rn = 1),
-       |elect_loser AS (
-       |  SELECT c.vec_id FROM comp c JOIN kept_of k USING (cluster_id)
-       |  WHERE k.kept_id <> c.vec_id)
-       |SELECT vec_id,
-       |  CASE
-       |    WHEN vec_id NOT IN (SELECT vec_id FROM exact_keep)
-       |      THEN 'dropped_exact_dup'
-       |    WHEN vec_id IN (SELECT vec_id FROM near_loser)
-       |      THEN 'dropped_near_dup'
-       |    WHEN vec_id IN (SELECT vec_id FROM elect_loser)
-       |      THEN 'dropped_cluster_election'
-       |    ELSE 'kept' END AS disposition
-       |FROM embeddings WHERE vec_id % $VecBatchMod = 0
-       |ORDER BY vec_id""".stripMargin
-
-  /** Oracle mirror of the kmeans packed argmin ordering: CAST(round(
-    * d2·1e6) AS BIGINT) then cid — the identical doubles (same
-    * left-to-right squared-diff sum), the identical half-up rounding at
-    * the identical scale, so the assignment argmin agrees with Spark's
-    * packed-long min bit for bit. */
-  private def oracleL2SqMicro(v: String, c: String): String =
-    s"CAST(round(list_sum(list_transform(range(1, ${Dim + 1}), " +
-      s"d -> ($v[d] - $c[d]) * ($v[d] - $c[d]))) * 1e6) AS BIGINT)"
-
-  /** The 2-round Lloyd iteration as DuckDB CTEs, parameterized by k —
-    * shared by q100 (cluster accounting) and q101 (within-cell pairs) so
-    * the two oracles cannot drift apart (the minhashPairsCtes pattern).
-    * Ends in `a2(vec_id, v, cid)`, the final assignment. */
-  private def kmeansCtes(k: Int): String =
-    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-       |dims AS (SELECT unnest(range(1, ${Dim + 1})) AS i),
-       |c0 AS (SELECT vec_id AS cid, v AS c FROM e ORDER BY vec_id LIMIT $k),
-       |a1 AS (SELECT vec_id, v, cid FROM (
-       |    SELECT e.vec_id, e.v, c0.cid,
-       |      row_number() OVER (PARTITION BY e.vec_id
-       |        ORDER BY ${oracleL2SqMicro("e.v", "c0.c")}, c0.cid) AS rn
-       |    FROM e, c0) WHERE rn = 1),
-       |s1 AS (SELECT cid, i, sum(CAST(round(v[i] * 1e9) AS BIGINT)) AS s,
-       |         count(*) AS n
-       |  FROM a1, dims GROUP BY cid, i),
-       |c1 AS (SELECT cid, array_agg(CAST(s AS DOUBLE) / 1e9 / n ORDER BY i) AS c
-       |  FROM s1 GROUP BY cid),
-       |a2 AS (SELECT vec_id, v, cid FROM (
-       |    SELECT e.vec_id, e.v, c1.cid,
-       |      row_number() OVER (PARTITION BY e.vec_id
-       |        ORDER BY ${oracleL2SqMicro("e.v", "c1.c")}, c1.cid) AS rn
-       |    FROM e, c1) WHERE rn = 1)""".stripMargin
 }

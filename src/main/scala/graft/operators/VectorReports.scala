@@ -164,4 +164,76 @@ private[operators] trait VectorReports {
       .orderBy(col("label"))
   }
 
+
+  /** Oracle SQL of this family — merged into
+    * [[VectorQueries.oracleMain]] (pure move, round 14). */
+  private[operators] def reportsVecOracleMain: Map[String, String] = Map(
+    // q160 NESTS q105's frozen-quantizer CTE (centroids from the corpus
+    // residue, assignment over every vector) and re-derives the winning
+    // distance exactly as Spark does: round(l2sq, 6) then micro cast.
+    // The corpus stats are in-query here; the pipeline reads them
+    // persisted (IndexStore quantizer_drift family, spec-pinned equal).
+    "q160_quantizer_drift" ->
+      (s"WITH ${centroidCteFrom(s"WHERE e.vec_id % $VecBatchMod <> 0")}," +
+      s"""d AS (
+         |  SELECT a.vec_id, a.pred_label AS cell,
+         |    CAST(round(${oracleL2Sq("a.v", "cent.c")} * 1e6) AS BIGINT)
+         |      AS d2micro,
+         |    a.vec_id % $VecBatchMod = 0 AS is_batch
+         |  FROM assigned a JOIN cent ON cent.clabel = a.pred_label),
+         |stats AS (
+         |  SELECT cell,
+         |    count(*) FILTER (WHERE NOT is_batch) AS n_corpus,
+         |    count(*) FILTER (WHERE is_batch) AS n_batch,
+         |    sum(d2micro) FILTER (WHERE NOT is_batch) AS s_c,
+         |    sum(d2micro) FILTER (WHERE is_batch) AS s_b
+         |  FROM d GROUP BY cell)
+         |SELECT cell, n_corpus, n_batch,
+         |  CASE WHEN n_corpus = 0 THEN NULL
+         |    ELSE CAST(n_batch * 1000000 // n_corpus AS BIGINT)
+         |  END AS growth_micro,
+         |  CASE WHEN n_corpus = 0 THEN NULL
+         |    ELSE CAST(s_c // n_corpus AS BIGINT) END AS corpus_d2_micro,
+         |  CASE WHEN n_batch = 0 THEN NULL
+         |    ELSE CAST(s_b // n_batch AS BIGINT) END AS batch_d2_micro,
+         |  CASE WHEN n_batch = 0 OR n_corpus = 0 THEN NULL
+         |    ELSE CAST(s_b // n_batch - s_c // n_corpus AS BIGINT)
+         |  END AS drift_micro
+         |FROM stats ORDER BY cell""".stripMargin),
+    "q68_centroid_classify" -> (s"WITH $centroidCte" +
+      """SELECT label, pred_label, count(*) AS n
+        |FROM assigned GROUP BY label, pred_label
+        |ORDER BY label, pred_label""".stripMargin),
+    // q152 NESTS the q68 assigned CTE: cell balance IS the quantizer's
+    // real layout, not a re-derivation
+    "q152_ivf_cell_balance" -> (s"WITH $centroidCte," +
+      """cells AS (
+        |  SELECT pred_label AS cell, count(*) AS n
+        |  FROM assigned GROUP BY pred_label),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM cells)
+        |SELECT cell, n, CAST(n * 1000000 // n_total AS BIGINT)
+        |  AS share_micro
+        |FROM cells, tot ORDER BY cell""".stripMargin),
+    // q149 NESTS the q68 centroid CTE (same fixed-point rule) — the
+    // report and the classifier cannot disagree about label geometry
+    "q149_embedding_report" -> (s"WITH $centroidCte," +
+      s"""own AS (
+         |  SELECT e.label,
+         |    CAST(round(${oracleL2Sq("e.v", "cent.c")} * 1e6) AS BIGINT)
+         |      AS d2micro
+         |  FROM e JOIN cent ON cent.clabel = e.label),
+         |comp AS (
+         |  SELECT label, count(*) AS n,
+         |    CAST(sum(d2micro) // count(*) AS BIGINT) AS mean_d2_micro
+         |  FROM own GROUP BY label),
+         |gaps AS (
+         |  SELECT a.clabel AS label, b.clabel AS nl,
+         |    ${oracleL2Sq("a.c", "b.c")} AS g
+         |  FROM cent a JOIN cent b ON a.clabel <> b.clabel),
+         |near AS (
+         |  SELECT label, nl AS nearest_label, g AS centroid_gap FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY label
+         |      ORDER BY g, nl) AS rn FROM gaps) WHERE rn = 1)
+         |SELECT label, n, mean_d2_micro, nearest_label, centroid_gap
+         |FROM comp JOIN near USING (label) ORDER BY label""".stripMargin))
 }

@@ -117,9 +117,7 @@ private[multimodal] trait MediaIngest {
   def pairedCurationOf(textDisp: DataFrame,
       keptAssets: DataFrame): DataFrame =
     textDisp.select(col("doc_id"),
-        when(col("doc_id") % 3 === 0, "image")
-          .when(col("doc_id") % 3 === 1, "audio")
-          .otherwise("video").as("kind"),
+        kindExpr(col("doc_id")).as("kind"),
         col("disposition").as("text_disposition"))
       .join(keptAssets.select(col("doc_id"), lit(true).as("ak")),
         Seq("doc_id"), "left")

@@ -1,6 +1,6 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -318,9 +318,7 @@ object Multimodal extends MediaBands
     import spark.implicits._
     docs
       .select(col("doc_id"),
-        when(col("doc_id") % 3 === 0, "image")
-          .when(col("doc_id") % 3 === 1, "audio")
-          .otherwise("video").as("kind"),
+        kindExpr(col("doc_id")).as("kind"),
         encode(col("text"), "UTF-8").as("payload"),
         (col("n_chars") % 640).cast("int").as("width"),
         (col("n_chars") % 480).cast("int").as("height"),
@@ -378,6 +376,20 @@ object Multimodal extends MediaBands
 
   /** Asset-id offset for the deterministic re-encode variants below. */
   private[multimodal] val VariantIdOffset = 1000000000L
+
+  /** The catalog's asset-KIND convention — doc_id mod 3 → image/audio/
+    * video — as ONE definition with a Column and a SQL rendering, shared
+    * by the media-table metadata, the paired-curation classifier, and
+    * every oracle that states the rule (ADVICE r14: the rule was inlined
+    * at three sites and a change would have drifted q195 silently). */
+  private[graft] def kindExpr(id: Column): Column =
+    when(id % 3 === 0, "image")
+      .when(id % 3 === 1, "audio")
+      .otherwise("video")
+
+  private[graft] def kindSql(id: String): String =
+    s"CASE WHEN $id % 3 = 0 THEN 'image' " +
+      s"WHEN $id % 3 = 1 THEN 'audio' ELSE 'video' END"
 
   /** The q109 asset universe: every document's asset PLUS, for doc_id %
     * 5 = 0, a "re-encoded variant" whose payload differs in exactly its
@@ -686,13 +698,16 @@ object Multimodal extends MediaBands
        |FROM o WHERE overlap_micro >= $AudioOverlapMicro
        |$restrict ORDER BY doc_a, doc_b""".stripMargin
 
-  // LAZY: CurationQueries' own init reaches this object (its q189/q191
-  // oracles call bandOccupancySql), so eagerly nesting
-  // CurationQueries.oracle("q157...") here would deadlock the two
-  // <clinit>s into a mid-init null (observed as an
-  // ExceptionInInitializerError from ReleaseBuild). Deferring the map
-  // breaks the cycle: by first force, CurationQueries has finished.
-  lazy val oracle: Map[String, String] = Map(
+  // DEF, not a val: CurationQueries' own init reaches this object (its
+  // q189/q191 oracles call bandOccupancySql), so a val nesting
+  // CurationQueries.oracle("q157...") here put the two <clinit>s in a
+  // cycle (round 13: an ExceptionInInitializerError from ReleaseBuild;
+  // the round-14 lazy val still left a two-thread first-touch hazard —
+  // ADVICE r14). As a def, this object's initializer has NO outgoing
+  // edge to CurationQueries at all — the init graph is acyclic
+  // (CurationQueries → Multimodal → ∅) under any interleaving, and the
+  // map is only assembled at call time (SparkEntry.oracleSql, a def).
+  def oracle: Map[String, String] = Map(
     // q195: the q157 funnel oracle and the q130-chain keep-list nested
     // verbatim (the q115/q193 composition rule), classified by the
     // engine's 4-way pair rule over the original-doc id space
@@ -703,9 +718,7 @@ object Multimodal extends MediaBands
          |ka AS (SELECT * FROM (
          |$keptAssetsSql))
          |SELECT d.doc_id,
-         |  CASE WHEN d.doc_id % 3 = 0 THEN 'image'
-         |       WHEN d.doc_id % 3 = 1 THEN 'audio'
-         |       ELSE 'video' END AS kind,
+         |  ${kindSql("d.doc_id")} AS kind,
          |  dd.disposition AS text_disposition,
          |  CASE WHEN d.doc_id IN (SELECT doc_id FROM ka)
          |       THEN 'kept' ELSE 'dropped' END AS asset_status,
@@ -751,9 +764,7 @@ object Multimodal extends MediaBands
          |ap AS (SELECT * FROM (
          |${audioNearDupsSqlOf("  AND doc_b % 10 = 0\n")})),
          |assets AS (
-         |  SELECT doc_id,
-         |    CASE WHEN doc_id % 3 = 0 THEN 'image'
-         |         WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind
+         |  SELECT doc_id, ${kindSql("doc_id")} AS kind
          |  FROM (SELECT doc_id FROM documents
          |        UNION ALL
          |        SELECT doc_id + $VariantIdOffset FROM documents
@@ -841,8 +852,7 @@ object Multimodal extends MediaBands
         .mkString(" + ")
       s"""WITH f AS (
          |  SELECT
-         |    CASE WHEN doc_id % 3 = 0 THEN 'image'
-         |         WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+         |    ${kindSql("doc_id")} AS kind,
          |    length(text) AS n_bytes,
          |    $b0 AS b0
          |  FROM documents)

@@ -86,26 +86,53 @@ object ReleaseBuild {
     val keptAssetsDf = graft.multimodal.Multimodal.keptAssetsOf(spark,
         graft.multimodal.Multimodal.assetDocsOf(d))
       .localCheckpoint(eager = false) // artifact + paired report
+    // the caption↔asset consistency record (VERDICT r13 "Next round"
+    // #4): ships beside the two keep-lists so a pair inconsistency
+    // (text dropped, asset kept, or vice versa) is visible in the
+    // release itself — ONE classification definition with q195
+    val pairedAssets = graft.multimodal.Multimodal
+      .pairedCurationOf(disposition, keptAssetsDf)
+      .localCheckpoint(eager = false) // artifact + rollup
+    // the vector keep-list (VERDICT r13 "Next round" #1): the q91
+    // election over the release's embeddings universe — unclustered
+    // vectors ship, each semantic cluster ships exactly its elected
+    // survivor; no shipped pair within NearDupThreshold
+    // (ReleaseBuildSpec asserts the kept_assets pin, vector flavor).
+    // None = a text-only release universe (the chain-equality specs).
+    val keptVectorsDf = vecsUniverse.map(e =>
+      VectorQueries.keptVectorsOf(e)
+        .localCheckpoint(eager = false)) // artifact + paired + rollup
+    // the doc↔vector consistency record (VERDICT r14 "Next round" #1):
+    // the q196 classifier over the release's own funnel frames — a kept
+    // doc whose vector lost the election (unservable in ANN/retrieval)
+    // and a shipped vector for a dropped doc (poisons q135/q140 mining)
+    // both become visible rows in the release itself
+    val pairedVectors = keptVectorsDf.map(kv => VectorQueries
+      .pairedVectorCurationOf(disposition, kv)
+      .localCheckpoint(eager = false)) // artifact + rollup
     val counts = Seq(
       "disposition" -> w(disposition.orderBy(col("doc_id")), "disposition"),
       "kept_docs" -> w(keptDocs, "kept_docs"),
       "kept_assets" -> w(keptAssetsDf, "kept_assets"),
-      // the caption↔asset consistency record (VERDICT r13 "Next round"
-      // #4): ships beside the two keep-lists so a pair inconsistency
-      // (text dropped, asset kept, or vice versa) is visible in the
-      // release itself — ONE classification definition with q195
-      "paired_curation" -> w(graft.multimodal.Multimodal
-        .pairedCurationOf(disposition, keptAssetsDf), "paired_curation"),
+      "paired_curation" -> w(pairedAssets, "paired_curation"),
       "packing" -> w(CurationQueries.packSequencesDocs(keptDocs),
-        "packing")) ++ vecsUniverse.map(e =>
-      // the vector keep-list (VERDICT r13 "Next round" #1): the q91
-      // election over the release's embeddings universe — unclustered
-      // vectors ship, each semantic cluster ships exactly its elected
-      // survivor; no shipped pair within NearDupThreshold
-      // (ReleaseBuildSpec asserts the kept_assets pin, vector flavor).
-      // None = a text-only release universe (the chain-equality specs).
-      "kept_vectors" -> w(VectorQueries.keptVectorsOf(e),
-        "kept_vectors")) ++ Seq(
+        "packing")) ++ keptVectorsDf.map(kv =>
+      "kept_vectors" -> w(kv, "kept_vectors")) ++ pairedVectors.map(pv =>
+      "paired_vector_curation" -> w(pv, "paired_vector_curation")) ++ Seq(
+      // the TRI-MODAL sign-off rollup (VERDICT r14 "Next round" #1):
+      // the release decision table — per pairing (text↔asset,
+      // text↔vector), pair-status counts off the SAME shipped paired
+      // tables, so sign-off reads one table and reconciles by
+      // construction (spec-pinned against the two artifacts)
+      "curation_rollup" -> w(
+        (Seq(pairedAssets.select(lit("text_asset").as("pairing"),
+            col("pair_status"))) ++
+          pairedVectors.map(_.select(lit("text_vector").as("pairing"),
+            col("pair_status"))))
+          .reduce(_.unionByName(_))
+          .groupBy(col("pairing"), col("pair_status"))
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy(col("pairing"), col("pair_status")), "curation_rollup"),
       "manifest" -> w(CurationQueries.shardManifestDocs(keptDocs),
         "manifest"),
       "mixture" -> w(CurationQueries.mixtureRecipeDocs(keptDocs),

@@ -110,6 +110,79 @@ private[operators] trait VectorIngest {
     emb.join(keptIds, Seq("vec_id"), "left_semi").orderBy(col("vec_id"))
   }
 
+  /** L99/q196: the doc↔VECTOR paired-curation classification — the
+    * third and last pairing of the release's keep-lists (VERDICT r14
+    * "Next round" #1: q195 joined the text funnel to the ASSET
+    * keep-list, but kept_docs ↔ kept_vectors never met, so a kept
+    * document whose embedding lost the q104 election silently vanished
+    * from ANN/retrieval serving, and a dropped document whose vector
+    * shipped kept polluting q135/q140 mining). documents and embeddings
+    * share the id space (SURVEY L72), so this is the q195 classifier,
+    * vector flavor: per document, its q157 funnel disposition, its
+    * vector's keep status under the q91 election, and the 4-way pair
+    * status. ONE definition for the q196 oracle rendering and the
+    * ReleaseBuild `paired_vector_curation` artifact.
+    *
+    * Scale shape: both inputs are slim id-keyed frames (disposition
+    * strings, kept ids) — the join shuffles ids and enums only, never
+    * text or vectors. */
+  def pairedVectorCurationOf(textDisp: DataFrame,
+      keptVectors: DataFrame): DataFrame =
+    textDisp.select(col("doc_id"),
+        col("disposition").as("text_disposition"))
+      .join(keptVectors.select(col("vec_id").as("doc_id"),
+          lit(true).as("vk")), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("text_disposition"),
+        when(col("vk").isNotNull, "kept").otherwise("dropped")
+          .as("vector_status"),
+        when(col("text_disposition") === "kept" && col("vk").isNotNull,
+          "kept_kept")
+          .when(col("text_disposition") === "kept",
+            "vector_dropped_doc_kept")
+          .when(col("vk").isNotNull, "doc_dropped_vector_kept")
+          .otherwise("both_dropped").as("pair_status"))
+      .orderBy(col("doc_id"))
+
+  /** q196 as an ORACLE query: the q157 disposition over every document
+    * joined to the full-universe vector keep-list (the pipeline runs
+    * the same [[pairedVectorCurationOf]] over the release funnel's
+    * frames — ReleaseBuildSpec pins the reconciliation). */
+  def docVectorDisposition(spark: SparkSession, dir: String): DataFrame =
+    pairedVectorCurationOf(
+      CurationQueries.funnelDisposition(spark, dir),
+      keptVectorsOf(graft.Tables(spark, dir, "embeddings")))
+
+  /** q196's oracle: the q157 funnel oracle nested verbatim (the
+    * q115/q193 composition rule) + the kept-vector list off the SAME
+    * closure chain the q91/q104/q194 oracles price
+    * ([[semanticClosureCtes]]): a vector ships iff it is unclustered
+    * (no verified pair reaches it) or it is its cluster's rn=1
+    * election survivor — exactly [[keptVectorsOf]]'s rule (raw-vector
+    * closure == canonical-family closure because identical fixed-point
+    * vectors are cliques in `vpairs`; the q91 equivalence argument). */
+  private[operators] def docVectorDispositionOracleSql: String =
+    s"""WITH RECURSIVE $semanticClosureCtes,
+       |dd AS (SELECT * FROM (
+       |${CurationQueries.oracle("q157_funnel_disposition")})),
+       |clustered AS (SELECT vec_id FROM comp),
+       |kv AS (
+       |  SELECT vec_id FROM embeddings
+       |  WHERE vec_id NOT IN (SELECT vec_id FROM clustered)
+       |  UNION ALL
+       |  SELECT vec_id FROM ranked WHERE rn = 1)
+       |SELECT d.doc_id, dd.disposition AS text_disposition,
+       |  CASE WHEN d.doc_id IN (SELECT vec_id FROM kv)
+       |       THEN 'kept' ELSE 'dropped' END AS vector_status,
+       |  CASE
+       |    WHEN dd.disposition = 'kept'
+       |     AND d.doc_id IN (SELECT vec_id FROM kv) THEN 'kept_kept'
+       |    WHEN dd.disposition = 'kept' THEN 'vector_dropped_doc_kept'
+       |    WHEN d.doc_id IN (SELECT vec_id FROM kv)
+       |      THEN 'doc_dropped_vector_kept'
+       |    ELSE 'both_dropped' END AS pair_status
+       |FROM documents d JOIN dd ON dd.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
   /** q194's oracle: the first-failing CASE in the engine's gate order
     * over the batch residue (the q193 nested-oracle rule) — exact =
     * NOT a q102 keep row (that oracle nested verbatim), near = a

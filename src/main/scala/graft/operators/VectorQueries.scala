@@ -330,7 +330,8 @@ object VectorQueries extends VectorAnnTiers
     "q185_vec_band_occupancy" -> (vecBandOccupancy _),
     "q186_canonical_near_dup_pairs" -> (canonicalNearDupPairsDaily _),
     "q188_vec_band_cap_curve" -> (vecBandCapCurve _),
-    "q194_vector_ingest_disposition" -> (vectorIngestDisposition _))
+    "q194_vector_ingest_disposition" -> (vectorIngestDisposition _),
+    "q196_doc_vector_disposition" -> (docVectorDisposition _))
 
   /** Assembled from the family traits so each oracle lives beside the
     * operator it checks (the LLMQueries/CurationQueries convention;
@@ -343,8 +344,16 @@ object VectorQueries extends VectorAnnTiers
     * subqueries (each carries its own WITH scope), so the recall oracle
     * and the per-variant oracles can never drift apart. The LEFT join
     * keeps a zero-hit variant's row alive (count of the right side's
-    * key counts matches only). */
-  val oracle: Map[String, String] = oracleMain + {
+    * key counts matches only).
+    *
+    * DEF, not a val (the Multimodal.oracle rule): q196 nests the q157
+    * funnel oracle, and LLMQueries' own init reaches this object
+    * (TextRetrieval.hybridOracle), so an eager val here closed the
+    * LLMQueries → VectorQueries → CurationQueries → LLMQueries init
+    * cycle into a mid-init null. As a def, this object's initializer
+    * has no edge into CurationQueries; the map is assembled at call
+    * time (SparkEntry.oracleSql, a def), when every init has settled. */
+  def oracle: Map[String, String] = oracleMain + {
     val variantSelects = annVariants.map { case (name, _) =>
       val twin = name match {
         case "ivf" => "q69_ivf_topk_cosine"
@@ -388,6 +397,7 @@ object VectorQueries extends VectorAnnTiers
          |FROM hits JOIN mass USING (variant), tot
          |ORDER BY variant""".stripMargin
   } + ("q194_vector_ingest_disposition" ->
-    vectorIngestDispositionOracleSql)
+    vectorIngestDispositionOracleSql) +
+    ("q196_doc_vector_disposition" -> docVectorDispositionOracleSql)
 
 }

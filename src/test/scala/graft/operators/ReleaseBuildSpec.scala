@@ -109,6 +109,51 @@ class ReleaseBuildSpec extends SparkSpec {
         VectorQueries.vecsOf(keptVecs).select($"vec_id", $"v"))
       .count() == 0, "verified near-dup vector pair shipped")
 
+    // paired_vector_curation: the doc↔vector consistency record
+    // (VERDICT r14 #1) reconciles EXACTLY with the two shipped
+    // keep-lists — text-kept ids are kept_docs, vector-kept ids are
+    // kept_vectors restricted to the pair universe (eval-side vectors
+    // ship but have no train-side doc row), and the 4-way status is
+    // forced by the two verdicts
+    val keptVecIds = keptVecs.select($"vec_id").as[Long].collect().toSet
+    val pv = spark.read.parquet(s"$outDir/paired_vector_curation.parquet")
+      .select($"doc_id", $"text_disposition", $"vector_status",
+        $"pair_status")
+      .as[(Long, String, String, String)].collect().toSeq
+    assert(pv.nonEmpty &&
+      summary("paired_vector_curation") == pv.size.toLong)
+    assert(pv.map(_._1).toSet == pairedIds,
+      "asset and vector pair reports cover different doc universes")
+    assert(pv.filter(_._2 == "kept").map(_._1).toSet == keptIds)
+    assert(pv.filter(_._3 == "kept").map(_._1).toSet ==
+      keptVecIds.intersect(pairedIds))
+    pv.foreach { case (id, td, vs, ps) =>
+      val want = (td == "kept", vs == "kept") match {
+        case (true, true) => "kept_kept"
+        case (true, false) => "vector_dropped_doc_kept"
+        case (false, true) => "doc_dropped_vector_kept"
+        case _ => "both_dropped"
+      }
+      assert(ps == want, s"doc $id pair status $ps != $want")
+    }
+    // the inconsistency classes q196 exists to expose are non-empty at
+    // this SF — the report is doing real work, not rubber-stamping
+    assert(pv.exists(_._4 == "vector_dropped_doc_kept"),
+      "no kept doc with a dropped vector — fixture too tame")
+
+    // curation_rollup: the tri-modal sign-off table IS the two paired
+    // tables' status counts — one table, reconciled by construction
+    val rollup = spark.read.parquet(s"$outDir/curation_rollup.parquet")
+      .select($"pairing", $"pair_status", $"n_docs")
+      .as[(String, String, Long)].collect()
+      .map { case (p, s, n) => (p, s) -> n }.toMap
+    val wantRoll =
+      paired.groupBy(_._4).map { case (s, xs) =>
+        ("text_asset", s) -> xs.size.toLong } ++
+      pv.groupBy(_._4).map { case (s, xs) =>
+        ("text_vector", s) -> xs.size.toLong }
+    assert(rollup == wantRoll, "rollup diverges from the paired tables")
+
     // bookkeeping landed: one ledger row + one log line per artifact
     val ledger = spark.read.parquet(s"$outDir/ledger")
     assert(ledger.count() == summary.size.toLong)

@@ -219,27 +219,40 @@ object VectorQueries extends VectorAnnTiers
         .unionByName(ivfPqEncode(batchRes, centsCorpus, rcbCorpus))
   }
 
-  /** The ANN variants whose serving quality q110 tracks, with the exact
-    * q67 scan as ground truth. One place — each standalone query AND the
-    * q110 gate leg is this one lambda over an [[AnnFrames]] — so the
-    * recall query and its oracle can never cover different variants. */
-  private[operators] val annVariants: Seq[(String, AnnFrames => DataFrame)] = Seq(
+  /** The ANN variants whose serving quality the q110/q197 gates track,
+    * with the exact q67 scan as ground truth. One place — each
+    * standalone query AND each gate leg is this one lambda over an
+    * [[AnnFrames]] — so the recall queries and their oracles can never
+    * cover different variants. Split by TRAINING COST (VERDICT r14
+    * "Next round" #5: one gate carrying all ten variants was 45% of the
+    * driver bench): the untrained tier needs no Lloyd run — q110 stays
+    * the cheap always-on gate — while the trained tier (every variant
+    * that runs k-means codebook training) moves to its own q197 gate,
+    * so the expensive legs are priced separately and the two gates'
+    * union is exactly the old ten-variant table. */
+  private[operators] val annVariantsUntrained: Seq[(String, AnnFrames => DataFrame)] = Seq(
     "ivf" -> ((f: AnnFrames) => ivfTopkCosineOf(f.e, f.centsFull)),
     "ivf_incremental" ->
       ((f: AnnFrames) => ivfTopkCosineOf(f.e, f.centsCorpus)),
     "ivf_sq8" -> ((f: AnnFrames) => ivfSq8TopkCosineOf(f.e, f.centsFull)),
+    "multiprobe" ->
+      ((f: AnnFrames) => ivfTopkCosineOf(f.e, f.centsFull, NumProbes)),
+    "pq" -> ((f: AnnFrames) => pqTopkCosineOf(f.e)),
+    "rp" -> ((f: AnnFrames) => rpTopkCosineOf(f.e)),
+    "sq8" -> ((f: AnnFrames) => quantizedTopkCosineOf(f.e)))
+
+  /** The trained-codebook tier: each leg pays ≥ 1 Lloyd training. */
+  private[operators] val annVariantsTrained: Seq[(String, AnnFrames => DataFrame)] = Seq(
     "ivfpq" -> ((f: AnnFrames) => ivfPqSearch(
       ivfPqEncode(f.resFull, f.centsFull, f.rcbFull),
       f.e, f.centsFull, f.rcbFull)),
     "ivfpq_incremental" -> ((f: AnnFrames) =>
       ivfPqSearch(f.codedIncr, f.e, f.centsCorpus, f.rcbCorpus)),
-    "multiprobe" ->
-      ((f: AnnFrames) => ivfTopkCosineOf(f.e, f.centsFull, NumProbes)),
-    "pq" -> ((f: AnnFrames) => pqTopkCosineOf(f.e)),
     "pq_trained" ->
-      ((f: AnnFrames) => pqTopkCosineOf(f.e, _ => f.cbTrained)),
-    "rp" -> ((f: AnnFrames) => rpTopkCosineOf(f.e)),
-    "sq8" -> ((f: AnnFrames) => quantizedTopkCosineOf(f.e)))
+      ((f: AnnFrames) => pqTopkCosineOf(f.e, _ => f.cbTrained)))
+
+  private[operators] val annVariants: Seq[(String, AnnFrames => DataFrame)] =
+    annVariantsUntrained ++ annVariantsTrained
 
   /** A standalone variant query: fresh [[AnnFrames]] per run. */
   private[operators] def annVariant(name: String)(
@@ -259,12 +272,26 @@ object VectorQueries extends VectorAnnTiers
     * threaded through its legs (VERDICT r11 #2) — and the recall join
     * keys on (qid, nid): queries × k rows, broadcast-sized by
     * construction. */
-  def annRecallSummary(spark: SparkSession, dir: String): DataFrame = {
+  def annRecallSummary(spark: SparkSession, dir: String): DataFrame =
+    annRecallSummaryOf(spark, dir, annVariantsUntrained)
+
+  /** q197: the q110 gate over the TRAINED-codebook tier — identical
+    * recall/truth-mass machinery, but only the legs that pay Lloyd
+    * trainings, so the audit-tier cost is priced on its own row map
+    * and the cheap gate stays cheap (VERDICT r14 "Next round" #5).
+    * q110 ∪ q197 rows == the old ten-variant q110 table (per-variant
+    * rows depend only on that variant's scan and the shared exact
+    * baseline, never on which other variants share the query). */
+  def annRecallTrained(spark: SparkSession, dir: String): DataFrame =
+    annRecallSummaryOf(spark, dir, annVariantsTrained)
+
+  private def annRecallSummaryOf(spark: SparkSession, dir: String,
+      variants: Seq[(String, AnnFrames => DataFrame)]): DataFrame = {
     val f = new AnnFrames(Tables(spark, dir, "embeddings"),
       shareScan = true)
     val exact = topkCosineOf(f.e).select(col("qid"), col("nid"))
       .localCheckpoint(eager = false) // feeds the join and the total
-    val union = annVariants.map { case (name, mk) =>
+    val union = variants.map { case (name, mk) =>
       mk(f).select(lit(name).as("variant"), col("qid"), col("nid"))
     }.reduce(_.unionByName(_))
       .localCheckpoint(eager = false) // feeds the hit join + truth mass
@@ -331,7 +358,8 @@ object VectorQueries extends VectorAnnTiers
     "q186_canonical_near_dup_pairs" -> (canonicalNearDupPairsDaily _),
     "q188_vec_band_cap_curve" -> (vecBandCapCurve _),
     "q194_vector_ingest_disposition" -> (vectorIngestDisposition _),
-    "q196_doc_vector_disposition" -> (docVectorDisposition _))
+    "q196_doc_vector_disposition" -> (docVectorDisposition _),
+    "q197_ann_recall_trained" -> (annRecallTrained _))
 
   /** Assembled from the family traits so each oracle lives beside the
     * operator it checks (the LLMQueries/CurationQueries convention;
@@ -353,8 +381,20 @@ object VectorQueries extends VectorAnnTiers
     * cycle into a mid-init null. As a def, this object's initializer
     * has no edge into CurationQueries; the map is assembled at call
     * time (SparkEntry.oracleSql, a def), when every init has settled. */
-  def oracle: Map[String, String] = oracleMain + {
-    val variantSelects = annVariants.map { case (name, _) =>
+  def oracle: Map[String, String] = oracleMain +
+    ("q110_ann_recall" -> annRecallOracleSqlOf(annVariantsUntrained)) +
+    ("q197_ann_recall_trained" ->
+      annRecallOracleSqlOf(annVariantsTrained)) +
+    ("q194_vector_ingest_disposition" ->
+      vectorIngestDispositionOracleSql) +
+    ("q196_doc_vector_disposition" -> docVectorDispositionOracleSql)
+
+  /** The recall-gate oracle over an explicit variant tier — shared by
+    * q110 (untrained) and q197 (trained) so the split gates price the
+    * SAME per-variant oracles their standalone queries run. */
+  private def annRecallOracleSqlOf(
+      variants: Seq[(String, AnnFrames => DataFrame)]): String = {
+    val variantSelects = variants.map { case (name, _) =>
       val twin = name match {
         case "ivf" => "q69_ivf_topk_cosine"
         case "ivf_incremental" => "q105_incremental_ivf_topk"
@@ -369,35 +409,31 @@ object VectorQueries extends VectorAnnTiers
       }
       s"SELECT '$name' AS variant, qid, nid FROM (\n${oracleMain(twin)})"
     }.mkString("\n  UNION ALL ")
-    "q110_ann_recall" ->
-      s"""WITH exact AS (
-         |  SELECT qid, nid FROM (
-         |${oracleMain("q67_topk_cosine")})),
-         |v AS (
-         |  $variantSelects),
-         |hits AS (
-         |  SELECT variant, count(exact.qid) AS hits
-         |  FROM v LEFT JOIN exact
-         |    ON v.qid = exact.qid AND v.nid = exact.nid
-         |  GROUP BY variant),
-         |ev AS (SELECT vec_id, embedding::DOUBLE[] AS vv FROM embeddings),
-         |mass AS (
-         |  SELECT variant,
-         |    CAST(sum(CAST(round(round(
-         |      list_cosine_similarity(ne.vv, qe.vv), 6) * 1e6) AS BIGINT))
-         |      AS BIGINT) AS truth_mass_micro
-         |  FROM v JOIN ev ne ON ne.vec_id = v.nid
-         |         JOIN ev qe ON qe.vec_id = v.qid
-         |  GROUP BY variant),
-         |tot AS (SELECT count(*) AS n_exact FROM exact)
-         |SELECT variant, CAST(hits AS BIGINT) AS hits,
-         |  CAST(n_exact AS BIGINT) AS n_exact,
-         |  CAST(hits * 1000000 // n_exact AS BIGINT) AS recall_micro,
-         |  truth_mass_micro
-         |FROM hits JOIN mass USING (variant), tot
-         |ORDER BY variant""".stripMargin
-  } + ("q194_vector_ingest_disposition" ->
-    vectorIngestDispositionOracleSql) +
-    ("q196_doc_vector_disposition" -> docVectorDispositionOracleSql)
-
+    s"""WITH exact AS (
+       |  SELECT qid, nid FROM (
+       |${oracleMain("q67_topk_cosine")})),
+       |v AS (
+       |  $variantSelects),
+       |hits AS (
+       |  SELECT variant, count(exact.qid) AS hits
+       |  FROM v LEFT JOIN exact
+       |    ON v.qid = exact.qid AND v.nid = exact.nid
+       |  GROUP BY variant),
+       |ev AS (SELECT vec_id, embedding::DOUBLE[] AS vv FROM embeddings),
+       |mass AS (
+       |  SELECT variant,
+       |    CAST(sum(CAST(round(round(
+       |      list_cosine_similarity(ne.vv, qe.vv), 6) * 1e6) AS BIGINT))
+       |      AS BIGINT) AS truth_mass_micro
+       |  FROM v JOIN ev ne ON ne.vec_id = v.nid
+       |         JOIN ev qe ON qe.vec_id = v.qid
+       |  GROUP BY variant),
+       |tot AS (SELECT count(*) AS n_exact FROM exact)
+       |SELECT variant, CAST(hits AS BIGINT) AS hits,
+       |  CAST(n_exact AS BIGINT) AS n_exact,
+       |  CAST(hits * 1000000 // n_exact AS BIGINT) AS recall_micro,
+       |  truth_mass_micro
+       |FROM hits JOIN mass USING (variant), tot
+       |ORDER BY variant""".stripMargin
+  }
 }

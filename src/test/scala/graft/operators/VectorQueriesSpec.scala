@@ -661,8 +661,19 @@ class VectorQueriesSpec extends SparkSpec {
   }
 
   test("ann recall summary: bounds hold, more probes never lose recall") {
-    val rows = VectorQueries.annRecallSummary(spark, sfDir)
+    // the two gates' UNION is the old ten-variant table (the r14 #5
+    // split contract): per-variant rows depend only on that variant's
+    // scan and the shared exact baseline, never on gate membership
+    val untrained = VectorQueries.annRecallSummary(spark, sfDir)
       .as[(String, Long, Long, Long, Long)].collect()
+    val trained = VectorQueries.annRecallTrained(spark, sfDir)
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(untrained.map(_._1).toSet ==
+      Set("ivf", "ivf_incremental", "ivf_sq8", "multiprobe", "pq",
+        "rp", "sq8"))
+    assert(trained.map(_._1).toSet ==
+      Set("ivfpq", "ivfpq_incremental", "pq_trained"))
+    val rows = (untrained ++ trained)
       .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
     assert(rows.keySet ==
       Set("ivf", "ivf_incremental", "ivf_sq8", "ivfpq",

@@ -326,7 +326,8 @@ object CurationQueries extends CurationDecon
     "q157_funnel_disposition" -> (funnelDisposition _),
     "q158_novelty_report" -> (noveltyReportDaily _),
     "q159_daily_ingest_disposition" ->
-      ((s: SparkSession, d: String) => DailyIngest.ingestDisposition(s, d)))
+      ((s: SparkSession, d: String) => DailyIngest.ingestDisposition(s, d)),
+    "q198_mixed_manifest" -> (mixedManifest _))
 
   // ---- oracle SQL -----------------------------------------------------
 

@@ -410,6 +410,112 @@ private[operators] trait CurationSampling {
   def shardManifest(spark: SparkSession, dir: String): DataFrame =
     shardManifestDocs(docs(spark, dir))
 
+  /** L101/q198: the epoch-ready MIXED manifest — recipe → application →
+    * manifest composed into the table a training run actually loads
+    * (VERDICT r14 "Next round" #3: ReleaseBuild shipped q141's
+    * temperature weights and q131's shard manifest as SIBLING artifacts,
+    * but the manifest sharded the kept docs uniformly — the repeat
+    * factors were never applied). Three proven pieces, one flow:
+    *
+    *   1. q141's recipe fixes each source's target_tokens;
+    *   2. the repeat application: every doc gets `target div src_tokens`
+    *      whole copies (full epochs of its source), and the FRACTIONAL
+    *      epoch takes a prefix of the source's docs in seeded-shuffle
+    *      order (salted md5, the q131 rule) until the remaining token
+    *      budget fills — the q146 crossing-doc rule, so Σ tokens per
+    *      source lands within ONE document of target_tokens
+    *      (q90's per-doc Bernoulli rounding hits the target only in
+    *      expectation; a manifest must hit it exactly);
+    *   3. q131's seeded shard assignment over (doc_id, copy_id) — the
+    *      copy id salts the key, so repeats of one document scatter
+    *      across shards and never collide in a batch.
+    *
+    * Scale shape: the fractional prefix sum is the q146 DISTRIBUTED
+    * two-level prefix sum ((source, h-block) local windows + a bounded
+    * block-offset table — h-block is a PREFIX of the sort key, so block
+    * order aligns); copies explode ids only (the q90 rule — a weight-12
+    * source costs 12× id rows, never 12× corpus bytes); shard positions
+    * are the q131 two-level rank. The oracle nests the q141 oracle
+    * verbatim and runs the direct one-window-per-source /
+    * one-window-per-shard formulations. */
+  def mixedManifestDocs(docsDf: DataFrame): DataFrame = {
+    val s = docsDf.select(col("doc_id"), col("source"),
+        size(split(col("text"), "\\s+")).cast("long").as("n_tokens"))
+      .withColumn("h",
+        md5(concat(lit(MixSalt), col("doc_id").cast("string"))))
+      .withColumn("hblock", substring(col("h"), 1, EpochBlockHexDigits))
+      // feeds the recipe rollup, the local windows and the offsets —
+      // one tokenize pass, not three
+      .localCheckpoint(eager = false)
+    // q141's targets re-derived over THIS universe (same arithmetic;
+    // the oracle nests the q141 SQL itself)
+    val agg = s.groupBy(col("source"))
+      .agg(sum(col("n_tokens")).as("src_tokens"))
+      .withColumn("wm",
+        expr("cast(round(sqrt(cast(src_tokens as double)) * 1e6) as bigint)"))
+    val tot = agg.agg(sum(col("wm")).as("w_tot"))
+    val targets = agg.crossJoin(broadcast(tot))
+      .withColumn("target_tokens",
+        expr(s"${RecipeTokenBudget}L * wm div w_tot"))
+      .select(col("source"),
+        expr("target_tokens div src_tokens").as("whole"),
+        expr("target_tokens % src_tokens").as("frac_target"))
+    // the fractional-epoch prefix in (h, doc_id) order — two-level
+    // (q146's rule; a source is a hot key by construction)
+    val wLocal = Window.partitionBy(col("source"), col("hblock"))
+      .orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = s.withColumn("before_local",
+      coalesce(sum(col("n_tokens")).over(wLocal), lit(0L)))
+    val wBlocks = Window.partitionBy(col("source"))
+      .orderBy(col("hblock"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = s.groupBy(col("source"), col("hblock"))
+      .agg(sum(col("n_tokens")).as("btok"))
+      .withColumn("boffset",
+        coalesce(sum(col("btok")).over(wBlocks), lit(0L)))
+      .select(col("source"), col("hblock"), col("boffset"))
+    val copies = local.join(offsets, Seq("source", "hblock"))
+      .join(broadcast(targets), Seq("source"))
+      .select(col("doc_id"), col("source"),
+        (col("whole") +
+          when(col("before_local") + col("boffset") < col("frac_target"),
+            1L).otherwise(0L)).as("n_rep"))
+      .select(col("doc_id"), col("source"),
+        // sequence(1, 0) DESCENDS in Spark — guard the zero-copy case
+        explode(when(col("n_rep") >= 1,
+          sequence(lit(1L), col("n_rep"))).otherwise(
+          array().cast("array<bigint>"))).as("copy_id"))
+    // q131's seeded shard assignment, copy-salted key
+    val keyed = copies
+      .withColumn("kh", md5(concat(lit("graft-epoch0:"),
+        col("doc_id").cast("string"), lit(":"),
+        col("copy_id").cast("string"))))
+      .withColumn("shard_id",
+        expr(s"(instr('0123456789abcdef', substring(kh, 1, 1)) - 1)" +
+          s" div ${16 / EpochShards}"))
+      .withColumn("block", substring(col("kh"), 1, EpochBlockHexDigits))
+      .localCheckpoint(eager = false) // rank leg + block-size leg
+    val localRank = Window.partitionBy(col("shard_id"), col("block"))
+      .orderBy(col("kh"), col("doc_id"), col("copy_id"))
+    val ranked = keyed.withColumn("lrk", row_number().over(localRank))
+    val sizes = keyed.groupBy(col("shard_id"), col("block"))
+      .agg(count(lit(1)).as("cnt"))
+    val off = Window.partitionBy(col("shard_id")).orderBy(col("block"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = sizes
+      .withColumn("off", coalesce(sum(col("cnt")).over(off), lit(0L)))
+      .select(col("shard_id"), col("block"), col("off"))
+    ranked.join(offs, Seq("shard_id", "block"))
+      .select(col("doc_id"), col("copy_id"), col("source"),
+        col("shard_id").cast("long").as("shard_id"),
+        (col("off") + col("lrk") - 1).cast("long").as("pos"))
+      .orderBy(col("shard_id"), col("pos"))
+  }
+
+  def mixedManifest(spark: SparkSession, dir: String): DataFrame =
+    mixedManifestDocs(docs(spark, dir))
+
   /** L49/q146: BUDGET-bounded selection — materializes the q141 recipe
     * into an actual document selection: each source keeps its
     * highest-quality documents, in (quality desc, doc_id) order, until
@@ -544,6 +650,27 @@ private[operators] trait CurationSampling {
 
   /** Oracle SQL of the sampling/packing/mixture family — merged into
     * [[CurationQueries.oracleMain]] (pure move, round 14). */
+  /** The q141 oracle as a reusable fragment — nested verbatim by q198
+    * so the recipe the manifest applies and the recipe the gate checks
+    * are one SQL text. */
+  private[operators] def mixtureRecipeOracleSql: String =
+    s"""WITH s AS (
+       |  SELECT source, count(*) AS n_docs,
+       |    CAST(sum(len(string_split_regex(text, '\\s+'))) AS BIGINT)
+       |      AS n_tokens
+       |  FROM documents GROUP BY source),
+       |w AS (
+       |  SELECT *, CAST(round(sqrt(CAST(n_tokens AS DOUBLE)) * 1e6)
+       |    AS BIGINT) AS weight_micro FROM s),
+       |t AS (SELECT CAST(sum(weight_micro) AS BIGINT) AS w_tot FROM w)
+       |SELECT source, n_docs, n_tokens, weight_micro,
+       |  CAST(weight_micro * 1000000 // w_tot AS BIGINT) AS share_micro,
+       |  CAST($RecipeTokenBudget * weight_micro // w_tot AS BIGINT)
+       |    AS target_tokens,
+       |  CAST(($RecipeTokenBudget * weight_micro // w_tot) * 1000000
+       |    // n_tokens AS BIGINT) AS repeat_micro
+       |FROM w, t ORDER BY source""".stripMargin
+
   private[operators] def samplingOracleMain: Map[String, String] = Map(
     // q153: q76's exact shard/chunk constants — the report covers the
     // REAL packing layout; ceil in exact integers ((n + k-1) // k)
@@ -623,23 +750,53 @@ private[operators] trait CurationSampling {
          |      // ${16 / EpochShards}
          |    ORDER BY h, doc_id) - 1 AS BIGINT) AS pos
          |FROM k ORDER BY shard_id, pos""".stripMargin,
-    "q141_mixture_recipe" ->
-      s"""WITH s AS (
-         |  SELECT source, count(*) AS n_docs,
-         |    CAST(sum(len(string_split_regex(text, '\\s+'))) AS BIGINT)
-         |      AS n_tokens
-         |  FROM documents GROUP BY source),
-         |w AS (
-         |  SELECT *, CAST(round(sqrt(CAST(n_tokens AS DOUBLE)) * 1e6)
-         |    AS BIGINT) AS weight_micro FROM s),
-         |t AS (SELECT CAST(sum(weight_micro) AS BIGINT) AS w_tot FROM w)
-         |SELECT source, n_docs, n_tokens, weight_micro,
-         |  CAST(weight_micro * 1000000 // w_tot AS BIGINT) AS share_micro,
-         |  CAST($RecipeTokenBudget * weight_micro // w_tot AS BIGINT)
-         |    AS target_tokens,
-         |  CAST(($RecipeTokenBudget * weight_micro // w_tot) * 1000000
-         |    // n_tokens AS BIGINT) AS repeat_micro
-         |FROM w, t ORDER BY source""".stripMargin,
+    "q141_mixture_recipe" -> mixtureRecipeOracleSql,
+    // q198 NESTS the q141 oracle (the q115 rule) and runs the DIRECT
+    // one-window formulations of both ranks the Spark side two-levels:
+    // the fractional-epoch prefix sum per source and the per-shard
+    // position rank (div/prefix blocks are monotone in the sort keys —
+    // the q131/q146 equivalence arguments verbatim)
+    "q198_mixed_manifest" ->
+      s"""WITH rec AS (
+         |  SELECT source, n_tokens AS src_tokens, target_tokens FROM (
+         |$mixtureRecipeOracleSql)),
+         |d AS (
+         |  SELECT doc_id, source,
+         |    CAST(len(string_split_regex(text, '\\s+')) AS BIGINT)
+         |      AS n_tokens,
+         |    md5('$MixSalt' || CAST(doc_id AS VARCHAR)) AS h
+         |  FROM documents),
+         |j AS (
+         |  SELECT d.*, rec.target_tokens // rec.src_tokens AS whole,
+         |    rec.target_tokens % rec.src_tokens AS frac_target
+         |  FROM d JOIN rec USING (source)),
+         |pre AS (
+         |  SELECT *, coalesce(sum(n_tokens) OVER (
+         |    PARTITION BY source ORDER BY h, doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |    AS before_tok
+         |  FROM j),
+         |rep AS (
+         |  SELECT doc_id, source,
+         |    whole + CASE WHEN before_tok < frac_target THEN 1 ELSE 0 END
+         |      AS n_rep
+         |  FROM pre),
+         |copies AS (
+         |  SELECT doc_id, source,
+         |    CAST(unnest(range(1, n_rep + 1)) AS BIGINT) AS copy_id
+         |  FROM rep),
+         |k AS (
+         |  SELECT *, md5('graft-epoch0:' || CAST(doc_id AS VARCHAR)
+         |    || ':' || CAST(copy_id AS VARCHAR)) AS kh
+         |  FROM copies)
+         |SELECT doc_id, copy_id, source,
+         |  CAST((strpos('0123456789abcdef', substr(kh, 1, 1)) - 1)
+         |    // ${16 / EpochShards} AS BIGINT) AS shard_id,
+         |  CAST(row_number() OVER (
+         |    PARTITION BY (strpos('0123456789abcdef', substr(kh, 1, 1)) - 1)
+         |      // ${16 / EpochShards}
+         |    ORDER BY kh, doc_id, copy_id) - 1 AS BIGINT) AS pos
+         |FROM k ORDER BY shard_id, pos""".stripMargin,
     // q146: the oracle runs the DIRECT per-source running-sum window —
     // the Spark side's block-partitioned prefix sum is provably the
     // same order (div is monotone in the sort key)

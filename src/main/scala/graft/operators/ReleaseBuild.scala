@@ -31,7 +31,11 @@ import sinks.Sinks
   *
   * Artifacts under `outDir`: `kept_docs.parquet`,
   * `disposition.parquet`, `packing.parquet`, `manifest.parquet`,
-  * `mixture.parquet`, `report_card.parquet`, `ledger/`, `logs/`.
+  * `mixture.parquet`, `mixed_manifest.parquet` (the recipe APPLIED —
+  * what a training run loads), `report_card.parquet`, `kept_assets` /
+  * `paired_curation`, `kept_vectors` / `paired_vector_curation` (with
+  * an embeddings universe), `curation_rollup` (the tri-modal
+  * sign-off), `ledger/`, `logs/`.
   *
   * Scale shape: ONE funnel pass decides the kept set (each stage the
   * proven operator's plan); every downstream artifact is one
@@ -137,6 +141,13 @@ object ReleaseBuild {
         "manifest"),
       "mixture" -> w(CurationQueries.mixtureRecipeDocs(keptDocs),
         "mixture"),
+      // the EPOCH-READY manifest (VERDICT r14 "Next round" #3): the
+      // mixture recipe APPLIED — each kept doc repeated to its source's
+      // temperature target (whole epochs + a seeded fractional prefix,
+      // Σ tokens per source within one doc of the recipe — spec-pinned)
+      // and shard-assigned per copy; what a training run actually loads
+      "mixed_manifest" -> w(CurationQueries.mixedManifestDocs(keptDocs),
+        "mixed_manifest"),
       "report_card" -> w(CurationQueries.sourceReportDocs(keptDocs),
         "report_card"))
 

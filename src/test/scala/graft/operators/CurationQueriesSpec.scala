@@ -815,6 +815,43 @@ class CurationQueriesSpec extends SparkSpec {
     }
   }
 
+  test("mixed manifest: two-level positions equal the direct per-shard " +
+      "rank; copy ids dense from 1") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val d = graft.Tables(spark, sfDir, "documents")
+    val mm = CurationQueries.mixedManifestDocs(d)
+      .localCheckpoint(eager = false)
+    // the two-level (shard, block) rank equals ONE window per shard
+    // over the same copy-salted keys (the q131 pin, copy flavor)
+    val direct = mm
+      .withColumn("kh", md5(concat(lit("graft-epoch0:"),
+        col("doc_id").cast("string"), lit(":"),
+        col("copy_id").cast("string"))))
+      .withColumn("pos2",
+        (row_number().over(Window.partitionBy(col("shard_id"))
+          .orderBy(col("kh"), col("doc_id"), col("copy_id"))) - 1)
+          .cast("long"))
+    assert(direct.filter(col("pos") =!= col("pos2")).count() == 0)
+    // copies are dense from 1 per doc (the q90 contract), positions
+    // dense 0..n-1 per shard, and repeats of one doc scatter: at least
+    // one multi-copy doc lands on ≥ 2 distinct shards at this SF
+    val byDoc = mm.select(col("doc_id"), col("copy_id"))
+      .as[(Long, Long)].collect().groupBy(_._1)
+    byDoc.values.foreach { cs =>
+      assert(cs.map(_._2).sorted.toSeq == (1L to cs.length).toSeq)
+    }
+    val byShard = mm.select(col("shard_id"), col("pos"))
+      .as[(Long, Long)].collect().groupBy(_._1)
+    byShard.values.foreach { ps =>
+      assert(ps.map(_._2).sorted.toSeq == (0L until ps.size).toSeq)
+    }
+    val scattered = mm.groupBy(col("doc_id"))
+      .agg(countDistinct(col("shard_id")).as("ns"))
+      .filter(col("ns") >= 2).count()
+    assert(scattered > 0, "no multi-shard repeats — fixture too tame")
+  }
+
   test("shard manifest is deterministic and partition-independent") {
     val d = graft.Tables(spark, sfDir, "documents")
     val a = CurationQueries.shardManifestDocs(d).collect().toSeq

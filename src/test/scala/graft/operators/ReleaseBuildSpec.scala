@@ -42,11 +42,47 @@ class ReleaseBuildSpec extends SparkSpec {
         "packing" -> CurationQueries.packSequencesDocs(kept),
         "manifest" -> CurationQueries.shardManifestDocs(kept),
         "mixture" -> CurationQueries.mixtureRecipeDocs(kept),
+        "mixed_manifest" -> CurationQueries.mixedManifestDocs(kept),
         "report_card" -> CurationQueries.sourceReportDocs(kept))) {
       val got = rows(spark.read.parquet(s"$outDir/$name.parquet"))
       assert(got.nonEmpty, s"$name is empty")
       assert(got == rows(want), s"$name diverges from its operator")
       assert(summary(name) == got.size.toLong)
+    }
+
+    // mixed_manifest: the recipe ACTUALLY APPLIED (VERDICT r14 #3) —
+    // per source, the manifest's token mass lands within ONE document
+    // of the shipped mixture recipe's target (whole epochs + the
+    // crossing doc of the fractional prefix; q90's Bernoulli rounding
+    // only hits targets in expectation, which is not a manifest)
+    {
+      import org.apache.spark.sql.functions.{size => asize, split, sum}
+      val docTok = kept.select($"doc_id",
+        asize(split($"text", "\\s+")).cast("long").as("n_tokens"))
+      val mmTok = spark.read.parquet(s"$outDir/mixed_manifest.parquet")
+        .join(docTok, Seq("doc_id"))
+        .groupBy($"source").agg(sum($"n_tokens").as("tok"))
+        .as[(String, Long)].collect().toMap
+      val recipe = spark.read.parquet(s"$outDir/mixture.parquet")
+        .select($"source", $"target_tokens")
+        .as[(String, Long)].collect().toMap
+      val maxTok = kept.select($"source",
+          asize(split($"text", "\\s+")).cast("long").as("t"))
+        .groupBy($"source")
+        .agg(org.apache.spark.sql.functions.max($"t").as("m"))
+        .as[(String, Long)].collect().toMap
+      assert(mmTok.keySet == recipe.keySet)
+      recipe.foreach { case (src, target) =>
+        val got = mmTok(src)
+        assert(got >= target && got - target < maxTok(src),
+          s"$src: manifest tokens $got vs target $target " +
+            s"(max doc ${maxTok(src)})")
+      }
+      // every copy of one doc lands at a distinct (shard, pos) slot —
+      // the copy-salted key scatters repeats
+      val mm = spark.read.parquet(s"$outDir/mixed_manifest.parquet")
+      assert(mm.count() ==
+        mm.select($"shard_id", $"pos").distinct().count())
     }
 
     // kept_assets: the asset keep-list over the release universe —
@@ -214,7 +250,7 @@ class ReleaseBuildSpec extends SparkSpec {
     ReleaseBuild.runOn(spark, scratchKept.unionByName(evalDocs),
       relScratch)
     for (a <- Seq("kept_docs", "disposition", "packing", "manifest",
-        "mixture", "report_card")) {
+        "mixture", "mixed_manifest", "report_card")) {
       val c = rows(spark.read.parquet(s"$relChain/$a.parquet"))
       val s = rows(spark.read.parquet(s"$relScratch/$a.parquet"))
       assert(c.nonEmpty, s"$a is empty")

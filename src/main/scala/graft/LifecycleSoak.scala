@@ -101,6 +101,40 @@ object LifecycleSoak {
             s"$workDir/lc_vec$d").count())
       }
     }
+    // Round-15 (VERDICT r14 "Next round" #2): the scheduled sem_*/
+    // quantizer REBUILD the q160 drift report exists to trigger. The
+    // trigger reads the persisted quantizer stats (≤|cells| rows, no
+    // corpus scan); the rebuild then recomputes the rebuild-class
+    // tables over corpus ∪ kept vectors — the amortized O(corpus) job
+    // the O(batch) daily avoids, priced here as the build-vs-carry
+    // line — and the election churn (which shipped vectors the refresh
+    // dethrones) is counted off the same keep-list definition.
+    val driftCells = operators.IndexStore
+      .dailyQuantizerDrift(spark, famIndex, dataDir)
+      .filter(col("drift_micro").isNotNull)
+      .filter(org.apache.spark.sql.functions.abs(col("drift_micro")) > 0)
+      .count()
+    println(s"[lifecycle-soak] drift trigger: $driftCells drifting " +
+      "cells -> scheduling rebuild")
+    val embAll = Tables(spark, dataDir, "embeddings")
+    val corpusEmb = embAll
+      .filter(col("vec_id") % operators.VectorQueries.VecBatchMod =!= 0)
+    val keptIds = spark.read
+      .parquet(s"$workDir/lc_vec0/kept_vectors.parquet")
+      .select(col("vec_id"))
+    val universeVecs = corpusEmb.unionByName(
+      embAll.join(keptIds, Seq("vec_id"), "left_semi"))
+    Timing.timedPasses(spark, cpuNs, "[lifecycle-soak] vec-rebuild",
+      passes = 1)(
+      operators.DailyIngest.rebuildSemantic(spark, famIndex,
+        universeVecs, s"$workDir/lc_vecrebuild").count())
+    Timing.timedPasses(spark, cpuNs,
+      "[lifecycle-soak] vec-rebuild-churn", passes = 1)(
+      operators.VectorQueries.keptChurnOf(
+        operators.VectorQueries.keptVectorsOf(corpusEmb),
+        operators.VectorQueries.keptVectorsOf(universeVecs),
+        corpusEmb.select(col("vec_id"))).count())
+
     // the release universe: every day's survivors ∪ the eval holdout
     val ingested = (0 until nDays)
       .map(d => spark.read.parquet(s"$workDir/lc_out$d/kept_docs.parquet"))

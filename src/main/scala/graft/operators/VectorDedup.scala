@@ -263,7 +263,7 @@ private[operators] trait VectorDedup {
     * vec_id ≡ 0 (mod 10) arrive today, the rest are the signed corpus —
     * the q96/q97 split, embedding flavor (VERDICT r6/r7 gap: the
     * daily-ingest pattern had no vector-side counterpart). */
-  private[operators] val VecBatchMod = 10
+  private[graft] val VecBatchMod = 10
 
   /** The persisted corpus-side key index a daily pipeline writes once:
     * one distinct q95 canonical key per known vector (32-hex md5 of the

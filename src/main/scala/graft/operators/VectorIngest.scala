@@ -110,6 +110,35 @@ private[operators] trait VectorIngest {
     emb.join(keptIds, Seq("vec_id"), "left_semi").orderBy(col("vec_id"))
   }
 
+  /** The ELECTION-CHURN surface between two kept-vector lists — which
+    * shipped vectors flip when the semantic clusters refresh (VERDICT
+    * r14 "Next round" #2: the q155 longitudinal-stability story, keep-
+    * list flavor — a scheduled [[DailyIngest.rebuildSemantic]] changes
+    * cluster membership, and the retrain trigger's cost is exactly the
+    * set of previously-shipped vectors it dethrones). Restricted to
+    * `commonIds` (ids present in BOTH universes) so a growing corpus
+    * does not report every new arrival as churn: `flipped_out` rows
+    * shipped under the old clusters but not the new; `flipped_in` the
+    * reverse. Under a purely GROWING universe flipped_in is empty by
+    * the norm-first election's monotonicity — a cluster only gains
+    * members, so a loser can never start winning (spec-pinned). */
+  def keptChurnOf(keptBefore: DataFrame, keptAfter: DataFrame,
+      commonIds: DataFrame): DataFrame = {
+    val ids = commonIds.select(col("vec_id"))
+      .localCheckpoint(eager = false) // both semi joins
+    val b = keptBefore.select(col("vec_id"))
+      .join(ids, Seq("vec_id"), "left_semi")
+      .localCheckpoint(eager = false) // anti both ways
+    val a = keptAfter.select(col("vec_id"))
+      .join(ids, Seq("vec_id"), "left_semi")
+      .localCheckpoint(eager = false) // anti both ways
+    b.join(a, Seq("vec_id"), "left_anti")
+      .withColumn("churn", lit("flipped_out"))
+      .unionByName(a.join(b, Seq("vec_id"), "left_anti")
+        .withColumn("churn", lit("flipped_in")))
+      .orderBy(col("churn"), col("vec_id"))
+  }
+
   /** L99/q196: the doc↔VECTOR paired-curation classification — the
     * third and last pairing of the release's keep-lists (VERDICT r14
     * "Next round" #1: q195 joined the text funnel to the ASSET

@@ -190,6 +190,86 @@ class DailyIngestSpec extends SparkSpec {
     assert(semGot == semWant)
   }
 
+  test("scheduled sem/quantizer rebuild: no-batch == carry; " +
+      "refreshed universe == from-scratch; election churn pinned") {
+    import org.apache.spark.sql.functions.col
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    val idxDir = tmp("rb_idx")
+    DailyIngest.writeVectorIndexes(spark, sfDir, idxDir)
+    val emb = graft.Tables(spark, sfDir, "embeddings")
+    val corpusEmb = emb.filter(col("vec_id") % 10 =!= 0)
+
+    // 1. no batch arrived: rebuilding over the SAME corpus reproduces
+    //    the carried sem_* tables exactly (the compaction==rebuild
+    //    rule, sem flavor) and copies the compactable families through
+    val next1 = tmp("rb_next1")
+    val summary = DailyIngest
+      .rebuildSemantic(spark, idxDir, corpusEmb, next1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for (n <- Seq("sem_fams", "sem_vecc", "sem_bandsc", "sem_ccc",
+        "sem_statsc", "vec_hash", "vec_fams", "vec_members",
+        "vec_bands_c", "vec_canon"))
+      assert(rows(spark.read.parquet(s"$next1/$n.parquet")) ==
+        rows(spark.read.parquet(s"$idxDir/$n.parquet")), s"$n diverges")
+    // bookkeeping: one ledger row per summary step
+    assert(spark.read.parquet(s"$next1/ledger").count() ==
+      summary.size.toLong)
+
+    // 2. after a day's ingest: rebuild over corpus ∪ kept batch ==
+    //    a from-scratch semantic build over the same universe, and the
+    //    refreshed quantizer artifacts serve the q160 daily unchanged
+    val outDir = tmp("rb_day")
+    DailyIngest.runVectors(spark, idxDir, sfDir, outDir)
+    val keptIds = spark.read.parquet(s"$outDir/kept_vectors.parquet")
+      .select(col("vec_id"))
+    val universe = corpusEmb.unionByName(
+      emb.join(keptIds, Seq("vec_id"), "left_semi"))
+    val next2 = tmp("rb_next2")
+    DailyIngest.rebuildSemantic(spark, s"$outDir/index_next", universe,
+      next2)
+    val scratch = tmp("rb_scratch")
+    IndexStore.writeSemantic(
+      VectorQueries.vecsOf(universe).select(col("vec_id"), col("v")),
+      scratch)
+    for (n <- Seq("sem_fams", "sem_vecc", "sem_bandsc", "sem_ccc",
+        "sem_statsc"))
+      assert(rows(spark.read.parquet(s"$next2/$n.parquet")) ==
+        rows(spark.read.parquet(s"$scratch/$n.parquet")),
+        s"$n != from-scratch over the refreshed universe")
+    assert(IndexStore.dailyQuantizerDrift(spark, next2, sfDir)
+      .count() > 0)
+
+    // 3. election churn on the real corpus: a GROWING universe can only
+    //    dethrone (a cluster only gains members under the norm-first
+    //    election) — flipped_in must be empty
+    val churn = VectorQueries.keptChurnOf(
+        VectorQueries.keptVectorsOf(corpusEmb),
+        VectorQueries.keptVectorsOf(universe),
+        corpusEmb.select(col("vec_id")))
+      .as[(Long, String)].collect().toSeq
+    assert(!churn.exists(_._2 == "flipped_in"),
+      s"a loser started winning under a grown universe: $churn")
+
+    // 4. the dethroning surface itself, on a crafted frame (sf0.001 has
+    //    no batch vector that outranks a corpus survivor): corpus a =
+    //    all-2.0 (kept, alone); arriving c = all-3.0, same direction —
+    //    verified cosine-1 pair, higher norm² → the refresh elects c
+    //    and the churn report names exactly a as flipped_out
+    val dim = 64
+    val before = Seq((3L, Array.fill(dim)(2.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val after = before.unionByName(
+      Seq((30L, Array.fill(dim)(3.0f), 0))
+        .toDF("vec_id", "embedding", "label"))
+    val crafted = VectorQueries.keptChurnOf(
+        VectorQueries.keptVectorsOf(before),
+        VectorQueries.keptVectorsOf(after),
+        before.select(col("vec_id")))
+      .as[(Long, String)].collect().toSeq
+    assert(crafted == Seq((3L, "flipped_out")), s"churn: $crafted")
+  }
+
   test("q159 in-query disposition == the disk-read pipeline artifact") {
     val idxDir = tmp("q159_idx")
     val outDir = tmp("q159_out")

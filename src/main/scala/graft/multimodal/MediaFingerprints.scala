@@ -42,6 +42,14 @@ private[multimodal] trait MediaFingerprints {
   def frameHashes(media: Dataset[MediaRow],
       dec: SignalDecoder = FakeDecoder): Dataset[FrameHash] = {
     import media.sparkSession.implicits._
+    frameHashesOf(media.map(r =>
+      MediaPayload(r.doc_id, r.kind, r.payload)), dec)
+  }
+
+  /** Payload-only decode core (the perceptualHashesOf rule). */
+  def frameHashesOf(media: Dataset[MediaPayload],
+      dec: SignalDecoder = FakeDecoder): Dataset[FrameHash] = {
+    import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       // the decoder (real demuxer) is constructed once per partition;
       // frames are sliced from the DECODED signal, so a real decoder
@@ -138,6 +146,14 @@ private[multimodal] trait MediaFingerprints {
   /** Per-asset audio sub-fingerprints, partition-wise (payloads die
     * inside the decode map). */
   def audioFps(media: Dataset[MediaRow],
+      dec: SignalDecoder = FakeDecoder): Dataset[AudioFp] = {
+    import media.sparkSession.implicits._
+    audioFpsOf(media.map(r =>
+      MediaPayload(r.doc_id, r.kind, r.payload)), dec)
+  }
+
+  /** Payload-only decode core (the perceptualHashesOf rule). */
+  def audioFpsOf(media: Dataset[MediaPayload],
       dec: SignalDecoder = FakeDecoder): Dataset[AudioFp] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>

@@ -374,6 +374,13 @@ object Multimodal extends MediaBands
 
   case class MediaHash(doc_id: Long, kind: String, phash: Long)
 
+  /** The slim row the DECODE BOUNDARY actually consumes — id, kind, and
+    * the opaque payload, nothing else. Streaming arrivals construct
+    * this directly (they carry no decoded metadata); batch flows
+    * project [[MediaRow]] down to it. */
+  case class MediaPayload(doc_id: Long, kind: String,
+      payload: Array[Byte])
+
   /** Asset-id offset for the deterministic re-encode variants below. */
   private[multimodal] val VariantIdOffset = 1000000000L
 
@@ -430,6 +437,19 @@ object Multimodal extends MediaBands
     * 64-window comparison runs over the SIGNAL, identical for the fake
     * and the real [[PpmDecoder]] (MultimodalSpec drives both). */
   def perceptualHashes(media: Dataset[MediaRow],
+      dec: SignalDecoder = FakeDecoder): Dataset[MediaHash] = {
+    import media.sparkSession.implicits._
+    perceptualHashesOf(media.map(r =>
+      MediaPayload(r.doc_id, r.kind, r.payload)), dec)
+  }
+
+  /** The payload-only decode core — [[MediaPayload]] is the WHOLE input
+    * contract, so a future decoder cannot silently start reading
+    * metadata a streaming row never carried (ADVICE r14: the continuous
+    * asset cadence fabricated zeroed width/height/format; parity with
+    * the nightly run held only because this boundary ignored them —
+    * now that is structural, not incidental). */
+  def perceptualHashesOf(media: Dataset[MediaPayload],
       dec: SignalDecoder = FakeDecoder): Dataset[MediaHash] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>

@@ -662,22 +662,37 @@ object StreamingOps {
     * sequentially-read snapshot. The generation chain is the streaming
     * rendering of the nightly `index_next` handoff.
     */
+  /** The newest COMMITTED index generation under `workDir`, discovered
+    * through the Hadoop FileSystem API so the generation chain works on
+    * any supported storage — HDFS, S3A, local — not only a local disk
+    * (ADVICE r14: `java.io.File.listFiles` returned null off-local and
+    * the require fired even when index_gen_0 existed). Only generations
+    * ≤ batchId count: a crashed attempt's own gen=batchId+1 partition
+    * must not feed its retry (the runDelta rule). */
+  private def newestGenDir(spark: org.apache.spark.sql.SparkSession,
+      workDir: String, batchId: Long, seedHint: String): String = {
+    val path = new org.apache.hadoop.fs.Path(workDir)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    val gens =
+      (if (fs.exists(path)) fs.listStatus(path)
+       else Array.empty[org.apache.hadoop.fs.FileStatus])
+        .map(_.getPath.getName)
+        .collect { case s if s.startsWith("index_gen_") =>
+          scala.util.Try(s.stripPrefix("index_gen_").toLong).toOption }
+        .flatten
+        .filter(_ <= batchId)
+    require(gens.nonEmpty,
+      s"seed $workDir/index_gen_0 first ($seedHint)")
+    s"$workDir/index_gen_${gens.max}"
+  }
+
   def continuousIngest(docs: Dataset[SourcedDoc], workDir: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[SourcedDoc] =
     docs.writeStream.foreachBatch {
       (batch: Dataset[SourcedDoc], batchId: Long) =>
         val spark = batch.sparkSession
-        val gens = Option(new java.io.File(workDir).listFiles())
-          .getOrElse(Array.empty)
-          .flatMap(f => f.getName match {
-            case s if s.startsWith("index_gen_") =>
-              scala.util.Try(s.stripPrefix("index_gen_").toLong).toOption
-            case _ => None
-          })
-          .filter(_ <= batchId)
-        require(gens.nonEmpty, s"seed $workDir/index_gen_0 first " +
-          "(DailyIngest.writeIndexes layout)")
-        val genDir = s"$workDir/index_gen_${gens.max}"
+        val genDir = newestGenDir(spark, workDir, batchId,
+          "DailyIngest.writeIndexes layout")
         def idx(name: String): DataFrame =
           spark.read.parquet(s"$genDir/$name.parquet")
         val b = batch.toDF().localCheckpoint(eager = false)
@@ -741,26 +756,22 @@ object StreamingOps {
       (batch: Dataset[StreamMediaAsset], batchId: Long) =>
         val spark = batch.sparkSession
         import spark.implicits._
-        val gens = Option(new java.io.File(workDir).listFiles())
-          .getOrElse(Array.empty)
-          .flatMap(f => f.getName match {
-            case s if s.startsWith("index_gen_") =>
-              scala.util.Try(s.stripPrefix("index_gen_").toLong).toOption
-            case _ => None
-          })
-          .filter(_ <= batchId)
-        require(gens.nonEmpty, s"seed $workDir/index_gen_0 first " +
-          "(IndexStore.writeAssetIndexes layout)")
-        val genDir = s"$workDir/index_gen_${gens.max}"
+        val genDir = newestGenDir(spark, workDir, batchId,
+          "IndexStore.writeAssetIndexes layout")
         val m = graft.multimodal.Multimodal
         val b = batch.localCheckpoint(eager = false)
-        def mediaOf(ds: Dataset[StreamMediaAsset]): Dataset[m.MediaRow] =
-          ds.map(a => m.MediaRow(a.doc_id, a.kind, a.payload, 0, 0, ""))
+        // arriving rows feed the PAYLOAD-ONLY decode cores — no
+        // fabricated metadata fields a future decoder could silently
+        // start reading (ADVICE r14)
+        def mediaOf(ds: Dataset[StreamMediaAsset])
+            : Dataset[m.MediaPayload] =
+          ds.map(a => m.MediaPayload(a.doc_id, a.kind, a.payload))
         graft.operators.DailyIngest.runAssetsFrom(spark, genDir,
-          m.perceptualHashes(mediaOf(b.filter(_.in_asset_catalog))).toDF(),
-          m.frameHashes(mediaOf(b.filter(_.in_asset_catalog))).toDF()
+          m.perceptualHashesOf(
+            mediaOf(b.filter(_.in_asset_catalog))).toDF(),
+          m.frameHashesOf(mediaOf(b.filter(_.in_asset_catalog))).toDF()
             .select(col("doc_id"), col("fhash")).distinct(),
-          m.audioFps(mediaOf(b.filter(_.in_audio_catalog))).toDF()
+          m.audioFpsOf(mediaOf(b.filter(_.in_audio_catalog))).toDF()
             .select(col("doc_id"), col("fp")).distinct(),
           s"$workDir/out/batch_$batchId",
           s"$workDir/index_gen_${batchId + 1}",
@@ -802,17 +813,8 @@ object StreamingOps {
     vectors.writeStream.foreachBatch {
       (batch: Dataset[StreamVector], batchId: Long) =>
         val spark = batch.sparkSession
-        val gens = Option(new java.io.File(workDir).listFiles())
-          .getOrElse(Array.empty)
-          .flatMap(f => f.getName match {
-            case s if s.startsWith("index_gen_") =>
-              scala.util.Try(s.stripPrefix("index_gen_").toLong).toOption
-            case _ => None
-          })
-          .filter(_ <= batchId)
-        require(gens.nonEmpty, s"seed $workDir/index_gen_0 first " +
-          "(IndexStore.writeVectorIndexes layout)")
-        val genDir = s"$workDir/index_gen_${gens.max}"
+        val genDir = newestGenDir(spark, workDir, batchId,
+          "IndexStore.writeVectorIndexes layout")
         graft.operators.DailyIngest.runVectorsFrom(spark, genDir,
           batch.toDF().select(col("vec_id"), col("v")),
           s"$workDir/out/batch_$batchId",

@@ -18,6 +18,7 @@ import scala.collection.immutable.ListMap
   */
 object CurationQueries extends CurationDecon
     with CurationClusters
+    with CurationSubstrings
     with CurationSampling
     with CurationScoring
     with CurationLm
@@ -335,8 +336,9 @@ object CurationQueries extends CurationDecon
     * operator it checks (the LLMQueries.oracle convention; pure moves,
     * round 14 — entries byte-identical). */
   private[operators] val oracleMain: Map[String, String] =
-    deconOracleMain ++ clustersOracleMain ++ samplingOracleMain ++
-      scoringOracleMain ++ lmOracleMain ++ reportsOracleMain
+    deconOracleMain ++ clustersOracleMain ++ substringsOracleMain ++
+      samplingOracleMain ++ scoringOracleMain ++ lmOracleMain ++
+      reportsOracleMain
 
   /** q115's oracle NESTS the stage oracles as subqueries (the q110
     * composition pattern) — funnel and stages cannot drift apart. */

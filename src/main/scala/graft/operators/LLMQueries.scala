@@ -23,6 +23,7 @@ import scala.collection.immutable.ListMap
   * pairs), never the O(n²) all-pairs cross join (SURVEY.md §4.3).
   */
 object LLMQueries extends TextDedup
+    with TextExactDedup
     with TextRetrieval
     with TextTokenizers {
 
@@ -373,5 +374,5 @@ object LLMQueries extends TextDedup
          |FROM pd JOIN tot USING (doc_id)
          |ORDER BY pd.doc_id""".stripMargin
     }) ++
-    dedupOracle ++ retrievalOracle ++ tokenizerOracle
+    dedupOracle ++ exactDedupOracle ++ retrievalOracle ++ tokenizerOracle
 }

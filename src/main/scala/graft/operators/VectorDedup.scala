@@ -141,92 +141,12 @@ private[operators] trait VectorDedup {
     "aggregate(v, 0L, (s, x) -> s + cast(round(x * 1e6) as bigint)" +
       " * cast(round(x * 1e6) as bigint))")
 
-  /** SemDeDup-style semantic dedup, end to end, with the q95
-    * exact-duplicate PRE-PASS composed in (SemDeDup's own recipe;
-    * VERDICT r4 "What's wrong" #1): byte-identical vectors first
-    * collapse to one canonical per family (min vec_id, q95's fixed-point
-    * md5 key), the q65 sign-LSH pair graph + q85 star connected
-    * components then run on CANONICALS ONLY, and family sizes are
-    * expanded back into the cluster accounting at the end. An
-    * N-member identical-vector family costs N hash rows instead of
-    * N²/2 LSH pairs — the 30× soak's ~210 s collapses to seconds.
-    *
-    * Output is oracle-identical to the raw-vector formulation because a
-    * family is fully connected in the raw pair graph (identical
-    * fixed-point components ⇒ identical band keys and cosine 1) and
-    * shares one norm, so: the component min over canonicals equals the
-    * min over members (canonical = family min); cluster size equals
-    * Σ family sizes; and the (norm² desc, vec_id asc) election over
-    * members is won by a canonical. Families with ≥2 members whose
-    * canonical joins no LSH cluster re-enter as their own cluster.
-    *
-    * Scale: pair volume is q65's O(Σ bucket²) LSH bound over canonicals;
-    * CC is large-star/small-star (O(log n) rounds); election + sizing is
-    * one partial-aggregating groupBy over cluster_id (`max(struct(norm2,
-    * -vec_id))`), not a cluster-keyed window — a mega-cluster
-    * map-side-combines instead of funneling through one reducer.
-    */
-  def semanticDedup(spark: SparkSession, dir: String): DataFrame =
-    semanticDedupOf(vecs(spark, dir))
-
   /** q95's portable exact-vector key over the double-array column `v`
     * (same fixed-point rule as [[vecKeyExpr]], which reads the raw
     * float `embedding`). */
   private[operators] val vKeyExpr = expr(
     "md5(concat_ws(',', transform(v," +
       " x -> cast(cast(round(x * 1e9) as bigint) as string))))")
-
-  /** The canonical-formulation core of the full semantic pass:
-    * (famsK(vkey, vec_id=canon, fam_size), canon(vec_id, fam_size, v),
-    * members(vec_id=canon, cluster_id)) — membership is the LSH
-    * components ∪ ≥2-member exact families (famOnly). Shared by
-    * [[semanticDedupOf]] and the release keep-list
-    * ([[keptVectorsOf]]) so the full pass and the shipped kept set can
-    * never disagree about what is clustered. */
-  private[operators] def semanticCanonCore(e: DataFrame)
-      : (DataFrame, DataFrame, DataFrame) = {
-    // q95 pre-pass: one canonical (min vec_id) + member count per
-    // byte-identical family; the 32-hex key shuffles, never the vector.
-    // Lazily materialized: feeds canon here AND the member expansion in
-    // keptVectorsOf (one family aggregation per consumer graph).
-    val famsK = e.select(col("vec_id"), vKeyExpr.as("vkey"))
-      .groupBy(col("vkey"))
-      .agg(min(col("vec_id")).as("vec_id"), count(lit(1)).as("fam_size"))
-      .localCheckpoint(eager = false)
-    // materialized lazily: canon feeds the LSH band leg, both cosine-
-    // verify legs, the fam-only residual, and the norm projection —
-    // without the checkpoint each consumer re-runs the family
-    // aggregation join. eager=false so plan construction/audit is free
-    // (the q70 lesson, uniformly — VERDICT r8 "What's wrong" #1); the
-    // CC loop downstream executes immediately anyway.
-    val canon = famsK.select(col("vec_id"), col("fam_size"))
-      .join(e.select(col("vec_id"), col("v")), Seq("vec_id"))
-      .localCheckpoint(eager = false)
-    val pairs = cosineNearDupsOf(canon)
-      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
-    val cc = CurationQueries.connectedComponentsStar(pairs)._1
-      .select(col("doc_id").as("vec_id"), col("cluster_id"))
-    // exact families of ≥2 whose canonical joined no LSH cluster are
-    // clusters of their own (in the raw graph the family is a component)
-    val famOnly = canon.filter(col("fam_size") > 1)
-      .join(cc, Seq("vec_id"), "left_anti")
-      .select(col("vec_id"), col("vec_id").as("cluster_id"))
-    (famsK, canon, cc.unionByName(famOnly))
-  }
-
-  private[operators] def semanticDedupOf(e: DataFrame): DataFrame = {
-    val (_, canon, members) = semanticCanonCore(e)
-    val norms = canon.select(col("vec_id"), col("fam_size"),
-      norm2Expr.as("norm2"))
-    members.join(norms, Seq("vec_id"))
-      .groupBy(col("cluster_id"))
-      .agg(max(struct(col("norm2"), (-col("vec_id")).as("nid"))).as("best"),
-        sum(col("fam_size")).as("cluster_size"))
-      .select(col("cluster_id"), (-col("best.nid")).as("kept_id"),
-        col("cluster_size").cast("long").as("cluster_size"),
-        (col("cluster_size") - 1).cast("long").as("n_dropped"))
-      .orderBy(col("cluster_id"))
-  }
 
   /** Portable exact-vector key: md5 over the comma-joined fixed-point
     * components — identical strings (and so identical keys) in Spark and
@@ -718,288 +638,6 @@ private[operators] trait VectorDedup {
       canonVecs, batch)
   }
 
-  /** The persisted corpus-side semantic-dedup index — what a daily
-    * pipeline writes ONCE after each full q91 pass, so the next day's
-    * batch never re-pairs or re-clusters the corpus:
-    *  - `fams(vkey, canon, fam_size)`: one row per distinct corpus vkey
-    *    (q95 canonical-key table with member counts);
-    *  - `vecC(canon, vkey, fam_size, v)`: the canonical vectors;
-    *  - `bandsC`: q65 sign-LSH band keys of the canonicals;
-    *  - `ccC(canon, label)`: the corpus LSH-pair components over
-    *    canonicals (label = min member canonical);
-    *  - `statsC(label, size_sum, best)`: per corpus cluster, the raw
-    *    member count (Σ fam_size) and the election max(norm2, -canon).
-    */
-  def semanticIndexTables(corpus: DataFrame)
-      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
-    val fams = corpus.select(col("vec_id"), vKeyExpr.as("vkey"))
-      .groupBy(col("vkey"))
-      .agg(min(col("vec_id")).as("canon"), count(lit(1)).as("fam_size"))
-    val vecC = fams
-      .join(corpus.select(col("vec_id").as("canon"), col("v")), Seq("canon"))
-      .localCheckpoint(eager = false)
-    val canonVecs = vecC.select(col("canon").as("vec_id"), col("v"))
-    val bandsC = lshBandsOf(canonVecs)
-    val pairsC = cosineNearDupsOf(canonVecs)
-      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
-    val ccC = CurationQueries.connectedComponentsStar(pairsC)._1
-      .select(col("doc_id").as("canon"), col("cluster_id").as("label"))
-    val statsC = ccC.join(vecC, Seq("canon"))
-      .select(col("label"), col("canon"), col("fam_size"),
-        norm2Expr.as("norm2"))
-      .groupBy(col("label"))
-      .agg(sum(col("fam_size")).as("size_sum"),
-        max(struct(col("norm2"), (-col("canon")).as("nid"))).as("best"))
-    (fams, vecC, bandsC, ccC, statsC)
-  }
-
-  /** Incremental SEMANTIC dedup — the cluster-merge flow: given the
-    * persisted [[semanticIndexTables]] and an incoming batch, emit the
-    * rows the FULL q91 pass over corpus ∪ batch would emit for every
-    * cluster containing ≥ 1 batch vector, WITHOUT re-pairing or
-    * re-clustering the corpus. Daily cost is O(batch + candidate pairs).
-    *
-    * Mechanics (each step batch-sized):
-    *  1. batch families merge into corpus families by vkey — a shared
-    *     vkey adds `size_b` members and may SHIFT the family's canonical
-    *     to a smaller batch id; a new vkey introduces a new canonical.
-    *  2. only NEW canonicals probe the corpus band table (an existing
-    *     family's canonical vector is already banded — identical vector,
-    *     identical keys, no new edges), yielding new-new and new-corpus
-    *     verified cosine pairs.
-    *  3. corpus endpoints CONTRACT to their persisted cluster label (or
-    *     themselves if unclustered); connected components over this
-    *     contracted batch-sized graph merge whole corpus clusters
-    *     through batch vectors without touching corpus-corpus pairs.
-    *  4. per merged component, sizes add (persisted Σ + batch
-    *     additions), the election max combines the persisted best with
-    *     shifted-canonical candidates, and the cluster id is the min
-    *     merged canonical (label adjusted for shifts).
-    *  5. clusters untouched by new pairs but gaining batch family
-    *     members re-emit with updated stats; merged families of ≥ 2
-    *     outside any pair component emit as their own cluster (the
-    *     famOnly rule).
-    *
-    * Correctness rests on the same argument as q91's canonical
-    * formulation: identical vectors form cliques in the raw pair graph,
-    * so family merge + contracted CC reproduces the raw components
-    * restricted to batch-reachable clusters. The oracle hash-checks this
-    * against DuckDB's full recursive closure, restricted to clusters
-    * with a batch member.
-    *
-    * Factored as [[semanticMergeLegs]] (round 14) so the per-cluster
-    * accounting here and the per-batch-member election map
-    * ([[incrementalSemanticMembers]] — the q194 disposition's third
-    * gate) derive from ONE set of merge legs: legA keeps its component
-    * key `tmp`, legB–legD keep the contracted `node` they are keyed by,
-    * and each rendering projects them away. */
-  private def semanticMergeLegs(famsC: DataFrame, vecC: DataFrame,
-      bandsC: DataFrame, ccC: DataFrame, statsC: DataFrame,
-      batch: DataFrame): (DataFrame, DataFrame, DataFrame, DataFrame,
-      DataFrame, DataFrame) = {
-    val spark = batch.sparkSession
-    val n = spark.sessionState.conf.numShufflePartitions
-    // 1. family merge (batch-touched vkeys only)
-    val famsB = batch.select(col("vec_id"), vKeyExpr.as("vkey"))
-      .groupBy(col("vkey"))
-      .agg(min(col("vec_id")).as("canon_b"), count(lit(1)).as("size_b"))
-      .join(batch.select(col("vec_id").as("canon_b"), col("v")),
-        Seq("canon_b"))
-      .join(famsC.select(col("vkey"), col("canon").as("canon_c"),
-        col("fam_size").as("size_c")), Seq("vkey"), "left")
-      .withColumn("merged_canon",
-        least(col("canon_b"), coalesce(col("canon_c"), col("canon_b"))))
-      .withColumn("merged_size",
-        col("size_b") + coalesce(col("size_c"), lit(0L)))
-      .withColumn("norm2", norm2Expr)
-      .localCheckpoint(eager = false) // feeds probe + 5 accounting legs
-    val newFams = famsB.filter(col("canon_c").isNull)
-    val sharedFams = famsB.filter(col("canon_c").isNotNull)
-    // 2. probe with new canonicals only
-    val newCanonVecs = newFams.select(col("canon_b").as("vec_id"), col("v"))
-    val newBands = lshBandsOf(newCanonVecs).localCheckpoint(eager = false)
-    val cands = bandsC.unionByName(newBands).as("a")
-      .join(newBands.as("n"),
-        col("a.band") === col("n.band") && col("a.key") === col("n.key") &&
-          col("a.vec_id") =!= col("n.vec_id"))
-      .select(least(col("a.vec_id"), col("n.vec_id")).as("vec_a"),
-        greatest(col("a.vec_id"), col("n.vec_id")).as("vec_b"))
-      .distinct()
-      .localCheckpoint(eager = false) // feeds verify joins + endpoint filter
-    // verify only needs candidate-endpoint canonicals (batch-bounded):
-    // the semi-join keeps the daily merge from shuffling every corpus
-    // canonical vector — q96's endpoint lesson, semantic flavor
-    val ends = cands
-      .select(explode(array(col("vec_a"), col("vec_b"))).as("vec_id"))
-      .distinct()
-    val allCanonVecs = vecC.select(col("canon").as("vec_id"), col("v"))
-      .unionByName(newCanonVecs)
-      .join(broadcast(ends), Seq("vec_id"), "left_semi")
-      .repartition(n, col("vec_id"))
-    val pairs = cands
-      .join(allCanonVecs.select(col("vec_id").as("vec_a"), col("v").as("va")),
-        Seq("vec_a"))
-      .join(allCanonVecs.select(col("vec_id").as("vec_b"), col("v").as("vb")),
-        Seq("vec_b"))
-      .filter(round(cosineSim(col("va"), col("vb")), 6) >= NearDupThreshold)
-      .select(col("vec_a"), col("vec_b"))
-    // 3. contract corpus endpoints to their cluster label and merge
-    val edges = pairs
-      .join(ccC.select(col("canon").as("vec_a"), col("label").as("la")),
-        Seq("vec_a"), "left")
-      .join(ccC.select(col("canon").as("vec_b"), col("label").as("lb")),
-        Seq("vec_b"), "left")
-      .select(coalesce(col("la"), col("vec_a")).as("doc_a"),
-        coalesce(col("lb"), col("vec_b")).as("doc_b"))
-    val comps = CurationQueries.connectedComponentsStar(edges)._1
-      .select(col("doc_id").as("node"), col("cluster_id").as("tmp"))
-      .localCheckpoint(eager = false) // feeds 3 contribution legs + antis
-    // 4. per-cluster batch effects: size additions from all shared
-    // families; id/election adjustments from SHIFTED canonicals only
-    // (an unshifted family's canonical and norm are already in statsC)
-    val shifted = col("merged_canon") < col("canon_c")
-    val clusterAdj = sharedFams
-      .join(ccC.select(col("canon").as("canon_c"), col("label")),
-        Seq("canon_c"))
-      .groupBy(col("label"))
-      .agg(sum(col("size_b")).as("add_size"),
-        min(when(shifted, col("merged_canon"))).as("min_shift"),
-        max(when(shifted,
-          struct(col("norm2"), (-col("merged_canon")).as("nid"))))
-          .as("add_best"))
-    val updatedClusters = statsC.join(clusterAdj, Seq("label"), "left")
-      .select(col("label"),
-        (col("size_sum") + coalesce(col("add_size"), lit(0L))).as("size"),
-        greatest(col("best"), col("add_best")).as("best"),
-        least(col("label"), coalesce(col("min_shift"), col("label")))
-          .as("adj_id"),
-        col("add_size").isNotNull.as("touched"))
-    // component contributions: corpus clusters, new families, and
-    // corpus singleton canonicals (pair endpoints outside any cluster)
-    val contribCluster = comps
-      .join(updatedClusters.withColumnRenamed("label", "node"), Seq("node"))
-      .select(col("tmp"), col("size"), col("best"), col("adj_id"))
-    val contribNew = comps
-      .join(newFams.select(col("canon_b").as("node"),
-        col("merged_size").as("size"),
-        struct(col("norm2"), (-col("canon_b")).as("nid")).as("best"),
-        col("canon_b").as("adj_id")), Seq("node"))
-      .select(col("tmp"), col("size"), col("best"), col("adj_id"))
-    val contribSingleton = comps
-      .join(updatedClusters.select(col("label").as("node")),
-        Seq("node"), "left_anti")
-      .join(newFams.select(col("canon_b").as("node")), Seq("node"),
-        "left_anti")
-      .join(sharedFams.select(col("canon_c").as("node"),
-        col("merged_size"), col("merged_canon"), col("norm2").as("n2b")),
-        Seq("node"), "left")
-      .join(vecC.select(col("canon").as("node"), col("fam_size"),
-        norm2Expr.as("n2c")), Seq("node"))
-      .select(col("tmp"),
-        coalesce(col("merged_size"), col("fam_size")).as("size"),
-        struct(
-          when(col("merged_canon") < col("node"), col("n2b"))
-            .otherwise(col("n2c")).as("norm2"),
-          (-coalesce(col("merged_canon"), col("node"))).as("nid"))
-          .as("best"),
-        coalesce(col("merged_canon"), col("node")).as("adj_id"))
-    val legA = contribCluster.unionByName(contribNew)
-      .unionByName(contribSingleton)
-      .groupBy(col("tmp"))
-      .agg(min(col("adj_id")).as("cluster_id"),
-        sum(col("size")).as("cluster_size"),
-        max(col("best")).as("best"))
-      .select(col("tmp"), col("cluster_id"),
-        (-col("best.nid")).as("kept_id"), col("cluster_size"))
-    // 5. batch-touched clusters with no new pairs; merged families of
-    // >= 2 outside any component (famOnly)
-    val legB = updatedClusters.filter(col("touched"))
-      .join(comps.select(col("node").as("label")), Seq("label"), "left_anti")
-      .select(col("label").as("node"), col("adj_id").as("cluster_id"),
-        (-col("best.nid")).as("kept_id"), col("size").as("cluster_size"))
-    val legC = sharedFams
-      .join(ccC.select(col("canon").as("canon_c")), Seq("canon_c"),
-        "left_anti")
-      .join(comps.select(col("node").as("canon_c")), Seq("canon_c"),
-        "left_anti")
-      .select(col("canon_c").as("node"),
-        col("merged_canon").as("cluster_id"),
-        col("merged_canon").as("kept_id"),
-        col("merged_size").as("cluster_size"))
-    val legD = newFams.filter(col("size_b") >= 2)
-      .join(comps.select(col("node").as("canon_b")), Seq("canon_b"),
-        "left_anti")
-      .select(col("canon_b").as("node"), col("canon_b").as("cluster_id"),
-        col("canon_b").as("kept_id"),
-        col("merged_size").as("cluster_size"))
-    (famsB, comps, legA, legB, legC, legD)
-  }
-
-  /** q104's per-cluster accounting over the shared merge legs — output
-    * unchanged (the q104 oracle hash-checks it). */
-  def incrementalSemanticDedup(famsC: DataFrame, vecC: DataFrame,
-      bandsC: DataFrame, ccC: DataFrame, statsC: DataFrame,
-      batch: DataFrame): DataFrame = {
-    val (_, _, legA, legB, legC, legD) =
-      semanticMergeLegs(famsC, vecC, bandsC, ccC, statsC, batch)
-    legA.drop("tmp").unionByName(legB.drop("node"))
-      .unionByName(legC.drop("node")).unionByName(legD.drop("node"))
-      .select(col("cluster_id"), col("kept_id"),
-        col("cluster_size").cast("long").as("cluster_size"),
-        (col("cluster_size") - 1).cast("long").as("n_dropped"))
-      .orderBy(col("cluster_id"))
-  }
-
-  /** Per-BATCH-VECTOR semantic election map — (vec_id, cluster_id,
-    * kept_id) for every batch vector, the third gate of the q194
-    * vector-ingest disposition. Derived from the SAME merge legs as
-    * [[incrementalSemanticDedup]]: a batch vector's family contracts to
-    * its node (the corpus cluster label when the family's corpus
-    * canonical is clustered, the unclustered corpus canonical itself —
-    * the contribSingleton case — or the new family's canonical), the
-    * node maps through the pair components (legA via `tmp`) or directly
-    * (legB/legC/legD are node-keyed), and a vector outside every
-    * cluster maps to itself (its own elected survivor). Batch-sized
-    * end to end: famsB/nodeCluster rows are one per batch-touched
-    * family / merged cluster. */
-  def incrementalSemanticMembers(famsC: DataFrame, vecC: DataFrame,
-      bandsC: DataFrame, ccC: DataFrame, statsC: DataFrame,
-      batch: DataFrame): DataFrame = {
-    val (famsB, comps, legA, legB, legC, legD) =
-      semanticMergeLegs(famsC, vecC, bandsC, ccC, statsC, batch)
-    val famNode = famsB
-      .join(ccC.select(col("canon").as("canon_c"), col("label")),
-        Seq("canon_c"), "left")
-      .select(col("vkey"),
-        coalesce(col("label"), col("canon_c"), col("canon_b")).as("node"))
-    val nodeCluster = comps.join(legA, Seq("tmp"))
-      .select(col("node"), col("cluster_id"), col("kept_id"))
-      .unionByName(
-        legB.select(col("node"), col("cluster_id"), col("kept_id")))
-      .unionByName(
-        legC.select(col("node"), col("cluster_id"), col("kept_id")))
-      .unionByName(
-        legD.select(col("node"), col("cluster_id"), col("kept_id")))
-    batch.select(col("vec_id"), vKeyExpr.as("vkey"))
-      .join(famNode, Seq("vkey"))
-      .join(nodeCluster, Seq("node"), "left")
-      .select(col("vec_id"),
-        coalesce(col("cluster_id"), col("vec_id")).as("cluster_id"),
-        coalesce(col("kept_id"), col("vec_id")).as("kept_id"))
-  }
-
-  /** q104: the daily-ingest SEMANTIC dedup as an ORACLE query — the
-    * corpus index built once via [[semanticIndexTables]], the batch
-    * merged through [[incrementalSemanticDedup]]. */
-  def incrementalSemanticDedupDaily(spark: SparkSession,
-      dir: String): DataFrame = {
-    val e = vecs(spark, dir).select(col("vec_id"), col("v"))
-    val corpus = e.filter(col("vec_id") % VecBatchMod =!= 0)
-    val batch = e.filter(col("vec_id") % VecBatchMod === 0)
-    val (famsC, vecC, bandsC, ccC, statsC) = semanticIndexTables(corpus)
-    incrementalSemanticDedup(famsC, vecC, bandsC, ccC, statsC, batch)
-  }
-
 
   /** Oracle SQL of this family — merged into
     * [[VectorQueries.oracleMain]] (pure move, round 14). */
@@ -1114,13 +752,6 @@ private[operators] trait VectorDedup {
          |    JOIN e eb ON eb.vec_id = c.idb)
          |  WHERE cos >= $NearDupThreshold),
          |${graft.multimodal.Multimodal.bandCapCurveSqlTail}""".stripMargin,
-    "q91_semantic_dedup" -> semanticDedupOracleSql(""),
-    // q104: the same full closure, restricted to clusters containing a
-    // batch (vec_id % 10 = 0) member — exactly what the incremental
-    // cluster-merge flow must reproduce from the persisted index.
-    "q104_incremental_semantic_dedup" -> semanticDedupOracleSql(
-      s"  AND cluster_id IN (SELECT cluster_id FROM comp" +
-        s" WHERE vec_id % $VecBatchMod = 0)\n"),
     // q102: batch-internal exact-dup winners whose canonical key is
     // unseen in the corpus — the q97 oracle shape, embedding flavor.
     "q102_incremental_vector_exact_dedup" ->
@@ -1188,46 +819,4 @@ private[operators] trait VectorDedup {
        |  WHERE round(list_cosine_similarity(ea.v, eb.v), 6)
        |        >= $NearDupThreshold)""".stripMargin
 
-  /** The full q91 oracle (raw-vector pair graph, recursive closure,
-    * norm-desc election) with an optional extra predicate on the final
-    * SELECT — shared by q91 (no restriction) and q104 (clusters with a
-    * batch member) so the two cannot drift apart. Works over RAW vectors
-    * — identical vectors share band keys and cosine 1, so families are
-    * cliques in vpairs and the canonical-based engine formulation is
-    * provably output-identical (see semanticDedupOf). */
-  /** The closure CHAIN of the q91 oracle (pair graph → recursive reach
-    * → comp → member norms → ranked election) as composable CTEs —
-    * shared by q91/q104's cluster accounting and the q194 disposition's
-    * election gate so the three oracles price one closure. */
-  private[operators] def semanticClosureCtes: String =
-    s"""$cosinePairsCtes,
-       |edges AS (
-       |  SELECT vec_a AS src, vec_b AS dst FROM vpairs
-       |  UNION ALL SELECT vec_b, vec_a FROM vpairs),
-       |reach AS (
-       |  SELECT src, dst FROM edges
-       |  UNION
-       |  SELECT r.src, g.dst FROM reach r JOIN edges g ON r.dst = g.src),
-       |comp AS (
-       |  SELECT src AS vec_id, least(src, min(dst)) AS cluster_id
-       |  FROM reach GROUP BY src),
-       |norms AS (
-       |  SELECT vec_id, CAST(list_sum(list_transform(v,
-       |    x -> CAST(round(x * 1e6) AS BIGINT) *
-       |         CAST(round(x * 1e6) AS BIGINT))) AS BIGINT) AS norm2
-       |  FROM e),
-       |ranked AS (
-       |  SELECT cluster_id, vec_id, norm2,
-       |    row_number() OVER (PARTITION BY cluster_id
-       |      ORDER BY norm2 DESC, vec_id) AS rn,
-       |    count(*) OVER (PARTITION BY cluster_id) AS cluster_size
-       |  FROM comp JOIN norms USING (vec_id))""".stripMargin
-
-  private[operators] def semanticDedupOracleSql(restrict: String): String =
-    s"""WITH RECURSIVE $semanticClosureCtes
-       |SELECT cluster_id, vec_id AS kept_id,
-       |  CAST(cluster_size AS BIGINT) AS cluster_size,
-       |  CAST(cluster_size - 1 AS BIGINT) AS n_dropped
-       |FROM ranked WHERE rn = 1
-       |$restrict ORDER BY cluster_id""".stripMargin
 }

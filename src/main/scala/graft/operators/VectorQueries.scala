@@ -29,6 +29,7 @@ import scala.collection.immutable.ListMap
   */
 object VectorQueries extends VectorAnnTiers
     with VectorDedup
+    with VectorSemantic
     with VectorIngest
     with VectorPq
     with VectorClusters
@@ -365,8 +366,8 @@ object VectorQueries extends VectorAnnTiers
     * operator it checks (the LLMQueries/CurationQueries convention;
     * pure moves, round 14 — entries byte-identical). */
   private[operators] val oracleMain: Map[String, String] =
-    dedupVecOracleMain ++ annVecOracleMain ++ reportsVecOracleMain ++
-      clustersVecOracleMain ++ pqVecOracleMain
+    dedupVecOracleMain ++ semanticVecOracleMain ++ annVecOracleMain ++
+      reportsVecOracleMain ++ clustersVecOracleMain ++ pqVecOracleMain
 
   /** q110's oracle COMPOSES the existing variant oracles as nested
     * subqueries (each carries its own WITH scope), so the recall oracle

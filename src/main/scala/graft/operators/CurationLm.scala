@@ -127,7 +127,15 @@ private[operators] trait CurationLm {
 
   /** The KN head over a bigram-count table: context totals, type
     * fan-out/fan-in, the type total, and the discounted estimate. */
-  private[operators] def knFromBigrams(bi: DataFrame): DataFrame = {
+  private[operators] def knFromBigrams(bi0: DataFrame): DataFrame = {
+    // One materialization of the bigram-count table: ctx/fanIn/types
+    // and the final scoring join each rebuilt the full
+    // tokenize+explode+count (or merge) subtree — Catalyst cannot share
+    // it across consumers aggregating by different keys (4 rebuilds in
+    // the q165/q167 plans; guide §2.4). EAGER because the three derived
+    // stats feed broadcast builds racing on concurrent threads (the
+    // AnnFrames seal rationale, VERDICT r11 #2).
+    val bi = bi0.localCheckpoint(eager = true)
     val ctx = bi.groupBy(col("w1"))
       .agg(sum(col("cb")).as("cu"), count(lit(1)).as("n1f"))
     val fanIn = bi.groupBy(col("w2")).agg(count(lit(1)).as("n1b"))

@@ -81,8 +81,25 @@ private[operators] trait TextRetrieval {
     bm25TopkOf(docs(spark, dir))
 
   private[operators] def bm25TopkOf(docsDf: DataFrame): DataFrame = {
-    val (tf, dl) = bm25Index(docsDf)
+    val (tf, dl) = bm25IndexShared(docsDf)
     bm25Rank(tf, dl)
+  }
+
+  /** [[bm25Index]] with the postings table materialized ONCE per query
+    * (localCheckpoint) and doc lengths derived from the materialized
+    * rows. Catalyst cannot share the tokenize+aggregate subtree across
+    * the ranking tail's consumers — qterms/df/dl/stats each push a
+    * different doc_id filter, so the canonicalized subplans differ and
+    * q93's physical plan rebuilt the scan+split+explode+TF chain FIVE
+    * times (round-15 plan audit; guide §2.4 "remove shuffles
+    * outright"). Eager: the postings feed several broadcast builds on
+    * concurrent threads, and jobs racing a lazy checkpoint each
+    * recompute it (the AnnFrames seal rationale, VERDICT r11 #2).
+    * Query-path only — builders that PERSIST tf/dl (IndexStore) keep
+    * the raw [[bm25Index]] so their write plans stay scan-shaped. */
+  private def bm25IndexShared(docsDf: DataFrame): (DataFrame, DataFrame) = {
+    val tf = bm25Index(docsDf)._1.localCheckpoint(eager = true)
+    (tf, tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl")))
   }
 
   /** The corpus-side BM25 INDEX tables (IndexStore family `bm25`):
@@ -279,7 +296,7 @@ private[operators] trait TextRetrieval {
     * feeds dl), broadcast query terms, vocabulary-sized cf broadcast
     * (a t-keyed shuffle join at web-corpus vocab), two-level top-k. */
   def qlTopk(spark: SparkSession, dir: String): DataFrame = {
-    val (tf, dl) = bm25Index(docs(spark, dir))
+    val (tf, dl) = bm25IndexShared(docs(spark, dir))
     qlRank(tf, dl, Bm25TopK)
   }
 
@@ -316,7 +333,7 @@ private[operators] trait TextRetrieval {
     * rows BY CONSTRUCTION at any corpus size, so the final qid window
     * ranks a bounded frame — no shard level needed. */
   def rrfFusion(spark: SparkSession, dir: String): DataFrame = {
-    val (tf, dl) = bm25Index(docs(spark, dir))
+    val (tf, dl) = bm25IndexShared(docs(spark, dir))
     rrfFuse(bm25Rank(tf, dl, RrfDepth).unionByName(qlRank(tf, dl, RrfDepth)))
   }
 
@@ -366,7 +383,7 @@ private[operators] trait TextRetrieval {
 
   private[operators] def hybridDenseRrfOf(docsDf: DataFrame,
       emb: DataFrame): DataFrame = {
-    val (tf, dl) = bm25Index(docsDf)
+    val (tf, dl) = bm25IndexShared(docsDf)
     val lex = bm25Rank(tf, dl, RrfDepth)
       .select(col("qid"), col("doc_id"), col("rk"))
     val dense = VectorQueries.denseRankedLeg(emb, Bm25NumQueries, RrfDepth)
@@ -399,18 +416,34 @@ private[operators] trait TextRetrieval {
   private[operators] def retrievalQualityOf(docsDf: DataFrame,
       emb: DataFrame): DataFrame = {
     val k = Bm25TopK
-    val (tf, dl) = bm25Index(docsDf)
+    val (tf, dl) = bm25IndexShared(docsDf)
+    // Each ranking chain runs ONCE at the deepest depth any variant
+    // needs (RrfDepth ⊇ k) and is materialized (queries×depth rows):
+    // a two-level top-k at depth 10 filtered to rk ≤ 3 IS the depth-3
+    // ranking (identical (score desc, doc_id) order, and the depth-10
+    // shard survivors are a superset of the depth-3 ones — the q107
+    // argument), so the bm25/ql/dense chains stop being rebuilt per
+    // variant: bm25 ran 3× (k, rrf leg, hybrid leg), ql 2×, dense 2×
+    // before (guide §1.2 "don't compute things you throw away").
+    val lex10 = bm25Rank(tf, dl, RrfDepth)
+      .localCheckpoint(eager = false) // bm25 variant + rrf + hybrid legs
+    val ql10 = qlRank(tf, dl, RrfDepth)
+      .localCheckpoint(eager = false) // ql variant + rrf leg
+    val dense10 = VectorQueries.denseRankedLeg(emb, Bm25NumQueries, RrfDepth)
+      .localCheckpoint(eager = false) // dense variant + hybrid leg
     val truth = VectorQueries.denseExactLeg(emb, Bm25NumQueries, k)
       .select(col("qid"), col("doc_id"))
       .localCheckpoint(eager = false) // feeds the join and the total
     val variants: Seq[(String, DataFrame)] = Seq(
-      "bm25" -> bm25Rank(tf, dl, k),
-      "dense_ivf" -> VectorQueries.denseRankedLeg(emb, Bm25NumQueries, k),
-      "hybrid_dense" ->
-        hybridDenseRrfOf(docsDf, emb).filter(col("rk") <= k),
-      "ql" -> qlRank(tf, dl, k),
-      "rrf" -> rrfFuse(bm25Rank(tf, dl, RrfDepth)
-        .unionByName(qlRank(tf, dl, RrfDepth))).filter(col("rk") <= k))
+      "bm25" -> lex10.filter(col("rk") <= k),
+      "dense_ivf" -> dense10.filter(col("rk") <= k),
+      "hybrid_dense" -> rrfFuse(
+        lex10.select(col("qid"), col("doc_id"), col("rk"))
+          .unionByName(
+            dense10.select(col("qid"), col("doc_id"), col("rk"))))
+        .filter(col("rk") <= k),
+      "ql" -> ql10.filter(col("rk") <= k),
+      "rrf" -> rrfFuse(lex10.unionByName(ql10)).filter(col("rk") <= k))
     val union = variants.map { case (name, df) =>
       df.select(lit(name).as("variant"), col("qid"), col("doc_id"))
     }.reduce(_.unionByName(_))

@@ -163,10 +163,10 @@ private[multimodal] trait MediaBands {
       caps: Seq[Int] = BandCapSweep): DataFrame = {
     val spark = bands.sparkSession
     import spark.implicits._
-    val parts = spark.sessionState.conf.numShufflePartitions
-    val ranked = withBucketRank(
-      bands.select(col(idCol).as("id"), col("band"), col("key")), "id")
-      .repartition(parts, col("band"), col("key"))
+    val ranked = graft.Scale.byKey(
+      withBucketRank(
+        bands.select(col(idCol).as("id"), col("band"), col("key")), "id"),
+      col("band"), col("key"))
     val pairNeed = ranked.as("a")
       .join(ranked.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&

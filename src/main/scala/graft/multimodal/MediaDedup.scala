@@ -55,9 +55,7 @@ private[multimodal] trait MediaDedup {
     * byte-identical plan. */
   private[multimodal] def pairFrameOf(h: DataFrame,
       cap: Option[Int] = None): DataFrame = {
-    val parts = h.sparkSession.sessionState.conf.numShufflePartitions
-    val bands0 = phashBands(h)
-      .repartition(parts, col("band"), col("key"))
+    val bands0 = graft.Scale.byKey(phashBands(h), col("band"), col("key"))
     val bands = cap.fold(bands0)(capBands(bands0, "doc_id", _))
     bands.as("a")
       .join(bands.as("b"),
@@ -108,9 +106,8 @@ private[multimodal] trait MediaDedup {
   /** Hashes of the full q109 asset universe, CPU spread before decode. */
   private[multimodal] def assetHashes(spark: SparkSession,
       dir: String): DataFrame =
-    perceptualHashes(assetTable(spark, dir)
-      .repartition(spark.sessionState.conf.numShufflePartitions,
-        col("doc_id"))).toDF()
+    perceptualHashes(graft.Scale.byKey(assetTable(spark, dir),
+      col("doc_id"))).toDF()
 
   /** (doc_id, phash, band, key) band rows of a hash frame — the table a
     * daily pipeline PERSISTS (IndexStore `media_bands`): 7 rows × ~32

@@ -76,9 +76,8 @@ private[multimodal] trait MediaFingerprints {
     * the q64 banding argument with an explicit cap instead of a band
     * width. Per-doc frame counts ride a broadcastable aggregate. */
   def frameNearDups(spark: SparkSession, dir: String): DataFrame = {
-    val parts = spark.sessionState.conf.numShufflePartitions
-    val fh = frameHashes(assetTable(spark, dir)
-      .repartition(parts, col("doc_id"))).toDF()
+    val fh = frameHashes(graft.Scale.byKey(assetTable(spark, dir),
+      col("doc_id"))).toDF()
     val dist = fh.select(col("doc_id"), col("fhash")).distinct()
       .localCheckpoint(eager = false) // feeds freq, nf and both join legs
     val keep = dist.join(
@@ -86,7 +85,7 @@ private[multimodal] trait MediaFingerprints {
           .filter(col("ndocs") <= FrameDocCap),
         Seq("fhash"))
       .select(col("doc_id"), col("fhash"))
-      .repartition(parts, col("fhash"))
+      .transform(graft.Scale.byKey(_, col("fhash")))
     val nf = keep.groupBy(col("doc_id")).agg(count(lit(1)).as("nfr"))
     val pairs = keep.as("a")
       .join(keep.as("b"),
@@ -177,9 +176,8 @@ private[multimodal] trait MediaFingerprints {
     * bounded by the [[AudioDocCap]] stop-fingerprint filter, per-doc
     * counts ride slim aggregates. */
   def audioNearDups(spark: SparkSession, dir: String): DataFrame = {
-    val parts = spark.sessionState.conf.numShufflePartitions
-    val fh = audioFps(audioAssetTable(spark, dir)
-      .repartition(parts, col("doc_id"))).toDF()
+    val fh = audioFps(graft.Scale.byKey(audioAssetTable(spark, dir),
+      col("doc_id"))).toDF()
     val dist = fh.select(col("doc_id"), col("fp")).distinct()
       .localCheckpoint(eager = false) // feeds freq, nf and both join legs
     val keep = dist.join(
@@ -187,7 +185,7 @@ private[multimodal] trait MediaFingerprints {
           .filter(col("ndocs") <= AudioDocCap),
         Seq("fp"))
       .select(col("doc_id"), col("fp"))
-      .repartition(parts, col("fp"))
+      .transform(graft.Scale.byKey(_, col("fp")))
     val nf = keep.groupBy(col("doc_id")).agg(count(lit(1)).as("nfp"))
     val pairs = keep.as("a")
       .join(keep.as("b"),

@@ -148,9 +148,7 @@ private[multimodal] trait MediaIngest {
   def mediaSplit(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     // split BEFORE decode — the frameFpSplit rationale: the batch side
     // must decode only batch payloads, never the corpus
-    val assets = assetTable(spark, dir)
-      .repartition(spark.sessionState.conf.numShufflePartitions,
-        col("doc_id"))
+    val assets = graft.Scale.byKey(assetTable(spark, dir), col("doc_id"))
     (perceptualHashes(assets.filter(col("doc_id") % 10 =!= 0)).toDF(),
       perceptualHashes(assets.filter(col("doc_id") % 10 === 0)).toDF())
   }

@@ -40,11 +40,9 @@ object CurationQueries extends CurationDecon
   val SourceCapShardDocs = 128L
 
   // one-file sf parquet → spread rows before per-row gram/hash CPU
-  // (same lesson as LLMQueries.docs)
+  // (same lesson as LLMQueries.docs); width AQE-sized (Scale.byKey, r16)
   private[operators] def docs(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "documents")
-      .repartition(spark.sessionState.conf.numShufflePartitions,
-        col("doc_id"))
+    graft.Scale.byKey(Tables(spark, dir, "documents"), col("doc_id"))
 
   /** Distinct 5-word shingle array per document (docs under 5 words fall
     * back to the whole text) — same gram definition as q70's winnowing

@@ -55,8 +55,7 @@ object DailyIngest {
   def split(spark: SparkSession, dataDir: String, day: Int = 0,
       pendingDays: Set[Int] = Set(0)): (DataFrame, DataFrame) = {
     require(pendingDays.contains(day), s"day $day already ingested")
-    val train = Tables(spark, dataDir, "documents")
-      .repartition(spark.sessionState.conf.numShufflePartitions,
+    val train = graft.Scale.byKey(Tables(spark, dataDir, "documents"),
         col("doc_id"))
       .filter(col("doc_id") % 10 =!= 0)
     val residue = col("doc_id") % CurationQueries.DeconBatchMod

@@ -52,9 +52,8 @@ object IndexStore extends IndexStoreCompaction with IndexStoreCapped {
 
   /** The documents table split once per daily run: (corpus, batch). */
   def docSplit(spark: SparkSession, dataDir: String): (DataFrame, DataFrame) = {
-    val d = Tables(spark, dataDir, "documents")
-      .repartition(spark.sessionState.conf.numShufflePartitions,
-        col("doc_id"))
+    val d = graft.Scale.byKey(Tables(spark, dataDir, "documents"),
+      col("doc_id"))
     (d.filter(col("doc_id") % LLMQueries.BatchMod =!= 0),
       d.filter(col("doc_id") % LLMQueries.BatchMod === 0))
   }

@@ -49,11 +49,12 @@ object SpecPipeline {
       // serialize/parse stages — so without this explicit repartition the
       // whole pipeline (including the broadcast-side build) runs in ONE
       // task (observed 8–120 s single-threaded at sf0.1 vs ~2 s wide).
-      // Input-bytes-based splitting misjudges CPU-bound derived work; the
-      // same holds at 100 TB whenever a cheap scan feeds expensive
-      // per-row compute. Hash on the key keeps the layout deterministic
-      // (round-robin would need a sort to be retry-safe).
-      .repartition(spark.sessionState.conf.numShufflePartitions, col("k"))
+      // Width AQE-sized since round 16 (Scale.byKey): the slim (k, prio)
+      // shuffle coalesces to a handful of ≥1 MB tasks — measured ~1-2 s
+      // of JSON work each at sf0.1 — instead of 32 pinned tasks whose
+      // fixed overhead dominated. Hash on the key keeps the layout
+      // deterministic (round-robin would need a sort to be retry-safe).
+      .transform(graft.Scale.byKey(_, col("k")))
       .withColumn("custom_id", concat(lit("order-"), col("k")))
       .withColumn("category",
         when(col("k") % 7 =!= 0,
@@ -249,8 +250,7 @@ object SpecPipeline {
         col("r.custom_id").as("custom_id"),
         col("r.method").as("method"),
         col("r.body.model").as("model"))
-      .repartition(spark.sessionState.conf.numShufflePartitions,
-        col("line_no"))
+      .transform(graft.Scale.byKey(_, col("line_no")))
 
     // A1: the expected model is the FIRST line's (README.md:61) — a 1-row
     // aggregate broadcast back across the file. Corrupt lines are

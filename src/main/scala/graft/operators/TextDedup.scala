@@ -24,11 +24,10 @@ private[operators] trait TextDedup {
 
   // Repartitioned up front: the sf parquet is ONE file → a one-partition
   // scan, and the shingle/hash explosion otherwise runs single-task up to
-  // the first groupBy shuffle (same lesson as SpecPipeline.base).
+  // the first groupBy shuffle (same lesson as SpecPipeline.base). Width
+  // AQE-sized (Scale.byKey, round 16).
   private[operators] def docs(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "documents")
-      .repartition(spark.sessionState.conf.numShufflePartitions,
-        col("doc_id"))
+    graft.Scale.byKey(Tables(spark, dir, "documents"), col("doc_id"))
 
   /** (doc_id, sh) with `sh` the distinct 3-word-shingle array, one row per
     * document that has ≥3 words (shorter docs have no shingles and are out
@@ -66,16 +65,14 @@ private[operators] trait TextDedup {
       RowsPerBand)
 
   /** The shingle projection over any (doc_id, text) frame. */
-  private[operators] def shingledOf(docsDf: DataFrame): DataFrame = {
-    val parts = docsDf.sparkSession.sessionState.conf.numShufflePartitions
-    docsDf
+  private[operators] def shingledOf(docsDf: DataFrame): DataFrame =
+    graft.Scale.byKey(
       // spread the regex/shingle CPU across tasks first: the sf parquet is
       // one file → a one-partition scan (same lesson as SpecPipeline.base)
-      .repartition(parts, col("doc_id"))
-      .filter(size(split(col("text"), "\\s+")) >= 3)
-      .select(col("doc_id"), shingleArrayExpr.as("sh"))
-      .repartition(parts, col("doc_id"))
-  }
+      graft.Scale.byKey(docsDf, col("doc_id"))
+        .filter(size(split(col("text"), "\\s+")) >= 3)
+        .select(col("doc_id"), shingleArrayExpr.as("sh")),
+      col("doc_id"))
 
   /** LSH band keys (doc_id, band, key) of a shingled frame — the table a
     * pipeline PERSISTS so tomorrow's batch never re-hashes the corpus.
@@ -248,10 +245,10 @@ private[operators] trait TextDedup {
     // partitions", observed on the 30× soak once the joins were too big
     // to broadcast). Post-filter the repartition moves candidate-sized
     // rows, not the corpus.
-    val sets = corpusSets.unionByName(newSets)
-      .join(broadcast(ends), Seq("doc_id"), "left_semi")
-      .repartition(newSets.sparkSession.sessionState.conf
-        .numShufflePartitions, col("doc_id"))
+    val sets = graft.Scale.byKey(
+      corpusSets.unionByName(newSets)
+        .join(broadcast(ends), Seq("doc_id"), "left_semi"),
+      col("doc_id"))
     verifyPairs(cands, sets)
   }
 
@@ -352,10 +349,9 @@ private[operators] trait TextDedup {
       cap: Option[Int] = None): DataFrame = {
     // repartition on the join key: both self-join legs then read ONE
     // materialized exchange (ReusedExchange), so the 8-hash signature
-    // computation runs once per query instead of once per leg
-    val bands0 = bandsOf(base)
-      .repartition(base.sparkSession.sessionState.conf.numShufflePartitions,
-        col("band"), col("key"))
+    // computation runs once per query instead of once per leg; width
+    // AQE-sized (Scale.byKey, round 16)
+    val bands0 = graft.Scale.byKey(bandsOf(base), col("band"), col("key"))
     val bands = cap.fold(bands0)(
       graft.multimodal.Multimodal.capBands(bands0, "doc_id", _))
 

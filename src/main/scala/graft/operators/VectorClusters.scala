@@ -55,9 +55,7 @@ private[operators] trait VectorClusters {
 
   private[operators] def kmeansAssignOf(
       emb: DataFrame, k: Int, rounds: Int): DataFrame = {
-    val e = emb.repartition(
-        emb.sparkSession.sessionState.conf.numShufflePartitions,
-        col("vec_id"))
+    val e = graft.Scale.byKey(emb, col("vec_id"))
       .select(col("vec_id"), col("embedding"),
         expr("transform(embedding, x -> cast(x AS double))").as("v"))
       // pre-sorted within partitions so every round's assignment
@@ -148,10 +146,10 @@ private[operators] trait VectorClusters {
     kmeansCellNearDupsOf(Tables(spark, dir, "embeddings"))
 
   private[operators] def kmeansCellNearDupsOf(emb: DataFrame): DataFrame = {
-    val byCell = kmeansAssignOf(emb, CellK, KmeansRounds)
-      .select(col("cid"), col("vec_id"), col("v"))
-      .repartition(emb.sparkSession.sessionState.conf.numShufflePartitions,
-        col("cid"))
+    val byCell = graft.Scale.byKey(
+      kmeansAssignOf(emb, CellK, KmeansRounds)
+        .select(col("cid"), col("vec_id"), col("v")),
+      col("cid"))
     byCell.as("x")
       .join(byCell.as("y"),
         col("x.cid") === col("y.cid") && col("x.vec_id") < col("y.vec_id"))

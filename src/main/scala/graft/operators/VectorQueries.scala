@@ -40,15 +40,14 @@ object VectorQueries extends VectorAnnTiers
 
   /** vec_id, label, v (double), nrm — from any (vec_id, embedding, label)
     * frame. Repartitioned up front: the sf parquet is ONE file → a
-    * one-partition scan, and the CPU-heavy vector math (24 sign-bit
-    * aggregates, distance loops) otherwise runs single-task all the way to
-    * the first shuffle — including broadcast-side builds (measured 2-3 s
-    * single-threaded stages at sf0.1; same lesson as SpecPipeline.base).
+    * one-partition scan, and the vector math otherwise runs single-task
+    * all the way to the first shuffle — including broadcast-side builds
+    * (same lesson as SpecPipeline.base). Width is AQE-sized
+    * ([[graft.Scale.byKey]], round 16): the old `numShufflePartitions`
+    * pin made every vector stage 32 tasks wide at bench scale.
     */
   private[operators] def vecsOf(emb: DataFrame): DataFrame =
-    emb.repartition(
-        emb.sparkSession.sessionState.conf.numShufflePartitions,
-        col("vec_id"))
+    graft.Scale.byKey(emb, col("vec_id"))
       .select(col("vec_id"), col("label"),
         expr("transform(embedding, x -> cast(x AS double))").as("v"))
 

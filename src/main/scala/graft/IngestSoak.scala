@@ -43,17 +43,17 @@ object IngestSoak {
     // kept/ledger/log writes. Measured separately so a regression in
     // one leg is visible instead of smeared across the total.
     val batch = operators.DailyIngest.split(spark, dataDir)._2
-      .localCheckpoint(eager = false)
+      .transform(graft.Materialize.shared)
     def idx(name: String) =
       spark.read.parquet(s"$workDir/index/$name.parquet")
     // the once-per-day batch signature compute the pipeline shares
     // between the near-dup gate and index persistence
     val (rawBands, rawSets) =
       operators.LLMQueries.signatureTables(batch)
-    val bBands = rawBands.localCheckpoint(eager = false)
-    val bSets = rawSets.localCheckpoint(eager = false)
+    val bBands = rawBands.transform(graft.Materialize.shared)
+    val bSets = rawSets.transform(graft.Materialize.shared)
     val bWins = operators.CurationQueries.docWindows(batch)
-      .localCheckpoint(eager = false)
+      .transform(graft.Materialize.shared)
     Timing.timedPasses(spark, cpuNs, "[ingest-soak] batch-sigs",
       passes = 1)(bBands.count() + bSets.count())
     Timing.timedPasses(spark, cpuNs, "[ingest-soak] batch-wins",
@@ -77,7 +77,7 @@ object IngestSoak {
       idx("text_hash"), idx("norm_hash"), idx("text_bands"),
       idx("text_sets"), idx("eval_grams"), idx("eval_bands"),
       idx("eval_sets"))
-      .localCheckpoint(eager = false)
+      .transform(graft.Materialize.shared)
     Timing.timedPasses(spark, cpuNs, "[ingest-soak] disposition",
       passes = 1)(disposition.count())
     Timing.timedPasses(spark, cpuNs, "[ingest-soak] kept-write",

@@ -151,7 +151,7 @@ private[multimodal] trait MediaBands {
       broadcast(probe.select(col("band"), col("key")).distinct()),
       Seq("band", "key"), "left_semi")
     val capped = capBands(touched, idCol, cap)
-      .localCheckpoint(eager = false) // scan leg + probe restriction
+      .transform(graft.Materialize.shared) // scan leg + probe restriction
     val cappedProbe = capped.join(
       broadcast(probe.select(col(idCol)).distinct()), Seq(idCol),
       "left_semi")
@@ -173,13 +173,13 @@ private[multimodal] trait MediaBands {
           col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("ida"), col("b.id").as("idb"))
       .agg(min(greatest(col("a.rk"), col("b.rk"))).as("need"))
-      .localCheckpoint(eager = false) // verify leg + flag join
+      .transform(graft.Materialize.shared) // verify leg + flag join
     val truth = verify(pairNeed.select(col("ida"), col("idb")))
-      .localCheckpoint(eager = false) // flag join + count
+      .transform(graft.Materialize.shared) // flag join + count
     val flagged = pairNeed
       .join(truth.toDF("ida", "idb").withColumn("hit", lit(1L)),
         Seq("ida", "idb"), "left")
-      .localCheckpoint(eager = false) // one scan per cap bucket join
+      .transform(graft.Materialize.shared) // one scan per cap bucket join
     val tn = truth.agg(count(lit(1)).as("truth_pairs"))
     caps.toDF("cap")
       .join(flagged, col("need") <= col("cap"), "left")
@@ -243,7 +243,7 @@ private[multimodal] trait MediaBands {
     * The number that decides the q184 trade, measured instead of
     * argued. */
   def mediaBandCapCurve(spark: SparkSession, dir: String): DataFrame = {
-    val h = assetHashes(spark, dir).localCheckpoint(eager = false)
+    val h = assetHashes(spark, dir).transform(graft.Materialize.shared)
     bandCapCurveOf(phashBands(h), "doc_id", pairs => pairs
       .join(h.select(col("doc_id").as("ida"), col("phash").as("ha")),
         Seq("ida"))

@@ -147,7 +147,7 @@ private[multimodal] trait MediaDedup {
   private[multimodal] def incrementalMediaPairFrame(corpusBands: DataFrame,
       newHashes: DataFrame, cap: Option[Int] = None): DataFrame = {
     // lazy-materialized: feeds both the union leg and the probe leg
-    val newBands = phashBands(newHashes).localCheckpoint(eager = false)
+    val newBands = phashBands(newHashes).transform(graft.Materialize.shared)
     val (aSide, nSide) = cap match {
       case None => (corpusBands.unionByName(newBands), newBands)
       case Some(c) => cappedProbeSides(
@@ -185,10 +185,10 @@ private[multimodal] trait MediaDedup {
     // the hash frame sits above the DECODE mapPartitions and feeds the
     // family aggregation AND the member join — checkpoint or every
     // consumer re-decodes the corpus
-    val corpusHashes = corpusHashes0.localCheckpoint(eager = false)
+    val corpusHashes = corpusHashes0.transform(graft.Materialize.shared)
     val fams = corpusHashes.groupBy(col("phash"))
       .agg(min(col("doc_id")).as("canon"))
-      .localCheckpoint(eager = false) // members join + canonical bands
+      .transform(graft.Materialize.shared) // members join + canonical bands
     val members = corpusHashes.join(fams, Seq("phash"))
       .select(col("doc_id"), col("canon"))
     val bandsC = phashBands(
@@ -209,17 +209,17 @@ private[multimodal] trait MediaDedup {
       newHashes: DataFrame, cap: Option[Int] = None)
       : (DataFrame, DataFrame, DataFrame) = {
     val batchK = newHashes.select(col("doc_id"), col("phash"))
-      .localCheckpoint(eager = false) // reps + batch members
+      .transform(graft.Materialize.shared) // reps + batch members
     val reps = batchK.groupBy(col("phash"))
       .agg(min(col("doc_id")).as("bmin"), count(lit(1)).as("nb"))
       .join(famsC, Seq("phash"), "left")
       .select(col("phash"),
         coalesce(col("canon"), col("bmin")).as("fid"),
         col("canon").isNull.as("is_new"), col("nb"))
-      .localCheckpoint(eager = false) // bands + members + within legs
+      .transform(graft.Materialize.shared) // bands + members + within legs
     val repBands = phashBands(reps
         .select(col("fid").as("doc_id"), col("phash"), col("is_new")))
-      .localCheckpoint(eager = false) // probe leg + new-family union leg
+      .transform(graft.Materialize.shared) // probe leg + new-family union leg
     val probe0 = repBands.drop("is_new")
     val full0 = bandsC.unionByName(repBands.filter(col("is_new"))
       .drop("is_new"))
@@ -242,7 +242,7 @@ private[multimodal] trait MediaDedup {
           .cast("long").as("hamming"))
       .filter(col("hamming") <= MediaHammingMax)
       .distinct()
-      .localCheckpoint(eager = false) // expansion/count legs + fid set
+      .transform(graft.Materialize.shared) // expansion/count legs + fid set
     val batchMembers = batchK
       .join(reps.select(col("phash"), col("fid")), Seq("phash"))
       .select(col("doc_id"), col("fid"))
@@ -281,7 +281,7 @@ private[multimodal] trait MediaDedup {
     val corpusMembers = canonCorpusMembersOf(membersC, famPairs, reps)
     val membersAll = corpusMembers.withColumn("is_b", lit(false))
       .unionByName(batchMembers.withColumn("is_b", lit(true)))
-      .localCheckpoint(eager = false) // two cross legs + within leg
+      .transform(graft.Materialize.shared) // two cross legs + within leg
     val cross = famPairs.filter(col("fid_a") =!= col("fid_b"))
       .join(membersAll.select(col("fid").as("fid_a"),
         col("doc_id").as("a_id"), col("is_b").as("a_b")), Seq("fid_a"))
@@ -323,7 +323,7 @@ private[multimodal] trait MediaDedup {
       .join(reps.select(col("fid"), col("nb").as("tb")), Seq("fid"), "full")
       .select(col("fid"), coalesce(col("tb"), lit(0L)).as("tb"),
         coalesce(col("tc"), lit(0L)).as("tc"))
-      .localCheckpoint(eager = false) // both cross legs + within leg
+      .transform(graft.Materialize.shared) // both cross legs + within leg
     val cross = famPairs
       .join(counts.select(col("fid").as("fid_a"), col("tb").as("tba"),
         col("tc").as("tca")), Seq("fid_a"))
@@ -365,7 +365,7 @@ private[multimodal] trait MediaDedup {
       .join(famsC, Seq("phash"), "left")
       .withColumn("new_canon",
         least(coalesce(col("canon"), col("bmin")), col("bmin")))
-      .localCheckpoint(eager = false) // fams/members/bands legs
+      .transform(graft.Materialize.shared) // fams/members/bands legs
     val famsOut = famsC
       .join(batchFams.select(col("phash")), Seq("phash"), "left_anti")
       .unionByName(
@@ -451,7 +451,7 @@ private[multimodal] trait MediaDedup {
     // Hamming-0 within edges exactly as the member-level pairs did.
     val (famPairs, reps, batchFamMembers) =
       canonMediaCore(famsC, bandsC, newHashes)
-    val bm = batchFamMembers.localCheckpoint(eager = false) // nodes+within
+    val bm = batchFamMembers.transform(graft.Materialize.shared) // nodes+within
     val newFids = reps.filter(col("is_new")).select(col("fid"))
     // corpus-canonical node universe: every family a pair touches PLUS
     // every batch-touched existing family (its batch members connect
@@ -465,7 +465,7 @@ private[multimodal] trait MediaDedup {
       .select(col("fid").as("node"), col("fid"), lit(false).as("isb"))
       .unionByName(bm
         .select(col("doc_id").as("node"), col("fid"), lit(true).as("isb")))
-      .localCheckpoint(eager = false) // two cross legs + within leg
+      .transform(graft.Materialize.shared) // two cross legs + within leg
     val cross = famPairs.select(col("fid_a"), col("fid_b"))
       .join(nodes.select(col("fid").as("fid_a"), col("node").as("na"),
         col("isb").as("ba")), Seq("fid_a"))
@@ -478,14 +478,14 @@ private[multimodal] trait MediaDedup {
       .filter(col("a") =!= col("b"))
       .select(col("a").as("doc_a"), col("b").as("doc_b"))
     val pairs = cross.unionByName(within)
-      .localCheckpoint(eager = false) // feeds endpoint ids + contraction
+      .transform(graft.Materialize.shared) // feeds endpoint ids + contraction
     val endpointIds = pairs.select(col("doc_a").as("doc_id"))
       .unionByName(pairs.select(col("doc_b").as("doc_id")))
       .distinct()
     val labels = ccC
       .join(broadcast(endpointIds), Seq("doc_id"), "left_semi")
       .select(col("doc_id"), col("cluster_id"))
-      .localCheckpoint(eager = false) // batch-bounded label subset
+      .transform(graft.Materialize.shared) // batch-bounded label subset
     val edges = pairs
       .join(broadcast(labels.select(col("doc_id").as("doc_a"),
         col("cluster_id").as("la"))), Seq("doc_a"), "left")
@@ -505,14 +505,14 @@ private[multimodal] trait MediaDedup {
       .join(comps.groupBy(col("tmp")).agg(min(col("node")).as("new_id")),
         Seq("tmp"))
       .select(col("node"), col("new_id"))
-      .localCheckpoint(eager = false) // feeds members + anti join-backs
+      .transform(graft.Materialize.shared) // feeds members + anti join-backs
     // ONE broadcast-probed corpus scan enumerates touched-cluster
     // members WITH their persisted quality (the q175 plan-read rule:
     // the daily path never shuffles the corpus label table)
     val labelHits = ccC
       .join(broadcast(nodeMap.withColumnRenamed("node", "cluster_id")),
         Seq("cluster_id"))
-      .localCheckpoint(eager = false) // feeds members + touched labels
+      .transform(graft.Materialize.shared) // feeds members + touched labels
     val corpusMembers = labelHits
       .select(col("doc_id"), col("new_id"), col("quality"))
     val touchedLabels = labelHits
@@ -563,9 +563,9 @@ private[multimodal] trait MediaDedup {
     val (corpusH0, batchH) = mediaSplit(spark, dir)
     // the in-query rendering builds BOTH the label table and the
     // canonical tables from the corpus hashes — decode once
-    val corpusH = corpusH0.localCheckpoint(eager = false)
+    val corpusH = corpusH0.transform(graft.Materialize.shared)
     val scored = scoredAssets(spark, dir)
-      .localCheckpoint(eager = false) // feeds corpus AND batch scoring
+      .transform(graft.Materialize.shared) // feeds corpus AND batch scoring
     val ccC = mediaCcOf(corpusH, scored.filter(col("doc_id") % 10 =!= 0))
     val (famsC, _, bandsC) = mediaNearDupIndexTables(corpusH)
     incrementalMediaClusters(ccC, famsC, bandsC, batchH,

@@ -79,7 +79,7 @@ private[multimodal] trait MediaFingerprints {
     val fh = frameHashes(graft.Scale.byKey(assetTable(spark, dir),
       col("doc_id"))).toDF()
     val dist = fh.select(col("doc_id"), col("fhash")).distinct()
-      .localCheckpoint(eager = false) // feeds freq, nf and both join legs
+      .transform(graft.Materialize.shared) // feeds freq, nf and both join legs
     val keep = dist.join(
         dist.groupBy(col("fhash")).agg(count(lit(1)).as("ndocs"))
           .filter(col("ndocs") <= FrameDocCap),
@@ -179,7 +179,7 @@ private[multimodal] trait MediaFingerprints {
     val fh = audioFps(graft.Scale.byKey(audioAssetTable(spark, dir),
       col("doc_id"))).toDF()
     val dist = fh.select(col("doc_id"), col("fp")).distinct()
-      .localCheckpoint(eager = false) // feeds freq, nf and both join legs
+      .transform(graft.Materialize.shared) // feeds freq, nf and both join legs
     val keep = dist.join(
         dist.groupBy(col("fp")).agg(count(lit(1)).as("ndocs"))
           .filter(col("ndocs") <= AudioDocCap),
@@ -233,9 +233,9 @@ private[multimodal] trait MediaFingerprints {
     * orientations). */
   def incrementalAudioNearDups(corpusFps: DataFrame,
       batchFps: DataFrame): DataFrame = {
-    val b = batchFps.localCheckpoint(eager = false) // both join legs
+    val b = batchFps.transform(graft.Materialize.shared) // both join legs
     val all = corpusFps.unionByName(b)
-      .localCheckpoint(eager = false) // feeds freq, nf and the pair legs
+      .transform(graft.Materialize.shared) // feeds freq, nf and the pair legs
     val keep = all.join(
         all.groupBy(col("fp")).agg(count(lit(1)).as("ndocs"))
           .filter(col("ndocs") <= AudioDocCap),
@@ -310,9 +310,9 @@ private[multimodal] trait MediaFingerprints {
     * join orientations). */
   def incrementalFrameNearDups(corpusFhs: DataFrame,
       batchFhs: DataFrame): DataFrame = {
-    val b = batchFhs.localCheckpoint(eager = false) // both join legs
+    val b = batchFhs.transform(graft.Materialize.shared) // both join legs
     val all = corpusFhs.unionByName(b)
-      .localCheckpoint(eager = false) // feeds freq, nf and the pair legs
+      .transform(graft.Materialize.shared) // feeds freq, nf and the pair legs
     val keep = all.join(
         all.groupBy(col("fhash")).agg(count(lit(1)).as("ndocs"))
           .filter(col("ndocs") <= FrameDocCap),

@@ -65,7 +65,7 @@ private[multimodal] trait MediaIngest {
     * (asset id ≡ 0 mod 10, variants arriving with their originals). */
   def assetIngestDisposition(spark: SparkSession, dir: String): DataFrame = {
     val (corpusH, batchH0) = mediaSplit(spark, dir)
-    val batchH = batchH0.localCheckpoint(eager = false) // 2 gates + frame
+    val batchH = batchH0.transform(graft.Materialize.shared) // 2 gates + frame
     val (famsC, membersC, bandsC) = mediaNearDupIndexTables(corpusH)
     val (corpusFh, batchFh) = frameFpSplit(spark, dir)
     val (corpusAf, batchAf) = audioFpSplit(spark, dir)
@@ -83,13 +83,13 @@ private[multimodal] trait MediaIngest {
     * ReleaseBuild ships beside kept_docs (VERDICT r12 "Next round" #4:
     * the q157/q159 convention stopped at text). */
   def keptAssetsOf(spark: SparkSession, assetDocsDf: DataFrame): DataFrame = {
-    val docsDf = assetDocsDf.localCheckpoint(eager = false) // hash + score
+    val docsDf = assetDocsDf.transform(graft.Materialize.shared) // hash + score
     val h = perceptualHashes(mediaTableOf(spark, docsDf)).toDF()
-      .localCheckpoint(eager = false) // pair join + both output legs
+      .transform(graft.Materialize.shared) // pair join + both output legs
     val (clusters, _) = graft.operators.CurationQueries
       .connectedComponentsStar(
         pairFrameOf(h).select(col("doc_a"), col("doc_b")))
-    val clusters1 = clusters.localCheckpoint(eager = false) // elect+anti
+    val clusters1 = clusters.transform(graft.Materialize.shared) // elect+anti
     val survivors = graft.operators.CurationQueries
       .electSurvivors(clusters1,
         docsDf.select(col("doc_id"),

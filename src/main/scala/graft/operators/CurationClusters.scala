@@ -50,9 +50,9 @@ private[operators] trait CurationClusters {
     val sym = edges
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .localCheckpoint()
+      .transform(graft.Materialize.now)
     var labels = sym.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")).localCheckpoint()
+      .withColumn("label", col("id")).transform(graft.Materialize.now)
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < 50) {
@@ -61,7 +61,7 @@ private[operators] trait CurationClusters {
       val next = labels.select(col("id"), col("label"))
         .union(neighborMin)
         .groupBy(col("id")).agg(min(col("label")).as("label"))
-        .localCheckpoint()
+        .transform(graft.Materialize.now)
       changed = next.join(labels.withColumnRenamed("label", "old"), "id")
         .filter(col("label") =!= col("old")).count()
       labels = next
@@ -117,7 +117,7 @@ private[operators] trait CurationClusters {
     var e = edges.select(
       greatest(col("doc_a"), col("doc_b")).as("u"),
       least(col("doc_a"), col("doc_b")).as("v"))
-      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+      .filter(col("u") =!= col("v")).distinct().transform(graft.Materialize.now)
     var rounds = 0
     var done = false
     // carried across rounds: last round's `next.count()` is this round's
@@ -139,7 +139,7 @@ private[operators] trait CurationClusters {
       val next = large.join(minsS, "u").where(col("v") =!= col("m"))
         .select(col("v").as("u"), col("m").as("v"))
         .union(minsS.select(col("u"), col("m").as("v")))
-        .distinct().localCheckpoint()
+        .distinct().transform(graft.Materialize.now)
       // converged ⟺ next == e as sets; both are distinct, so equal counts
       // + empty one-sided difference suffice. The difference is a plain
       // left-anti hash join (cheaper than EXCEPT's set op) and only runs
@@ -288,7 +288,7 @@ private[operators] trait CurationClusters {
     val pairs = dailyPairs
       .filter(col("jaccard") >= ClusterThreshold)
       .select(col("doc_a"), col("doc_b"))
-      .localCheckpoint(eager = false) // feeds endpoint ids + contraction
+      .transform(graft.Materialize.shared) // feeds endpoint ids + contraction
     // contraction labels via ONE broadcast-semi probe of the label
     // table by the batch-bounded endpoint set, broadcast back into the
     // edge list — the direct pairs-LEFT-JOIN-ccC shape planned a
@@ -299,7 +299,7 @@ private[operators] trait CurationClusters {
       .distinct()
     val labels = ccC
       .join(broadcast(endpointIds), Seq("doc_id"), "left_semi")
-      .localCheckpoint(eager = false) // batch-bounded label subset
+      .transform(graft.Materialize.shared) // batch-bounded label subset
     val edges = pairs
       .join(broadcast(labels.select(col("doc_id").as("doc_a"),
         col("cluster_id").as("la"))), Seq("doc_a"), "left")
@@ -318,7 +318,7 @@ private[operators] trait CurationClusters {
       .join(comps.groupBy(col("tmp")).agg(min(col("node")).as("new_id")),
         Seq("tmp"))
       .select(col("node"), col("new_id"))
-      .localCheckpoint(eager = false) // feeds member + anti join-backs
+      .transform(graft.Materialize.shared) // feeds member + anti join-backs
     // ONE broadcast-probed corpus scan enumerates touched-cluster
     // members; which nodes matched a label falls out of the same rows,
     // so the raw-node (batch doc / corpus singleton) anti-join runs
@@ -329,7 +329,7 @@ private[operators] trait CurationClusters {
     val labelHits = ccC
       .join(broadcast(nodeMap.withColumnRenamed("node", "cluster_id")),
         Seq("cluster_id"))
-      .localCheckpoint(eager = false) // feeds members + touched labels
+      .transform(graft.Materialize.shared) // feeds members + touched labels
     val touchedLabels = labelHits
       .select(col("cluster_id").as("node")).distinct()
     val rawMembers = nodeMap

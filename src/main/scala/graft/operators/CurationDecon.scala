@@ -145,7 +145,7 @@ private[operators] trait CurationDecon {
     val (tBands, tSets) = LLMQueries.signatureTables(train)
     val (eBandsRaw, eSets) = LLMQueries.signatureTables(evalD)
     fuzzyDeconRollup(LLMQueries.incrementalNearDupsFrom(tBands, tSets,
-      eBandsRaw.localCheckpoint(eager = false), eSets))
+      eBandsRaw.transform(graft.Materialize.shared), eSets))
   }
 
   def fuzzyDecontaminate(spark: SparkSession, dir: String): DataFrame =

@@ -135,7 +135,7 @@ private[operators] trait CurationLm {
     // the q165/q167 plans; guide §2.4). EAGER because the three derived
     // stats feed broadcast builds racing on concurrent threads (the
     // AnnFrames seal rationale, VERDICT r11 #2).
-    val bi = bi0.localCheckpoint(eager = true)
+    val bi = bi0.transform(graft.Materialize.now)
     val ctx = bi.groupBy(col("w1"))
       .agg(sum(col("cb")).as("cu"), count(lit(1)).as("n1f"))
     val fanIn = bi.groupBy(col("w2")).agg(count(lit(1)).as("n1b"))

@@ -277,7 +277,7 @@ private[operators] trait CurationReports {
         size(split(col("text"), "\\s+")).cast("long").as("n_tokens"))
       // feeds the keeper-election leg AND the main leg — different
       // subplans, so exchange reuse can't dedupe the hash+tokenize
-      .localCheckpoint(eager = false)
+      .transform(graft.Materialize.shared)
     val keepIds = train.groupBy(col("hh"))
       .agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"), lit(true).as("kd"))

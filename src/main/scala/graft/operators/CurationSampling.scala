@@ -446,7 +446,7 @@ private[operators] trait CurationSampling {
       .withColumn("hblock", substring(col("h"), 1, EpochBlockHexDigits))
       // feeds the recipe rollup, the local windows and the offsets —
       // one tokenize pass, not three
-      .localCheckpoint(eager = false)
+      .transform(graft.Materialize.shared)
     // q141's targets re-derived over THIS universe (same arithmetic;
     // the oracle nests the q141 SQL itself)
     val agg = s.groupBy(col("source"))
@@ -495,7 +495,7 @@ private[operators] trait CurationSampling {
         expr(s"(instr('0123456789abcdef', substring(kh, 1, 1)) - 1)" +
           s" div ${16 / EpochShards}"))
       .withColumn("block", substring(col("kh"), 1, EpochBlockHexDigits))
-      .localCheckpoint(eager = false) // rank leg + block-size leg
+      .transform(graft.Materialize.shared) // rank leg + block-size leg
     val localRank = Window.partitionBy(col("shard_id"), col("block"))
       .orderBy(col("kh"), col("doc_id"), col("copy_id"))
     val ranked = keyed.withColumn("lrk", row_number().over(localRank))
@@ -540,7 +540,7 @@ private[operators] trait CurationSampling {
       .withColumn("qblock", expr(s"qmicro div $BudgetQualityBlockMicros"))
       // feeds the local-window leg, the block-offset leg and the
       // targets aggregate — one tokenize+score pass, not four
-      .localCheckpoint(eager = false)
+      .transform(graft.Materialize.shared)
     val agg = s.groupBy(col("source"))
       .agg(sum(col("n_tokens")).as("src_tokens"))
       .withColumn("wm",
@@ -631,7 +631,7 @@ private[operators] trait CurationSampling {
   private[operators] def ppsFinish(ranked: DataFrame): DataFrame = {
     val top = ranked.orderBy(col("prio").desc, col("doc_id"))
       .limit(PpsK + 1)
-      .localCheckpoint(eager = false) // K+1 rows feed τ AND the sample
+      .transform(graft.Materialize.shared) // K+1 rows feed τ AND the sample
     val tau = top.orderBy(col("prio").asc, col("doc_id").desc).limit(1)
       .select(col("doc_id").as("tid"), col("prio").as("t"))
     top.crossJoin(broadcast(tau))

@@ -272,7 +272,7 @@ private[operators] trait CurationSubstrings {
     incrementalSubstringReportFrom(corpusWins, newDocs,
       // feeds the batch-side distinct count AND the per-doc rollup —
       // different subplans, so exchange reuse can't dedupe the explode
-      docWindows(newDocs).localCheckpoint(eager = false))
+      docWindows(newDocs).transform(graft.Materialize.shared))
 
   /** [[incrementalSubstringReport]] over a precomputed (reusable)
     * [[docWindows]] frame of the batch. */
@@ -339,7 +339,7 @@ private[operators] trait CurationSubstrings {
       batchWins: DataFrame): DataFrame = {
     val bw = batchWins
       .distinct()
-      .localCheckpoint(eager = false) // feeds the semi-join AND perDoc
+      .transform(graft.Materialize.shared) // feeds the semi-join AND perDoc
     val perDoc = bw
       .join(touchedWins(corpusWins, bw)
           .select(col("wh"), lit(true).as("seen")),

@@ -136,18 +136,18 @@ object DailyIngest {
     // frame feeds its gate AND its compactor (ADVICE r13 — the
     // compactors previously re-decoded the batch payloads)
     val batchH = batchH0
-      .localCheckpoint(eager = false) // media gate + kept join + compact
+      .transform(graft.Materialize.shared) // media gate + kept join + compact
     val batchFh = batchFh0
-      .localCheckpoint(eager = false) // frame gate + compaction
+      .transform(graft.Materialize.shared) // frame gate + compaction
     val batchAf = batchAf0
-      .localCheckpoint(eager = false) // audio gate + compaction
+      .transform(graft.Materialize.shared) // audio gate + compaction
     val disposition = m.assetDispositionOf(
       batchH.select(col("doc_id"), col("kind")),
       m.incrementalMediaNearDupsCanonical(idx("media_fams"),
         idx("media_members"), idx("media_bands_c"), batchH),
       m.incrementalFrameNearDups(idx("frame_fps"), batchFh),
       m.incrementalAudioNearDups(idx("audio_fps"), batchAf))
-      .localCheckpoint(eager = false) // kept join + summary + write
+      .transform(graft.Materialize.shared) // kept join + summary + write
     val kept = batchH.select(col("doc_id"), col("kind"), col("phash"))
       .join(disposition.filter(col("disposition") === "kept")
         .select(col("doc_id")), Seq("doc_id"), "left_semi")
@@ -166,7 +166,7 @@ object DailyIngest {
       .unionByName(batchH.agg(count(lit(1)).as("n_docs"))
         .select(lit("assets_in").as("step"), col("n_docs")))
       .orderBy(col("step"))
-      .localCheckpoint(eager = false) // feeds ledger, logs AND return
+      .transform(graft.Materialize.shared) // feeds ledger, logs AND return
     Sinks.appendLedger(summary
       .select(xxhash64(lit(ts), lit("asset"), col("step")).as("job_id"),
         concat(lit("asset_"), col("step")).as("step"),
@@ -228,14 +228,14 @@ object DailyIngest {
     def idx(name: String): DataFrame =
       spark.read.parquet(s"$indexDir/$name.parquet")
     val batch = batch0
-      .localCheckpoint(eager = false) // 3 gates + kept join + compactors
+      .transform(graft.Materialize.shared) // 3 gates + kept join + compactors
     val disposition = v.vectorDispositionOf(batch,
       v.incrementalVectorExactDedup(idx("vec_hash"), batch),
       v.incrementalVectorNearDupsCanonical(idx("vec_fams"),
         idx("vec_members"), idx("vec_bands_c"), idx("vec_canon"), batch),
       v.incrementalSemanticMembers(idx("sem_fams"), idx("sem_vecc"),
         idx("sem_bandsc"), idx("sem_ccc"), idx("sem_statsc"), batch))
-      .localCheckpoint(eager = false) // kept join + summary + write
+      .transform(graft.Materialize.shared) // kept join + summary + write
     val kept = batch
       .join(disposition.filter(col("disposition") === "kept")
         .select(col("vec_id")), Seq("vec_id"), "left_semi")
@@ -257,7 +257,7 @@ object DailyIngest {
       .unionByName(batch.agg(count(lit(1)).as("n_docs"))
         .select(lit("vectors_in").as("step"), col("n_docs")))
       .orderBy(col("step"))
-      .localCheckpoint(eager = false) // feeds ledger, logs AND return
+      .transform(graft.Materialize.shared) // feeds ledger, logs AND return
     Sinks.appendLedger(summary
       .select(xxhash64(lit(ts), lit("vector"), col("step")).as("job_id"),
         concat(lit("vector_"), col("step")).as("step"),
@@ -312,19 +312,19 @@ object DailyIngest {
       spark.read.parquet(s"$nextDir/$name.parquet").count()
     }
     val emb = universeEmb
-      .localCheckpoint(eager = false) // centroids + vec projection
+      .transform(graft.Materialize.shared) // centroids + vec projection
     val vecs = v.vecsOf(emb).select(col("vec_id"), col("v"))
-      .localCheckpoint(eager = false) // sem tables + assign + residuals
+      .transform(graft.Materialize.shared) // sem tables + assign + residuals
     val cents = v.centroidsOf(emb)
-      .localCheckpoint(eager = false) // 2 writes + stats + residuals
+      .transform(graft.Materialize.shared) // 2 writes + stats + residuals
     val res = v.ivfPqResiduals(vecs, cents)
-      .localCheckpoint(eager = false) // trainer + encode
+      .transform(graft.Materialize.shared) // trainer + encode
     // EAGER (the AnnFrames seal rule): the trained codebook feeds its
     // own write AND the encode's broadcast — lazy would pay the Lloyd
     // rounds once per consumer
     val rcb = v.pqTrainedCodebookOfMicro(
         res.select(col("vec_id"), col("rv").as("mv")))
-      .localCheckpoint(eager = true)
+      .transform(graft.Materialize.now)
     IndexStore.writeSemantic(vecs, nextDir)
     val counts =
       Seq("vec_hash", "vec_fams", "vec_members", "vec_bands_c",
@@ -342,7 +342,7 @@ object DailyIngest {
           v.ivfPqEncode(res, cents, rcb), "ivfpq_codes"))
     import spark.implicits._
     val summary = counts.toDF("step", "n_docs").orderBy(col("step"))
-      .localCheckpoint(eager = false) // feeds ledger, logs AND return
+      .transform(graft.Materialize.shared) // feeds ledger, logs AND return
     Sinks.appendLedger(summary
       .select(xxhash64(lit(ts), lit("rebuild"), col("step")).as("job_id"),
         concat(lit("rebuild_"), col("step")).as("step"),
@@ -370,8 +370,8 @@ object DailyIngest {
     val (batchBands, batchSets) = LLMQueries.signatureTables(batch)
     dispositionOf(batch, textHash, normHash, bands, sets, evalGrams,
       evalBands, evalSets,
-      batchBands.localCheckpoint(eager = false),
-      batchSets.localCheckpoint(eager = false))
+      batchBands.transform(graft.Materialize.shared),
+      batchSets.transform(graft.Materialize.shared))
   }
 
   /** [[dispositionOf]] with the batch's signature tables supplied —
@@ -486,15 +486,15 @@ object DailyIngest {
     // each computed once per day (checkpointed), not once per consumer
     // (the window explode was being paid three times per day)
     val (rawBands, batchSets0) = LLMQueries.signatureTables(batch)
-    val batchBands = rawBands.localCheckpoint(eager = false)
-    val batchSets = batchSets0.localCheckpoint(eager = false)
+    val batchBands = rawBands.transform(graft.Materialize.shared)
+    val batchSets = batchSets0.transform(graft.Materialize.shared)
     val batchWins = CurationQueries.docWindows(batch)
-      .localCheckpoint(eager = false)
+      .transform(graft.Materialize.shared)
     val disposition = dispositionOf(batch, idx("text_hash"),
       idx("norm_hash"), idx("text_bands"), idx("text_sets"),
       idx("eval_grams"), idx("eval_bands"), idx("eval_sets"),
       batchBands, batchSets)
-      .localCheckpoint(eager = false) // feeds kept join, summary, write
+      .transform(graft.Materialize.shared) // feeds kept join, summary, write
 
     val kept = batch.join(
       disposition.filter(col("disposition") === "kept")
@@ -520,7 +520,7 @@ object DailyIngest {
       .unionByName(batch.agg(count(lit(1)).as("n_docs"))
         .select(lit("batch_in").as("step"), col("n_docs")))
       .orderBy(col("step"))
-      .localCheckpoint(eager = false) // feeds ledger, logs AND return
+      .transform(graft.Materialize.shared) // feeds ledger, logs AND return
     // job_id = hash(ts, step): unique per ingest day even though the
     // ledger APPENDS across days (monotonically_increasing_id restarts
     // at 0 every run — ADVICE r10, fixed alongside ReleaseBuild)
@@ -543,7 +543,7 @@ object DailyIngest {
       outDir: String, ts: String = "1970-01-01T00:00:00Z",
       day: Int = 0): DataFrame = {
     val batch = split(spark, dataDir, day, Set(day))._2
-      .localCheckpoint(eager = false) // feeds every gate + the writes
+      .transform(graft.Materialize.shared) // feeds every gate + the writes
     def idx(name: String): DataFrame =
       spark.read.parquet(s"$indexDir/$name.parquet")
 
@@ -648,7 +648,7 @@ object DailyIngest {
       outDir: String, ts: String = "1970-01-01T00:00:00Z",
       day: Int = 0): DataFrame = {
     val batch = split(spark, dataDir, day, Set(day))._2
-      .localCheckpoint(eager = false) // feeds every gate + the writes
+      .transform(graft.Materialize.shared) // feeds every gate + the writes
     // gen ≤ day: a crashed attempt's own gen=day+1 partition must not
     // feed the gates on retry (the batch would self-collide in the
     // exact gate) — the filter is partition pruning, zero read cost

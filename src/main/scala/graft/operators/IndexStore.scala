@@ -218,7 +218,7 @@ object IndexStore extends IndexStoreCompaction with IndexStoreCapped {
     val cents = VectorQueries.centroidsOf(
         Tables(spark, dataDir, "embeddings")
           .filter(col("vec_id") % VectorQueries.VecBatchMod =!= 0))
-      .localCheckpoint(eager = false) // feeds the write AND the assign
+      .transform(graft.Materialize.shared) // feeds the write AND the assign
     write(cents, dir, "ivf_centroids")
     write(VectorQueries.cellStatsOf(VectorQueries.cellAssign(
       vecSplit(spark, dataDir)._1, cents)), dir, "ivf_cell_stats")
@@ -236,13 +236,13 @@ object IndexStore extends IndexStoreCompaction with IndexStoreCapped {
     val corpusEmb = Tables(spark, dataDir, "embeddings")
       .filter(col("vec_id") % VectorQueries.VecBatchMod =!= 0)
     val cents = VectorQueries.centroidsOf(corpusEmb)
-      .localCheckpoint(eager = false) // feeds residuals + both writes
+      .transform(graft.Materialize.shared) // feeds residuals + both writes
     val res = VectorQueries.ivfPqResiduals(
         VectorQueries.vecsOf(corpusEmb), cents)
-      .localCheckpoint(eager = false) // feeds the trainer + the encode
+      .transform(graft.Materialize.shared) // feeds the trainer + the encode
     val rcb = VectorQueries.pqTrainedCodebookOfMicro(
         res.select(col("vec_id"), col("rv").as("mv")))
-      .localCheckpoint(eager = false) // feeds the write + the encode
+      .transform(graft.Materialize.shared) // feeds the write + the encode
     write(cents, dir, "ivfpq_centroids")
     write(rcb, dir, "ivfpq_codebook")
     write(VectorQueries.ivfPqEncode(res, cents, rcb), dir, "ivfpq_codes")
@@ -435,8 +435,8 @@ object IndexStore extends IndexStoreCompaction with IndexStoreCapped {
     * recurring cost). */
   def writeBm25(spark: SparkSession, dataDir: String, dir: String): Unit = {
     val (tf0, dl0) = LLMQueries.bm25Index(docSplit(spark, dataDir)._1)
-    val tf = tf0.localCheckpoint(eager = false) // write + df derivation
-    val dl = dl0.localCheckpoint(eager = false) // write + stats
+    val tf = tf0.transform(graft.Materialize.shared) // write + df derivation
+    val dl = dl0.transform(graft.Materialize.shared) // write + stats
     val (df, stats) = LLMQueries.bm25StatsTables(tf, dl)
     write(tf, dir, "bm25_tf")
     write(dl, dir, "bm25_dl")

@@ -88,7 +88,7 @@ private[operators] trait IndexStoreCompaction {
     val ccC = read(spark, indexDir, "text_cc")
     val updated = CurationQueries.incrementalClusterMembersFromPairs(
       textPairIncrement(spark, indexDir, dataDir), ccC)
-      .localCheckpoint(eager = false) // feeds the anti leg + the union
+      .transform(graft.Materialize.shared) // feeds the anti leg + the union
     write(ccC
       .join(updated.select(col("doc_id")), Seq("doc_id"), "left_anti")
       .unionByName(updated), outDir, "text_cc")
@@ -105,12 +105,12 @@ private[operators] trait IndexStoreCompaction {
     val ccC = read(spark, indexDir, "media_cc")
     val batchScored = m.scoredAssets(spark, dataDir)
       .filter(col("doc_id") % 10 === 0)
-      .localCheckpoint(eager = false) // feeds members + singleton legs
+      .transform(graft.Materialize.shared) // feeds members + singleton legs
     val updated = m.incrementalMediaClusterMembers(ccC,
         read(spark, indexDir, "media_fams"),
         read(spark, indexDir, "media_bands_c"),
         m.mediaSplit(spark, dataDir)._2, batchScored)
-      .localCheckpoint(eager = false) // feeds the anti legs + the union
+      .transform(graft.Materialize.shared) // feeds the anti legs + the union
     val untouched = ccC
       .join(updated.select(col("doc_id")), Seq("doc_id"), "left_anti")
     val batchSingles = batchScored
@@ -225,8 +225,8 @@ private[operators] trait IndexStoreCompaction {
   def compactBm25(spark: SparkSession, indexDir: String,
       dataDir: String, outDir: String): Unit = {
     val (btf0, bdl0) = LLMQueries.bm25Index(docSplit(spark, dataDir)._2)
-    val btf = btf0.localCheckpoint(eager = false) // union write + df leg
-    val bdl = bdl0.localCheckpoint(eager = false) // union write + stats
+    val btf = btf0.transform(graft.Materialize.shared) // union write + df leg
+    val bdl = bdl0.transform(graft.Materialize.shared) // union write + stats
     val (bdf, bstats) = LLMQueries.bm25StatsTables(btf, bdl)
     write(read(spark, indexDir, "bm25_tf").unionByName(btf),
       outDir, "bm25_tf")
@@ -346,8 +346,8 @@ private[operators] trait IndexStoreCompaction {
       (s, dataDir, dir) => {
         val (c, b) = docSplit(s, dataDir)
         val (tf0, dl0) = LLMQueries.bm25Index(c.unionByName(b))
-        val tf = tf0.localCheckpoint(eager = false)
-        val dl = dl0.localCheckpoint(eager = false)
+        val tf = tf0.transform(graft.Materialize.shared)
+        val dl = dl0.transform(graft.Materialize.shared)
         val (df, stats) = LLMQueries.bm25StatsTables(tf, dl)
         write(tf, dir, "bm25_tf")
         write(dl, dir, "bm25_dl")

@@ -69,15 +69,15 @@ object ReleaseBuild {
     // a training release (the q151 rule); the release universe is the
     // train side only
     val universe = docsUniverse
-      .localCheckpoint(eager = false) // feeds six funnel stages + kept
+      .transform(graft.Materialize.shared) // feeds six funnel stages + kept
     val d = universe.filter(col("doc_id") % 10 =!= 0)
     val disposition = CurationQueries.funnelDispositionOf(universe)
       .filter(col("doc_id") % 10 =!= 0)
-      .localCheckpoint(eager = false) // feeds provenance write + kept
+      .transform(graft.Materialize.shared) // feeds provenance write + kept
     val keptDocs = d.join(
       disposition.filter(col("disposition") === "kept")
         .select(col("doc_id")), Seq("doc_id"), "left_semi")
-      .localCheckpoint(eager = false) // feeds all five artifacts
+      .transform(graft.Materialize.shared) // feeds all five artifacts
 
     def w(df: DataFrame, name: String): Long = {
       df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
@@ -89,14 +89,14 @@ object ReleaseBuild {
     // elected member (max caption quality, min-id tie-break)
     val keptAssetsDf = graft.multimodal.Multimodal.keptAssetsOf(spark,
         graft.multimodal.Multimodal.assetDocsOf(d))
-      .localCheckpoint(eager = false) // artifact + paired report
+      .transform(graft.Materialize.shared) // artifact + paired report
     // the caption↔asset consistency record (VERDICT r13 "Next round"
     // #4): ships beside the two keep-lists so a pair inconsistency
     // (text dropped, asset kept, or vice versa) is visible in the
     // release itself — ONE classification definition with q195
     val pairedAssets = graft.multimodal.Multimodal
       .pairedCurationOf(disposition, keptAssetsDf)
-      .localCheckpoint(eager = false) // artifact + rollup
+      .transform(graft.Materialize.shared) // artifact + rollup
     // the vector keep-list (VERDICT r13 "Next round" #1): the q91
     // election over the release's embeddings universe — unclustered
     // vectors ship, each semantic cluster ships exactly its elected
@@ -105,7 +105,7 @@ object ReleaseBuild {
     // None = a text-only release universe (the chain-equality specs).
     val keptVectorsDf = vecsUniverse.map(e =>
       VectorQueries.keptVectorsOf(e)
-        .localCheckpoint(eager = false)) // artifact + paired + rollup
+        .transform(graft.Materialize.shared)) // artifact + paired + rollup
     // the doc↔vector consistency record (VERDICT r14 "Next round" #1):
     // the q196 classifier over the release's own funnel frames — a kept
     // doc whose vector lost the election (unservable in ANN/retrieval)
@@ -113,7 +113,7 @@ object ReleaseBuild {
     // both become visible rows in the release itself
     val pairedVectors = keptVectorsDf.map(kv => VectorQueries
       .pairedVectorCurationOf(disposition, kv)
-      .localCheckpoint(eager = false)) // artifact + rollup
+      .transform(graft.Materialize.shared)) // artifact + rollup
     val counts = Seq(
       "disposition" -> w(disposition.orderBy(col("doc_id")), "disposition"),
       "kept_docs" -> w(keptDocs, "kept_docs"),
@@ -155,7 +155,7 @@ object ReleaseBuild {
     import spark.implicits._
     val summary = counts.toDF("step", "n_rows")
       .orderBy(col("step"))
-      .localCheckpoint(eager = false) // feeds ledger, logs AND return
+      .transform(graft.Materialize.shared) // feeds ledger, logs AND return
     // job_id is a pure function of (ts, step): monotonically_increasing_id
     // restarts at 0 every run, which duplicated job_ids across appended
     // reruns — hashing the caller-supplied ts keeps provenance rows

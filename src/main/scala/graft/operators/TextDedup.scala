@@ -184,7 +184,7 @@ private[operators] trait TextDedup {
     // checkpoint is cheap; eager=false keeps plan construction/audit
     // free (the q70 lesson, uniformly — VERDICT r8 "What's wrong" #1).
     incrementalNearDupsFrom(corpusBands, corpusSets,
-      bandsOf(shingledNew).localCheckpoint(eager = false),
+      bandsOf(shingledNew).transform(graft.Materialize.shared),
       setsOf(shingledNew), cap)
   }
 
@@ -224,7 +224,7 @@ private[operators] trait TextDedup {
       .select(least(col("a.doc_id"), col("n.doc_id")).as("doc_a"),
         greatest(col("a.doc_id"), col("n.doc_id")).as("doc_b"))
       .distinct()
-      .localCheckpoint(eager = false)
+      .transform(graft.Materialize.shared)
     // Verification only touches the sets of candidate ENDPOINTS — a
     // batch-bounded id set (every pair has a batch side, so endpoints ≤
     // 2·|candidates|). Without the semi-join the daily pass SHUFFLES
@@ -443,7 +443,7 @@ private[operators] trait TextDedup {
   private[operators] def minhashRecallOf(docsDf: DataFrame): DataFrame = {
     val sample = docsDf.filter(col("doc_id") % MhSampleMod === 0)
     val sh = shingledOf(sample)
-      .localCheckpoint(eager = false) // feeds srows (×2), sizes, bands
+      .transform(graft.Materialize.shared) // feeds srows (×2), sizes, bands
     val sets = setsOf(sh)
     val srows = sh.select(col("doc_id"), explode(col("sh")).as("s"))
     val inter = srows.as("a")
@@ -490,7 +490,7 @@ private[operators] trait TextDedup {
   private[operators] def minhashPrecisionOf(docsDf: DataFrame): DataFrame = {
     val sample = docsDf.filter(col("doc_id") % MhSampleMod === 0)
     val base = shingledOf(sample)
-      .localCheckpoint(eager = false) // feeds bands and sets
+      .transform(graft.Materialize.shared) // feeds bands and sets
     val bands = bandsOf(base)
     val cands = bands.as("a")
       .join(bands.as("b"),
@@ -498,7 +498,7 @@ private[operators] trait TextDedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-      .localCheckpoint(eager = false) // feeds the count and the verify
+      .transform(graft.Materialize.shared) // feeds the count and the verify
     val nVerified = verifyPairs(cands, setsOf(base))
       .filter(col("jaccard") >= MhRecallThreshold)
       .agg(count(lit(1)).as("n_verified"))
@@ -573,7 +573,7 @@ private[operators] trait TextDedup {
     // loss, swap for reliable checkpoint() on a configured checkpoint dir.
     val fps = docs(spark, dir)
       .select(col("doc_id"), fingerprintExpr.as("fingerprint"))
-      .localCheckpoint(eager = false)
+      .transform(graft.Materialize.shared)
     val sizes = fps.groupBy(col("fingerprint"))
       .agg(count(lit(1)).as("cluster_size"))
     fps.join(sizes, Seq("fingerprint"))

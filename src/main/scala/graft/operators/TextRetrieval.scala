@@ -70,8 +70,9 @@ private[operators] trait TextRetrieval {
     * aggregation, order/partition-independent (the q92 NLL pattern);
     * ln() exposure is the same as q63's TF-IDF.
     *
-    * Scale shape: tf is the one corpus-wide shuffle; doc lengths derive
-    * from tf (ReusedExchange) rather than a second corpus pass; the
+    * Scale shape: tf is the one corpus-wide shuffle, materialized once
+    * per query ([[bm25IndexShared]]); doc lengths aggregate the
+    * materialized postings rather than a second corpus pass; the
     * query-term set is broadcast (queries are few); df is
     * vocabulary-sized — broadcast here, a t-keyed shuffle join at
     * web-corpus vocab sizes; scoring joins touch only docs sharing a
@@ -96,9 +97,18 @@ private[operators] trait TextRetrieval {
     * concurrent threads, and jobs racing a lazy checkpoint each
     * recompute it (the AnnFrames seal rationale, VERDICT r11 #2).
     * Query-path only — builders that PERSIST tf/dl (IndexStore) keep
-    * the raw [[bm25Index]] so their write plans stay scan-shaped. */
+    * the raw [[bm25Index]] so their write plans stay scan-shaped.
+    *
+    * Two deliberate trades (ADVICE r15): construction is EFFECTFUL (the
+    * checkpoint runs a Spark job and pins the postings in executor
+    * storage until RDD GC — acceptable for query paths the bench/verify
+    * mains construct-and-run once); and localCheckpoint truncates
+    * lineage into UNREPLICATED executor blocks, so on a multi-executor
+    * deployment an executor loss mid-query fails the query instead of
+    * recomputing — see [[graft.Materialize]] for the cluster-mode
+    * policy (persist keeps the recompute path). */
   private def bm25IndexShared(docsDf: DataFrame): (DataFrame, DataFrame) = {
-    val tf = bm25Index(docsDf)._1.localCheckpoint(eager = true)
+    val tf = bm25Index(docsDf)._1.transform(graft.Materialize.now)
     (tf, tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl")))
   }
 
@@ -160,7 +170,7 @@ private[operators] trait TextRetrieval {
       corpusDf: DataFrame, corpusStats: DataFrame,
       newDocs: DataFrame): DataFrame = {
     val (btf, bdl) = bm25Index(newDocs)
-    val btfc = btf.localCheckpoint(eager = false) // union leg + df leg
+    val btfc = btf.transform(graft.Materialize.shared) // union leg + df leg
     val (bdf, bstats) = bm25StatsTables(btfc, bdl)
     val dfMerged = corpusDf.unionByName(bdf)
       .groupBy(col("t")).agg(sum(col("df")).as("df"))
@@ -426,14 +436,14 @@ private[operators] trait TextRetrieval {
     // variant: bm25 ran 3× (k, rrf leg, hybrid leg), ql 2×, dense 2×
     // before (guide §1.2 "don't compute things you throw away").
     val lex10 = bm25Rank(tf, dl, RrfDepth)
-      .localCheckpoint(eager = false) // bm25 variant + rrf + hybrid legs
+      .transform(graft.Materialize.shared) // bm25 variant + rrf + hybrid legs
     val ql10 = qlRank(tf, dl, RrfDepth)
-      .localCheckpoint(eager = false) // ql variant + rrf leg
+      .transform(graft.Materialize.shared) // ql variant + rrf leg
     val dense10 = VectorQueries.denseRankedLeg(emb, Bm25NumQueries, RrfDepth)
-      .localCheckpoint(eager = false) // dense variant + hybrid leg
+      .transform(graft.Materialize.shared) // dense variant + hybrid leg
     val truth = VectorQueries.denseExactLeg(emb, Bm25NumQueries, k)
       .select(col("qid"), col("doc_id"))
-      .localCheckpoint(eager = false) // feeds the join and the total
+      .transform(graft.Materialize.shared) // feeds the join and the total
     val variants: Seq[(String, DataFrame)] = Seq(
       "bm25" -> lex10.filter(col("rk") <= k),
       "dense_ivf" -> dense10.filter(col("rk") <= k),
@@ -447,7 +457,7 @@ private[operators] trait TextRetrieval {
     val union = variants.map { case (name, df) =>
       df.select(lit(name).as("variant"), col("qid"), col("doc_id"))
     }.reduce(_.unionByName(_))
-      .localCheckpoint(eager = false) // feeds the hit join + truth mass
+      .transform(graft.Materialize.shared) // feeds the hit join + truth mass
     val nTruth = truth.agg(count(lit(1)).as("n_truth"))
     // CONTINUOUS companion metric (VERDICT r11 "Next round" #4, the
     // q110 truth-mass move): overlap@3 over 10 queries is 30 indicator

@@ -108,7 +108,7 @@ private[operators] trait TextTokenizers {
       .select(col("t"), expr(
         "transform(sequence(1, length(t)), i -> substring(t, i, 1))")
         .as("s"), col("n"))
-      .localCheckpoint(eager = false)
+      .transform(graft.Materialize.shared)
     var out: Option[DataFrame] = None
     for (r <- 1 to rounds) {
       // recount adjacent pairs over the CURRENT vocabulary (weighted by
@@ -124,7 +124,7 @@ private[operators] trait TextTokenizers {
         .agg(sum(col("n")).as("total"))
         .orderBy(col("total").desc, col("pa"), col("pb"))
         .limit(1)
-        .localCheckpoint(eager = false) // feeds output row + merge join
+        .transform(graft.Materialize.shared) // feeds output row + merge join
       val row = best.select(lit(r).cast("long").as("round"),
         col("pa"), col("pb"), col("total"))
       out = Some(out.map(_.unionByName(row)).getOrElse(row))
@@ -168,7 +168,8 @@ private[operators] trait TextTokenizers {
         // in a deserialization StackOverflowError (~round 200,
         // measured). Eager every 16 bounds the chain at 16 rounds and
         // changes nothing at the shipped 4-round queries.
-        .localCheckpoint(eager = r % 16 == 0)
+        .transform(ds => if (r % 16 == 0) graft.Materialize.now(ds)
+          else graft.Materialize.shared(ds))
     }
     (out, vocab)
   }

@@ -421,14 +421,14 @@ private[operators] trait VectorAnnTiers {
           .withColumn("rel", round(cosineSim(col("v"), col("qv")), 6)),
         MmrCands, col("rel"))
       .select(col("qid"), col("vec_id"), col("v"), col("rel"))
-      .localCheckpoint(eager = false) // feeds cc + every selection round
+      .transform(graft.Materialize.shared) // feeds cc + every selection round
     val cc = cands.select(col("qid"), col("vec_id").as("d"), col("v"))
       .join(cands.select(col("qid"), col("vec_id").as("s"),
         col("v").as("vs")), Seq("qid"))
       .filter(col("d") =!= col("s"))
       .select(col("qid"), col("d"), col("s"),
         round(cosineSim(col("v"), col("vs")), 6).as("sim"))
-      .localCheckpoint(eager = false)
+      .transform(graft.Materialize.shared)
     val ws = Window.partitionBy(col("qid"))
       .orderBy(col("score").desc, col("vec_id"))
     var sel = cands

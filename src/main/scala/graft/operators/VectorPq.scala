@@ -116,7 +116,7 @@ private[operators] trait VectorPq {
     * RESIDUAL, already exact micro longs). */
   private[operators] def pqTrainedCodebookOfMicro(
       micro: DataFrame): DataFrame = {
-    val m = micro.localCheckpoint(eager = false) // scanned once per round
+    val m = micro.transform(graft.Materialize.shared) // scanned once per round
     var cb = pqCodebookOfMicro(m)
     for (_ <- 1 to PqTrainRounds) {
       // per (s, code, j): exact component sum + count over assigned
@@ -160,7 +160,7 @@ private[operators] trait VectorPq {
         .withColumn("nb", expr(
           "transform(cb, sub -> transform(sub," +
             " cv -> aggregate(cv, 0L, (a, x) -> a + x * x)))"))
-        .localCheckpoint(eager = false) // per-round lineage truncation
+        .transform(graft.Materialize.shared) // per-round lineage truncation
     }
     cb
   }
@@ -191,7 +191,7 @@ private[operators] trait VectorPq {
   def pqDistortion(spark: SparkSession, dir: String): DataFrame = {
     val e = vecs(spark, dir)
     val m = microOf(e).select(col("vec_id"), col("mv"))
-      .localCheckpoint(eager = false) // scanned once per variant
+      .transform(graft.Materialize.shared) // scanned once per variant
     // the q181 residual domain: ‖v − (cm + r̂)‖² = ‖rv − r̂‖², so the
     // residual sub-distortion IS the full reconstruction error —
     // directly comparable to the raw-domain rows at identical bytes
@@ -200,7 +200,7 @@ private[operators] trait VectorPq {
     // must sit far below both raw rows — the measured claim residual
     // encoding makes.
     val cents = centroids(spark, dir)
-      .localCheckpoint(eager = false) // feeds assignment + micro table
+      .transform(graft.Materialize.shared) // feeds assignment + micro table
     val centsM = cents.select(col("clabel").as("cell"),
       expr("transform(c, x -> cast(round(x * 1e6) as bigint))").as("cm"))
     val res = cellAssign(e, cents)
@@ -209,7 +209,7 @@ private[operators] trait VectorPq {
         expr("transform(v, x -> cast(round(x * 1e6) as bigint))"))
       .select(col("vec_id"),
         expr("zip_with(mvr, cm, (a, b) -> a - b)").as("mv"))
-      .localCheckpoint(eager = false) // feeds the trainer AND the scan
+      .transform(graft.Materialize.shared) // feeds the trainer AND the scan
     // per-row min total squared error via the native fused assignment
     // (same exact-integer argmin as the encoder — ONE definition)
     val rowErr = pqAssignCol.getField("sqerr")
@@ -218,10 +218,10 @@ private[operators] trait VectorPq {
     // re-run the trainer rounds — VERDICT r11 "What's wrong" #2)
     Seq(
       ("residual_trained", res,
-        pqTrainedCodebookOfMicro(res).localCheckpoint(eager = true)),
+        pqTrainedCodebookOfMicro(res).transform(graft.Materialize.now)),
       ("seeded", m, pqCodebookOf(e)),
       ("trained", m,
-        pqTrainedCodebookOf(e).localCheckpoint(eager = true)))
+        pqTrainedCodebookOf(e).transform(graft.Materialize.now)))
       .map { case (name, micro, cbRow) =>
         micro.crossJoin(broadcast(cbRow))
           .select(rowErr.as("sqe"))

@@ -182,33 +182,33 @@ object VectorQueries extends VectorAnnTiers
     * paid k× training). Materializing the 1-row frame once at plan
     * construction makes every downstream broadcast a checkpoint read. */
   private[operators] final class AnnFrames(emb: DataFrame,
-      seal: DataFrame => DataFrame = _.localCheckpoint(eager = true),
+      seal: DataFrame => DataFrame = _.transform(graft.Materialize.now),
       shareScan: Boolean = false) {
     /** Corpus (vec_id, label, v) — q110 checkpoints it once for its
       * twelve legs; a standalone variant keeps the pushdown-friendly
       * parquet scan. */
     lazy val e: DataFrame = {
       val v = vecsOf(emb)
-      if (shareScan) v.localCheckpoint(eager = false) else v
+      if (shareScan) v.transform(graft.Materialize.shared) else v
     }
     lazy val corpusEmb: DataFrame =
       emb.filter(col("vec_id") % VecBatchMod =!= 0)
     lazy val centsFull: DataFrame =
-      centroidsOf(emb).localCheckpoint(eager = false)
+      centroidsOf(emb).transform(graft.Materialize.shared)
     lazy val centsCorpus: DataFrame = // the q105/q182 frozen quantizer
-      centroidsOf(corpusEmb).localCheckpoint(eager = false)
+      centroidsOf(corpusEmb).transform(graft.Materialize.shared)
     /** q177's raw-domain trained codebook. */
     lazy val cbTrained: DataFrame = seal(pqTrainedCodebookOf(e))
     /** q181's residual domain: full-corpus residuals vs [[centsFull]]. */
     lazy val resFull: DataFrame =
-      ivfPqResiduals(e, centsFull).localCheckpoint(eager = false)
+      ivfPqResiduals(e, centsFull).transform(graft.Materialize.shared)
     lazy val rcbFull: DataFrame = seal(pqTrainedCodebookOfMicro(
       resFull.select(col("vec_id"), col("rv").as("mv"))))
     /** q182's frozen residual domain: corpus-only rows vs the frozen
       * [[centsCorpus]] quantizer. */
     lazy val corpusRes: DataFrame =
       ivfPqResiduals(vecsOf(corpusEmb), centsCorpus)
-        .localCheckpoint(eager = false)
+        .transform(graft.Materialize.shared)
     lazy val rcbCorpus: DataFrame = seal(pqTrainedCodebookOfMicro(
       corpusRes.select(col("vec_id"), col("rv").as("mv"))))
     lazy val batchRes: DataFrame = ivfPqResiduals(
@@ -290,11 +290,11 @@ object VectorQueries extends VectorAnnTiers
     val f = new AnnFrames(Tables(spark, dir, "embeddings"),
       shareScan = true)
     val exact = topkCosineOf(f.e).select(col("qid"), col("nid"))
-      .localCheckpoint(eager = false) // feeds the join and the total
+      .transform(graft.Materialize.shared) // feeds the join and the total
     val union = variants.map { case (name, mk) =>
       mk(f).select(lit(name).as("variant"), col("qid"), col("nid"))
     }.reduce(_.unionByName(_))
-      .localCheckpoint(eager = false) // feeds the hit join + truth mass
+      .transform(graft.Materialize.shared) // feeds the hit join + truth mass
     val nExact = exact.agg(count(lit(1)).as("n_exact"))
     // CONTINUOUS companion metric (VERDICT r11 "Next round" #4):
     // recall@3 over 10 queries is 30 indicator draws and cannot rank

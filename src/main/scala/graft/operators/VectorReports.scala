@@ -122,7 +122,7 @@ private[operators] trait VectorReports {
     val cents = centroidsOf(
         Tables(spark, dir, "embeddings")
           .filter(col("vec_id") % VecBatchMod =!= 0))
-      .localCheckpoint(eager = false) // feeds corpus AND batch assignment
+      .transform(graft.Materialize.shared) // feeds corpus AND batch assignment
     quantizerDriftOf(cents, cellStatsOf(cellAssign(corpus, cents)), batch)
   }
 

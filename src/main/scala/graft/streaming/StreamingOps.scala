@@ -695,13 +695,13 @@ object StreamingOps {
           "DailyIngest.writeIndexes layout")
         def idx(name: String): DataFrame =
           spark.read.parquet(s"$genDir/$name.parquet")
-        val b = batch.toDF().localCheckpoint(eager = false)
+        val b = batch.toDF().transform(graft.Materialize.shared)
         // the micro-batch's MinHash tables feed the near-dup gate AND
         // the compaction — once per micro-batch (the writeDay rule)
         val (rawBands, rawSets) =
           graft.operators.LLMQueries.signatureTables(b)
-        val bBands = rawBands.localCheckpoint(eager = false)
-        val bSets = rawSets.localCheckpoint(eager = false)
+        val bBands = rawBands.transform(graft.Materialize.shared)
+        val bSets = rawSets.transform(graft.Materialize.shared)
         graft.operators.DailyIngest
           .dispositionOf(b, idx("text_hash"), idx("norm_hash"),
             idx("text_bands"), idx("text_sets"), idx("eval_grams"),
@@ -759,7 +759,7 @@ object StreamingOps {
         val genDir = newestGenDir(spark, workDir, batchId,
           "IndexStore.writeAssetIndexes layout")
         val m = graft.multimodal.Multimodal
-        val b = batch.localCheckpoint(eager = false)
+        val b = batch.transform(graft.Materialize.shared)
         // arriving rows feed the PAYLOAD-ONLY decode cores — no
         // fabricated metadata fields a future decoder could silently
         // start reading (ADVICE r14)

@@ -104,15 +104,13 @@ private[operators] trait VectorDedup {
 
   private[operators] def cosineNearDupsOf(e: DataFrame,
       cap: Option[Int] = None): DataFrame = {
-    val spark = e.sparkSession
     // repartition on the join key: both self-join legs then read ONE
     // materialized exchange (ReusedExchange), so the fixed-point
     // sign-bit dot products run once per query instead of once per leg
     // (without it AQE broadcasts one leg, and a broadcast exchange can
-    // never reuse a shuffle exchange — same lesson as q64)
-    val bands0 = lshBandsOf(e)
-      .repartition(spark.sessionState.conf.numShufflePartitions,
-        col("band"), col("key"))
+    // never reuse a shuffle exchange — same lesson as q64); width
+    // AQE-sized (Scale.byKey, round 16)
+    val bands0 = graft.Scale.byKey(lshBandsOf(e), col("band"), col("key"))
     // cap: the q188 admission rule applied (BandCapSpec pins the capped
     // output equal to the curve's kept set per swept cap); None =
     // today's exact join, byte-identical plan
@@ -168,9 +166,7 @@ private[operators] trait VectorDedup {
     * shuffle carries a 32-hex key per vector, never the vector itself.
     */
   def vectorExactDedup(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "embeddings")
-      .repartition(spark.sessionState.conf.numShufflePartitions,
-        col("vec_id"))
+    graft.Scale.byKey(Tables(spark, dir, "embeddings"), col("vec_id"))
       .groupBy(vecKeyExpr.as("vkey"))
       .agg(min(col("vec_id")).as("keep_id"),
         count(lit(1)).as("n_copies"))
@@ -223,13 +219,12 @@ private[operators] trait VectorDedup {
     * family run. */
   def incrementalVectorNearDups(corpusBands: DataFrame, corpusVecs: DataFrame,
       newVecs: DataFrame): DataFrame = {
-    val spark = newVecs.sparkSession
     // materialized lazily: newBands feeds BOTH the union leg and the
     // probe leg — without the checkpoint each consumer re-runs the
     // fixed-point sign-bit projection (2× the band math per daily run).
     // The batch is the small side by definition, so this is cheap;
     // eager=false keeps plan construction/audit free (the q70 lesson).
-    val newBands = lshBandsOf(newVecs).localCheckpoint(eager = false)
+    val newBands = lshBandsOf(newVecs).transform(graft.Materialize.shared)
     // cands feeds the verify joins AND the endpoint filter — the lazy
     // checkpoint keeps the band-probe join from running twice
     val cands = corpusBands.unionByName(newBands).as("a")
@@ -239,7 +234,7 @@ private[operators] trait VectorDedup {
       .select(least(col("a.vec_id"), col("n.vec_id")).as("vec_a"),
         greatest(col("a.vec_id"), col("n.vec_id")).as("vec_b"))
       .distinct()
-      .localCheckpoint(eager = false)
+      .transform(graft.Materialize.shared)
     // cosine verification only needs the vectors of candidate ENDPOINTS
     // (batch-bounded — every pair has a batch side): the semi-join
     // filter keeps the daily pass from shuffling every corpus VECTOR
@@ -254,10 +249,10 @@ private[operators] trait VectorDedup {
     // children otherwise let Spark 4.1 zip a 2N-partition union leg
     // against an N-partition candidates leg; post-filter it moves
     // candidate-sized rows, not the corpus
-    val all = corpusVecs.unionByName(newVecs)
-      .join(broadcast(ends), Seq("vec_id"), "left_semi")
-      .repartition(spark.sessionState.conf.numShufflePartitions,
-        col("vec_id"))
+    val all = graft.Scale.byKey(
+      corpusVecs.unionByName(newVecs)
+        .join(broadcast(ends), Seq("vec_id"), "left_semi"),
+      col("vec_id"))
     cands
       .join(all.select(col("vec_id").as("vec_a"), col("v").as("va")),
         Seq("vec_a"))
@@ -295,23 +290,54 @@ private[operators] trait VectorDedup {
     *    self-contained (the text_cc convention).
     */
   def vecNearDupIndexTables(corpus: DataFrame)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) =
+    vecNearDupIndexTablesFrom(vecFamilyCore(corpus))
+
+  /** The shared family core beneath BOTH corpus-side vector index
+    * families (round 16, VERDICT r15 "Next round" #2): the fixed-point
+    * keying, the per-vkey family aggregate and the canonical-vector
+    * table are ONE subtree each, so a composition that builds the
+    * near-dup trio AND the semantic tables over the same corpus (q194,
+    * IndexStore.writeVectorIndexes) keys/aggregates/bands the corpus
+    * once instead of once per family. Members:
+    *  - keyed(vec_id, v, vkey) — the md5 projection;
+    *  - famsFull(vkey, canon, fam_size) — superset of both families'
+    *    fams tables (each projects the columns its contract persists);
+    *  - canonVecs(vkey, canon, fam_size, v) — canonical vectors;
+    *  - bandsC(vec_id, band, key) — sign-LSH bands of the canonicals
+    *    (identical in both families: same vectors, same planes). */
+  private[operators] final class VecFamilyCore(corpus: DataFrame) {
+    val keyed: DataFrame =
+      corpus.select(col("vec_id"), col("v"), vKeyExpr.as("vkey"))
+        .transform(graft.Materialize.shared)
+    val famsFull: DataFrame = keyed.groupBy(col("vkey"))
+      .agg(min(col("vec_id")).as("canon"), count(lit(1)).as("fam_size"))
+      .transform(graft.Materialize.shared) // feeds members join + canon vecs
+    val canonVecs: DataFrame = famsFull
+      .join(keyed.select(col("vec_id").as("canon"), col("v")),
+        Seq("canon"))
+      // column order = the semantic family's persisted vecC layout
+      .select(col("canon"), col("vkey"), col("fam_size"), col("v"))
+      .transform(graft.Materialize.shared) // band leg + verify legs + writes
+    val bandsC: DataFrame = lshBandsOf(
+        canonVecs.select(col("canon").as("vec_id"), col("v")))
+      .transform(graft.Materialize.shared) // near-dup probe + semantic probe
+  }
+
+  private[operators] def vecFamilyCore(corpus: DataFrame): VecFamilyCore =
+    new VecFamilyCore(corpus)
+
+  /** [[vecNearDupIndexTables]] over an already-built [[VecFamilyCore]] —
+    * same four frames, shared subtrees. */
+  private[operators] def vecNearDupIndexTablesFrom(core: VecFamilyCore)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
-    // the fixed-point md5 projection feeds the family aggregation AND
-    // the member join — checkpoint or both legs re-key every vector
-    val keyed = corpus.select(col("vec_id"), col("v"), vKeyExpr.as("vkey"))
-      .localCheckpoint(eager = false)
-    val fams = keyed.groupBy(col("vkey"))
-      .agg(min(col("vec_id")).as("canon"))
-      .localCheckpoint(eager = false) // feeds members join + canon vecs
-    val members = keyed.select(col("vec_id"), col("vkey"))
+    val fams = core.famsFull.select(col("vkey"), col("canon"))
+    val members = core.keyed.select(col("vec_id"), col("vkey"))
       .join(fams, Seq("vkey"))
       .select(col("vec_id"), col("canon"))
-    val canonVecs = fams
-      .join(corpus.select(col("vec_id").as("canon"), col("v")),
-        Seq("canon"))
+    val canonVecs = core.canonVecs
       .select(col("canon").as("vec_id"), col("v"))
-      .localCheckpoint(eager = false) // feeds the band leg + its write
-    (fams, members, lshBandsOf(canonVecs), canonVecs)
+    (fams, members, core.bandsC, canonVecs)
   }
 
   /** Family-level candidate generation + cosine verification — the core
@@ -345,10 +371,8 @@ private[operators] trait VectorDedup {
       bandsC: DataFrame, canonVecsC: DataFrame, newVecs: DataFrame,
       cap: Option[Int] = None)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
-    val spark = newVecs.sparkSession
-    val n = spark.sessionState.conf.numShufflePartitions
     val batchK = newVecs.select(col("vec_id"), col("v"), vKeyExpr.as("vkey"))
-      .localCheckpoint(eager = false) // feeds reps + batch members
+      .transform(graft.Materialize.shared) // feeds reps + batch members
     // one representative per batch-touched family: the min batch row
     val reps = batchK.groupBy(col("vkey"))
       .agg(min(struct(col("vec_id"), col("v"))).as("m"),
@@ -357,12 +381,12 @@ private[operators] trait VectorDedup {
       .select(col("vkey"),
         coalesce(col("canon"), col("m.vec_id")).as("fid"),
         col("m.v").as("v"), col("canon").isNull.as("is_new"), col("nb"))
-      .localCheckpoint(eager = false) // bands + vecs + members + within
+      .transform(graft.Materialize.shared) // bands + vecs + members + within
     val repBands = reps.select(col("fid"), col("is_new"),
         posexplode(graft.functions.SignLshKeys.signLshKeys(
           col("v"), planes, PlanesPerBand)))
       .toDF("fid", "is_new", "band", "key")
-      .localCheckpoint(eager = false) // probe leg + new-family union leg
+      .transform(graft.Materialize.shared) // probe leg + new-family union leg
     val probe0 = repBands
       .select(col("fid").as("vec_id"), col("band"), col("key"))
     val full0 = bandsC.unionByName(repBands.filter(col("is_new"))
@@ -384,7 +408,7 @@ private[operators] trait VectorDedup {
       .select(least(col("a.vec_id"), col("n.vec_id")).as("fid_a"),
         greatest(col("a.vec_id"), col("n.vec_id")).as("fid_b"))
       .distinct()
-      .localCheckpoint(eager = false) // verify joins + endpoint filter
+      .transform(graft.Materialize.shared) // verify joins + endpoint filter
     val ends = cands
       .select(explode(array(col("fid_a"), col("fid_b"))).as("vec_id"))
       .distinct()
@@ -393,11 +417,12 @@ private[operators] trait VectorDedup {
     // smaller than the lake), new-family reps off the batch — the
     // broadcast semi keeps the verify legs from shuffling every
     // canonical (the q96 endpoint lesson, family flavor)
-    val repVecs = canonVecsC.select(col("vec_id"), col("v"))
-      .unionByName(reps.filter(col("is_new"))
-        .select(col("fid").as("vec_id"), col("v")))
-      .join(broadcast(ends), Seq("vec_id"), "left_semi")
-      .repartition(n, col("vec_id"))
+    val repVecs = graft.Scale.byKey(
+      canonVecsC.select(col("vec_id"), col("v"))
+        .unionByName(reps.filter(col("is_new"))
+          .select(col("fid").as("vec_id"), col("v")))
+        .join(broadcast(ends), Seq("vec_id"), "left_semi"),
+      col("vec_id"))
     val famPairs = cands
       .join(repVecs.select(col("vec_id").as("fid_a"), col("v").as("va")),
         Seq("fid_a"))
@@ -406,7 +431,7 @@ private[operators] trait VectorDedup {
       .withColumn("cos", round(cosineSim(col("va"), col("vb")), 6))
       .filter(col("cos") >= NearDupThreshold)
       .select(col("fid_a"), col("fid_b"), col("cos"))
-      .localCheckpoint(eager = false) // expansion/count legs + fid set
+      .transform(graft.Materialize.shared) // expansion/count legs + fid set
     val batchMembers = batchK
       .join(reps.select(col("vkey"), col("fid")), Seq("vkey"))
       .select(col("vec_id"), col("fid"))
@@ -442,7 +467,7 @@ private[operators] trait VectorDedup {
       canonNearDupCore(famsC, membersC, bandsC, canonVecsC, newVecs, cap)
     val membersAll = corpusMembers.withColumn("is_b", lit(false))
       .unionByName(batchMembers.withColumn("is_b", lit(true)))
-      .localCheckpoint(eager = false) // two cross legs + within leg
+      .transform(graft.Materialize.shared) // two cross legs + within leg
     val cross = famPairs
       .join(membersAll.select(col("fid").as("fid_a"),
         col("vec_id").as("a_id"), col("is_b").as("a_b")), Seq("fid_a"))
@@ -492,7 +517,7 @@ private[operators] trait VectorDedup {
       .join(reps.select(col("fid"), col("nb").as("tb")), Seq("fid"), "full")
       .select(col("fid"), coalesce(col("tb"), lit(0L)).as("tb"),
         coalesce(col("tc"), lit(0L)).as("tc"))
-      .localCheckpoint(eager = false) // both cross legs + within leg
+      .transform(graft.Materialize.shared) // both cross legs + within leg
     val cross = famPairs
       .join(counts.select(col("fid").as("fid_a"), col("tb").as("tba"),
         col("tc").as("tca")), Seq("fid_a"))
@@ -542,7 +567,7 @@ private[operators] trait VectorDedup {
   def vecBandCapCurve(spark: SparkSession, dir: String): DataFrame = {
     val e = vecs(spark, dir).select(col("vec_id"), col("v"))
     val (_, _, bandsC, canonVecs0) = vecNearDupIndexTables(e)
-    val canonVecs = canonVecs0.localCheckpoint(eager = false) // 2 legs
+    val canonVecs = canonVecs0.transform(graft.Materialize.shared) // 2 legs
     graft.multimodal.Multimodal.bandCapCurveOf(bandsC, "vec_id",
       pairs => pairs
         .join(canonVecs.select(col("vec_id").as("ida"),
@@ -566,14 +591,14 @@ private[operators] trait VectorDedup {
       bandsC: DataFrame, canonVecsC: DataFrame, batch: DataFrame)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val batchK = batch.select(col("vec_id"), col("v"), vKeyExpr.as("vkey"))
-      .localCheckpoint(eager = false) // feeds fams + member append
+      .transform(graft.Materialize.shared) // feeds fams + member append
     val batchFams = batchK.groupBy(col("vkey"))
       .agg(min(struct(col("vec_id"), col("v"))).as("m"))
       .select(col("vkey"), col("m.vec_id").as("bmin"), col("m.v").as("v"))
       .join(famsC, Seq("vkey"), "left")
       .withColumn("new_canon",
         least(coalesce(col("canon"), col("bmin")), col("bmin")))
-      .localCheckpoint(eager = false) // fams/members/bands legs
+      .transform(graft.Materialize.shared) // fams/members/bands legs
     val famsOut = famsC
       .join(batchFams.select(col("vkey")), Seq("vkey"), "left_anti")
       .unionByName(

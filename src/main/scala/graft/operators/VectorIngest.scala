@@ -58,15 +58,22 @@ private[operators] trait VectorIngest {
       dir: String): DataFrame = {
     val e = vecs(spark, dir).select(col("vec_id"), col("v"))
     val corpus = e.filter(col("vec_id") % VecBatchMod =!= 0)
-      .localCheckpoint(eager = false) // hash index + trio + sem tables
+      .transform(graft.Materialize.shared) // hash index + trio + sem tables
     val batch = e.filter(col("vec_id") % VecBatchMod === 0)
-      .localCheckpoint(eager = false) // 3 gates + the batch universe
+      .transform(graft.Materialize.shared) // 3 gates + the batch universe
+    // ONE family core beneath all three gates (round 16, VERDICT r15
+    // #2): the md5 keying, family aggregate and canonical banding used
+    // to run once per index family — 2× keying + 2× banding per query —
+    // and the hash index re-keyed the corpus a third time (famsFull has
+    // exactly one row per distinct vkey, so its projection IS
+    // vectorHashIndex's distinct-key table).
+    val core = vecFamilyCore(corpus)
     val (famsC, membersC, bandsC, canonVecs) =
-      vecNearDupIndexTables(corpus)
+      vecNearDupIndexTablesFrom(core)
     val (sFams, sVecC, sBandsC, sCcC, sStatsC) =
-      semanticIndexTables(corpus)
+      semanticIndexTablesFrom(core)
     vectorDispositionOf(batch,
-      incrementalVectorExactDedup(vectorHashIndex(corpus), batch),
+      incrementalVectorExactDedup(core.famsFull.select(col("vkey")), batch),
       incrementalVectorNearDupsCanonical(famsC, membersC, bandsC,
         canonVecs, batch),
       incrementalSemanticMembers(sFams, sVecC, sBandsC, sCcC, sStatsC,
@@ -88,10 +95,10 @@ private[operators] trait VectorIngest {
     * rides its canonical's component). */
   def keptVectorsOf(emb: DataFrame): DataFrame = {
     val e = vecsOf(emb).select(col("vec_id"), col("v"))
-      .localCheckpoint(eager = false) // core + member expansion
+      .transform(graft.Materialize.shared) // core + member expansion
     val (famsK, canon, canonMembers0) = semanticCanonCore(e)
     val canonMembers = canonMembers0
-      .localCheckpoint(eager = false) // election leg + clustered semi
+      .transform(graft.Materialize.shared) // election leg + clustered semi
     val elected = canonMembers
       .join(canon.select(col("vec_id"), norm2Expr.as("norm2")),
         Seq("vec_id"))
@@ -125,13 +132,13 @@ private[operators] trait VectorIngest {
   def keptChurnOf(keptBefore: DataFrame, keptAfter: DataFrame,
       commonIds: DataFrame): DataFrame = {
     val ids = commonIds.select(col("vec_id"))
-      .localCheckpoint(eager = false) // both semi joins
+      .transform(graft.Materialize.shared) // both semi joins
     val b = keptBefore.select(col("vec_id"))
       .join(ids, Seq("vec_id"), "left_semi")
-      .localCheckpoint(eager = false) // anti both ways
+      .transform(graft.Materialize.shared) // anti both ways
     val a = keptAfter.select(col("vec_id"))
       .join(ids, Seq("vec_id"), "left_semi")
-      .localCheckpoint(eager = false) // anti both ways
+      .transform(graft.Materialize.shared) // anti both ways
     b.join(a, Seq("vec_id"), "left_anti")
       .withColumn("churn", lit("flipped_out"))
       .unionByName(a.join(b, Seq("vec_id"), "left_anti")

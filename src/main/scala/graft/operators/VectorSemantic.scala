@@ -62,7 +62,7 @@ private[operators] trait VectorSemantic {
     val famsK = e.select(col("vec_id"), vKeyExpr.as("vkey"))
       .groupBy(col("vkey"))
       .agg(min(col("vec_id")).as("vec_id"), count(lit(1)).as("fam_size"))
-      .localCheckpoint(eager = false)
+      .transform(graft.Materialize.shared)
     // materialized lazily: canon feeds the LSH band leg, both cosine-
     // verify legs, the fam-only residual, and the norm projection —
     // without the checkpoint each consumer re-runs the family
@@ -71,7 +71,7 @@ private[operators] trait VectorSemantic {
     // CC loop downstream executes immediately anyway.
     val canon = famsK.select(col("vec_id"), col("fam_size"))
       .join(e.select(col("vec_id"), col("v")), Seq("vec_id"))
-      .localCheckpoint(eager = false)
+      .transform(graft.Materialize.shared)
     val pairs = cosineNearDupsOf(canon)
       .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
     val cc = CurationQueries.connectedComponentsStar(pairs)._1
@@ -111,15 +111,19 @@ private[operators] trait VectorSemantic {
     *    member count (Σ fam_size) and the election max(norm2, -canon).
     */
   def semanticIndexTables(corpus: DataFrame)
+      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) =
+    semanticIndexTablesFrom(vecFamilyCore(corpus))
+
+  /** [[semanticIndexTables]] over an already-built
+    * [[VectorDedup.VecFamilyCore]] — q194 and the index writer build
+    * the near-dup trio and these tables off ONE keying/family/banding
+    * subtree (round 16, VERDICT r15 #2). */
+  private[operators] def semanticIndexTablesFrom(core: VecFamilyCore)
       : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
-    val fams = corpus.select(col("vec_id"), vKeyExpr.as("vkey"))
-      .groupBy(col("vkey"))
-      .agg(min(col("vec_id")).as("canon"), count(lit(1)).as("fam_size"))
-    val vecC = fams
-      .join(corpus.select(col("vec_id").as("canon"), col("v")), Seq("canon"))
-      .localCheckpoint(eager = false)
+    val fams = core.famsFull
+    val vecC = core.canonVecs
     val canonVecs = vecC.select(col("canon").as("vec_id"), col("v"))
-    val bandsC = lshBandsOf(canonVecs)
+    val bandsC = core.bandsC
     val pairsC = cosineNearDupsOf(canonVecs)
       .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
     val ccC = CurationQueries.connectedComponentsStar(pairsC)._1
@@ -177,8 +181,6 @@ private[operators] trait VectorSemantic {
       bandsC: DataFrame, ccC: DataFrame, statsC: DataFrame,
       batch: DataFrame): (DataFrame, DataFrame, DataFrame, DataFrame,
       DataFrame, DataFrame) = {
-    val spark = batch.sparkSession
-    val n = spark.sessionState.conf.numShufflePartitions
     // 1. family merge (batch-touched vkeys only)
     val famsB = batch.select(col("vec_id"), vKeyExpr.as("vkey"))
       .groupBy(col("vkey"))
@@ -192,12 +194,12 @@ private[operators] trait VectorSemantic {
       .withColumn("merged_size",
         col("size_b") + coalesce(col("size_c"), lit(0L)))
       .withColumn("norm2", norm2Expr)
-      .localCheckpoint(eager = false) // feeds probe + 5 accounting legs
+      .transform(graft.Materialize.shared) // feeds probe + 5 accounting legs
     val newFams = famsB.filter(col("canon_c").isNull)
     val sharedFams = famsB.filter(col("canon_c").isNotNull)
     // 2. probe with new canonicals only
     val newCanonVecs = newFams.select(col("canon_b").as("vec_id"), col("v"))
-    val newBands = lshBandsOf(newCanonVecs).localCheckpoint(eager = false)
+    val newBands = lshBandsOf(newCanonVecs).transform(graft.Materialize.shared)
     val cands = bandsC.unionByName(newBands).as("a")
       .join(newBands.as("n"),
         col("a.band") === col("n.band") && col("a.key") === col("n.key") &&
@@ -205,17 +207,18 @@ private[operators] trait VectorSemantic {
       .select(least(col("a.vec_id"), col("n.vec_id")).as("vec_a"),
         greatest(col("a.vec_id"), col("n.vec_id")).as("vec_b"))
       .distinct()
-      .localCheckpoint(eager = false) // feeds verify joins + endpoint filter
+      .transform(graft.Materialize.shared) // feeds verify joins + endpoint filter
     // verify only needs candidate-endpoint canonicals (batch-bounded):
     // the semi-join keeps the daily merge from shuffling every corpus
     // canonical vector — q96's endpoint lesson, semantic flavor
     val ends = cands
       .select(explode(array(col("vec_a"), col("vec_b"))).as("vec_id"))
       .distinct()
-    val allCanonVecs = vecC.select(col("canon").as("vec_id"), col("v"))
-      .unionByName(newCanonVecs)
-      .join(broadcast(ends), Seq("vec_id"), "left_semi")
-      .repartition(n, col("vec_id"))
+    val allCanonVecs = graft.Scale.byKey(
+      vecC.select(col("canon").as("vec_id"), col("v"))
+        .unionByName(newCanonVecs)
+        .join(broadcast(ends), Seq("vec_id"), "left_semi"),
+      col("vec_id"))
     val pairs = cands
       .join(allCanonVecs.select(col("vec_id").as("vec_a"), col("v").as("va")),
         Seq("vec_a"))
@@ -233,7 +236,7 @@ private[operators] trait VectorSemantic {
         coalesce(col("lb"), col("vec_b")).as("doc_b"))
     val comps = CurationQueries.connectedComponentsStar(edges)._1
       .select(col("doc_id").as("node"), col("cluster_id").as("tmp"))
-      .localCheckpoint(eager = false) // feeds 3 contribution legs + antis
+      .transform(graft.Materialize.shared) // feeds 3 contribution legs + antis
     // 4. per-cluster batch effects: size additions from all shared
     // families; id/election adjustments from SHIFTED canonicals only
     // (an unshifted family's canonical and norm are already in statsC)

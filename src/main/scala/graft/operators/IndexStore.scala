@@ -118,9 +118,7 @@ object IndexStore extends IndexStoreCompaction with IndexStoreCapped {
     writeTextNearDup(corpusDocs, dir)
     writeTextExact(corpusDocs, dir)
     writeSegments(corpusDocs, dir)
-    writeVecExact(corpusVecs, dir)
-    writeVecNearDup(corpusVecs, dir)
-    writeSemantic(corpusVecs, dir)
+    writeVectorFamilies(corpusVecs, dir) // one shared family core
     writeQuantizerStats(spark, dataDir, dir) // centroids + cell stats
     writeMediaNearDup(spark, dataDir, dir)
     writeBpeVocab(spark, dataDir, dir)
@@ -335,13 +333,37 @@ object IndexStore extends IndexStoreCompaction with IndexStoreCapped {
   /** Every vector-side family [[DailyIngest.runVectors]] reads, in one
     * pass: the q102 key index, the q103/q186 canonical trio, and the
     * q104 semantic tables. After this write, the daily vector run
-    * scans the lake only for the batch (the q186 self-containment). */
+    * scans the lake only for the batch (the q186 self-containment).
+    *
+    * One [[VectorQueries.vecFamilyCore]] feeds all ten tables (round
+    * 16): each parquet write is its own ACTION, so without the shared
+    * core the corpus was md5-keyed once per exact/near-dup/semantic
+    * family and the canonicals re-banded per consumer table — here the
+    * keying, family aggregate, canonical join and banding materialize
+    * once for the whole snapshot write. */
   def writeVectorIndexes(spark: SparkSession, dataDir: String,
+      dir: String): Unit =
+    writeVectorFamilies(vecSplit(spark, dataDir)._1, dir)
+
+  /** The exact/near-dup/semantic vector families off ONE shared
+    * [[VectorQueries.vecFamilyCore]] — see [[writeVectorIndexes]]. */
+  private def writeVectorFamilies(corpusVecs: DataFrame,
       dir: String): Unit = {
-    val (corpusVecs, _) = vecSplit(spark, dataDir)
-    writeVecExact(corpusVecs, dir)
-    writeVecNearDup(corpusVecs, dir)
-    writeSemantic(corpusVecs, dir)
+    val core = VectorQueries.vecFamilyCore(corpusVecs)
+    write(core.famsFull.select(col("vkey")), dir, "vec_hash")
+    val (fams, members, bandsC, canonVecs) =
+      VectorQueries.vecNearDupIndexTablesFrom(core)
+    write(fams, dir, "vec_fams")
+    write(members, dir, "vec_members")
+    write(bandsC, dir, "vec_bands_c")
+    write(canonVecs, dir, "vec_canon")
+    val (sFams, sVecC, sBandsC, sCcC, sStatsC) =
+      VectorQueries.semanticIndexTablesFrom(core)
+    write(sFams, dir, "sem_fams")
+    write(sVecC, dir, "sem_vecc")
+    write(sBandsC, dir, "sem_bandsc")
+    write(sCcC, dir, "sem_ccc")
+    write(sStatsC, dir, "sem_statsc")
   }
 
   // ---- model artifacts (train once per snapshot, apply daily) ----------

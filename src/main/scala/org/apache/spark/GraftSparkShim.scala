@@ -13,4 +13,10 @@ object GraftSparkShim {
   def drainListenerBus(sc: SparkContext, timeoutMs: Long = 10000L): Unit =
     try sc.listenerBus.waitUntilEmpty(timeoutMs)
     catch { case _: java.util.concurrent.TimeoutException => () }
+
+  /** Unset the checkpoint dir (`checkpointDir` is private[spark] with a
+    * set-only public API) — lets a test restore the shared session's
+    * no-checkpoint-dir state after exercising reliable checkpointing. */
+  def clearCheckpointDir(sc: SparkContext): Unit =
+    sc.checkpointDir = None
 }
